@@ -1,0 +1,119 @@
+"""k-NN similarity search (SURVEY.md §2 C1/C2 + B3 + F1/F2).
+
+Reference behavior being reproduced (``/root/reference``):
+  * ``vector_store.py:139-171`` — ``similarity_search[_with_score]``: embed
+    query, optional metadata prefilter, HNSW top-k under squared-L2.
+  * ``app.py:414-432`` — ``/search_score``: ``similarity = 1.0 - d²``, keep
+    ``>= SIMILARITY_THRESHOLD`` (0.1), sort desc, serialize.
+  * ``k == -1`` falls back to ``SEARCH_K`` (``vector_store.py:141,158``).
+
+Spark plan shape (and why it scales):
+  * Single query: filter (pushed into the scan) → per-row score expression
+    (whole-stage codegen) → ``ORDER BY score DESC LIMIT k``. Catalyst plans
+    ``TakeOrderedAndProject``: each partition keeps its local top-k, the
+    driver merges k·P rows — no global sort, no full shuffle. This is exact
+    brute force; it is embarrassingly parallel and beats index maintenance up
+    to very large corpora. Beyond that, ``operators/ann.py`` provides
+    LSH-bucketed approximate variants.
+  * Many queries: broadcast the (small) query set, crossJoin against the
+    corpus — Catalyst plans ``BroadcastNestedLoopJoin``, so the 100 TB corpus
+    is scanned ONCE with no shuffle of the big side — then per-query top-k via
+    ``row_number() OVER (PARTITION BY query_id ORDER BY ...)``, whose shuffle
+    moves only (n_queries · corpus_fraction-that-survived-threshold) rows.
+
+Determinism: ties broken by ``(score DESC, id ASC)`` (FIXTURES.md rule 4) so
+top-k sets are stable across partitionings and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark import config
+from server2_vector_search_server_spark.functions.filters import apply_where
+from server2_vector_search_server_spark.functions.vector import similarity_score
+
+
+def vector_literal(vec: Sequence[float]) -> Column:
+    """A query vector as a literal array column (broadcast in the plan —
+    the Spark analog of the reference embedding the query once driver-side,
+    ``vector_store.py:32``)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _resolve_k(k: int) -> int:
+    # reference vector_store.py:141,158 — k == -1 → config SEARCH_K
+    return config.SEARCH_K if k == -1 else k
+
+
+def knn_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = config.DEFAULT_API_K,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    where: Mapping[str, Any] | None = None,
+    threshold: float | None = None,
+    score_decimals: int | None = config.SCORE_DECIMALS,
+) -> DataFrame:
+    """Exact scored top-k under the reference contract.
+
+    Returns the corpus columns (minus the vector) plus ``score``; rows with
+    ``score >= threshold`` (when given), ordered ``score DESC, id ASC``,
+    limited to k. With ``threshold=config.SIMILARITY_THRESHOLD`` this is the
+    full ``/search_score`` pipeline (``app.py:414-432``).
+    """
+    k = _resolve_k(k)
+    scored = apply_where(corpus, where).withColumn(
+        "score", similarity_score(vector_literal(query_vec), F.col(vec_col)))
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), score_decimals))
+    if threshold is not None:
+        scored = scored.filter(F.col("score") >= F.lit(float(threshold)))
+    return (
+        scored.drop(vec_col)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = config.DEFAULT_API_K,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+    threshold: float | None = None,
+    score_decimals: int | None = config.SCORE_DECIMALS,
+) -> DataFrame:
+    """Batch k-NN: top-k corpus rows per query row (many-query form of C1/C2).
+
+    ``queries`` must be small enough to broadcast (it is the reference's
+    one-query-at-a-time loop, batched). The corpus side is scanned once; the
+    only shuffle is the per-query window over surviving candidates.
+    """
+    k = _resolve_k(k)
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")))
+    scored = corpus.crossJoin(q).withColumn(
+        "score", similarity_score(F.col("__qvec"), F.col(corpus_vec_col)))
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), score_decimals))
+    if threshold is not None:
+        scored = scored.filter(F.col("score") >= F.lit(float(threshold)))
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col(corpus_id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop(corpus_vec_col, "__qvec")
+        .withColumnRenamed("__qid", query_id_col)
+    )

@@ -1,0 +1,20 @@
+"""High-level query surface: named queries + DuckDB oracle twins.
+
+``load_registry()`` imports every query-definition module (their decorators
+populate ``registry.REGISTRY``) and returns the registry dict.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_QUERY_MODULES = [
+    "server2_vector_search_server_spark.plans.vector_queries",
+]
+
+
+def load_registry():
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    from server2_vector_search_server_spark.plans.registry import REGISTRY
+    return REGISTRY

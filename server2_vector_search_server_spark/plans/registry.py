@@ -1,0 +1,76 @@
+"""Query registry — the engine's public query surface + DuckDB oracle twins.
+
+Every operator from SURVEY.md §2 that the engine claims is registered here as
+a named query: a callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) an equivalent DuckDB SQL string. The driver's correctness
+gate runs both at sf=0.01 and compares row-count + schema + order-insensitive
+value hash; ``tests/test_oracle_parity.py`` runs the same comparison locally
+at sf0.001 so regressions surface before a round ends.
+
+Parity rules (FIXTURES.md §Determinism):
+  * floats: cast to DOUBLE before arithmetic on BOTH sides, identical op
+    order, ROUND to a fixed number of decimals on BOTH sides.
+  * sums of doubles: per-row round → scaled BIGINT → exact integer SUM so
+    Spark's shuffle order cannot perturb the result (addition over int is
+    associative; over float it is not).
+  * every computed column aliased identically on both sides; ties broken
+    deterministically; no UUIDs / nondeterministic ids in checked outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from server2_vector_search_server_spark.session import read_table
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # DuckDB SQL, None => rows-only check
+    survey_ref: str             # SURVEY.md §2 operator ids this query covers
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, *, oracle: str | None, survey: str):
+    """Register a query under ``name`` with its DuckDB oracle twin."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = RegisteredQuery(name, fn, oracle, survey)
+        return fn
+
+    return deco
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --- shared oracle SQL fragments -------------------------------------------
+
+def sql_sq_l2(a: str, b: str) -> str:
+    """DuckDB squared-L2 mirroring functions/vector.squared_l2's op order:
+    cast each element to DOUBLE, subtract, square via multiplication, sum."""
+    d = f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> {d} * {d}))"
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+
+def sql_l2_norm(a: str) -> str:
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def sql_score(a: str, b: str, decimals: int = 6) -> str:
+    """The reference score contract 1 - d^2 (app.py:418), rounded."""
+    return f"ROUND(1.0 - {sql_sq_l2(a, b)}, {decimals})"

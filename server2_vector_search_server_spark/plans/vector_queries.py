@@ -1,0 +1,107 @@
+"""Vector-search query surface (SURVEY.md §2 C1/C2, B1-B3, F1/F2).
+
+These are the engine's re-expression of the reference's search endpoints
+(``/search_score`` pipeline, ``app.py:396-444``; ``similarity_search[_with_score]``,
+``vector_store.py:139-171``) over the driver's ``embeddings`` fixture.
+
+Scale notes: the single-query plan is scan → codegen'd score → partial top-k
+(``TakeOrderedAndProject``) — no shuffle of corpus rows. The multi-query plan
+broadcasts the query set so the corpus is scanned once; the per-query window
+shuffles only scored candidate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark import config
+from server2_vector_search_server_spark.operators.knn import knn_join, knn_topk
+from server2_vector_search_server_spark.plans.registry import (
+    query,
+    sql_score,
+    tbl,
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """Driver-side single-row fetch of the query vector — the Spark analog of
+    the reference embedding the query string once on the driver
+    (``vector_store.py:32``); it becomes a broadcast literal in the plan."""
+    return (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id).select("embedding").first()[0]
+    )
+
+
+_QV0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "search_score_topk",
+    survey="C1,C2,B3,F1,F2",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           {sql_score('e.embedding', _QV0)} AS score
+    FROM embeddings e
+    WHERE score >= {config.SIMILARITY_THRESHOLD}
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {config.DEFAULT_API_K}
+    """,
+)
+def search_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ``/search_score`` end-to-end: score = 1 − d², threshold
+    0.1, sort desc, top-k=5 (app.py:414-432)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return knn_topk(emb, _query_vec(spark, sf_dir), k=config.DEFAULT_API_K,
+                    threshold=config.SIMILARITY_THRESHOLD)
+
+
+@query(
+    "search_filtered_knn",
+    survey="B1,B2,C2",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           {sql_score('e.embedding', _QV0)} AS score
+    FROM embeddings e
+    WHERE e.label IN (1, 2, 3) AND e.vec_id < 400
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def search_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered k-NN: Chroma where-dialect prefilter pushed into the scan
+    before scoring (vector_store.py:139-154 + the B2 dict grammar)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    where = {"$and": [{"label": {"$in": [1, 2, 3]}},
+                      {"vec_id": {"$lt": 400}}]}
+    return knn_topk(emb, _query_vec(spark, sf_dir), k=10, where=where,
+                    threshold=None)
+
+
+_MULTI_SCORE = sql_score("e.embedding", "q.qv")
+
+
+@query(
+    "search_multi_query_knn",
+    survey="C1,C2,E(window)",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8)
+    SELECT q.query_id, e.vec_id, e.label,
+           {_MULTI_SCORE} AS score,
+           CAST(row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY {_MULTI_SCORE} DESC, e.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings e CROSS JOIN q
+    QUALIFY rank <= 3
+    """,
+)
+def search_multi_query_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 per query for 8 queries — the reference's
+    one-query loop re-planned as broadcast-crossjoin + ranking window."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    return knn_join(queries, emb, k=3)

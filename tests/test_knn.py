@@ -1,0 +1,75 @@
+"""k-NN operator tests (SURVEY.md §2 C1/C2, B3, F1/F2) + score contract."""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark import config
+from server2_vector_search_server_spark.operators.knn import (
+    knn_join,
+    knn_topk,
+    vector_literal,
+)
+
+
+def _query_vec(tables):
+    return tables["embeddings"].filter(F.col("vec_id") == 0) \
+        .select("embedding").first()[0]
+
+
+def test_score_contract_golden(spark):
+    """score = 1 - squared_l2 exactly (reference app.py:418); golden values."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    out = knn_topk(df, [1.0, 0.0], k=10, threshold=None, score_decimals=None)
+    scores = {r["vec_id"]: r["score"] for r in out.collect()}
+    assert scores[1] == 1.0                        # d2 = 0
+    assert scores[2] == 1.0 - 2.0                  # d2 = 2
+    assert math.isclose(scores[3], 1.0 - 0.5)      # d2 = .25+.25
+
+
+def test_self_match_is_top1(tables):
+    q = _query_vec(tables)
+    top = knn_topk(tables["embeddings"], q, k=1).collect()
+    assert len(top) == 1
+    assert top[0]["vec_id"] == 0
+    assert math.isclose(top[0]["score"], 1.0, abs_tol=1e-6)
+
+
+def test_threshold_and_order(tables):
+    q = _query_vec(tables)
+    rows = knn_topk(tables["embeddings"], q, k=50,
+                    threshold=config.SIMILARITY_THRESHOLD).collect()
+    scores = [r["score"] for r in rows]
+    assert all(s >= config.SIMILARITY_THRESHOLD for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_k_minus_one_falls_back_to_search_k(tables):
+    # reference vector_store.py:141,158 - k=-1 -> SEARCH_K (=1)
+    q = _query_vec(tables)
+    assert knn_topk(tables["embeddings"], q, k=-1).count() == config.SEARCH_K
+
+
+def test_metadata_prefilter(tables):
+    """B1: the where-filter restricts candidates BEFORE top-k."""
+    q = _query_vec(tables)
+    rows = knn_topk(tables["embeddings"], q, k=5,
+                    where={"label": {"$eq": 1}}).collect()
+    emb = tables["embeddings"]
+    labels = {r["label"] for r in rows}
+    assert labels == {1}
+
+
+def test_knn_join_matches_per_query_topk(tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    joined = knn_join(queries, emb, k=4)
+    got = {(r["query_id"], r["vec_id"]) for r in joined.collect()}
+    # each query's own vector must be its top hit; 4 hits per query
+    for qid in (0, 1, 2):
+        assert (qid, qid) in got
+        assert sum(1 for g in got if g[0] == qid) == 4
