@@ -10,6 +10,8 @@ import importlib
 
 _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.vector_queries",
+    "server2_vector_search_server_spark.plans.document_queries",
+    "server2_vector_search_server_spark.plans.relational_queries",
 ]
 
 

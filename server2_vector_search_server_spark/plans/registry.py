@@ -74,3 +74,27 @@ def sql_l2_norm(a: str) -> str:
 def sql_score(a: str, b: str, decimals: int = 6) -> str:
     """The reference score contract 1 - d^2 (app.py:418), rounded."""
     return f"ROUND(1.0 - {sql_sq_l2(a, b)}, {decimals})"
+
+
+# --- exact (shuffle-order-independent) float aggregation --------------------
+#
+# SUM over doubles is order-dependent; Spark's shuffle order is not
+# deterministic, so a raw double sum can hash-differently from DuckDB.
+# Fix: round each ROW's value to `scale` decimals (deterministic — a single
+# double expression), convert to scaled BIGINT, SUM exactly over integers
+# (associative), divide back at the end. Bit-identical on both engines at
+# any parallelism — this is also the right pattern on a 1000-executor
+# cluster whenever a money-style total must be reproducible.
+
+def exact_sum(col, scale: int = 4):
+    """Spark side: deterministic double sum via scaled-integer accumulation."""
+    from pyspark.sql import functions as F
+
+    factor = 10 ** scale
+    return (F.sum(F.round(col * factor).cast("long")) / float(factor))
+
+
+def sql_exact_sum(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`exact_sum`."""
+    factor = 10 ** scale
+    return (f"(SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) / {factor}.0)")

@@ -1,0 +1,180 @@
+"""Relational + event-time query surface over the TPC-H-ish fixtures
+(SURVEY.md §2 D aggregations, E windows, F sort/limit, I streaming-analog,
+H/json extension).
+
+The reference has no joins/windows of its own (SURVEY.md §2.C/E) — these
+queries exercise the engine breadth a production corpus catalog needs, written
+the way they must be written at 100 TB:
+  * dimension joins broadcast (nation/customer), fact side never shuffled for
+    the join;
+  * aggregations rely on map-side partial aggregation;
+  * top-k per group via ranking window, global top-k via TakeOrderedAndProject;
+  * float totals via the exact scaled-integer sum (see plans/registry.py) so
+    results are reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import (
+    exact_sum,
+    query,
+    sql_exact_sum,
+    tbl,
+)
+
+
+@query(
+    "pricing_summary",
+    survey="D(aggs),F1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_exact_sum('l_quantity')} AS sum_qty,
+           {sql_exact_sum('l_extendedprice')} AS sum_base_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           ROUND({sql_exact_sum('l_quantity')} / COUNT(*), 6) AS avg_qty,
+           ROUND({sql_exact_sum('l_extendedprice')} / COUNT(*), 6) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical wide-agg scan. One
+    shuffle (the groupBy), partial aggregation map-side; at 100 TB the
+    4-6 output groups mean the shuffle moves ~nothing."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(exact_sum(F.col("l_quantity")).alias("sum_qty"),
+             exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+             exact_sum(disc_price).alias("sum_disc_price"),
+             F.round(exact_sum(F.col("l_quantity")) / cnt, 6).alias("avg_qty"),
+             F.round(exact_sum(F.col("l_extendedprice")) / cnt, 6).alias("avg_price"),
+             cnt.alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "revenue_by_nation",
+    survey="C(joins),D",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem joined up the dimension chain. nation and
+    customer are broadcast (dimension tables stay small relative to the
+    fact at every SF); only lineitem⨝orders shuffles, on the join key."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(exact_sum(revenue).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    survey="E(window),F2",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+    FROM orders
+    QUALIFY rank <= 3
+    ORDER BY o_custkey, rank
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window — the pattern behind per-query kNN
+    and any per-entity top-k; one shuffle on the partition key."""
+    orders = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("o_custkey", "rank")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    survey="I(event-time windows, batch form)",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch form of the Structured
+    Streaming job in streaming/; same F.window expression runs under
+    readStream + watermark — see streaming/events.py)."""
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             exact_sum(F.col("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_json_props",
+    survey="H(json extension)",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n,
+           MIN(event_id) AS min_event_id
+    FROM events
+    GROUP BY k_mod
+    ORDER BY k_mod
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column (beyond-reference
+    extension noted in SURVEY.md §2.H) — F.get_json_object stays JVM-side."""
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_mod",
+            (F.get_json_object("props", "$.k").cast("int") % 10))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("event_id").alias("min_event_id"))
+        .orderBy("k_mod")
+    )

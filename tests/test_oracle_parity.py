@@ -27,8 +27,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray)) else v)
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
