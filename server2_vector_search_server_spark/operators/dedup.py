@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference surface required by BASELINE.json's north star: exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+All are pure DataFrame compositions (no Python UDFs), so they hold at 100 TB:
+
+  * exact: hash-groupBy — one shuffle on the 128-bit digest;
+  * MinHash LSH: signature is a narrow projection; candidate generation is an
+    equi-join on (band_index, band_key) — shuffle proportional to docs×bands,
+    NEVER all-pairs; verification runs only on bucket-collision pairs;
+  * SimHash: 32-bit fingerprint per doc, candidates by fingerprint equality
+    or small hamming radius;
+  * n-gram Jaccard / cosine: exact verification primitives — the quadratic
+    forms are provided for small candidate sets, the LSH paths above are the
+    scale route.
+
+Hash functions come from ``functions/text.py`` (portable 31-poly hash) so the
+DuckDB oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.text import (
+    MERSENNE31,
+    token_hash,
+    tokens,
+    word_shingles,
+)
+from server2_vector_search_server_spark.functions.vector import (
+    cosine_similarity,
+)
+
+# Deterministic affine permutation parameters for MinHash: h_j(x) =
+# (A_j·x + B_j) mod 2^31−1. Derived from a fixed LCG so the DuckDB oracle
+# can embed the same literals (see plans/dedup_queries.py).
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def _lcg(seed: int):
+    x = seed
+    while True:
+        x = (1103515245 * x + 12345) % (1 << 31)
+        yield x
+
+
+def perm_params(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
+    gen = _lcg(42)
+    out = []
+    for _ in range(num_perm):
+        a = (next(gen) % (MERSENNE31 - 1)) | 1     # odd, non-zero
+        b = next(gen) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+PERMS = perm_params()
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_duplicate_groups(docs: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: one row per duplicated content with
+    the keeper (min id), the cluster size, and the sorted member ids."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("cluster_size"),
+             F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, *, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct content (the dedup a training
+    pipeline applies before anything else)."""
+    w_min = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(w_min, on=id_col, how="left_semi")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(text: Column, *, shingle_n: int = 3,
+                      num_perm: int = NUM_PERM) -> Column:
+    """MinHash signature (array<long> of length num_perm) over word-shingle
+    hashes. Entirely codegen'd array arithmetic."""
+    hashes = F.transform(word_shingles(text, shingle_n), token_hash)
+    return F.array(*[
+        F.coalesce(
+            F.array_min(F.transform(
+                hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31)),
+            F.lit(MERSENNE31))          # empty doc → sentinel signature
+        for a, b in perm_params(num_perm)
+    ])
+
+
+def add_minhash(docs: DataFrame, *, text_col: str = "text",
+                sig_col: str = "minhash") -> DataFrame:
+    return docs.withColumn(sig_col, minhash_signature(F.col(text_col)))
+
+
+def lsh_bands(sigs: DataFrame, *, id_col: str = "doc_id",
+              sig_col: str = "minhash", bands: int = BANDS) -> DataFrame:
+    """Explode each signature into (id, band_index, band_key) rows; band_key
+    is the joined slice (portable string form for the oracle)."""
+    rows = NUM_PERM // bands
+    band_rows = [
+        F.struct(F.lit(i).alias("band_index"),
+                 F.concat_ws("-", *[
+                     F.element_at(F.col(sig_col), i * rows + j + 1)
+                     .cast("string")
+                     for j in range(rows)]).alias("band_key"))
+        for i in range(bands)
+    ]
+    return (
+        sigs.select(id_col, F.explode(F.array(*band_rows)).alias("b"))
+        .select(id_col, "b.band_index", "b.band_key")
+    )
+
+
+def minhash_candidate_pairs(sigs: DataFrame, *, id_col: str = "doc_id",
+                            sig_col: str = "minhash",
+                            bands: int = BANDS) -> DataFrame:
+    """LSH candidate generation: pairs sharing ≥1 band. Equi-join on
+    (band_index, band_key) — the whole point vs. the quadratic cross join."""
+    b = lsh_bands(sigs, id_col=id_col, sig_col=sig_col, bands=bands)
+    left = b.select(F.col(id_col).alias("id_a"), "band_index", "band_key")
+    right = b.select(F.col(id_col).alias("id_b"), "band_index", "band_key")
+    return (
+        left.join(right, ["band_index", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of equal signature positions."""
+    eq = F.zip_with(sig_a, sig_b,
+                    lambda x, y: F.when(x == y, 1).otherwise(0))
+    return (F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+            .cast("double") / F.size(sig_a))
+
+
+def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    signature-similarity verification ≥ threshold."""
+    sigs = add_minhash(docs, text_col=text_col).select(id_col, "minhash")
+    pairs = minhash_candidate_pairs(sigs, id_col=id_col)
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    F.col("minhash").alias("sig_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard",
+                    F.round(signature_similarity(F.col("sig_a"),
+                                                 F.col("sig_b")), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, *, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over unigram token hashes: bit i set iff Σ_t (±1 per bit i of
+    hash(t)) > 0. One token-hash array, `bits` aggregate expressions."""
+    th = F.transform(tokens(text), token_hash)
+    bit_terms = []
+    for i in range(bits):
+        vote = F.aggregate(
+            th, F.lit(0).cast("long"),
+            lambda acc, x, i=i: acc
+            + (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1))
+        bit_terms.append(
+            F.when(vote > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3,
+                            max_id: int | None = None) -> DataFrame:
+    """Pairs within `max_hamming` bits. Exact pair verification; candidate
+    narrowing at scale would block on simhash bytes — here the corpus subset
+    keeps the cross join bounded (oracle-comparable)."""
+    d = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
+    s = d.select(F.col(id_col).alias("id"),
+                 simhash(F.col(text_col)).alias("sh"))
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+def jaccard_similarity(shingles_a: Column, shingles_b: Column) -> Column:
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union == 0, F.lit(0.0)) \
+            .otherwise(inter.cast("double") / union.cast("double"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.2,
+                        max_id: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over doc pairs ≥ threshold (verification
+    primitive; MinHash-LSH is the candidate generator at scale)."""
+    d = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
+    s = d.select(F.col(id_col).alias("id"),
+                 word_shingles(F.col(text_col), n).alias("sh"))
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard",
+                    F.round(jaccard_similarity(F.col("sh_a"),
+                                               F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- embedding cosine -------------------------------------------------------
+
+def cosine_near_duplicates(vectors: DataFrame, *, vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           threshold: float = 0.9,
+                           max_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold. Exact form for bounded
+    sets; ``operators/ann.py`` provides the LSH-bucketed scale path."""
+    v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine",
+                    F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

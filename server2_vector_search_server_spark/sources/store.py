@@ -1,0 +1,122 @@
+"""The chunk store — single partitioned columnar table (SURVEY.md §1.3, §2 A5/A7/A8).
+
+Replaces the reference's six separate ChromaDB persist dirs + dual-write
+(``vector_store.py:24-35,91-137``) with ONE parquet table partitioned by
+``collection``:
+
+  * master = the whole table (no partition predicate) — the union invariant
+    the reference maintains by double-writing is structural here;
+  * a specific collection = one partition (partition-pruned scan);
+  * ``original_collection`` provenance survives exactly as the reference
+    records it (``vector_store.py:106,119``);
+  * delete-by-doc_id (the reference's 109-line cascading delete,
+    ``vector_store.py:190-298``) collapses to an anti-filter rewrite of only
+    the partitions that contain the document (dynamic partition overwrite).
+
+Scale: appends are partitioned writes (no read-modify-write); deletes rewrite
+only affected partitions — on a real deployment this table would be Delta/
+Iceberg where delete is a metadata op, and the class documents that seam. At
+100 TB, partition by ``collection`` plus file-size targeting keeps scans
+prunable and parallel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from server2_vector_search_server_spark import config
+
+CHUNKS_SCHEMA = T.StructType([
+    T.StructField("chunk_id", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("doc_name", T.StringType(), False),
+    T.StructField("chunk_index", T.IntegerType(), False),
+    T.StructField("original_collection", T.StringType(), False),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    T.StructField("collection", T.StringType(), False),   # partition column
+])
+
+
+class ChunkStore:
+    """Parquet-backed chunk table with the reference's collection semantics."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- A5: upsert/append ---------------------------------------------------
+    def append(self, chunks: DataFrame) -> None:
+        """Append chunk rows. ``collection`` must be present; the master
+        union needs no second write (single-table design)."""
+        cols = [f.name for f in CHUNKS_SCHEMA.fields]
+        (chunks.select(*cols)
+         .write.mode("append").partitionBy("collection").parquet(self.root))
+
+    # -- A7: scans ----------------------------------------------------------
+    def read(self, collection: str | None = None) -> DataFrame:
+        """Collection scan; ``None`` or 'master' = union of everything."""
+        df = self.spark.read.schema(CHUNKS_SCHEMA).parquet(self.root)
+        if collection and collection != config.MASTER_COLLECTION_NAME:
+            df = df.filter(F.col("collection") == collection)
+        return df
+
+    def is_empty(self) -> bool:
+        return not os.path.isdir(self.root) or not any(
+            name.startswith("collection=") for name in os.listdir(self.root))
+
+    # -- B4/B5: existence ----------------------------------------------------
+    def document_exists(self, doc_name: str,
+                        collection: str | None = None) -> bool:
+        """LIMIT-1 probe (vector_store.py:56-89); collection=None = global."""
+        if self.is_empty():
+            return False
+        df = self.read(collection).filter(F.col("doc_name") == doc_name)
+        return df.limit(1).count() > 0
+
+    # -- A8: delete ----------------------------------------------------------
+    def delete_document(self, doc_id: str) -> bool:
+        """Delete every chunk of ``doc_id`` across all collections.
+
+        The reference cascades specific→master or master→original_collection
+        (``vector_store.py:190-298``); with one table the cascade is a single
+        predicate. Implemented as dynamic-partition-overwrite of ONLY the
+        partitions containing the doc — the parquet fallback spelled out in
+        SURVEY.md §7 (Delta would make this `DELETE WHERE`).
+        """
+        if self.is_empty():
+            return False
+        table = self.read(None)
+        hit_parts = [r["collection"] for r in
+                     table.filter(F.col("doc_id") == doc_id)
+                     .select("collection").distinct().collect()]
+        if not hit_parts:
+            return False
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                   "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            "dynamic")
+        try:
+            cols = [f.name for f in CHUNKS_SCHEMA.fields]
+            (table.filter(F.col("collection").isin(hit_parts))
+             .filter(F.col("doc_id") != doc_id)
+             .select(*cols)
+             .write.mode("overwrite").partitionBy("collection")
+             .parquet(self.root))
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                                prev)
+        return True
+
+    # -- D1: catalog ---------------------------------------------------------
+    def list_documents(self, collection: str | None = None) -> DataFrame:
+        from server2_vector_search_server_spark.operators.catalog import (
+            list_documents,
+        )
+
+        return list_documents(self.read(collection))

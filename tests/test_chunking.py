@@ -1,0 +1,130 @@
+"""Chunk-merge property tests (SURVEY.md §5.2 — the H6 contract).
+
+Properties from the reference algorithm (text_spliter.py:80-166):
+  P1 every chunk ≤ chunk_size unless it is a single oversize sentence;
+  P2 the overlap prefix of chunk n+1 is a suffix of chunk n, bounded by
+     chunk_overlap (when overlap applies);
+  P3 concatenation covers all sentences in order (every sentence appears,
+     order preserved, modulo the duplicated overlap sentences);
+  P4 deterministic.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators.chunking import (
+    chunk_documents,
+    merge_sentences,
+    split_sentences,
+    split_text,
+)
+
+SENTENCES = st.lists(
+    st.text(alphabet="abcdefg ", min_size=1, max_size=60).map(
+        lambda s: s.strip() or "x"),
+    min_size=0, max_size=30)
+
+
+def test_split_sentences_modes():
+    text = "One sentence. Two! Three? And\nmore lines"
+    assert split_sentences(text, "punct") == [
+        "One sentence.", "Two!", "Three?", "And\nmore lines"]
+    assert split_sentences(text, "newline") == [
+        "One sentence. Two! Three? And", "more lines"]
+    assert split_sentences("a b c d e", "words:2") == ["a b", "c d", "e"]
+    assert split_sentences("", "punct") == []
+    assert split_sentences("   ", "newline") == []
+
+
+def test_merge_basic_packing():
+    # "aa bb cc" fits in 8; adding dd would make 11 > 8 → new chunk
+    out = merge_sentences(["aa", "bb", "cc", "dd"], chunk_size=8,
+                          chunk_overlap=0)
+    assert out == ["aa bb cc", "dd"]
+
+
+def test_merge_overlap_carries_trailing_sentences():
+    out = merge_sentences(["aaaa", "bbbb", "cccc", "dddd"], chunk_size=9,
+                          chunk_overlap=4)
+    # chunk1 = "aaaa bbbb"; overlap scan backwards: "bbbb" (4 ≤ 4) then
+    # "aaaa" would need 4+1+4=9 > 4 → overlap = ["bbbb"]
+    assert out[0] == "aaaa bbbb"
+    assert out[1].startswith("bbbb ")
+
+
+def test_oversize_sentence_becomes_own_chunk():
+    out = merge_sentences(["aa", "x" * 50, "bb"], chunk_size=10,
+                          chunk_overlap=4)
+    assert "x" * 50 in out
+    # previous partial chunk flushed first, no overlap carried over oversize
+    assert out.index("aa") < out.index("x" * 50)
+
+
+def test_sentence_not_fitting_with_overlap_starts_fresh():
+    # overlap fills most of the chunk; next sentence alone must still be ≤ size
+    out = merge_sentences(["aaaaaa", "bbbbbb", "cccccc"], chunk_size=13,
+                          chunk_overlap=13)
+    # chunk "aaaaaa bbbbbb" closes; overlap=["aaaaaa","bbbbbb"]? backward scan:
+    # "bbbbbb"(6≤13) then "aaaaaa" → 6+1+6=13 ≤ 13 → overlap both (13 chars);
+    # adding "cccccc" → 13+1+6=20 > 13 → flush overlap chunk, start fresh
+    assert out == ["aaaaaa bbbbbb", "aaaaaa bbbbbb", "cccccc"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(SENTENCES, st.integers(5, 80), st.integers(0, 30))
+def test_properties(sentences, chunk_size, chunk_overlap):
+    chunk_overlap = min(chunk_overlap, chunk_size)
+    out = merge_sentences(sentences, chunk_size, chunk_overlap)
+
+    # P1: length bound, except single oversize sentences
+    for c in out:
+        if len(c) > chunk_size:
+            assert c in [s.strip() for s in sentences], \
+                f"oversize chunk {c!r} is not a single sentence"
+
+    # P3: every sentence appears in order (allowing duplicates from overlap)
+    text = " ".join(out)
+    pos = 0
+    for s in sentences:
+        s = s.strip()
+        found = text.find(s, pos)
+        if found < 0:
+            found = text.find(s)   # overlap replay may rewind
+        assert found >= 0, f"sentence {s!r} missing from chunks"
+        pos = max(pos, found)
+
+    # P4: deterministic
+    assert out == merge_sentences(sentences, chunk_size, chunk_overlap)
+
+
+def test_chunk_documents_distributed(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight"),
+         (2, "a. b. c. d."),
+         (3, "")],
+        "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=15, chunk_overlap=5,
+                          mode="words:2").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_index"], r["content"]))
+    # doc 3 empty → no chunks; chunk_index dense from 0; content parity with
+    # the pure function
+    assert 3 not in by_doc
+    for doc_id, text in [(1, "one two three four five six seven eight"),
+                         (2, "a. b. c. d.")]:
+        got = [c for _, c in sorted(by_doc[doc_id])]
+        assert got == split_text(text, 15, 5, mode="words:2")
+        assert [i for i, _ in sorted(by_doc[doc_id])] == list(range(len(got)))
+
+
+def test_chunking_plan_has_no_shuffle(spark, tables):
+    """Scale check: per-document chunking must be a narrow transformation."""
+    plan = chunk_documents(tables["documents"], mode="words:10") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

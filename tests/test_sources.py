@@ -1,0 +1,117 @@
+"""File-source tests: text read, zip expansion + member-name decode chain
+(SURVEY.md §2 A2/A4, app.py:160-198 parity)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.sources.files import (
+    decode_member_name,
+    expand_zip,
+    file_extension,
+    parse_pdf_members,
+    parse_text_members,
+    read_binary_files,
+    read_text_files,
+)
+
+
+def test_decode_chain_utf8_flag():
+    # flag bit 11 set → name used as-is (NFC-normalized)
+    assert decode_member_name("한글.txt", 0x800) == "한글.txt"
+
+
+def test_decode_chain_cp437_utf8():
+    # simulate zipfile's cp437 round-trip of a utf-8 name without the flag
+    mangled = "한글.txt".encode("utf-8").decode("cp437")
+    assert decode_member_name(mangled, 0) == "한글.txt"
+
+
+def test_decode_chain_cp437_euckr_fallback():
+    mangled = "한글.txt".encode("euc-kr").decode("cp437")
+    assert decode_member_name(mangled, 0) == "한글.txt"
+
+
+def test_decode_chain_nfc_normalization():
+    decomposed = "한글.txt"  # NFD form
+    import unicodedata
+
+    nfd = unicodedata.normalize("NFD", decomposed)
+    assert decode_member_name(nfd, 0x800) == \
+        unicodedata.normalize("NFC", decomposed)
+
+
+def _make_zip(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def zip_dir(tmp_path):
+    blob = _make_zip({
+        "a.txt": "hello alpha".encode(),
+        "dir/b.md": "hello beta".encode(),
+        "한글문서.txt": "annyeong".encode(),
+        "ignore.bin": b"\x00\x01",
+    })
+    p = tmp_path / "archive.zip"
+    p.write_bytes(blob)
+    return str(tmp_path)
+
+
+def test_expand_zip_and_parse_text(spark, zip_dir):
+    files = read_binary_files(spark, zip_dir, glob="*.zip")
+    members = expand_zip(files)
+    got = {r["member_name"]: r["content"] for r in members.collect()}
+    assert set(got) == {"a.txt", "dir/b.md", "한글문서.txt", "ignore.bin"}
+    texts = parse_text_members(members)
+    by_name = {r["member_name"]: r["text"] for r in texts.collect()}
+    assert by_name == {"a.txt": "hello alpha", "dir/b.md": "hello beta",
+                       "한글문서.txt": "annyeong"}
+
+
+def test_read_text_files(spark, tmp_path):
+    (tmp_path / "x.txt").write_text("file content here")
+    df = read_text_files(spark, str(tmp_path / "x.txt"))
+    row = df.first()
+    assert row["content"] == "file content here"
+    assert row["path"].endswith("x.txt")
+
+
+def test_file_extension_dispatch(spark):
+    df = spark.createDataFrame(
+        [("A.PDF",), ("b.tar.gz",), ("noext",), ("dir.d/file.TXT",)],
+        "name string")
+    got = [r[0] for r in df.select(file_extension(F.col("name"))).collect()]
+    assert got == [".pdf", ".gz", "", ".txt"]
+
+
+def test_pdf_stub_raises_cleanly(spark, zip_dir):
+    """A1 stub: plumbing is real, decode raises NotImplementedError without a
+    pdf lib (or parses fine with one)."""
+    blob = _make_zip({"doc.pdf": b"%PDF-1.4 fake"})
+    import pathlib
+
+    p = pathlib.Path(zip_dir) / "pdfarchive.zip"
+    p.write_bytes(blob)
+    files = read_binary_files(spark, str(p))
+    pdfs = parse_pdf_members(expand_zip(files))
+    try:
+        import pypdf  # noqa: F401
+
+        has_pypdf = True
+    except ImportError:
+        has_pypdf = False
+    if has_pypdf:
+        pytest.skip("pypdf installed; stub path not applicable")
+    with pytest.raises(Exception) as exc_info:
+        pdfs.collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)

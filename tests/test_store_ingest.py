@@ -1,0 +1,121 @@
+"""Chunk store + ingestion pipeline tests (SURVEY.md §3.1, §5.4 properties).
+
+Covers: A5 partitioned append, A7 pruned scans, master==union (G), B4/B5
+existence, A8 delete-with-cascade-semantics, C3 idempotent re-upload, and the
+end-to-end /search_score over ingested chunks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark import config
+from server2_vector_search_server_spark.plans.ingest import (
+    ingest_documents,
+    search_store,
+)
+from server2_vector_search_server_spark.sources.store import ChunkStore
+
+DOCS = [
+    ("alpha.txt", "alpha one. alpha two. alpha three. alpha four."),
+    ("beta.txt", "beta uno. beta dos. beta tres."),
+    ("gamma.txt", "gamma first sentence. gamma second sentence."),
+]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ChunkStore(spark, str(tmp_path / "chunks"))
+
+
+def _ingest(spark, store, docs=DOCS, collection="collection_a", **kw):
+    df = spark.createDataFrame(docs, "doc_name string, text string")
+    return ingest_documents(store, df, collection=collection,
+                            chunk_size=30, chunk_overlap=10, **kw)
+
+
+def test_ingest_and_partitioned_layout(spark, store):
+    _ingest(spark, store)
+    table = store.read(None)
+    assert table.count() > 0
+    assert {r["collection"] for r in
+            table.select("collection").distinct().collect()} == {"collection_a"}
+    # chunk ids deterministic + unique
+    assert table.select("chunk_id").distinct().count() == table.count()
+
+
+def test_master_is_union_of_collections(spark, store):
+    _ingest(spark, store, docs=DOCS[:2], collection="collection_a")
+    _ingest(spark, store, docs=DOCS[2:], collection="collection_b")
+    total = store.read(None).count()
+    a = store.read("collection_a").count()
+    b = store.read("collection_b").count()
+    assert total == a + b                      # G invariant
+    assert store.read("master").count() == total
+    # partition pruning visible in the plan
+    plan = store.read("collection_a")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_existence_probes(spark, store):
+    _ingest(spark, store, collection="collection_a")
+    assert store.document_exists("alpha.txt")                    # B5 global
+    assert store.document_exists("alpha.txt", "collection_a")    # B4
+    assert not store.document_exists("alpha.txt", "collection_b")
+    assert not store.document_exists("nope.txt")
+
+
+def test_reupload_is_skipped(spark, store):
+    """C3/§5.4: uploading twice == uploading once (dedup gate on doc_name)."""
+    _ingest(spark, store)
+    before = store.read(None).count()
+    written = _ingest(spark, store)     # same names again
+    assert written.count() == 0
+    assert store.read(None).count() == before
+
+
+def test_delete_document_cascades(spark, store):
+    """A8/§5.4: delete-then-search excludes the doc everywhere."""
+    _ingest(spark, store, docs=DOCS[:2], collection="collection_a")
+    _ingest(spark, store, docs=DOCS[2:], collection="collection_b")
+    doc_id = store.read(None).filter(F.col("doc_name") == "alpha.txt") \
+        .select("doc_id").first()[0]
+    assert store.delete_document(doc_id)
+    remaining = store.read(None)
+    assert remaining.filter(F.col("doc_name") == "alpha.txt").count() == 0
+    # other docs and collections untouched
+    assert remaining.filter(F.col("doc_name") == "beta.txt").count() > 0
+    assert remaining.filter(F.col("doc_name") == "gamma.txt").count() > 0
+    assert not store.delete_document("no-such-id")
+
+
+def test_search_over_ingested_chunks(spark, store):
+    _ingest(spark, store)
+    # query with the exact text of an existing chunk → hash-embed self-match
+    some = store.read(None).select("content").first()[0]
+    from server2_vector_search_server_spark.embedding import hash_embedding_expr
+
+    qvec = spark.range(1).select(
+        hash_embedding_expr(F.lit(some))).first()[0]
+    hits = search_store(store, qvec, k=3).collect()
+    assert hits, "self-match must survive the 0.1 threshold"
+    assert hits[0]["content"] == some
+    assert abs(hits[0]["score"] - 1.0) < 1e-4
+
+
+def test_chunk_metadata_contract(spark, store):
+    """Enriched keys the reference guarantees (document_processor.py:141-150)."""
+    _ingest(spark, store)
+    row = store.read(None).filter(F.col("chunk_index") == 0).first()
+    assert row["doc_id"] and row["chunk_id"] and row["doc_name"]
+    assert row["original_collection"] == "collection_a"
+    assert row["metadata"]["source"] == row["doc_name"]
+    assert row["embedding"] is not None and len(row["embedding"]) == \
+        config.TEST_EMBEDDING_DIM
+
+
+def test_invalid_collection_rejected(spark, store):
+    with pytest.raises(ValueError):
+        _ingest(spark, store, collection="not_a_collection")
