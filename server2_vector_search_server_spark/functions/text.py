@@ -60,9 +60,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def sql_word_shingles(text_expr: str, n: int = 3) -> str:
     """DuckDB twin of :func:`word_shingles` (1-based list indexing both)."""
     toks = f"string_split_regex(trim({text_expr}), '\\s+')"
-    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    parts = " || ' ' || ".join(f"__tk[i + {j}]" for j in range(n))
     return (
         f"(CASE WHEN len({toks}) - {n - 1} <= 0 THEN [] "
-        f"ELSE list_distinct((SELECT list_transform(range(1, len(t) - {n - 1} + 1), "
-        f"i -> {parts}) FROM (SELECT {toks} AS t))) END)"
+        f"ELSE list_distinct((SELECT list_transform("
+        f"range(1, len(__tk) - {n - 1} + 1), "
+        f"i -> {parts}) FROM (SELECT {toks} AS __tk))) END)"
     )

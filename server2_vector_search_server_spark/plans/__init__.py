@@ -12,6 +12,9 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.vector_queries",
     "server2_vector_search_server_spark.plans.document_queries",
     "server2_vector_search_server_spark.plans.relational_queries",
+    "server2_vector_search_server_spark.plans.dedup_queries",
+    "server2_vector_search_server_spark.plans.text_queries",
+    "server2_vector_search_server_spark.plans.ann_queries",
 ]
 
 

@@ -1,0 +1,129 @@
+"""ANN query surface (BASELINE.json north star: similarity search with a
+brute-force baseline and bucketed/indexed scale paths).
+
+Deterministic anchors: hyperplanes and IVF centroids are corpus vectors
+(vec_id < n), fetched as scalar subqueries in the oracle and driver-side
+collects in Spark — identical values on both engines, so bucket assignments
+and probe choices match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators import ann
+from server2_vector_search_server_spark.plans.registry import (
+    query,
+    sql_dot,
+    sql_sq_l2,
+    tbl,
+)
+
+_N_HYPER = 6          # 6 hyperplanes → 64 buckets
+_QUERY_ID = 42        # query vector = embeddings[42]
+_N_CENTROIDS = 8
+_NPROBE = 2
+
+
+def _vec(spark, sf_dir, vec_id):
+    return (tbl(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id).select("embedding").first()[0])
+
+
+def _sql_qv(vec_id: int) -> str:
+    return f"(SELECT embedding FROM embeddings WHERE vec_id = {vec_id})"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN {sql_dot(vec_expr, _sql_qv(i))} > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(_N_HYPER)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_hyperplane_knn",
+    survey="north-star ANN (sign-LSH bucketed kNN)",
+    oracle=f"""
+    WITH scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(1.0 - {sql_sq_l2('e.embedding', _sql_qv(_QUERY_ID))}, 6)
+               AS score
+      FROM embeddings e
+      WHERE {_sql_bucket('e.embedding')} =
+            {_sql_bucket(_sql_qv(_QUERY_ID))})
+    SELECT vec_id, label, score FROM scored
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+)
+def ann_hyperplane_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    hyperplanes = [r["embedding"] for r in
+                   emb.filter(F.col("vec_id") < _N_HYPER)
+                   .orderBy("vec_id").collect()]
+    return ann.hyperplane_knn(emb, _vec(spark, sf_dir, _QUERY_ID),
+                              hyperplanes, k=5).drop("bucket")
+
+
+@query(
+    "ann_ivf_knn",
+    survey="north-star ANN (IVF coarse-quantized kNN)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC, centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1)
+    SELECT a.vec_id, a.label, a.centroid_id,
+           ROUND(1.0 - {sql_sq_l2('a.embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM assigned a
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+    ORDER BY score DESC, a.vec_id ASC LIMIT 5
+    """,
+)
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    return ann.ivf_knn(emb, centroids, _vec(spark, sf_dir, _QUERY_ID),
+                       k=5, nprobe=_NPROBE)
+
+
+@query(
+    "ann_mllib_brp_knn",
+    survey="north-star ANN (MLlib BucketedRandomProjectionLSH; hash family "
+           "not SQL-reproducible)",
+    oracle=None,
+)
+def ann_mllib_brp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    out = ann.mllib_brp_ann(emb, _vec(spark, sf_dir, _QUERY_ID), k=5)
+    return out.select("vec_id", "label",
+                      F.round("distCol", 6).alias("l2_dist"))
+
+
+@query(
+    "ann_mllib_similarity_join",
+    survey="north-star ANN (MLlib approxSimilarityJoin all-pairs; hash family "
+           "not SQL-reproducible)",
+    oracle=None,
+)
+def ann_mllib_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return ann.mllib_similarity_join(emb, emb, threshold_l2=1.0)

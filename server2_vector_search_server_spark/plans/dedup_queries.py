@@ -1,0 +1,236 @@
+"""Deduplication query surface (north-star LLM-pipeline operators).
+
+Each query plants known (near-)duplicates by unioning the corpus with a
+shifted-id copy (exact) or a perturbed copy (near), so the dedup operators
+provably fire and the DuckDB oracle reproduces the exact same pair sets.
+
+The oracle SQL is *generated* from the same constants as the Spark operators
+(`operators/dedup.py`: PERMS, band layout, thresholds) — one source of truth,
+two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.text import (
+    MERSENNE31,
+    sql_token_hash,
+    sql_word_shingles,
+)
+from server2_vector_search_server_spark.operators import dedup
+from server2_vector_search_server_spark.plans.registry import (
+    query,
+    sql_dot,
+    sql_l2_norm,
+    tbl,
+)
+
+# ---------------------------------------------------------------------------
+# shared corpus construction: base ∪ exact copy (+20000) ∪ perturbed copy
+# (+10000, two extra words) — the "documents with planted duplicates" table.
+
+_PERTURB = " zz yy"
+_N_BASE = 120
+
+_SQL_DOCS = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id < {_N_BASE}
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < {_N_BASE}
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text || '{_PERTURB}' AS text
+    FROM documents WHERE doc_id < {_N_BASE}
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _N_BASE).select("doc_id", "text")
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    near = base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(_PERTURB)).alias("text"))
+    return base.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+
+@query(
+    "dedup_exact",
+    survey="north-star dedup (exact hash-groupBy)",
+    oracle=f"""
+    WITH docs2 AS ({_SQL_DOCS})
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS cluster_size,
+           list_sort(list(doc_id)) AS member_ids
+    FROM docs2 GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(_docs_with_dups(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH near-dup
+
+def _sql_minhash_sig(hashes_expr: str) -> str:
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform({hashes_expr}, "
+        f"x -> ({a} * x + {b}) % {MERSENNE31})), {MERSENNE31})"
+        for a, b in dedup.PERMS)
+    return f"[{mins}]"
+
+
+def _sql_band_selects(sig_table: str) -> str:
+    rows = dedup.ROWS_PER_BAND
+    selects = []
+    for i in range(dedup.BANDS):
+        key = " || '-' || ".join(
+            f"CAST(sig[{i * rows + j + 1}] AS VARCHAR)"
+            for j in range(rows))
+        selects.append(
+            f"SELECT doc_id, {i} AS band_index, {key} AS band_key "
+            f"FROM {sig_table}")
+    return " UNION ALL ".join(selects)
+
+
+_MINHASH_THRESHOLD = 0.5
+
+_SQL_MINHASH = f"""
+    WITH docs2 AS ({_SQL_DOCS}),
+    hs AS (
+      SELECT doc_id,
+             list_transform({sql_word_shingles('text', 3)},
+                            s -> {sql_token_hash('s')}) AS hashes
+      FROM docs2),
+    sigs AS (SELECT doc_id, {_sql_minhash_sig('hashes')} AS sig FROM hs),
+    bands AS ({_sql_band_selects('sigs')}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_index, band_key)
+      WHERE a.doc_id < b.doc_id)
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                 z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+                 / {dedup.NUM_PERM}, 6) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    WHERE est_jaccard >= {_MINHASH_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    survey="north-star dedup (MinHash signatures, LSH bands, verify)",
+    oracle=_SQL_MINHASH,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), threshold=_MINHASH_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash near-dup
+
+def _sql_simhash(hashes_expr: str, bits: int = dedup.SIMHASH_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        vote = (f"list_sum(list_transform({hashes_expr}, "
+                f"x -> ((x >> {i}) & 1) * 2 - 1))")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_SIMHASH = f"""
+    WITH docs2 AS ({_SQL_DOCS}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t != ''),
+               t -> {sql_token_hash('t')}) AS hashes
+      FROM docs2),
+    sh AS (SELECT doc_id, {_sql_simhash('hashes')} AS sh FROM hs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@query(
+    "dedup_simhash",
+    survey="north-star dedup (SimHash fingerprints, hamming pairs)",
+    oracle=_SQL_SIMHASH,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram Jaccard
+
+_JACCARD_THRESHOLD = 0.5
+
+_SQL_JACCARD = f"""
+    WITH docs2 AS ({_SQL_DOCS}),
+    sh AS (SELECT doc_id, {sql_word_shingles('text', 3)} AS sh FROM docs2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    survey="north-star dedup (word 3-gram Jaccard verification)",
+    oracle=_SQL_JACCARD,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=_JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding-cosine near-dup
+
+_COS_N = 200
+_COS_THRESHOLD = 0.5
+
+_SQL_COSINE = f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_COS_N}
+      UNION ALL
+      SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < {_COS_N})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(CASE WHEN {sql_l2_norm('a.embedding')} *
+                           {sql_l2_norm('b.embedding')} = 0 THEN 0.0
+                 ELSE {sql_dot('a.embedding', 'b.embedding')} /
+                      ({sql_l2_norm('a.embedding')} *
+                       {sql_l2_norm('b.embedding')})
+                 END, 6) AS cosine
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE cosine >= {_COS_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    survey="north-star dedup (embedding cosine near-dup)",
+    oracle=_SQL_COSINE,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _COS_N).select("vec_id", "embedding")
+    copy = emb.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+    return dedup.cosine_near_duplicates(
+        emb.unionByName(copy), threshold=_COS_THRESHOLD)

@@ -1,0 +1,177 @@
+"""Text-analysis query surface (north-star LLM-pipeline operators): token
+counting, language-ID heuristic, quality scoring, document fingerprinting.
+
+Oracle SQL generated from the same stopword lists / thresholds / hash
+constants as the Spark operators — one source of truth, two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.text import (
+    sql_token_hash,
+    sql_word_shingles,
+)
+from server2_vector_search_server_spark.operators import text_analysis as ta
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in ta.STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKS}, t -> lower(t) IN ({words})))"
+
+
+@query(
+    "text_token_stats",
+    survey="north-star text analysis (token counting)",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_SQL_TOKS})) AS INTEGER) AS n_distinct,
+           (CAST(len({_SQL_TOKS}) AS BIGINT) +
+            list_sum(list_prepend(CAST(0 AS BIGINT),
+              list_transform({_SQL_TOKS},
+                t -> CAST(floor(length(t) / 4) AS BIGINT))))) AS bpe_estimate,
+           ROUND(CASE WHEN len({_SQL_TOKS}) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                        list_transform({_SQL_TOKS},
+                          t -> CAST(length(t) AS BIGINT)))) AS DOUBLE)
+                      / len({_SQL_TOKS}) END, 6) AS mean_word_len
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        ta.token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+        ).alias("n_distinct"),
+        ta.approx_bpe_token_count(F.col("text")).alias("bpe_estimate"),
+        F.round(ta.mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+_SQL_PRED_LANG = f"""
+    CASE WHEN greatest({_sql_stop_hits('de')}, {_sql_stop_hits('en')},
+                       {_sql_stop_hits('es')}) = 0 THEN 'und'
+         WHEN {_sql_stop_hits('de')} >= {_sql_stop_hits('en')}
+          AND {_sql_stop_hits('de')} >= {_sql_stop_hits('es')} THEN 'de'
+         WHEN {_sql_stop_hits('en')} >= {_sql_stop_hits('es')} THEN 'en'
+         ELSE 'es' END
+"""
+
+
+@query(
+    "text_language_id",
+    survey="north-star text analysis (language-ID heuristic)",
+    oracle=f"""
+    SELECT {_SQL_PRED_LANG} AS predicted_lang,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY predicted_lang ORDER BY predicted_lang
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", ta.detect_language(F.col("text")))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+        .orderBy("predicted_lang")
+    )
+
+
+_SQL_STOP_RATIO = f"""
+    (CASE WHEN len({_SQL_TOKS}) = 0 THEN 0.0
+     ELSE CAST({_sql_stop_hits('en')} AS DOUBLE) / len({_SQL_TOKS}) END)
+"""
+
+_SQL_PUNCT_RATIO = r"""
+    (CASE WHEN length(text) = 0 THEN 0.0
+     ELSE CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS DOUBLE) / length(text) END)
+"""
+
+_SQL_MWL = f"""
+    (CASE WHEN len({_SQL_TOKS}) = 0 THEN 0.0
+     ELSE CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+            list_transform({_SQL_TOKS}, t -> CAST(length(t) AS BIGINT))))
+          AS DOUBLE) / len({_SQL_TOKS}) END)
+"""
+
+_SQL_QUALITY = f"""
+    ROUND(
+      (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+    + (CASE WHEN {_SQL_STOP_RATIO} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.3
+    + (CASE WHEN {_SQL_PUNCT_RATIO} <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+    + (CASE WHEN {_SQL_MWL} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 6)
+"""
+
+
+@query(
+    "text_quality_scores",
+    survey="north-star text analysis (quality scoring)",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND({_SQL_STOP_RATIO}, 6) AS stop_ratio,
+           ROUND({_SQL_PUNCT_RATIO}, 6) AS punct_ratio,
+           {_SQL_QUALITY} AS quality
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.round(ta.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(ta.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        ta.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    survey="north-star text analysis (document fingerprinting)",
+    oracle=f"""
+    SELECT doc_id,
+           coalesce(list_min(list_transform({sql_word_shingles('text', 3)},
+                    s -> {sql_token_hash('s')})), -1) AS fingerprint
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        ta.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "chunking_stats",
+    survey="H5,H6 (sentence split + greedy merge; not SQL-expressible)",
+    oracle=None,
+)
+def chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check for the chunk pipeline over the fixture corpus:
+    per-document chunk count and max chunk length (greedy merge with overlap
+    is inherently iterative — no SQL twin, driver records rows-only)."""
+    from server2_vector_search_server_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_size=120, chunk_overlap=30,
+                             mode="words:10")
+    return (
+        chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.max(F.length("content")).alias("max_chunk_len"))
+        .orderBy("doc_id")
+    )

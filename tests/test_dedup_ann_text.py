@@ -1,0 +1,169 @@
+"""Unit tests for dedup / ANN / text-analysis / multimodal operators beyond
+the oracle-parity harness (which covers end-to-end equivalence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators import (
+    ann,
+    dedup,
+    multimodal,
+    text_analysis as ta,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and once"),
+        (4, "completely unrelated content about spark query engines here"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["keep_id"] == 1 and g["cluster_size"] == 2
+    assert list(g["member_ids"]) == [1, 2]
+
+
+def test_drop_exact_duplicates(docs):
+    kept = {r["doc_id"] for r in dedup.drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_minhash_finds_near_dup_pair(docs):
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got                       # exact dup: est = 1.0
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(1, 2)] == 1.0
+    # near-dup 1-3 should collide in at least one band and score high
+    assert (1, 3) in got
+    # unrelated docs must not pair
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_hamming(docs):
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_cosine_near_duplicates(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    pairs = dedup.cosine_near_duplicates(vecs, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_hyperplane_recall_vs_exact(tables):
+    """ANN returns a subset of the exact top-k containing the self-match."""
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    hp = [r["embedding"] for r in
+          emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect()]
+    from server2_vector_search_server_spark.operators.knn import knn_topk
+
+    approx = ann.hyperplane_knn(emb, q, hp, k=5).collect()
+    assert approx and approx[0]["vec_id"] == 42       # self-match found
+    scores = [r["score"] for r in approx]
+    assert scores == sorted(scores, reverse=True)
+    # bucket-local scores agree with the exact scorer for the same ids
+    exact = {r["vec_id"]: r["score"]
+             for r in knn_topk(emb, q, k=emb.count(), threshold=None).collect()}
+    for r in approx:
+        assert r["score"] == exact[r["vec_id"]]
+
+
+def test_ivf_assign_partitions_all_vectors(tables):
+    emb = tables["embeddings"].limit(100)
+    centroids = (tables["embeddings"].filter(F.col("vec_id") < 4)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    assigned = ann.ivf_assign(emb, centroids)
+    assert assigned.count() == 100                      # exactly one cell each
+    assert assigned.select("centroid_id").distinct().count() <= 4
+
+
+def test_mllib_brp_ann_runs(tables):
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ann.mllib_brp_ann(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert out[0]["vec_id"] == 0                        # self-match first
+
+
+def test_language_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it was the best of days"),
+         (2, "el gato y la casa de la madre con un perro"),
+         (3, "xyzzy plugh qwerty"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        ta.detect_language(F.col("text")).alias("lang"),
+        ta.quality_score(F.col("text")).alias("q"),
+        ta.token_count(F.col("text")).alias("n")).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[3]["lang"] == "und"
+    assert out[4]["lang"] == "und" and out[4]["n"] == 0
+    assert 0.0 <= out[3]["q"] <= 1.0
+
+
+def test_multimodal_stub_pipeline(spark):
+    media = spark.createDataFrame(
+        [("img", b"\x89PNG fake bytes"), ("img", b"other image")],
+        "modality string, content binary")
+    media = multimodal.attach_media_metadata(media)
+    feats = multimodal.extract_image_features(media).collect()
+    assert len(feats) == 2
+    for f in feats:
+        assert 64 <= f["width"] <= 255 and 64 <= f["height"] <= 255
+        assert 0.0 <= f["mean_luma"] <= 1.0
+    # determinism
+    again = multimodal.extract_image_features(
+        multimodal.attach_media_metadata(spark.createDataFrame(
+            [("img", b"\x89PNG fake bytes")], "modality string, content binary"))
+    ).first()
+    match = [f for f in feats if f["media_id"] == again["media_id"]][0]
+    assert match["phash"] == again["phash"]
+
+
+def test_video_frame_sampling_stub(spark):
+    media = spark.createDataFrame(
+        [("vid-1", b"x" * 300_000)], "media_id string, content binary")
+    frames = multimodal.sample_video_frames(media).collect()
+    assert len(frames) == 3                      # 3s fake duration → 3 frames
+    assert [f["frame_index"] for f in frames] == [0, 1, 2]
+
+
+def test_pil_decoder_stub_raises(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed")
+    except ImportError:
+        pass
+    media = spark.createDataFrame(
+        [("m", b"bytes")], "media_id string, content binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(media, decoder="pil")
