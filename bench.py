@@ -1,0 +1,78 @@
+"""Benchmark harness — the driver's per-round performance gate.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized with a ``noop``-format write so the measured
+time is end-to-end plan execution (scan → shuffle → result) with no driver
+collect bottleneck — the same thing that matters on a real cluster. Timings are
+per-query wall seconds; ``value`` is their sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per capability pillar (vector search, catalog,
+# relational agg/join, event-time, dedup, ANN, text analytics). Names must
+# exist in the plans registry.
+HEADLINE = [
+    "search_score_topk",        # reference /search_score contract
+    "search_filtered_knn",      # filtered kNN (predicate pushdown + top-k)
+    "search_multi_query_knn",   # many-queries kNN (broadcast + window top-k)
+    "list_documents",           # catalog aggregation
+    "pricing_summary",          # TPC-H Q1-shaped scan+agg
+    "revenue_by_nation",        # multi-join + agg (broadcast dims)
+    "top_orders_per_customer",  # window top-k over join
+    "events_hourly_rollup",     # event-time tumbling rollup
+    "dedup_exact",              # exact dedup (hash groupBy)
+    "dedup_minhash_lsh",        # MinHash+LSH near-dup (band bucket join)
+    "dedup_embedding_cosine",   # embedding near-dup (bucketed cosine)
+    "text_token_stats",         # tokenization / text analytics
+    "text_quality_scores",      # quality scoring pipeline
+    "ann_ivf_knn",              # IVF ANN (centroid prune + local top-k)
+]
+
+
+def main() -> None:
+    from server2_vector_search_server_spark.plans import load_registry
+    from server2_vector_search_server_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_registry()
+
+    # JVM/Arrow warm-up outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        rq = registry.get(name)
+        if rq is None:
+            continue
+        t0 = time.perf_counter()
+        df = rq.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
