@@ -15,6 +15,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.dedup_queries",
     "server2_vector_search_server_spark.plans.text_queries",
     "server2_vector_search_server_spark.plans.ann_queries",
+    "server2_vector_search_server_spark.plans.streaming_queries",
 ]
 
 

@@ -1,0 +1,200 @@
+"""Streaming + event-time window queries (SURVEY.md §2.E/I).
+
+Two kinds of entries:
+
+  * batch twins of the streaming aggregations (`events_sliding_window`,
+    `events_session_window`) — the SAME DataFrame functions from
+    ``streaming/events.py`` applied to a batch scan, so the oracle check
+    certifies the expression that the streaming job runs;
+  * real Structured Streaming runs (`streaming_wal_replay`,
+    `streaming_windowed_counts`) — the callable starts an ``availableNow``
+    stream, drains it, and returns the materialized result, so the
+    correctness gate exercises readStream → foreachBatch / memory-sink
+    end-to-end, not just the batch shape.
+
+The WAL replay derives a deterministic operation log from the ``documents``
+table (upsert-all, delete every 7th, re-upsert every 5th with new content), so
+its final state is SQL-expressible and DuckDB-checkable — last-write-wins,
+delete tombstones, and cross-batch merge all get verified by value hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import (
+    query, sql_exact_sum, tbl,
+)
+from server2_vector_search_server_spark.streaming.events import (
+    session_stats, sliding_counts, tumbling_counts,
+)
+from server2_vector_search_server_spark.streaming.wal import (
+    OP_DELETE, OP_UPSERT, WAL_SCHEMA, WalLog, start_wal_stream,
+)
+
+
+@query(
+    "events_sliding_window",
+    survey="E/I(sliding event-time window, batch twin of streaming/events.py)",
+    oracle="""
+    -- each event belongs to exactly 4 windows (1h window / 15m slide):
+    -- starts at floor(epoch/900)*900 - k*900, k = 0..3 (epoch-aligned,
+    -- matching Spark's F.window alignment)
+    SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900
+                             - k * 900 AS BIGINT)) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, UNNEST([0, 1, 2, 3]) AS u(k)
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window batch twin — certifies the exact expression the
+    streaming job runs (watermark is a no-op on batch input)."""
+    events = tbl(spark, sf_dir, "events")
+    return sliding_counts(events).orderBy("window_start", "event_type")
+
+
+@query(
+    "events_session_window",
+    survey="E/I(session windows, batch twin of streaming/events.py)",
+    oracle=f"""
+    -- gaps-and-islands twin of F.session_window(ts, '30 minutes'):
+    -- a new session starts when the gap from the previous event >= 30 min;
+    -- session_end = last event + gap (Spark session-window semantics)
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP)
+                       - CAST(LAG(ts) OVER w AS TIMESTAMP)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window batch twin (F.session_window merges events closer than
+    the gap; state is keyed by user_id, so it shards across executors)."""
+    events = tbl(spark, sf_dir, "events")
+    return session_stats(events).orderBy("user_id", "session_start")
+
+
+def _build_wal(spark: SparkSession, sf_dir: str, wal_dir: str) -> None:
+    """Write the deterministic WAL derived from ``documents``:
+    seq 3d: upsert v1 | seq 3d+1: delete if d%7==0 | seq 3d+2: upsert v2 if
+    d%5==0. Survivors: d%5==0 (content 'v2:'+text) else d%7!=0 (text)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    common = [
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
+        F.lit(0).alias("chunk_index"),
+        F.lit("master").alias("collection"),
+    ]
+    v1 = docs.select(
+        (F.col("doc_id") * 3).alias("seq_id"), F.lit(OP_UPSERT).alias("operation"),
+        *common, F.col("text").alias("content"),
+        F.lit(None).cast("array<float>").alias("embedding"))
+    dels = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") * 3 + 1).alias("seq_id"), F.lit(OP_DELETE).alias("operation"),
+        *common, F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("array<float>").alias("embedding"))
+    v2 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 3 + 2).alias("seq_id"), F.lit(OP_UPSERT).alias("operation"),
+        *common, F.concat(F.lit("v2:"), F.col("text")).alias("content"),
+        F.lit(None).cast("array<float>").alias("embedding"))
+    wal = v1.unionByName(dels).unionByName(v2).select(
+        [f.name for f in WAL_SCHEMA.fields])
+    # several files => several availableNow micro-batches (maxFilesPerTrigger)
+    wal.repartition(8).write.mode("overwrite").parquet(wal_dir)
+
+
+@query(
+    "streaming_wal_replay",
+    survey="I(WAL ingestion: readStream -> foreachBatch merge, chroma embeddings_queue analog)",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS content
+    FROM documents
+    WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0
+    ORDER BY doc_id
+    """,
+)
+def streaming_wal_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming ingestion: deterministic WAL parquet →
+    readStream (maxFilesPerTrigger batches) → foreachBatch last-write-wins
+    merge → reconstructed current state. Verifies upsert, delete-tombstone,
+    and cross-micro-batch ordering against the DuckDB-computable final state."""
+    work = tempfile.mkdtemp(prefix="wal_replay_")
+    wal_dir = os.path.join(work, "wal")
+    _build_wal(spark, sf_dir, wal_dir)
+    log = WalLog(spark, os.path.join(work, "store"))
+    q = start_wal_stream(spark, wal_dir, log,
+                         checkpoint_dir=os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return (
+        log.current_state()
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "content")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "streaming_windowed_counts",
+    survey="I(event-time tumbling window under readStream + watermark)",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation actually run as a stream: file source →
+    withWatermark → windowed agg → complete-mode memory sink, drained with
+    availableNow. Hash-matches the batch oracle, proving the incremental
+    stateful plan computes the same result as the batch plan."""
+    # file stream sources read directories; the fixture is a single file —
+    # symlink it into a scratch dir (no copy, testdata stays read-only)
+    src = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    events = (
+        spark.readStream.schema(raw_schema).parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(events)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "event_type")

@@ -60,7 +60,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer DIV, not float /: nanos ~1.7e18 exceed double's 53-bit
+            # mantissa, so float division drifts by up to ±1 microsecond
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
     return spark.read.parquet(path)
 

@@ -1,0 +1,151 @@
+"""Streaming WAL ingestion — the Spark analog of ChromaDB's write-ahead log.
+
+The reference's only streaming-shaped construct is Chroma's ``embeddings_queue``
+sqlite table: every write enqueues ``(seq_id, operation ∈ {UPSERT=2, DELETE=3},
+id, vector, metadata)`` and a consumer applies them to the HNSW/metadata
+segments in batches (``batch_size=100, sync_threshold=1000``; consumer offset
+in ``max_seq_id`` — all observed in
+``/root/reference/vector_db_collections/master/chroma.sqlite3``; 70 upserts +
+70 deletes on record). SURVEY.md §2.I maps this to Structured Streaming:
+
+  * WAL rows        -> a file/Kafka stream of typed operation records
+  * consumer batch  -> one ``foreachBatch`` micro-batch
+  * ``max_seq_id``  -> the streaming checkpoint (exactly-once offsets)
+  * segment apply   -> merge into the chunk table
+
+Storage layout (the parquet analog of a Delta/Iceberg transaction log): the
+merge APPENDS resolved rows — upserts and delete tombstones — stamped with
+``seq_id``; readers reconstruct current state with a last-write-wins window.
+This keeps every micro-batch write an append (no read-modify-write race, no
+partition rewrite in the hot path), which is exactly the property that lets
+1000 executors ingest concurrently at 100 TB; compaction of the log back into
+a base table is a background job (``compact()``), the same separation
+Delta/Iceberg make.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OP_UPSERT = "UPSERT"   # chroma operation=2
+OP_DELETE = "DELETE"   # chroma operation=3
+
+# One WAL record = one chunk-level operation (chroma embeddings_queue row).
+WAL_SCHEMA = T.StructType([
+    T.StructField("seq_id", T.LongType(), False),
+    T.StructField("operation", T.StringType(), False),
+    T.StructField("chunk_id", T.StringType(), False),
+    T.StructField("doc_id", T.StringType(), True),
+    T.StructField("doc_name", T.StringType(), True),
+    T.StructField("chunk_index", T.IntegerType(), True),
+    T.StructField("collection", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+])
+
+_STATE_COLS = ["chunk_id", "doc_id", "doc_name", "chunk_index",
+               "collection", "content", "embedding"]
+
+
+class WalLog:
+    """Append-only resolved-operation log + last-write-wins state reader."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "log")
+        self.base_dir = os.path.join(root, "base")
+
+    # -- consumer side (foreachBatch) ---------------------------------------
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch of WAL records.
+
+        Within the batch, later ``seq_id`` wins per ``chunk_id`` (the WAL is
+        totally ordered, like chroma's autoincrement seq); the winner — an
+        upsert row or a delete tombstone — is appended to the log. Pure
+        append: concurrent micro-batches never rewrite shared files.
+        """
+        w = Window.partitionBy("chunk_id").orderBy(F.col("seq_id").desc())
+        resolved = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        resolved.write.mode("append").parquet(self.log_dir)
+
+    # -- reader side ---------------------------------------------------------
+    def current_state(self) -> DataFrame:
+        """Reconstruct live rows: per chunk_id take the max-seq record across
+        base + log; drop delete tombstones. This window is the parquet stand-in
+        for a Delta MERGE target — one shuffle on the primary key."""
+        parts = []
+        if os.path.isdir(self.log_dir):
+            parts.append(self.spark.read.schema(WAL_SCHEMA).parquet(self.log_dir))
+        if os.path.isdir(self.base_dir):
+            parts.append(self.spark.read.schema(WAL_SCHEMA).parquet(self.base_dir))
+        if not parts:
+            return self.spark.createDataFrame([], WAL_SCHEMA).select(*_STATE_COLS)
+        log = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        w = Window.partitionBy("chunk_id").orderBy(F.col("seq_id").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("operation") == OP_UPSERT))
+            .select(*_STATE_COLS)
+        )
+
+    def compact(self) -> None:
+        """Fold the op log into the base snapshot (background maintenance,
+        the analog of chroma applying the queue into its HNSW segment at
+        ``sync_threshold`` — and of Delta/Iceberg compaction)."""
+        w = Window.partitionBy("chunk_id").orderBy(F.col("seq_id").desc())
+        parts = []
+        if os.path.isdir(self.log_dir):
+            parts.append(self.spark.read.schema(WAL_SCHEMA).parquet(self.log_dir))
+        if os.path.isdir(self.base_dir):
+            parts.append(self.spark.read.schema(WAL_SCHEMA).parquet(self.base_dir))
+        if not parts:
+            return
+        log = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        snapshot = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("operation") == OP_UPSERT))
+            .drop("_rn")
+        )
+        tmp = self.base_dir + ".tmp"
+        snapshot.write.mode("overwrite").parquet(tmp)
+        # swap: new base in, old base+log out
+        import shutil
+
+        if os.path.isdir(self.base_dir):
+            shutil.rmtree(self.base_dir)
+        os.rename(tmp, self.base_dir)
+        if os.path.isdir(self.log_dir):
+            shutil.rmtree(self.log_dir)
+
+
+def start_wal_stream(spark: SparkSession, wal_dir: str, log: WalLog,
+                     checkpoint_dir: str, available_now: bool = True):
+    """Consume WAL parquet files as a stream and merge via foreachBatch.
+
+    ``availableNow`` drains everything currently in the directory then stops
+    (the batch-backfill trigger); continuous ingestion uses the default
+    micro-batch trigger. The checkpoint directory carries the source offsets —
+    the ``max_seq_id`` consumer-offset analog — so restarts are exactly-once.
+    """
+    stream = (
+        spark.readStream.schema(WAL_SCHEMA)
+        .option("maxFilesPerTrigger", "8")   # chroma batch_size analog
+        .parquet(wal_dir)
+    )
+    writer = (
+        stream.writeStream
+        .foreachBatch(log.apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,145 @@
+"""Structured Streaming: WAL merge, compaction, checkpoint restart, and the
+custom stateful operator (SURVEY.md §2.I)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.streaming.events import (
+    running_user_totals,
+)
+from server2_vector_search_server_spark.streaming.wal import (
+    OP_DELETE, OP_UPSERT, WAL_SCHEMA, WalLog, start_wal_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _wal_rows(*ops):
+    """(seq, op, chunk_id, content) -> full WAL row tuples."""
+    return [
+        (seq, op, cid, cid, f"doc_{cid}", 0, "master", content, None)
+        for seq, op, cid, content in ops
+    ]
+
+
+def _write_wal(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(_wal_rows(*rows), WAL_SCHEMA) \
+        .coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_wal_last_write_wins_and_tombstones(spark, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    _write_wal(spark, wal_dir, [
+        (1, OP_UPSERT, "a", "a-v1"),
+        (2, OP_UPSERT, "b", "b-v1"),
+        (3, OP_UPSERT, "a", "a-v2"),     # same-batch overwrite
+        (4, OP_DELETE, "b", None),        # tombstone
+        (5, OP_UPSERT, "c", "c-v1"),
+    ])
+    log = WalLog(spark, str(tmp_path / "store"))
+    q = start_wal_stream(spark, wal_dir, log, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    state = {r["chunk_id"]: r["content"]
+             for r in log.current_state().collect()}
+    assert state == {"a": "a-v2", "c": "c-v1"}
+
+
+def test_wal_checkpoint_restart_consumes_only_new_files(spark, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    ckpt = str(tmp_path / "ckpt")
+    log = WalLog(spark, str(tmp_path / "store"))
+
+    _write_wal(spark, wal_dir, [(1, OP_UPSERT, "a", "a-v1")])
+    q = start_wal_stream(spark, wal_dir, log, ckpt)
+    q.awaitTermination()
+    n_first = spark.read.parquet(log.log_dir).count()
+    assert n_first == 1
+
+    # second delivery: a delete for `a`, an upsert for `b`
+    _write_wal(spark, wal_dir, [(2, OP_DELETE, "a", None),
+                                (3, OP_UPSERT, "b", "b-v1")], mode="append")
+    q = start_wal_stream(spark, wal_dir, log, ckpt)
+    q.awaitTermination()
+    # exactly-once: the first file was not reprocessed (1 + 2 log rows)
+    assert spark.read.parquet(log.log_dir).count() == 3
+    state = {r["chunk_id"]: r["content"]
+             for r in log.current_state().collect()}
+    assert state == {"b": "b-v1"}
+
+
+def test_wal_compact_preserves_state(spark, tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    _write_wal(spark, wal_dir, [
+        (1, OP_UPSERT, "a", "a-v1"),
+        (2, OP_UPSERT, "b", "b-v1"),
+        (3, OP_DELETE, "a", None),
+    ])
+    log = WalLog(spark, str(tmp_path / "store"))
+    q = start_wal_stream(spark, wal_dir, log, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    before = sorted(
+        (r["chunk_id"], r["content"]) for r in log.current_state().collect())
+    log.compact()
+    assert not os.path.isdir(log.log_dir)          # log folded into base
+    after = sorted(
+        (r["chunk_id"], r["content"]) for r in log.current_state().collect())
+    assert before == after == [("b", "b-v1")]
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState across micro-batches: two file deliveries, state
+    carries between triggers, final emission equals the batch aggregate."""
+    src = str(tmp_path / "events")
+    rows1 = [(1, 10, 1.5), (2, 10, 2.5), (3, 20, 1.0)]
+    rows2 = [(4, 10, 4.0), (5, 30, 9.0)]
+    schema = "event_id long, user_id long, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = (
+        running_user_totals(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory").queryName("running_totals2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # second run has no checkpoint -> reprocesses all files in one pass;
+    # per-user cumulative totals must equal the batch aggregate
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("running_totals2").collect()}
+    assert got == {10: (3, 8.0), 20: (1, 1.0), 30: (1, 9.0)}
+
+
+def test_session_window_end_is_last_event_plus_gap(spark):
+    from server2_vector_search_server_spark.streaming.events import (
+        session_stats,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0),
+         (1, "2024-01-01 00:10:00", 1.0),     # same session (gap 30m)
+         (1, "2024-01-01 01:00:00", 1.0)],    # 50m later -> new session
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(str(r["session_start"]), str(r["session_end"]), r["n_events"])
+           for r in session_stats(events, gap="30 minutes")
+           .orderBy("session_start").collect()]
+    assert got == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:40:00", 2),
+        ("2024-01-01 01:00:00", "2024-01-01 01:30:00", 1),
+    ]
