@@ -64,7 +64,10 @@ def _stub_image_features(media_id: str, blob: bytes) -> dict:
         "width": int(width),
         "height": int(height),
         "n_channels": 3,
-        "mean_luma": round(h[2] / 255.0, 6),
+        # plain division, no rounding: k/255.0 is bit-exact on any engine,
+        # while round() semantics differ (banker's vs half-away) — keeps the
+        # DuckDB oracle twin byte-identical
+        "mean_luma": h[2] / 255.0,
         "phash": int.from_bytes(h[3:11], "big", signed=True),
     }
 

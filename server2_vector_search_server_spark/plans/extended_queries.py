@@ -1,0 +1,257 @@
+"""Extended query surface: full-text predicate, set ops, grouping rollup,
+EXISTS semi-join, and oracle-checked multimodal plumbing.
+
+Covers the remaining SURVEY.md §2 rows that had operators but no registry
+entry:
+
+  * B7 — the ChromaDB ``where_document {"$contains": s}`` full-text predicate
+    (FTS5 trigram index in the reference's sqlite store; a distributed scan
+    needs no index);
+  * G  — explicit INTERSECT / EXCEPT forms (the reference only has the
+    structural master-union, registered as ``master_union_collections``);
+  * beyond-reference relational breadth: ROLLUP grouping and an EXISTS
+    (left-semi) subquery, both Catalyst-native;
+  * the multimodal mapInPandas stages (stub decode) — the deterministic
+    sha256-derived fake features are SQL-expressible, so even the Python
+    Arrow path gets a value-hash oracle, not just a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators import multimodal
+from server2_vector_search_server_spark.plans.registry import (
+    exact_sum, query, sql_exact_sum, tbl,
+)
+
+
+# ---------------------------------------------------------------------------
+# B7: full-text contains predicate
+
+@query(
+    "fulltext_contains",
+    survey="B7($contains full-text predicate; FTS5-trigram-backed in the reference)",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE contains(text, 'data')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def fulltext_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``where_document {"$contains": "data"}`` over the corpus. The
+    reference's storage layer backs this with a sqlite FTS5 trigram index
+    (chroma.sqlite3); in Spark the substring predicate is a plain codegen'd
+    scan filter — distributed, no index to maintain."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("data"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G: explicit set operations
+
+@query(
+    "set_ops_event_users",
+    survey="G(INTERSECT/EXCEPT explicit forms)",
+    oracle="""
+    SELECT user_id, 'purchase_no_error' AS segment FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT user_id, 'purchase_and_signup' AS segment FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    ORDER BY segment, user_id
+    """,
+)
+def set_ops_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User segmentation via set algebra: EXCEPT and INTERSECT both plan as
+    (hash-)aggregated joins in Catalyst — one shuffle each on user_id."""
+    events = tbl(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return (events.filter(F.col("event_type") == etype)
+                .select("user_id").distinct())
+
+    no_error = (users("purchase").exceptAll(users("error"))
+                .withColumn("segment", F.lit("purchase_no_error")))
+    and_signup = (users("purchase").intersect(users("signup"))
+                  .withColumn("segment", F.lit("purchase_and_signup")))
+    return no_error.unionByName(and_signup).orderBy("segment", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference relational: ROLLUP + EXISTS
+
+@query(
+    "rollup_revenue",
+    survey="D-extension(ROLLUP grouping sets)",
+    oracle=f"""
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice', 2)} AS total_price
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP(n_name, year(o_orderdate))
+    ORDER BY nation, order_year
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (nation → year → grand total) in ONE pass:
+    ``rollup`` expands to grouping sets inside a single aggregate — no
+    re-scan per level. Dimension joins broadcast (nation: 25 rows)."""
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn("order_year", F.year("o_orderdate").cast("string"))
+    )
+    return (
+        joined.rollup("n_name", "order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             exact_sum(F.col("o_totalprice"), 2).alias("total_price"))
+        .select(F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+                "n_orders", "total_price")
+        .orderBy("nation", "order_year")
+    )
+
+
+@query(
+    "orders_with_late_shipment",
+    survey="C-extension(EXISTS / left-semi subquery, TPC-H Q4 shape)",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_with_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery as a LEFT SEMI join with a
+    non-equi condition riding on the equi key — the date filter is pushed to
+    the orders scan; the semi join shuffles on orderkey only."""
+    orders = tbl(spark, sf_dir, "orders")
+    lineitem = tbl(spark, sf_dir, "lineitem")
+    in_range = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    late = in_range.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: oracle-checked mapInPandas stages
+
+def _media_from_documents(spark: SparkSession, sf_dir: str,
+                          max_doc_id: int = 200) -> DataFrame:
+    """Deterministic media fixture: document text bytes as the opaque blob
+    (the engine treats content as bytes either way; real images would come
+    from read_binary_files)."""
+    return (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < max_doc_id)
+        .select(F.md5(F.col("text").cast("binary")).alias("media_id"),
+                F.lit("image").alias("modality"),
+                F.col("text").cast("binary").alias("content"))
+    )
+
+
+def _sql_digest_byte(i: int, dig: str = "dig") -> str:
+    """DuckDB: i-th byte (0-based) of a hex digest string."""
+    return f"CAST(('0x' || substr({dig}, {2 * i + 1}, 2)) AS INTEGER)"
+
+
+def _sql_phash(dig: str = "dig") -> str:
+    """Bytes 3..10 of the digest as a signed big-endian int64 (the stub's
+    ``int.from_bytes(h[3:11], 'big', signed=True)``)."""
+    terms = " + ".join(
+        f"CAST({_sql_digest_byte(3 + j, dig)} AS HUGEINT) * "
+        f"{256 ** (7 - j)}::HUGEINT"
+        for j in range(8))
+    u = f"({terms})"
+    return (f"CAST(CASE WHEN {u} >= 9223372036854775808::HUGEINT "
+            f"THEN {u} - 18446744073709551616::HUGEINT ELSE {u} END AS BIGINT)")
+
+
+_SQL_MEDIA = """
+    SELECT md5(text) AS media_id, sha256(text) AS dig,
+           octet_length(encode(text)) AS byte_size
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@query(
+    "multimodal_image_features",
+    survey="multimodal(binary column -> mapInPandas feature extraction, stub decode)",
+    oracle=f"""
+    WITH media AS ({_SQL_MEDIA})
+    SELECT media_id,
+           64 + {_sql_digest_byte(0)} % 192 AS width,
+           64 + {_sql_digest_byte(1)} % 192 AS height,
+           3 AS n_channels,
+           {_sql_digest_byte(2)} / 255.0 AS mean_luma,
+           {_sql_phash()} AS phash
+    FROM media
+    ORDER BY media_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Arrow path — binary column through mapInPandas with the
+    deterministic stub decoder — value-hash-checked against the digest
+    arithmetic in SQL. Swapping ``decoder='pil'`` in changes only the UDF
+    body, not the verified plumbing (schema, batching, projection)."""
+    media = _media_from_documents(spark, sf_dir)
+    return (multimodal.extract_image_features(media)
+            .orderBy("media_id"))
+
+
+@query(
+    "multimodal_video_frames",
+    survey="multimodal(video frame sampling: one media row -> N frame rows)",
+    oracle="""
+    WITH media AS (
+      SELECT md5(text) AS media_id,
+             GREATEST(1.0, octet_length(encode(text)) / 100000.0) AS duration
+      FROM documents WHERE doc_id < 200)
+    SELECT media_id, CAST(k AS INTEGER) AS frame_index,
+           ROUND(k * 0.25, 6) AS frame_time_s
+    FROM media, UNNEST(range(CAST(floor(duration / 0.25) AS BIGINT))) AS u(k)
+    ORDER BY media_id, frame_index
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (UDTF shape): each media row yields
+    floor(duration/0.25) frame rows; stub duration = bytes/1e5 seconds."""
+    media = _media_from_documents(spark, sf_dir)
+    return (multimodal.sample_video_frames(media, every_n_seconds=0.25)
+            .orderBy("media_id", "frame_index"))
