@@ -39,6 +39,12 @@ HEADLINE = [
     "text_token_stats",         # tokenization / text analytics
     "text_quality_scores",      # quality scoring pipeline
     "ann_ivf_knn",              # IVF ANN (centroid prune + local top-k)
+    "fulltext_contains",        # B7 $contains predicate scan
+    "events_session_window",    # session windows (stateful shape, batch twin)
+    "rollup_revenue",           # grouping-sets rollup + broadcast dims
+    "orders_with_late_shipment",  # EXISTS left-semi with non-equi condition
+    "multimodal_image_features",  # Arrow mapInPandas binary pipeline
+    "streaming_wal_replay",     # readStream -> foreachBatch merge end-to-end
 ]
 
 
