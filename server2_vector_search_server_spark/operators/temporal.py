@@ -1,0 +1,94 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Beyond-reference operators (SURVEY.md §2.C notes the reference has no
+equi-join at all); both are implemented as compositions of shuffles Spark
+already does well — no cross join, no broadcast-nested-loop — so they hold at
+100 TB:
+
+  * **as-of join** (merge-asof): for each left row, the latest right row with
+    ``right.ts <= left.ts`` per key. Implemented as union + tag + running
+    ``last(ignorenulls)`` window — ONE shuffle on (key), no range explosion.
+    This is the standard distributed merge-asof; state per key is a single
+    carried value, so skewed keys degrade to a window over one partition's
+    rows, never to a quadratic join.
+
+  * **range join**: pairs with ``|left.ts - right.ts| <= width``-style bands.
+    A naive inequality join plans as BroadcastNestedLoopJoin (quadratic);
+    instead both sides are bucketed to ``floor(ts / width)`` and equi-joined
+    on (key, bucket) with the right side exploded to adjacent buckets, then
+    refined by the exact predicate. Shuffle volume is rows × 2, never rows².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
+              by: str | None = None, value_col: str = "value",
+              out_col: str = "asof_value") -> DataFrame:
+    """For each left row, attach the last ``value_col`` from ``right`` at or
+    before ``left[on]`` (DuckDB ``ASOF JOIN`` semantics: >=, ties take the
+    right row at the same timestamp). Left rows with no prior right row get
+    NULL.
+
+    Rights are first reduced to one row per (by, on) — max of ``value_col`` —
+    so the result is deterministic when the right side has same-timestamp
+    duplicates.
+    """
+    key_cols = [by] if by else []
+    rights = (right.groupBy(*key_cols, on)
+              .agg(F.max(value_col).alias(out_col))
+              .withColumn("_is_r", F.lit(1)))
+    lefts = left.withColumn("_is_r", F.lit(0)) \
+                .withColumn(out_col, F.lit(None).cast(
+                    rights.schema[out_col].dataType))
+    unioned = lefts.unionByName(rights.select(*key_cols, on, out_col, "_is_r"),
+                                allowMissingColumns=True)
+    # at equal ts the right row must sort BEFORE the left row so the left row
+    # sees it (>= semantics)
+    w = (Window.partitionBy(*(key_cols or [F.lit(1)]))
+         .orderBy(F.col(on).asc(), F.col("_is_r").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        unioned.withColumn(out_col,
+                           F.last(out_col, ignorenulls=True).over(w))
+        .filter(F.col("_is_r") == 0)
+        .drop("_is_r")
+    )
+
+
+def bucketed_range_join(left: DataFrame, right: DataFrame, *,
+                        on: str = "ts", by: str | None = None,
+                        width_seconds: int = 600,
+                        suffix: str = "_r") -> DataFrame:
+    """All (left, right) pairs with ``left.ts - width <= right.ts <= left.ts``
+    (same ``by`` key). Equi-join on (key, time bucket): each LEFT row probes
+    its own bucket and the previous one — a band of exactly ``width`` spans at
+    most two ``width``-sized buckets, so every qualifying pair shares a probe
+    key — then the exact band predicate refines.
+
+    Right columns are suffixed. Inner join: left rows with no partner drop
+    out (wrap with a left join against the output to keep them).
+    """
+    l_ts, r_ts = F.col(on), F.col(f"{on}{suffix}")
+    lower = l_ts - F.expr(f"INTERVAL {width_seconds} SECONDS")
+    upper = l_ts
+
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / width_seconds)  # noqa: E731
+    key_cols = [by] if by else []
+
+    r = right.select(*key_cols,
+                     *[F.col(c).alias(f"{c}{suffix}")
+                       for c in right.columns if c not in key_cols])
+    r = r.withColumn("_bucket", bucket(r_ts))
+    # left probes its bucket and the one before (band spans at most 2 buckets
+    # when the band width <= bucket width)
+    l = left.withColumn(
+        "_bucket", F.explode(F.array(bucket(l_ts), bucket(l_ts) - 1)))
+    return (
+        l.join(r, key_cols + ["_bucket"])
+        .filter((r_ts >= lower) & (r_ts <= upper))
+        .drop("_bucket")
+    )

@@ -1,0 +1,79 @@
+"""Unit tests for the as-of join and bucketed range join
+(operators/temporal.py); the full-scale oracle comparison runs in
+test_oracle_parity via events_asof_join / events_range_join_counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators.temporal import (
+    asof_join, bucketed_range_join,
+)
+
+
+def _ts_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema) \
+        .withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_join_semantics(spark):
+    left = _ts_df(spark, [
+        (1, "u1", "2024-01-01 00:00:00"),   # before any right -> null
+        (2, "u1", "2024-01-01 01:00:00"),   # exactly at right ts -> that row
+        (3, "u1", "2024-01-01 02:30:00"),   # between rights -> earlier one
+        (4, "u2", "2024-01-01 05:00:00"),   # other key, no rights -> null
+    ], "id long, user_id string, ts string")
+    right = _ts_df(spark, [
+        ("u1", "2024-01-01 01:00:00", 10.0),
+        ("u1", "2024-01-01 01:00:00", 12.0),   # same-ts dup -> max wins
+        ("u1", "2024-01-01 03:00:00", 99.0),
+    ], "user_id string, ts string, value double")
+    out = {r["id"]: r["asof_value"]
+           for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out == {1: None, 2: 12.0, 3: 12.0, 4: None}
+
+
+def test_asof_join_no_key(spark):
+    left = _ts_df(spark, [(1, "2024-01-01 02:00:00")], "id long, ts string")
+    right = _ts_df(spark, [("2024-01-01 01:00:00", 7.0),
+                           ("2024-01-01 03:00:00", 9.0)],
+                   "ts string, value double")
+    [row] = asof_join(left, right, on="ts").collect()
+    assert row["asof_value"] == 7.0
+
+
+def test_bucketed_range_join_boundaries(spark):
+    left = _ts_df(spark, [(1, "k", "2024-01-01 00:20:00")],
+                  "id long, key string, ts string")
+    right = _ts_df(spark, [
+        (10, "k", "2024-01-01 00:10:00"),    # exactly lower bound (600s) in
+        (11, "k", "2024-01-01 00:20:00"),    # exactly upper bound in
+        (12, "k", "2024-01-01 00:09:59"),    # 601s before -> out
+        (13, "k", "2024-01-01 00:20:01"),    # after -> out
+        (14, "x", "2024-01-01 00:15:00"),    # other key -> out
+    ], "rid long, key string, ts string")
+    got = sorted(r["rid_r"] for r in bucketed_range_join(
+        left, right, on="ts", by="key", width_seconds=600).collect())
+    assert got == [10, 11]
+
+
+def test_bucketed_range_join_matches_naive(spark, tables):
+    """Bucket rewrite == naive inequality join on real data (sf0.001)."""
+    events = tables["events"]
+    purchases = events.filter(F.col("event_type") == "purchase") \
+                      .select("event_id", "user_id", "ts").limit(50)
+    clicks = events.filter(F.col("event_type") == "click") \
+                   .select(F.col("event_id").alias("cid"), "user_id", "ts")
+    bucketed = bucketed_range_join(
+        purchases, clicks.withColumnRenamed("cid", "event_id"),
+        on="ts", by="user_id", width_seconds=600)
+    got = sorted((r["event_id"], r["event_id_r"])
+                 for r in bucketed.collect())
+    naive = purchases.alias("p").join(
+        clicks.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("c.ts") <= F.col("p.ts")), "inner")
+    want = sorted((r["event_id"], r["cid"])
+                  for r in naive.select("event_id", "cid").collect())
+    assert got == want
