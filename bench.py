@@ -49,6 +49,8 @@ HEADLINE = [
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from server2_vector_search_server_spark.plans import load_registry
     from server2_vector_search_server_spark.session import get_spark
 
@@ -56,8 +58,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_registry()
 
-    # JVM/Arrow warm-up outside the timed region.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up outside the timed region: JVM codegen, parquet reader path,
+    # shuffle machinery, and the noop sink — so query 1 doesn't absorb
+    # one-time init costs that say nothing about plan quality.
+    warm = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    warm.join(warm.selectExpr("r_regionkey as k"),
+              warm.r_regionkey == F.col("k")) \
+        .groupBy("r_name").count() \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -30,7 +30,9 @@ from server2_vector_search_server_spark.functions.text import (
     word_shingles,
 )
 from server2_vector_search_server_spark.functions.vector import (
-    cosine_similarity,
+    cosine_similarity,  # noqa: F401  (re-exported; used by callers/tests)
+    dot,
+    l2_norm,
 )
 
 # Deterministic affine permutation parameters for MinHash: h_j(x) =
@@ -277,14 +279,31 @@ def cosine_near_duplicates(vectors: DataFrame, *, vec_col: str = "embedding",
                            threshold: float = 0.9,
                            max_id: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold. Exact form for bounded
-    sets; ``operators/ann.py`` provides the LSH-bucketed scale path."""
+    sets; ``operators/ann.py`` provides the LSH-bucketed scale path.
+
+    Vectors are L2-normalized ONCE per row (persisted, so Catalyst cannot
+    inline the norm back into the join condition), making the per-pair work a
+    single dot product. The naive form — ``cosine_similarity`` inside the
+    pair filter — recomputes BOTH norms per pair because the predicate gets
+    pushed into the cross-join condition: 4 extra array aggregates × O(n²)
+    pairs. Oracle mirrors the normalize-then-dot arithmetic exactly."""
     v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    vec = F.col(vec_col)
+    norm = l2_norm(vec)
+    # zero-norm guard: all-zero vector stays all-zero (cosine 0 vs anything)
+    denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    normalized = (
+        v.select(F.col(id_col),
+                 F.transform(vec,
+                             lambda x: x.cast("double") / denom).alias("_nv"))
+        .persist()
+    )
+    a = normalized.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("n_a"))
+    b = normalized.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("n_b"))
     return (
         a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine",
-                    F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6))
+                    F.round(dot(F.col("n_a"), F.col("n_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

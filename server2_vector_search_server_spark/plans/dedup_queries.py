@@ -206,19 +206,23 @@ _COS_N = 200
 _COS_THRESHOLD = 0.5
 
 _SQL_COSINE = f"""
+    -- mirrors operators/dedup.cosine_near_duplicates: normalize each vector
+    -- ONCE (zero-norm -> divide by 1, vector stays all-zero), then the pair
+    -- score is a plain dot product of the normalized vectors
     WITH vecs AS (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_COS_N}
       UNION ALL
       SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings
-      WHERE vec_id < {_COS_N})
+      WHERE vec_id < {_COS_N}),
+    normed AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               (CASE WHEN {sql_l2_norm('embedding')} = 0 THEN 1.0
+                     ELSE {sql_l2_norm('embedding')} END)) AS nv
+      FROM vecs)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(CASE WHEN {sql_l2_norm('a.embedding')} *
-                           {sql_l2_norm('b.embedding')} = 0 THEN 0.0
-                 ELSE {sql_dot('a.embedding', 'b.embedding')} /
-                      ({sql_l2_norm('a.embedding')} *
-                       {sql_l2_norm('b.embedding')})
-                 END, 6) AS cosine
-    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+           ROUND({sql_dot('a.nv', 'b.nv')}, 6) AS cosine
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
     WHERE cosine >= {_COS_THRESHOLD}
 """
 

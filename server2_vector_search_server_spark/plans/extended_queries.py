@@ -255,3 +255,50 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_from_documents(spark, sf_dir)
     return (multimodal.sample_video_frames(media, every_n_seconds=0.25)
             .orderBy("media_id", "frame_index"))
+
+
+# ---------------------------------------------------------------------------
+# ingestion pipeline end-to-end (SURVEY.md §3.1)
+
+@query(
+    "ingest_pipeline_e2e",
+    survey="A5/A7/C3/H5/H6/J1(full upload pipeline: dedup gate -> chunk -> embed -> partitioned store)",
+    oracle="""
+    SELECT 'collection_a' AS collection, COUNT(*) AS n_docs
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT 'collection_b' AS collection, COUNT(*) AS n_docs
+    FROM documents WHERE doc_id >= 50 AND doc_id < 75
+    ORDER BY collection
+    """,
+)
+def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's /upload-document lifecycle run twice against a fresh
+    store: docs 0..49 into collection_a, then docs 25..74 into collection_b.
+    The second batch's 25 overlapping doc_names must be skipped by the GLOBAL
+    dedup gate (app.py:152 semantics — one anti-join, not per-file probes),
+    so collection_b lands exactly docs 50..74. The oracle derives both counts
+    from the fixture; a broken gate changes the hash."""
+    import tempfile
+
+    from server2_vector_search_server_spark.plans.ingest import (
+        ingest_documents,
+    )
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="ingest_e2e_"))
+    docs = tbl(spark, sf_dir, "documents") \
+        .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
+                "text", "doc_id")
+    ingest_documents(store, docs.filter(F.col("doc_id") < 50),
+                     collection="collection_a")
+    ingest_documents(store,
+                     docs.filter((F.col("doc_id") >= 25)
+                                 & (F.col("doc_id") < 75)),
+                     collection="collection_b")
+    return (
+        store.read(None)
+        .groupBy("collection")
+        .agg(F.count_distinct("doc_name").alias("n_docs"))
+        .orderBy("collection")
+    )
