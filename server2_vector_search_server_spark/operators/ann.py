@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.vector import dot, squared_l2
@@ -86,18 +86,28 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                vec_col: str = "embedding", id_col: str = "vec_id",
                centroid_id_col: str = "centroid_id",
                centroid_vec_col: str = "centroid") -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids ×
-    corpus, ranking window). This is the index-build step: at scale, write
-    the corpus partitioned/bucketed by ``centroid_id``."""
-    joined = vectors.crossJoin(F.broadcast(centroids))
-    d2 = squared_l2(F.col(vec_col), F.col(centroid_vec_col))
-    w = Window.partitionBy(id_col).orderBy(
-        d2.asc(), F.col(centroid_id_col).asc())
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", centroid_vec_col)
-    )
+    """Assign each vector to its nearest centroid. This is the index-build
+    step: at scale, write the corpus partitioned/bucketed by ``centroid_id``.
+
+    Centroids are collected (they must be driver-small — this IS the coarse
+    quantizer) and embedded as a literal array, so assignment is a narrow
+    argmin projection: zero joins, zero shuffles, zero row blow-up. The
+    previous crossJoin(broadcast) + row_number window multiplied the corpus
+    by n_centroids and shuffled it back down — measured 27.5 s vs 8.5 s for
+    200k×64 against 64 centroids (see SCALE.md). Tie-break matches the window form: lowest
+    centroid id among equal distances (centroid literals sorted by id,
+    array_position takes the first minimum)."""
+    cent_rows = sorted(centroids.collect(),
+                       key=lambda r: r[centroid_id_col])
+    cent_ids = [r[centroid_id_col] for r in cent_rows]
+    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
+                         for r in cent_rows])
+    id_lit = F.array(*[F.lit(c) for c in cent_ids])
+    dists = F.transform(cent_lit, lambda c: squared_l2(c, F.col(vec_col)))
+    best = F.element_at(id_lit,
+                        F.array_position(dists, F.array_min(dists))
+                        .cast("int"))
+    return vectors.withColumn(centroid_id_col, best)
 
 
 def ivf_knn(
