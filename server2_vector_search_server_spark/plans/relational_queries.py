@@ -178,3 +178,74 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("event_id").alias("min_event_id"))
         .orderBy("k_mod")
     )
+
+
+@query(
+    "shipping_priority_top10",
+    survey="C,D,F(TPC-H Q3 shape: 3-way join, agg, top-k)",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_exact_sum('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the fixture columns (no o_shippriority in the
+    driver's orders table): segment + date filters push to the scans, the
+    customer dim broadcasts, and the final top-10 plans as
+    TakeOrderedAndProject over the aggregated revenue."""
+    customer = tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    lineitem = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer),
+              orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum(F.col("l_extendedprice")
+                       * (F.lit(1.0) - F.col("l_discount")), 4)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "customer_running_spend",
+    survey="E-extension(window frame spec: running total per partition)",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend — an explicit ROWS frame over an ordered
+    partition. Scaled-integer accumulation keeps the running double sum
+    bit-reproducible at any parallelism (same pattern as exact_sum)."""
+    orders = tbl(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+             / 100.0).alias("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
