@@ -60,6 +60,7 @@ def knn_topk(
     where: Mapping[str, Any] | None = None,
     threshold: float | None = None,
     score_decimals: int | None = config.SCORE_DECIMALS,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Exact scored top-k under the reference contract.
 
@@ -67,19 +68,80 @@ def knn_topk(
     ``score >= threshold`` (when given), ordered ``score DESC, id ASC``,
     limited to k. With ``threshold=config.SIMILARITY_THRESHOLD`` this is the
     full ``/search_score`` pipeline (``app.py:414-432``).
+
+    ``impl``: ``"jvm"`` (default) scores with the codegen'd array expression —
+    the right choice to ~hundreds of dims and for the oracle gate. ``"arrow"``
+    scores in numpy via ``mapInPandas`` with a per-batch pruned candidate set —
+    measured ~1.7× faster at 1024 dims × 100 k vectors (SCALE.md §7), same
+    results (the pruning margin provably preserves the rounded-score top-k).
     """
     k = _resolve_k(k)
-    scored = apply_where(corpus, where).withColumn(
-        "score", similarity_score(vector_literal(query_vec), F.col(vec_col)))
+    filtered = apply_where(corpus, where)
+    if impl == "arrow":
+        scored = _arrow_scored_candidates(filtered, query_vec, k,
+                                          vec_col=vec_col)
+    elif impl == "jvm":
+        scored = filtered.withColumn(
+            "score",
+            similarity_score(vector_literal(query_vec), F.col(vec_col))
+        ).drop(vec_col)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     if score_decimals is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), score_decimals))
     if threshold is not None:
         scored = scored.filter(F.col("score") >= F.lit(float(threshold)))
     return (
-        scored.drop(vec_col)
+        scored
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _arrow_scored_candidates(corpus: DataFrame, query_vec: Sequence[float],
+                             k: int, *, vec_col: str) -> DataFrame:
+    """Arrow-batched numpy scoring with per-batch candidate pruning.
+
+    Each batch keeps rows whose RAW score is within 2×10^-SCORE_DECIMALS of
+    its k-th best raw score: any dropped row then rounds strictly below the
+    k-th rounded score, so it cannot enter the global top-k under any
+    tie-break — the final JVM round/sort/limit sees every possible winner.
+    The driver-side merge handles k·P candidate rows, same as
+    TakeOrderedAndProject.
+
+    Caveat: numpy's pairwise summation is not bit-identical to the JVM's
+    sequential fold; raw scores can differ in the last ulps, so equality with
+    the JVM path holds at rounded-score level (SCORE_DECIMALS), not raw —
+    which is why registered oracle queries keep ``impl="jvm"``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    margin = 2.0 * 10.0 ** (-config.SCORE_DECIMALS)
+    out_fields = [f for f in corpus.schema.fields if f.name != vec_col]
+    out_schema = T.StructType(out_fields + [T.StructField("score",
+                                                          T.DoubleType())])
+    keep_cols = [f.name for f in out_fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            # same op order as functions/vector.squared_l2: (q_i - v_i)^2 sum
+            s = 1.0 - ((q - m) ** 2).sum(axis=1)
+            if len(s) > k:
+                kth = np.partition(-s, k - 1)[k - 1] * -1.0
+                mask = s >= kth - margin
+            else:
+                mask = np.ones(len(s), dtype=bool)
+            out = pdf.loc[mask, keep_cols].copy()
+            out["score"] = s[mask]
+            yield out
+
+    return corpus.mapInPandas(run, schema=out_schema)
 
 
 def knn_join(

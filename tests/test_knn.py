@@ -73,3 +73,23 @@ def test_knn_join_matches_per_query_topk(tables):
     for qid in (0, 1, 2):
         assert (qid, qid) in got
         assert sum(1 for g in got if g[0] == qid) == 4
+
+
+def test_arrow_impl_matches_jvm(spark, tables):
+    """impl='arrow' (numpy mapInPandas + pruned candidates) returns the same
+    rounded top-k as the codegen'd JVM path, with and without prefilter."""
+    from server2_vector_search_server_spark.operators.knn import knn_topk
+
+    emb = tables["embeddings"]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3)
+         .first()["embedding"]]
+    for where in (None, {"label": {"$in": [1, 2, 3]}}):
+        jvm = [(r["vec_id"], r["score"]) for r in
+               knn_topk(emb, q, k=10, where=where, threshold=None).collect()]
+        arrow = [(r["vec_id"], r["score"]) for r in
+                 knn_topk(emb, q, k=10, where=where, threshold=None,
+                          impl="arrow").collect()]
+        assert jvm == arrow
+    thr = [(r["vec_id"], r["score"]) for r in
+           knn_topk(emb, q, k=10, threshold=0.1, impl="arrow").collect()]
+    assert thr == [(3, 1.0)]    # self-match only (synthetic vectors)
