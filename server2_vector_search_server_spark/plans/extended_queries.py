@@ -302,3 +302,63 @@ def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("doc_name").alias("n_docs"))
         .orderBy("collection")
     )
+
+
+@query(
+    "store_delete_semantics",
+    survey="A8(delete-by-doc_id with the reference's cascade semantics)",
+    oracle="""
+    -- docs 0..39 ingested (0..19 -> collection_a, 20..39 -> collection_b);
+    -- docs 5 and 23 deleted; master view = union of what remains
+    SELECT 'collection_a' AS probe_scope, COUNT(*) AS n_docs FROM documents
+    WHERE doc_id < 20 AND doc_id <> 5
+    UNION ALL
+    SELECT 'collection_b', COUNT(*) FROM documents
+    WHERE doc_id >= 20 AND doc_id < 40 AND doc_id <> 23
+    UNION ALL
+    SELECT 'master', COUNT(*) FROM documents
+    WHERE doc_id < 40 AND doc_id NOT IN (5, 23)
+    ORDER BY probe_scope
+    """,
+)
+def store_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cascading delete (vector_store.py:190-298: specific →
+    master, or master → original_collection) collapses to one predicate under
+    the single-table design: deleting a doc_id removes it from its partition
+    AND from the master union view in the same rewrite. Ingest 40 docs across
+    two collections, delete one doc from each, then count per collection and
+    through the master view."""
+    import tempfile
+
+    from server2_vector_search_server_spark.plans.ingest import (
+        ingest_documents,
+    )
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="store_delete_"))
+    docs = tbl(spark, sf_dir, "documents") \
+        .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
+                "text", "doc_id")
+    ingest_documents(store, docs.filter(F.col("doc_id") < 20),
+                     collection="collection_a")
+    ingest_documents(store,
+                     docs.filter((F.col("doc_id") >= 20)
+                                 & (F.col("doc_id") < 40)),
+                     collection="collection_b")
+    # deterministic ids: doc_id = md5(doc_name)
+    for name in ("doc_5", "doc_23"):
+        deleted = store.delete_document(
+            store.read(None).filter(F.col("doc_name") == name)
+            .first()["doc_id"])
+        assert deleted
+    counts = [
+        store.read("collection_a"), store.read("collection_b"),
+        store.read("master"),
+    ]
+    scopes = ["collection_a", "collection_b", "master"]
+    out = None
+    for scope, df in zip(scopes, counts):
+        part = df.agg(F.count_distinct("doc_name").alias("n_docs")) \
+                 .select(F.lit(scope).alias("probe_scope"), "n_docs")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("probe_scope")

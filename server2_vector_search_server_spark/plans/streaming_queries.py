@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.plans.registry import (
-    query, sql_exact_sum, tbl,
+    REGISTRY, query, sql_exact_sum, tbl,
 )
 from server2_vector_search_server_spark.streaming.events import (
     session_stats, sliding_counts, tumbling_counts,
@@ -97,6 +97,42 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap; state is keyed by user_id, so it shards across executors)."""
     events = tbl(spark, sf_dir, "events")
     return session_stats(events).orderBy("user_id", "session_start")
+
+
+_SESSION_ORACLE = REGISTRY["events_session_window"].oracle
+
+
+@query(
+    "streaming_session_windows",
+    survey="I(session windows under readStream: merging session state store)",
+    oracle=_SESSION_ORACLE,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-window aggregation actually run as a stream (file source →
+    session_window state store → complete-mode memory sink, drained with
+    availableNow) — hash-matched against the same gaps-and-islands oracle as
+    the batch twin, proving the incremental merging-session plan equals the
+    batch result."""
+    src = tempfile.mkdtemp(prefix="events_sess_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+    events = (
+        spark.readStream.schema(raw_schema).parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    sink = f"sess_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_stats(events)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "session_start")
 
 
 def _build_wal(spark: SparkSession, sf_dir: str, wal_dir: str) -> None:
