@@ -155,14 +155,45 @@ def knn_join(
     corpus_vec_col: str = "embedding",
     threshold: float | None = None,
     score_decimals: int | None = config.SCORE_DECIMALS,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Batch k-NN: top-k corpus rows per query row (many-query form of C1/C2).
 
     ``queries`` must be small enough to broadcast (it is the reference's
     one-query-at-a-time loop, batched). The corpus side is scanned once; the
     only shuffle is the per-query window over surviving candidates.
+
+    ``impl="arrow"``: score every (query, corpus-batch) pair with one BLAS
+    matmul (``d² = |q|² + |v|² − 2·q·v``) and keep only each query's local
+    top-k (+rounding margin) per batch, so the window shuffle moves ~k·P·Q
+    rows instead of Q×corpus — measured 38× faster at 100 queries × 100 k
+    × 1024 dims (SCALE.md §8). Rounded-score-identical to the JVM path (the
+    matmul identity and pairwise sums differ in last ulps; the public
+    contract rounds to SCORE_DECIMALS).
     """
     k = _resolve_k(k)
+    if impl == "arrow":
+        scored = _arrow_multi_scored(queries, corpus, k,
+                                     query_id_col=query_id_col,
+                                     query_vec_col=query_vec_col,
+                                     corpus_vec_col=corpus_vec_col)
+    elif impl != "jvm":
+        raise ValueError(f"unknown impl {impl!r}")
+    else:
+        scored = None
+    if scored is not None:
+        if score_decimals is not None:
+            scored = scored.withColumn(
+                "score", F.round(F.col("score"), score_decimals))
+        if threshold is not None:
+            scored = scored.filter(F.col("score") >= F.lit(float(threshold)))
+        w = Window.partitionBy("__qid").orderBy(
+            F.col("score").desc(), F.col(corpus_id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumnRenamed("__qid", query_id_col)
+        )
     q = F.broadcast(queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")))
     scored = corpus.crossJoin(q).withColumn(
@@ -179,3 +210,58 @@ def knn_join(
         .drop(corpus_vec_col, "__qvec")
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def _arrow_multi_scored(queries: DataFrame, corpus: DataFrame, k: int, *,
+                        query_id_col: str, query_vec_col: str,
+                        corpus_vec_col: str) -> DataFrame:
+    """(query, candidate, raw score) rows via one matmul per Arrow batch.
+
+    The query set is collected (it must be broadcast-small by contract) and
+    shipped in the UDF closure; each corpus batch computes the full
+    batch×queries score matrix with BLAS and emits, per query, the rows
+    within 2×10^-SCORE_DECIMALS of that query's local k-th best raw score —
+    the same provably-lossless pruning as the single-query Arrow path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    qm = np.stack([np.asarray([float(x) for x in r[query_vec_col]])
+                   for r in q_rows])                       # Q × d
+    q_sq = (qm ** 2).sum(axis=1)                           # |q|²
+    margin = 2.0 * 10.0 ** (-config.SCORE_DECIMALS)
+    qid_type = queries.schema[query_id_col].dataType
+
+    out_fields = [f for f in corpus.schema.fields
+                  if f.name != corpus_vec_col]
+    keep_cols = [f.name for f in out_fields]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("__qid", qid_type),
+                      T.StructField("score", T.DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[corpus_vec_col].values).astype(np.float64)
+            v_sq = (m ** 2).sum(axis=1)
+            # scores: S[i, j] = 1 − (|v_i|² + |q_j|² − 2·v_i·q_j)
+            s = 1.0 - (v_sq[:, None] + q_sq[None, :] - 2.0 * (m @ qm.T))
+            parts = []
+            for j, qid in enumerate(q_ids):
+                col = s[:, j]
+                if len(col) > k:
+                    kth = np.partition(-col, k - 1)[k - 1] * -1.0
+                    mask = col >= kth - margin
+                else:
+                    mask = np.ones(len(col), dtype=bool)
+                part = pdf.loc[mask, keep_cols].copy()
+                part["__qid"] = qid
+                part["score"] = col[mask]
+                parts.append(part)
+            yield pd.concat(parts, ignore_index=True)
+
+    return corpus.mapInPandas(run, schema=out_schema)

@@ -93,3 +93,21 @@ def test_arrow_impl_matches_jvm(spark, tables):
     thr = [(r["vec_id"], r["score"]) for r in
            knn_topk(emb, q, k=10, threshold=0.1, impl="arrow").collect()]
     assert thr == [(3, 1.0)]    # self-match only (synthetic vectors)
+
+
+def test_knn_join_arrow_matches_jvm(spark, tables):
+    """Multi-query impl='arrow' (BLAS matmul + local pruning) returns the
+    same rounded (query, rank) assignments as the JVM window path."""
+    from server2_vector_search_server_spark.operators.knn import knn_join
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    def rows(df):
+        return sorted((r["query_id"], r["rank"], r["vec_id"], r["score"])
+                      for r in df.select("query_id", "rank", "vec_id",
+                                         "score").collect())
+    jvm = rows(knn_join(queries, emb, k=5))
+    arrow = rows(knn_join(queries, emb, k=5, impl="arrow"))
+    assert jvm == arrow
