@@ -249,3 +249,62 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 100.0).alias("running_spend"))
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "order_value_percentiles",
+    survey="D-extension(exact percentiles: median/p95 per group)",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation — verified to match at
+    4 decimals). Exact percentile is a sort-based aggregate: fine per-group;
+    at 100 TB switch to `approx_percentile` (t-digest, mergeable, one pass)
+    when the per-group value sets stop fitting a task."""
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ABOVE_AVG_SQL = """
+    SELECT o_custkey, COUNT(*) AS n_above
+    FROM orders o
+    WHERE o_totalprice >
+          (SELECT SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+                  / (100.0 * COUNT(*))
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
+
+
+@query(
+    "orders_above_customer_avg",
+    survey="C-extension(correlated scalar subquery via spark.sql; Catalyst decorrelation)",
+    oracle=_ABOVE_AVG_SQL,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — each order compared to its own customer's
+    average — submitted as LITERAL SQL through spark.sql(): the engine's SQL
+    surface is the same ANSI text DuckDB runs as the oracle. Catalyst
+    decorrelates the subquery into an aggregate + join (no per-row re-scan).
+    The average uses scaled-integer accumulation so the comparison threshold
+    is bit-reproducible at any parallelism."""
+    from server2_vector_search_server_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(_ABOVE_AVG_SQL)
