@@ -58,20 +58,34 @@ def hyperplane_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     score_decimals: int = 6,
+    n_probe_flips: int = 0,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's hyperplane bucket, exact scoring
-    within. Deterministic; recall < 1 by design (bucket pruning)."""
-    import math
+    """ANN top-k restricted to the query's hyperplane bucket(s), exact
+    scoring within. Deterministic; recall < 1 by design (bucket pruning).
 
+    ``n_probe_flips`` enables multi-probe: also search the buckets reached by
+    flipping the ``n`` hyperplane bits where the query's margin |dot(q, hᵢ)|
+    is smallest — the planes the query sits closest to, i.e. where its true
+    neighbors most likely landed on the other side. Probing 1+n buckets
+    multiplies scanned rows by ~(1+n) for a recall gain that depends on the
+    data's locality structure — see SCALE.md §1a for the measured regimes
+    (near-duplicate clusters: recall 1.0 even single-probe; uniform-random
+    synthetic vectors: LSH is structurally blind and exact search is the
+    right tool)."""
+    margins = []
     qbits = 0
     for i, h in enumerate(hyperplanes):
         d = sum(float(a) * float(b) for a, b in zip(query_vec, h))
         if d > 0:
             qbits |= 1 << i
+        margins.append((abs(d), i))
+    probes = [qbits]
+    for _, i in sorted(margins)[:n_probe_flips]:
+        probes.append(qbits ^ (1 << i))
     bucketed = corpus.withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), hyperplanes))
     scored = (
-        bucketed.filter(F.col("bucket") == qbits)
+        bucketed.filter(F.col("bucket").isin(probes))
         .withColumn("score", F.round(
             F.lit(1.0) - squared_l2(vector_literal(query_vec), F.col(vec_col)),
             score_decimals))

@@ -105,6 +105,46 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=5, nprobe=_NPROBE)
 
 
+_N_FLIPS = 2
+
+
+@query(
+    "ann_hyperplane_multiprobe_knn",
+    survey="north-star ANN (multi-probe sign-LSH: flip lowest-margin bits)",
+    oracle=f"""
+    WITH margins AS (
+      SELECT vec_id AS i,
+             abs({sql_dot(_sql_qv(_QUERY_ID), 'embedding')}) AS m
+      FROM embeddings WHERE vec_id < {_N_HYPER}),
+    flips AS (SELECT i FROM margins ORDER BY m ASC, i ASC LIMIT {_N_FLIPS}),
+    probes AS (
+      SELECT {_sql_bucket(_sql_qv(_QUERY_ID))} AS b
+      UNION ALL
+      SELECT xor({_sql_bucket(_sql_qv(_QUERY_ID))}, CAST(1 << i AS BIGINT))
+      FROM flips),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(1.0 - {sql_sq_l2('e.embedding', _sql_qv(_QUERY_ID))}, 6)
+               AS score
+      FROM embeddings e
+      WHERE {_sql_bucket('e.embedding')} IN (SELECT b FROM probes))
+    SELECT vec_id, label, score FROM scored
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+)
+def ann_hyperplane_multiprobe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: probe the base bucket plus the buckets across
+    the query's two closest hyperplanes (smallest |margin|) — the classic
+    recall recovery for LSH at a bounded extra scan cost."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    hyperplanes = [r["embedding"] for r in
+                   emb.filter(F.col("vec_id") < _N_HYPER)
+                   .orderBy("vec_id").collect()]
+    return ann.hyperplane_knn(emb, _vec(spark, sf_dir, _QUERY_ID),
+                              hyperplanes, k=5,
+                              n_probe_flips=_N_FLIPS).drop("bucket")
+
+
 @query(
     "ann_mllib_brp_knn",
     survey="north-star ANN (MLlib BucketedRandomProjectionLSH; hash family "

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.functions.text import (
     sql_token_hash,
     sql_word_shingles,
+    tokens,
 )
 from server2_vector_search_server_spark.operators import text_analysis as ta
 from server2_vector_search_server_spark.plans.registry import query, tbl
@@ -174,4 +175,68 @@ def chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_chunks"),
              F.max(F.length("content")).alias("max_chunk_len"))
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    survey="north-star text analysis (TF-IDF top terms per document, SURVEY §7 M3)",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200),
+    terms AS (
+      SELECT doc_id, t.term
+      FROM docs, UNNEST(list_filter(
+             string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t(term)),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM terms GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df), 6)
+               AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE)
+                                                  / df.df) DESC,
+                                         tf.term ASC) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, rank, term, tfidf FROM scored
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Rarity weight is the LOG-FREE form
+    tf · (N/df): a single integer→double division is bit-identical across
+    engines, where ln() is libm-dependent in its last ulp — the ranking is
+    monotone-equivalent for term ordering within a document. Two shuffles
+    (tf groupBy, df groupBy) + one term join; at 100 TB the df side is the
+    vocabulary — broadcastable after a min-df cut."""
+    from pyspark.sql import Window
+
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", F.lower(F.col("text")).alias("text")))
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text")))
+                        .alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("tfidf_raw",
+                    F.col("tf") * (F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_raw").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term",
+                F.round("tfidf_raw", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
     )
