@@ -143,3 +143,43 @@ def test_session_window_end_is_last_event_plus_gap(spark):
         ("2024-01-01 00:00:00", "2024-01-01 00:40:00", 2),
         ("2024-01-01 01:00:00", "2024-01-01 01:30:00", 1),
     ]
+
+
+def test_streaming_document_ingest_dedup_gate(spark, tmp_path):
+    """Document stream -> foreachBatch full ingest pipeline: the global
+    dedup gate skips names already stored by earlier micro-batches, and
+    redelivered names after a checkpoint reset stay no-ops."""
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+    from server2_vector_search_server_spark.streaming.ingest import (
+        start_document_ingest_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    store = ChunkStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [("a.txt", "alpha text one"), ("b.txt", "beta text two"),
+         ("a.txt", "in-batch duplicate of a")],
+        "doc_name string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_document_ingest_stream(spark, src, store, ckpt,
+                                     collection="collection_a")
+    q.awaitTermination()
+    docs1 = {r["doc_name"] for r in store.list_documents().collect()}
+    assert docs1 == {"a.txt", "b.txt"}
+
+    # second delivery: one new name, one already-stored name
+    spark.createDataFrame(
+        [("b.txt", "redelivered"), ("c.txt", "gamma text three")],
+        "doc_name string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_document_ingest_stream(spark, src, store, ckpt,
+                                     collection="collection_b")
+    q.awaitTermination()
+    rows = store.read(None).select("doc_name", "collection").distinct().collect()
+    got = {(r["doc_name"], r["collection"]) for r in rows}
+    assert got == {("a.txt", "collection_a"), ("b.txt", "collection_a"),
+                   ("c.txt", "collection_b")}
+    # b.txt was NOT re-ingested into collection_b (gate is global)
+    assert store.read("collection_b").select("doc_name").distinct().count() == 1
