@@ -45,6 +45,11 @@ HEADLINE = [
     "orders_with_late_shipment",  # EXISTS left-semi with non-equi condition
     "multimodal_image_features",  # Arrow mapInPandas binary pipeline
     "streaming_wal_replay",     # readStream -> foreachBatch merge end-to-end
+    "events_asof_join",         # merge-asof via carry-forward window
+    "events_range_join_counts",  # bucketed range join (no nested loop)
+    "text_tfidf_top_terms",     # TF-IDF: two shuffles + vocabulary join
+    "order_value_percentiles",  # exact interpolated percentiles per group
+    "ann_hyperplane_multiprobe_knn",  # multi-probe sign-LSH
 ]
 
 

@@ -22,7 +22,7 @@ aggregates where every value of a hot key lands on one reducer —
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -24,7 +24,6 @@ first so each executor owns whole archives.
 from __future__ import annotations
 
 import io
-import os
 import unicodedata
 import zipfile
 from collections.abc import Iterator

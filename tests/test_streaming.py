@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.streaming.events import (
@@ -14,7 +13,6 @@ from server2_vector_search_server_spark.streaming.events import (
 from server2_vector_search_server_spark.streaming.wal import (
     OP_DELETE, OP_UPSERT, WAL_SCHEMA, WalLog, start_wal_stream,
 )
-from tests.conftest import SF_SMOKE
 
 
 def _wal_rows(*ops):
