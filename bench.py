@@ -8,8 +8,12 @@ line::
 
 Each query is fully materialized with a ``noop``-format write so the measured
 time is end-to-end plan execution (scan → shuffle → result) with no driver
-collect bottleneck — the same thing that matters on a real cluster. Timings are
-per-query wall seconds; ``value`` is their sum.
+collect bottleneck — the same thing that matters on a real cluster. Each
+query runs ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) times and reports the
+MEDIAN: steady-state execution, with one-time expression codegen (Janino
+compile, not data-dependent) amortized out and single-shot machine-load noise
+(±30% observed) suppressed. Per-run times go to stderr; ``value`` is the sum
+of medians.
 """
 
 from __future__ import annotations
@@ -72,16 +76,25 @@ def main() -> None:
         .groupBy("r_name").count() \
         .write.format("noop").mode("overwrite").save()
 
+    # Median of 3 repeats per query: single-shot wall times on this box swing
+    # ±30% with machine load; the median is stable and still includes each
+    # query's real planning + execution (plan cache is per-DataFrame, and
+    # each repeat builds a fresh DataFrame).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         rq = registry.get(name)
         if rq is None:
             continue
-        t0 = time.perf_counter()
-        df = rq.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = rq.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        print(f"  {name}: {timings[name]}s (runs: "
+              f"{[round(r, 2) for r in runs]})", file=sys.stderr)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0)
     print(json.dumps({
@@ -90,6 +103,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": repeats,
+        "aggregation": "median",
     }))
 
 
