@@ -77,3 +77,40 @@ def test_bucketed_range_join_matches_naive(spark, tables):
     want = sorted((r["event_id"], r["cid"])
                   for r in naive.select("event_id", "cid").collect())
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EVENT = st.tuples(st.integers(0, 2),          # key
+                   st.integers(0, 1000),       # ts seconds
+                   st.integers(0, 9))          # value
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lefts=st.lists(_EVENT, min_size=1, max_size=12),
+       rights=st.lists(_EVENT, min_size=0, max_size=12))
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-row brute force: max value among right rows at the
+    latest right ts <= left ts for the same key."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(lefts)],
+        "id long, key long, ts long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    rdf = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rights] or [],
+        "key long, ts long, value double",
+    ).withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    got = {r["id"]: r["asof_value"]
+           for r in asof_join(ldf, rdf, on="ts", by="key").collect()}
+
+    want = {}
+    for i, (k, t, _) in enumerate(lefts):
+        prior = [(rt, v) for rk, rt, v in rights if rk == k and rt <= t]
+        if not prior:
+            want[i] = None
+        else:
+            best_ts = max(rt for rt, _ in prior)
+            want[i] = float(max(v for rt, v in prior if rt == best_ts))
+    assert got == want
