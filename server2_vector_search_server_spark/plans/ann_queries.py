@@ -167,3 +167,22 @@ def ann_mllib_brp_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_mllib_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return ann.mllib_similarity_join(emb, emb, threshold_l2=1.0)
+
+
+@query(
+    "ann_ivf_kmeans_knn",
+    survey="north-star ANN (MLlib KMeans-trained IVF coarse quantizer; "
+           "k-means|| init not SQL-reproducible)",
+    oracle=None,
+)
+def ann_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with a FITTED coarse quantizer: MLlib KMeans centroids
+    (seeded, deterministic per Spark version) instead of sampled corpus
+    vectors — the north star's "MLlib ANN for batch indexing" applied to the
+    index-build step. Rows-only check (k-means|| not oracle-reproducible);
+    the search path on top (assign → probe → exact rescore) is the same
+    machinery the SQL-checked ann_ivf_knn certifies."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = ann.ivf_train_kmeans(emb, n_centroids=_N_CENTROIDS)
+    return ann.ivf_knn(emb, centroids, _vec(spark, sf_dir, _QUERY_ID),
+                       k=5, nprobe=_NPROBE)

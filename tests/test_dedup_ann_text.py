@@ -167,3 +167,23 @@ def test_pil_decoder_stub_raises(spark):
         [("m", b"bytes")], "media_id string, content binary")
     with pytest.raises(NotImplementedError):
         multimodal.extract_image_features(media, decoder="pil")
+
+
+def test_ivf_kmeans_trainer(spark, tables):
+    from server2_vector_search_server_spark.operators import ann
+
+    emb = tables["embeddings"]
+    cents = ann.ivf_train_kmeans(emb, n_centroids=4, max_iter=3)
+    rows = cents.collect()
+    assert len(rows) == 4
+    assert sorted(r["centroid_id"] for r in rows) == [0, 1, 2, 3]
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["centroid"]) == dim for r in rows)
+    # deterministic across invocations (seeded)
+    again = ann.ivf_train_kmeans(emb, n_centroids=4, max_iter=3).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    # end-to-end: search over kmeans cells returns k rows with valid scores
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    out = ann.ivf_knn(emb, cents, q, k=5, nprobe=2).collect()
+    assert len(out) == 5
+    assert out[0]["score"] >= out[-1]["score"]
