@@ -95,6 +95,10 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         print(f"  {name}: {timings[name]}s (runs: "
               f"{[round(r, 2) for r in runs]})", file=sys.stderr)
+        # queries that persist() intermediates (minhash, cosine) would pile
+        # up cache entries across repeats — each repeat builds fresh
+        # DataFrames, so dropping the cache never removes reused data
+        spark.catalog.clearCache()
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0)
     print(json.dumps({
