@@ -189,6 +189,54 @@ def ivf_train_kmeans(corpus: DataFrame, n_centroids: int = 16, *,
     ).withColumn("centroid", F.col("centroid").cast("array<float>"))
 
 
+def write_ivf_index(vectors: DataFrame, centroids: DataFrame, path: str, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+    """Materialize the IVF index: the corpus written PARTITIONED BY its
+    centroid cell. This is the piece that turns "probe nprobe cells" from a
+    post-scan filter into FILE PRUNING — a query lists and reads only the
+    probed cells' files, which is how the 100 TB story actually cashes out
+    (verified in tests: the probe scan's plan shows PartitionFilters and
+    touches nprobe directories)."""
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
+    (assigned.write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(path))
+
+
+def ivf_knn_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Search a materialized IVF index: rank centroids driver-side, filter
+    the partitioned table on the probe cells (partition pruning — no data
+    files outside the probed cells are opened), exact-rescore within."""
+    cent_rows = centroids.collect()
+    ranked = sorted(
+        cent_rows,
+        key=lambda r: (sum((float(a) - float(b)) ** 2
+                           for a, b in zip(query_vec, r[centroid_vec_col])),
+                       r[centroid_id_col]))
+    probe_ids = [r[centroid_id_col] for r in ranked[:nprobe]]
+    scored = (
+        spark.read.parquet(index_path)
+        .filter(F.col(centroid_id_col).isin(probe_ids))
+        .withColumn("score", F.round(
+            F.lit(1.0) - squared_l2(vector_literal(query_vec), F.col(vec_col)),
+            score_decimals))
+    )
+    return (scored.drop(vec_col)
+            .orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k))
+
+
 # --- tier 3: MLlib BucketedRandomProjectionLSH ------------------------------
 
 def mllib_brp_ann(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators import ann
 from server2_vector_search_server_spark.plans.registry import (
+    REGISTRY,
     query,
     sql_dot,
     sql_sq_l2,
@@ -186,3 +187,30 @@ def ann_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ann.ivf_train_kmeans(emb, n_centroids=_N_CENTROIDS)
     return ann.ivf_knn(emb, centroids, _vec(spark, sf_dir, _QUERY_ID),
                        k=5, nprobe=_NPROBE)
+
+
+_IVF_ORACLE = REGISTRY["ann_ivf_knn"].oracle
+
+
+@query(
+    "ann_ivf_indexed_knn",
+    survey="north-star ANN (materialized IVF index: partitioned write + "
+           "partition-pruned probe scan)",
+    oracle=_IVF_ORACLE,
+)
+def ann_ivf_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_knn over a MATERIALIZED index: corpus written partitionBy(cell),
+    probe scan prunes to nprobe partition directories (PartitionFilters in
+    the plan — asserted in tests). Same oracle as ann_ivf_knn: the index is
+    a physical layout change, not a semantic one."""
+    import tempfile
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    ann.write_ivf_index(emb, centroids, path)
+    return ann.ivf_knn_indexed(spark, path, centroids,
+                               _vec(spark, sf_dir, _QUERY_ID),
+                               k=5, nprobe=_NPROBE)

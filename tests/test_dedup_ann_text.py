@@ -187,3 +187,32 @@ def test_ivf_kmeans_trainer(spark, tables):
     out = ann.ivf_knn(emb, cents, q, k=5, nprobe=2).collect()
     assert len(out) == 5
     assert out[0]["score"] >= out[-1]["score"]
+
+
+def test_ivf_index_partition_pruning(spark, tables, tmp_path):
+    """The materialized IVF index prunes at the FILE level: the probe scan's
+    physical plan carries a PartitionFilters entry on centroid_id and the
+    result matches the unindexed ivf_knn exactly."""
+    from server2_vector_search_server_spark.operators import ann
+
+    emb = tables["embeddings"]
+    centroids = (emb.filter(F.col("vec_id") < 8)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(emb, centroids, path)
+    import os
+    cells = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+    assert len(cells) > 2          # corpus spread over multiple cells
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3)
+         .first()["embedding"]]
+    indexed = ann.ivf_knn_indexed(spark, path, centroids, q, k=5, nprobe=2)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    direct = ann.ivf_knn(emb, centroids, q, k=5, nprobe=2)
+    got = [(r["vec_id"], r["score"]) for r in indexed.collect()]
+    want = [(r["vec_id"], r["score"]) for r in direct.collect()]
+    assert got == want
