@@ -308,3 +308,70 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, "orders")
     return spark.sql(_ABOVE_AVG_SQL)
+
+
+@query(
+    "events_pivot_by_type",
+    survey="D-extension(pivot: rows -> typed count columns)",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts into one column per type. The explicit value list
+    keeps the plan single-pass (no extra distinct-values job) and the output
+    schema static — both required at scale and for the oracle contract."""
+    events = tbl(spark, sf_dir, "events")
+    types = ["click", "purchase", "view", "signup", "error"]
+    out = (
+        events.withColumn("user_bucket", F.col("user_id") % 100)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .orderBy("user_bucket")
+    )
+    return out.select("user_bucket",
+                      *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                        for t in types])
+
+
+@query(
+    "events_lag_lead_deltas",
+    survey="E-extension(lag/lead window navigation)",
+    oracle="""
+    SELECT event_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS micros_since_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def events_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user navigation functions: time since the previous event and the
+    next event's type. Exact integer microseconds on both engines (second
+    arithmetic differs: Spark floors each timestamp, DuckDB rounds the
+    interval). Deterministic frame order via (ts, event_id)."""
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_id",
+            (F.unix_micros("ts")
+             - F.unix_micros(F.lag("ts").over(w))).alias("micros_since_prev"),
+            F.lead("event_type").over(w).alias("next_type"))
+        .orderBy("event_id")
+    )
