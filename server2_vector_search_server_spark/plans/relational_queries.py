@@ -375,3 +375,32 @@ def events_lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_type").over(w).alias("next_type"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "cube_order_stats",
+    survey="D-extension(CUBE grouping sets: all dimension combinations)",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^d dimension combinations in one aggregate pass (the
+    sibling of rollup_revenue's hierarchy). Grouping-set expansion happens
+    inside a single Expand + aggregate: one shuffle regardless of d."""
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             exact_sum(F.col("o_totalprice"), 2).alias("total_price"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n_orders", "total_price")
+        .orderBy("status", "priority")
+    )

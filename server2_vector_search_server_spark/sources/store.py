@@ -113,6 +113,36 @@ class ChunkStore:
                                 prev)
         return True
 
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, rows_per_file: int = 100_000) -> None:
+        """Fold accumulated small append files into right-sized ones.
+
+        Streaming/micro-batch appends fragment the table (one file per batch
+        per partition); scan cost then grows with FILE COUNT, not data size.
+        Rewrites every partition via dynamic-partition-overwrite with file
+        count derived from row count — the background job Delta/Iceberg call
+        OPTIMIZE. Content is unchanged (same rows, same partitioning)."""
+        if self.is_empty():
+            return
+        table = self.read(None)
+        n = table.count()
+        n_files = max(1, n // rows_per_file)
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                   "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            "dynamic")
+        try:
+            cols = [f.name for f in CHUNKS_SCHEMA.fields]
+            # round-robin repartition: each task writes at most one file per
+            # collection it holds, so total files ≤ n_files × n_collections
+            (table.select(*cols)
+             .repartition(n_files)
+             .write.mode("overwrite").partitionBy("collection")
+             .parquet(self.root))
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                                prev)
+
     # -- D1: catalog ---------------------------------------------------------
     def list_documents(self, collection: str | None = None) -> DataFrame:
         from server2_vector_search_server_spark.operators.catalog import (

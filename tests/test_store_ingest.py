@@ -119,3 +119,33 @@ def test_chunk_metadata_contract(spark, store):
 def test_invalid_collection_rejected(spark, store):
     with pytest.raises(ValueError):
         _ingest(spark, store, collection="not_a_collection")
+
+
+def test_store_compact_reduces_files_preserves_rows(spark, tmp_path):
+    """Many small appends fragment the store; compact() folds them into a
+    bounded file count with identical content."""
+    import glob
+
+    from server2_vector_search_server_spark.plans.ingest import (
+        ingest_documents,
+    )
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+
+    store = ChunkStore(spark, str(tmp_path / "store"))
+    for i in range(5):     # 5 append batches -> >=5 files in the partition
+        docs = spark.createDataFrame(
+            [(f"doc_{i}_{j}", f"text number {i} {j} for compaction test")
+             for j in range(4)],
+            "doc_name string, text string")
+        ingest_documents(store, docs, collection="collection_a")
+    before_rows = sorted(
+        (r["chunk_id"], r["content"]) for r in store.read(None).collect())
+    files_before = glob.glob(str(tmp_path / "store" / "collection=*" / "*.parquet"))
+    assert len(files_before) >= 5
+
+    store.compact(rows_per_file=1_000_000)     # everything into one file/task
+    files_after = glob.glob(str(tmp_path / "store" / "collection=*" / "*.parquet"))
+    assert len(files_after) < len(files_before)
+    after_rows = sorted(
+        (r["chunk_id"], r["content"]) for r in store.read(None).collect())
+    assert after_rows == before_rows
