@@ -105,3 +105,33 @@ def search_multi_query_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))
     return knn_join(queries, emb, k=3)
+
+
+@query(
+    "search_unscored",
+    survey="C1,F2(/search: same ranking, score withheld from the response)",
+    oracle=f"""
+    SELECT vec_id, label
+    FROM (
+      SELECT e.vec_id, e.label,
+             {sql_score('e.embedding', _QV0)} AS score
+      FROM embeddings e
+      ORDER BY score DESC, e.vec_id ASC
+      LIMIT {config.DEFAULT_API_K})
+    ORDER BY vec_id
+    """,
+)
+def search_unscored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's plain ``/search`` (app.py:367-393): identical ranking
+    to /search_score but the response carries score=None (app.py:386) and no
+    threshold is applied — so the engine ranks on the internal distance and
+    projects the score away. (Its other quirk — vector_store.py:152-154
+    swallowing errors to [] — is an HTTP-facade behavior, kept out of the
+    engine: a failed plan should fail loudly in a batch system.)"""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return (
+        knn_topk(emb, _query_vec(spark, sf_dir), k=config.DEFAULT_API_K,
+                 threshold=None)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
