@@ -404,3 +404,66 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_orders", "total_price")
         .orderBy("status", "priority")
     )
+
+
+@query(
+    "part_brand_revenue",
+    survey="C,D(fact-dim join over the part table)",
+    oracle=f"""
+    SELECT p_brand,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand — fact⨝part with the dimension broadcast; the
+    fact side is never shuffled for the join."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(exact_sum(revenue, 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "supplier_region_sales",
+    survey="C,D(TPC-H Q5 shape: full dimension chain to region)",
+    oracle=f"""
+    SELECT r_name,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def supplier_region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped chain fact→supplier→nation→region: every dimension
+    broadcasts, so the whole query is one fact scan plus the final 5-group
+    aggregate — no join shuffle at any scale factor."""
+    li = tbl(spark, sf_dir, "lineitem")
+    supplier = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(exact_sum(revenue, 4).alias("revenue"),
+             F.count_distinct("s_suppkey").alias("n_suppliers"))
+        .orderBy("r_name")
+    )
