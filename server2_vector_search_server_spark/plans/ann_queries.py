@@ -214,3 +214,39 @@ def ann_ivf_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_knn_indexed(spark, path, centroids,
                                _vec(spark, sf_dir, _QUERY_ID),
                                k=5, nprobe=_NPROBE)
+
+
+_SQL_SCALE = ("127.0 / greatest(list_max(list_transform(embedding, "
+              "x -> abs(CAST(x AS DOUBLE)))), 1e-30)")
+_SQL_DEQUANT = ("list_transform(embedding, x -> "
+                "CAST(CAST(ROUND(CAST(x AS DOUBLE) * s) AS INTEGER) AS DOUBLE)"
+                " / s)")
+
+
+@query(
+    "ann_sq8_knn",
+    survey="north-star ANN (int8 scalar quantization: rank compressed, "
+           "rescore exact)",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id, label, embedding, {_SQL_SCALE} AS s
+      FROM embeddings),
+    cand AS (
+      SELECT vec_id, label, embedding,
+             ROUND(1.0 - {sql_sq_l2(_SQL_DEQUANT, _sql_qv(_QUERY_ID))}, 6)
+               AS score_sq8
+      FROM quant
+      ORDER BY score_sq8 DESC, vec_id ASC LIMIT 5)
+    SELECT vec_id, label, score_sq8,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM cand
+    """,
+)
+def ann_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 compression tier: candidates ranked on the int8-quantized
+    representation (4x smaller scan/shuffle footprint at scale), exact
+    rescore only for the k survivors. Quantization is pure deterministic
+    double arithmetic, so the compressed ranking itself is oracle-checked."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ann.sq8_knn(emb, _vec(spark, sf_dir, _QUERY_ID), k=5)

@@ -111,3 +111,31 @@ def test_knn_join_arrow_matches_jvm(spark, tables):
     jvm = rows(knn_join(queries, emb, k=5))
     arrow = rows(knn_join(queries, emb, k=5, impl="arrow"))
     assert jvm == arrow
+
+
+def test_sq8_quantize_error_bound(tables):
+    """SQ8 element error <= max|x|/254 per vector (half a quantization step)."""
+    from server2_vector_search_server_spark.operators.ann import sq8_quantize
+
+    emb = tables["embeddings"].limit(50)
+    rows = sq8_quantize(emb).collect()
+    for r in rows:
+        scale = r["sq8_scale"]
+        for orig, q in zip(r["embedding"], r["qvec"]):
+            assert abs(q) <= 127
+            assert abs(float(orig) - q / scale) <= 0.5 / scale + 1e-12
+
+
+def test_sq8_knn_matches_exact_topk(tables):
+    """Quantization error is far below the synthetic corpus's inter-vector
+    distances, so SQ8 ranking must reproduce the exact top-k here."""
+    from server2_vector_search_server_spark.operators.ann import sq8_knn
+
+    q = _query_vec(tables)
+    exact = [r["vec_id"] for r in
+             knn_topk(tables["embeddings"], q, k=5).collect()]
+    sq8 = sq8_knn(tables["embeddings"], q, k=5).collect()
+    assert [r["vec_id"] for r in
+            sorted(sq8, key=lambda r: (-r["score_sq8"], r["vec_id"]))] == exact
+    for r in sq8:
+        assert abs(r["score"] - r["score_sq8"]) < 1e-2
