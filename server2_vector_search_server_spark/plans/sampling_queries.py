@@ -1,0 +1,88 @@
+"""Sampling + approximate-aggregate query surface (training-pipeline ops;
+see operators/sampling.py for the scale rationale of each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators import sampling
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+
+@query(
+    "hash_sample_documents",
+    survey="north-star sampling (value-deterministic content-hash split)",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ~2/16 held-out split selected by md5(doc_id) prefix, summarized per
+    language. The predicate depends only on row values, so the same docs are
+    chosen at any partitioning/parallelism — exactly reproducible here by
+    DuckDB's md5. The filter sits directly on the scan (no shuffle before
+    it); the summary is one small aggregate."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        sampling.hash_sample(docs, "doc_id", ("0", "1"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang")
+    )
+
+
+_FRACTIONS = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+
+
+@query(
+    "stratified_sample_documents",
+    survey="north-star sampling (per-stratum rebalance via sampleBy; seeded "
+           "Bernoulli not SQL-reproducible)",
+    oracle=None,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing for a training mix: downsample the dominant
+    'en' stratum to 30%, keep the rest — the canonical curation move before
+    expensive downstream stages. Seeded Bernoulli per stratum (rows-only;
+    tests bound the realized fractions)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(docs, "lang", _FRACTIONS, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "approx_event_aggregates",
+    survey="D-extension(approximate aggregates: HLL distinct + sketch "
+           "percentiles; sketch internals not SQL-reproducible)",
+    oracle=None,
+)
+def approx_event_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate cardinality (HyperLogLog++, rsd=0.02) and
+    approximate percentiles (mergeable sketch, accuracy=10000). One pass,
+    constant state per group — the 100 TB substitute for exact
+    count-distinct (which shuffles every distinct value) and exact
+    percentiles (which sort each group). Rows-only; tests bound the error
+    vs the exact answers."""
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+             F.percentile_approx("value", [0.5, 0.95], 10000)
+             .alias("value_p50_p95"))
+        .orderBy("event_type")
+    )
