@@ -1,0 +1,80 @@
+"""Connected components over a pair graph — transitive dedup clustering.
+
+Near-dup detection (operators/dedup.py) emits PAIRS; curation needs GROUPS:
+if A≈B and B≈C, all three are one cluster and one representative survives.
+That closure is a connected-components problem on the similarity graph.
+
+Algorithm: iterative min-label propagation to fixpoint — every node's label
+becomes the minimum label in its closed neighborhood; converged when no
+label changes. Each iteration is one join + one aggregate (two shuffles) and
+the number of iterations is the graph diameter, which for near-dup clusters
+is tiny (clusters are small and dense). The driver loop materializes each
+round with ``localCheckpoint`` so the plan/lineage doesn't grow with
+iterations — without it, iteration i would replay all i−1 predecessors and
+the DAG would deepen linearly.
+
+At 100 TB: label propagation is the right choice while the diameter is small
+(dedup graphs). For adversarial long-chain graphs use the large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public) which converges in O(log² n) rounds; the
+DataFrame skeleton is the same join+min shape, so it drops into this
+function without changing callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", *, max_iter: int = 25) -> DataFrame:
+    """Resolve ``(src, dst)`` pairs into components.
+
+    Returns ``(node, component)`` where ``component`` is the minimum node id
+    reachable from ``node`` — a deterministic canonical representative,
+    independent of partitioning and iteration order (min is idempotent,
+    commutative, associative).
+
+    Raises if ``max_iter`` rounds don't converge (diameter > max_iter means
+    this graph wants the large-star/small-star variant instead).
+    """
+    bi = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+          .distinct())
+    labels = (bi.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neighbor_min = (
+            bi.join(labels, bi.b == labels.node)
+            .groupBy("a").agg(F.min("component").alias("nbr_component")))
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    "component",
+                    F.coalesce("nbr_component", F.col("component")))
+                .alias("component"))
+            .localCheckpoint(eager=True))
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations; "
+        "graph diameter too large for label propagation — use "
+        "large-star/small-star")
+
+
+def component_summary(components: DataFrame) -> DataFrame:
+    """Per-cluster rollup: size + id range, ordered for stable comparison."""
+    return (components.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max("node").alias("max_member"))
+            .orderBy("component"))

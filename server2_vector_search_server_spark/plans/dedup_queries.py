@@ -227,14 +227,55 @@ _SQL_COSINE = f"""
 """
 
 
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _COS_N).select("vec_id", "embedding")
+    copy = emb.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+    return dedup.cosine_near_duplicates(
+        emb.unionByName(copy), threshold=_COS_THRESHOLD)
+
+
 @query(
     "dedup_embedding_cosine",
     survey="north-star dedup (embedding cosine near-dup)",
     oracle=_SQL_COSINE,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tbl(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < _COS_N).select("vec_id", "embedding")
-    copy = emb.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
-    return dedup.cosine_near_duplicates(
-        emb.unionByName(copy), threshold=_COS_THRESHOLD)
+    return _cosine_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 6. transitive clustering: connected components over the near-dup pair graph
+
+_SQL_COMPONENTS = f"""
+    WITH RECURSIVE pairs AS ({_SQL_COSINE}),
+    nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs),
+    edges_bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.a AS node, r.lbl FROM edges_bi e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members, MAX(node) AS max_member
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
+@query(
+    "dedup_component_groups",
+    survey="north-star dedup (transitive clustering: iterative connected "
+           "components over near-dup pairs)",
+    oracle=_SQL_COMPONENTS,
+)
+def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → groups: iterative min-label propagation (operators/graph.py)
+    resolves the near-dup pair graph into clusters with a deterministic
+    canonical representative (min member id). The oracle computes the same
+    closure via DuckDB's recursive CTE — an iterative DataFrame algorithm
+    checked against recursive SQL."""
+    from server2_vector_search_server_spark.operators import graph
+
+    comps = graph.connected_components(
+        _cosine_pairs(spark, sf_dir).select("id_a", "id_b"), "id_a", "id_b")
+    return graph.component_summary(comps)

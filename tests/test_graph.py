@@ -1,0 +1,47 @@
+"""Connected-components tests (operators/graph.py)."""
+from __future__ import annotations
+
+import pytest
+
+from server2_vector_search_server_spark.operators.graph import (
+    component_summary,
+    connected_components,
+)
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = connected_components(edges).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_collapses_to_one_component(spark):
+    """A path graph exercises multi-hop propagation (diameter > 1)."""
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_keep_min_representative(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    a = _cc(spark, [(2, 1), (3, 2), (3, 1), (2, 1)])
+    b = _cc(spark, [(1, 2), (2, 3)])
+    assert a == b == {1: 1, 2: 1, 3: 1}
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_component_summary_shape(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "src long, dst long")
+    rows = component_summary(connected_components(edges)).collect()
+    assert [(r["component"], r["n_members"], r["max_member"])
+            for r in rows] == [(1, 3, 3), (7, 2, 8)]
