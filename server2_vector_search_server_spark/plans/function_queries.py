@@ -1,0 +1,138 @@
+"""Function-surface breadth: analytic windows, string functions, null
+semantics (SURVEY.md §2 E/H extensions).
+
+The reference's scalar surface is tiny (§2.H); a drop-in engine needs the
+full everyday function set. Each query here packs a family of functions into
+one oracle-checked pass so parity covers semantics, not just names:
+distribution windows (ntile / percent_rank / cume_dist / dense_rank),
+string manipulation (split_part / translate / lpad / reverse / instr /
+right), and the SQL three-valued-logic corners (NULLIF, COUNT over nulls,
+null-safe equality).
+
+All are narrow projections or single-shuffle windows — nothing here adds a
+join; function evaluation stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+
+@query(
+    "order_rank_distributions",
+    survey="E-extension(distribution window functions: ntile/percent_rank/"
+           "cume_dist/dense_rank)",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+           ROUND(percent_rank() OVER w, 9) AS price_pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS price_cume_dist
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ORDER BY o_orderkey
+    """,
+)
+def order_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four distribution/ranking windows in one partitioned pass. The
+    (price, orderkey) compound sort key removes peer ties, making
+    percent_rank/cume_dist exact rationals — identical doubles on both
+    engines. One shuffle on the partition key; the pre-filter shrinks it
+    20× before the exchange."""
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+            F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "string_functions_breadth",
+    survey="H-extension(string function family: split_part/translate/lpad/"
+           "reverse/instr/right/repeat)",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_name, '_', 1) AS first_token,
+           translate(p_type, 'AEO', 'aeo') AS type_translated,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           reverse(p_name) AS name_reversed,
+           CAST(strpos(p_name, '_') AS INTEGER) AS underscore_pos,
+           right(p_name, 3) AS name_tail,
+           repeat(left(p_type, 2), 2) AS type_echo
+    FROM part
+    WHERE p_partkey < 50
+    ORDER BY p_partkey
+    """,
+)
+def string_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row-parallel projection covering the everyday string family.
+    Spark instr == DuckDB strpos (1-based, 0 when absent); the rest are
+    name-for-name equivalents — asserted by value, not by docs."""
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    return (
+        part.select(
+            "p_partkey",
+            F.split_part(F.col("p_name"), F.lit("_"), F.lit(1))
+            .alias("first_token"),
+            F.translate(F.col("p_type"), "AEO", "aeo")
+            .alias("type_translated"),
+            F.lpad(F.col("p_brand"), 12, "*").alias("brand_padded"),
+            F.reverse(F.col("p_name")).alias("name_reversed"),
+            F.instr(F.col("p_name"), "_").alias("underscore_pos"),
+            F.expr("right(p_name, 3)").alias("name_tail"),
+            F.repeat(F.expr("left(p_type, 2)"), 2).alias("type_echo"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "null_semantics_stats",
+    survey="H-extension(three-valued logic: NULLIF, COUNT over nulls, "
+           "null-safe equality)",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+           COUNT(*) - COUNT(NULLIF(l_discount, 0.0)) AS n_zero_discount,
+           SUM(CASE WHEN NULLIF(l_discount, 0.0)
+                         IS NOT DISTINCT FROM NULLIF(l_tax, 0.0)
+                    THEN 1 ELSE 0 END) AS n_nullsafe_equal,
+           SUM(CASE WHEN NULLIF(l_discount, 0.0) = NULLIF(l_tax, 0.0)
+                    THEN 1 ELSE 0 END) AS n_plain_equal
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def null_semantics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic parity: NULLIF manufactures nulls, COUNT(col)
+    skips them, `<=>` (IS NOT DISTINCT FROM) treats null=null as true while
+    plain `=` yields null (so the CASE counts only non-null trues). The gap
+    between the two equality counts is exactly the both-null row count —
+    the semantic a migrating user most often trips over."""
+    li = tbl(spark, sf_dir, "lineitem")
+    disc = F.nullif(F.col("l_discount"), F.lit(0.0))
+    tax = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count(disc).alias("n_discounted"),
+             (F.count(F.lit(1)) - F.count(disc)).alias("n_zero_discount"),
+             F.sum(F.when(disc.eqNullSafe(tax), 1).otherwise(0))
+             .alias("n_nullsafe_equal"),
+             F.sum(F.when(disc == tax, 1).otherwise(0))
+             .alias("n_plain_equal"))
+        .orderBy("l_returnflag")
+    )
