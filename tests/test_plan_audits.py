@@ -1,0 +1,94 @@
+"""Physical-plan audits for the relational surface — the scale claims in
+query docstrings, asserted against the actual executed plan.
+
+These tests pin the properties that matter at 100 TB: dimensions broadcast
+(no fact shuffle for the join), filters reach the parquet scan, top-k plans
+as TakeOrderedAndProject (per-partition partial top-k, no global sort), and
+ranking-on-compressed reads only the compressed columns.
+"""
+
+from __future__ import annotations
+
+from server2_vector_search_server_spark.plans import load_registry
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nation_pair_volume_broadcasts_all_dims(spark):
+    plan = _plan(spark, "nation_pair_volume")
+    # supplier, customer, and both nation roles broadcast (at sf0.001 AQE
+    # may broadcast the orders join too, hence >=); no join shuffles the
+    # fact side for a dimension
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_disjunctive_filter_reaches_both_scans(spark):
+    plan = _plan(spark, "disjunctive_part_revenue")
+    # Catalyst pushes the per-side projections of the OR-of-conjunctions
+    # into BOTH parquet scans: brand/size bands to part, quantity bands to
+    # lineitem — the classic "optimizer doesn't give up on OR" check
+    assert "Or(Or(And(EqualTo(p_brand" in plan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_shipping_priority_plans_take_ordered(spark):
+    plan = _plan(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # map-side partial agg before the exchange, and the shipdate filter
+    # pushed to the scan
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_large_volume_orders_semi_join(spark):
+    plan = _plan(spark, "large_volume_orders")
+    assert "LeftSemi" in plan
+
+
+def test_hash_sample_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "hash_sample_documents")
+    # md5 isn't a parquet-pushable predicate, but it must sit directly on
+    # the scan (Filter over FileScan) with no exchange below it
+    before_first_exchange = plan.split("Exchange")[-1]
+    assert "Filter" in before_first_exchange
+    assert "FileScan parquet" in before_first_exchange
+
+
+def test_sq8_ranking_scans_compressed_only_when_materialized(spark, tmp_path):
+    """The SQ8 promise: once (qvec, scale) are materialized, the ranking
+    scan's ReadSchema contains ONLY the compressed columns + id — the
+    4x-smaller footprint is real column pruning, not hope."""
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators.ann import sq8_quantize
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import vector_literal
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "sq8")
+    sq8_quantize(emb).drop("embedding").write.parquet(path)
+    q = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    stored = spark.read.parquet(path)
+    dq = F.transform(F.col("qvec"),
+                     lambda x: x.cast("double") / F.col("sq8_scale"))
+    ranked = (stored
+              .withColumn("s", F.round(
+                  F.lit(1.0) - squared_l2(vector_literal(q), dq), 6))
+              .select("vec_id", "s")
+              .orderBy(F.desc("s"), "vec_id").limit(5))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "qvec" in read_schema and "sq8_scale" in read_schema
+    assert "label" not in read_schema
+    assert "TakeOrderedAndProject" in plan
