@@ -54,6 +54,11 @@ HEADLINE = [
     "text_tfidf_top_terms",     # TF-IDF: two shuffles + vocabulary join
     "order_value_percentiles",  # exact interpolated percentiles per group
     "ann_hyperplane_multiprobe_knn",  # multi-probe sign-LSH
+    "ann_sq8_knn",              # int8-quantized ranking + exact rescore
+    "large_volume_orders",      # HAVING over grouped fact + join-back (Q18)
+    "nation_pair_volume",       # dual role-joins of one dimension (Q7)
+    "dedup_component_groups",   # iterative connected components over pairs
+    "hash_sample_documents",    # value-deterministic content-hash split
 ]
 
 
