@@ -301,6 +301,88 @@ def sq8_knn(
             .drop(vec_col, "qvec", "sq8_scale"))
 
 
+# --- tier 2d: product quantization (PQ) -------------------------------------
+
+def pq_codebooks(corpus: DataFrame, n_subspaces: int, n_codewords: int, *,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subspace m's codewords are the first
+    ``n_codewords`` corpus vectors' m-th slices (same data-derived-anchor
+    policy as the IVF/hyperplane tiers, so encodings are reproducible and
+    oracle-checkable). Returns ``codebooks[m][j] = j-th codeword of
+    subspace m``. Real deployments k-means each subspace (cf. Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    public); swap the anchor source without touching encode/search."""
+    rows = (corpus.filter(F.col(id_col) < n_codewords)
+            .orderBy(id_col).select(vec_col).collect())
+    dim = len(rows[0][0])
+    sub = dim // n_subspaces
+    return [[[float(x) for x in r[0][m * sub:(m + 1) * sub]] for r in rows]
+            for m in range(n_subspaces)]
+
+
+def pq_encode(vectors: DataFrame,
+              codebooks: list[list[list[float]]], *,
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as ``n_subspaces`` small codes: per subspace, the
+    index (1-based) of the nearest codeword — the argmin-projection pattern
+    of ivf_assign applied per slice. M codes × ceil(log2 K) bits replace the
+    full vector for candidate ranking: 64-dim float32 (256 B) → 4 codes
+    (4 B) at M=4, K≤256 — a 64× candidate-scan compression. Adds columns
+    ``pq_code_1..pq_code_M``; no shuffle, no Python."""
+    out = vectors
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    for m, cbook in enumerate(codebooks):
+        slice_m = F.slice(F.col(vec_col), m * sub + 1, sub)
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        dists = F.transform(cw_lit, lambda c: squared_l2(c, slice_m))
+        out = out.withColumn(
+            f"pq_code_{m + 1}",
+            F.array_position(dists, F.array_min(dists)).cast("int"))
+    return out
+
+
+def pq_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: rank candidates by
+    ``Σ_m d²(q_sub_m, codeword(code_m))`` — the query compared to each
+    row's RECONSTRUCTION, which costs M table lookups per row instead of a
+    full-dimension distance — then exact-rescore the k survivors. The
+    per-subspace query→codeword distance table is a literal array expression
+    (JVM-evaluated, constant-folded by codegen), so the whole ranking scan
+    is lookups + adds over the M byte-sized code columns."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    encoded = pq_encode(corpus, codebooks, vec_col=vec_col)
+    approx_d2 = F.lit(0.0)
+    for m, cbook in enumerate(codebooks):
+        q_sub = list(query_vec)[m * sub:(m + 1) * sub]
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        qdists = F.transform(cw_lit,
+                             lambda c: squared_l2(c, vector_literal(q_sub)))
+        approx_d2 = approx_d2 + F.element_at(qdists,
+                                             F.col(f"pq_code_{m + 1}"))
+    cand = (
+        encoded.withColumn("score_pq",
+                           F.round(F.lit(1.0) - approx_d2, score_decimals))
+        .orderBy(F.col("score_pq").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return (cand.withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                        F.col(vec_col)), score_decimals))
+            .drop(vec_col, *[f"pq_code_{m + 1}" for m in range(n_sub)]))
+
+
 # --- tier 3: MLlib BucketedRandomProjectionLSH ------------------------------
 
 def mllib_brp_ann(

@@ -250,3 +250,73 @@ def ann_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     double arithmetic, so the compressed ranking itself is oracle-checked."""
     emb = tbl(spark, sf_dir, "embeddings")
     return ann.sq8_knn(emb, _vec(spark, sf_dir, _QUERY_ID), k=5)
+
+
+# --- PQ (product quantization) ---------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_SUB = 16        # 64-dim fixture vectors / 4 subspaces
+
+
+def _sql_slice(expr: str, m: int) -> str:
+    lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+    return f"{expr}[{lo}:{hi}]"
+
+
+def _pq_code_cte(m: int) -> str:
+    """codes for subspace m: nearest codeword (lowest cid on ties)."""
+    return f"""
+    code{m + 1} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2(_sql_slice('e.embedding', m),
+                                     _sql_slice('c.embedding', m))} ASC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cw c) t
+      WHERE rn = 1)"""
+
+
+_PQ_QDISTS = " + ".join(
+    sql_sq_l2(_sql_slice(_sql_qv(_QUERY_ID), m),
+              _sql_slice(f"c{m + 1}.embedding", m))
+    for m in range(_PQ_M))
+
+_PQ_JOINS = "\n      ".join(
+    f"JOIN code{m + 1} ON code{m + 1}.vec_id = e.vec_id "
+    f"JOIN cw c{m + 1} ON c{m + 1}.cid = code{m + 1}.cid"
+    for m in range(_PQ_M))
+
+_SQL_PQ = f"""
+    WITH cw AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    {",".join(_pq_code_cte(m) for m in range(_PQ_M))},
+    cand AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             ROUND(1.0 - (0.0 + {_PQ_QDISTS}), 6) AS score_pq
+      FROM embeddings e
+      {_PQ_JOINS}
+      ORDER BY score_pq DESC, e.vec_id ASC LIMIT 5)
+    SELECT vec_id, label, score_pq,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM cand
+"""
+
+
+@query(
+    "ann_pq_knn",
+    survey="north-star ANN (product quantization: M-code asymmetric-distance "
+           "ranking, exact rescore)",
+    oracle=_SQL_PQ,
+)
+def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ tier: each vector collapses to M=4 codeword indices; candidate
+    ranking is M lookups into the query's per-subspace distance table
+    instead of a 64-dim distance. Codebooks are corpus slices (deterministic
+    anchors), so encoding AND ranking replicate in SQL bit-for-bit."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    return ann.pq_knn(emb, _vec(spark, sf_dir, _QUERY_ID), books, k=5)

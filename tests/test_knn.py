@@ -139,3 +139,43 @@ def test_sq8_knn_matches_exact_topk(tables):
             sorted(sq8, key=lambda r: (-r["score_sq8"], r["vec_id"]))] == exact
     for r in sq8:
         assert abs(r["score"] - r["score_sq8"]) < 1e-2
+
+
+def test_pq_encode_codewords_self_map(tables):
+    """A codebook-anchor vector encodes to its own codeword id in EVERY
+    subspace (distance 0 to itself), and all codes stay in [1, K]."""
+    from server2_vector_search_server_spark.operators.ann import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = tables["embeddings"]
+    books = pq_codebooks(emb, 4, 8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    enc = pq_encode(emb, books)
+    code_cols = [f"pq_code_{m}" for m in range(1, 5)]
+    anchors = enc.filter(F.col("vec_id") < 8).select("vec_id", *code_cols)
+    for r in anchors.collect():
+        assert all(r[c] == r["vec_id"] + 1 for c in code_cols)
+    from pyspark.sql.functions import max as fmax, min as fmin
+    bounds = enc.agg(*[fmin(c).alias(f"lo{c}") for c in code_cols],
+                     *[fmax(c).alias(f"hi{c}") for c in code_cols]).first()
+    for m in range(1, 5):
+        assert bounds[f"lopq_code_{m}"] >= 1
+        assert bounds[f"hipq_code_{m}"] <= 8
+
+
+def test_pq_knn_anchor_query_exact_for_anchor(tables):
+    """Querying WITH an anchor vector: the anchor's PQ score equals its
+    exact score (its reconstruction is itself)."""
+    from server2_vector_search_server_spark.operators.ann import (
+        pq_codebooks,
+        pq_knn,
+    )
+
+    emb = tables["embeddings"]
+    books = pq_codebooks(emb, 4, 8)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    rows = {r["vec_id"]: r for r in pq_knn(emb, q, books, k=50).collect()}
+    assert 3 in rows                       # own cell ranks near the top
+    assert rows[3]["score_pq"] == rows[3]["score"] == 1.0
