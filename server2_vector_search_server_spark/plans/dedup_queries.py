@@ -279,3 +279,22 @@ def dedup_component_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = graph.connected_components(
         _cosine_pairs(spark, sf_dir).select("id_a", "id_b"), "id_a", "id_b")
     return graph.component_summary(comps)
+
+
+@query(
+    "dedup_component_groups_star",
+    survey="north-star dedup (large-star/small-star connected components: "
+           "O(log^2 n) rounds, diameter-independent)",
+    oracle=_SQL_COMPONENTS,
+)
+def dedup_component_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_component_groups, computed by the
+    large-star/small-star algorithm (SCALE.md §12: 13 rounds on a
+    4096-chain where propagation needs 4095) — same oracle, different
+    physical algorithm, as with the IVF index variants."""
+    from server2_vector_search_server_spark.operators import graph
+
+    comps = graph.connected_components_star(
+        _cosine_pairs(spark, sf_dir).select("id_a", "id_b"), "id_a", "id_b")
+    comps = comps.select(F.col("node"), F.col("component"))
+    return graph.component_summary(comps)

@@ -45,3 +45,38 @@ def test_component_summary_shape(spark):
     rows = component_summary(connected_components(edges)).collect()
     assert [(r["component"], r["n_members"], r["max_member"])
             for r in rows] == [(1, 3, 3), (7, 2, 8)]
+
+
+def _cc_star(spark, pairs):
+    from server2_vector_search_server_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    rows = connected_components_star(edges).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_star_matches_label_prop_on_random_graphs(spark):
+    """Equivalence against the label-propagation implementation on several
+    seeded random graphs (the two algorithms share only the contract)."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _cc_star(spark, pairs) == _cc(spark, pairs)
+
+
+def test_star_collapses_long_chain_quickly(spark):
+    """A 64-node path: label propagation would need 63 rounds; the star
+    algorithm must finish far under its round cap (log^2-ish)."""
+    pairs = [(i, i + 1) for i in range(63)]
+    got = _cc_star(spark, pairs)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_star_components_and_self_loops(spark):
+    got = _cc_star(spark, [(5, 5), (5, 6), (10, 11), (12, 11)])
+    assert got == {5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
