@@ -17,6 +17,16 @@ partitioned append) in ``foreachBatch``, so each micro-batch:
 Checkpointed source offsets make redelivery exactly-once at the file level;
 the dedup gate additionally makes re-ingesting an already-stored name a
 no-op, so the pipeline is idempotent even across checkpoint resets.
+
+**Concurrency contract (single writer per store).** Within one streaming
+query, Structured Streaming runs ``foreachBatch`` batches strictly
+sequentially, so batch N+1's gate always sees batch N's writes — the gate
+is airtight against in-flight duplicates across micro-batches (tested with
+``maxFilesPerTrigger=1``). Across CONCURRENT queries writing the same store
+there is no such ordering: two streams could both pass the gate before
+either appends (classic read-modify-write race). Run one ingest stream per
+store — the same discipline the reference enforces implicitly by being a
+single synchronous server process (``app.py``'s sequential request loop).
 """
 
 from __future__ import annotations
@@ -38,6 +48,7 @@ def start_document_ingest_stream(
     *,
     collection: str = config.MASTER_COLLECTION_NAME,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
     **ingest_kwargs,
 ):
     """Consume parquet document files from ``src_dir`` and ingest each
@@ -48,7 +59,10 @@ def start_document_ingest_stream(
                          batch.dropDuplicates(["doc_name"]),
                          collection=collection, **ingest_kwargs)
 
-    stream = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(src_dir)
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
     writer = (
         stream.writeStream
         .foreachBatch(apply)

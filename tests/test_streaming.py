@@ -181,3 +181,38 @@ def test_streaming_document_ingest_dedup_gate(spark, tmp_path):
                    ("c.txt", "collection_b")}
     # b.txt was NOT re-ingested into collection_b (gate is global)
     assert store.read("collection_b").select("doc_name").distinct().count() == 1
+
+
+def test_streaming_ingest_gate_across_in_flight_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces one file per micro-batch inside a SINGLE
+    stream run: batch 2's redelivered name must hit the gate against batch
+    1's just-written state (foreachBatch batches are strictly sequential),
+    and first-seen text wins."""
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+    from server2_vector_search_server_spark.streaming.ingest import (
+        start_document_ingest_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    store = ChunkStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([("a.txt", "first version"), ("d.txt", "delta")],
+                          "doc_name string, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([("a.txt", "second version"), ("e.txt", "epsilon")],
+                          "doc_name string, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    q = start_document_ingest_stream(spark, src, store, ckpt,
+                                     collection="collection_a",
+                                     max_files_per_trigger=1)
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    names = {r["doc_name"] for r in store.list_documents().collect()}
+    assert names == {"a.txt", "d.txt", "e.txt"}
+    a_text = " ".join(
+        r["content"] for r in store.read(None)
+        .filter(F.col("doc_name") == "a.txt")
+        .orderBy("chunk_index").collect())
+    assert "first version" in a_text and "second" not in a_text
