@@ -136,3 +136,127 @@ def null_semantics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("n_plain_equal"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "doc_token_array_functions",
+    survey="H-extension(array higher-order functions: transform/filter/"
+           "exists/aggregate over token arrays)",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> length(x) > 4)) AS INTEGER)
+             AS n_long_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS BIGINT)
+             AS total_token_chars,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+             AS n_distinct_tokens,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           CAST(list_max(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS INTEGER)
+             AS longest_token
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def doc_token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over tokenized text — transform, filter,
+    exists, aggregate, array_distinct, array_max — all JVM lambda
+    expressions inside codegen (the same machinery the vector ops use),
+    mirrored by DuckDB's list_* family. No shuffle: one projection."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.filter(toks, lambda x: F.length(x) > 4))
+            .alias("n_long_tokens"),
+            F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x.cast("long"))
+            .alias("total_token_chars"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.array_contains(toks, "the").alias("has_the"),
+            F.array_max(F.transform(toks, lambda x: F.length(x)))
+            .alias("longest_token"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "events_gap_filled_hours",
+    survey="H/I-extension(time-series gap fill: sequence generation + "
+           "left join + zero-fill)",
+    oracle="""
+    WITH hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour),
+    counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+             COUNT(*) AS n
+      FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(ts AS DATE) = DATE '2024-01-05'
+      GROUP BY hour)
+    SELECT h.hour, COALESCE(c.n, 0) AS n_events
+    FROM hours h LEFT JOIN counts c ON h.hour = c.hour
+    ORDER BY h.hour
+    """,
+)
+def events_gap_filled_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: generate the complete hour spine with
+    F.sequence + explode, left-join the sparse counts, zero-fill. The spine
+    is generated (never scanned) and the join is broadcast — the standard
+    dense-report shape missing from plain GROUP BY (which silently drops
+    empty buckets)."""
+    events = tbl(spark, sf_dir, "events")
+    spine = (events.sparkSession.range(1).select(
+        F.explode(F.sequence(
+            F.lit("2024-01-05 00:00:00").cast("timestamp"),
+            F.lit("2024-01-05 23:00:00").cast("timestamp"),
+            F.expr("INTERVAL 1 HOUR"))).alias("hour")))
+    counts = (
+        events.filter((F.col("event_type") == "purchase")
+                      & (F.to_date("ts") == F.lit("2024-01-05")))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    return (
+        spine.join(counts, "hour", "left")
+        .select("hour", F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("hour")
+    )
+
+
+@query(
+    "event_value_histogram",
+    survey="D-extension(explicit-bin histogram over a measure)",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS INTEGER) AS value_bin,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*),
+                 6) AS bin_avg
+    FROM events
+    GROUP BY event_type, value_bin
+    ORDER BY event_type, value_bin
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning as pure column arithmetic (floor of
+    the scaled measure) — one aggregate pass, bins computable without a
+    distinct-values job, the shape dashboards batch over 100 TB."""
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.withColumn("value_bin",
+                          F.floor(F.col("value") / 50.0).cast("int"))
+        .groupBy("event_type", "value_bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round((F.sum(F.round(F.col("value") * 100).cast("long"))
+                      / 100.0) / F.count(F.lit(1)), 6).alias("bin_avg"))
+        .orderBy("event_type", "value_bin")
+    )
