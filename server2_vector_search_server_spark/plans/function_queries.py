@@ -260,3 +260,35 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / 100.0) / F.count(F.lit(1)), 6).alias("bin_avg"))
         .orderBy("event_type", "value_bin")
     )
+
+
+@query(
+    "doc_shingles_udtf",
+    survey="J-extension(Python UDTF: lateral one-row-to-N expansion)",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 30) d
+    CROSS JOIN unnest(generate_series(1, len(toks) - 2)) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def doc_shingles_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python table function driven through SQL LATERAL: each
+    document row fans out to its word-3-gram shingles with positions. The
+    UDTF runs Arrow-batched; the oracle reproduces the expansion with
+    generate_series + list slicing."""
+    from server2_vector_search_server_spark.operators.udtf_ops import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 30) \
+        .createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM udtf_docs d, LATERAL word_shingles(d.text) s
+        ORDER BY d.doc_id, s.pos
+    """)
