@@ -292,3 +292,112 @@ def doc_shingles_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL word_shingles(d.text) s
         ORDER BY d.doc_id, s.pos
     """)
+
+
+@query(
+    "regex_functions_breadth",
+    survey="H-extension(regex family: extract/replace/match)",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+           regexp_replace(p_name, '_', '-', 'g') AS name_dashed,
+           regexp_matches(p_name, '\\d\\d$') AS ends_two_digits,
+           CAST(len(regexp_extract_all(p_name, '\\d')) AS INTEGER) AS n_digits
+    FROM part
+    WHERE p_partkey < 60
+    ORDER BY p_partkey
+    """,
+)
+def regex_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family in one projection: group extraction, global
+    replace, anchored match, match counting. Spark and DuckDB both speak
+    Java/RE2-compatible syntax for this subset; parity is asserted on
+    values (regexp_replace in Spark is global by default — DuckDB needs
+    the explicit 'g' flag)."""
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 60)
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1)
+            .alias("brand_num"),
+            F.regexp_replace(F.col("p_name"), "_", "-").alias("name_dashed"),
+            F.col("p_name").rlike(r"\d\d$").alias("ends_two_digits"),
+            F.size(F.expr(r"regexp_extract_all(p_name, '\\d', 0)"))
+            .alias("n_digits"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "decimal_exact_totals",
+    survey="H-extension(native DECIMAL arithmetic: exact money totals "
+           "without the scaled-integer workaround)",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_discounted,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      / COUNT(*), 4) AS DOUBLE) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native answer to float-sum nondeterminism: DECIMAL
+    aggregation is exact integer arithmetic under the hood, so totals are
+    reproducible at any parallelism WITHOUT the scaled-BIGINT pattern the
+    double columns need (plans/registry.exact_sum). This is how a 100 TB
+    money pipeline should store prices in the first place."""
+    li = tbl(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.sum(price).cast("double").alias("total_price"),
+             F.sum(price * disc).cast("double").alias("total_discounted"),
+             F.round(F.sum(price) / F.count(F.lit(1)), 4)
+             .cast("double").alias("avg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "date_functions_breadth",
+    survey="H-extension(date/interval family: interval add, last_day, "
+           "day-of-week, month trunc)",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d')
+             AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                    '%Y-%m-%d') AS month_start
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def date_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalars in one projection, normalized where the
+    engines disagree by convention: Spark dayofweek is 1-based
+    Sunday-first, DuckDB 0-based — emitted on the DuckDB convention;
+    dates serialized to strings so the pandas bridge can't reinterpret
+    them."""
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            (F.dayofweek(d) - 1).alias("dow"),
+            F.date_format(F.trunc(d, "month"), "yyyy-MM-dd")
+            .alias("month_start"))
+        .orderBy("o_orderkey")
+    )
