@@ -55,6 +55,7 @@ HEADLINE = [
     "order_value_percentiles",  # exact interpolated percentiles per group
     "ann_hyperplane_multiprobe_knn",  # multi-probe sign-LSH
     "ann_sq8_knn",              # int8-quantized ranking + exact rescore
+    "ann_pq_knn",               # product-quantization lookup ranking
     "large_volume_orders",      # HAVING over grouped fact + join-back (Q18)
     "nation_pair_volume",       # dual role-joins of one dimension (Q7)
     "dedup_component_groups",   # iterative connected components over pairs
