@@ -401,3 +401,31 @@ def date_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month_start"))
         .orderBy("o_orderkey")
     )
+
+
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+_SQL_PROFILE = "\nUNION ALL\n".join(f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM documents""" for c in _PROFILE_COLS) + "\nORDER BY col_name"
+
+
+@query(
+    "documents_profile",
+    survey="D-extension(single-pass table profiling: nulls/distinct/min/max "
+           "for every column in one scan)",
+    oracle=_SQL_PROFILE,
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre/post-stage data-quality audit: all per-column statistics in
+    ONE aggregate pass (the oracle's UNION ALL scans once per column — the
+    Spark plan scans once, period), then a one-row unpivot into report
+    shape."""
+    from server2_vector_search_server_spark.operators.profile import profile
+
+    return profile(tbl(spark, sf_dir, "documents"), _PROFILE_COLS)
