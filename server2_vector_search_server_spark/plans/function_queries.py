@@ -429,3 +429,50 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from server2_vector_search_server_spark.operators.profile import profile
 
     return profile(tbl(spark, sf_dir, "documents"), _PROFILE_COLS)
+
+
+@query(
+    "events_value_winsorized",
+    survey="D-extension(winsorization: percentile stats pass + broadcast "
+           "clip pass)",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.01), 6) AS lo,
+             ROUND(quantile_cont(value, 0.99), 6) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN e.value < s.lo THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN e.value > s.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           ROUND(SUM(CAST(ROUND(least(greatest(e.value, s.lo), s.hi) * 100)
+                          AS BIGINT)) / 100.0 / COUNT(*), 6)
+             AS winsorized_avg
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier handling for training-feature hygiene: a per-group stats
+    pass (exact p01/p99), broadcast back, clip, re-aggregate. Two scans
+    total; the stats side is group-count-sized so the join is always a
+    broadcast — the canonical two-pass normalize shape (same plan as
+    standardization or min-max scaling)."""
+    events = tbl(spark, sf_dir, "events")
+    stats = (events.groupBy("event_type")
+             .agg(F.round(F.expr("percentile(value, 0.01)"), 6).alias("lo"),
+                  F.round(F.expr("percentile(value, 0.99)"), 6).alias("hi")))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+             .alias("n_clipped_low"),
+             F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+             .alias("n_clipped_high"),
+             F.round((F.sum(F.round(clipped * 100).cast("long")) / 100.0)
+                     / F.count(F.lit(1)), 6).alias("winsorized_avg"))
+        .orderBy("event_type")
+    )
