@@ -476,3 +476,67 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.count(F.lit(1)), 6).alias("winsorized_avg"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_trailing_hour_counts",
+    survey="E-extension(RANGE window frame: interval-bounded trailing "
+           "aggregation)",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS n_last_hour
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def events_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame bounded by VALUE distance, not row count — how many of
+    this user's events fall in the trailing hour. Spark expresses the
+    interval bound on the epoch-micros ordering key (rangeBetween takes
+    numeric offsets); DuckDB on the timestamp directly — identical frames
+    because micros ordering == timestamp ordering. The running_spend query
+    covers ROWS frames; this covers the value-bounded kind."""
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return (
+        events.select("event_id",
+                      F.count(F.lit(1)).over(w).alias("n_last_hour"))
+        .orderBy("event_id")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) * 2
+             + CAST(GROUPING(o_orderpriority) AS INTEGER) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, status, priority
+"""
+
+
+@query(
+    "grouping_sets_order_counts",
+    survey="D-extension(explicit GROUPING SETS + GROUPING() disambiguation; "
+           "same literal SQL on both engines)",
+    oracle=_GROUPING_SETS_SQL,
+)
+def grouping_sets_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets (each dimension alone + grand total —
+    neither ROLLUP nor CUBE produces exactly this) with GROUPING() bits
+    distinguishing 'the NULL group' from 'the aggregated-away dimension'.
+    The identical ANSI text runs on both engines, completing the
+    rollup_revenue / cube_order_stats grouping-sets family."""
+    from server2_vector_search_server_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(_GROUPING_SETS_SQL)
