@@ -1,16 +1,23 @@
-"""Function-surface breadth: analytic windows, string functions, null
-semantics (SURVEY.md §2 E/H extensions).
+"""Function-surface breadth (SURVEY.md §2 E/H/D extensions).
 
 The reference's scalar surface is tiny (§2.H); a drop-in engine needs the
-full everyday function set. Each query here packs a family of functions into
-one oracle-checked pass so parity covers semantics, not just names:
-distribution windows (ntile / percent_rank / cume_dist / dense_rank),
-string manipulation (split_part / translate / lpad / reverse / instr /
-right), and the SQL three-valued-logic corners (NULLIF, COUNT over nulls,
-null-safe equality).
+full everyday function set. Each query here packs a family into one
+oracle-checked pass so parity covers semantics, not just names:
 
-All are narrow projections or single-shuffle windows — nothing here adds a
-join; function evaluation stays inside whole-stage codegen.
+  * windows — distribution functions (ntile/percent_rank/cume_dist/
+    dense_rank) and value-bounded RANGE frames;
+  * grouping — explicit GROUPING SETS with GROUPING() bits, histograms,
+    single-pass table profiling, winsorization;
+  * scalars — string family, regex family, date/interval family, NULLIF /
+    null-safe-equality three-valued-logic corners, native DECIMAL
+    aggregation, array higher-order functions;
+  * expansion — time-spine gap fill (sequence + explode), Python UDTF
+    lateral shingles.
+
+Most are narrow projections or single-shuffle aggregates/windows; the only
+joins are broadcast (gap-fill spine, winsorize stats). Function evaluation
+stays inside whole-stage codegen except the UDTF, which exists precisely to
+cover the Python-table-function API.
 """
 
 from __future__ import annotations
