@@ -435,7 +435,8 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     from server2_vector_search_server_spark.operators.profile import profile
 
-    return profile(tbl(spark, sf_dir, "documents"), _PROFILE_COLS)
+    return profile(tbl(spark, sf_dir, "documents"), _PROFILE_COLS,
+                   exact_distinct=True)
 
 
 @query(
