@@ -548,3 +548,74 @@ def grouping_sets_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, "orders")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "lineitem_stat_moments",
+    survey="D-extension(statistical aggregates: corr/covar/stddev/variance)",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+             AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates — correlation, sample
+    covariance/stddev/variance — one partial-aggregable pass (both engines
+    use numerically stable merge formulas; parity verified at 4-6 rounded
+    decimals). The feature-screening pass a training pipeline runs before
+    picking columns."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+             .alias("corr_qty_price"),
+             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+             .alias("covar_qty_price"),
+             F.round(F.stddev_samp("l_extendedprice"), 4)
+             .alias("stddev_price"),
+             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "events_forward_fill",
+    survey="E-extension(forward fill: last non-null carry-forward via "
+           "IGNORE NULLS window)",
+    oracle="""
+    SELECT event_id,
+           ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase'
+                                 THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill — each event carries the user's most recent purchase
+    value (null until their first purchase). IGNORE NULLS last_value over
+    an ordered running frame is THE sparse-to-dense time-series move;
+    deterministic frame order via (ts, event_id)."""
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events")
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        events.select(
+            "event_id",
+            F.round(F.last(sparse, ignorenulls=True).over(w), 2)
+            .alias("last_purchase_value"))
+        .orderBy("event_id")
+    )
