@@ -383,6 +383,64 @@ def pq_knn(
             .drop(vec_col, *[f"pq_code_{m + 1}" for m in range(n_sub)]))
 
 
+def ivf_pq_knn(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """The composed IVF-PQ pipeline (Jégou et al. 2011, the Faiss
+    ``IVFxxx,PQyy`` architecture — public): IVF pruning picks WHICH rows to
+    look at (nprobe cells of the corpus), PQ decides HOW CHEAPLY to rank
+    them (M code lookups instead of a full-dimension distance), and the k
+    survivors get the exact rescore. At 100 TB both savings multiply: the
+    probe reads nprobe/n_cells of the files (partition pruning when the
+    index is materialized, cf. write_ivf_index) and the ranking scan inside
+    touches M bytes per row instead of 4·dim. Candidate ranking uses
+    ``score_pq`` (rounded) with id tie-break; output carries both
+    ``score_pq`` and the exact ``score``."""
+    cent_rows = centroids.collect()
+    ranked = sorted(
+        cent_rows,
+        key=lambda r: (sum((float(a) - float(b)) ** 2
+                           for a, b in zip(query_vec, r[centroid_vec_col])),
+                       r[centroid_id_col]))
+    probe_ids = [r[centroid_id_col] for r in ranked[:nprobe]]
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col,
+                          centroid_id_col=centroid_id_col,
+                          centroid_vec_col=centroid_vec_col)
+    cell = assigned.filter(F.col(centroid_id_col).isin(probe_ids))
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    encoded = pq_encode(cell, codebooks, vec_col=vec_col)
+    approx_d2 = F.lit(0.0)
+    for m, cbook in enumerate(codebooks):
+        q_sub = list(query_vec)[m * sub:(m + 1) * sub]
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        qdists = F.transform(cw_lit,
+                             lambda c: squared_l2(c, vector_literal(q_sub)))
+        approx_d2 = approx_d2 + F.element_at(qdists,
+                                             F.col(f"pq_code_{m + 1}"))
+    cand = (
+        encoded.withColumn("score_pq",
+                           F.round(F.lit(1.0) - approx_d2, score_decimals))
+        .orderBy(F.col("score_pq").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return (cand.withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                        F.col(vec_col)), score_decimals))
+            .drop(vec_col, *[f"pq_code_{m + 1}" for m in range(n_sub)]))
+
+
 # --- tier 3: MLlib BucketedRandomProjectionLSH ------------------------------
 
 def mllib_brp_ann(

@@ -320,3 +320,76 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
     return ann.pq_knn(emb, _vec(spark, sf_dir, _QUERY_ID), books, k=5)
+
+
+# --- IVF x PQ composition ---------------------------------------------------
+
+def _pq_code_cte_from(m: int, src: str) -> str:
+    """codes for subspace m computed over the ``src`` CTE's rows."""
+    return f"""
+    code{m + 1} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2(_sql_slice('e.embedding', m),
+                                     _sql_slice('c.embedding', m))} ASC,
+                          c.cid ASC) AS rn
+        FROM {src} e CROSS JOIN cw c) t
+      WHERE rn = 1)"""
+
+
+_SQL_IVF_PQ = f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC, centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    cell AS (
+      SELECT * FROM assigned
+      WHERE centroid_id IN (SELECT centroid_id FROM probe)),
+    cw AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    {",".join(_pq_code_cte_from(m, "cell") for m in range(_PQ_M))},
+    cand AS (
+      SELECT e.vec_id, e.label, e.centroid_id, e.embedding,
+             ROUND(1.0 - (0.0 + {_PQ_QDISTS}), 6) AS score_pq
+      FROM cell e
+      {_PQ_JOINS}
+      ORDER BY score_pq DESC, e.vec_id ASC LIMIT 5)
+    SELECT vec_id, label, centroid_id, score_pq,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM cand
+"""
+
+
+@query(
+    "ann_ivf_pq_knn",
+    survey="north-star ANN (IVF x PQ composition: cell pruning + code "
+           "ranking + exact rescore)",
+    oracle=_SQL_IVF_PQ,
+)
+def ann_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ pipeline: IVF decides WHICH rows (nprobe cells), PQ
+    decides HOW CHEAPLY to rank them (M lookups/row), exact rescore on the
+    k survivors — both savings multiply at scale. All anchors are corpus
+    vectors, so the complete composition replicates in SQL."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    return ann.ivf_pq_knn(emb, centroids, _vec(spark, sf_dir, _QUERY_ID),
+                          books, k=5, nprobe=_NPROBE)
