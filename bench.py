@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_hyperplane_multiprobe_knn",  # multi-probe sign-LSH
     "ann_sq8_knn",              # int8-quantized ranking + exact rescore
     "ann_pq_knn",               # product-quantization lookup ranking
+    "ann_ivf_pq_knn",           # composed IVF cell pruning + PQ ranking
     "large_volume_orders",      # HAVING over grouped fact + join-back (Q18)
     "nation_pair_volume",       # dual role-joins of one dimension (Q7)
     "dedup_component_groups",   # iterative connected components over pairs
