@@ -441,6 +441,80 @@ def ivf_pq_knn(
             .drop(vec_col, *[f"pq_code_{m + 1}" for m in range(n_sub)]))
 
 
+def write_ivf_pq_index(vectors: DataFrame, centroids: DataFrame,
+                       codebooks: list[list[list[float]]], path: str, *,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Materialize the full IVF-PQ index: rows partitioned by their IVF
+    cell, PQ codes precomputed as columns. A probe then (a) prunes to
+    nprobe partition DIRECTORIES and (b) column-prunes its ranking scan to
+    ``(id, pq_code_*)`` — a few bytes per row — never touching the
+    full-precision vectors until the k-row rescore. This is the 100 TB ANN
+    story in its final physical form; both prunings are asserted on the
+    executed plan in tests."""
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
+    encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
+    (encoded.write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(path))
+
+
+def ivf_pq_knn_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Search the materialized IVF-PQ index: rank candidates reading ONLY
+    the stored code columns of the probed partitions, then rescore the k
+    survivors from the full vectors (same table, k-row semi-join — at
+    1000-executor scale a broadcast of k ids). Same output contract and
+    oracle as :func:`ivf_pq_knn` — the index is a layout change, not a
+    semantic one."""
+    cent_rows = centroids.collect()
+    ranked = sorted(
+        cent_rows,
+        key=lambda r: (sum((float(a) - float(b)) ** 2
+                           for a, b in zip(query_vec, r[centroid_vec_col])),
+                       r[centroid_id_col]))
+    probe_ids = [r[centroid_id_col] for r in ranked[:nprobe]]
+    stored = spark.read.parquet(index_path)
+    cell = stored.filter(F.col(centroid_id_col).isin(probe_ids))
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    approx_d2 = F.lit(0.0)
+    for m, cbook in enumerate(codebooks):
+        q_sub = list(query_vec)[m * sub:(m + 1) * sub]
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        qdists = F.transform(cw_lit,
+                             lambda c: squared_l2(c, vector_literal(q_sub)))
+        approx_d2 = approx_d2 + F.element_at(qdists,
+                                             F.col(f"pq_code_{m + 1}"))
+    code_cols = [f"pq_code_{m + 1}" for m in range(n_sub)]
+    cand = (
+        cell.select(id_col, "label", centroid_id_col, *code_cols)
+        .withColumn("score_pq",
+                    F.round(F.lit(1.0) - approx_d2, score_decimals))
+        .orderBy(F.col("score_pq").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop(*code_cols)
+    )
+    rescore_src = cell.select(id_col, vec_col)
+    return (cand.join(rescore_src, id_col)
+            .withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                        F.col(vec_col)), score_decimals))
+            .drop(vec_col))
+
+
 # --- tier 3: MLlib BucketedRandomProjectionLSH ------------------------------
 
 def mllib_brp_ann(

@@ -393,3 +393,32 @@ def ann_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
     return ann.ivf_pq_knn(emb, centroids, _vec(spark, sf_dir, _QUERY_ID),
                           books, k=5, nprobe=_NPROBE)
+
+
+_IVF_PQ_ORACLE = REGISTRY["ann_ivf_pq_knn"].oracle
+
+
+@query(
+    "ann_ivf_pq_indexed_knn",
+    survey="north-star ANN (materialized IVF-PQ index: partition-pruned "
+           "probe + code-column-only ranking scan)",
+    oracle=_IVF_PQ_ORACLE,
+)
+def ann_ivf_pq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_pq_knn over a MATERIALIZED index: cells as partition
+    directories, PQ codes as stored columns. The ranking scan's ReadSchema
+    carries only (id, label, codes) — asserted in tests — and rescore
+    touches full vectors for k rows. Same oracle as ann_ivf_pq_knn: layout
+    change, not a semantic one."""
+    import tempfile
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    path = tempfile.mkdtemp(prefix="ivf_pq_index_")
+    ann.write_ivf_pq_index(emb, centroids, books, path)
+    return ann.ivf_pq_knn_indexed(spark, path, centroids,
+                                  _vec(spark, sf_dir, _QUERY_ID), books,
+                                  k=5, nprobe=_NPROBE)

@@ -92,3 +92,33 @@ def test_sq8_ranking_scans_compressed_only_when_materialized(spark, tmp_path):
     assert "qvec" in read_schema and "sq8_scale" in read_schema
     assert "label" not in read_schema
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_pq_index_prunes_partitions_and_columns(spark, tmp_path):
+    """The materialized IVF-PQ index delivers BOTH prunings: the ranking
+    scan lists only the probed cell directories (PartitionFilters) and
+    reads only the code columns (ReadSchema without `embedding`)."""
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators import ann
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = (emb.filter(F.col("vec_id") < 8)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.pq_codebooks(emb, 4, 8)
+    path = str(tmp_path / "ivfpq")
+    ann.write_ivf_pq_index(emb, centroids, books, path)
+    q = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    out = ann.ivf_pq_knn_indexed(spark, path, centroids, q, books,
+                                 k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan
+    # the ranking-side scan must not read the embedding column: exactly one
+    # of the two FileScans (the rescore side) carries it
+    scans = plan.split("FileScan parquet")[1:]
+    schemas = [s[s.index("ReadSchema"):].splitlines()[0] for s in scans]
+    with_vec = [s for s in schemas if "embedding" in s]
+    without_vec = [s for s in schemas if "embedding" not in s]
+    assert len(with_vec) == 1 and len(without_vec) >= 1
+    assert any("pq_code_1" in s for s in without_vec)
