@@ -321,6 +321,36 @@ def pq_codebooks(corpus: DataFrame, n_subspaces: int, n_codewords: int, *,
             for m in range(n_subspaces)]
 
 
+def pq_codebooks_kmeans(corpus: DataFrame, n_subspaces: int,
+                        n_codewords: int, *, vec_col: str = "embedding",
+                        seed: int = 42,
+                        max_iter: int = 10) -> list[list[list[float]]]:
+    """FITTED PQ codebooks: MLlib KMeans per subspace (the construction the
+    PQ paper actually prescribes — codewords minimize in-subspace
+    quantization error instead of being arbitrary corpus slices). Seeded
+    and deterministic per Spark version, but k-means|| is not
+    SQL-reproducible, so queries built on these register rows-only — the
+    encode/search machinery on top is the same code the oracle-checked
+    corpus-slice variant certifies. At 100 TB: fit each subspace's KMeans
+    on a sample; encoding (the linear pass) runs on everything."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    sub = dim // n_subspaces
+    books = []
+    for m in range(n_subspaces):
+        ml_df = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * sub + 1, sub)
+                .cast("array<double>")).alias("features"))
+        km = KMeans(k=n_codewords, seed=seed + m, maxIter=max_iter,
+                    featuresCol="features")
+        model = km.fit(ml_df)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
 def pq_encode(vectors: DataFrame,
               codebooks: list[list[list[float]]], *,
               vec_col: str = "embedding") -> DataFrame:

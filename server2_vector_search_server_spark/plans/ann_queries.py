@@ -422,3 +422,19 @@ def ann_ivf_pq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_pq_knn_indexed(spark, path, centroids,
                                   _vec(spark, sf_dir, _QUERY_ID), books,
                                   k=5, nprobe=_NPROBE)
+
+
+@query(
+    "ann_pq_kmeans_knn",
+    survey="north-star ANN (PQ with MLlib-KMeans-fitted codebooks; "
+           "k-means|| init not SQL-reproducible)",
+    oracle=None,
+)
+def ann_pq_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with FITTED per-subspace codebooks (the construction the
+    PQ paper prescribes) — better reconstruction than corpus slices at the
+    cost of oracle reproducibility. Rows-only; the encode/search machinery
+    is the same code ann_pq_knn certifies against SQL."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    books = ann.pq_codebooks_kmeans(emb, _PQ_M, _PQ_K)
+    return ann.pq_knn(emb, _vec(spark, sf_dir, _QUERY_ID), books, k=5)
