@@ -425,6 +425,47 @@ def ann_ivf_pq_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_pq_streamed_knn",
+    survey="north-star ANN (streaming-refreshed IVF-PQ index: foreachBatch "
+           "incremental encode + append into touched cells)",
+    oracle=_IVF_PQ_ORACLE,
+)
+def ann_ivf_pq_streamed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE index-maintenance loop (ChromaDB applies its WAL to the
+    HNSW segment in batches — chroma.sqlite3 batch_size=100): half the
+    corpus batch-builds the index, the other half arrives as a stream and
+    is incrementally IVF-assigned + PQ-encoded per micro-batch, appending
+    only into the touched cells. Search over the refreshed index carries
+    the SAME oracle as ann_ivf_pq_knn — streaming refresh is a delivery
+    change, not a semantic one."""
+    import tempfile
+
+    from server2_vector_search_server_spark.streaming.ann_index import (
+        start_ivf_pq_refresh_stream,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    root = tempfile.mkdtemp(prefix="ivf_pq_stream_")
+    index_path = f"{root}/index"
+    src_dir = f"{root}/arrivals"
+    ann.write_ivf_pq_index(emb.filter(F.col("vec_id") % 2 == 0),
+                           centroids, books, index_path)
+    emb.filter(F.col("vec_id") % 2 == 1).repartition(2) \
+        .write.parquet(src_dir)
+    q = start_ivf_pq_refresh_stream(spark, src_dir, index_path, centroids,
+                                    books, f"{root}/ckpt",
+                                    max_files_per_trigger=1)
+    q.awaitTermination()
+    return ann.ivf_pq_knn_indexed(spark, index_path, centroids,
+                                  _vec(spark, sf_dir, _QUERY_ID), books,
+                                  k=5, nprobe=_NPROBE)
+
+
+@query(
     "ann_pq_kmeans_knn",
     survey="north-star ANN (PQ with MLlib-KMeans-fitted codebooks; "
            "k-means|| init not SQL-reproducible)",

@@ -1,0 +1,104 @@
+"""Streaming IVF-PQ index refresh (SURVEY.md §2.I × the north-star ANN
+tiers): new vectors streamed into the materialized index must yield exactly
+the index a from-scratch batch build would, appending only to the touched
+cells — the online-serving analog of ChromaDB applying its WAL to the HNSW
+segment (``chroma.sqlite3`` collection config: batch_size=100)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators import ann
+from server2_vector_search_server_spark.streaming.ann_index import (
+    start_ivf_pq_refresh_stream,
+)
+
+N_CENTROIDS = 4
+PQ_M = 4
+PQ_K = 4
+
+
+def _fixtures(tables):
+    emb = tables["embeddings"].filter(F.col("vec_id") < 400)
+    centroids = (emb.filter(F.col("vec_id") < N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.pq_codebooks(emb, PQ_M, PQ_K)
+    return emb, centroids, books
+
+
+def _index_files(index_path):
+    return set(glob.glob(os.path.join(index_path, "*", "*.parquet")))
+
+
+def test_streamed_index_matches_batch_build_and_search(spark, tables,
+                                                       tmp_path):
+    emb, centroids, books = _fixtures(tables)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # batch-build the index from the base half
+    index_path = str(tmp_path / "index")
+    ann.write_ivf_pq_index(base, centroids, books, index_path)
+    # append mode must not disturb the batch-built files
+    before = _index_files(index_path)
+
+    # stream the other half in micro-batches (2 files -> 2 triggers)
+    src_dir = str(tmp_path / "arrivals")
+    arriving.repartition(2).write.parquet(src_dir)
+    q = start_ivf_pq_refresh_stream(
+        spark, src_dir, index_path, centroids, books,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination()
+
+    # incremental property: base files untouched, only new files appended
+    after = _index_files(index_path)
+    assert before <= after and len(after) > len(before)
+
+    # the streamed index is row-identical to a from-scratch build over all
+    streamed = spark.read.parquet(index_path)
+    full_path = str(tmp_path / "index_full")
+    ann.write_ivf_pq_index(emb, centroids, books, full_path)
+    full = spark.read.parquet(full_path)
+    assert sorted(streamed.columns) == sorted(full.columns)
+    cols = [c for c in streamed.columns if c != "embedding"]
+    sym_diff = (streamed.select(*cols).exceptAll(full.select(*cols))
+                .unionAll(full.select(*cols)
+                          .exceptAll(streamed.select(*cols))))
+    assert sym_diff.count() == 0
+
+    # and a search over it matches the non-indexed composition
+    qvec = (emb.filter(F.col("vec_id") == 42)
+            .select("embedding").first()[0])
+    got = ann.ivf_pq_knn_indexed(spark, index_path, centroids, qvec,
+                                 books, k=5, nprobe=2)
+    want = ann.ivf_pq_knn(emb, centroids, qvec, books, k=5, nprobe=2)
+    assert [tuple(r) for r in
+            got.orderBy("vec_id").collect()] == \
+           [tuple(r) for r in want.orderBy("vec_id").collect()]
+
+
+def test_refresh_checkpoint_restart_is_exactly_once(spark, tables, tmp_path):
+    emb, centroids, books = _fixtures(tables)
+    first = emb.filter(F.col("vec_id") < 200)
+    later = emb.filter(F.col("vec_id") >= 200)
+
+    src_dir = str(tmp_path / "arrivals")
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.parquet(src_dir)
+    q = start_ivf_pq_refresh_stream(spark, src_dir, index_path, centroids,
+                                    books, ckpt)
+    q.awaitTermination()
+    n1 = spark.read.parquet(index_path).count()
+    assert n1 == first.count()
+
+    # restart with one new file: only the new rows are applied
+    later.coalesce(1).write.mode("append").parquet(src_dir)
+    q = start_ivf_pq_refresh_stream(spark, src_dir, index_path, centroids,
+                                    books, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(index_path).count() == emb.count()
