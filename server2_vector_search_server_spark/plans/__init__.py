@@ -23,6 +23,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.function_queries",
     "server2_vector_search_server_spark.plans.layout_queries",
     "server2_vector_search_server_spark.plans.breadth_queries",
+    "server2_vector_search_server_spark.plans.tpch_queries2",
 ]
 
 
