@@ -122,3 +122,49 @@ def test_ivf_pq_index_prunes_partitions_and_columns(spark, tmp_path):
     without_vec = [s for s in schemas if "embedding" not in s]
     assert len(with_vec) == 1 and len(without_vec) >= 1
     assert any("pq_code_1" in s for s in without_vec)
+
+
+def test_nation_market_share_broadcasts_all_dims(spark):
+    # Q8 shape: customer, supplier, both nation roles, and region all
+    # broadcast — the fact side is never shuffled for a dimension
+    plan = _plan(spark, "nation_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_returned_revenue_filters_pushed_and_top_k(spark):
+    # Q10 shape: returnflag filter reaches the lineitem scan, the orderdate
+    # window reaches the orders scan, and top-20 avoids a global sort
+    plan = _plan(spark, "returned_revenue_top_customers")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_customer_order_distribution_pushes_join_side_filter(spark):
+    # Q13 shape: the priority filter lives in the LEFT OUTER join condition
+    # yet Catalyst still pushes it into the orders scan (legal for the
+    # preserved-side join: it only shrinks the null-extended side)
+    plan = _plan(spark, "customer_order_distribution")
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_waiting_suppliers_no_expand(spark):
+    # Q21 shape: the pair pre-aggregation must NOT plan an Expand (the
+    # dual-count_distinct trap, SCALE.md §13/§15) and top-20 must be a
+    # partial top-k
+    plan = _plan(spark, "waiting_suppliers")
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_small_quantity_part_revenue_fact_joins_broadcast(spark):
+    # Q17 shape: both the brand-filtered part dim and the per-part average
+    # table broadcast — the probe side of the fact is shuffle-free
+    plan = _plan(spark, "small_quantity_part_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_promo_volume_suppliers_semi_join(spark):
+    # Q20 shape: the IN-subquery compiles to a LEFT SEMI join
+    plan = _plan(spark, "promo_volume_suppliers")
+    assert "LeftSemi" in plan
