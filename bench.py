@@ -61,6 +61,9 @@ HEADLINE = [
     "nation_pair_volume",       # dual role-joins of one dimension (Q7)
     "dedup_component_groups",   # iterative connected components over pairs
     "hash_sample_documents",    # value-deterministic content-hash split
+    "nation_market_share",      # 5-broadcast-dim conditional share (Q8)
+    "customer_order_distribution",  # outer-join count-of-counts (Q13)
+    "waiting_suppliers",        # pair pre-agg dual-EXISTS rewrite (Q21)
 ]
 
 

@@ -1,0 +1,171 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+The individual north-star stages (language-ID, quality scoring, exact dedup,
+deterministic sampling) each have their own oracle-checked query; these two
+queries prove they COMPOSE — the shape a real pretraining-data pipeline runs:
+
+    raw corpus → language filter → quality filter → dedup (keep canonical)
+               → deterministic sample → curated corpus
+
+A planted exact-duplicate copy of every document (doc_id + 1_000_000) makes
+the dedup stage observable: every copy must fall to its lower-id canonical.
+
+Oracle SQL is assembled from the SAME fragments as the per-stage queries
+(`text_queries._SQL_PRED_LANG`, `_SQL_QUALITY`) — one source of truth for
+the thresholds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators import text_analysis as ta
+from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.text_queries import (
+    _SQL_PRED_LANG,
+    _SQL_QUALITY,
+)
+
+_QUALITY_MIN = 0.9
+
+_SQL_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+# Stage flags as one CTE chain: scored (per-row expressions) -> canon (adds
+# the window) — mirrors the Spark plan one-to-one.
+_SQL_STAGED = f"""
+    WITH corpus AS ({_SQL_CORPUS}),
+    scored AS (
+      SELECT doc_id, text,
+             {_SQL_PRED_LANG} AS predicted_lang,
+             {_SQL_QUALITY} AS quality
+      FROM corpus),
+    canon AS (
+      SELECT *,
+             (doc_id = MIN(CASE WHEN predicted_lang <> 'und'
+                                 AND quality >= {_QUALITY_MIN}
+                                THEN doc_id END)
+                       OVER (PARTITION BY md5(text))) AS is_canonical,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3','4','5','6','7') AS sampled
+      FROM scored)
+"""
+
+
+@query(
+    "curate_corpus",
+    survey="north-star pipeline composition (language filter -> quality "
+           "filter -> exact dedup -> deterministic sample)",
+    oracle=f"""
+    {_SQL_STAGED}
+    SELECT doc_id, predicted_lang, quality
+    FROM canon
+    WHERE predicted_lang <> 'und' AND quality >= {_QUALITY_MIN}
+      AND is_canonical AND sampled
+    ORDER BY doc_id
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus itself: survivors of language-ID ∧ quality ≥ 0.9
+    ∧ canonical-of-its-content-hash ∧ md5(doc_id) half-sample. One scan of
+    the (doubled) corpus; the ONLY shuffle is the content-hash window for
+    canonicality — language, quality, and the sample predicate are per-row
+    expressions that ride the scan, and at 100 TB they filter BEFORE the
+    dedup shuffle moves data (the window's MIN is conditional on the earlier
+    stages, so stage order is preserved without a second pass). Planted
+    +1e6-id copies all lose canonicality to their originals, proving the
+    dedup stage fires."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    scored = corpus.select(
+        "doc_id", "text",
+        ta.detect_language(F.col("text")).alias("predicted_lang"),
+        ta.quality_score(F.col("text")).alias("quality"))
+    passes = ((F.col("predicted_lang") != "und")
+              & (F.col("quality") >= _QUALITY_MIN))
+    w = Window.partitionBy(F.md5("text"))
+    canon = scored.withColumn(
+        "is_canonical",
+        F.col("doc_id") == F.min(F.when(passes, F.col("doc_id"))).over(w))
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7")
+    return (
+        canon.filter(passes & F.col("is_canonical") & sampled)
+        .select("doc_id", "predicted_lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "curation_funnel",
+    survey="north-star pipeline composition (per-stage survivor funnel in "
+           "ONE scan)",
+    oracle=f"""
+    {_SQL_STAGED},
+    agg AS (
+      SELECT COUNT(*) AS n_input,
+             SUM(CASE WHEN predicted_lang <> 'und' THEN 1 ELSE 0 END)
+               AS n_lang,
+             SUM(CASE WHEN predicted_lang <> 'und'
+                       AND quality >= {_QUALITY_MIN} THEN 1 ELSE 0 END)
+               AS n_quality,
+             SUM(CASE WHEN predicted_lang <> 'und'
+                       AND quality >= {_QUALITY_MIN}
+                       AND is_canonical THEN 1 ELSE 0 END) AS n_dedup,
+             SUM(CASE WHEN predicted_lang <> 'und'
+                       AND quality >= {_QUALITY_MIN}
+                       AND is_canonical AND sampled THEN 1 ELSE 0 END)
+               AS n_sample
+      FROM canon)
+    SELECT stage_no, stage, n_docs FROM (
+      SELECT 1 AS stage_no, 'input' AS stage, n_input AS n_docs FROM agg
+      UNION ALL SELECT 2, 'language', n_lang FROM agg
+      UNION ALL SELECT 3, 'quality', n_quality FROM agg
+      UNION ALL SELECT 4, 'dedup', n_dedup FROM agg
+      UNION ALL SELECT 5, 'sample', n_sample FROM agg)
+    ORDER BY stage_no
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation yield report — how many documents survive each stage —
+    computed in ONE scan: every stage predicate becomes a flag column, the
+    cumulative conjunctions become conditional SUMs in a single aggregate,
+    and the 5-stage funnel is an unpivot of that one row. The alternative
+    (re-running the pipeline prefix per stage) scans the corpus 5× — this
+    shape is how you audit a 100 TB curation run for the cost of one pass
+    plus the dedup window's shuffle."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    scored = corpus.select(
+        "doc_id", "text",
+        ta.detect_language(F.col("text")).alias("predicted_lang"),
+        ta.quality_score(F.col("text")).alias("quality"))
+    lang_ok = F.col("predicted_lang") != "und"
+    qual_ok = lang_ok & (F.col("quality") >= _QUALITY_MIN)
+    w = Window.partitionBy(F.md5("text"))
+    canon = scored.withColumn(
+        "is_canonical",
+        F.col("doc_id") == F.min(F.when(qual_ok, F.col("doc_id"))).over(w))
+    dedup_ok = qual_ok & F.col("is_canonical")
+    sample_ok = dedup_ok & F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7")
+    agg = canon.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(lang_ok.cast("long")).alias("n_lang"),
+        F.sum(qual_ok.cast("long")).alias("n_quality"),
+        F.sum(dedup_ok.cast("long")).alias("n_dedup"),
+        F.sum(sample_ok.cast("long")).alias("n_sample"))
+    return (
+        agg.select(F.expr(
+            "stack(5, 1, 'input', n_input, 2, 'language', n_lang, "
+            "3, 'quality', n_quality, 4, 'dedup', n_dedup, "
+            "5, 'sample', n_sample) AS (stage_no, stage, n_docs)"))
+        .orderBy("stage_no")
+    )
