@@ -1,0 +1,126 @@
+"""Third breadth wave: positional explode, MAP-typed columns, and the
+linear-regression aggregate family.
+
+Same design rules as the earlier waves: one oracle-checked pass per function
+family, identical aliases on both engines, deterministic ordering. DuckDB
+dialect notes are inline where the twin expression differs (0- vs 1-based
+indexes, map extraction returning a list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.text_queries import _SQL_TOKS
+
+
+@query(
+    "doc_tokens_positional",
+    survey="J-extension(posexplode: ordinal-preserving lateral explode)",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(unnest(range(len({_SQL_TOKS}))) AS INTEGER) AS pos,
+           unnest({_SQL_TOKS}) AS tok
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id, pos
+    """,
+)
+def doc_tokens_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-preserving tokenization — token streams where POSITION is
+    data (n-gram windows, positional encodings, span labeling).
+    ``posexplode`` emits (pos, value) pairs 0-based; the DuckDB twin zips
+    two parallel ``unnest``s (range + list), which DuckDB aligns
+    positionally. The explode is a per-row generator: no shuffle at all
+    until the final presentation sort, and at 100 TB the generator's output
+    never materializes wider than one input row's tokens at a time."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "event_map_functions",
+    survey="H-extension(MAP type: construction, cardinality, key/value "
+           "extraction, lookup)",
+    oracle="""
+    SELECT event_id,
+           CAST(cardinality(m) AS INTEGER) AS n_keys,
+           map_keys(m) AS keys,
+           m['et'][1] AS et_val,
+           m['bucket'][1] AS bucket_val
+    FROM (
+      SELECT event_id,
+             MAP(['et', 'bucket'],
+                 [event_type, CAST(user_id % 5 AS VARCHAR)]) AS m
+      FROM events WHERE event_id < 200)
+    ORDER BY event_id
+    """,
+)
+def event_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: build a map from row values, then
+    cardinality / key enumeration / point lookup — the property-bag shape
+    semi-structured pipelines use when the key set is dynamic. Spark's
+    ``element_at(m, k)`` returns the value; DuckDB's ``m[k]`` returns a
+    LIST, unwrapped with ``[1]`` in the oracle. All per-row expressions:
+    zero shuffles besides the presentation sort, and Catalyst prunes the
+    scan to the three source columns."""
+    events = tbl(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"),
+        F.lit("bucket"), (F.col("user_id") % 5).cast("string"))
+    return (
+        events.select(
+            "event_id",
+            F.size(m).alias("n_keys"),
+            F.map_keys(m).alias("keys"),
+            F.element_at(m, "et").alias("et_val"),
+            F.element_at(m, "bucket").alias("bucket_val"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "lineitem_regression_family",
+    survey="D-extension(linear-regression aggregates: regr_slope/"
+           "intercept/r2/count per group)",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+             AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_regression_family(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit as a pure aggregate:
+    price ~ quantity per returnflag. regr_* aggregates reduce to the five
+    classic sufficient statistics (n, Σx, Σy, Σxy, Σx²) — partial-
+    aggregable, so the fit runs map-side combine + one small shuffle, the
+    same economics as SUM. That makes per-group trend fitting viable at
+    100 TB where a per-group Python OLS (collect → numpy) would not be.
+    Both engines use the same closed forms; ROUND(…, 6) absorbs the
+    last-ulp accumulation-order difference, as with corr/covar."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+             .alias("slope"),
+             F.round(
+                 F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+             .alias("intercept"),
+             F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6)
+             .alias("r2"),
+             F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"))
+        .orderBy("l_returnflag")
+    )
