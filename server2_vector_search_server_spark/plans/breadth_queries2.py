@@ -124,3 +124,54 @@ def lineitem_regression_family(spark: SparkSession,
              F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+_DIM = 64
+_CSCALE = 1_000_000
+
+_SQL_CENTROID_ELEMS = ", ".join(
+    f"ROUND(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * {_CSCALE}) "
+    f"AS BIGINT)) / {_CSCALE}.0 / COUNT(*), 6)"
+    for i in range(_DIM))
+
+
+@query(
+    "embedding_label_centroids",
+    survey="north-star similarity search (per-group vector centroid: the "
+           "k-means M-step as a partial-aggregable SQL aggregate)",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           [{_SQL_CENTROID_ELEMS}] AS centroid
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-dim embedding column — the M-step of
+    k-means / the class-prototype builder, expressed as ONE aggregate with
+    64 per-component sums rather than explode+groupBy(pos) (which would
+    shuffle dim× the rows) or a collect-to-driver numpy mean (which would
+    not distribute at all). Each component is partial-aggregable, so the
+    map side combines locally and the shuffle carries #labels × dim
+    numbers — independent of corpus size, the property that makes
+    distributed k-means iterations cheap at 100 TB. Component sums use the
+    exact scaled-integer contract so shuffle order cannot perturb the
+    mean; floats are upcast to double before scaling on both engines."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(F.round(F.col("embedding")[i].cast("double") * _CSCALE)
+              .cast("long")).alias(f"s{i}")
+        for i in range(_DIM)]
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), *sums)
+        .select(
+            "label", "n_vectors",
+            F.array(*[
+                F.round(F.col(f"s{i}") / float(_CSCALE)
+                        / F.col("n_vectors"), 6)
+                for i in range(_DIM)]).alias("centroid"))
+        .orderBy("label")
+    )
