@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import (
+    query,
+    sql_sq_l2,
+    tbl,
+)
 from server2_vector_search_server_spark.plans.text_queries import _SQL_TOKS
 
 
@@ -174,4 +178,62 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n_vectors"), 6)
                 for i in range(_DIM)]).alias("centroid"))
         .orderBy("label")
+    )
+
+
+@query(
+    "kmeans_iteration_assignments",
+    survey="north-star similarity search (one full k-means EM iteration: "
+           "M-step centroid aggregate + E-step argmin assignment)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS c_label, [{_SQL_CENTROID_ELEMS}] AS centroid
+      FROM embeddings GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             {sql_sq_l2('e.embedding', 'c.centroid')} AS dist
+      FROM embeddings e CROSS JOIN cent c),
+    a AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, c_label) AS rn
+      FROM d)
+    SELECT label, c_label AS assigned_label, COUNT(*) AS n
+    FROM a WHERE rn = 1
+    GROUP BY label, assigned_label
+    ORDER BY label, assigned_label
+    """,
+)
+def kmeans_iteration_assignments(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """One complete k-means iteration over the corpus, distributed: the
+    M-step is the `embedding_label_centroids` aggregate (shuffle carries
+    #labels × dim numbers); the E-step embeds the 10 centroids as literals
+    and assigns each vector by argmin projection (`operators/ann.ivf_assign`
+    — zero joins, zero row blow-up; the oracle's CROSS JOIN + row_number is
+    the semantic spec, not the plan). Output is the label↔assignment
+    contingency table — the convergence diagnostic a driver loop would
+    inspect between iterations. Centroid components are rounded to 6
+    decimals on both engines BEFORE distance computation, so the argmin
+    compares bit-identical doubles; ties break to the lowest centroid
+    label on both sides."""
+    from server2_vector_search_server_spark.operators.ann import ivf_assign
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(F.round(F.col("embedding")[i].cast("double") * _CSCALE)
+              .cast("long")).alias(f"s{i}")
+        for i in range(_DIM)]
+    centroids = (
+        emb.groupBy(F.col("label").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .select("centroid_id", F.array(*[
+            F.round(F.col(f"s{i}") / float(_CSCALE) / F.col("n"), 6)
+            for i in range(_DIM)]).alias("centroid")))
+    assigned = ivf_assign(emb, centroids)
+    return (
+        assigned.groupBy("label",
+                         F.col("centroid_id").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned_label")
     )
