@@ -237,3 +237,87 @@ def kmeans_iteration_assignments(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "assigned_label")
     )
+
+
+@query(
+    "segment_nation_roster",
+    survey="D-extension(ordered string aggregation: deterministic "
+           "string_agg / listagg twin)",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                      ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations_csv,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the LISTAGG/STRING_AGG shape reporting
+    layers want. Concatenating in SHUFFLE order is nondeterministic on any
+    parallel engine, so the contract is: collect distinct, SORT, then join —
+    `concat_ws(sort_array(collect_set(…)))`, mirrored by DuckDB's
+    `string_agg(DISTINCT … ORDER BY …)`. The sort is per-group over the
+    distinct value set (nation-count-sized), not over rows — cheap even
+    when groups are huge."""
+    cust = tbl(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(F.concat_ws(
+                ",", F.sort_array(
+                    F.collect_set(F.col("c_nationkey").cast("string"))))
+             .alias("nations_csv"),
+             F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "doc_token_set_ops",
+    survey="H-extension(array set algebra: union / intersect / except "
+           "with deterministic ordering)",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> x != '')) AS toks
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(len(list_distinct(list_cat(toks,
+             ['the','and','of','to','in']))) AS INTEGER) AS n_union,
+           list_sort(list_intersect(toks,
+             ['the','and','of','to','in'])) AS stop_overlap,
+           list_sort(list_filter(toks,
+             x -> NOT list_contains(['the','and','of','to','in'], x)))[1:5]
+             AS content_head
+    FROM t ORDER BY doc_id
+    """,
+)
+def doc_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over token sets — union cardinality, stopword
+    overlap, head of the stopword-stripped vocabulary. Engines disagree on
+    the ORDER these functions emit (Spark preserves first-argument order,
+    DuckDB doesn't specify), so every set result is explicitly sorted
+    before leaving the query — the only portable contract for set-valued
+    columns. All per-row expressions: no shuffle except the presentation
+    sort."""
+    stop = ["the", "and", "of", "to", "in"]
+    stop_lit = F.array(*[F.lit(s) for s in stop])
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.array_distinct(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != ""))
+    t = docs.select("doc_id", toks.alias("toks"))
+    return (
+        t.select(
+            "doc_id",
+            F.size(F.array_distinct(
+                F.array_union(F.col("toks"), stop_lit))).alias("n_union"),
+            F.sort_array(F.array_intersect(F.col("toks"), stop_lit))
+            .alias("stop_overlap"),
+            F.slice(F.sort_array(F.array_except(F.col("toks"), stop_lit)),
+                    1, 5).alias("content_head"))
+        .orderBy("doc_id")
+    )
