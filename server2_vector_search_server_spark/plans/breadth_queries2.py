@@ -139,6 +139,30 @@ _SQL_CENTROID_ELEMS = ", ".join(
     for i in range(_DIM))
 
 
+def _label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label centroid via posexplode + two-phase aggregate — measured
+    FASTER than 64 per-component aggregate columns (SCALE.md §17: 3.9 s vs
+    5.1 s at 200 k×64), because AVG/SUM are partial-aggregable either way
+    (map-side combine collapses the exploded rows to #labels × dim partials
+    before the shuffle — the explode never crosses the network), while the
+    single-aggregate form pays 64 element_at+round+cast expression chains
+    per ROW in one projection. Exact scaled-integer sums; the component
+    array is reassembled in pos order (array_sort on struct(pos, …))."""
+    parts = (
+        emb.select(label_col, F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.sum(F.round(F.col("v").cast("double") * _CSCALE)
+                   .cast("long")).alias("s"),
+             F.count(F.lit(1)).alias("n")))
+    return (
+        parts.groupBy(label_col)
+        .agg(F.max("n").alias("n_vectors"),
+             F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                 lambda x: F.round(x["s"] / float(_CSCALE) / x["n"], 6))
+             .alias("centroid")))
+
+
 @query(
     "embedding_label_centroids",
     survey="north-star similarity search (per-group vector centroid: the "
@@ -154,31 +178,19 @@ _SQL_CENTROID_ELEMS = ", ".join(
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the 64-dim embedding column — the M-step of
-    k-means / the class-prototype builder, expressed as ONE aggregate with
-    64 per-component sums rather than explode+groupBy(pos) (which would
-    shuffle dim× the rows) or a collect-to-driver numpy mean (which would
-    not distribute at all). Each component is partial-aggregable, so the
-    map side combines locally and the shuffle carries #labels × dim
-    numbers — independent of corpus size, the property that makes
-    distributed k-means iterations cheap at 100 TB. Component sums use the
-    exact scaled-integer contract so shuffle order cannot perturb the
+    k-means / the class-prototype builder. Shipped plan: posexplode +
+    two-phase aggregate (`_label_centroids`); the shuffle carries only
+    #labels × dim partial sums regardless of corpus size because the
+    component sums are partial-aggregable — the property that makes
+    distributed k-means iterations cheap at 100 TB. (A collect-to-driver
+    numpy mean would not distribute at all; SCALE.md §17 has the measured
+    comparison against the 64-aggregate-columns form.) Component sums use
+    the exact scaled-integer contract so shuffle order cannot perturb the
     mean; floats are upcast to double before scaling on both engines."""
     emb = tbl(spark, sf_dir, "embeddings")
-    sums = [
-        F.sum(F.round(F.col("embedding")[i].cast("double") * _CSCALE)
-              .cast("long")).alias(f"s{i}")
-        for i in range(_DIM)]
-    return (
-        emb.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_vectors"), *sums)
-        .select(
-            "label", "n_vectors",
-            F.array(*[
-                F.round(F.col(f"s{i}") / float(_CSCALE)
-                        / F.col("n_vectors"), 6)
-                for i in range(_DIM)]).alias("centroid"))
-        .orderBy("label")
-    )
+    return (_label_centroids(emb)
+            .select("label", "n_vectors", "centroid")
+            .orderBy("label"))
 
 
 @query(
@@ -220,16 +232,8 @@ def kmeans_iteration_assignments(spark: SparkSession,
     from server2_vector_search_server_spark.operators.ann import ivf_assign
 
     emb = tbl(spark, sf_dir, "embeddings")
-    sums = [
-        F.sum(F.round(F.col("embedding")[i].cast("double") * _CSCALE)
-              .cast("long")).alias(f"s{i}")
-        for i in range(_DIM)]
-    centroids = (
-        emb.groupBy(F.col("label").alias("centroid_id"))
-        .agg(F.count(F.lit(1)).alias("n"), *sums)
-        .select("centroid_id", F.array(*[
-            F.round(F.col(f"s{i}") / float(_CSCALE) / F.col("n"), 6)
-            for i in range(_DIM)]).alias("centroid")))
+    centroids = (_label_centroids(emb)
+                 .select(F.col("label").alias("centroid_id"), "centroid"))
     assigned = ivf_assign(emb, centroids)
     return (
         assigned.groupBy("label",
