@@ -168,3 +168,23 @@ def test_promo_volume_suppliers_semi_join(spark):
     # Q20 shape: the IN-subquery compiles to a LEFT SEMI join
     plan = _plan(spark, "promo_volume_suppliers")
     assert "LeftSemi" in plan
+
+
+def test_curation_funnel_single_pass(spark):
+    # the 5-stage funnel must NOT re-run the pipeline prefix per stage:
+    # one scan per union branch of the doubled corpus (2 total), one
+    # window for canonicality, stage counts as conditional sums in ONE
+    # final aggregate — not 5 separate aggregates over 5 scans
+    plan = _plan(spark, "curation_funnel")
+    assert plan.count("FileScan parquet") == 2
+    assert "Window" in plan
+
+
+def test_embedding_centroids_no_expand_partial_agg(spark):
+    # the explode+two-phase centroid plan (SCALE.md §17): partial
+    # aggregation must collapse exploded rows map-side (HashAggregate
+    # below AND above the exchange) and no Expand may appear
+    plan = _plan(spark, "embedding_label_centroids")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate posexplode" in plan or "Generate" in plan
