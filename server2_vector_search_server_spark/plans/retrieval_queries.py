@@ -1,0 +1,275 @@
+"""Ranked-retrieval query surface: BM25, hybrid (vector + lexical) fusion,
+and multi-vector late-interaction scoring.
+
+The reference is a retrieval server (`/search_score`, app.py:396-444 scores a
+single query vector against one HNSW collection); production successors of
+that design rank with BM25 over an FTS index (the reference's ChromaDB store
+already ships an unused FTS5 trigram table — SURVEY.md §1.1), fuse lexical
+and vector rankings (reciprocal-rank fusion, the default hybrid in
+Elasticsearch/Vespa/Weaviate), and score multi-vector "late interaction"
+queries (ColBERT-style maxsim). These three queries re-express that surface
+Spark-first.
+
+Determinism contract (FIXTURES.md): BM25 uses the LOG-FREE idf variant
+``(N - df + 0.5) / (df + 0.5)`` — same saturation structure as classic BM25
+but pure rational arithmetic, so Spark and DuckDB agree bit-for-bit where
+``ln()`` is libm-dependent in its last ulp. All constants appear as the same
+literals on both engines; per-group double sums go through the scaled-BIGINT
+exact-sum pattern (registry.exact_sum) so shuffle order cannot perturb them.
+
+Scale notes (SCALE.md §18): BM25's df/avgdl pass is a tiny aggregate
+(vocabulary-sized / scalar) — broadcastable; the per-doc scoring pass is one
+scan with map-side partial aggregation on doc_id. RRF joins two top-N
+rankings — N rows each, trivially broadcastable at any corpus size. MaxSim
+broadcasts the query-vector set (Q rows) so the corpus side is a single scan;
+the max-per-(doc,qvec) aggregate is partial-aggregable map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.text import tokens
+from server2_vector_search_server_spark.functions.vector import dot
+from server2_vector_search_server_spark.plans.registry import (
+    exact_sum,
+    query,
+    sql_dot,
+    sql_exact_sum,
+    sql_score,
+    tbl,
+)
+
+# BM25 constants — identical literals on both engines (never write `k1 + 1`:
+# 1.2 + 1.0 rounds differently from the literal 2.2 in the last ulp).
+_K1 = "1.2"
+_K1_PLUS_1 = "2.2"
+_B = "0.75"
+_ONE_MINUS_B = "0.25"
+
+_BM25_TERMS = ("spark", "vector", "hash")
+_SQL_TERMS = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+
+
+@query(
+    "text_bm25_topk",
+    survey="north-star retrieval (BM25 ranked lexical search; reference FTS5 "
+           "table in chroma.sqlite3, SURVEY §1.1)",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks
+      FROM documents WHERE doc_id < 200),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             (CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*)) AS avgdl
+      FROM docs),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM docs, UNNEST(toks) AS t(term)
+      WHERE t.term IN ({_SQL_TERMS})
+      GROUP BY doc_id, t.term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    term_scores AS (
+      SELECT tf.doc_id,
+             ((CAST(stats.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * {_K1_PLUS_1})
+                / (tf.tf + {_K1} * ({_ONE_MINUS_B}
+                                    + {_B} * (dl.dl / stats.avgdl))))
+               AS s
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id, {sql_exact_sum('s', 6)} AS bm25
+      FROM term_scores GROUP BY doc_id)
+    SELECT doc_id, ROUND(bm25, 6) AS bm25,
+           CAST(row_number() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    ORDER BY rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term query (k1=1.2, b=0.75, log-free idf).
+
+    Plan shape: one tokenize+explode scan → tf aggregate; df is a
+    vocabulary-sized aggregate over the (already term-filtered) tf rows and
+    n_docs/avgdl are scalars — at 100 TB both sides of the scoring join are
+    broadcast, so scoring never shuffles the corpus."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id",
+                    tokens(F.lower(F.col("text"))).alias("toks")))
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    sum_dl, n_docs = docs.agg(
+        F.sum(F.size("toks")), F.count(F.lit(1))).first()
+    avgdl = float(sum_dl) / n_docs
+
+    tf = (docs.select("doc_id", F.explode("toks").alias("term"))
+          .filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+
+    k1, k1p1 = float(_K1), float(_K1_PLUS_1)
+    b, omb = float(_B), float(_ONE_MINUS_B)
+    term_scores = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (((F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5))
+             * ((F.col("tf") * k1p1)
+                / (F.col("tf") + k1 * (omb + b * (F.col("dl")
+                                                  / F.lit(avgdl))))))
+            .alias("s"),
+        )
+    )
+    scored = term_scores.groupBy("doc_id").agg(exact_sum(F.col("s"), 6)
+                                               .alias("bm25"))
+    w = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id").asc())
+    return (scored
+            .select("doc_id", F.round("bm25", 6).alias("bm25"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .orderBy("rank"))
+
+
+_QV0 = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+_RRF_K = 60
+_RRF_TERMS = ("spark", "vector")
+_SQL_RRF_TERMS = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+
+
+@query(
+    "search_hybrid_rrf",
+    survey="north-star retrieval (hybrid vector+lexical search, "
+           "reciprocal-rank fusion; C1/C2 + the FTS5 lexical layer)",
+    oracle=f"""
+    WITH vr AS (
+      SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (
+               ORDER BY {sql_score('e.embedding', _QV0)} DESC, vec_id)
+               AS INTEGER) AS vrank
+      FROM embeddings e WHERE vec_id <> 0 AND vec_id < 200),
+    tr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY hits DESC, doc_id)
+                  AS INTEGER) AS trank
+      FROM (SELECT doc_id,
+                   len(list_filter({_SQL_TOKS},
+                                   t -> t IN ({_SQL_RRF_TERMS}))) AS hits
+            FROM documents WHERE doc_id <> 0 AND doc_id < 200))
+    SELECT doc_id, vrank, trank,
+           ROUND(1.0 / ({_RRF_K} + vrank) + 1.0 / ({_RRF_K} + trank), 6)
+             AS rrf
+    FROM vr JOIN tr USING (doc_id)
+    QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= 15
+    ORDER BY rrf DESC, doc_id
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: vector ranking (the reference score contract
+    1 − d², app.py:418) fused with a lexical term-hit ranking via
+    reciprocal-rank fusion, rrf = Σ 1/(60 + rank).
+
+    Both rankings are top-N row_number windows over independently scored
+    scans (documents and embeddings join 1:1 on id in the fixture — the
+    chunks-table dual view of one corpus); the fusion join touches only
+    ranked rows, broadcastable at any corpus scale."""
+    from server2_vector_search_server_spark.plans.vector_queries import (
+        _query_vec,
+    )
+
+    from server2_vector_search_server_spark.functions.vector import (
+        similarity_score,
+    )
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter((F.col("vec_id") != 0) & (F.col("vec_id") < 200)))
+    qv = _query_vec(spark, sf_dir, 0)
+    score = F.round(
+        similarity_score(vector_literal(qv), F.col("embedding")), 6)
+    vr = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(
+            Window.orderBy(score.desc(), F.col("vec_id").asc()))
+        .alias("vrank"))
+
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") != 0) & (F.col("doc_id") < 200)))
+    hits = F.size(F.filter(tokens(F.lower(F.col("text"))),
+                           lambda t: t.isin(*_RRF_TERMS)))
+    tr = docs.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(hits.desc(), F.col("doc_id").asc()))
+        .alias("trank"))
+
+    fused = (vr.join(tr, "doc_id")
+             .withColumn("rrf",
+                         F.round(1.0 / (_RRF_K + F.col("vrank"))
+                                 + 1.0 / (_RRF_K + F.col("trank")), 6)))
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (fused.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 15).drop("__r")
+            .orderBy(F.col("rrf").desc(), F.col("doc_id").asc()))
+
+
+@query(
+    "search_maxsim_late_interaction",
+    survey="north-star retrieval (multi-vector late interaction / ColBERT "
+           "maxsim over label-grouped vector sets)",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id < 3),
+    corpus AS (
+      SELECT vec_id, label, embedding
+      FROM embeddings WHERE vec_id >= 10),
+    pairs AS (
+      SELECT corpus.label, q.qid,
+             ROUND({sql_dot('qv', 'corpus.embedding')}, 6) AS sim
+      FROM corpus CROSS JOIN q),
+    mx AS (SELECT label, qid, MAX(sim) AS best
+           FROM pairs GROUP BY label, qid),
+    scored AS (
+      SELECT label, {sql_exact_sum('best', 6)} AS maxsim
+      FROM mx GROUP BY label)
+    SELECT label, ROUND(maxsim, 6) AS maxsim
+    FROM scored
+    ORDER BY maxsim DESC, label
+    """,
+)
+def search_maxsim_late_interaction(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """ColBERT-style maxsim: the query is a SET of vectors (vec_id < 3),
+    each logical document is a SET of vectors (grouped by label);
+    score(doc) = Σ_q max_v dot(q, v).
+
+    The query set is broadcast (Q rows), so the corpus is scanned exactly
+    once and expanded Q×; both the max-per-(label,qid) and the final sum
+    are partial-aggregable, so what crosses the exchange is ≤ labels × Q
+    rows regardless of corpus size (SCALE.md §17 logic)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    corpus = (emb.filter(F.col("vec_id") >= 10)
+              .select("label", "embedding"))
+    pairs = corpus.crossJoin(F.broadcast(q)).select(
+        "label", "qid",
+        F.round(dot(F.col("qv"), F.col("embedding")), 6).alias("sim"))
+    mx = pairs.groupBy("label", "qid").agg(F.max("sim").alias("best"))
+    return (mx.groupBy("label")
+            .agg(exact_sum(F.col("best"), 6).alias("maxsim"))
+            .select("label", F.round("maxsim", 6).alias("maxsim"))
+            .orderBy(F.col("maxsim").desc(), F.col("label").asc()))
