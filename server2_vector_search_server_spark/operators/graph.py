@@ -146,3 +146,51 @@ def component_summary(components: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.max("node").alias("max_member"))
             .orderBy("component"))
+
+
+def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             scale: int = 12) -> DataFrame:
+    """Power-iteration PageRank with a FIXED iteration count, deterministic
+    at any parallelism.
+
+    Classic Pregel-style iteration re-expressed as DataFrame ops: each round
+    is contribs = edges ⋈ ranks on src (map-side after the first round if
+    edges are co-partitioned), then a partial-aggregable SUM per dst, then a
+    left join back onto the node set. Dangling-node mass is dropped (the
+    simplified PR variant) — documented, identical on both engines.
+
+    Determinism contract: per-edge contributions are summed via the
+    scaled-BIGINT exact-sum pattern (registry.exact_sum) and each round's
+    rank is rounded to ``scale`` decimals, so shuffle order cannot perturb
+    the fixpoint — the DuckDB oracle unrolls the same rounds as CTEs.
+
+    Scale notes: edges should be persisted by the caller (scanned once per
+    round); ranks is node-sized. At 100 TB the edge list dominates — hash
+    partition it by ``src`` once so each round's join is co-located, and the
+    per-dst aggregate map-side-combines before its exchange.
+    """
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(out_deg, src)
+
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node"))).distinct())
+    n = nodes.count()
+    base = (1.0 - damping) / n
+
+    factor = 10 ** scale
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), scale).alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed[src] == ranks["node"])
+            .select(F.col(dst).alias("node"),
+                    (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg((F.sum(F.round(F.col("c") * factor).cast("long"))
+                  / float(factor)).alias("contrib")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .select("node",
+                         F.round(base + damping
+                                 * F.coalesce("contrib", F.lit(0.0)), scale)
+                         .alias("pr")))
+    return ranks

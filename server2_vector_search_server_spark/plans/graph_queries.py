@@ -1,0 +1,132 @@
+"""Graph-analytics query surface: PageRank + degree structure over the
+supplier→customer shipment graph.
+
+The reference's data model has an implicit bipartite graph (documents ↔
+collections via dual-write, vector_store.py:91-137); the fixture's richer
+relational side gives a real one: supplier s → customer c whenever s shipped
+a lineitem on one of c's orders. PageRank is THE canonical iterative
+DataFrame workload — each round is a join + partial-aggregable sum, the
+shape GraphX/Pregel executes — and the DuckDB oracle unrolls the same
+fixed-round recursion as CTEs, so the iteration is hash-checked, not
+rows-only.
+
+Determinism: operators/graph.pagerank rounds each round's ranks and runs
+per-round sums through the scaled-BIGINT exact-sum pattern; the oracle SQL
+below is generated from the same constants (damping, scale, iterations) so
+there is one source of truth for both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.operators.graph import pagerank
+from server2_vector_search_server_spark.plans.registry import (
+    query,
+    sql_exact_sum,
+    tbl,
+)
+
+_DAMPING = "0.85"
+_SCALE = 12
+_ITERS = 3
+
+_SQL_EDGES = """
+    edges AS (
+      SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the fixed-round PageRank recursion as CTEs (DuckDB has
+    recursive CTEs, but unrolling keeps every round's rounding explicit and
+    identical to the Spark loop)."""
+    rounds = []
+    for i in range(1, _ITERS + 1):
+        contrib = sql_exact_sum(f"(p.pr / ed.outdeg)", _SCALE)
+        rounds.append(f"""
+    c{i} AS (
+      SELECT ed.dst AS node, {contrib} AS contrib
+      FROM ed JOIN pr{i - 1} p ON p.node = ed.src
+      GROUP BY ed.dst),
+    pr{i} AS (
+      SELECT nodes.node,
+             ROUND(((1.0 - {_DAMPING}) / nn.n)
+                   + {_DAMPING} * COALESCE(c{i}.contrib, 0.0), {_SCALE})
+               AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} USING (node))""")
+    return f"""
+    WITH {_SQL_EDGES},
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, o.outdeg
+           FROM edges e JOIN outdeg o USING (src)),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, ROUND(1.0 / nn.n, {_SCALE}) AS pr
+            FROM nodes CROSS JOIN nn),{",".join(rounds)}
+    SELECT node, pr,
+           CAST(row_number() OVER (ORDER BY pr DESC, node) AS INTEGER)
+             AS rank
+    FROM pr{_ITERS}
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    od = tbl(spark, sf_dir, "orders")
+    return (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
+            .distinct())
+
+
+@query(
+    "graph_pagerank",
+    survey="north-star graph analytics (fixed-round power-iteration "
+           "PageRank, hash-checked vs an unrolled-CTE oracle)",
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank over supplier→customer shipments, 3 rounds, d=0.85.
+
+    The edge list is persisted so each round re-reads memory, not parquet;
+    rounds shuffle only node-sized rank tables plus the partial-aggregated
+    contribution sums (SCALE.md §18)."""
+    edges = _edges(spark, sf_dir).persist()
+    try:
+        ranks = pagerank(edges, iterations=_ITERS,
+                         damping=float(_DAMPING), scale=_SCALE)
+        w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+        return (ranks.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 20)
+                .orderBy("rank"))
+    finally:
+        # unpersist AFTER the plan is built; blocking=False keeps it lazy-safe
+        edges.unpersist(blocking=False)
+
+
+@query(
+    "graph_degree_distribution",
+    survey="north-star graph analytics (degree histogram of the shipment "
+           "graph)",
+    oracle=f"""
+    WITH {_SQL_EDGES},
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)
+    SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM deg GROUP BY outdeg
+    ORDER BY outdeg
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram — two partial-aggregable aggregates; the second
+    groups on a tiny key domain, so the final exchange is a few dozen rows."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (deg.groupBy("outdeg")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"))
+            .orderBy("outdeg"))

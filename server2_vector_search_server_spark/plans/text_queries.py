@@ -240,3 +240,103 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("tfidf_raw", 6).alias("tfidf"))
         .orderBy("doc_id", "rank")
     )
+
+
+# --- training-data quality signals (wave 5) ---------------------------------
+
+from server2_vector_search_server_spark.functions.text import (  # noqa: E402
+    sql_word_shingles,
+    word_shingles,
+)
+
+
+@query(
+    "text_repetition_score",
+    survey="north-star text analysis (within-document repetition fraction — "
+           "the Gopher/ccnet duplicate-n-gram quality signal)",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             GREATEST(len({_SQL_TOKS}) - 2, 0) AS n_trigrams,
+             len({sql_word_shingles('text', 3)}) AS n_distinct
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id, CAST(n_trigrams AS INTEGER) AS n_trigrams,
+           CAST(n_distinct AS INTEGER) AS n_distinct,
+           ROUND(CASE WHEN n_trigrams = 0 THEN 0.0
+                 ELSE 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams END, 6)
+             AS dup_fraction
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of word-trigram occurrences that are repeats of an earlier
+    trigram in the same document — a standard pre-training quality filter
+    (high dup_fraction ⇒ boilerplate/spam). Pure per-row map over one scan:
+    no shuffle at all, scales linearly with corpus bytes."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_tri = F.greatest(F.size(tokens(F.col("text"))) - 2, F.lit(0))
+    n_dis = F.size(word_shingles(F.col("text"), 3))
+    return docs.select(
+        "doc_id",
+        n_tri.alias("n_trigrams"),
+        n_dis.alias("n_distinct"),
+        F.round(
+            F.when(n_tri == 0, F.lit(0.0))
+            .otherwise(1.0 - n_dis.cast("double") / n_tri), 6)
+        .alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_contamination_overlap",
+    survey="north-star text analysis (benchmark decontamination: 8-gram "
+           "overlap of corpus docs against a held-out set)",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT s.sh
+      FROM (SELECT {sql_word_shingles('text', 8)} AS shs
+            FROM documents WHERE doc_id < 5) b, UNNEST(b.shs) AS s(sh)),
+    corp AS (
+      SELECT doc_id, {sql_word_shingles('text', 8)} AS shs
+      FROM documents WHERE doc_id >= 5 AND doc_id < 300),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_contaminated
+      FROM corp c, UNNEST(c.shs) AS s(sh)
+      WHERE s.sh IN (SELECT sh FROM bench)
+      GROUP BY c.doc_id)
+    SELECT c.doc_id,
+           CAST(len(c.shs) AS INTEGER) AS n_shingles,
+           CAST(COALESCE(h.n_contaminated, 0) AS INTEGER) AS n_contaminated,
+           (COALESCE(h.n_contaminated, 0) > 0) AS contaminated
+    FROM corp c LEFT JOIN hits h USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any distinct
+    8-gram with a held-out benchmark set (doc_id < 5 stands in for the eval
+    suite). The benchmark shingle set is tiny ⇒ broadcast hash join against
+    the exploded corpus shingles — the 100 TB corpus side is one scan with
+    NO shuffle of corpus rows; the per-doc hit count is partial-aggregable.
+    (At real scale the broadcast set is the n-grams of every eval benchmark —
+    a few million strings — still broadcast/bloom territory.)"""
+    docs = tbl(spark, sf_dir, "documents")
+    bench = (docs.filter(F.col("doc_id") < 5)
+             .select(F.explode(word_shingles(F.col("text"), 8)).alias("sh"))
+             .distinct())
+    corp = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
+            .select("doc_id",
+                    word_shingles(F.col("text"), 8).alias("shs")))
+    hits = (corp.select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(bench), "sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (corp.join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.size("shs").alias("n_shingles"),
+                F.coalesce("n_contaminated", F.lit(0)).cast("int")
+                .alias("n_contaminated"),
+                (F.coalesce("n_contaminated", F.lit(0)) > 0)
+                .alias("contaminated"))
+            .orderBy("doc_id"))

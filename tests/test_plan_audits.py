@@ -188,3 +188,24 @@ def test_embedding_centroids_no_expand_partial_agg(spark):
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "Generate posexplode" in plan or "Generate" in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    # decontamination must broadcast the (tiny) benchmark shingle set so the
+    # corpus side is one scan with no shuffle of corpus rows
+    plan = _plan(spark, "text_contamination_overlap")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_maxsim_broadcasts_query_vectors(spark):
+    # the multi-vector query set is broadcast; corpus scanned once
+    plan = _plan(spark, "search_maxsim_late_interaction")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # both the per-(label,qid) max and final sum partially aggregate map-side
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bm25_broadcasts_df_side(spark):
+    # the vocabulary-sized df aggregate joins broadcast against tf rows
+    plan = _plan(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan
