@@ -64,6 +64,15 @@ HEADLINE = [
     "nation_market_share",      # 5-broadcast-dim conditional share (Q8)
     "customer_order_distribution",  # outer-join count-of-counts (Q13)
     "waiting_suppliers",        # pair pre-agg dual-EXISTS rewrite (Q21)
+    # NOTE: the headline total grows when pillars are ADDED — compare
+    # per-query medians across rounds, not the sum alone.
+    "text_bm25_topk",           # BM25 ranked lexical retrieval
+    "search_hybrid_rrf",        # hybrid vector+lexical RRF fusion
+    "search_maxsim_late_interaction",  # multi-vector ColBERT maxsim
+    "graph_pagerank",           # iterative: cached edges + broadcast ranks
+    "events_funnel_conversion",  # ordered multi-stage funnel
+    "events_cohort_retention",  # weekly cohort retention triangle
+    "text_contamination_overlap",  # broadcast 8-gram decontamination
 ]
 
 

@@ -171,10 +171,14 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
     per-dst aggregate map-side-combines before its exchange.
     """
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(out_deg, src)
+    # outdeg is node-sized -> broadcast, so the edge list never shuffles;
+    # ed is scanned once per round -> persist (callers/bench clearCache()
+    # afterwards — unpersisting here would evict BEFORE the lazy plan runs)
+    ed = edges.join(F.broadcast(out_deg), src).persist()
 
     nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node"))).distinct())
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct().persist())
     n = nodes.count()
     base = (1.0 - damping) / n
 
@@ -182,13 +186,13 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), scale).alias("pr"))
     for _ in range(iterations):
         contribs = (
-            ed.join(ranks, ed[src] == ranks["node"])
+            ed.join(F.broadcast(ranks), ed[src] == ranks["node"])
             .select(F.col(dst).alias("node"),
                     (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg((F.sum(F.round(F.col("c") * factor).cast("long"))
                   / float(factor)).alias("contrib")))
-        ranks = (nodes.join(contribs, "node", "left")
+        ranks = (nodes.join(F.broadcast(contribs), "node", "left")
                  .select("node",
                          F.round(base + damping
                                  * F.coalesce("contrib", F.lit(0.0)), scale)

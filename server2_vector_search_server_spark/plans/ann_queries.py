@@ -479,3 +479,124 @@ def ann_pq_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     books = ann.pq_codebooks_kmeans(emb, _PQ_M, _PQ_K)
     return ann.pq_knn(emb, _vec(spark, sf_dir, _QUERY_ID), books, k=5)
+
+
+# --- ANN self-evaluation: recall@k of IVF vs exact --------------------------
+
+_RECALL_K = 10
+_RECALL_QIDS = (40, 41, 42, 43, 44)
+_SQL_QIDS = ", ".join(str(i) for i in _RECALL_QIDS)
+
+
+@query(
+    "ann_ivf_recall_at_k",
+    survey="north-star ANN (index-quality self-evaluation: recall@10 of the "
+           "IVF probe path against the exact brute-force ranking, per query)",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id IN ({_SQL_QIDS})),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(1.0 - {sql_sq_l2('e.embedding', 'q.qv')}, 6)
+                            DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q) t
+      WHERE rn <= {_RECALL_K}),
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sql_sq_l2('c.centroid', 'q.qv')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM cent c CROSS JOIN q) t
+      WHERE rn <= {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY ROUND(1.0 - {sql_sq_l2('e.embedding', 'q.qv')}, 6)
+                            DESC, a.vec_id ASC) AS rn
+        FROM assigned a
+        JOIN probes p USING (centroid_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN q ON q.qid = p.qid) t
+      WHERE rn <= {_RECALL_K}),
+    hits AS (
+      SELECT exact.qid, COUNT(*) AS n_hits
+      FROM exact JOIN ivf USING (qid, vec_id)
+      GROUP BY exact.qid)
+    SELECT q.qid,
+           CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / {float(_RECALL_K)}, 6)
+             AS recall_at_{_RECALL_K}
+    FROM q LEFT JOIN hits h USING (qid)
+    ORDER BY q.qid
+    """,
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF(nprobe=2) vs exact, for 5 query vectors in ONE job.
+
+    The query set and centroid set are broadcast, so the corpus is scanned
+    once per ranking (exact + cell assignment); the per-query top-k windows
+    shuffle only scored candidates, and the recall join touches k-sized
+    rankings. This is the operational loop for tuning nprobe at 100 TB:
+    recall is measured on a query sample inside the engine, no export."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.ann import ivf_assign
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id").isin(*_RECALL_QIDS))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+
+    score = F.round(F.lit(1.0) - squared_l2(F.col("embedding"), F.col("qv")), 6)
+    w_q = Window.partitionBy("qid").orderBy(score.desc(),
+                                            F.col("vec_id").asc())
+    exact = (emb.crossJoin(F.broadcast(q))
+             .withColumn("rn", F.row_number().over(w_q))
+             .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+
+    w_p = Window.partitionBy("qid").orderBy(
+        squared_l2(F.col("centroid"), F.col("qv")).asc(),
+        F.col("centroid_id").asc())
+    probes = (cent.crossJoin(F.broadcast(q))
+              .withColumn("rn", F.row_number().over(w_p))
+              .filter(F.col("rn") <= _NPROBE).select("qid", "centroid_id"))
+
+    assigned = ivf_assign(emb, cent).select("vec_id", "centroid_id",
+                                            "embedding")
+    ivf = (assigned.join(F.broadcast(probes), "centroid_id")
+           .join(F.broadcast(q), "qid")
+           .withColumn("rn", F.row_number().over(w_q))
+           .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+
+    hits = (exact.join(ivf, ["qid", "vec_id"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (q.select("qid").join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).cast("int")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / float(_RECALL_K), 6)
+                    .alias(f"recall_at_{_RECALL_K}"))
+            .orderBy("qid"))

@@ -94,20 +94,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank over supplier→customer shipments, 3 rounds, d=0.85.
 
-    The edge list is persisted so each round re-reads memory, not parquet;
-    rounds shuffle only node-sized rank tables plus the partial-aggregated
-    contribution sums (SCALE.md §18)."""
-    edges = _edges(spark, sf_dir).persist()
-    try:
-        ranks = pagerank(edges, iterations=_ITERS,
-                         damping=float(_DAMPING), scale=_SCALE)
-        w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-        return (ranks.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= 20)
-                .orderBy("rank"))
-    finally:
-        # unpersist AFTER the plan is built; blocking=False keeps it lazy-safe
-        edges.unpersist(blocking=False)
+    The operator persists the degree-annotated edge list so each round
+    re-reads memory, not parquet, and broadcasts the node-sized rank table —
+    rounds never shuffle edges, only the partial-aggregated contribution
+    sums (SCALE.md §18)."""
+    ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS,
+                     damping=float(_DAMPING), scale=_SCALE)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (ranks.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .orderBy("rank"))
 
 
 @query(

@@ -1,0 +1,125 @@
+"""Product-analytics query surface: multi-stage conversion funnels and
+cohort retention over the events stream.
+
+These are the two canonical event-analytics shapes every warehouse engine
+ships (Mixpanel/Amplitude-style); they exercise ordered multi-stage
+semantics (stage N must happen strictly AFTER stage N−1) and
+self-referential cohort grouping — neither is a plain groupBy.
+
+Scale notes (SCALE.md §18): each funnel stage filters on event_type (pushed
+into the parquet scan) and partial-aggregates MIN(ts) per user — the
+exchange carries one row per surviving user per stage, never raw events.
+Cohort retention shuffles (user, week) pairs once for the first-touch
+aggregate and re-joins user-sized output; the distinct-user count is a
+single count_distinct (no Expand — ROUND_NOTES.md gotcha)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel_conversion",
+    survey="north-star event analytics (ordered multi-stage conversion "
+           "funnel: view -> click -> purchase, strictly time-ordered)",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM c)
+                 / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6)
+             AS click_rate,
+           ROUND((SELECT COUNT(*) FROM p)
+                 / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 6)
+             AS purchase_rate
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: a user converts at stage N only via an event
+    strictly after their stage-N−1 time. Three type-filtered scans (the
+    event_type predicate reaches the parquet scan) each reduced to one
+    MIN(ts) row per user; stage joins are user-sized, not event-sized."""
+    events = tbl(spark, sf_dir, "events")
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (nv.crossJoin(nc).crossJoin(np_)
+            .select(
+                "n_view", "n_click", "n_purchase",
+                F.round(F.col("n_click")
+                        / F.col("n_view").cast("double"), 6)
+                .alias("click_rate"),
+                F.round(F.col("n_purchase")
+                        / F.col("n_click").cast("double"), 6)
+                .alias("purchase_rate")))
+
+
+_EPOCH = "2024-01-01"
+
+
+@query(
+    "events_cohort_retention",
+    survey="north-star event analytics (weekly cohort retention triangle)",
+    oracle=f"""
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', DATE '{_EPOCH}',
+                                  CAST(ts AS DATE)) / 7.0) AS INTEGER) AS wk
+      FROM events),
+    first_touch AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY user_id)
+    SELECT f.cohort_wk,
+           CAST(w.wk - f.cohort_wk AS INTEGER) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM weeks w JOIN first_touch f USING (user_id)
+    GROUP BY f.cohort_wk, week_offset
+    ORDER BY f.cohort_wk, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = a user's first active week
+    (integer weeks since a fixed epoch — pure integer arithmetic, no
+    engine-specific week-truncation semantics), activity counted as
+    distinct users per (cohort, offset). One (user, week) shuffle + one
+    user-sized self-join; the final aggregate's single count_distinct
+    avoids the multi-distinct Expand blowup."""
+    events = tbl(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
+        / 7.0).cast("int")
+    weeks = events.select("user_id", wk.alias("wk"))
+    first_touch = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (weeks.join(first_touch, "user_id")
+            .groupBy("cohort_wk",
+                     (F.col("wk") - F.col("cohort_wk")).cast("int")
+                     .alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_active"))
+            .orderBy("cohort_wk", "week_offset"))

@@ -323,18 +323,25 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     bench = (docs.filter(F.col("doc_id") < 5)
              .select(F.explode(word_shingles(F.col("text"), 8)).alias("sh"))
-             .distinct())
-    corp = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
-            .select("doc_id",
-                    word_shingles(F.col("text"), 8).alias("shs")))
-    hits = (corp.select("doc_id", F.explode("shs").alias("sh"))
-            .join(F.broadcast(bench), "sh")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_contaminated")))
-    return (corp.join(hits, "doc_id", "left")
+             .distinct().withColumn("hit", F.lit(1)))
+    # single shingle pass: explode once, mark hits via the broadcast left
+    # join, count rows (= n_shingles, shingles are distinct-per-doc) and
+    # hits in ONE aggregate; docs too short for any 8-gram re-enter 0-filled
+    corp_ids = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
+                .select("doc_id"))
+    exploded = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
+                .select("doc_id",
+                        F.explode(word_shingles(F.col("text"), 8))
+                        .alias("sh")))
+    agg = (exploded.join(F.broadcast(bench), "sh", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated")))
+    return (corp_ids.join(agg, "doc_id", "left")
             .select(
                 "doc_id",
-                F.size("shs").alias("n_shingles"),
+                F.coalesce("n_shingles", F.lit(0)).cast("int")
+                .alias("n_shingles"),
                 F.coalesce("n_contaminated", F.lit(0)).cast("int")
                 .alias("n_contaminated"),
                 (F.coalesce("n_contaminated", F.lit(0)) > 0)
