@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.operators.temporal import (
     asof_join, bucketed_range_join,
 )
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import (
+    exact_sum,
+    query,
+    sql_exact_sum,
+    tbl,
+)
 
 
 @query(
@@ -83,3 +88,112 @@ def events_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_recent_clicks", F.lit(0)).alias("n_recent_clicks"))
         .orderBy("event_id")
     )
+
+
+# --- gaps-and-islands + multi-granularity rollup (wave 6) -------------------
+
+_EPOCH = "2024-01-01"
+
+
+@query(
+    "events_longest_streak",
+    survey="north-star event analytics (gaps-and-islands: longest run of "
+           "consecutive active days per user)",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(MAX(len) AS INTEGER) AS longest_streak_days,
+           CAST(COUNT(*) AS INTEGER) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands rewrite: day_index − row_number() is
+    constant exactly within a consecutive run, so islands fall out of one
+    window + one aggregate — no self-join, no iteration. All three hops
+    (distinct, window, groupBy) partition on user_id, so AQE coalesces them
+    onto one exchange of (user, day) rows."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    days = (ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit(_EPOCH).cast("date")).alias("d"))
+        .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").cast("int").alias("longest_streak_days"),
+                 F.count(F.lit(1)).cast("int").alias("n_streaks"))
+            .orderBy("user_id"))
+
+
+@query(
+    "events_multi_grain_rollup",
+    survey="I-extension(hypertable-style continuous aggregate: day/week/"
+           "month grains from ONE scan via GROUPING SETS)",
+    oracle=f"""
+    WITH g AS (
+      SELECT date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS day_idx,
+             CAST(floor(date_diff('day', DATE '{_EPOCH}',
+                                  CAST(ts AS DATE)) / 7.0) AS BIGINT)
+               AS week_idx,
+             ((EXTRACT(year FROM CAST(ts AS DATE)) - 2024) * 12
+              + EXTRACT(month FROM CAST(ts AS DATE)) - 1) AS month_idx,
+             value
+      FROM events)
+    SELECT CASE WHEN GROUPING(day_idx) = 0 THEN 'day'
+                WHEN GROUPING(week_idx) = 0 THEN 'week'
+                ELSE 'month' END AS grain,
+           CAST(COALESCE(day_idx, week_idx, month_idx) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM g
+    GROUP BY GROUPING SETS ((day_idx), (week_idx), (month_idx))
+    ORDER BY grain, bucket
+    """,
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style multi-granularity rollup (day + week + month) in
+    ONE scan: GROUPING SETS Expands each row 3× — but counts and the scaled
+    exact sum are partial-aggregable, so each exchange carries only
+    bucket-sized partials, not the 3× row blowup (SCALE.md §17 logic). At
+    100 TB this replaces three separate scans with one."""
+    ev = tbl(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
+    g = ev.select(
+        day.alias("day_idx"),
+        F.floor(day / 7.0).alias("week_idx"),
+        ((F.year(F.col("ts").cast("date")) - 2024) * 12
+         + F.month(F.col("ts").cast("date")) - 1).cast("long")
+        .alias("month_idx"),
+        "value")
+    return (g.groupingSets([["day_idx"], ["week_idx"], ["month_idx"]],
+                           "day_idx", "week_idx", "month_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 exact_sum(F.col("value"), 2).alias("total_value"),
+                 # grouping() is an aggregate-context expression in Spark —
+                 # materialize the bits here, build the label outside
+                 F.grouping("day_idx").alias("g_day"),
+                 F.grouping("week_idx").alias("g_week"))
+            .select(
+                F.when(F.col("g_day") == 0, F.lit("day"))
+                .when(F.col("g_week") == 0, F.lit("week"))
+                .otherwise(F.lit("month")).alias("grain"),
+                F.coalesce("day_idx", "week_idx", "month_idx")
+                .cast("long").alias("bucket"),
+                "n_events", "total_value")
+            .orderBy("grain", "bucket"))
