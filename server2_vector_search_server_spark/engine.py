@@ -1,0 +1,192 @@
+"""User-facing engine facade — the reference's endpoint surface, Spark-native.
+
+A user of the reference drives it through six FastAPI endpoints
+(``/root/reference/app.py``). This class exposes the same operations with the
+same observable semantics, DataFrames in/out instead of HTTP:
+
+=====================  =========================================  ===========
+reference endpoint     method here                                reference
+=====================  =========================================  ===========
+POST /upload-document  :meth:`upload_documents`                   app.py:119-364
+POST /search           :meth:`search`                             app.py:367-393
+POST /search_score     :meth:`search_score`                       app.py:396-444
+GET  /list-documents   :meth:`list_documents`                     app.py:447-484
+GET  /documents_ui     :meth:`documents_ui`                       app.py:521-593
+DELETE /documents/{id} :meth:`delete_document`                    app.py:487-518
+=====================  =========================================  ===========
+
+Semantics preserved exactly:
+
+* keywords may be a list (joined with spaces, app.py:373,402) or a string;
+* ``k == -1`` falls back to ``SEARCH_K`` (vector_store.py:141,158);
+* ``/search`` degrades to an EMPTY result on engine errors
+  (vector_store.py:152-154) while ``/search_score`` raises (app.py:442-444);
+* ``/search_score`` applies ``score = 1 - d²`` with threshold 0.1 and sorts
+  descending (app.py:414-432);
+* uploads pass a GLOBAL dedup gate on ``doc_name`` (app.py:152-157) and
+  report per-file statuses shaped like ``FileUploadStatus``
+  (api_models.py:18-35);
+* deletes cascade across collections (vector_store.py:190-298) — structural
+  here, because master is the union of one partitioned table.
+
+Scale: every method is a thin composition of the library's operators — the
+partition-pruned scan, broadcast-scored top-k, and anti-join gate all hold
+their plans at cluster scale; only :meth:`upload_documents`' per-file status
+summary collects (bounded by the number of uploaded files, not rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark import config
+from server2_vector_search_server_spark.embedding import (
+    embed_hash,
+    hash_embedding_expr,
+)
+from server2_vector_search_server_spark.operators.catalog import (
+    group_documents,
+    list_documents as _list_documents,
+)
+from server2_vector_search_server_spark.plans.ingest import ingest_documents
+from server2_vector_search_server_spark.sources.store import ChunkStore
+
+
+def _join_keywords(keywords: str | Sequence[str]) -> str:
+    """``" ".join`` on lists, passthrough on strings (app.py:373,402)."""
+    if isinstance(keywords, str):
+        return keywords
+    return " ".join(keywords)
+
+
+class DocumentSearchEngine:
+    """The reference server's capability surface over one ChunkStore."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 embed_dim: int = config.TEST_EMBEDDING_DIM,
+                 embedder=embed_hash):
+        self.spark = spark
+        self.store = ChunkStore(spark, root)
+        self.embed_dim = embed_dim
+        self.embedder = embedder
+
+    # -- J2: query-side embedding (driver-side single encode) ---------------
+    def embed_query(self, query: str) -> list[float]:
+        """Encode ONE query string with the same function documents get —
+        the reference uses one model for both sides with no E5 role prefixes
+        (embedding.py:11-15, SURVEY.md §2.J caveat). Evaluated through the
+        same Spark expression as the document path for bit-exact parity,
+        then broadcast as a literal into the scoring plan."""
+        row = (self.spark.range(1)
+               .select(hash_embedding_expr(F.lit(query), self.embed_dim)
+                       .alias("v"))
+               .first())
+        return [float(x) for x in row["v"]]
+
+    # -- POST /upload-document ----------------------------------------------
+    def upload_documents(
+        self,
+        docs: DataFrame | Sequence[tuple[str, str]],
+        collection_name: str = config.MASTER_COLLECTION_NAME,
+        **ingest_kwargs: Any,
+    ) -> list[dict[str, Any]]:
+        """Ingest documents; returns per-file statuses (api_models.py:18-35).
+
+        ``docs``: a DataFrame with (doc_name, text) columns, or a small list
+        of ``(doc_name, text)`` tuples. Documents whose ``doc_name`` already
+        exists in ANY collection are skipped (the global dedup gate,
+        app.py:152-157); the rest are chunked, embedded, and appended.
+        """
+        if not isinstance(docs, DataFrame):
+            docs = self.spark.createDataFrame(
+                list(docs), "doc_name string, text string")
+        written = ingest_documents(
+            self.store, docs, collection=collection_name,
+            embed_dim=self.embed_dim, embedder=self.embedder,
+            **ingest_kwargs)
+        added = {
+            r["doc_name"]: r["n_chunks"]
+            for r in written.groupBy("doc_name")
+            .agg(F.count(F.lit(1)).alias("n_chunks")).collect()
+        }
+        statuses = []
+        for r in docs.select("doc_name").distinct().collect():
+            name = r["doc_name"]
+            if name in added:
+                statuses.append({"filename": name, "status": "success",
+                                 "chunks_added": added[name], "error": None})
+            else:
+                statuses.append({
+                    "filename": name, "status": "skipped", "chunks_added": 0,
+                    "error": "Document with the same name already exists"})
+        return statuses
+
+    # -- POST /search_score --------------------------------------------------
+    def search_score(
+        self,
+        keywords: str | Sequence[str],
+        k: int = config.DEFAULT_API_K,
+        filter: Mapping[str, Any] | None = None,
+        collection_name: str = config.MASTER_COLLECTION_NAME,
+        threshold: float | None = config.SIMILARITY_THRESHOLD,
+    ) -> DataFrame:
+        """Scored, thresholded, descending top-k (app.py:396-444). Errors
+        propagate — the reference returns HTTP 500 (app.py:442-444)."""
+        from server2_vector_search_server_spark.operators.knn import knn_topk
+
+        qvec = self.embed_query(_join_keywords(keywords))
+        corpus = self.store.read(collection_name)
+        return knn_topk(corpus, qvec, k=k, where=filter, threshold=threshold,
+                        vec_col="embedding", id_col="chunk_id")
+
+    # -- POST /search ---------------------------------------------------------
+    def search(
+        self,
+        keywords: str | Sequence[str],
+        k: int = config.DEFAULT_API_K,
+        filter: Mapping[str, Any] | None = None,
+        collection_name: str = config.MASTER_COLLECTION_NAME,
+    ) -> DataFrame:
+        """Unscored top-k. Engine errors degrade to an EMPTY result instead
+        of raising — the reference's vector_store swallows exceptions to []
+        (vector_store.py:152-154) so /search never 500s on store errors."""
+        try:
+            out = self.search_score(keywords, k=k, filter=filter,
+                                    collection_name=collection_name,
+                                    threshold=None).drop("score")
+            out.schema  # force analysis so bad filters surface here
+            return out
+        except Exception:
+            empty_schema = ("chunk_id string, doc_id string, doc_name string,"
+                            " chunk_index int, original_collection string,"
+                            " content string, metadata map<string,string>,"
+                            " collection string")
+            return self.spark.createDataFrame([], empty_schema)
+
+    # -- GET /list-documents --------------------------------------------------
+    def list_documents(
+            self,
+            collection_name: str = config.MASTER_COLLECTION_NAME) -> DataFrame:
+        """Distinct (doc_id, doc_name) catalog (app.py:447-484)."""
+        return _list_documents(self.store.read(collection_name))
+
+    # -- GET /documents_ui ----------------------------------------------------
+    def documents_ui(
+            self,
+            collection_name: str = config.MASTER_COLLECTION_NAME) -> DataFrame:
+        """Per-document chunk roll-up for the UI (app.py:549-577)."""
+        return group_documents(self.store.read(collection_name))
+
+    # -- DELETE /documents/{doc_id} ------------------------------------------
+    def delete_document(self, doc_id: str) -> bool:
+        """Cascading delete by doc_id (app.py:487-518); True if found."""
+        return self.store.delete_document(doc_id)
+
+    # -- upload-gate probes ---------------------------------------------------
+    def document_exists(self, doc_name: str,
+                        collection_name: str | None = None) -> bool:
+        """LIMIT-1 probe; ``None`` = global (vector_store.py:56-89)."""
+        return self.store.document_exists(doc_name, collection_name)

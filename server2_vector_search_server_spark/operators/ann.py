@@ -484,8 +484,13 @@ def write_ivf_pq_index(vectors: DataFrame, centroids: DataFrame,
     executed plan in tests."""
     assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
     encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
-    (encoded.write.mode("overwrite")
-     .partitionBy("centroid_id").parquet(path))
+    # ingest_batch = -1 marks the base build; streaming refreshes stamp their
+    # micro-batch id so a replayed batch can overwrite exactly its own leaf
+    # partitions (streaming/ann_index.py). Searches prune on centroid_id at
+    # the TOP directory level either way and never read this column.
+    (encoded.withColumn("ingest_batch", F.lit(-1).cast("long"))
+     .write.mode("overwrite")
+     .partitionBy("centroid_id", "ingest_batch").parquet(path))
 
 
 def ivf_pq_knn_indexed(
@@ -529,8 +534,14 @@ def ivf_pq_knn_indexed(
         approx_d2 = approx_d2 + F.element_at(qdists,
                                              F.col(f"pq_code_{m + 1}"))
     code_cols = [f"pq_code_{m + 1}" for m in range(n_sub)]
+    # Schema-generic candidate projection: carry every stored payload column
+    # (whatever the indexed corpus has) except the full-precision vector and
+    # index-internal columns — naming a specific payload column here would
+    # break any corpus without it.
+    payload_cols = [c for c in stored.columns
+                    if c not in (vec_col, "ingest_batch", *code_cols)]
     cand = (
-        cell.select(id_col, "label", centroid_id_col, *code_cols)
+        cell.select(*payload_cols, *code_cols)
         .withColumn("score_pq",
                     F.round(F.lit(1.0) - approx_d2, score_decimals))
         .orderBy(F.col("score_pq").desc(), F.col(id_col).asc())

@@ -109,18 +109,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_SQL_STAGED},
     agg AS (
       SELECT COUNT(*) AS n_input,
-             SUM(CASE WHEN predicted_lang <> 'und' THEN 1 ELSE 0 END)
-               AS n_lang,
-             SUM(CASE WHEN predicted_lang <> 'und'
+             CAST(SUM(CASE WHEN predicted_lang <> 'und' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lang,
+             CAST(SUM(CASE WHEN predicted_lang <> 'und'
                        AND quality >= {_QUALITY_MIN} THEN 1 ELSE 0 END)
-               AS n_quality,
-             SUM(CASE WHEN predicted_lang <> 'und'
+               AS BIGINT) AS n_quality,
+             CAST(SUM(CASE WHEN predicted_lang <> 'und'
                        AND quality >= {_QUALITY_MIN}
-                       AND is_canonical THEN 1 ELSE 0 END) AS n_dedup,
-             SUM(CASE WHEN predicted_lang <> 'und'
+                       AND is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dedup,
+             CAST(SUM(CASE WHEN predicted_lang <> 'und'
                        AND quality >= {_QUALITY_MIN}
                        AND is_canonical AND sampled THEN 1 ELSE 0 END)
-               AS n_sample
+               AS BIGINT) AS n_sample
       FROM canon)
     SELECT stage_no, stage, n_docs FROM (
       SELECT 1 AS stage_no, 'input' AS stage, n_input AS n_docs FROM agg

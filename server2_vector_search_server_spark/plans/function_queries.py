@@ -113,11 +113,11 @@ def string_functions_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
            COUNT(*) - COUNT(NULLIF(l_discount, 0.0)) AS n_zero_discount,
-           SUM(CASE WHEN NULLIF(l_discount, 0.0)
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0)
                          IS NOT DISTINCT FROM NULLIF(l_tax, 0.0)
-                    THEN 1 ELSE 0 END) AS n_nullsafe_equal,
-           SUM(CASE WHEN NULLIF(l_discount, 0.0) = NULLIF(l_tax, 0.0)
-                    THEN 1 ELSE 0 END) AS n_plain_equal
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_equal,
+           CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) = NULLIF(l_tax, 0.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_equal
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -451,8 +451,10 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN e.value < s.lo THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN e.value > s.hi THEN 1 ELSE 0 END) AS n_clipped_high,
+           CAST(SUM(CASE WHEN e.value < s.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > s.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
            ROUND(SUM(CAST(ROUND(least(greatest(e.value, s.lo), s.hi) * 100)
                           AS BIGINT)) / 100.0 / COUNT(*), 6)
              AS winsorized_avg

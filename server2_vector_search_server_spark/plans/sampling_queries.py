@@ -17,7 +17,7 @@ from server2_vector_search_server_spark.plans.registry import query, tbl
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc_id
     FROM documents
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')

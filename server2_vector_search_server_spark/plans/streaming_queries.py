@@ -27,6 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from server2_vector_search_server_spark.session import read_events_stream
 from server2_vector_search_server_spark.plans.registry import (
     REGISTRY, query, sql_exact_sum, tbl,
 )
@@ -116,13 +117,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="events_sess_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
-                  "value double, props string")
-    events = (
-        spark.readStream.schema(raw_schema).parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    events = read_events_stream(spark, src)
     sink = f"sess_windows_{uuid.uuid4().hex[:8]}"
     q = (
         session_stats(events)
@@ -218,12 +213,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    events = (
-        spark.readStream.schema(raw_schema).parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    events = read_events_stream(spark, src)
     sink = f"win_counts_{uuid.uuid4().hex[:8]}"
     q = (
         tumbling_counts(events)

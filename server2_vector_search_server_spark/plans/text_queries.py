@@ -33,10 +33,11 @@ def _sql_stop_hits(lang: str) -> str:
     SELECT doc_id,
            CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct({_SQL_TOKS})) AS INTEGER) AS n_distinct,
-           (CAST(len({_SQL_TOKS}) AS BIGINT) +
+           CAST(CAST(len({_SQL_TOKS}) AS BIGINT) +
             list_sum(list_prepend(CAST(0 AS BIGINT),
               list_transform({_SQL_TOKS},
-                t -> CAST(floor(length(t) / 4) AS BIGINT))))) AS bpe_estimate,
+                t -> CAST(floor(length(t) / 4) AS BIGINT))))
+            AS BIGINT) AS bpe_estimate,
            ROUND(CASE WHEN len({_SQL_TOKS}) = 0 THEN 0.0
                  ELSE CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
                         list_transform({_SQL_TOKS},

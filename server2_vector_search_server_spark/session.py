@@ -47,24 +47,50 @@ def get_spark(app_name: str = "server2_vector_search_server_spark",
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read nanos as long (legacy conf) and convert to microsecond
-    timestamps JVM-side — a narrow, distributed transformation (no driver
-    materialization), so it holds at any scale. The DuckDB oracle mirrors the
-    truncation with ``CAST(ts AS TIMESTAMP)``.
+    ``events.parquet`` has shipped as either TIMESTAMP(NANOS) — which Spark's
+    parquet reader rejects unless nanos are read as long and converted — or
+    plain TIMESTAMP(MICROS). Handle both: the conversion is applied only when
+    the file really stores nanos-as-long, and a micros file surfaces as a
+    session-zone timestamp (identical to what the nanos path produces, and to
+    DuckDB's ``CAST(ts AS TIMESTAMP)``). Both paths are narrow, distributed
+    column transformations — no driver materialization, any scale.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer DIV, not float /: nanos ~1.7e18 exceed double's 53-bit
             # mantissa, so float division drifts by up to ±1 microsecond
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str):
+    """``readStream`` over an events-shaped parquet directory, normalizing
+    ``ts`` exactly like :func:`read_table` — a streaming source must be given
+    its schema up front, so peek at the existing files (footer-only, driver
+    side) to decide between the nanos-as-long and the plain-micros layout.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    peeked = spark.read.parquet(src_dir).schema["ts"].dataType
+    if isinstance(peeked, T.LongType):
+        raw = ("event_id long, ts long, user_id long, event_type string, "
+               "value double, props string")
+        return (spark.readStream.schema(raw).parquet(src_dir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    raw = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    return spark.readStream.schema(raw).parquet(src_dir)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

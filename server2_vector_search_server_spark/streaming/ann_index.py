@@ -21,9 +21,14 @@ Why this is the right 100 TB shape:
   with append mode creates new files only under the partitions the batch's
   rows map to; a search's partition-pruned probe picks them up on the next
   parquet listing with no coordination.
-* **Exactly-once via checkpoint.** Source offsets live in the streaming
-  checkpoint (the ``max_seq_id`` consumer-offset analog, cf.
-  ``streaming/wal.py``); a restart re-reads nothing already applied.
+* **Exactly-once via checkpoint + idempotent batch write.** Source offsets
+  live in the streaming checkpoint (the ``max_seq_id`` consumer-offset
+  analog, cf. ``streaming/wal.py``), and each micro-batch lands under its
+  own ``ingest_batch=<id>`` leaf partitions written with DYNAMIC partition
+  overwrite — a batch replayed after a failure between the write and the
+  checkpoint commit overwrites exactly its own files instead of appending
+  duplicates. Offsets-tracking alone gives at-least-once; the idempotent
+  write is what upgrades it to exactly-once.
 * **Frozen quantizers.** Centroids and codebooks are immutable while the
   stream runs — the standard IVF-PQ serving discipline (cf. Faiss: adding
   vectors never retrains the coarse quantizer). Retraining is an offline
@@ -40,6 +45,7 @@ stream per index, the same discipline as ``streaming/ingest.py``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators import ann
 
@@ -53,22 +59,30 @@ def refresh_ivf_pq_index(
     centroids: DataFrame,
     codebooks: list[list[list[float]]],
     *,
+    batch_id: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
-    """Encode one micro-batch of new vectors and append it to the index.
+    """Encode one micro-batch of new vectors and add it to the index
+    idempotently.
 
     The incremental twin of ``operators/ann.write_ivf_pq_index``: same
-    assignment + encoding, applied to the batch only, appended instead of
-    overwritten. Deterministic given frozen centroids/codebooks, so a
-    streamed index is bit-identical to a from-scratch build over the same
-    rows (asserted in tests).
+    assignment + encoding, applied to the batch only. Rows are stamped with
+    ``batch_id`` and written with dynamic partition overwrite, so the write
+    replaces exactly the ``centroid_id=*/ingest_batch=<batch_id>`` leaf
+    partitions this batch produces: re-running the same batch (foreachBatch
+    replay after a failure before the checkpoint commit) converges to the
+    same files instead of duplicating rows. Deterministic given frozen
+    centroids/codebooks, so a streamed index is row-identical to a
+    from-scratch build over the same rows (asserted in tests).
     """
     assigned = ann.ivf_assign(batch, centroids, vec_col=vec_col,
                               id_col=id_col)
     encoded = ann.pq_encode(assigned, codebooks, vec_col=vec_col)
-    (encoded.write.mode("append")
-     .partitionBy("centroid_id").parquet(index_path))
+    (encoded.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("centroid_id", "ingest_batch").parquet(index_path))
 
 
 def start_ivf_pq_refresh_stream(
@@ -92,7 +106,8 @@ def start_ivf_pq_refresh_stream(
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         refresh_ivf_pq_index(batch, index_path, centroids, codebooks,
-                             vec_col=vec_col, id_col=id_col)
+                             batch_id=batch_id, vec_col=vec_col,
+                             id_col=id_col)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

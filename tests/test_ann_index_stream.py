@@ -31,7 +31,8 @@ def _fixtures(tables):
 
 
 def _index_files(index_path):
-    return set(glob.glob(os.path.join(index_path, "*", "*.parquet")))
+    # centroid_id=M/ingest_batch=N/part-*.parquet
+    return set(glob.glob(os.path.join(index_path, "*", "*", "*.parquet")))
 
 
 def test_streamed_index_matches_batch_build_and_search(spark, tables,
@@ -64,7 +65,10 @@ def test_streamed_index_matches_batch_build_and_search(spark, tables,
     ann.write_ivf_pq_index(emb, centroids, books, full_path)
     full = spark.read.parquet(full_path)
     assert sorted(streamed.columns) == sorted(full.columns)
-    cols = [c for c in streamed.columns if c != "embedding"]
+    # ingest_batch is write provenance (base build = -1, stream = batch id),
+    # not index content — excluded alongside the float vectors.
+    cols = [c for c in streamed.columns
+            if c not in ("embedding", "ingest_batch")]
     sym_diff = (streamed.select(*cols).exceptAll(full.select(*cols))
                 .unionAll(full.select(*cols)
                           .exceptAll(streamed.select(*cols))))
@@ -79,6 +83,25 @@ def test_streamed_index_matches_batch_build_and_search(spark, tables,
     assert [tuple(r) for r in
             got.orderBy("vec_id").collect()] == \
            [tuple(r) for r in want.orderBy("vec_id").collect()]
+
+
+def test_refresh_replayed_batch_is_idempotent(spark, tables, tmp_path):
+    """A foreachBatch replay (failure after the parquet write but before the
+    checkpoint commit) re-runs the same batch_id over the same rows; the
+    dynamic-partition-overwrite write must converge, not duplicate."""
+    from server2_vector_search_server_spark.streaming.ann_index import (
+        refresh_ivf_pq_index,
+    )
+
+    emb, centroids, books = _fixtures(tables)
+    batch = emb.filter(F.col("vec_id") < 100)
+    index_path = str(tmp_path / "index")
+    refresh_ivf_pq_index(batch, index_path, centroids, books, batch_id=7)
+    n1 = spark.read.parquet(index_path).count()
+    refresh_ivf_pq_index(batch, index_path, centroids, books, batch_id=7)
+    stored = spark.read.parquet(index_path)
+    assert stored.count() == n1 == batch.count()
+    assert stored.select("vec_id").distinct().count() == batch.count()
 
 
 def test_refresh_checkpoint_restart_is_exactly_once(spark, tables, tmp_path):

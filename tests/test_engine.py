@@ -1,0 +1,102 @@
+"""End-to-end facade tests: the reference's endpoint surface
+(upload / search / search_score / list-documents / documents_ui / delete)
+driven exactly as a reference user would drive the HTTP API
+(SURVEY.md §3.1-3.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from server2_vector_search_server_spark import config
+from server2_vector_search_server_spark.engine import DocumentSearchEngine
+
+DOCS_A = [
+    ("alpha.txt", "Alpha document about spark. It has two sentences."),
+    ("beta.txt", "Beta text mentions vectors. Vectors are arrays. Neat."),
+]
+DOCS_B = [
+    ("gamma.txt", "Gamma covers embeddings and search quality metrics."),
+]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = DocumentSearchEngine(spark, str(tmp_path / "chunks"))
+    eng.upload_documents(DOCS_A, "collection_a")
+    eng.upload_documents(DOCS_B, "collection_b")
+    return eng
+
+
+def test_upload_statuses_and_dedup_gate(engine):
+    # re-uploading an existing name anywhere is skipped (app.py:152-157),
+    # even into a different collection; new names succeed
+    statuses = engine.upload_documents(
+        [("alpha.txt", "changed content"), ("delta.txt", "Fresh one here.")],
+        "collection_b")
+    by_name = {s["filename"]: s for s in statuses}
+    assert by_name["alpha.txt"]["status"] == "skipped"
+    assert by_name["alpha.txt"]["chunks_added"] == 0
+    assert by_name["delta.txt"]["status"] == "success"
+    assert by_name["delta.txt"]["chunks_added"] >= 1
+
+
+def test_master_is_union_and_collections_are_pruned(engine):
+    master = {r["doc_name"] for r in
+              engine.list_documents("master").collect()}
+    assert master == {"alpha.txt", "beta.txt", "gamma.txt"}
+    only_a = {r["doc_name"] for r in
+              engine.list_documents("collection_a").collect()}
+    assert only_a == {"alpha.txt", "beta.txt"}
+
+
+def test_search_score_contract(engine):
+    # hash-embedder: identical text -> identical vector -> score exactly 1.0
+    # (the frozen contract score = 1 - d², SURVEY.md §2 C2); unrelated text
+    # scores ~ -1 and the 0.1 threshold (config.py:49) removes it.
+    query = DOCS_A[1][1]
+    res = engine.search_score(query, k=3, collection_name="master").collect()
+    assert 0 < len(res) <= 3
+    assert res[0]["doc_name"] == "beta.txt" and res[0]["score"] == 1.0
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= config.SIMILARITY_THRESHOLD for s in scores)
+    # keywords list == keywords string joined with spaces (app.py:373,402)
+    res2 = engine.search_score(query.split(" "), k=3).collect()
+    assert [r["chunk_id"] for r in res2] == [r["chunk_id"] for r in res]
+
+
+def test_search_k_minus_one_falls_back_to_config(engine):
+    # k == -1 -> SEARCH_K (=1) (vector_store.py:141,158; config.py:46)
+    assert len(engine.search("spark document", k=-1).collect()) \
+        == config.SEARCH_K
+
+
+def test_search_filter_and_error_degradation(engine):
+    hits = engine.search(
+        "anything", k=10,
+        filter={"doc_name": {"$eq": "beta.txt"}}).collect()
+    assert hits and all(r["doc_name"] == "beta.txt" for r in hits)
+    # /search swallows engine errors to [] (vector_store.py:152-154)...
+    assert engine.search("x", filter={"doc_name": {"$bogus": 1}}) \
+        .count() == 0
+    # ...while /search_score surfaces them (app.py:442-444)
+    with pytest.raises(ValueError):
+        engine.search_score("x", filter={"doc_name": {"$bogus": 1}})
+
+
+def test_delete_cascades_globally(engine):
+    doc_id = engine.list_documents("collection_a") \
+        .filter("doc_name = 'alpha.txt'").first()["doc_id"]
+    assert engine.delete_document(doc_id) is True
+    assert engine.document_exists("alpha.txt") is False
+    assert "alpha.txt" not in {
+        r["doc_name"] for r in engine.list_documents("master").collect()}
+    # deleting an unknown id reports not-found (app.py:487-518 -> 404)
+    assert engine.delete_document("no-such-doc") is False
+
+
+def test_documents_ui_rollup(engine):
+    ui = {r["doc_id"]: r for r in engine.documents_ui("master").collect()}
+    assert len(ui) == 3
+    for r in ui.values():
+        assert r["n_chunks"] == len(r["chunk_ids"]) >= 1

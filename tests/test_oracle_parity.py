@@ -36,7 +36,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
+    import numpy as np
+
+    a_float = isinstance(a, (float, np.floating))
+    b_float = isinstance(b, (float, np.floating))
+    a_int = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_int = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    # The driver's value hash is dtype-sensitive: int64 on one engine and
+    # float64 on the other hash differently even when numerically equal
+    # (DuckDB HUGEINT -> float via pandas vs Spark BIGINT). Mirror that.
+    if (a_float and b_int) or (a_int and b_float):
+        return False
+    if a_float and b_float:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
