@@ -307,3 +307,68 @@ def cosine_near_duplicates(vectors: DataFrame, *, vec_col: str = "embedding",
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(vectors: DataFrame, centroids: DataFrame, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   threshold: float = 0.95,
+                   centroid_id_col: str = "centroid_id",
+                   centroid_vec_col: str = "centroid") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a frozen coarse
+    quantizer, then deduplicate ONLY within clusters — the trick that turns
+    the quadratic all-pairs cosine problem into per-cluster work.
+
+    Drop policy (deterministic, order-free): a vector is dropped iff some
+    LOWER-id vector in the same cluster has cosine >= threshold with it —
+    the id-ordered greedy pass of the paper expressed as one relational
+    predicate, so the same rule runs identically in Spark and the SQL
+    oracle.
+
+    Scale shape: assignment is a narrow argmin projection (``ivf_assign`` —
+    zero joins); the candidate join is an equi-join ON ``centroid_id`` whose
+    pair count is Σ(cluster size²), never corpus²; normalization happens
+    once per row and is persisted so Catalyst cannot re-inline the norms
+    into the join condition (the SCALE.md §6 lesson). With k ∝ corpus/1000
+    clusters this is the shape SemDeDup ran at LAION-440M scale.
+
+    Returns one row per input vector: (id, centroid_id, is_kept).
+    """
+    from server2_vector_search_server_spark.operators.ann import ivf_assign
+
+    def _normalize(df, col_name, out):
+        vec = F.col(col_name)
+        norm = l2_norm(vec)
+        denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+        return df.select(
+            *[c for c in df.columns if c != col_name],
+            F.transform(vec, lambda x: x.cast("double") / denom).alias(out))
+
+    # both sides normalized: assignment runs on the unit sphere, where
+    # squared-L2 argmin == cosine argmax (the spherical k-means geometry)
+    normalized = _normalize(vectors.select(id_col, vec_col), vec_col, "_nv")
+    cent_normed = _normalize(
+        centroids.select(centroid_id_col, centroid_vec_col),
+        centroid_vec_col, centroid_vec_col)
+    assigned = ivf_assign(normalized, cent_normed, vec_col="_nv",
+                          id_col=id_col, centroid_id_col=centroid_id_col,
+                          centroid_vec_col=centroid_vec_col).persist()
+    a = assigned.select(F.col(id_col).alias("_id_a"),
+                        F.col(centroid_id_col).alias("_cid_a"),
+                        F.col("_nv").alias("_n_a"))
+    b = assigned.select(F.col(id_col).alias("_id_b"),
+                        F.col(centroid_id_col).alias("_cid_b"),
+                        F.col("_nv").alias("_n_b"))
+    dropped = (
+        a.join(b, (F.col("_cid_a") == F.col("_cid_b"))
+               & (F.col("_id_a") < F.col("_id_b")))
+        .filter(F.round(dot(F.col("_n_a"), F.col("_n_b")), 6)
+                >= F.lit(float(threshold)))
+        .select(F.col("_id_b").alias(id_col)).distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(F.col(id_col), F.col(centroid_id_col),
+                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"))
+    )

@@ -119,3 +119,57 @@ def doc_fingerprint(text: Column, *, shingle_n: int = 3) -> Column:
     doc's word shingles (winnowing-style minimum; stable under shuffle)."""
     hashes = F.transform(word_shingles(text, shingle_n), token_hash)
     return F.coalesce(F.array_min(hashes), F.lit(-1).cast("long"))
+
+
+def gopher_rule_columns(text: Column) -> list[Column]:
+    """The Gopher quality-filter rule family (Rae et al. 2021, §A1.1,
+    arXiv:2112.11446) as pure column expressions — word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, and a minimum-stopword gate, plus the
+    conjunctive ``keep`` verdict. One narrow projection per document: at
+    100 TB this fuses into the scan (no shuffle, no Python), which is why
+    rule-based filtering is always the FIRST curation stage — it prunes the
+    corpus before anything that costs a shuffle or a model.
+
+    Thresholds follow the published recipe, adapted where the paper binds to
+    its tokenizer: 50 <= n_words <= 100000, 3 <= mean_word_len <= 10,
+    symbol-word fraction <= 0.1, bullet lines <= 0.9, ellipsis lines <= 0.3,
+    alphabetic words >= 0.8, >= 2 English stopword hits.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks)
+    nw = F.when(n_words == 0, F.lit(1)).otherwise(n_words)  # div-0 guard
+    mean_word_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double")
+        / nw.cast("double"), 6)
+    frac_alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("double") / nw.cast("double"), 6)
+    frac_symbol = F.round(
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+        .cast("double") / nw.cast("double"), 6)
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.when(F.size(lines) == 0, F.lit(1)).otherwise(F.size(lines))
+    frac_bullet = F.round(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).startswith("-")
+                        | F.trim(ln).startswith("*")))
+        .cast("double") / n_lines.cast("double"), 6)
+    frac_ellipsis = F.round(
+        F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")))
+        .cast("double") / n_lines.cast("double"), 6)
+    n_stop_hits = F.size(F.filter(
+        toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    keep = ((n_words >= 50) & (n_words <= 100000)
+            & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+            & (frac_symbol <= 0.1) & (frac_bullet <= 0.9)
+            & (frac_ellipsis <= 0.3) & (frac_alpha >= 0.8)
+            & (n_stop_hits >= 2))
+    return [n_words.alias("n_words"),
+            mean_word_len.alias("mean_word_len"),
+            frac_alpha.alias("frac_alpha_words"),
+            frac_symbol.alias("frac_symbol_words"),
+            frac_bullet.alias("frac_bullet_lines"),
+            frac_ellipsis.alias("frac_ellipsis_lines"),
+            n_stop_hits.alias("n_stop_hits"),
+            keep.alias("keep")]

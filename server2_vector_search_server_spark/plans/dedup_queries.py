@@ -24,6 +24,7 @@ from server2_vector_search_server_spark.plans.registry import (
     query,
     sql_dot,
     sql_l2_norm,
+    sql_sq_l2,
     tbl,
 )
 
@@ -303,3 +304,71 @@ def dedup_component_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cosine_pairs(spark, sf_dir).select("id_a", "id_b"), "id_a", "id_b")
     comps = comps.select(F.col("node"), F.col("component"))
     return graph.component_summary(comps)
+
+
+# ---------------------------------------------------------------------------
+# 7. SemDeDup: cluster-then-prune semantic dedup (Abbas et al. 2023)
+
+_SEM_C = 8           # coarse centroids = first 8 corpus vectors
+_SEM_THRESHOLD = 0.95
+
+# corpus: originals ∪ exact copies (+20000) — every copy has cosine 1.0 with
+# its original, so the planted duplicates provably exceed the threshold
+_SQL_SEM_NORM = f"""
+    vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_COS_N}
+      UNION ALL
+      SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id < {_COS_N}),
+    normed AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               (CASE WHEN {sql_l2_norm('embedding')} = 0 THEN 1.0
+                     ELSE {sql_l2_norm('embedding')} END)) AS nv
+      FROM vecs),
+    cent AS (SELECT vec_id AS cid, nv AS cv FROM normed
+             WHERE vec_id < {_SEM_C}),
+    assigned AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY {sql_sq_l2('n.nv', 'c.cv')} ASC, c.cid ASC) AS rn
+        FROM normed n CROSS JOIN cent c) WHERE rn = 1)
+"""
+
+_SQL_SEMANTIC = f"""
+    WITH {_SQL_SEM_NORM}
+    SELECT a.vec_id, a.centroid_id,
+           NOT EXISTS (
+             SELECT 1 FROM assigned b JOIN normed nb ON nb.vec_id = b.vec_id
+             JOIN normed na ON na.vec_id = a.vec_id
+             WHERE b.centroid_id = a.centroid_id AND b.vec_id < a.vec_id
+               AND ROUND({sql_dot('na.nv', 'nb.nv')}, 6) >= {_SEM_THRESHOLD}
+           ) AS is_kept
+    FROM assigned a
+    ORDER BY a.vec_id
+"""
+
+
+@query(
+    "dedup_semantic",
+    survey="north-star dedup (SemDeDup: cluster-then-prune — per-cluster "
+           "cosine pruning after a coarse-quantizer assignment)",
+    oracle=_SQL_SEMANTIC,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over a corpus with planted exact
+    duplicates: IVF-assign to frozen centroids, then drop any vector with a
+    lower-id same-cluster neighbor at cosine >= 0.95. The quadratic pair
+    problem becomes Σ(cluster²) — the LAION-scale semantic-dedup shape. The
+    oracle replays assignment (argmin via ROW_NUMBER) and the drop rule
+    (NOT EXISTS) on the same normalized vectors."""
+    emb = tbl(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _COS_N).select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding"))
+    centroids = (emb.filter(F.col("vec_id") < _SEM_C)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    return dedup.semantic_dedup(
+        corpus, centroids, threshold=_SEM_THRESHOLD).orderBy("vec_id")

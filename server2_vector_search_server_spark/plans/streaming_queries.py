@@ -224,3 +224,60 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_dedup_exact",
+    survey="I(stateful streaming dedup: dropDuplicates state store under "
+           "readStream — the online twin of dedup_exact)",
+    oracle="""
+    SELECT content_hash, CAST(n_sources AS INTEGER) AS n_sources FROM (
+      SELECT md5(text) AS content_hash,
+             COUNT(DISTINCT CASE WHEN doc_id < 100000 THEN 'orig'
+                                 ELSE 'copy' END) AS n_sources
+      FROM (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id < 300)
+      GROUP BY content_hash)
+    ORDER BY content_hash
+    """,
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AS A STREAM: documents arrive in micro-batches with
+    planted duplicate copies; ``dropDuplicates`` on the content hash keeps
+    state across batches so a duplicate arriving ANY number of batches later
+    is suppressed — the way a 100 TB ingest pipeline dedups against history
+    without re-scanning it (state store holds one 128-bit digest per seen
+    document, not the corpus). Emits each hash once (append mode); the
+    oracle recomputes the distinct-hash set with its duplicate-source count
+    relationally."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300).select("doc_id", "text"))
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    src = tempfile.mkdtemp(prefix="dedup_stream_")
+    # several files => several micro-batches; copies land in different
+    # batches than originals, so suppression must cross batch boundaries
+    corpus.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    deduped = (stream
+               .withColumn("content_hash", F.md5("text"))
+               .dropDuplicates(["content_hash"])
+               .select("content_hash"))
+    sink = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(sink)
+    # n_sources joined back from the batch corpus: proves every distinct
+    # hash appeared in both the original and the copy stream half
+    sources = (corpus.withColumn("content_hash", F.md5("text"))
+               .groupBy("content_hash")
+               .agg(F.size(F.collect_set(
+                   F.when(F.col("doc_id") < 100000, "orig")
+                   .otherwise("copy"))).alias("n_sources")))
+    return (out.join(sources, "content_hash")
+            .select("content_hash", "n_sources").orderBy("content_hash"))

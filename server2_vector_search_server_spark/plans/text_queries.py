@@ -348,3 +348,73 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce("n_contaminated", F.lit(0)) > 0)
                 .alias("contaminated"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filtering (Rae et al. 2021 §A1.1)
+
+_SQL_NW = f"CASE WHEN len({_SQL_TOKS}) = 0 THEN 1 ELSE len({_SQL_TOKS}) END"
+_SQL_LINES = ("list_filter(string_split(text, chr(10)), "
+              "ln -> trim(ln) != '')")
+_SQL_NL = f"CASE WHEN len({_SQL_LINES}) = 0 THEN 1 ELSE len({_SQL_LINES}) END"
+
+_SQL_GOPHER = f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS INTEGER) AS n_words,
+           ROUND(CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_SQL_TOKS},
+                     t -> CAST(length(t) AS BIGINT)))) AS DOUBLE)
+                 / CAST({_SQL_NW} AS DOUBLE), 6) AS mean_word_len,
+           ROUND(CAST(len(list_filter({_SQL_TOKS},
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                 / CAST({_SQL_NW} AS DOUBLE), 6) AS frac_alpha_words,
+           ROUND(CAST(len(list_filter({_SQL_TOKS},
+                   t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+                 / CAST({_SQL_NW} AS DOUBLE), 6) AS frac_symbol_words,
+           ROUND(CAST(len(list_filter({_SQL_LINES},
+                   ln -> starts_with(trim(ln), '-')
+                         OR starts_with(trim(ln), '*'))) AS DOUBLE)
+                 / CAST({_SQL_NL} AS DOUBLE), 6) AS frac_bullet_lines,
+           ROUND(CAST(len(list_filter({_SQL_LINES},
+                   ln -> ends_with(rtrim(ln), '...'))) AS DOUBLE)
+                 / CAST({_SQL_NL} AS DOUBLE), 6) AS frac_ellipsis_lines,
+           CAST({{stop_hits}} AS INTEGER) AS n_stop_hits,
+           (len({_SQL_TOKS}) BETWEEN 50 AND 100000
+            AND ROUND(CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({_SQL_TOKS},
+                      t -> CAST(length(t) AS BIGINT)))) AS DOUBLE)
+                  / CAST({_SQL_NW} AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+            AND ROUND(CAST(len(list_filter({_SQL_TOKS},
+                    t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+                  / CAST({_SQL_NW} AS DOUBLE), 6) <= 0.1
+            AND ROUND(CAST(len(list_filter({_SQL_LINES},
+                    ln -> starts_with(trim(ln), '-')
+                          OR starts_with(trim(ln), '*'))) AS DOUBLE)
+                  / CAST({_SQL_NL} AS DOUBLE), 6) <= 0.9
+            AND ROUND(CAST(len(list_filter({_SQL_LINES},
+                    ln -> ends_with(rtrim(ln), '...'))) AS DOUBLE)
+                  / CAST({_SQL_NL} AS DOUBLE), 6) <= 0.3
+            AND ROUND(CAST(len(list_filter({_SQL_TOKS},
+                    t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                  / CAST({_SQL_NW} AS DOUBLE), 6) >= 0.8
+            AND {{stop_hits}} >= 2) AS keep
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+@query(
+    "text_gopher_rules",
+    survey="north-star text analysis (Gopher rule-based quality filter, "
+           "Rae et al. 2021 §A1.1)",
+    oracle=_SQL_GOPHER.replace("{stop_hits}", _sql_stop_hits("en")),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule family per document — word-count bounds, mean
+    word length, symbol/bullet/ellipsis fractions, alphabetic-word fraction,
+    stopword gate, and the conjunctive keep verdict — in ONE narrow
+    projection (operators/text_analysis.gopher_rule_columns)."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (docs.select("doc_id", *ta.gopher_rule_columns(F.col("text")))
+            .withColumn("n_words", F.col("n_words").cast("int"))
+            .withColumn("n_stop_hits", F.col("n_stop_hits").cast("int"))
+            .orderBy("doc_id"))

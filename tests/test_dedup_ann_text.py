@@ -73,6 +73,29 @@ def test_cosine_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_semantic_dedup_drops_planted_copies(tables):
+    """SemDeDup contract: exact copies (cosine 1.0 with a lower-id original
+    in the same cluster) are always dropped; every drop is justified by a
+    kept-or-dropped lower-id neighbor in the SAME cluster (cross-cluster
+    pairs are never compared — that's the SemDeDup approximation)."""
+    emb = tables["embeddings"].filter(F.col("vec_id") < 100) \
+        .select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding"))
+    centroids = (emb.filter(F.col("vec_id") < 4)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    out = dedup.semantic_dedup(corpus, centroids, threshold=0.95).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 2 * emb.count()
+    for r in out:
+        if r["vec_id"] >= 20000:
+            # same vector => same cluster as its original => dropped
+            assert not r["is_kept"], r
+            assert by_id[r["vec_id"] - 20000]["centroid_id"] \
+                == r["centroid_id"]
+
+
 def test_hyperplane_recall_vs_exact(tables):
     """ANN returns a subset of the exact top-k containing the self-match."""
     emb = tables["embeddings"]
