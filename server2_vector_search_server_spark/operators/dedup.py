@@ -372,3 +372,54 @@ def semantic_dedup(vectors: DataFrame, centroids: DataFrame, *,
         .select(F.col(id_col), F.col(centroid_id_col),
                 F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"))
     )
+
+
+def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 5) -> DataFrame:
+    """Line-level deduplication across documents (the C4/CCNet boilerplate
+    pass: drop any line that appears verbatim in >= ``min_docs`` distinct
+    documents — headers, footers, cookie banners, nav chrome).
+
+    Distributed shape: posexplode to (doc, line_no, line) — a narrow
+    transform; ONE shuffle to count distinct docs per trimmed line (partial
+    aggregation collapses per-partition repeats first, so the shuffle
+    carries unique lines, not rows); an equi-join back on the line key; and
+    a per-doc reassembly groupBy that sorts the surviving lines by their
+    original ordinal. Nothing is quadratic and no driver materialization —
+    the op holds at web-crawl scale, where this exact pass removes ~30% of
+    raw bytes (Raffel et al. 2020, C4).
+
+    Empty lines are dropped unconditionally. Returns one row per surviving
+    document: (id, text, n_kept, n_removed).
+    """
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("line_no", "line"))
+        .filter(F.trim("line") != "")
+        .withColumn("line_key", F.trim("line"))
+    )
+    common = (
+        lines.groupBy("line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_key")
+    )
+    kept = lines.join(common, "line_key", "left_anti")
+    n_total = (lines.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n_total")))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("line_no", "line"))),
+                    lambda s: s["line"]),
+                "\n").alias(text_col),
+             F.count(F.lit(1)).alias("n_kept"))
+        .join(n_total, id_col)
+        .withColumn("n_removed", F.col("_n_total") - F.col("n_kept"))
+        .drop("_n_total")
+    )

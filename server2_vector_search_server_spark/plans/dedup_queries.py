@@ -372,3 +372,68 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("embedding").alias("centroid")))
     return dedup.semantic_dedup(
         corpus, centroids, threshold=_SEM_THRESHOLD).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# 8. line-level dedup (C4/CCNet boilerplate removal)
+
+_SQL_LINE_DEDUP = """
+    WITH corpus AS (
+      SELECT doc_id,
+             'NAV MENU HOME ABOUT' || chr(10)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN 'SUBSCRIBE NOW' || chr(10) ELSE '' END
+             || CASE WHEN doc_id % 97 = 0
+                     THEN 'RARE NOTICE' || chr(10) ELSE '' END
+             || text || chr(10) || 'COPYRIGHT ALL RIGHTS RESERVED' AS text
+      FROM documents WHERE doc_id < 200),
+    split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+    lines AS (
+      SELECT s.doc_id, t.i AS line_no,
+             trim(list_extract(s.l, t.i)) AS line_key,
+             list_extract(s.l, t.i) AS line
+      FROM split s, UNNEST(generate_series(1, len(s.l))) AS t(i)
+      WHERE trim(list_extract(s.l, t.i)) != ''),
+    common AS (
+      SELECT line_key FROM lines GROUP BY line_key
+      HAVING COUNT(DISTINCT doc_id) >= 5),
+    kept AS (SELECT * FROM lines
+             WHERE line_key NOT IN (SELECT line_key FROM common)),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+    SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.line_no) AS text,
+           CAST(COUNT(*) AS INTEGER) AS n_kept,
+           CAST(ANY_VALUE(t.n_total) - COUNT(*) AS INTEGER) AS n_removed
+    FROM kept k JOIN totals t USING (doc_id)
+    GROUP BY k.doc_id ORDER BY k.doc_id
+"""
+
+
+@query(
+    "dedup_boilerplate_lines",
+    survey="north-star dedup (line-level dedup across documents — the "
+           "C4/CCNet boilerplate-removal pass)",
+    oracle=_SQL_LINE_DEDUP,
+)
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup: every doc gets injected nav/footer boilerplate
+    (all docs), a half-corpus banner (100 docs), and a rare 3-doc notice;
+    ``remove_boilerplate_lines(min_docs=5)`` must strip exactly the lines
+    above threshold and keep the rare one — posexplode → distinct-doc count
+    per line → anti-join → ordinal-ordered reassembly
+    (operators/dedup.remove_boilerplate_lines)."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV MENU HOME ABOUT\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("SUBSCRIBE NOW\n"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 97 == 0, F.lit("RARE NOTICE\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\nCOPYRIGHT ALL RIGHTS RESERVED")).alias("text"))
+    out = dedup.remove_boilerplate_lines(corpus, min_docs=5)
+    return (out.select("doc_id", "text",
+                       F.col("n_kept").cast("int").alias("n_kept"),
+                       F.col("n_removed").cast("int").alias("n_removed"))
+            .orderBy("doc_id"))
