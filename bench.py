@@ -73,6 +73,9 @@ HEADLINE = [
     "events_funnel_conversion",  # ordered multi-stage funnel
     "events_cohort_retention",  # weekly cohort retention triangle
     "text_contamination_overlap",  # broadcast 8-gram decontamination
+    "dedup_semantic",           # SemDeDup cluster-then-prune cosine dedup
+    "text_gopher_rules",        # Gopher rule-based quality filter
+    "dedup_boilerplate_lines",  # C4 line-level dedup + reassembly
 ]
 
 

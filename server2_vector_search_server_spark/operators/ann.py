@@ -615,3 +615,66 @@ def mllib_similarity_join(
         F.col(f"datasetB.{id_col}").alias("id_b"),
         F.round(F.col("l2_dist"), 6).alias("l2_dist"),
     ).filter(F.col("id_a") < F.col("id_b"))
+
+
+# --- distributed Lloyd's k-means --------------------------------------------
+
+def kmeans_centroid_step(assigned: DataFrame, *,
+                         vec_col: str = "embedding",
+                         cluster_col: str = "centroid_id",
+                         scale: int = 1_000_000,
+                         decimals: int = 6) -> DataFrame:
+    """The k-means M-step as one distributed aggregate: per-cluster
+    element-wise mean via posexplode + two-phase aggregation. Map-side
+    combine collapses the exploded rows to #clusters × dim partial sums
+    before the shuffle, so network volume is corpus-size-independent
+    (SCALE.md §17). Component sums use the exact scaled-integer contract
+    (× scale, round, SUM as BIGINT, ÷ scale·n, round to ``decimals``) so
+    shuffle order cannot perturb the mean — the property that makes the
+    whole iteration reproducible across engines and cluster layouts."""
+    parts = (
+        assigned.select(cluster_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(cluster_col, "pos")
+        .agg(F.sum(F.round(F.col("v").cast("double") * scale)
+                   .cast("long")).alias("s"),
+             F.count(F.lit(1)).alias("n")))
+    return (
+        parts.groupBy(cluster_col)
+        .agg(F.max("n").alias("n_vectors"),
+             F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                 lambda x: F.round(x["s"] / float(scale) / x["n"], decimals))
+             .alias("centroid")))
+
+
+def kmeans_lloyd(vectors: DataFrame, init_centroids: DataFrame,
+                 n_iter: int = 2, *,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroid_id_col: str = "centroid_id",
+                 centroid_vec_col: str = "centroid") -> DataFrame:
+    """Full Lloyd's k-means, distributed and deterministic: ``n_iter``
+    alternations of E-step (``ivf_assign`` — centroids embedded as literals,
+    a narrow argmin projection with ZERO joins) and M-step
+    (:func:`kmeans_centroid_step` — one partial-aggregable shuffle of
+    k × dim numbers). The driver touches only the k × dim centroid table
+    between iterations; the corpus is scanned once per iteration and never
+    collected — the textbook 100 TB k-means shape (same loop MLlib runs,
+    minus sampling-based init).
+
+    Empty clusters are dropped (a centroid that attracts no vectors has no
+    mean); ties in the E-step break to the lowest centroid id. Returns the
+    final per-vector assignment (id, centroid_id) — compose with
+    :func:`kmeans_centroid_step` for the final centroids.
+    """
+    cent = init_centroids.select(
+        F.col(centroid_id_col), F.col(centroid_vec_col))
+    assigned = None
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cent, vec_col=vec_col, id_col=id_col,
+                              centroid_id_col=centroid_id_col,
+                              centroid_vec_col=centroid_vec_col)
+        cent = (kmeans_centroid_step(assigned, vec_col=vec_col,
+                                     cluster_col=centroid_id_col)
+                .select(F.col(centroid_id_col),
+                        F.col("centroid").alias(centroid_vec_col)))
+    return assigned.drop(vec_col)

@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.graph_queries",
     "server2_vector_search_server_spark.plans.product_analytics_queries",
     "server2_vector_search_server_spark.plans.basket_queries",
+    "server2_vector_search_server_spark.plans.breadth_queries3",
 ]
 
 

@@ -133,10 +133,16 @@ def lineitem_regression_family(spark: SparkSession,
 _DIM = 64
 _CSCALE = 1_000_000
 
-_SQL_CENTROID_ELEMS = ", ".join(
-    f"ROUND(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * {_CSCALE}) "
-    f"AS BIGINT)) / {_CSCALE}.0 / COUNT(*), 6)"
-    for i in range(_DIM))
+def _sql_centroid_elems(col: str = "embedding") -> str:
+    """Exact scaled-integer per-component mean, parameterized so the same
+    contract can aggregate over any (possibly aliased) vector column."""
+    return ", ".join(
+        f"ROUND(SUM(CAST(ROUND(CAST({col}[{i + 1}] AS DOUBLE) * {_CSCALE}) "
+        f"AS BIGINT)) / {_CSCALE}.0 / COUNT(*), 6)"
+        for i in range(_DIM))
+
+
+_SQL_CENTROID_ELEMS = _sql_centroid_elems()
 
 
 def _label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
@@ -324,4 +330,55 @@ def doc_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.sort_array(F.array_except(F.col("toks"), stop_lit)),
                     1, 5).alias("content_head"))
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "kmeans_lloyd_assignments",
+    survey="north-star similarity search (full Lloyd's k-means: TWO EM "
+           "iterations distributed, vs an unrolled two-round SQL oracle)",
+    oracle=f"""
+    WITH cent0 AS (
+      SELECT label AS cid, [{_sql_centroid_elems('embedding')}] AS c
+      FROM embeddings GROUP BY label),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.c')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent0 c) WHERE rn = 1),
+    cent1 AS (
+      SELECT a1.cid AS cid, [{_sql_centroid_elems('e.embedding')}] AS c
+      FROM a1 JOIN embeddings e USING (vec_id) GROUP BY a1.cid),
+    a2 AS (
+      SELECT e.vec_id, e.label, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {sql_sq_l2('e.embedding', 'c.c')}, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent1 c)
+    SELECT label, cid AS assigned_label, COUNT(*) AS n
+    FROM a2 WHERE rn = 1
+    GROUP BY label, assigned_label
+    ORDER BY label, assigned_label
+    """,
+)
+def kmeans_lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means run for TWO full EM iterations
+    (operators/ann.kmeans_lloyd): per-iteration cost is one corpus scan
+    (argmin E-step, zero joins) plus one k × dim partial-aggregable shuffle
+    (M-step); the driver holds only the centroid table between rounds. The
+    oracle unrolls both rounds relationally (CROSS JOIN + ROW_NUMBER argmin,
+    grouped exact scaled-integer means) — same rounded-component contract,
+    same lowest-id tie-break, so the final label↔cluster contingency table
+    hash-matches."""
+    from server2_vector_search_server_spark.operators import ann
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    init = (_label_centroids(emb)
+            .select(F.col("label").alias("centroid_id"), "centroid"))
+    assigned = ann.kmeans_lloyd(emb, init, n_iter=2)
+    return (
+        assigned.groupBy("label",
+                         F.col("centroid_id").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned_label")
     )

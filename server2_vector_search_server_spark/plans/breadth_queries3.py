@@ -1,0 +1,322 @@
+"""Function-breadth wave 5: inverse-distribution aggregates (median / mode),
+fault-tolerant try_* arithmetic, map higher-order functions, and array
+construction/reshaping breadth.
+
+Each query exists to pin one family's cross-engine contract — the exact
+null/tie/overflow semantics a user migrating a SQL workload depends on —
+with the DuckDB twin as the independent referee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+
+@query(
+    "order_median_mode",
+    survey="D-extension(inverse-distribution aggregates: exact median, "
+           "deterministic mode)",
+    oracle="""
+    -- mode tie-break: DuckDB's mode() is first-seen (order-dependent), so
+    -- the portable contract is min-value-among-most-frequent, computed
+    -- relationally on both engines
+    WITH price_counts AS (
+      SELECT o_orderpriority, o_totalprice, COUNT(*) AS c
+      FROM orders GROUP BY o_orderpriority, o_totalprice),
+    modes AS (
+      SELECT o_orderpriority, MIN(o_totalprice) AS mode_price FROM (
+        SELECT o_orderpriority, o_totalprice,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY c DESC) AS r
+        FROM price_counts) WHERE r = 1 GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(MEDIAN(o.o_totalprice), 6) AS median_price,
+           ROUND(ANY_VALUE(m.mode_price), 6) AS mode_price
+    FROM orders o JOIN modes m USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def order_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN (linear-interpolated 0.5-quantile — a full sort per
+    group at scale, which is why percentile_approx exists as the one-pass
+    sketch twin) and a DETERMINISTIC mode: both engines' native mode() is
+    first-seen under ties, so the portable contract computes
+    min-among-most-frequent via a count + rank — the only mode definition
+    that survives a distributed shuffle unchanged."""
+    orders = tbl(spark, sf_dir, "orders")
+    counts = (orders.groupBy("o_orderpriority", "o_totalprice")
+              .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("c").desc())
+    modes = (counts.withColumn("r", F.rank().over(w)).filter("r = 1")
+             .groupBy("o_orderpriority")
+             .agg(F.min("o_totalprice").alias("mode_price")))
+    return (
+        orders.join(modes, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.median("o_totalprice"), 6).alias("median_price"),
+             F.round(F.any_value("mode_price"), 6).alias("mode_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "lineitem_try_arithmetic",
+    survey="H-extension(fault-tolerant arithmetic: try_divide semantics — "
+           "NULL on division by zero instead of error/Inf)",
+    oracle="""
+    SELECT l_linenumber,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_discount,
+           CAST(SUM(CASE WHEN l_discount = 0.0 THEN NULL
+                     ELSE CAST(ROUND(l_extendedprice / l_discount)
+                               AS BIGINT) END) AS BIGINT)
+             AS sum_price_per_discount,
+           CAST(COUNT(CASE WHEN l_discount = 0.0 THEN NULL
+                      ELSE l_extendedprice / l_discount END)
+                AS BIGINT) AS n_defined
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def lineitem_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide: NULL on zero denominator (ANSI-mode-safe arithmetic).
+    DuckDB double division by zero yields Inf, not NULL, so the oracle spells
+    the same semantics with CASE — the point is the CONTRACT (nulls flow
+    through SUM/COUNT silently), which both engines then aggregate
+    identically. Ratios are rounded to integers before summing: summing
+    raw doubles in different orders drifts at the last ulp."""
+    li = tbl(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        li.groupBy("l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum((F.col("l_discount") == 0.0).cast("long"))
+             .alias("n_zero_discount"),
+             F.sum(F.round(ratio).cast("long"))
+             .alias("sum_price_per_discount"),
+             F.count(ratio).alias("n_defined"))
+        .orderBy("l_linenumber")
+    )
+
+
+@query(
+    "event_map_higher_order",
+    survey="H-extension(map higher-order functions: transform_keys/values, "
+           "map_filter, map_zip_with)",
+    oracle="""
+    -- the map is rebuilt as sorted key/value CSV strings (the only portable
+    -- representation of an unordered MAP value across engines)
+    WITH base AS (
+      SELECT user_id % 50 AS user_bucket, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_bucket, event_type),
+    m AS (
+      SELECT user_bucket,
+             list_sort(list(upper(event_type))) AS uk,
+             list_sort(list(event_type) FILTER (WHERE c >= 10)) AS big_keys,
+             list_sort(list(event_type || '=' || CAST(c * 2 AS VARCHAR)))
+               AS doubled
+      FROM base GROUP BY user_bucket)
+    SELECT user_bucket,
+           array_to_string(uk, ',') AS upper_keys,
+           coalesce(array_to_string(big_keys, ','), '') AS frequent_keys,
+           array_to_string(doubled, ',') AS doubled_counts
+    FROM m ORDER BY user_bucket
+    """,
+)
+def event_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions over a genuinely map-typed column:
+    transform_keys (upper-case), map_filter (count >= 10), transform_values
+    (double) — then serialized to sorted CSV because a MAP has no defined
+    order anywhere (Spark, DuckDB, or parquet) and sorted-string form is the
+    only hashable cross-engine contract."""
+    events = tbl(spark, sf_dir, "events")
+    base = (events.withColumn("user_bucket", F.col("user_id") % 50)
+            .groupBy("user_bucket", "event_type")
+            .agg(F.count(F.lit(1)).alias("c")))
+    m = (base.groupBy("user_bucket")
+         .agg(F.map_from_entries(
+             F.sort_array(F.collect_list(F.struct("event_type", "c"))))
+             .alias("counts")))
+    upper_keys = F.map_keys(
+        F.transform_keys(F.col("counts"), lambda k, v: F.upper(k)))
+    frequent = F.map_keys(
+        F.map_filter(F.col("counts"), lambda k, v: v >= 10))
+    doubled = F.transform_values(F.col("counts"), lambda k, v: v * 2)
+    doubled_csv = F.transform(
+        F.map_entries(doubled),
+        lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")))
+    return (
+        m.select(
+            "user_bucket",
+            F.array_join(F.sort_array(upper_keys), ",").alias("upper_keys"),
+            F.array_join(F.sort_array(frequent), ",").alias("frequent_keys"),
+            F.array_join(F.sort_array(doubled_csv), ",")
+            .alias("doubled_counts"))
+        .orderBy("user_bucket")
+    )
+
+
+@query(
+    "doc_array_reshaping",
+    survey="H-extension(array construction/reshaping: slice, flatten, "
+           "array_repeat, array_compact, array_position)",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t != '') AS w
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           array_to_string(w[1:5], ',') AS first5,
+           array_to_string(flatten([w[1:2], w[3:4]]), ',') AS flat4,
+           array_to_string(list_transform(range(3),
+             i -> list_extract(w, 1)), ',') AS head_x3,
+           CAST(len(list_filter(w, t -> t = 'the')) AS INTEGER)
+             AS n_the,
+           CAST(coalesce(list_position(w, 'the'), 0) AS INTEGER)
+             AS first_the_pos
+    FROM toks ORDER BY doc_id
+    """,
+)
+def doc_array_reshaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array reshaping family: slice (1-based, both engines), flatten of
+    nested slices, array_repeat, occurrence count, and 1-based
+    array_position with 0 = absent (Spark's native convention; the oracle
+    coalesces DuckDB's NULL to the same sentinel)."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.array_join(F.slice(w, 1, 5), ",").alias("first5"),
+            F.array_join(F.flatten(F.array(F.slice(w, 1, 2),
+                                           F.slice(w, 3, 2))), ",")
+            .alias("flat4"),
+            F.array_join(F.array_repeat(F.element_at(w, 1), 3), ",")
+            .alias("head_x3"),
+            F.size(F.filter(w, lambda t: t == "the")).cast("int")
+            .alias("n_the"),
+            F.array_position(w, "the").cast("int").alias("first_the_pos"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "lineitem_moment_aggregates",
+    survey="D-extension(statistical moment aggregates: corr, covariance, "
+           "stddev, skewness, kurtosis)",
+    oracle="""
+    -- Spark's skewness/kurtosis are POPULATION g1 / excess g2; DuckDB's
+    -- natives are bias-corrected sample forms, so the oracle derives the
+    -- population definitions from central moments — the oracle is the
+    -- semantic spec, not a function-name mirror.
+    WITH mu AS (
+      SELECT l_returnflag, AVG(l_quantity) AS m
+      FROM lineitem GROUP BY l_returnflag),
+    cm AS (
+      SELECT l.l_returnflag,
+             AVG(POW(l.l_quantity - mu.m, 2)) AS m2,
+             AVG(POW(l.l_quantity - mu.m, 3)) AS m3,
+             AVG(POW(l.l_quantity - mu.m, 4)) AS m4
+      FROM lineitem l JOIN mu USING (l_returnflag)
+      GROUP BY l.l_returnflag)
+    SELECT l.l_returnflag,
+           ROUND(corr(l.l_quantity, l.l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l.l_quantity, l.l_extendedprice), 4)
+             AS qty_price_covar,
+           ROUND(covar_pop(l.l_quantity, l.l_extendedprice), 4)
+             AS qty_price_covar_pop,
+           ROUND(stddev_samp(l.l_quantity), 6) AS qty_stddev,
+           ROUND(ANY_VALUE(cm.m3) / POW(ANY_VALUE(cm.m2), 1.5), 6)
+             AS qty_skewness,
+           ROUND(ANY_VALUE(cm.m4) / POW(ANY_VALUE(cm.m2), 2) - 3, 6)
+             AS qty_kurtosis
+    FROM lineitem l JOIN cm USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def lineitem_moment_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments as native one-pass aggregates: corr /
+    covar_samp / covar_pop / stddev_samp / skewness / kurtosis. All are
+    partial-aggregable (merged via the pairwise moment-update formulas), so
+    the shuffle carries one moment tuple per group regardless of corpus
+    size — the reason these run as ONE pass where the textbook definition
+    needs two (mean first, then centered powers; the oracle takes the
+    two-pass route and lands on the same rounded values)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.corr(q, F.col("l_extendedprice")), 6)
+             .alias("qty_price_corr"),
+             F.round(F.covar_samp(q, F.col("l_extendedprice")), 4)
+             .alias("qty_price_covar"),
+             F.round(F.covar_pop(q, F.col("l_extendedprice")), 4)
+             .alias("qty_price_covar_pop"),
+             F.round(F.stddev_samp(q), 6).alias("qty_stddev"),
+             F.round(F.skewness(q), 6).alias("qty_skewness"),
+             F.round(F.kurtosis(q), 6).alias("qty_kurtosis"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "events_window_navigation",
+    survey="E-extension(window navigation: first/last/nth_value, "
+           "IGNORE NULLS)",
+    oracle="""
+    -- 'error' events carry no usable value (NULLIF) — IGNORE NULLS
+    -- navigation must skip them while plain navigation sees NULL
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 200)
+    SELECT user_id, event_id,
+           ROUND(first_value(v IGNORE NULLS) OVER w, 6) AS first_valid,
+           ROUND(last_value(v IGNORE NULLS) OVER w, 6) AS last_valid,
+           ROUND(nth_value(v, 2 IGNORE NULLS) OVER w, 6) AS second_valid,
+           ROUND(last_value(v) OVER w, 6) AS last_raw
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def events_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family under a running frame: first_value /
+    last_value / nth_value with IGNORE NULLS (skip the error events) vs the
+    null-propagating default — per-user ordered state that shards by
+    user_id across executors (same partitioning as every other per-entity
+    window here, so at scale these chain without re-shuffles)."""
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    v = F.when(F.col("event_type") == "error", None) \
+        .otherwise(F.col("value"))
+    base = events.select("user_id", "ts", "event_id", v.alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        base.select(
+            "user_id", "event_id",
+            F.round(F.first("v", ignorenulls=True).over(w), 6)
+            .alias("first_valid"),
+            F.round(F.last("v", ignorenulls=True).over(w), 6)
+            .alias("last_valid"),
+            F.round(F.nth_value("v", 2, ignoreNulls=True).over(w), 6)
+            .alias("second_valid"),
+            F.round(F.last("v").over(w), 6).alias("last_raw"))
+        .orderBy("user_id", "event_id")
+    )
