@@ -76,6 +76,9 @@ HEADLINE = [
     "dedup_semantic",           # SemDeDup cluster-then-prune cosine dedup
     "text_gopher_rules",        # Gopher rule-based quality filter
     "dedup_boilerplate_lines",  # C4 line-level dedup + reassembly
+    "kmeans_lloyd_assignments",  # two-iteration distributed Lloyd's k-means
+    "events_ewma_by_user",      # applyInPandas per-entity sequential fold
+    "streaming_incremental_rollup",  # IVM: partial-agg append + merge-on-read
 ]
 
 

@@ -137,3 +137,47 @@ def repartition_for_media(df: DataFrame, rows_per_partition: int = 256) -> DataF
     row count, not input file layout."""
     n = max(1, df.count() // rows_per_partition)
     return df.repartition(n)
+
+
+def chunk_audio_windows(media: DataFrame, *, window_s: float = 2.0,
+                        hop_s: float = 1.0, sample_rate: int = 8000,
+                        content_col: str = "content",
+                        id_col: str = "media_id") -> DataFrame:
+    """Audio windowing plumbing: one audio row → N overlapping analysis
+    windows (the STFT/VAD/ASR-chunking front end). The stub derives a fake
+    duration from byte count (1 byte/sample at ``sample_rate``) and a fake
+    per-window RMS from the content digest; a real build decodes PCM with
+    soundfile/ffmpeg — identical row shape, identical fan-out (UDTF shape:
+    rows multiply by duration/hop, so repartition_for_media applies
+    upstream exactly as for video)."""
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("window_index", T.IntegerType(), False),
+        T.StructField("start_s", T.DoubleType(), False),
+        T.StructField("end_s", T.DoubleType(), False),
+        T.StructField("rms_stub", T.DoubleType(), False),
+    ])
+    src = media.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for m, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                h = hashlib.sha256(blob).digest()
+                duration = max(window_s, len(blob) / float(sample_rate))
+                n = int((duration - window_s) / hop_s) + 1
+                for i in range(n):
+                    out["media_id"].append(m)
+                    out["window_index"].append(i)
+                    out["start_s"].append(i * hop_s)
+                    out["end_s"].append(i * hop_s + window_s)
+                    # plain division, no rounding (banker's-vs-half-away)
+                    out["rms_stub"].append(h[i % 32] / 255.0)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=out_schema)

@@ -92,3 +92,41 @@ def bucketed_range_join(left: DataFrame, right: DataFrame, *,
         .filter((r_ts >= lower) & (r_ts <= upper))
         .drop("_bucket")
     )
+
+
+def ewma_by_key(events: DataFrame, *, key_col: str = "user_id",
+                ts_col: str = "ts", order_col: str = "event_id",
+                val_col: str = "value", alpha: float = 0.2) -> DataFrame:
+    """Final exponentially-weighted moving average per key — the canonical
+    INHERENTLY-SEQUENTIAL per-entity computation (EWMA_n = α·x_n +
+    (1−α)·EWMA_{n−1} has a loop-carried dependency no window frame or
+    aggregate can express), implemented as a grouped-map ``applyInPandas``.
+
+    Scale shape: ONE shuffle on the entity key; each group's fold runs
+    sequentially inside its Arrow batch, entities run in parallel across
+    executors — state is O(1) per entity. This is the pattern for any
+    per-entity recursion (EWMA, Kalman filters, session scoring, CUSUM):
+    shuffle by entity, fold within, never collect.
+
+    Determinism: groups are totally ordered by (ts, order_col); the fold is
+    a left fold seeded with the first value, so the float operation sequence
+    is identical to any engine's ordered list_reduce — values match
+    bit-for-bit (rounding happens JVM-side, never in Python: Python round()
+    is banker's).
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} long, n_events long, ewma double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+        acc = None
+        for x in pdf[val_col]:
+            acc = float(x) if acc is None else alpha * float(x) \
+                + (1.0 - alpha) * acc
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n_events": [len(pdf)],
+             "ewma": [acc]})
+
+    return (events.select(key_col, ts_col, order_col, val_col)
+            .groupBy(key_col).applyInPandas(fold, out_schema))

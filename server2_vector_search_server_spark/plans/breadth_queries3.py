@@ -320,3 +320,127 @@ def events_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("v").over(w), 6).alias("last_raw"))
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "order_extremes_by",
+    survey="D-extension(argument-extremum aggregates: max_by / min_by, the "
+           "arg_max/arg_min family)",
+    oracle="""
+    -- tie-safe: the comparison value is made unique by folding the key in
+    -- at 1e-6 scale, so both engines' arg-extremum pick the same row
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice + o_orderkey / 1000000.0)
+             AS biggest_order,
+           arg_min(o_orderkey, o_totalprice + o_orderkey / 1000000.0)
+             AS smallest_order,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_extremes_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (SQL-2023 arg-extremum aggregates): fetch the KEY of
+    the extreme row without a self-join or window — one partial-aggregable
+    pass, the idiom that replaces the row_number()=1 pattern for single-row
+    extremes. Ties are undefined in both engines, so the contract makes the
+    ordering value unique (price + key·1e-6) — the portable discipline for
+    deterministic arg-extremum results."""
+    orders = tbl(spark, sf_dir, "orders")
+    u = F.col("o_totalprice") + F.col("o_orderkey") / 1_000_000.0
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.max_by("o_orderkey", u).alias("biggest_order"),
+             F.min_by("o_orderkey", u).alias("smallest_order"),
+             F.round(F.max("o_totalprice"), 6).alias("max_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "part_string_formatting",
+    survey="H-extension(string formatting family: printf, pad, translate, "
+           "reverse, chr/ascii round-trip)",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s #%d [size %d]', p_brand, p_partkey, p_size) AS label,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           translate(p_type, 'AEIOU', 'aeiou') AS folded_type,
+           reverse(p_name) AS reversed_name,
+           chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS bucket_letter,
+           ascii(p_brand) AS brand_first_code
+    FROM part WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)
+def part_string_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting, fixed-width padding, character translation,
+    reverse, and the chr/ascii round-trip — the deterministic string-prep
+    family (all fuse into the scan; the classic use is building composite
+    keys and display labels without UDFs)."""
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return (
+        part.select(
+            "p_partkey",
+            F.format_string("%s #%d [size %d]", F.col("p_brand"),
+                            F.col("p_partkey"), F.col("p_size"))
+            .alias("label"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0")
+            .alias("padded_key"),
+            F.rpad(F.col("p_brand"), 12, ".").alias("padded_brand"),
+            F.translate(F.col("p_type"), "AEIOU", "aeiou")
+            .alias("folded_type"),
+            F.reverse(F.col("p_name")).alias("reversed_name"),
+            F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("bucket_letter"),
+            F.ascii(F.col("p_brand")).alias("brand_first_code"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "doc_explode_outer_semantics",
+    survey="H-extension(explode vs explode_outer: empty-collection row "
+           "preservation — the LEFT JOIN LATERAL contract)",
+    oracle="""
+    -- docs are given a digits-only token array (often EMPTY): plain UNNEST
+    -- drops those docs, the outer form keeps them with a NULL token
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t != ''), t -> regexp_matches(t, '^[0-9]+$'))
+               AS digit_toks
+      FROM documents WHERE doc_id < 150),
+    plain AS (
+      SELECT COUNT(*) AS n FROM toks, UNNEST(digit_toks) AS u(t)),
+    outer_form AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN t.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_rows
+      FROM toks LEFT JOIN LATERAL UNNEST(toks.digit_toks) AS t(tok)
+                ON TRUE)
+    SELECT (SELECT n FROM plain) AS n_plain_rows,
+           (SELECT n FROM outer_form) AS n_outer_rows,
+           (SELECT n_null_rows FROM outer_form) AS n_empty_docs
+    """,
+)
+def doc_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer on a frequently-empty array column: the
+    outer form preserves empty-collection rows as NULL (LEFT JOIN LATERAL
+    semantics) — the difference between silently losing documents and
+    keeping them through a tokenize-then-flatten pipeline."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = docs.select(
+        "doc_id",
+        F.filter(tokens(F.col("text")),
+                 lambda t: t.rlike("^[0-9]+$")).alias("digit_toks"))
+    n_plain = (toks.select(F.explode("digit_toks").alias("tok"))
+               .agg(F.count(F.lit(1)).alias("n_plain_rows")))
+    outer = (toks.select(F.explode_outer("digit_toks").alias("tok"))
+             .agg(F.count(F.lit(1)).alias("n_outer_rows"),
+                  F.sum(F.col("tok").isNull().cast("long"))
+                  .alias("n_empty_docs")))
+    return n_plain.crossJoin(outer)

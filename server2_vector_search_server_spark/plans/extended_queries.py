@@ -362,3 +362,34 @@ def store_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.lit(scope).alias("probe_scope"), "n_docs")
         out = part if out is None else out.unionByName(part)
     return out.orderBy("probe_scope")
+
+
+@query(
+    "multimodal_audio_windows",
+    survey="multimodal(audio windowing: one media row -> N overlapping "
+           "analysis windows, digest-stub RMS)",
+    oracle=f"""
+    WITH media AS (
+      SELECT md5(text) AS media_id, sha256(text) AS dig,
+             GREATEST(2.0, octet_length(encode(text)) / 8000.0) AS duration
+      FROM documents WHERE doc_id < 200)
+    SELECT media_id,
+           CAST(k AS INTEGER) AS window_index,
+           k * 1.0 AS start_s,
+           k * 1.0 + 2.0 AS end_s,
+           CAST(('0x' || substr(dig, 2 * (CAST(k AS INTEGER) % 32) + 1, 2))
+                AS INTEGER) / 255.0 AS rms_stub
+    FROM media,
+         UNNEST(range(CAST(floor((duration - 2.0) / 1.0) AS BIGINT) + 1))
+           AS u(k)
+    ORDER BY media_id, window_index
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window fan-out (2 s window, 1 s hop over a stub
+    duration of bytes/8000 s): the third modality of the mapInPandas media
+    plumbing, digest-checked like the image/video stages — swapping a real
+    PCM decoder in changes only the UDF body."""
+    media = _media_from_documents(spark, sf_dir)
+    return (multimodal.chunk_audio_windows(media)
+            .orderBy("media_id", "window_index"))

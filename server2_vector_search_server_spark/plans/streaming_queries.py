@@ -281,3 +281,42 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .otherwise("copy"))).alias("n_sources")))
     return (out.join(sources, "content_hash")
             .select("content_hash", "n_sources").orderBy("content_hash"))
+
+
+@query(
+    "streaming_incremental_rollup",
+    survey="I(incremental materialized-view maintenance: per-batch partial "
+           "aggregates appended, merged on read, compacted offline)",
+    oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_incremental_rollup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The IVM loop end-to-end: events stream in micro-batches, each batch
+    is reduced to per-group PARTIALS (count + scaled-integer sum) and
+    appended — the full input is never re-scanned; the view answer merges
+    the partials; a mid-test compact() folds the log without changing
+    answers. Hash-matching the plain batch aggregate proves the
+    associativity argument (streaming/ivm.py) end-to-end, including across
+    the compaction boundary."""
+    from server2_vector_search_server_spark.streaming.ivm import (
+        HourlyRollupView, start_rollup_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="ivm_rollup_")
+    src = os.path.join(work, "events")
+    tbl(spark, sf_dir, "events").repartition(6).write.parquet(src)
+    view = HourlyRollupView(spark, os.path.join(work, "view"))
+    q = start_rollup_stream(spark, src, view,
+                            os.path.join(work, "ckpt"),
+                            max_files_per_trigger=2)
+    q.awaitTermination()
+    view.compact()   # answers must be invariant across compaction
+    return view.current().orderBy("window_start", "event_type")

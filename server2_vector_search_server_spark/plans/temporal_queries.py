@@ -197,3 +197,40 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("bucket"),
                 "n_events", "total_value")
             .orderBy("grain", "bucket"))
+
+
+@query(
+    "events_ewma_by_user",
+    survey="E/I-extension(inherently-sequential per-entity state: EWMA via "
+           "grouped-map applyInPandas, vs an ordered list_reduce oracle)",
+    oracle="""
+    -- same left fold: seed = first value in (ts, event_id) order, then
+    -- acc' = alpha*x + (1-alpha)*acc — identical float op sequence
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+    FROM events
+    WHERE user_id < 300
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.2) of each user's event values — a loop-carried
+    recursion no window frame expresses, run as a grouped-map
+    applyInPandas fold (operators/temporal.ewma_by_key): one shuffle on
+    user_id, sequential state inside the Arrow batch, parallel across
+    users. The oracle folds the same ordered list with list_reduce; both
+    sides execute the identical float sequence, so the rounded values
+    hash-match — the proof that even Python-side custom operators can be
+    held to the exact-parity gate."""
+    from server2_vector_search_server_spark.operators.temporal import (
+        ewma_by_key,
+    )
+
+    events = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    out = ewma_by_key(events, alpha=0.2)
+    return (out.select("user_id", "n_events",
+                       F.round("ewma", 6).alias("ewma"))
+            .orderBy("user_id"))

@@ -72,25 +72,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(path)
 
 
-def read_events_stream(spark: SparkSession, src_dir: str):
+def read_events_stream(spark: SparkSession, src_dir: str,
+                       **reader_options):
     """``readStream`` over an events-shaped parquet directory, normalizing
     ``ts`` exactly like :func:`read_table` — a streaming source must be given
     its schema up front, so peek at the existing files (footer-only, driver
     side) to decide between the nanos-as-long and the plain-micros layout.
+    Extra keyword args become reader options (e.g. maxFilesPerTrigger).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     peeked = spark.read.parquet(src_dir).schema["ts"].dataType
-    if isinstance(peeked, T.LongType):
-        raw = ("event_id long, ts long, user_id long, event_type string, "
-               "value double, props string")
-        return (spark.readStream.schema(raw).parquet(src_dir)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
-    raw = ("event_id long, ts timestamp, user_id long, event_type string, "
-           "value double, props string")
-    return spark.readStream.schema(raw).parquet(src_dir)
+    nanos = isinstance(peeked, T.LongType)
+    raw = ("event_id long, ts {} , user_id long, event_type string, "
+           "value double, props string").format("long" if nanos
+                                                else "timestamp")
+    reader = spark.readStream.schema(raw)
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(src_dir)
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

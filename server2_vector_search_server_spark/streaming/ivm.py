@@ -1,0 +1,108 @@
+"""Incremental materialized-view maintenance (IVM) — a streaming-refreshed
+aggregate rollup.
+
+The pattern: every micro-batch is reduced to PARTIAL aggregates (one row per
+touched group), the partials are appended to a delta log, and readers merge
+the log with a re-aggregation. The full input is never re-scanned — refresh
+cost is O(batch), read cost is O(#batches × #touched-groups), and a
+background ``compact()`` folds the log back to one row per group (the same
+log/base split as ``streaming/wal.py``, which is the Delta/materialized-view
+architecture: append deltas, merge on read, compact offline).
+
+Why partial aggregates compose: COUNT and scaled-integer SUM are associative
+and commutative, so merging per-batch partials is exactly re-aggregating —
+the identical property that makes Spark's own map-side combine correct. Any
+rollup whose measures are partial-aggregable (count/sum/min/max, HLL
+sketches, moment tuples) fits this class unchanged; AVG rides along as
+sum/count at read time. The float sum uses the scaled-integer contract so
+merge ORDER cannot perturb the total — the invariant that makes a streamed
+view bit-identical to the batch aggregate (asserted by the oracle gate).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_SCHEMA = ("window_start timestamp, event_type string, "
+                 "n_events long, value_cents long")
+
+
+class HourlyRollupView:
+    """Materialized (hour, event_type) → (count, exact sum) view over an
+    events stream, maintained incrementally."""
+
+    def __init__(self, spark: SparkSession, root: str, *, scale: int = 100):
+        self.spark = spark
+        self.root = root
+        self.log_dir = os.path.join(root, "log")
+        self.scale = scale
+
+    # -- writer side ---------------------------------------------------------
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Reduce the micro-batch to per-group partials and append them.
+        Pure append — no read-modify-write, so refresh cost never grows
+        with view size."""
+        part = (
+            batch.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * self.scale).cast("long"))
+                 .alias("value_cents")))
+        part.write.mode("append").parquet(self.log_dir)
+
+    # -- reader side ---------------------------------------------------------
+    def current(self) -> DataFrame:
+        """Merge all partials: re-aggregate the log. Identical to the batch
+        aggregate because every measure is associative."""
+        if not os.path.isdir(self.log_dir):
+            return (self.spark.createDataFrame([], ROLLUP_SCHEMA)
+                    .select("window_start", "event_type", "n_events",
+                            (F.col("value_cents") / self.scale)
+                            .alias("total_value")))
+        log = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.log_dir)
+        return (
+            log.groupBy("window_start", "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("value_cents").alias("value_cents"))
+            .select("window_start", "event_type", "n_events",
+                    (F.col("value_cents") / float(self.scale))
+                    .alias("total_value")))
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self) -> None:
+        """Fold the partial log to one row per group (background job; the
+        view's answers are unchanged — compaction only bounds read cost)."""
+        if not os.path.isdir(self.log_dir):
+            return
+        log = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.log_dir)
+        folded = (log.groupBy("window_start", "event_type")
+                  .agg(F.sum("n_events").alias("n_events"),
+                       F.sum("value_cents").alias("value_cents")))
+        tmp = self.log_dir + ".tmp"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.log_dir)
+        os.rename(tmp, self.log_dir)
+
+
+def start_rollup_stream(spark: SparkSession, src_dir: str,
+                        view: HourlyRollupView, checkpoint_dir: str, *,
+                        max_files_per_trigger: int | None = None,
+                        available_now: bool = True):
+    """Maintain the rollup view from an events parquet directory."""
+    from server2_vector_search_server_spark.session import read_events_stream
+
+    opts = {}
+    if max_files_per_trigger is not None:
+        opts["maxFilesPerTrigger"] = max_files_per_trigger
+    stream = read_events_stream(spark, src_dir, **opts)
+    writer = (stream.writeStream
+              .foreachBatch(view.apply_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -209,3 +209,30 @@ def test_bm25_broadcasts_df_side(spark):
     # the vocabulary-sized df aggregate joins broadcast against tf rows
     plan = _plan(spark, "text_bm25_topk")
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_join_is_equi_not_cartesian(spark):
+    plan = _plan(spark, "dedup_semantic")
+    # the within-cluster pair join must key on centroid_id (hash-partitioned
+    # equi-join); a CartesianProduct here would be the corpus² blowup
+    # semantic_dedup exists to avoid (SCALE.md §19)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_line_count_partial_aggregation(spark):
+    plan = _plan(spark, "dedup_boilerplate_lines")
+    # distinct-docs-per-line must partially aggregate map-side so the
+    # shuffle carries unique (line, doc) pairs, not every exploded row
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_lloyd_no_joins_in_assignment(spark):
+    plan = _plan(spark, "kmeans_lloyd_assignments")
+    # E-steps are argmin-literal projections: the ONLY acceptable join in
+    # the whole two-iteration plan is none at all — centroids travel as
+    # literals, never as a join side
+    for tok in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct"):
+        assert tok not in plan, tok
