@@ -198,3 +198,59 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
                                  * F.coalesce("contrib", F.lit(0.0)), scale)
                          .alias("pr")))
     return ranks
+
+
+def knn_graph(vectors: DataFrame, k: int = 2, *,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Undirected k-nearest-neighbor graph over an embedding column: each
+    vector contributes edges to its k nearest others (squared-L2, lowest-id
+    tie-break), directions merged by (min, max) normalization. The
+    neighborhood-graph construction behind SNN clustering and dedup-cluster
+    analysis. Exact form (pairwise distances + per-source top-k window) for
+    bounded slices; at corpus scale the candidate pairs come from the ANN
+    tiers (IVF cells / LSH buckets) instead of the cross join — same
+    downstream graph shape."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+
+    a = vectors.select(F.col(id_col).alias("_src"),
+                       F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("_dst"),
+                       F.col(vec_col).alias("_vb"))
+    pairs = (a.crossJoin(b).filter(F.col("_src") != F.col("_dst"))
+             .withColumn("_d", F.round(squared_l2(F.col("_va"),
+                                                  F.col("_vb")), 6))
+             .select("_src", "_dst", "_d"))
+    w = Window.partitionBy("_src").orderBy(F.col("_d").asc(),
+                                           F.col("_dst").asc())
+    nn = (pairs.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") <= k))
+    return (nn.select(F.least("_src", "_dst").alias("src"),
+                      F.greatest("_src", "_dst").alias("dst"))
+            .distinct())
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Distributed triangle counting by the ordered-edge (node-iterator)
+    join: with every edge normalized to src < dst, a wedge is
+    e(a,b) ⋈ e(b,c) (which forces a < b < c — each triangle is built
+    exactly once), closed by probing e(a,c). Two equi-joins, shuffle
+    ∝ Σ deg(v)² wedges — the standard algorithm; at scale the orientation
+    by degree (point each edge at the higher-degree endpoint) bounds the
+    wedge count, and a broadcast of the edge set serves the closing probe.
+
+    Returns one row per node with its triangle participation count.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = (ab.join(bc, "b")
+            .join(ac, ["a", "c"])
+            .select("a", "b", "c"))
+    per_node = (tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return per_node

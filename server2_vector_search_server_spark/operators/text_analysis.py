@@ -173,3 +173,37 @@ def gopher_rule_columns(text: Column) -> list[Column]:
             frac_ellipsis.alias("frac_ellipsis_lines"),
             n_stop_hits.alias("n_stop_hits"),
             keep.alias("keep")]
+
+
+def train_quality_classifier(docs, *, text_col: str = "text",
+                             label_col: str = "label",
+                             n_features: int = 4096,
+                             seed: int = 42):
+    """Distill a cheap bag-of-words quality classifier from labeled
+    documents — the fastText-style model-based quality filter of LLM
+    curation pipelines (CCNet / GPT-3 recipe: label a slice with an
+    expensive signal, train a linear model, score the whole corpus for the
+    price of a projection). Pipeline: tokenize → HashingTF (feature hashing
+    — no vocabulary shuffle, executor-local) → IDF (one aggregate) →
+    LogisticRegression (L-BFGS, a handful of corpus passes).
+
+    Returns the fitted PipelineModel; scoring a 100 TB corpus with it is a
+    single mapPartitions-shaped transform (broadcast coefficients), which is
+    exactly why this beats running the expensive signal everywhere.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol=text_col, outputCol="_toks",
+                       pattern=r"\s+"),
+        HashingTF(inputCol="_toks", outputCol="_tf",
+                  numFeatures=n_features),
+        IDF(inputCol="_tf", outputCol="_features"),
+        LogisticRegression(featuresCol="_features", labelCol=label_col,
+                           maxIter=25, regParam=0.01,
+                           predictionCol="prediction",
+                           probabilityCol="_prob"),
+    ])
+    return pipe.fit(docs)

@@ -25,6 +25,7 @@ from server2_vector_search_server_spark.operators.graph import pagerank
 from server2_vector_search_server_spark.plans.registry import (
     query,
     sql_exact_sum,
+    sql_sq_l2,
     tbl,
 )
 
@@ -126,3 +127,54 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (deg.groupBy("outdeg")
             .agg(F.count(F.lit(1)).alias("n_suppliers"))
             .orderBy("outdeg"))
+
+
+_KNN_N = 150   # corpus slice for the exact k-NN graph
+_KNN_K = 3
+
+
+@query(
+    "graph_knn_triangles",
+    survey="north-star graph analytics (k-NN graph construction + "
+           "distributed triangle counting: ordered-edge wedge join)",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_KNN_N}),
+    pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d,
+             ROUND({sql_sq_l2('a.embedding', 'b.embedding')}, 6) AS dist
+      FROM vecs a CROSS JOIN vecs b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                       ORDER BY dist ASC, d ASC) AS rn
+        FROM pairs) WHERE rn <= {_KNN_K}),
+    e AS (
+      SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM nn),
+    tris AS (
+      SELECT ab.a, ab.b, bc.c
+      FROM e ab
+      JOIN (SELECT a AS b, b AS c FROM e) bc USING (b)
+      JOIN (SELECT a, b AS c FROM e) ac USING (a, c)),
+    nodes AS (
+      SELECT a AS node FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM nodes GROUP BY node ORDER BY node
+    """,
+)
+def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN graph over an embedding slice (cross-join distances +
+    per-source top-k window, ANN buckets supply the candidates at corpus
+    scale), then triangle counting via the ordered-edge wedge join
+    (operators/graph.triangle_count) — the local-clustering diagnostic of
+    the embedding space's neighborhood structure."""
+    from server2_vector_search_server_spark.operators.graph import (
+        knn_graph, triangle_count,
+    )
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _KNN_N).select("vec_id", "embedding"))
+    edges = knn_graph(emb, k=_KNN_K)
+    return triangle_count(edges).orderBy("node")

@@ -320,3 +320,48 @@ def streaming_incremental_rollup(spark: SparkSession,
     q.awaitTermination()
     view.compact()   # answers must be invariant across compaction
     return view.current().orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_running_totals",
+    survey="I(custom arbitrary-stateful operator: applyInPandasWithState "
+           "per-user running totals across micro-batches)",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM events
+    WHERE user_id < 300
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState operator run end-to-end: events stream in
+    micro-batches, per-user (count, exact-cents sum) state carries between
+    triggers, update-mode emissions land in a memory sink, and the LAST
+    emission per user (max_by on the monotone count) must equal the batch
+    aggregate — state accumulation in scaled integers makes the custom
+    Python stateful path bit-identical to SQL, so the driver's value hash
+    gates it like any relational query."""
+    from server2_vector_search_server_spark.streaming.events import (
+        running_user_totals,
+    )
+
+    work = tempfile.mkdtemp(prefix="running_totals_")
+    src = os.path.join(work, "events")
+    (tbl(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+     .repartition(6).write.parquet(src))
+    stream = read_events_stream(spark, src, maxFilesPerTrigger=2)
+    sink = f"running_totals_{uuid.uuid4().hex[:8]}"
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    emissions = spark.table(sink)
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max_by("total_value", "n_events").alias("total_value"))
+        .orderBy("user_id")
+    )

@@ -74,7 +74,7 @@ def session_stats(events: DataFrame, gap: str = "30 minutes",
 
 RUNNING_STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
-    T.StructField("total_value", T.DoubleType()),
+    T.StructField("value_cents", T.LongType()),
 ])
 
 RUNNING_OUTPUT_SCHEMA = T.StructType([
@@ -86,16 +86,25 @@ RUNNING_OUTPUT_SCHEMA = T.StructType([
 
 def _running_totals(key, pdfs: Iterable[pd.DataFrame],
                     state: GroupState) -> Iterable[pd.DataFrame]:
-    """Per-user running (count, sum) across micro-batches — the minimal
-    custom stateful operator: state survives between triggers, keyed and
-    partitioned by user_id."""
-    n, total = state.get if state.exists else (0, 0.0)
+    """Per-user running (count, exact sum) across micro-batches — the
+    minimal custom stateful operator: state survives between triggers,
+    keyed and partitioned by user_id.
+
+    The sum is held as scaled-integer cents so accumulation is associative
+    and order-free (bit-identical to the batch aggregate, hence
+    oracle-checkable). Rounding is half-away-from-zero via floor(x+0.5)
+    (values are non-negative) — NEVER Python/numpy round(), which is
+    banker's and diverges from Spark/DuckDB ROUND."""
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                     .astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "total_value": [round(total, 6)]})
+                        "total_value": [cents / 100.0]})
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -73,6 +73,25 @@ def test_cosine_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_quality_classifier_learns_heuristic(spark, tables):
+    """The distilled bag-of-words classifier must substantially agree with
+    the quality heuristic it was trained on — the calibration bar a
+    curation pipeline applies before trusting the cheap model."""
+    from server2_vector_search_server_spark.operators import (
+        text_analysis as ta,
+    )
+
+    docs = (tables["documents"].filter(F.col("doc_id") < 300)
+            .select("doc_id", "text",
+                    (ta.quality_score(F.col("text")) >= 0.8)
+                    .cast("double").alias("label")))
+    model = ta.train_quality_classifier(docs)
+    scored = model.transform(docs).select("label", "prediction")
+    n = scored.count()
+    agree = scored.filter(F.col("label") == F.col("prediction")).count()
+    assert n > 0 and agree / n >= 0.7, f"agreement {agree}/{n}"
+
+
 def test_semantic_dedup_drops_planted_copies(tables):
     """SemDeDup contract: exact copies (cosine 1.0 with a lower-id original
     in the same cluster) are always dropped; every drop is justified by a
