@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ROLLUP_SCHEMA = ("window_start timestamp, event_type string, "
-                 "n_events long, value_cents long")
+                 "n_events long, value_cents long, ingest_batch long")
 
 
 class HourlyRollupView:
@@ -43,17 +43,25 @@ class HourlyRollupView:
 
     # -- writer side ---------------------------------------------------------
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """Reduce the micro-batch to per-group partials and append them.
-        Pure append — no read-modify-write, so refresh cost never grows
-        with view size."""
+        """Reduce the micro-batch to per-group partials and add them
+        idempotently. No read-modify-write of the view, so refresh cost
+        never grows with view size; each batch's partials land under their
+        own ``ingest_batch=<id>`` partition via dynamic partition
+        overwrite, so a foreachBatch REPLAY (failure between the write and
+        the checkpoint commit) overwrites its own files instead of
+        double-counting — the same idempotency discipline as
+        streaming/ann_index.py."""
         part = (
             batch.groupBy(
                 F.date_trunc("hour", F.col("ts")).alias("window_start"),
                 "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col("value") * self.scale).cast("long"))
-                 .alias("value_cents")))
-        part.write.mode("append").parquet(self.log_dir)
+                 .alias("value_cents"))
+            .withColumn("ingest_batch", F.lit(batch_id).cast("long")))
+        (part.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("ingest_batch").parquet(self.log_dir))
 
     # -- reader side ---------------------------------------------------------
     def current(self) -> DataFrame:
@@ -82,9 +90,13 @@ class HourlyRollupView:
         log = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.log_dir)
         folded = (log.groupBy("window_start", "event_type")
                   .agg(F.sum("n_events").alias("n_events"),
-                       F.sum("value_cents").alias("value_cents")))
+                       F.sum("value_cents").alias("value_cents"))
+                  # ingest_batch -1 marks compacted base rows (the same
+                  # convention as the ANN index's base build)
+                  .withColumn("ingest_batch", F.lit(-1).cast("long")))
         tmp = self.log_dir + ".tmp"
-        folded.write.mode("overwrite").parquet(tmp)
+        folded.write.mode("overwrite").partitionBy("ingest_batch") \
+            .parquet(tmp)
         shutil.rmtree(self.log_dir)
         os.rename(tmp, self.log_dir)
 

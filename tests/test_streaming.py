@@ -216,3 +216,35 @@ def test_streaming_ingest_gate_across_in_flight_batches(spark, tmp_path):
         .filter(F.col("doc_name") == "a.txt")
         .orderBy("chunk_index").collect())
     assert "first version" in a_text and "second" not in a_text
+
+
+def test_ivm_rollup_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch replay of the same batch_id must overwrite its own
+    partial-aggregate partition, not double-count (the same
+    dynamic-partition-overwrite discipline as the streaming ANN index)."""
+    from server2_vector_search_server_spark.streaming.ivm import (
+        HourlyRollupView,
+    )
+
+    from datetime import datetime
+
+    rows = [(1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.5, "{}"),
+            (2, datetime(2024, 1, 1, 10, 35), 1, "click", 2.5, "{}"),
+            (3, datetime(2024, 1, 1, 11, 5), 2, "view", 4.0, "{}")]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    batch = spark.createDataFrame(rows, schema)
+    view = HourlyRollupView(spark, str(tmp_path / "view"))
+    view.apply_batch(batch, batch_id=3)
+    view.apply_batch(batch, batch_id=3)   # replay
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in view.current().collect()}
+    assert got == {("2024-01-01 10:00:00", "click"): (2, 4.0),
+                   ("2024-01-01 11:00:00", "view"): (1, 4.0)}
+    # compaction folds the log without changing answers
+    view.compact()
+    after = {(str(r["window_start"]), r["event_type"]):
+             (r["n_events"], r["total_value"])
+             for r in view.current().collect()}
+    assert after == got
