@@ -100,3 +100,21 @@ def test_documents_ui_rollup(engine):
     assert len(ui) == 3
     for r in ui.values():
         assert r["n_chunks"] == len(r["chunk_ids"]) >= 1
+
+
+def test_collection_search_partition_prunes(engine):
+    """A specific-collection search must prune to that collection's
+    partition directories at the SCAN (PartitionFilters), not filter
+    post-read — the property that makes per-collection search cost
+    proportional to the collection, not the store (SURVEY.md §1.3)."""
+    df = engine.search_score(DOCS_A[0][1], k=3,
+                             collection_name="collection_a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(collection" in plan \
+        or "PartitionFilters: [collection" in plan, plan[:2000]
+    # master (union) search carries no collection partition predicate
+    df_all = engine.search_score(DOCS_A[0][1], k=3)
+    plan_all = df_all._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" in plan_all:
+        head = plan_all.split("PartitionFilters")[1][:80]
+        assert "isnotnull(collection" not in head
