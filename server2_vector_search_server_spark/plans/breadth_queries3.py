@@ -444,3 +444,107 @@ def doc_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.col("tok").isNull().cast("long"))
                   .alias("n_empty_docs")))
     return n_plain.crossJoin(outer)
+
+
+@query(
+    "events_json_roundtrip",
+    survey="H-extension(typed JSON round-trip: to_json of nested "
+           "struct/array -> from_json with explicit schema -> nested "
+           "field access)",
+    oracle=f"""
+    -- rebuild the same document with DuckDB's json_object, then extract
+    -- the same paths: the CONTRACT is that values survive the round-trip,
+    -- not that the two engines' JSON text is byte-identical
+    WITH built AS (
+      SELECT json_object('id', event_id,
+                         'who', json_object('type', event_type,
+                                            'uid', user_id),
+                         'vals', [value, value * 2]) AS doc
+      FROM events WHERE user_id < 500),
+    parsed AS (
+      SELECT CAST(json_extract_string(doc, '$.who.type') AS VARCHAR)
+               AS etype,
+             CAST(json_extract(doc, '$.who.uid') AS BIGINT) % 100
+               AS uid_bucket,
+             CAST(json_extract(doc, '$.vals[1]') AS DOUBLE) AS v2
+      FROM built)
+    SELECT etype, uid_bucket,
+           COUNT(*) AS n,
+           {{exact_v2}} AS total_v2
+    FROM parsed
+    GROUP BY etype, uid_bucket
+    ORDER BY etype, uid_bucket
+    """.replace("{exact_v2}", "(SUM(CAST(ROUND(v2 * 100) AS BIGINT)) "
+                              "/ 100.0)"),
+)
+def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON round-trip: serialize a nested struct + array document
+    with to_json, parse it back with from_json under an EXPLICIT schema
+    (the production contract — schema-on-read, not schemaless), then
+    navigate parsed.who.* / vals[2]. Both engines re-extract the same
+    values regardless of their JSON text formatting; doubles survive
+    because both serializers emit shortest-round-trip decimals."""
+    events = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    doc = F.to_json(F.struct(
+        F.col("event_id").alias("id"),
+        F.struct(F.col("event_type").alias("type"),
+                 F.col("user_id").alias("uid")).alias("who"),
+        F.array(F.col("value"), F.col("value") * 2).alias("vals")))
+    parsed = F.from_json(
+        doc, "id bigint, who struct<type:string,uid:bigint>, "
+             "vals array<double>")
+    base = events.select(
+        parsed["who"]["type"].alias("etype"),
+        (parsed["who"]["uid"] % 100).alias("uid_bucket"),
+        F.element_at(parsed["vals"], 2).alias("v2"))
+    return (
+        base.groupBy("etype", "uid_bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("v2") * 100).cast("long")) / 100.0)
+             .alias("total_v2"))
+        .orderBy("etype", "uid_bucket")
+    )
+
+
+@query(
+    "order_percentile_disc",
+    survey="D-extension(ANSI inverse distribution: percentile_disc WITHIN "
+           "GROUP — smallest value with cume_dist >= p)",
+    oracle="""
+    -- the ANSI definition spelled relationally: for each p, the smallest
+    -- value whose cumulative distribution reaches p
+    WITH cd AS (
+      SELECT o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders)
+    SELECT o_orderpriority,
+           ROUND(MIN(CASE WHEN cd >= 0.25 THEN o_totalprice END), 6) AS p25,
+           ROUND(MIN(CASE WHEN cd >= 0.50 THEN o_totalprice END), 6) AS p50,
+           ROUND(MIN(CASE WHEN cd >= 0.75 THEN o_totalprice END), 6) AS p75
+    FROM cd
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_disc WITHIN GROUP: the DISCRETE inverse distribution —
+    always returns an actual data value (smallest with cume_dist >= p),
+    unlike percentile_cont's interpolation (order_value_percentiles). The
+    oracle spells the ANSI definition with a cume_dist window, so Spark's
+    native aggregate is checked against the standard's semantics, not
+    another engine's implementation choice."""
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"),
+            6).alias("p25"),
+             F.round(F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)"),
+            6).alias("p50"),
+             F.round(F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)"),
+            6).alias("p75"))
+        .orderBy("o_orderpriority")
+    )
