@@ -98,11 +98,29 @@ class DocumentSearchEngine:
         ``docs``: a DataFrame with (doc_name, text) columns, or a small list
         of ``(doc_name, text)`` tuples. Documents whose ``doc_name`` already
         exists in ANY collection are skipped (the global dedup gate,
-        app.py:152-157); the rest are chunked, embedded, and appended.
+        app.py:152-157); duplicate names WITHIN the batch collapse to one
+        upload (the reference processes files sequentially, so its exists
+        check skips the later copies — for list input the first occurrence
+        wins); the rest are chunked, embedded, and appended.
         """
         if not isinstance(docs, DataFrame):
+            seen: dict[str, str] = {}
+            for name, text in docs:
+                seen.setdefault(name, text)
             docs = self.spark.createDataFrame(
-                list(docs), "doc_name string, text string")
+                list(seen.items()), "doc_name string, text string")
+        else:
+            docs = docs.dropDuplicates(["doc_name"])
+        # names that exist BEFORE this ingest: distinguishes "skipped as
+        # duplicate" from "parsed to zero chunks" in the status report
+        if self.store.is_empty():
+            pre_existing: set[str] = set()
+        else:
+            pre_existing = {
+                r["doc_name"] for r in
+                docs.select("doc_name").join(
+                    self.store.read(None).select("doc_name").distinct(),
+                    "doc_name", "left_semi").collect()}
         written = ingest_documents(
             self.store, docs, collection=collection_name,
             embed_dim=self.embed_dim, embedder=self.embedder,
@@ -113,15 +131,19 @@ class DocumentSearchEngine:
             .agg(F.count(F.lit(1)).alias("n_chunks")).collect()
         }
         statuses = []
-        for r in docs.select("doc_name").distinct().collect():
+        for r in docs.select("doc_name").collect():
             name = r["doc_name"]
             if name in added:
                 statuses.append({"filename": name, "status": "success",
                                  "chunks_added": added[name], "error": None})
-            else:
+            elif name in pre_existing:
                 statuses.append({
                     "filename": name, "status": "skipped", "chunks_added": 0,
                     "error": "Document with the same name already exists"})
+            else:
+                statuses.append({
+                    "filename": name, "status": "error", "chunks_added": 0,
+                    "error": "No content extracted"})
         return statuses
 
     # -- POST /search_score --------------------------------------------------
@@ -134,13 +156,16 @@ class DocumentSearchEngine:
         threshold: float | None = config.SIMILARITY_THRESHOLD,
     ) -> DataFrame:
         """Scored, thresholded, descending top-k (app.py:396-444). Errors
-        propagate — the reference returns HTTP 500 (app.py:442-444)."""
-        from server2_vector_search_server_spark.operators.knn import knn_topk
+        propagate — the reference returns HTTP 500 (app.py:442-444).
+        Delegates to plans/ingest.search_store — ONE copy of the
+        /search_score pipeline."""
+        from server2_vector_search_server_spark.plans.ingest import (
+            search_store,
+        )
 
         qvec = self.embed_query(_join_keywords(keywords))
-        corpus = self.store.read(collection_name)
-        return knn_topk(corpus, qvec, k=k, where=filter, threshold=threshold,
-                        vec_col="embedding", id_col="chunk_id")
+        return search_store(self.store, qvec, collection=collection_name,
+                            k=k, where=filter, threshold=threshold)
 
     # -- POST /search ---------------------------------------------------------
     def search(
@@ -160,10 +185,17 @@ class DocumentSearchEngine:
             out.schema  # force analysis so bad filters surface here
             return out
         except Exception:
-            empty_schema = ("chunk_id string, doc_id string, doc_name string,"
-                            " chunk_index int, original_collection string,"
-                            " content string, metadata map<string,string>,"
-                            " collection string")
+            # derived from the store schema (minus the vector knn_topk
+            # drops) so the degraded path can never drift structurally
+            # from the success path
+            from pyspark.sql import types as T
+
+            from server2_vector_search_server_spark.sources.store import (
+                CHUNKS_SCHEMA,
+            )
+
+            empty_schema = T.StructType(
+                [f for f in CHUNKS_SCHEMA.fields if f.name != "embedding"])
             return self.spark.createDataFrame([], empty_schema)
 
     # -- GET /list-documents --------------------------------------------------

@@ -666,6 +666,8 @@ def kmeans_lloyd(vectors: DataFrame, init_centroids: DataFrame,
     final per-vector assignment (id, centroid_id) — compose with
     :func:`kmeans_centroid_step` for the final centroids.
     """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     cent = init_centroids.select(
         F.col(centroid_id_col), F.col(centroid_vec_col))
     assigned = None

@@ -115,8 +115,14 @@ def ewma_by_key(events: DataFrame, *, key_col: str = "user_id",
     is banker's).
     """
     import pandas as pd
+    from pyspark.sql import types as T
 
-    out_schema = f"{key_col} long, n_events long, ewma double"
+    key_type = events.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key_col, key_type),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")

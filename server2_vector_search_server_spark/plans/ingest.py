@@ -86,6 +86,15 @@ def ingest_documents(
                       dim=embed_dim)
     chunks = chunks.withColumn("embedding",
                                F.col("embedding").cast("array<float>"))
+    # localCheckpoint (eager), NOT persist: the dedup gate's anti-join scans
+    # the store path this function is about to append to. A persist()ed plan
+    # keeps that lineage, and the append triggers Spark's recacheByPath —
+    # re-executing the gate against the UPDATED store, where the rows just
+    # written now "exist" and anti-join themselves away (returned DataFrame
+    # silently becomes empty). Checkpointing materializes the rows ONCE and
+    # severs the lineage, so the append cannot invalidate them, and callers
+    # inspecting the result don't re-run chunking + embedding either.
+    chunks = chunks.localCheckpoint(eager=True)
     store.append(chunks)
     return chunks
 

@@ -92,15 +92,16 @@ def _running_totals(key, pdfs: Iterable[pd.DataFrame],
 
     The sum is held as scaled-integer cents so accumulation is associative
     and order-free (bit-identical to the batch aggregate, hence
-    oracle-checkable). Rounding is half-away-from-zero via floor(x+0.5)
-    (values are non-negative) — NEVER Python/numpy round(), which is
-    banker's and diverges from Spark/DuckDB ROUND."""
+    oracle-checkable). Rounding is half-away-from-zero via
+    sign·floor(|x|+0.5) — matching Spark/DuckDB ROUND for BOTH signs, and
+    NEVER Python/numpy round(), which is banker's."""
     import numpy as np
 
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+        scaled = pdf["value"].to_numpy() * 100.0
+        cents += int((np.sign(scaled) * np.floor(np.abs(scaled) + 0.5))
                      .astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],

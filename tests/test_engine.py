@@ -40,6 +40,26 @@ def test_upload_statuses_and_dedup_gate(engine):
     assert by_name["delta.txt"]["chunks_added"] >= 1
 
 
+def test_upload_intra_batch_duplicates_and_empty_docs(engine):
+    # duplicate names INSIDE one batch collapse to one upload (reference
+    # processes files sequentially; its gate skips the later copy) and an
+    # empty document reports an extraction error, not a bogus dedup skip
+    statuses = engine.upload_documents(
+        [("dup.txt", "First copy wins here."),
+         ("dup.txt", "Second copy must not be written."),
+         ("empty.txt", "")],
+        "collection_a")
+    by_name = {s["filename"]: s for s in statuses}
+    assert len(statuses) == 2
+    assert by_name["dup.txt"]["status"] == "success"
+    assert by_name["empty.txt"]["status"] == "error"
+    assert by_name["empty.txt"]["error"] == "No content extracted"
+    # exactly one copy of dup.txt landed
+    chunks = engine.store.read("collection_a") \
+        .filter("doc_name = 'dup.txt'").collect()
+    assert {r["content"] for r in chunks} == {"First copy wins here."}
+
+
 def test_master_is_union_and_collections_are_pruned(engine):
     master = {r["doc_name"] for r in
               engine.list_documents("master").collect()}
