@@ -79,6 +79,7 @@ HEADLINE = [
     "kmeans_lloyd_assignments",  # two-iteration distributed Lloyd's k-means
     "events_ewma_by_user",      # applyInPandas per-entity sequential fold
     "streaming_incremental_rollup",  # IVM: partial-agg append + merge-on-read
+    "ann_ivf_batch_knn",        # batched IVF serving: one scan, N queries
 ]
 
 

@@ -680,3 +680,68 @@ def kmeans_lloyd(vectors: DataFrame, init_centroids: DataFrame,
                 .select(F.col(centroid_id_col),
                         F.col("centroid").alias(centroid_vec_col)))
     return assigned.drop(vec_col)
+
+
+def ivf_knn_batch(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """IVF-Flat serving for a BATCH of queries — the production shape: N
+    queries arrive as a DataFrame, each probes its own nprobe nearest
+    cells, and one partition-pruned scan answers all of them.
+
+    Probe selection is a pure expression over the query rows (centroids
+    embedded as literals; per-query cell ranking = array_sort of
+    (distance, cid) structs, sliced to nprobe, exploded) — no driver loop
+    over queries, unlike the single-query form's Python-side ranking. The
+    probe table (N × nprobe rows) then equi-joins the cell-assigned corpus
+    on ``centroid_id``: broadcast (queries are the small side), so the
+    corpus is scanned ONCE for the whole batch and each row is scored only
+    against the queries probing its cell. Final per-query top-k is a
+    window over (query, score) — exactly the multi-query contract of
+    ``knn_join``, recall bounded by nprobe as in ``ivf_knn``.
+    """
+    from pyspark.sql import Window
+
+    cent_rows = sorted(centroids.collect(),
+                       key=lambda r: r[centroid_id_col])
+    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
+                         for r in cent_rows])
+    id_lit = F.array(*[F.lit(r[centroid_id_col]) for r in cent_rows])
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(cent_lit,
+                        lambda c: F.round(squared_l2(c, F.col(query_vec_col)),
+                                          score_decimals)),
+            id_lit,
+            lambda d, cid: F.struct(d.alias("d"), cid.alias("cid"))))
+    probes = (
+        queries.select(
+            query_id_col, query_vec_col,
+            F.explode(F.slice(ranked, 1, nprobe)).alias("_p"))
+        .select(query_id_col, query_vec_col,
+                F.col("_p.cid").alias(centroid_id_col)))
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col, id_col=id_col,
+                          centroid_id_col=centroid_id_col,
+                          centroid_vec_col=centroid_vec_col)
+    cand = (assigned.join(F.broadcast(probes), centroid_id_col)
+            .withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(F.col(query_vec_col),
+                                        F.col(vec_col)),
+                score_decimals)))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn", vec_col, query_vec_col))

@@ -600,3 +600,71 @@ def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / float(_RECALL_K), 6)
                     .alias(f"recall_at_{_RECALL_K}"))
             .orderBy("qid"))
+
+
+_BATCH_Q_LO, _BATCH_Q_HI = 420, 428    # 8 query vectors, outside the corpus
+                                       # slice but inside every SF's 500-row
+                                       # embeddings fixture
+_BATCH_CORPUS_N = 400
+
+
+@query(
+    "ann_ivf_batch_knn",
+    survey="north-star ANN (batched IVF serving: N queries, one "
+           "partition-pruned corpus scan, per-query probe sets)",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id < {_BATCH_CORPUS_N}),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_N_CENTROIDS}),
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id >= {_BATCH_Q_LO} AND vec_id < {_BATCH_Q_HI}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND({sql_sq_l2('c.cv', 'q.qv')}, 6) ASC,
+                          c.cid ASC) AS rn
+        FROM qs q CROSS JOIN cent c) WHERE rn <= {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.cv')} ASC,
+                          c.cid ASC) AS rn
+        FROM corpus e CROSS JOIN cent c) WHERE rn = 1),
+    cand AS (
+      SELECT p.query_id, a.vec_id, a.label, a.cid AS centroid_id,
+             ROUND(1.0 - {sql_sq_l2('q.qv', 'a.embedding')}, 6) AS score
+      FROM probe p JOIN assigned a ON a.cid = p.cid
+      JOIN qs q USING (query_id))
+    SELECT query_id, vec_id, label, centroid_id, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS rn FROM cand)
+    WHERE rn <= 5
+    ORDER BY query_id, score DESC, vec_id
+    """,
+)
+def ann_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-Flat serving (operators/ann.ivf_knn_batch): 8 query
+    vectors arrive as a DataFrame; probe-cell selection is a pure
+    expression per query row (no driver loop), the probe table broadcasts,
+    and ONE cell-assigned corpus scan answers the whole batch with a
+    per-query top-k window — how a 1000-executor cluster serves query
+    traffic against a centroid-partitioned 100 TB corpus."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    corpus = (emb.filter(F.col("vec_id") < _BATCH_CORPUS_N)
+              .select("vec_id", "label", "embedding"))
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    queries = (emb.filter((F.col("vec_id") >= _BATCH_Q_LO)
+                          & (F.col("vec_id") < _BATCH_Q_HI))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = ann.ivf_knn_batch(corpus, centroids, queries, k=5, nprobe=_NPROBE)
+    return (out.select("query_id", "vec_id", "label", "centroid_id", "score")
+            .orderBy("query_id", F.col("score").desc(), "vec_id"))

@@ -144,6 +144,27 @@ def test_ivf_assign_partitions_all_vectors(tables):
     assert assigned.select("centroid_id").distinct().count() <= 4
 
 
+def test_ivf_knn_batch_matches_single_query(tables, spark):
+    """A batch of one query must return exactly the single-query IVF path's
+    results (same probe cells, same scores, same tie-breaks)."""
+    from pyspark.sql import Row
+
+    emb = tables["embeddings"].filter(F.col("vec_id") < 300) \
+        .select("vec_id", "label", "embedding")
+    centroids = (emb.filter(F.col("vec_id") < 4)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    qvec = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    single = ann.ivf_knn(emb, centroids, qvec, k=5, nprobe=2) \
+        .select("vec_id", "score").collect()
+    queries = spark.createDataFrame(
+        [Row(query_id=1, query_vec=qvec)])
+    batch = ann.ivf_knn_batch(emb, centroids, queries, k=5, nprobe=2) \
+        .select("vec_id", "score").collect()
+    assert sorted((r["vec_id"], r["score"]) for r in batch) == \
+        sorted((r["vec_id"], r["score"]) for r in single)
+
+
 def test_mllib_brp_ann_runs(tables):
     emb = tables["embeddings"]
     q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
