@@ -64,6 +64,15 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(got.columns) == sorted(want.columns), \
         f"{name}: column mismatch {sorted(got.columns)} vs {sorted(want.columns)}"
     assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
+    # a 0-row match is vacuous — an empty result usually means the query's
+    # fixture constants miss the data (caught live once: a query-id band
+    # outside the embeddings range). Queries legitimately empty at the tiny
+    # smoke SF must be allowlisted WITH their verified-at-sf0.01 row count.
+    empty_ok_at_smoke = {
+        "nation_pair_volume",   # NATION_1<->NATION_2 trade: 14 rows at sf0.01
+    }
+    if name not in empty_ok_at_smoke:
+        assert len(got) > 0, f"{name}: both sides empty — vacuous pass"
     g, w = _normalize(got), _normalize(want)
     for i in range(len(g)):
         for c in g.columns:
