@@ -621,3 +621,71 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_purchase_value"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "date_functions_breadth2",
+    survey="H-extension(date family wave 2: months_between fractional "
+           "semantics, add_months end-of-month clamping, next_day, "
+           "make_date, epoch round-trip)",
+    oracle="""
+    -- months_between mirrors Spark's exact spec: whole months plus
+    -- (d1-d2)/31 fractional days, integral when both dates are month-末
+    -- or share the day-of-month; next_day = smallest strictly-later Monday
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d1,
+             CAST(o_orderdate AS DATE) + 37 AS d2
+      FROM orders WHERE o_orderkey < 150)
+    SELECT o_orderkey,
+           ROUND((EXTRACT(year FROM d2) - EXTRACT(year FROM d1)) * 12
+                 + (EXTRACT(month FROM d2) - EXTRACT(month FROM d1))
+                 + CASE WHEN EXTRACT(day FROM d2) = EXTRACT(day FROM d1)
+                          OR (d2 = last_day(d2) AND d1 = last_day(d1))
+                        THEN 0.0
+                        ELSE (EXTRACT(day FROM d2) - EXTRACT(day FROM d1))
+                             / 31.0 END, 8) * -1.0 AS months_back,
+           strftime(d1 + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_two_months,
+           strftime(d1 + CAST(CASE WHEN (1 - dayofweek(d1) % 7 + 7) % 7 = 0
+                              THEN 7
+                              ELSE (1 - dayofweek(d1) % 7 + 7) % 7 END
+                              AS INTEGER),
+                    '%Y-%m-%d') AS next_monday,
+           strftime(make_date(CAST(EXTRACT(year FROM d1) AS INTEGER),
+                              CAST(EXTRACT(month FROM d1) AS INTEGER), 15),
+                    '%Y-%m-%d') AS mid_month,
+           CAST(epoch(CAST(d1 AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+           strftime(CAST(to_timestamp(epoch(CAST(d1 AS TIMESTAMP)))
+                         AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS rt
+    FROM base ORDER BY o_orderkey
+    """,
+)
+def date_functions_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date wave: months_between's FRACTIONAL contract (whole months
+    + (day1-day2)/31, integral when both dates are month-ends or share the
+    day — the subtle spec users port wrong), add_months' end-of-month
+    clamping, next_day (strictly later), make_date from parts, and the
+    unix-epoch round-trip. Dates serialize as strings (pandas bridge)."""
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 150)
+    d1 = F.col("o_orderdate").cast("date")
+    d2 = F.date_add(d1, 37)
+    base = orders.select("o_orderkey", d1.alias("d1"), d2.alias("d2"))
+    return (
+        base.select(
+            "o_orderkey",
+            F.round(F.months_between(F.col("d1"), F.col("d2")), 8)
+            .alias("months_back"),
+            F.date_format(F.add_months(F.col("d1"), 2), "yyyy-MM-dd")
+            .alias("plus_two_months"),
+            F.date_format(F.next_day(F.col("d1"), "Mon"), "yyyy-MM-dd")
+            .alias("next_monday"),
+            F.date_format(
+                F.make_date(F.year("d1"), F.month("d1"), F.lit(15)),
+                "yyyy-MM-dd").alias("mid_month"),
+            F.unix_timestamp(F.col("d1").cast("timestamp")).alias("epoch_s"),
+            F.date_format(
+                F.from_unixtime(
+                    F.unix_timestamp(F.col("d1").cast("timestamp"))),
+                "yyyy-MM-dd HH:mm:ss").alias("rt"))
+        .orderBy("o_orderkey")
+    )
