@@ -393,3 +393,50 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_from_documents(spark, sf_dir)
     return (multimodal.chunk_audio_windows(media)
             .orderBy("media_id", "window_index"))
+
+
+@query(
+    "events_salted_hot_key_agg",
+    survey="scale-extension(skew mitigation: two-phase salted aggregation "
+           "over a manufactured hot key — identical results to the plain "
+           "group-by, shuffle spread over num_salts reducers)",
+    oracle="""
+    -- every user_id >= 500 collapses onto hot key 0: one key holds half
+    -- the table; the salted two-phase aggregation must still produce the
+    -- exact per-key counts and sums of the plain GROUP BY
+    WITH hot AS (
+      SELECT CASE WHEN user_id >= 500 THEN 0 ELSE user_id END AS hot_key,
+             value
+      FROM events)
+    SELECT hot_key,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM hot GROUP BY hot_key ORDER BY hot_key
+    """,
+)
+def events_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation as a registered contract: a manufactured
+    hot key (half the corpus collapses onto key 0) is aggregated in TWO
+    phases — partials per (key, salt) so num_salts reducers share the hot
+    key, then a cheap merge of per-salt partials — and must hash-match the
+    plain GROUP BY oracle exactly. This is the hand-rolled twin of what AQE
+    skew-join splitting does for joins; counts and scaled-integer sums are
+    associative, which is precisely why salting cannot change the answer."""
+    events = tbl(spark, sf_dir, "events")
+    hot = events.select(
+        F.when(F.col("user_id") >= 500, 0).otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "value")
+    salt = F.pmod(F.hash(F.col("value").cast("string")), F.lit(16))
+    partial = (
+        hot.withColumn("_salt", salt)
+        .groupBy("hot_key", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("_c")))
+    return (
+        partial.groupBy("hot_key")
+        .agg(F.sum("_n").alias("n_events"),
+             F.sum("_c").alias("value_cents"))
+        .orderBy("hot_key")
+    )

@@ -365,3 +365,75 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max_by("total_value", "n_events").alias("total_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_late_data_watermark",
+    survey="I(watermark semantics under append mode: late rows DROPPED, "
+           "windows finalized only once the watermark passes them)",
+    oracle=f"""
+    -- the stream delivers the LATER half of the timeline first; by the
+    -- time the earlier half arrives, the watermark (max event time - 1h)
+    -- has passed it entirely, so every early row is dropped, and append
+    -- mode emits only windows whose END the final watermark passed
+    WITH wm AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value', 2)} AS total_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+    GROUP BY window_start, event_type
+    HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_late_data_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """PROOF of watermark semantics, not just presence. Two checkpointed
+    runs: run 1 ingests only the LATER half of the timeline, committing a
+    watermark of max-1h; run 2 restarts from the checkpoint and ingests
+    the earlier half — every row is now older than the committed
+    watermark, so the stateful aggregation DROPS all of them
+    (numRowsDroppedByWatermark = the whole file, asserted in
+    tests/test_streaming.py) and append mode emits exactly the finalized
+    late-half windows (window end <= watermark). The restart matters:
+    within a single run the late-row filter uses the PREVIOUS batch's
+    watermark, so a same-run delivery would have admitted the old rows —
+    the exact subtlety this query pins. The oracle reproduces both effects
+    relationally (late-half exclusion + HAVING on the watermark)."""
+    from server2_vector_search_server_spark.streaming.events import (
+        tumbling_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="late_data_")
+    src = os.path.join(work, "stream")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    events = tbl(spark, sf_dir, "events")
+    split = "2024-01-16"
+
+    out_dir = os.path.join(work, "emitted")
+
+    def _run():
+        # memory sink cannot recover from a checkpoint; foreachBatch ->
+        # parquet can, and append mode hands it only FINALIZED windows
+        stream = read_events_stream(spark, src)
+        q = (tumbling_counts(stream, window="1 hour", watermark="1 hour")
+             .writeStream
+             .foreachBatch(lambda df, bid:
+                           df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    (events.filter(F.col("ts") >= split).coalesce(1)
+     .write.mode("append").parquet(src))
+    _run()
+    (events.filter(F.col("ts") < split).coalesce(1)
+     .write.mode("append").parquet(src))
+    _run()
+    return (spark.read.parquet(out_dir)
+            .orderBy("window_start", "event_type"))

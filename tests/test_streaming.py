@@ -248,3 +248,50 @@ def test_ivm_rollup_replayed_batch_is_idempotent(spark, tmp_path):
              (r["n_events"], r["total_value"])
              for r in view.current().collect()}
     assert after == got
+
+
+def test_watermark_drops_late_rows_on_restart(spark, tables, tmp_path):
+    """The late-row filter uses the checkpointed watermark on restart:
+    run 1 commits watermark = max(late half) - 1h; run 2's early-half rows
+    are all older and must be counted by numRowsDroppedByWatermark."""
+    from server2_vector_search_server_spark.session import (
+        read_events_stream,
+    )
+    from server2_vector_search_server_spark.streaming.events import (
+        tumbling_counts,
+    )
+
+    events = tables["events"]
+    src = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "emitted")
+    split = "2024-01-16"
+
+    def run():
+        stream = read_events_stream(spark, src)
+        q = (tumbling_counts(stream, window="1 hour", watermark="1 hour")
+             .writeStream
+             .foreachBatch(lambda df, bid:
+                           df.write.mode("append").parquet(out))
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return q
+
+    events.filter(F.col("ts") >= split).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    # the drop counter sits AFTER partial aggregation, so it counts
+    # dropped (window, event_type) partial rows, not raw events
+    n_early_groups = (events.filter(F.col("ts") < split)
+                      .select(F.date_trunc("hour", "ts"), "event_type")
+                      .distinct().count())
+    events.filter(F.col("ts") < split).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q2 = run()
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q2.recentProgress if p["stateOperators"])
+    assert dropped == n_early_groups > 0
+    # nothing from the early half survived into the emitted windows
+    emitted = spark.read.parquet(out)
+    assert emitted.filter(F.col("window_start") < split).count() == 0
