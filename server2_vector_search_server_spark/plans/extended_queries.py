@@ -440,3 +440,56 @@ def events_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("_c").alias("value_cents"))
         .orderBy("hot_key")
     )
+
+
+@query(
+    "set_ops_multiset",
+    survey="G-extension(INTERSECT ALL / EXCEPT ALL: multiset semantics — "
+           "duplicate multiplicities min() and subtract instead of "
+           "vanishing)",
+    oracle="""
+    -- per-user event-type bags: INTERSECT ALL keeps min(multiplicity),
+    -- EXCEPT ALL subtracts multiplicities — the bag algebra DISTINCT set
+    -- ops silently discard
+    WITH clicks AS (
+      SELECT user_id FROM events
+      WHERE event_type = 'click' AND user_id < 100),
+    views AS (
+      SELECT user_id FROM events
+      WHERE event_type = 'view' AND user_id < 100)
+    SELECT user_id, 'click_intersect_all_view' AS op,
+           COUNT(*) AS multiplicity
+    FROM (SELECT user_id FROM clicks INTERSECT ALL
+          SELECT user_id FROM views)
+    GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'click_except_all_view' AS op, COUNT(*) AS multiplicity
+    FROM (SELECT user_id FROM clicks EXCEPT ALL
+          SELECT user_id FROM views)
+    GROUP BY user_id
+    ORDER BY op, user_id
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations: intersectAll keeps min(left, right)
+    copies of each duplicated row, exceptAll keeps left-minus-right copies
+    — the multiplicity arithmetic the DISTINCT forms silently discard.
+    Verified by re-counting the surviving multiplicities per user against
+    the same bag algebra in SQL."""
+    events = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+
+    def bag(etype: str) -> DataFrame:
+        return (events.filter(F.col("event_type") == etype)
+                .select("user_id"))
+
+    inter = (bag("click").intersectAll(bag("view"))
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("multiplicity"))
+             .withColumn("op", F.lit("click_intersect_all_view")))
+    diff = (bag("click").exceptAll(bag("view"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("multiplicity"))
+            .withColumn("op", F.lit("click_except_all_view")))
+    return (inter.unionByName(diff)
+            .select("user_id", "op", "multiplicity")
+            .orderBy("op", "user_id"))

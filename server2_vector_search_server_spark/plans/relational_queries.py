@@ -472,3 +472,48 @@ def supplier_region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count_distinct("s_suppkey").alias("n_suppliers"))
         .orderBy("r_name")
     )
+
+
+_REACHABILITY_SQL = """
+    WITH RECURSIVE reach(node, hop) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+      UNION ALL
+      SELECT e.dst AS node, r.hop + 1 AS hop
+      FROM reach r
+      JOIN (
+        SELECT p_partkey AS src, (p_partkey * 7 + 13) % 200 AS dst
+        FROM part WHERE p_partkey < 200
+        UNION ALL
+        SELECT p_partkey AS src, (p_partkey * 3 + 41) % 200 AS dst
+        FROM part WHERE p_partkey < 200
+      ) e ON e.src = r.node
+      WHERE r.hop < 8
+    )
+    SELECT node, MIN(hop) AS min_hops, COUNT(*) AS n_paths
+    FROM reach
+    GROUP BY node
+    ORDER BY node
+"""
+
+
+@query(
+    "part_reachability_recursive",
+    survey="C-extension(recursive CTE via spark.sql: bounded BFS "
+           "reachability — the same WITH RECURSIVE text runs on both "
+           "engines)",
+    oracle=_REACHABILITY_SQL,
+)
+def part_reachability_recursive(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE as literal SQL through spark.sql() (Spark 4 recursive
+    CTE support): 8-hop bounded BFS over a deterministic two-successor
+    graph derived from part keys, reporting minimum hop count and path
+    multiplicity per reached node. The identical ANSI text IS the DuckDB
+    oracle — the strongest possible parity claim for the recursion
+    surface. For unbounded closures at scale, the iterative DataFrame
+    operators (connected components, PageRank) remain the right tool; the
+    recursion here certifies the SQL dialect itself."""
+    from server2_vector_search_server_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "part")
+    return spark.sql(_REACHABILITY_SQL)
