@@ -517,3 +517,37 @@ def part_reachability_recursive(spark: SparkSession,
 
     load_tables(spark, sf_dir, "part")
     return spark.sql(_REACHABILITY_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT r.r_name, n.n_name, t.total_spend
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey,
+    LATERAL (
+      SELECT CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_spend
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+    ) t
+    ORDER BY r.r_name, n.n_name
+"""
+
+
+@query(
+    "nation_spend_lateral",
+    survey="C-extension(correlated LATERAL subquery via spark.sql: per-row "
+           "derived table; Catalyst decorrelates to an aggregate + join)",
+    oracle=_LATERAL_SQL,
+)
+def nation_spend_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL derived table correlated on the outer nation — per-nation
+    total spend computed 'per row' in the SQL text, decorrelated by
+    Catalyst into one aggregate + join (no per-row re-scan; the naive
+    interpretation would scan orders once per nation). The identical ANSI
+    text runs as the DuckDB oracle. Scaled-integer SUM keeps the money
+    total bit-reproducible at any parallelism."""
+    from server2_vector_search_server_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "region", "nation", "customer", "orders")
+    return spark.sql(_LATERAL_SQL)

@@ -236,3 +236,11 @@ def test_kmeans_lloyd_no_joins_in_assignment(spark):
     for tok in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                 "CartesianProduct"):
         assert tok not in plan, tok
+
+
+def test_lateral_subquery_decorrelates(spark):
+    plan = _plan(spark, "nation_spend_lateral")
+    # the correlated LATERAL aggregate must decorrelate to one aggregate +
+    # join — a per-outer-row re-execution would show as a nested-loop shape
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
