@@ -115,3 +115,23 @@ def test_pdf_stub_raises_cleanly(spark, zip_dir):
         pdfs.collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_documents_jsonl_and_csv_roundtrip(spark, tables, tmp_path):
+    """Source-format breadth: the same documents ingest identically from
+    JSONL and headered CSV (explicit schemas — schema-on-read, no
+    inference in production paths) as from parquet."""
+    docs = tables["documents"].filter(F.col("doc_id") < 50) \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    jl, cs = str(tmp_path / "docs_jsonl"), str(tmp_path / "docs_csv")
+    docs.coalesce(1).write.json(jl)
+    # quote/escape defaults round-trip commas and quotes in text
+    docs.coalesce(1).write.option("header", True).csv(cs)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    back_j = spark.read.schema(schema).json(jl)
+    back_c = (spark.read.schema(schema).option("header", True).csv(cs))
+    for back in (back_j, back_c):
+        assert back.count() == docs.count()
+        diff = (docs.exceptAll(back)).unionAll(back.exceptAll(docs))
+        assert diff.count() == 0
