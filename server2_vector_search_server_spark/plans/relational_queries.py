@@ -551,3 +551,53 @@ def nation_spend_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, "region", "nation", "customer", "orders")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "events_pivot_clause",
+    survey="D-extension(native SQL PIVOT clause: multi-aggregate pivot "
+           "with typed NULL cells for absent combinations)",
+    oracle="""
+    -- the PIVOT clause is dialect-specific; the oracle is the semantic
+    -- spec: conditional aggregates with NULL (not 0) for absent cells
+    SELECT user_id % 20 AS user_bucket,
+           (SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END) / 100.0)
+             AS click_total,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS click_n,
+           (SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) END) / 100.0)
+             AS purchase_total,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS purchase_n
+    FROM events
+    WHERE user_id < 400
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+)
+def events_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native SQL PIVOT clause with MULTIPLE aggregates per pivot
+    value (sum + count per event type). The contract being pinned: absent
+    (bucket, type) combinations surface as typed NULL cells, not zeros —
+    conditional-CASE aggregation (events_pivot_by_type) yields 0 for
+    COUNT-style sums, the PIVOT clause yields NULL; both are correct, a
+    migration must know which it is getting. Scaled-integer sums keep the
+    money totals bit-reproducible."""
+    from server2_vector_search_server_spark.session import load_tables
+
+    load_tables(spark, sf_dir, "events")
+    return spark.sql("""
+      SELECT user_bucket,
+             CAST(click_cents AS DOUBLE) / 100.0 AS click_total,
+             CAST(click_n AS BIGINT) AS click_n,
+             CAST(purchase_cents AS DOUBLE) / 100.0 AS purchase_total,
+             CAST(purchase_n AS BIGINT) AS purchase_n
+      FROM (
+        SELECT user_id % 20 AS user_bucket, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 400)
+      PIVOT (SUM(cents) AS cents, COUNT(cents) AS n
+             FOR event_type IN ('click' AS click, 'purchase' AS purchase))
+      ORDER BY user_bucket""")
