@@ -689,3 +689,42 @@ def date_functions_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "yyyy-MM-dd HH:mm:ss").alias("rt"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "part_pattern_matching_breadth",
+    survey="H-extension(pattern matching: LIKE with ESCAPE, case-"
+           "insensitive ILIKE, try_cast failure-to-NULL)",
+    oracle="""
+    SELECT p_partkey,
+           p_name LIKE '%\\_1%' ESCAPE '\\' AS has_underscore_one,
+           p_type ILIKE '%sTeEl%' AS steel_any_case,
+           lower(p_brand) LIKE 'brand%' AS brand_prefix,
+           TRY_CAST(split_part(p_name, '_', 2) AS BIGINT) AS second_as_num,
+           CAST(TRY_CAST(p_type AS DOUBLE) IS NULL AS BOOLEAN)
+             AS type_not_numeric
+    FROM part
+    WHERE p_partkey < 120
+    ORDER BY p_partkey
+    """,
+)
+def part_pattern_matching_breadth(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Pattern-matching contracts: LIKE with an explicit ESCAPE (matching a
+    literal underscore — `_` is a wildcard, the classic silent-match bug),
+    ILIKE case-insensitivity, and try_cast's failure-to-NULL (the
+    ANSI-safe way to probe 'is this token numeric' without a crash)."""
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 120)
+    return (
+        part.select(
+            "p_partkey",
+            F.expr(r"p_name LIKE '%\\_1%' ESCAPE '\\'")
+            .alias("has_underscore_one"),
+            F.col("p_type").ilike("%sTeEl%").alias("steel_any_case"),
+            F.lower(F.col("p_brand")).like("brand%").alias("brand_prefix"),
+            F.expr("TRY_CAST(split_part(p_name, '_', 2) AS BIGINT)")
+            .alias("second_as_num"),
+            F.expr("TRY_CAST(p_type AS DOUBLE)").isNull()
+            .alias("type_not_numeric"))
+        .orderBy("p_partkey")
+    )
