@@ -745,3 +745,64 @@ def ivf_knn_batch(
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn", vec_col, query_vec_col))
+
+
+def ivf_knn_batch_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Batched serving against the MATERIALIZED index
+    (:func:`write_ivf_pq_index` layout): the per-query probe table joins
+    the stored table on its PARTITION column, so Spark's dynamic partition
+    pruning derives the probed-cell set from the broadcast side at runtime
+    and the scan touches only the union of probed cell DIRECTORIES —
+    asserted on the executed plan in tests. This is the full 100 TB
+    serving story: no assignment recompute (cells are the layout), no
+    full-table scan (DPP), one scan for N queries (the batch form's
+    economics, SCALE.md §21). Exact scoring within probed cells — same
+    output contract as :func:`ivf_knn_batch`."""
+    from pyspark.sql import Window
+
+    cent_rows = sorted(centroids.collect(),
+                       key=lambda r: r[centroid_id_col])
+    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
+                         for r in cent_rows])
+    id_lit = F.array(*[F.lit(r[centroid_id_col]) for r in cent_rows])
+    ranked = F.array_sort(
+        F.zip_with(
+            F.transform(cent_lit,
+                        lambda c: F.round(squared_l2(c, F.col(query_vec_col)),
+                                          score_decimals)),
+            id_lit,
+            lambda d, cid: F.struct(d.alias("d"), cid.alias("cid"))))
+    probes = (
+        queries.select(
+            query_id_col, query_vec_col,
+            F.explode(F.slice(ranked, 1, nprobe)).alias("_p"))
+        .select(query_id_col, query_vec_col,
+                F.col("_p.cid").alias(centroid_id_col)))
+    stored = spark.read.parquet(index_path)
+    cand = (stored.join(F.broadcast(probes), centroid_id_col)
+            .withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(F.col(query_vec_col),
+                                        F.col(vec_col)),
+                score_decimals)))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    drop_cols = ["_rn", vec_col, query_vec_col, "ingest_batch"] + \
+        [c for c in stored.columns if c.startswith("pq_code_")]
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop(*drop_cols))

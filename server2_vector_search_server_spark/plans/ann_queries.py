@@ -668,3 +668,39 @@ def ann_ivf_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann.ivf_knn_batch(corpus, centroids, queries, k=5, nprobe=_NPROBE)
     return (out.select("query_id", "vec_id", "label", "centroid_id", "score")
             .orderBy("query_id", F.col("score").desc(), "vec_id"))
+
+
+@query(
+    "ann_ivf_batch_indexed_knn",
+    survey="north-star ANN (batched serving against the MATERIALIZED "
+           "index: dynamic partition pruning derives the probed-cell "
+           "directories from the broadcast probe table at runtime)",
+    oracle=REGISTRY["ann_ivf_batch_knn"].oracle,
+)
+def ann_ivf_batch_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract and oracle as ann_ivf_batch_knn — the materialized
+    index is a LAYOUT change, not a semantic one. The probe table joins the
+    index on its partition column, so Spark's dynamic partition pruning
+    restricts the scan to the probed cells' directories (asserted on the
+    executed plan in tests/test_plan_audits.py) with zero assignment
+    recompute."""
+    import tempfile as _tf
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    corpus = (emb.filter(F.col("vec_id") < _BATCH_CORPUS_N)
+              .select("vec_id", "label", "embedding"))
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.pq_codebooks(corpus, 4, 4)
+    path = _tf.mkdtemp(prefix="ivf_batch_idx_") + "/index"
+    ann.write_ivf_pq_index(corpus, centroids, books, path)
+    queries = (emb.filter((F.col("vec_id") >= _BATCH_Q_LO)
+                          & (F.col("vec_id") < _BATCH_Q_HI))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = ann.ivf_knn_batch_indexed(spark, path, centroids, queries,
+                                    k=5, nprobe=_NPROBE)
+    return (out.select("query_id", "vec_id", "label", "centroid_id",
+                       "score")
+            .orderBy("query_id", F.col("score").desc(), "vec_id"))

@@ -244,3 +244,11 @@ def test_lateral_subquery_decorrelates(spark):
     # join — a per-outer-row re-execution would show as a nested-loop shape
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_batch_indexed_uses_dynamic_partition_pruning(spark):
+    plan = _plan(spark, "ann_ivf_batch_indexed_knn")
+    # the probe-table join on the index's partition column must produce a
+    # runtime partition filter (DPP) — the scan reads only probed cell
+    # directories, never the whole index
+    assert "dynamicpruning" in plan.lower()
