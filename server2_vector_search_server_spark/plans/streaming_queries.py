@@ -437,3 +437,68 @@ def streaming_late_data_watermark(spark: SparkSession,
     _run()
     return (spark.read.parquet(out_dir)
             .orderBy("window_start", "event_type"))
+
+
+@query(
+    "streaming_stream_stream_join",
+    survey="I(stream-stream interval join: two watermarked streams, "
+           "time-range condition bounding both join states)",
+    oracle=f"""
+    -- every (click, purchase) pair for the same user where the purchase
+    -- lands within 30 minutes after the click — the attribution join
+    SELECT c.user_id,
+           COUNT(*) AS n_attributed,
+           CAST(MIN(p.event_id) AS BIGINT) AS first_purchase_event,
+           {sql_exact_sum('p.value', 2)} AS attributed_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP)
+         <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN under readStream: the click stream joins the
+    purchase stream of the same source on user + a 30-minute time-range
+    condition, both sides watermarked — the watermark plus the range bound
+    is what lets Spark EVICT join state (without them, both sides buffer
+    forever). Inner-join emissions are complete for a drained availableNow
+    stream, so the pair set equals the batch interval join; the memory
+    sink holds raw pairs and the per-user attribution rollup is aggregated
+    after draining, hash-matched against the batch oracle."""
+    src = tempfile.mkdtemp(prefix="ss_join_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    clicks = (read_events_stream(spark, src)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    purchases = (read_events_stream(spark, src)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_event"),
+                         F.col("value").alias("p_value"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts >= c_ts "
+               "AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+    sink = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    pairs = spark.table(sink)
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"),
+             F.min("p_event").alias("first_purchase_event"),
+             (F.sum(F.round(F.col("p_value") * 100).cast("long")) / 100.0)
+             .alias("attributed_value"))
+        .orderBy("user_id")
+    )
