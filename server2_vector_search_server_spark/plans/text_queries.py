@@ -490,3 +490,68 @@ def text_quality_classifier_mllib(spark: SparkSession,
     return (scored.groupBy("label", "prediction")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("label", "prediction"))
+
+
+@query(
+    "text_sequence_packing",
+    survey="north-star text analysis (pretraining sequence packing: "
+           "concatenate the token stream in document order, cut every "
+           "B tokens — bin assignment by exclusive prefix sum)",
+    oracle=f"""
+    -- bin = floor(tokens_before_this_doc / B): the GPT-style packing
+    -- contract where the stream is concatenated and cut every B tokens,
+    -- and a document belongs to the sequence its first token lands in
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 400),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM toks)
+    SELECT CAST(tokens_before // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           (MIN(tokens_before) % 512 <> 0) AS starts_mid_sequence
+    FROM offs
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (budget 512 tokens): the corpus token
+    stream is conceptually concatenated in document order and cut every B
+    tokens; each document joins the sequence its first token lands in
+    (floor of the EXCLUSIVE prefix sum / B). At fixture scale the prefix
+    sum is one global window; at 100 TB the same quantity comes from the
+    standard two-pass distributed prefix sum — per-partition token
+    subtotals (tiny) broadcast back as partition offsets — so the contract
+    is scale-independent. Output: per-sequence document count, token
+    count, id span, and whether the sequence opens mid-document (the
+    straddle a packed loader handles with attention masking)."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offs = toks.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        offs.groupBy(F.floor(F.col("tokens_before") / 512)
+                     .cast("long").alias("seq_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"),
+             ((F.min("tokens_before") % 512) != 0)
+             .alias("starts_mid_sequence"))
+        .orderBy("seq_id")
+    )
