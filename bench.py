@@ -80,6 +80,8 @@ HEADLINE = [
     "events_ewma_by_user",      # applyInPandas per-entity sequential fold
     "streaming_incremental_rollup",  # IVM: partial-agg append + merge-on-read
     "ann_ivf_batch_knn",        # batched IVF serving: one scan, N queries
+    "ann_ivf_batch_indexed_knn",  # DPP-pruned batch serving on the index
+    "streaming_stream_stream_join",  # dual-watermark interval join
 ]
 
 

@@ -555,3 +555,76 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("starts_mid_sequence"))
         .orderBy("seq_id")
     )
+
+
+@query(
+    "text_pii_redaction",
+    survey="north-star text analysis (PII scrubbing pass: regex redaction "
+           "of emails/phones with per-doc match accounting)",
+    oracle=r"""
+    -- deterministic plant: every doc gets an email and a phone; the
+    -- redaction pass must strip both and account for each match
+    WITH corpus AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents WHERE doc_id < 300),
+    redacted AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               '\+1-\d{3}-\d{4}', '[PHONE]', 'g') AS clean,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(text, '\+1-\d{3}-\d{4}'))
+               AS INTEGER) AS n_phones
+      FROM corpus)
+    SELECT doc_id, n_emails, n_phones,
+           contains(clean, '[EMAIL]') AS has_email_token,
+           contains(clean, '[PHONE]') AS has_phone_token,
+           NOT regexp_matches(clean, '@') AS no_at_left,
+           md5(clean) AS clean_hash
+    FROM redacted ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrubbing pass every distributed training corpus gets:
+    regex redaction of emails and phone numbers (planted deterministically
+    so the pass provably fires), with per-document match accounting and an
+    md5 of the redacted text — proving byte-identical redaction output
+    across engines, not just matching counts. Pure codegen'd regex
+    projections; at 100 TB this fuses into the scan like every other
+    rule-based pass."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-\d{3}-\d{4}"
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+        .alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "[EMAIL]"),
+        phone_re, "[PHONE]")
+    red = corpus.select(
+        "doc_id", clean.alias("clean"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)"))
+        .cast("int").alias("n_emails"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\+1-\\d{3}-\\d{4}', 0)"))
+        .cast("int").alias("n_phones"))
+    return (
+        red.select(
+            "doc_id", "n_emails", "n_phones",
+            F.col("clean").contains("[EMAIL]").alias("has_email_token"),
+            F.col("clean").contains("[PHONE]").alias("has_phone_token"),
+            (~F.col("clean").contains("@")).alias("no_at_left"),
+            F.md5("clean").alias("clean_hash"))
+        .orderBy("doc_id")
+    )
