@@ -77,14 +77,24 @@ class DocumentSearchEngine:
     def embed_query(self, query: str) -> list[float]:
         """Encode ONE query string with the same function documents get —
         the reference uses one model for both sides with no E5 role prefixes
-        (embedding.py:11-15, SURVEY.md §2.J caveat). Evaluated through the
-        same Spark expression as the document path for bit-exact parity,
-        then broadcast as a literal into the scoring plan."""
-        row = (self.spark.range(1)
-               .select(hash_embedding_expr(F.lit(query), self.embed_dim)
-                       .alias("v"))
-               .first())
-        return [float(x) for x in row["v"]]
+        (embedding.py:11-15, SURVEY.md §2.J caveat). Runs ``self.embedder``
+        over a one-row DataFrame with the ingest call convention, so an
+        engine built with a custom embedder searches with MATCHING vectors
+        (a hash-embedded query against model-embedded chunks would silently
+        score garbage). The hash default keeps its pure-expression fast path.
+        The resulting vector is broadcast as a literal into the scoring plan.
+        """
+        if self.embedder is embed_hash:
+            row = (self.spark.range(1)
+                   .select(hash_embedding_expr(F.lit(query), self.embed_dim)
+                           .alias("v"))
+                   .first())
+            return [float(x) for x in row["v"]]
+        one = self.spark.createDataFrame([(query,)], "content string")
+        row = (self.embedder(one, text_col="content", out_col="embedding",
+                             dim=self.embed_dim)
+               .select("embedding").first())
+        return [float(x) for x in row["embedding"]]
 
     # -- POST /upload-document ----------------------------------------------
     def upload_documents(

@@ -350,9 +350,16 @@ def semantic_dedup(vectors: DataFrame, centroids: DataFrame, *,
     cent_normed = _normalize(
         centroids.select(centroid_id_col, centroid_vec_col),
         centroid_vec_col, centroid_vec_col)
+    # localCheckpoint, not persist: both materialize assignment once (so the
+    # self-join's two branches share it and Catalyst cannot re-inline the
+    # norms into the join condition — the SCALE.md §6 lesson), but a
+    # persist() with no unpersist() pins cached storage in a long-lived
+    # session across repeated calls; checkpoint blocks are freed when the
+    # result is garbage-collected.
     assigned = ivf_assign(normalized, cent_normed, vec_col="_nv",
                           id_col=id_col, centroid_id_col=centroid_id_col,
-                          centroid_vec_col=centroid_vec_col).persist()
+                          centroid_vec_col=centroid_vec_col) \
+        .localCheckpoint(eager=True)
     a = assigned.select(F.col(id_col).alias("_id_a"),
                         F.col(centroid_id_col).alias("_cid_a"),
                         F.col("_nv").alias("_n_a"))

@@ -242,8 +242,16 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     wedge count, and a broadcast of the edge set serves the closing probe.
 
     Returns one row per node with its triangle participation count.
+    Edges are normalized here with least/greatest (matching knn_graph's
+    output convention), so directed or unordered input is handled — a
+    reversed duplicate collapses instead of fabricating extra wedges.
+    Self-loops are dropped (a loop is never part of a triangle but would
+    close spurious ones through the a<b<c chain).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
     ab = e
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = e.select(F.col("a").alias("a"), F.col("b").alias("c"))

@@ -84,8 +84,15 @@ def read_events_stream(spark: SparkSession, src_dir: str,
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    peeked = spark.read.parquet(src_dir).schema["ts"].dataType
-    nanos = isinstance(peeked, T.LongType)
+    try:
+        peeked = spark.read.parquet(src_dir).schema["ts"].dataType
+        nanos = isinstance(peeked, T.LongType)
+    except Exception:
+        # Directory exists but holds no parquet yet — normal for a stream
+        # whose files arrive later. Assume the plain-micros layout (what the
+        # driver generates today); a nanos file landing later would need an
+        # explicit restart anyway since a stream's schema is fixed at start.
+        nanos = False
     raw = ("event_id long, ts {} , user_id long, event_type string, "
            "value double, props string").format("long" if nanos
                                                 else "timestamp")

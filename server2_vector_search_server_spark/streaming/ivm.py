@@ -67,6 +67,7 @@ class HourlyRollupView:
     def current(self) -> DataFrame:
         """Merge all partials: re-aggregate the log. Identical to the batch
         aggregate because every measure is associative."""
+        self._recover_swap()
         if not os.path.isdir(self.log_dir):
             return (self.spark.createDataFrame([], ROLLUP_SCHEMA)
                     .select("window_start", "event_type", "n_events",
@@ -82,23 +83,72 @@ class HourlyRollupView:
                     .alias("total_value")))
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self) -> None:
+    def _recover_swap(self) -> None:
+        """Finish a compact() interrupted between its two renames: if the
+        live log vanished but the set-aside copy exists, put it back."""
+        old = self.log_dir + ".old"
+        if not os.path.isdir(self.log_dir) and os.path.isdir(old):
+            os.rename(old, self.log_dir)
+
+    @staticmethod
+    def committed_batches(checkpoint_dir: str) -> set[int]:
+        """Batch ids the streaming checkpoint has COMMITTED (Spark writes one
+        file per finished batch under ``<checkpoint>/commits``). A batch whose
+        partials were written but whose commit file is absent will be REPLAYED
+        on restart, so its partition must survive compaction untouched."""
+        commits = os.path.join(checkpoint_dir, "commits")
+        if not os.path.isdir(commits):
+            return set()
+        return {int(name) for name in os.listdir(commits) if name.isdigit()}
+
+    def compact(self, checkpoint_dir: str | None = None) -> None:
         """Fold the partial log to one row per group (background job; the
-        view's answers are unchanged — compaction only bounds read cost)."""
+        view's answers are unchanged — compaction only bounds read cost).
+
+        Replay safety: folding a batch into the ``ingest_batch=-1`` base
+        erases the per-batch provenance that makes ``apply_batch`` replays
+        idempotent — a replayed batch would re-write its ``ingest_batch=N``
+        partition on top of totals that already absorbed it, double-counting.
+        So when ``checkpoint_dir`` is given, only batches with a commit file
+        are folded; uncommitted partitions are carried over verbatim. Without
+        a checkpoint (stream terminated / offline maintenance) everything
+        folds, as before.
+
+        Crash safety: the swap is rename-aside → rename-in → delete-aside.
+        A crash at any point leaves either the old log in place, or the old
+        log at ``.old`` with the new one not yet live — ``_recover_swap``
+        (run by both readers and the next compact) restores it. There is no
+        window where the view has no data directory.
+        """
+        self._recover_swap()
         if not os.path.isdir(self.log_dir):
             return
+        tmp, old = self.log_dir + ".tmp", self.log_dir + ".old"
+        if os.path.isdir(tmp):             # leftover from an earlier crash
+            shutil.rmtree(tmp)
         log = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self.log_dir)
-        folded = (log.groupBy("window_start", "event_type")
+        if checkpoint_dir is not None:
+            committed = self.committed_batches(checkpoint_dir)
+            foldable = log.filter(F.col("ingest_batch").isin(
+                [-1, *committed]))
+            retained = log.filter(~F.col("ingest_batch").isin(
+                [-1, *committed]))
+        else:
+            foldable, retained = log, None
+        folded = (foldable.groupBy("window_start", "event_type")
                   .agg(F.sum("n_events").alias("n_events"),
                        F.sum("value_cents").alias("value_cents"))
                   # ingest_batch -1 marks compacted base rows (the same
                   # convention as the ANN index's base build)
                   .withColumn("ingest_batch", F.lit(-1).cast("long")))
-        tmp = self.log_dir + ".tmp"
         folded.write.mode("overwrite").partitionBy("ingest_batch") \
             .parquet(tmp)
-        shutil.rmtree(self.log_dir)
+        if retained is not None:
+            retained.write.mode("append").partitionBy("ingest_batch") \
+                .parquet(tmp)
+        os.rename(self.log_dir, old)
         os.rename(tmp, self.log_dir)
+        shutil.rmtree(old)
 
 
 def start_rollup_stream(spark: SparkSession, src_dir: str,

@@ -138,3 +138,31 @@ def test_collection_search_partition_prunes(engine):
     if "PartitionFilters" in plan_all:
         head = plan_all.split("PartitionFilters")[1][:80]
         assert "isnotnull(collection" not in head
+
+
+def test_custom_embedder_searches_with_matching_vectors(spark, tmp_path):
+    """ADVICE r02: an engine built with a custom embedder must embed QUERIES
+    through that same embedder. Regression: embed_query hardcoded the hash
+    expression, so custom-embedded chunks were scored against hash-embedded
+    queries — an exact-text query silently missed its own document."""
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.embedding import (
+        hash_embedding_expr,
+    )
+
+    def reversed_hash_embedder(df, text_col="content", out_col="embedding",
+                               dim=config.TEST_EMBEDDING_DIM):
+        # deterministic but DIFFERENT from embed_hash: embeds the reversed
+        # text, so a hash-embedded query cannot match by accident
+        return df.withColumn(
+            out_col, hash_embedding_expr(F.reverse(F.col(text_col)), dim))
+
+    eng = DocumentSearchEngine(spark, str(tmp_path / "chunks"),
+                               embedder=reversed_hash_embedder)
+    text = "Custom embedder parity sentence."
+    eng.upload_documents([("custom.txt", text)], "collection_a")
+    top = eng.search_score(text, k=1).collect()
+    assert len(top) == 1 and top[0]["doc_name"] == "custom.txt"
+    # identical text through identical embedder: score == 1 - d^2 ~= 1
+    assert top[0]["score"] > 0.999

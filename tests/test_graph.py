@@ -80,3 +80,27 @@ def test_star_collapses_long_chain_quickly(spark):
 def test_star_components_and_self_loops(spark):
     got = _cc_star(spark, [(5, 5), (5, 6), (10, 11), (12, 11)])
     assert got == {5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_triangle_count_normalizes_directed_and_reversed_edges(spark):
+    """ADVICE r02: triangle_count must normalize edges itself (least/
+    greatest + self-loop drop), so directed input, reversed duplicates, and
+    loops cannot fabricate or miss triangles."""
+    from server2_vector_search_server_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # one triangle {1,2,3} given as directed edges with a reversed
+    # duplicate and a self-loop; plus a dangling edge 3-4
+    messy = spark.createDataFrame(
+        [(2, 1), (2, 3), (1, 3), (3, 1), (2, 2), (3, 4)],
+        "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(messy).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # same graph pre-normalized must agree exactly
+    clean = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                                  "src long, dst long")
+    got_clean = {r["node"]: r["n_triangles"]
+                 for r in triangle_count(clean).collect()}
+    assert got_clean == got

@@ -295,3 +295,98 @@ def test_watermark_drops_late_rows_on_restart(spark, tables, tmp_path):
     # nothing from the early half survived into the emitted windows
     emitted = spark.read.parquet(out)
     assert emitted.filter(F.col("window_start") < split).count() == 0
+
+
+def test_ivm_compact_spares_uncommitted_batches(spark, tmp_path):
+    """ADVICE r02: compacting a batch whose partials were written but whose
+    streaming checkpoint commit is missing would double-count it on replay
+    (the fold absorbs its rows AND the replayed batch re-writes its
+    partition). compact(checkpoint_dir) must fold only committed batches."""
+    import os
+
+    from datetime import datetime
+
+    from server2_vector_search_server_spark.streaming.ivm import (
+        HourlyRollupView,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    b0 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}")], schema)
+    b1 = spark.createDataFrame(
+        [(2, datetime(2024, 1, 1, 10, 35), 1, "click", 2.0, "{}")], schema)
+    view = HourlyRollupView(spark, str(tmp_path / "view"))
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("v1")   # batch 0 committed...
+    view.apply_batch(b0, batch_id=0)
+    view.apply_batch(b1, batch_id=1)            # ...batch 1 is NOT
+
+    view.compact(str(ckpt))
+    # batch 1's partition survived verbatim; batch 0 folded into the base
+    parts = {d for d in os.listdir(view.log_dir)
+             if d.startswith("ingest_batch=")}
+    assert parts == {"ingest_batch=-1", "ingest_batch=1"}
+
+    before = {(str(r["window_start"]), r["event_type"]):
+              (r["n_events"], r["total_value"])
+              for r in view.current().collect()}
+    assert before == {("2024-01-01 10:00:00", "click"): (2, 3.0)}
+    view.apply_batch(b1, batch_id=1)            # crash-replay of batch 1
+    after = {(str(r["window_start"]), r["event_type"]):
+             (r["n_events"], r["total_value"])
+             for r in view.current().collect()}
+    assert after == before                      # idempotent, not 3 events
+
+
+def test_ivm_compact_swap_is_crash_recoverable(spark, tmp_path):
+    """A crash between compact()'s two renames leaves the log at '.old';
+    readers and the next compact must restore it, never serve nothing."""
+    import os
+
+    from datetime import datetime
+
+    from server2_vector_search_server_spark.streaming.ivm import (
+        HourlyRollupView,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    view = HourlyRollupView(spark, str(tmp_path / "view"))
+    view.apply_batch(spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0), 1, "view", 5.0, "{}")], schema), 0)
+    want = {(str(r["window_start"]), r["event_type"]):
+            (r["n_events"], r["total_value"])
+            for r in view.current().collect()}
+    os.rename(view.log_dir, view.log_dir + ".old")   # simulated mid-swap crash
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in view.current().collect()}
+    assert got == want
+
+
+def test_read_events_stream_from_empty_directory(spark, tmp_path):
+    """ADVICE r02: a stream source directory that exists but has no parquet
+    yet (files arrive later) must not fail the schema peek — fall back to
+    the plain-micros layout and pick up files written after start."""
+    from datetime import datetime
+
+    from server2_vector_search_server_spark.session import read_events_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    stream = read_events_stream(spark, str(src))   # must not raise
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(
+        [(1, datetime(2024, 2, 1, 8, 0), 7, "click", 1.0, "{}")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    out = str(tmp_path / "out")
+    q = (stream.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "click"
