@@ -1,0 +1,234 @@
+"""Driver-hashable parity queries for the SOURCE/INGEST operators
+(SURVEY.md §2 A1/A2/A4, H4/H5/H6, J5/J6).
+
+Round-2 verdict: these operators were proven only by local pytest — never by
+a driver CORRECTNESS row — because no registered query exercised them. Each
+query here runs the real operator over deterministic fixture bytes built
+in-driver and reduces the result to hashable scalars (names, byte lengths,
+md5 digests, joined chunk strings); the DuckDB oracle is the literal
+expected table (or digest arithmetic), hand-verified against the reference's
+documented behavior:
+
+* ZIP member-name decode chain — ``/root/reference/app.py:160-198``
+  (UTF-8 flag → CP437→UTF-8 → CP437→EUC-KR(ignore) → NFC);
+* text loading — ``document_processor.py:105-117`` (TextLoader, utf-8);
+* PDF parsing — ``document_processor.py:101,120-124`` (DoclingLoader; here
+  pypdf-or-fallback, ``sources/pdf_fallback.py``);
+* sentence split + greedy chunk merge — ``text_spliter.py:80-166``.
+
+The ZIP fixture is built with byte-patched member names so all three decode
+branches execute against REAL archive bytes: python's zipfile always writes
+ascii-or-UTF-8-flagged names, so the CP437→UTF-8 and CP437→EUC-KR branches
+are created by replacing equal-length placeholder names in the finished
+archive (name bytes appear verbatim in the local header and central
+directory; lengths are unchanged, so every offset stays valid).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# A4 + H4 + J5: zip expansion with the 3-branch member-name decode chain
+
+def _fixture_zip_bytes() -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("hello.txt", "hello world")     # ascii, flag 0
+        zf.writestr("CAFEX.txt", "cafe au lait")    # placeholder → utf-8 bytes
+        zf.writestr("HNGL.txt", "annyeong")         # placeholder → EUC-KR bytes
+        zf.writestr("서울.md", "seoul notes")        # zipfile sets flag 0x800
+        zf.writestr("sub/", "")                     # directory: must be skipped
+    blob = buf.getvalue()
+    # CP437→UTF-8 branch: raw name bytes are valid UTF-8, no UTF-8 flag
+    blob = blob.replace(b"CAFEX.txt", "café".encode("utf-8") + b".txt")
+    # CP437→EUC-KR branch: raw name bytes are invalid UTF-8, valid EUC-KR
+    blob = blob.replace(b"HNGL.txt", "한글".encode("euc-kr") + b".txt")
+    return blob
+
+
+@query(
+    "zip_decode_chain_manifest",
+    survey="A4/H4/J5(zip expansion + 3-branch member-name decode chain on real archive bytes)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('café.txt',  CAST(12 AS BIGINT), md5('cafe au lait')),
+      ('hello.txt', CAST(11 AS BIGINT), md5('hello world')),
+      ('한글.txt',   CAST(8  AS BIGINT), md5('annyeong')),
+      ('서울.md',    CAST(11 AS BIGINT), md5('seoul notes'))
+    ) AS t(member_name, n_bytes, content_md5)
+    ORDER BY member_name
+    """,
+)
+def zip_decode_chain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand a real in-memory archive whose member names exercise every
+    branch of the decode chain (app.py:172-194): UTF-8-flagged, CP437→UTF-8,
+    CP437→EUC-KR fallback; the directory entry must vanish. The oracle is
+    the literal manifest (post-NFC names, member byte counts, content
+    digests) — any drift in the chain, the skip rule, or the member bytes
+    changes the hash."""
+    from server2_vector_search_server_spark.sources.files import expand_zip
+
+    archives = spark.createDataFrame(
+        [("memory://fixture.zip", bytearray(_fixture_zip_bytes()))],
+        "path string, content binary")
+    return (expand_zip(archives)
+            .select("member_name",
+                    F.length("content").cast("long").alias("n_bytes"),
+                    F.md5("content").alias("content_md5"))
+            .orderBy("member_name"))
+
+
+# --------------------------------------------------------------------------
+# A2: whole-file text source round-trip
+
+_TEXT_FIXTURES = {
+    "alpha.txt": "Alpha line one.\nAlpha line two.",
+    "beta.md": "# Beta\nBody text here.",
+    "gamma.txt": "Gamma single line.",
+}
+
+
+@query(
+    "text_source_roundtrip",
+    survey="A2(whole-file text source: one row per file, utf-8, newline-exact)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('alpha.txt', CAST(31 AS BIGINT),
+       md5('Alpha line one.' || chr(10) || 'Alpha line two.')),
+      ('beta.md',   CAST(22 AS BIGINT),
+       md5('# Beta' || chr(10) || 'Body text here.')),
+      ('gamma.txt', CAST(18 AS BIGINT), md5('Gamma single line.'))
+    ) AS t(doc_name, n_chars, content_md5)
+    ORDER BY doc_name
+    """,
+)
+def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write fixture .txt/.md files, read them back through the A2 source
+    (``spark.read.text(wholetext=True)`` + input_file_name — the TextLoader
+    analog, document_processor.py:105-117), and manifest them. Newlines must
+    round-trip byte-exactly (the md5 covers the embedded ``\\n``)."""
+    import os
+    import tempfile
+
+    from server2_vector_search_server_spark.sources.files import (
+        read_text_files,
+    )
+
+    d = tempfile.mkdtemp(prefix="text_src_")
+    for name, text in _TEXT_FIXTURES.items():
+        with open(os.path.join(d, name), "w", encoding="utf-8") as fh:
+            fh.write(text)
+    return (read_text_files(spark, d)
+            .select(F.regexp_extract("path", r"([^/]+)$", 1).alias("doc_name"),
+                    F.length("content").cast("long").alias("n_chars"),
+                    F.md5("content").alias("content_md5"))
+            .orderBy("doc_name"))
+
+
+# --------------------------------------------------------------------------
+# H5 + H6: sentence split + greedy chunk merge, golden oracle
+
+_CHUNK_DOCS = [
+    # plain greedy pack + trailing-sentence overlap carry
+    ("doc_basic", "Aaaa bbb. Ccc ddd. Eee fff."),
+    # an oversize sentence flushes the open chunk and stands alone
+    ("doc_oversize",
+     "Short one. This sentence is far longer than the chunk size limit. "
+     "End."),
+    # sentence that doesn't fit beside the overlap: pure-overlap chunk is
+    # flushed, sentence restarts alone (text_spliter.py:145-153)
+    ("doc_overlap_flush", "Bbbb cccc. Aaaaaaaaa. Dddddddddd dddddddd."),
+]
+
+
+@query(
+    "chunking_golden_roundtrip",
+    survey="H5/H6/J3/J4(sentence split + greedy merge w/ overlap: full chunk text, golden oracle)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('doc_basic', CAST(2 AS BIGINT),
+       'Aaaa bbb. Ccc ddd.<|>Ccc ddd. Eee fff.'),
+      ('doc_oversize', CAST(3 AS BIGINT),
+       'Short one.<|>This sentence is far longer than the chunk size limit.<|>End.'),
+      ('doc_overlap_flush', CAST(3 AS BIGINT),
+       'Bbbb cccc. Aaaaaaaaa.<|>Aaaaaaaaa.<|>Dddddddddd dddddddd.')
+    ) AS t(doc_name, n_chunks, chunks_joined)
+    ORDER BY doc_name
+    """,
+)
+def chunking_golden_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full H5+H6 pipeline (punct split → greedy merge, chunk_size=25,
+    overlap=10) over documents that pin each clause of the reference
+    algorithm (text_spliter.py:80-166): greedy close + overlap seed,
+    oversize-sentence flush, and the overlap-doesn't-fit restart. Chunk TEXT
+    (not just counts) is serialized in chunk order, so H6 graduates from the
+    rows-only check to a value-hashed one. Golden values hand-traced clause
+    by clause and cross-checked against the pure function's property tests
+    (tests/test_chunking.py)."""
+    from server2_vector_search_server_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(_CHUNK_DOCS, "doc_name string, text string")
+    chunks = chunk_documents(docs, id_col="doc_name", text_col="text",
+                             chunk_size=25, chunk_overlap=10, mode="punct")
+    return (
+        chunks.groupBy("doc_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+             F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("chunk_index", "content"))),
+                     lambda s: s.content),
+                 "<|>").alias("chunks_joined"))
+        .orderBy("doc_name"))
+
+
+# --------------------------------------------------------------------------
+# A1 + J6: PDF parse on real bytes (both content-stream encodings)
+
+@query(
+    "pdf_parse_manifest",
+    survey="A1/J6(PDF->text on real bytes: plain + FlateDecode content streams)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('flate.pdf', CAST(22 AS BIGINT), md5('Compressed gamma text.')),
+      ('plain.pdf', CAST(30 AS BIGINT),
+       md5('PDF alpha page.' || chr(10) || 'PDF beta page.'))
+    ) AS t(member_name, n_chars, text_md5)
+    ORDER BY member_name
+    """,
+)
+def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse two complete PDFs — one with plain content streams, one
+    Flate-compressed — through the A1 path (parse_pdf_members: pypdf when
+    importable, else the bundled pure-Python extractor). Multi-page text
+    joins with a newline per page, mirroring the loader's page join
+    (document_processor.py:120-124)."""
+    from server2_vector_search_server_spark.sources.files import (
+        parse_pdf_members,
+    )
+    from server2_vector_search_server_spark.sources.pdf_fallback import (
+        build_minimal_pdf,
+    )
+
+    members = spark.createDataFrame(
+        [("memory://docs", "plain.pdf",
+          bytearray(build_minimal_pdf(["PDF alpha page.", "PDF beta page."]))),
+         ("memory://docs", "flate.pdf",
+          bytearray(build_minimal_pdf(["Compressed gamma text."],
+                                      compress=True)))],
+        "archive string, member_name string, content binary")
+    return (parse_pdf_members(members)
+            .select("member_name",
+                    F.length("text").cast("long").alias("n_chars"),
+                    F.md5("text").alias("text_md5"))
+            .orderBy("member_name"))

@@ -118,29 +118,30 @@ def parse_text_members(members: DataFrame,
 def parse_pdf_members(members: DataFrame,
                       name_col: str = "member_name",
                       content_col: str = "content") -> DataFrame:
-    """A1: PDF→text. No PDF library ships in this container, so this is the
-    documented stub: the Spark plumbing (filter, mapInPandas shape) is real;
-    the decode raises NotImplementedError when no backend is importable."""
+    """A1: PDF→text (the reference's headline format, DoclingLoader at
+    ``document_processor.py:101,120-121``). Backend selection per Python
+    worker: ``pypdf`` when importable, else the bundled pure-Python
+    extractor (``sources/pdf_fallback.py`` — stdlib-only: Flate inflate +
+    text-show operator scan), so the path executes end-to-end on real PDF
+    bytes in this container. The Spark shape is the same either way:
+    Arrow-batched ``mapInPandas``, one text row per input PDF."""
     import pandas as pd
 
     pdfs = members.filter(file_extension(F.col(name_col)) == ".pdf")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            import pypdf  # type: ignore  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "No PDF backend (pypdf/pdfminer) installed; install one to "
-                "parse PDF members. Reference used DoclingLoader "
-                "(document_processor.py:101).") from exc
-        for pdf in batches:
-            texts = []
-            for blob in pdf[content_col]:
+            import pypdf  # type: ignore
+
+            def extract(blob: bytes) -> str:
                 reader = pypdf.PdfReader(io.BytesIO(blob))
-                texts.append("\n".join(p.extract_text() or ""
-                                       for p in reader.pages))
+                return "\n".join(p.extract_text() or "" for p in reader.pages)
+        except ImportError:
+            from server2_vector_search_server_spark.sources.pdf_fallback \
+                import extract_text as extract
+        for pdf in batches:
             out = pdf.drop(columns=[content_col]).copy()
-            out["text"] = texts
+            out["text"] = [extract(blob) for blob in pdf[content_col]]
             yield out
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"

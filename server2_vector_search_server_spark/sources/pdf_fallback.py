@@ -1,0 +1,143 @@
+"""Pure-Python PDF text extraction fallback (SURVEY.md §2 A1/J6).
+
+The reference's primary ingest format is PDF via DoclingLoader
+(``document_processor.py:47,120-121``). No PDF library ships in this
+container, so :func:`extract_text` implements the minimal subset needed to
+run the A1 path end-to-end on real bytes: it scans ``stream``/``endstream``
+content blocks, inflates ``/FlateDecode`` streams with stdlib zlib, and
+collects the literal strings fed to the text-showing operators
+(``Tj``, ``'``, ``"``, and ``TJ`` arrays) inside ``BT``/``ET`` text objects,
+applying PDF string escapes (including octal). ``pypdf`` is preferred when
+importable (``sources/files.parse_pdf_members``); this fallback keeps the
+pipeline honest-but-executable when it is not.
+
+Known limits (documented, acceptable for the ingest contract): hex strings
+(``<...> Tj``), nested unescaped parentheses, non-Flate filters, CID/Type0
+font re-mapping, and positioning-aware word spacing are not handled — text
+comes back in content-stream order, one line per text object.
+
+:func:`build_minimal_pdf` is the deterministic fixture generator used by
+tests and the registry parity query: it emits a complete single-xref PDF
+(readable by strict parsers too) with one page per text line, optionally
+Flate-compressed, so both decode branches are exercised.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# literal string followed by a show operator, or a TJ array
+_SHOW_RE = re.compile(
+    rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"
+    rb"|\[(?P<arr>(?:\((?:\\.|[^\\()])*\)|[^\]])*)\]\s*TJ",
+    re.DOTALL)
+_ARR_LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)", re.DOTALL)
+_ESCAPE_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.DOTALL)
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def _unescape(lit: bytes) -> bytes:
+    def sub(m: re.Match) -> bytes:
+        esc = m.group(1)
+        if esc in (b"\r\n", b"\r", b"\n"):      # line continuation
+            return b""
+        if esc in _ESCAPES:
+            return _ESCAPES[esc]
+        if esc[:1].isdigit():
+            return bytes([int(esc, 8) & 0xFF])
+        return esc                               # unknown escape: drop the \
+    return _ESCAPE_RE.sub(sub, lit)
+
+
+def _content_streams(blob: bytes) -> list[bytes]:
+    """Every stream body, inflated when its object dict names FlateDecode."""
+    out = []
+    pos = 0
+    for m in _STREAM_RE.finditer(blob):
+        # the stream's dict sits between the previous object boundary and
+        # the `stream` keyword — enough context to spot the filter
+        head = blob[max(pos, m.start() - 512):m.start()]
+        data = m.group(1)
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        out.append(data)
+        pos = m.end()
+    return out
+
+
+def _text_objects(content: bytes) -> list[bytes]:
+    """Concatenated show-operator strings, one entry per BT..ET block."""
+    blocks = []
+    for bt in re.finditer(rb"\bBT\b(.*?)\bET\b", content, re.DOTALL):
+        parts = []
+        for m in _SHOW_RE.finditer(bt.group(1)):
+            if m.group("lit") is not None:
+                parts.append(_unescape(m.group("lit")))
+            else:
+                for lit in _ARR_LIT_RE.findall(m.group("arr")):
+                    parts.append(_unescape(lit[1:-1]))
+        if parts:
+            blocks.append(b"".join(parts))
+    return blocks
+
+
+def extract_text(blob: bytes) -> str:
+    """Extract the showable text of a PDF, one line per text object."""
+    lines: list[bytes] = []
+    for content in _content_streams(blob):
+        lines.extend(_text_objects(content))
+    return "\n".join(ln.decode("utf-8", "replace") for ln in lines)
+
+
+# --------------------------------------------------------------------------
+# fixture generation
+
+def _escape_literal(text: str) -> bytes:
+    raw = text.encode("utf-8")
+    return raw.replace(b"\\", rb"\\").replace(b"(", rb"\(") \
+              .replace(b")", rb"\)")
+
+
+def build_minimal_pdf(lines: list[str], *, compress: bool = False) -> bytes:
+    """A complete, strictly-valid single-page-per-line PDF with the given
+    text lines — correct xref offsets so real parsers accept it too."""
+    objs: list[bytes] = []
+    n_pages = len(lines)
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")                 # 1
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())                                            # 2
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, line in enumerate(lines):                                  # 3
+        content = (b"BT /F1 12 Tf 72 720 Td (" + _escape_literal(line)
+                   + b") Tj ET")
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        objs.append((f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                     f"/Resources << /Font << /F1 3 0 R >> >> "
+                     f"/Contents {page_ids[i] + 1} 0 R >>").encode())
+        objs.append(b"<< /Length " + str(len(content)).encode()
+                    + filt + b" >>\nstream\n" + content + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)

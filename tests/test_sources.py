@@ -93,28 +93,42 @@ def test_file_extension_dispatch(spark):
     assert got == [".pdf", ".gz", "", ".txt"]
 
 
-def test_pdf_stub_raises_cleanly(spark, zip_dir):
-    """A1 stub: plumbing is real, decode raises NotImplementedError without a
-    pdf lib (or parses fine with one)."""
-    blob = _make_zip({"doc.pdf": b"%PDF-1.4 fake"})
+def test_pdf_members_extract_text_via_zip(spark, zip_dir):
+    """A1 end-to-end on real bytes: a zipped PDF flows through expand_zip →
+    parse_pdf_members and yields its text (pypdf when installed, else the
+    bundled pure-Python fallback — either way the text must come out)."""
     import pathlib
 
+    from server2_vector_search_server_spark.sources.pdf_fallback import (
+        build_minimal_pdf,
+    )
+
+    blob = _make_zip({"doc.pdf": build_minimal_pdf(
+        ["First page here.", "Second page there."])})
     p = pathlib.Path(zip_dir) / "pdfarchive.zip"
     p.write_bytes(blob)
     files = read_binary_files(spark, str(p))
-    pdfs = parse_pdf_members(expand_zip(files))
-    try:
-        import pypdf  # noqa: F401
+    rows = parse_pdf_members(expand_zip(files)).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "First page here.\nSecond page there."
 
-        has_pypdf = True
-    except ImportError:
-        has_pypdf = False
-    if has_pypdf:
-        pytest.skip("pypdf installed; stub path not applicable")
-    with pytest.raises(Exception) as exc_info:
-        pdfs.collect()
-    assert "NotImplementedError" in str(exc_info.value) or \
-        isinstance(exc_info.value, NotImplementedError)
+
+def test_pdf_fallback_escapes_tj_arrays_and_flate():
+    """The pure-Python extractor handles literal-string escapes (incl.
+    octal + line continuation), TJ arrays with kerning numbers, the ' and "
+    show operators, and FlateDecode streams."""
+    from server2_vector_search_server_spark.sources import pdf_fallback as pf
+
+    content = (rb"BT [(Ka) -80 (fka \050esc\051)] TJ ET "
+               rb"BT (line\ntwo \101) ' ET")
+    assert pf._text_objects(content) == [b"Kafka (esc)", b"line\ntwo A"]
+
+    for compress in (False, True):
+        blob = pf.build_minimal_pdf(
+            ["Parity (nested) text \\ here", "한국어 텍스트"],
+            compress=compress)
+        assert pf.extract_text(blob) == \
+            "Parity (nested) text \\ here\n한국어 텍스트"
 
 
 def test_documents_jsonl_and_csv_roundtrip(spark, tables, tmp_path):
