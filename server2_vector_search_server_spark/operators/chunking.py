@@ -44,6 +44,27 @@ from server2_vector_search_server_spark import config
 _PUNCT_SPLIT = re.compile(r"(?<=[.!?。！？])\s+")
 
 
+def _kss_split(text: str) -> list[str]:
+    """The reference's exact H5: KSS sentence splitting with ITS newline
+    fallback on runtime errors (``text_spliter.py:57-68``). Import-gated like
+    the embedding model (``embedding._load_model``): KSS is heavyweight and
+    version-nondeterministic, so the container ships without it and tests
+    pin the deterministic splitters instead (SURVEY.md §7); installing
+    ``kss`` makes this path reference-exact, including the error fallback."""
+    try:
+        import kss  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "kss is not installed in this environment. Install it for "
+            "reference-exact Korean sentence splitting (text_spliter.py:57); "
+            "tests use mode='punct' (the KSS analog) or mode='newline' "
+            "(the reference's own fallback).") from exc
+    try:
+        return list(kss.split_sentences(text))
+    except Exception:              # text_spliter.py:66-68: fall back, don't die
+        return text.split("\n")
+
+
 def split_sentences(text: str, mode: str = "punct") -> list[str]:
     """Deterministic sentence splitting; strips and drops empties like the
     reference does after KSS (``text_spliter.py:59``)."""
@@ -53,6 +74,8 @@ def split_sentences(text: str, mode: str = "punct") -> list[str]:
         parts: Iterable[str] = _PUNCT_SPLIT.split(text)
     elif mode == "newline":        # the reference's KSS-error fallback
         parts = text.split("\n")
+    elif mode == "kss":            # the reference's primary path, import-gated
+        parts = _kss_split(text)
     elif mode.startswith("words:"):
         n = int(mode.split(":", 1)[1])
         words = text.split()

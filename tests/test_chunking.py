@@ -128,3 +128,29 @@ def test_chunking_plan_has_no_shuffle(spark, tables):
     plan = chunk_documents(tables["documents"], mode="words:10") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_kss_mode_gated_and_punct_handles_korean():
+    """H5: mode='kss' is the reference's primary splitter, import-gated like
+    the embedding model; the punct analog must still split Korean sentence
+    enders deterministically (golden fixture)."""
+    import pytest
+
+    from server2_vector_search_server_spark.operators.chunking import (
+        split_sentences,
+    )
+
+    korean = "서울은 대한민국의 수도입니다. 부산은 항구 도시입니다! 맞습니까?"
+    assert split_sentences(korean, mode="punct") == [
+        "서울은 대한민국의 수도입니다.",
+        "부산은 항구 도시입니다!",
+        "맞습니까?",
+    ]
+    try:
+        import kss  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="kss is not installed"):
+            split_sentences(korean, mode="kss")
+    else:
+        got = split_sentences(korean, mode="kss")
+        assert got and all(isinstance(s, str) and s for s in got)

@@ -71,3 +71,28 @@ def test_model_path_without_lib_raises_not_implemented(texts):
         embed_with_model(texts).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_embed_with_model_real_backend_smoke(spark):
+    """J1 production path: one executed run against a real (tiny)
+    sentence-transformers model when the library is installed; skipped — not
+    faked — otherwise. Pins the contract the fake-encoder tests assume:
+    ArrayType(Float) column, model dimensionality, L2-normalized rows."""
+    import math
+
+    import pytest
+
+    pytest.importorskip("sentence_transformers")
+    from server2_vector_search_server_spark.embedding import embed_with_model
+
+    df = spark.createDataFrame(
+        [("hello world",), ("안녕하세요",)], "content string")
+    rows = (embed_with_model(
+                df, model_name="sentence-transformers/all-MiniLM-L6-v2",
+                dim=384)
+            .select("embedding").collect())
+    assert len(rows) == 2
+    for r in rows:
+        vec = r["embedding"]
+        assert len(vec) == 384
+        assert math.isclose(sum(x * x for x in vec), 1.0, rel_tol=1e-3)
