@@ -85,6 +85,32 @@ HEADLINE = [
 ]
 
 
+def _load_baseline() -> tuple[str, dict[str, float]] | None:
+    """Most recent driver-recorded BENCH_r{N}.json — the 'within 2× of
+    baseline' gate is then machine-checkable per query instead of inferred
+    from totals (VERDICT r02 item 5). The driver wraps bench output under
+    'parsed'; raw one-line output is accepted too."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    for path in reversed(candidates):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            parsed = doc.get("parsed", doc)
+            queries = parsed.get("queries")
+            if queries:
+                return os.path.basename(path), {
+                    k: float(v) for k, v in queries.items()}
+        except Exception:
+            continue
+    return None
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -129,7 +155,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -137,7 +163,27 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
         "aggregation": "median",
-    }))
+    }
+    baseline = _load_baseline()
+    if baseline is not None:
+        base_name, base = baseline
+        shared = sorted(set(timings) & set(base))
+        ratios = {n: round(timings[n] / base[n], 3) for n in shared
+                  if base[n] > 0}
+        if ratios:
+            import math
+
+            geomean = math.exp(sum(math.log(r) for r in ratios.values())
+                               / len(ratios))
+            out["baseline"] = base_name
+            out["vs_baseline"] = ratios
+            out["vs_baseline_geomean"] = round(geomean, 3)
+            out["vs_baseline_worst"] = max(ratios, key=ratios.get)
+            # the explicit 2× gate, per query (noise margin: median-of-3
+            # still swings; flag only clear breaches)
+            out["over_2x_baseline"] = sorted(
+                n for n, r in ratios.items() if r > 2.0)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
