@@ -704,3 +704,268 @@ def ann_ivf_batch_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("query_id", "vec_id", "label", "centroid_id",
                        "score")
             .orderBy("query_id", F.col("score").desc(), "vec_id"))
+
+
+# --- recall@k for the COMPRESSED tiers (SQ8 / PQ / IVF×PQ) ------------------
+#
+# Same self-evaluation as ann_ivf_recall_at_k, one query per tier, so the
+# accuracy side of each tier's accuracy/speed trade is a hash-checked number
+# (VERDICT r02 item 6). All tiers share the query set, exact ranking, and
+# hit-count tail; only the candidate ranking differs — which is exactly the
+# claim each tier makes.
+
+_SQL_RECALL_Q = f"""
+    q AS (
+      SELECT vec_id AS qid, embedding AS qv
+      FROM embeddings WHERE vec_id IN ({_SQL_QIDS}))"""
+
+_SQL_RECALL_EXACT = f"""
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(1.0 - {sql_sq_l2('e.embedding', 'q.qv')}, 6)
+                            DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q) t
+      WHERE rn <= {_RECALL_K})"""
+
+_SQL_RECALL_TAIL = f"""
+    hits AS (
+      SELECT exact.qid, COUNT(*) AS n_hits
+      FROM exact JOIN tier USING (qid, vec_id)
+      GROUP BY exact.qid)
+    SELECT q.qid,
+           CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / {float(_RECALL_K)}, 6)
+             AS recall_at_{_RECALL_K}
+    FROM q LEFT JOIN hits h USING (qid)
+    ORDER BY q.qid"""
+
+_PQ_QDISTS_Q = " + ".join(
+    sql_sq_l2(_sql_slice("q.qv", m), _sql_slice(f"c{m + 1}.embedding", m))
+    for m in range(_PQ_M))
+
+
+def _recall_parts(spark, sf_dir):
+    """(embeddings, broadcastable query set, exact top-K per query)."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id").isin(*_RECALL_QIDS))
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    score = F.round(F.lit(1.0) - squared_l2(F.col("embedding"),
+                                            F.col("qv")), 6)
+    w_q = Window.partitionBy("qid").orderBy(score.desc(),
+                                            F.col("vec_id").asc())
+    exact = (emb.crossJoin(F.broadcast(q))
+             .withColumn("rn", F.row_number().over(w_q))
+             .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return emb, q, exact
+
+
+def _recall_result(q, exact, tier):
+    hits = (exact.join(tier, ["qid", "vec_id"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (q.select("qid").join(hits, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_hits", F.lit(0)).cast("int")
+                    .alias("n_hits"),
+                    F.round(F.coalesce("n_hits", F.lit(0))
+                            / float(_RECALL_K), 6)
+                    .alias(f"recall_at_{_RECALL_K}"))
+            .orderBy("qid"))
+
+
+@query(
+    "ann_sq8_recall_at_k",
+    survey="north-star ANN (SQ8 tier self-evaluation: recall@10 of the "
+           "int8-quantized ranking vs exact, per query)",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    quant AS (
+      SELECT vec_id, embedding, {_SQL_SCALE} AS s FROM embeddings),
+    tier AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(1.0 - {sql_sq_l2(_SQL_DEQUANT, 'q.qv')}, 6)
+                            DESC, e.vec_id ASC) AS rn
+        FROM quant e CROSS JOIN q) t
+      WHERE rn <= {_RECALL_K}),
+    {_SQL_RECALL_TAIL}
+    """,
+)
+def ann_sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ8-compressed ranking for 5 query vectors in one
+    job: quantize once (a narrow projection), score every (vector, query)
+    pair on the dequantized form, window top-K per query, and count overlap
+    with the exact ranking. The measured number is the whole point of the
+    tier: how much ranking quality the 4x scan compression costs."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    quant = ann.sq8_quantize(emb)
+    dequant = F.transform(F.col("qvec"),
+                          lambda x: x.cast("double") / F.col("sq8_scale"))
+    s8 = F.round(F.lit(1.0) - squared_l2(dequant, F.col("qv")), 6)
+    w = Window.partitionBy("qid").orderBy(s8.desc(), F.col("vec_id").asc())
+    tier = (quant.crossJoin(F.broadcast(q))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return _recall_result(q, exact, tier)
+
+
+@query(
+    "ann_pq_recall_at_k",
+    survey="north-star ANN (PQ tier self-evaluation: recall@10 of the "
+           "asymmetric-distance code ranking vs exact, per query)",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    cw AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    {",".join(_pq_code_cte(m) for m in range(_PQ_M))},
+    tier AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(1.0 - (0.0 + {_PQ_QDISTS_Q}), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e
+        {_PQ_JOINS}
+        CROSS JOIN q) t
+      WHERE rn <= {_RECALL_K}),
+    {_SQL_RECALL_TAIL}
+    """,
+)
+def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ asymmetric-distance ranking (M=4 code lookups per
+    candidate). Codes are encoded once, query-independent; the per-query
+    codeword distance is an expression over the broadcast query row here —
+    at serving scale the batched path precomputes the q x K x M distance
+    table (as ivf_knn_batch does for probes) instead."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2,
+    )
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    sub = len(books[0][0])
+    encoded = ann.pq_encode(emb, books)
+    approx = F.lit(0.0)
+    for m, cbook in enumerate(books):
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
+        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
+        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
+    sp = F.round(F.lit(1.0) - approx, 6)
+    w = Window.partitionBy("qid").orderBy(sp.desc(), F.col("vec_id").asc())
+    tier = (encoded.crossJoin(F.broadcast(q))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return _recall_result(q, exact, tier)
+
+
+@query(
+    "ann_ivf_pq_recall_at_k",
+    survey="north-star ANN (IVF×PQ tier self-evaluation: recall@10 of "
+           "cell-pruned code ranking vs exact, per query)",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probes AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sql_sq_l2('c.centroid', 'q.qv')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM cent c CROSS JOIN q) t
+      WHERE rn <= {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    cw AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    {",".join(_pq_code_cte(m) for m in range(_PQ_M))},
+    tier AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY ROUND(1.0 - (0.0 + {_PQ_QDISTS_Q}), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM assigned a
+        JOIN probes p USING (centroid_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        {_PQ_JOINS}
+        JOIN q ON q.qid = p.qid) t
+      WHERE rn <= {_RECALL_K}),
+    {_SQL_RECALL_TAIL}
+    """,
+)
+def ann_ivf_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the composed IVF×PQ path: per-query probe sets prune to
+    nprobe cells, PQ codes rank only the surviving candidates. The recall
+    deficit vs ann_pq_recall_at_k isolates the IVF pruning loss; vs
+    ann_ivf_recall_at_k it isolates the PQ ranking loss — the decomposition
+    you tune against at 100 TB before touching nprobe or M."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2,
+    )
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    w_p = Window.partitionBy("qid").orderBy(
+        squared_l2(F.col("centroid"), F.col("qv")).asc(),
+        F.col("centroid_id").asc())
+    probes = (cent.crossJoin(F.broadcast(q))
+              .withColumn("rn", F.row_number().over(w_p))
+              .filter(F.col("rn") <= _NPROBE).select("qid", "centroid_id"))
+
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    sub = len(books[0][0])
+    codes = ann.pq_encode(emb, books).select(
+        "vec_id", *[f"pq_code_{m + 1}" for m in range(_PQ_M)])
+    assigned = ann.ivf_assign(emb, cent).select("vec_id", "centroid_id")
+
+    approx = F.lit(0.0)
+    for m, cbook in enumerate(books):
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
+        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
+        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
+    sp = F.round(F.lit(1.0) - approx, 6)
+    w = Window.partitionBy("qid").orderBy(sp.desc(), F.col("vec_id").asc())
+    tier = (assigned.join(F.broadcast(probes), "centroid_id")
+            .join(codes, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return _recall_result(q, exact, tier)
