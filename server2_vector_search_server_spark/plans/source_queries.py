@@ -232,3 +232,76 @@ def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length("text").cast("long").alias("n_chars"),
                     F.md5("text").alias("text_md5"))
             .orderBy("member_name"))
+
+
+# --------------------------------------------------------------------------
+# the six-endpoint facade, end-to-end (SURVEY.md §3.1-3.3)
+
+@query(
+    "engine_lifecycle_e2e",
+    survey="facade A5/A7/A8/B4/C1/D1(upload -> search_score -> exists "
+           "probes -> cascading delete, driven through DocumentSearchEngine)",
+    oracle="""
+    WITH cand AS (SELECT doc_id, text FROM documents WHERE doc_id < 100)
+    SELECT * FROM (VALUES
+      ('docs_after_delete',
+       CAST((SELECT COUNT(*) FROM cand) - 1 AS BIGINT)),
+      ('exists_after_delete', CAST(0 AS BIGINT)),
+      ('exists_before_delete', CAST(1 AS BIGINT)),
+      ('top1_is_target', CAST(1 AS BIGINT)),
+      ('top1_score_is_one', CAST(1 AS BIGINT)),
+      ('uploaded_docs', CAST((SELECT COUNT(*) FROM cand) AS BIGINT))
+    ) AS t(probe, value)
+    ORDER BY probe
+    """,
+)
+def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole endpoint surface in one pass, driven exactly as
+    an HTTP user would (app.py:119-518): upload docs 0..99 into a fresh
+    store, search_score with a known document's text, probe existence,
+    delete that document by id, probe again, recount. The search target is
+    picked by a rule both engines evaluate (lowest doc_id whose text is
+    unique, <= 450 chars, single-spaced — so its single chunk equals its
+    text verbatim and the self-match scores exactly 1.0 under the 1 - d^2
+    contract). Summary scalars are BIGINT so the driver hash is
+    dtype-stable."""
+    import tempfile
+
+    from server2_vector_search_server_spark.engine import DocumentSearchEngine
+    from server2_vector_search_server_spark.session import read_table
+
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100).select("doc_id", "text"))
+    uniq = (docs.groupBy("text").count().filter(F.col("count") == 1)
+            .select("text"))
+    target_row = (docs.join(uniq, "text")
+                  .filter((F.length("text") <= 450)
+                          & ~F.col("text").contains("\n")
+                          & ~F.col("text").contains("  "))
+                  .orderBy("doc_id").select("doc_id", "text").first())
+    target_name = f"doc_{target_row['doc_id']}"
+
+    eng = DocumentSearchEngine(spark, tempfile.mkdtemp(prefix="lifecycle_"))
+    statuses = eng.upload_documents(
+        [(f"doc_{r['doc_id']}", r["text"]) for r in docs.collect()],
+        "collection_a")
+    n_uploaded = sum(1 for s in statuses if s["status"] == "success")
+
+    top = eng.search_score(target_row["text"], k=5).collect()
+    top1_is_target = int(bool(top) and top[0]["doc_name"] == target_name)
+    top1_score_one = int(bool(top) and top[0]["score"] >= 0.999999)
+
+    exists_before = int(eng.document_exists(target_name))
+    doc_id = top[0]["doc_id"] if top else ""
+    assert eng.delete_document(doc_id)
+    exists_after = int(eng.document_exists(target_name))
+    n_after = eng.list_documents().count()
+
+    return spark.createDataFrame(
+        [("docs_after_delete", n_after),
+         ("exists_after_delete", exists_after),
+         ("exists_before_delete", exists_before),
+         ("top1_is_target", top1_is_target),
+         ("top1_score_is_one", top1_score_one),
+         ("uploaded_docs", n_uploaded)],
+        "probe string, value long").orderBy("probe")
