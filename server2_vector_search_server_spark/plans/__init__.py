@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.basket_queries",
     "server2_vector_search_server_spark.plans.breadth_queries3",
     "server2_vector_search_server_spark.plans.source_queries",
+    "server2_vector_search_server_spark.plans.web_queries",
 ]
 
 
