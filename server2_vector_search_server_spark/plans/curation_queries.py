@@ -170,3 +170,79 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "5, 'sample', n_sample) AS (stage_no, stage, n_docs)"))
         .orderBy("stage_no")
     )
+
+
+@query(
+    "curation_temperature_mixing",
+    survey="north-star curation (temperature-based source mixing: "
+           "p(source) ∝ n^alpha, realized as a value-deterministic "
+           "hash subsample per source)",
+    oracle="""
+    -- alpha=0.5 temperature weights over per-language corpus sizes, target
+    -- budget 200 docs, realized by an md5-prefix threshold per language
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_l, sqrt(CAST(n_l AS DOUBLE)) AS wt,
+             SUM(sqrt(CAST(n_l AS DOUBLE))) OVER () AS wsum
+      FROM counts),
+    r AS (
+      SELECT lang, n_l,
+             ROUND(LEAST(1.0, 200.0 * wt / wsum / n_l), 6) AS sample_rate
+      FROM w),
+    c AS (
+      SELECT lang, n_l, sample_rate,
+             CASE WHEN sample_rate >= 1.0 THEN 'g'
+                  ELSE lower(lpad(hex(CAST(floor(sample_rate * 65536)
+                                           AS BIGINT)), 4, '0')) END AS cut
+      FROM r)
+    SELECT c.lang,
+           CAST(c.n_l AS BIGINT) AS n_source_docs,
+           c.sample_rate,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_selected
+    FROM c LEFT JOIN documents d
+      ON d.lang = c.lang
+     AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < c.cut
+    GROUP BY c.lang, c.n_l, c.sample_rate
+    ORDER BY c.lang
+    """,
+)
+def curation_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling across sources (the Gopher/LLaMA pretraining-mix
+    recipe — public: Rae et al. 2021 §A1.3, Touvron et al. 2023 §2):
+    source weight ∝ n^alpha (alpha=0.5) flattens the size distribution, the
+    per-source rate spreads a 200-doc budget, and membership is decided by
+    an md5(doc_id) prefix against the rate cutoff — value-deterministic, so
+    the same docs are picked at any parallelism and the pick REPLICATES in
+    SQL (same discipline as hash_sample_documents). Rates >= 1 short-circuit
+    to keep-all ('g' outsorts every hex digit; lpad would otherwise
+    TRUNCATE the 5-hex 65536 to a wrong 4-hex cutoff). Shape: one tiny
+    per-source aggregate broadcast back onto the scan filter — no shuffle
+    touches the corpus itself."""
+    docs = tbl(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    w = (counts
+         .withColumn("wt", F.sqrt(F.col("n_l").cast("double")))
+         .withColumn("wsum", F.sum("wt").over(
+             Window.partitionBy(F.lit(1))))
+         .withColumn("sample_rate", F.round(
+             F.least(F.lit(1.0),
+                     F.lit(200.0) * F.col("wt") / F.col("wsum")
+                     / F.col("n_l")), 6))
+         .withColumn("cut", F.when(
+             F.col("sample_rate") >= 1.0, F.lit("g"))
+             .otherwise(F.lower(F.lpad(F.hex(
+                 F.floor(F.col("sample_rate") * 65536).cast("long")),
+                 4, "0")))))
+    picked = (docs.join(F.broadcast(w), "lang")
+              .filter(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 4) < F.col("cut")))
+    sel = (picked.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_selected")))
+    return (w.select("lang", F.col("n_l").cast("long")
+                     .alias("n_source_docs"), "sample_rate")
+            .join(sel, "lang", "left")
+            .select("lang", "n_source_docs", "sample_rate",
+                    F.coalesce("n_selected", F.lit(0)).cast("long")
+                    .alias("n_selected"))
+            .orderBy("lang"))
