@@ -193,6 +193,49 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     )
 
 
+def drop_minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 bands: int = BANDS) -> DataFrame:
+    """Pairs-free fuzzy dedup: keep, for every LSH-bucket cluster, the
+    member with the smallest id — without ever materializing candidate
+    PAIRS.
+
+    This is the shape that survives pathological duplication. With
+    ``minhash_candidate_pairs`` a cluster of c near-identical documents
+    (boilerplate pages duplicated millions of times in a web crawl) emits
+    c²/2 pairs per colliding band; candidate volume goes quadratic in the
+    duplication factor even though the join is an equi-join. Here each
+    bucket is reduced to its MIN id first (map-side-combinable groupBy), a
+    document learns the smallest representative it collides with via a
+    second min over its own bands, and it survives iff that representative
+    is itself. Shuffle is ∝ docs×bands at every stage regardless of how
+    skewed the duplicate clusters are (SCALE.md §22 measures the two shapes
+    against a 100×-replicated corpus).
+
+    Semantics: one-hop bucket-min (a doc is dropped iff some bucket links
+    it to a smaller id) — the keep-one-per-bucket contract used by
+    SlimPajama-style pipelines. It drops a superset of what the
+    pair+verify path drops at the same banding (collision without
+    signature-verification); for verified-pair semantics with bounded
+    clusters use ``minhash_near_duplicates``.
+    """
+    # Materialize the signatures: without this, projection collapse inlines
+    # the full minhash F.aggregate into EVERY band-slice element_at (bands ×
+    # rows_per_band re-evaluations per row — measured 6× slower in the §22
+    # pipeline). localCheckpoint (not persist) so the blocks free on GC.
+    sigs = (add_minhash(docs, text_col=text_col).select(id_col, "minhash")
+            .localCheckpoint(eager=False))
+    b = lsh_bands(sigs, id_col=id_col, bands=bands)
+    bucket_min = (b.groupBy("band_index", "band_key")
+                  .agg(F.min(id_col).alias("bucket_rep")))
+    rep = (b.join(bucket_min, ["band_index", "band_key"])
+           .groupBy(id_col)
+           .agg(F.min("bucket_rep").alias("rep")))
+    keep = (rep.filter(F.col("rep") == F.col(id_col))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32

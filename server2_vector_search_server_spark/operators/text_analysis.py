@@ -207,3 +207,106 @@ def train_quality_classifier(docs, *, text_col: str = "text",
                            probabilityCol="_prob"),
     ])
     return pipe.fit(docs)
+
+
+def exclusive_prefix_sum(df, *, order_col: str = "doc_id",
+                         value_col: str = "n_tokens",
+                         out_col: str = "tokens_before",
+                         num_partitions: int | None = None):
+    """Distributed two-pass exclusive prefix sum — the scale form of
+    ``SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)``.
+
+    A global-ORDER window collapses the whole input onto ONE reducer
+    (Catalyst plans a single-partition Sort + Window); fine at fixture
+    scale, fatal at 100 TB. The classic fix is the two-pass scan:
+
+      1. range-partition by the order key (partitions are globally ordered
+         by construction), cumsum locally within each partition;
+      2. per-partition subtotals (``num_partitions`` rows — tiny) come back
+         to the driver, get exclusive-cumsummed, and rejoin as broadcast
+         offsets.
+
+    Pass 2's state is O(partitions), pass 1 streams — no stage ever holds
+    more than one partition's rows. The output is bit-identical to the
+    window form for any partitioning: range boundaries only decide WHERE
+    the split points fall, not the running total (parity-tested in
+    ``tests/test_dedup_ann_text.py``).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): the subtotal pass and the main path
+    # both read the ranged partitions; checkpointing materializes them once
+    # and frees the blocks when the DataFrame is GC'd (no leaked cache —
+    # the semantic_dedup lesson). It also PINS the sampled range boundaries:
+    # the two passes run as separate jobs, and a cache-evicted recompute
+    # with re-sampled boundaries would silently misalign pid → offset.
+    ranged = (df.repartitionByRange(n, F.col(order_col))
+              .sortWithinPartitions(order_col)
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+
+    # Local exclusive cumsum as one Arrow pass over the already-sorted
+    # partition — NOT a Window.partitionBy(_pid): that form forces a second
+    # full-data hash exchange on _pid (range partitioning does not satisfy
+    # the window's clustering requirement), while mapInPandas is
+    # partition-local. Net shuffle count for the whole prefix sum: ONE
+    # (the range exchange); the offsets come back via broadcast.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # copy — StructType.add would mutate the DataFrame's cached schema
+    out_schema = StructType(
+        list(ranged.schema.fields)
+        + [StructField("_local_before", LongType())])
+
+    def _cumsum(batches):
+        run = 0
+        for pdf in batches:
+            vals = pdf[value_col].astype("int64")
+            pdf = pdf.assign(
+                _local_before=vals.cumsum() - vals + run)
+            run += int(vals.sum())
+            yield pdf
+
+    local = ranged.mapInPandas(_cumsum, schema=out_schema)
+    subtotals = (ranged.groupBy("_pid")
+                 .agg(F.sum(value_col).cast("long").alias("_subtotal"))
+                 .collect())  # bounded: one row per partition
+    running, offsets = 0, {}
+    for row in sorted(subtotals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_subtotal"] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "_pid int, _offset long")
+    return (local.join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col, (F.col("_offset")
+                                  + F.col("_local_before")).cast("long"))
+            .drop("_pid", "_local_before", "_offset"))
+
+
+def pack_sequences(docs, *, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens", budget: int = 512,
+                   distributed: bool = True):
+    """Pretraining sequence packing: concatenate the corpus token stream in
+    id order, cut every ``budget`` tokens; a document belongs to the
+    sequence its first token lands in (floor of the exclusive prefix sum /
+    budget — the GPT-style packing contract, same semantics as the
+    ``text_sequence_packing`` query).
+
+    ``distributed=True`` computes the prefix sum with the two-pass
+    range-partitioned scan (no single-partition global sort);
+    ``distributed=False`` uses the one-reducer window form (for parity
+    testing and small inputs).
+    """
+    if distributed:
+        offs = exclusive_prefix_sum(docs, order_col=id_col,
+                                    value_col=tokens_col)
+    else:
+        from pyspark.sql import Window
+        w = (Window.orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        offs = docs.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long")))
+    return offs.withColumn(
+        "seq_id", F.floor(F.col("tokens_before") / budget).cast("long"))

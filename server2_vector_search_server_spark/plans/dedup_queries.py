@@ -137,6 +137,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_dups(spark, sf_dir), threshold=_MINHASH_THRESHOLD)
 
 
+_SQL_KEEP_MIN = f"""
+    WITH docs2 AS ({_SQL_DOCS}),
+    hs AS (
+      SELECT doc_id,
+             list_transform({sql_word_shingles('text', 3)},
+                            s -> {sql_token_hash('s')}) AS hashes
+      FROM docs2),
+    sigs AS (SELECT doc_id, {_sql_minhash_sig('hashes')} AS sig FROM hs),
+    bands AS ({_sql_band_selects('sigs')}),
+    bucket_min AS (
+      SELECT band_index, band_key, MIN(doc_id) AS bucket_rep
+      FROM bands GROUP BY band_index, band_key),
+    rep AS (
+      SELECT b.doc_id, MIN(m.bucket_rep) AS rep
+      FROM bands b JOIN bucket_min m USING (band_index, band_key)
+      GROUP BY b.doc_id)
+    SELECT d.doc_id, md5(d.text) AS content_md5
+    FROM docs2 d JOIN rep r ON r.doc_id = d.doc_id
+    WHERE r.rep = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+@query(
+    "dedup_minhash_keep_min",
+    survey="north-star dedup (pairs-free bucket-min fuzzy dedup — the "
+           "SlimPajama-style keep-one-per-LSH-bucket shape whose shuffle "
+           "stays ∝ docs×bands under arbitrarily skewed dup clusters)",
+    oracle=_SQL_KEEP_MIN,
+)
+def dedup_minhash_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = dedup.drop_minhash_near_duplicates(_docs_with_dups(spark, sf_dir))
+    return (kept.select("doc_id", F.md5("text").alias("content_md5"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # 3. SimHash near-dup
 

@@ -558,6 +558,57 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_sequence_packing_distributed",
+    survey="north-star text analysis (sequence packing via the two-pass "
+           "range-partitioned prefix sum — no single-partition global "
+           "sort; same packing contract, scale-safe physical plan)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 400),
+    offs AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM toks)
+    SELECT CAST(tokens_before // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM offs
+    GROUP BY seq_id
+    ORDER BY seq_id
+    """,
+)
+def text_sequence_packing_distributed(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Same packing contract as ``text_sequence_packing``, but the prefix
+    sum comes from ``operators/text_analysis.exclusive_prefix_sum`` — the
+    two-pass range-partitioned scan whose per-stage state is O(partitions),
+    not the one-reducer global window. The oracle is the window form: the
+    two plans must be value-identical (the §22 scale proof measures why the
+    physical difference matters at 100×)."""
+    from server2_vector_search_server_spark.functions.text import tokens
+    from server2_vector_search_server_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    packed = pack_sequences(toks, budget=512, distributed=True)
+    return (packed.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("seq_id"))
+
+
+@query(
     "text_pii_redaction",
     survey="north-star text analysis (PII scrubbing pass: regex redaction "
            "of emails/phones with per-doc match accounting)",

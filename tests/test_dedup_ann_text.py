@@ -279,3 +279,61 @@ def test_ivf_index_partition_pruning(spark, tables, tmp_path):
     got = [(r["vec_id"], r["score"]) for r in indexed.collect()]
     want = [(r["vec_id"], r["score"]) for r in direct.collect()]
     assert got == want
+
+
+def test_drop_minhash_keep_min(docs):
+    """Pairs-free bucket-min dedup: in any LSH collision cluster the
+    smallest id survives; non-colliding docs are untouched."""
+    kept = {r["doc_id"]
+            for r in dedup.drop_minhash_near_duplicates(docs).collect()}
+    # 1-2 exact, 1-3 near: 1 is the representative; 4 and 5 are singletons
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept and 3 not in kept
+    # survivors form a fixpoint: re-running removes nothing further
+    redo = dedup.drop_minhash_near_duplicates(
+        dedup.drop_minhash_near_duplicates(docs))
+    assert {r["doc_id"] for r in redo.collect()} == kept
+
+
+def test_exclusive_prefix_sum_matches_window(spark):
+    """The two-pass range-partitioned prefix sum is bit-identical to the
+    one-reducer window form (promised by the operator docstring)."""
+    from pyspark.sql import Window
+
+    rows = [(i * 7 % 101, (i * 13) % 9 + 1) for i in range(101)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    dist = ta.exclusive_prefix_sum(df, num_partitions=7)
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    win = df.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long")))
+    assert dist.exceptAll(win).count() == 0
+    assert win.exceptAll(dist).count() == 0
+
+
+def test_exclusive_prefix_sum_no_global_sort(spark):
+    """The distributed plan must contain NO Window at all (a global-order
+    window = one-reducer sort; a partitionBy(_pid) window = a second
+    full-data hash exchange) — the local cumsum is a partition-local
+    Arrow pass and the offsets arrive by broadcast."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(3).cast("long").alias("n_tokens"))
+    plan = ta.exclusive_prefix_sum(
+        df, num_partitions=4)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    # no shuffle after the (checkpointed) range exchange
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_budget_cut(spark):
+    """Packing contract: sequences cut every `budget` tokens of the
+    concatenated stream; doc joins the sequence of its first token."""
+    rows = [(1, 300), (2, 300), (3, 300), (4, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r["seq_id"]
+           for r in ta.pack_sequences(df, budget=512).collect()}
+    # stream offsets: 0, 300, 600, 900 -> seqs 0, 0, 1, 1
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
