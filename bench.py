@@ -82,6 +82,8 @@ HEADLINE = [
     "ann_ivf_batch_knn",        # batched IVF serving: one scan, N queries
     "ann_ivf_batch_indexed_knn",  # DPP-pruned batch serving on the index
     "streaming_stream_stream_join",  # dual-watermark interval join
+    "dedup_minhash_keep_min",   # pairs-free bucket-min fuzzy dedup
+    "text_sequence_packing_distributed",  # two-pass prefix-sum packing
 ]
 
 

@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.breadth_queries3",
     "server2_vector_search_server_spark.plans.source_queries",
     "server2_vector_search_server_spark.plans.web_queries",
+    "server2_vector_search_server_spark.plans.variant_queries",
 ]
 
 

@@ -305,3 +305,68 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("top1_score_is_one", top1_score_one),
          ("uploaded_docs", n_uploaded)],
         "probe string, value long").orderBy("probe")
+
+
+# --------------------------------------------------------------------------
+# A2 breadth: columnar/text source formats (ORC, JSONL, CSV) round-trip
+
+@query(
+    "ingest_formats_roundtrip",
+    survey="A2(source-format breadth: ORC + JSONL + headered CSV "
+           "write→read round-trips under schema-on-read; per-format "
+           "corpus digest vs the parquet-derived oracle)",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             md5(string_agg(
+               md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang
+                   || '|' || source || '|' || CAST(n_chars AS VARCHAR)),
+               '' ORDER BY doc_id)) AS corpus_md5
+      FROM documents WHERE doc_id < 50)
+    SELECT f.format, agg.n_rows, agg.sum_doc_id, agg.corpus_md5
+    FROM (VALUES ('csv'), ('jsonl'), ('orc')) AS f(format)
+    CROSS JOIN agg
+    ORDER BY f.format
+    """,
+)
+def ingest_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the same document slice as ORC, JSONL, and headered CSV; read
+    each back with an explicit schema (schema-on-read — production ingest
+    never infers); digest every full row per format. All three formats must
+    reproduce the parquet-derived oracle digest exactly — any encoding,
+    quoting, type, or null drift in a writer/reader pair changes the hash.
+    """
+    import functools
+    import tempfile
+
+    from server2_vector_search_server_spark.plans.registry import tbl
+
+    docs = (tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    base = tempfile.mkdtemp(prefix="fmt_rt_")
+    docs.write.mode("overwrite").orc(base + "/orc")
+    docs.write.mode("overwrite").json(base + "/jsonl")
+    docs.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    readers = {
+        "csv": spark.read.schema(schema).option("header", True)
+                    .csv(base + "/csv"),
+        "jsonl": spark.read.schema(schema).json(base + "/jsonl"),
+        "orc": spark.read.schema(schema).orc(base + "/orc"),
+    }
+    tagged = [df.withColumn("format", F.lit(fmt))
+              for fmt, df in readers.items()]
+    u = functools.reduce(lambda a, b: a.unionByName(b), tagged)
+    row_h = F.md5(F.concat_ws(
+        "|", F.col("doc_id").cast("string"), "text", "lang", "source",
+        F.col("n_chars").cast("string")))
+    return (u.withColumn("h", row_h)
+            .groupBy("format")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                     lambda x: x["h"]))).alias("corpus_md5"))
+            .orderBy("format"))
