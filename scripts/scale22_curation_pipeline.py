@@ -66,12 +66,19 @@ def replicate(docs, n: int):
     base_n = docs.count()
     reps = docs.withColumn("replica",
                            F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
-    return reps.select(
+    out = reps.select(
         (F.col("doc_id") + F.col("replica") * base_n).alias("doc_id"),
         F.when(F.col("replica") % 2 == 1,
                F.concat("text", F.lit(" rr"),
                         F.col("replica").cast("string")))
         .otherwise(F.col("text")).alias("text"))
+    # The sf0.1 fixture is ONE parquet file -> one input split; without this
+    # the whole narrow pipeline (explode -> filter -> broadcast semi-join)
+    # runs on a single core (first measured run: N=10 fuzzy dedup SLOWER
+    # than N=100, because only N=100 tipped a join into a shuffle that
+    # re-parallelized it). A real 100 TB corpus arrives as tens of
+    # thousands of splits; model that explicitly.
+    return out.repartition(64, "doc_id")
 
 
 def run_pipeline(spark, docs, *, measure_pairs: bool):

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 from server2_vector_search_server_spark.plans.registry import exact_sum
 
@@ -121,5 +125,64 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             stateStructType=RUNNING_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- custom stateful operator, v2 API (transformWithStateInPandas) ----------
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Same running-totals contract as ``_running_totals`` (v1 API above),
+    re-expressed on the Spark 4 ``transformWithState`` operator model:
+    named state variables on a handle (here one ValueState), explicit
+    lifecycle (init/handleInputRows/close), optional timers/TTL, and the
+    RocksDB state store. Emissions and state math are bit-identical to the
+    v1 operator — both are gated by the same batch-SQL oracle.
+
+    At 100 TB the v2 model is the forward path: per-key state lives in
+    RocksDB (spillable, incremental-checkpointed) instead of the in-memory
+    HDFS-backed map, and TTL/timers replace hand-rolled timeout plumbing.
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState("totals", RUNNING_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        n, cents = (self._totals.get() if self._totals.exists()
+                    else (0, 0))
+        for pdf in rows:
+            n += len(pdf)
+            scaled = pdf["value"].to_numpy() * 100.0
+            # half-away rounding (sign·floor(|x|+0.5)) — NEVER np.round
+            cents += int((np.sign(scaled) * np.floor(np.abs(scaled) + 0.5))
+                         .astype("int64").sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [cents / 100.0]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """v2-API twin of ``running_user_totals``: per-user cumulative
+    count/sum across micro-batches via ``transformWithStateInPandas``.
+    Requires the RocksDB state store provider (the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (the TWS driver worker speaks protobuf to
+    the JVM state server; absent here, so the operator is
+    environment-gated like the real-model embedder and KSS — the
+    skip-if-unavailable test in ``tests/test_streaming.py`` runs it
+    end-to-end wherever protobuf exists)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

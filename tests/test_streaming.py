@@ -390,3 +390,41 @@ def test_read_events_stream_from_empty_directory(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["event_type"] == "click"
+
+
+def test_running_user_totals_tws_v2(spark, tmp_path):
+    """transformWithStateInPandas (v2 stateful API) twin: same totals as
+    the v1 operator. The TWS driver worker speaks protobuf to the JVM
+    state server, so this is environment-gated (skipped — not faked —
+    where protobuf is missing), mirroring the real-model embedder gate."""
+    import pytest
+    pytest.importorskip("google.protobuf")
+    from server2_vector_search_server_spark.streaming.events import (
+        running_user_totals_tws,
+    )
+
+    src = str(tmp_path / "events_tws")
+    rows = [(1, 10, 1.5), (2, 10, 2.5), (3, 20, 1.0), (4, 10, 4.0)]
+    schema = "event_id long, user_id long, value double"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        q = (running_user_totals_tws(
+                spark.readStream.schema(schema).parquet(src))
+             .writeStream.format("memory").queryName("running_totals_tws")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("running_totals_tws").collect()}
+    assert got == {10: (3, 8.0), 20: (1, 1.0)}
