@@ -20,32 +20,30 @@ size (the adversarial quantity for LSH) grows linearly with N. The
 pairs-based LSH shape is measured alongside as the contrast: its
 candidate volume is Σ bucket² and does go quadratic.
 
+Methodology: each (N, repeat) runs in a FRESH python/JVM process
+(cross-run JVM state — caches, JIT, heap shape — produced 10-40 s
+one-off outliers when all Ns shared a session), and the reported
+number is the MEDIAN of 3 repeats, same policy as bench.py.
+
 Run:  python scripts/scale22_curation_pipeline.py [sf_dir]
+      python scripts/scale22_curation_pipeline.py --single N [sf_dir]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
-
-from server2_vector_search_server_spark.operators import dedup
-from server2_vector_search_server_spark.operators.text_analysis import (
-    detect_language,
-    gopher_rule_columns,
-    pack_sequences,
-    quality_score,
-)
-from server2_vector_search_server_spark.functions.text import tokens
-
 UI_PORT = 4049
+REPEATS = 3
+NS = (1, 10, 100)
 
 
 def shuffle_totals() -> tuple[int, int]:
@@ -63,6 +61,8 @@ def shuffle_totals() -> tuple[int, int]:
 def replicate(docs, n: int):
     """N× corpus with planted duplicates: replica 0 original, even
     replicas exact copies, odd replicas near-copies (unique suffix)."""
+    from pyspark.sql import functions as F
+
     base_n = docs.count()
     reps = docs.withColumn("replica",
                            F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
@@ -82,6 +82,17 @@ def replicate(docs, n: int):
 
 
 def run_pipeline(spark, docs, *, measure_pairs: bool):
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators import dedup
+    from server2_vector_search_server_spark.operators.text_analysis import (
+        detect_language,
+        gopher_rule_columns,
+        pack_sequences,
+        quality_score,
+    )
+    from server2_vector_search_server_spark.functions.text import tokens
+
     out = {}
 
     def stage(name, df):
@@ -129,10 +140,11 @@ def run_pipeline(spark, docs, *, measure_pairs: bool):
     return out
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+def run_single(n: int, sf_dir: str) -> None:
+    from pyspark.sql import SparkSession
+
     spark = (SparkSession.builder.master("local[32]")
-             .appName("scale22")
+             .appName(f"scale22-N{n}")
              .config("spark.sql.shuffle.partitions", "64")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.port", str(UI_PORT))
@@ -142,22 +154,55 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text"))
-
-    results = {}
-    for n in (1, 10, 100):
-        t0 = time.time()
-        results[n] = run_pipeline(spark, replicate(docs, n),
-                                  measure_pairs=(n <= 100))
-        results[n]["TOTAL_wall_s"] = round(time.time() - t0, 2)
-        print(f"\n=== N={n} ===")
-        print(json.dumps(results[n], indent=2))
-
-    print("\n=== summary (linearity check) ===")
-    for metric in ("TOTAL_wall_s",):
-        vals = {n: results[n][metric] for n in results}
-        print(metric, vals)
+    t0 = time.time()
+    result = run_pipeline(spark, replicate(docs, n), measure_pairs=True)
+    result["TOTAL_wall_s"] = round(time.time() - t0, 2)
     spark.stop()
-    print(json.dumps(results))
+    print("SCALE22_RESULT " + json.dumps(result))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--single":
+        run_single(int(args[1]), args[2] if len(args) > 2
+                   else "/root/testdata/sf0.1")
+        return
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    here = os.path.abspath(__file__)
+    runs: dict[int, list[dict]] = {n: [] for n in NS}
+    for rep in range(REPEATS):
+        for n in NS:
+            proc = subprocess.run(
+                [sys.executable, here, "--single", str(n), sf_dir],
+                capture_output=True, text=True, timeout=1800)
+            lines = [ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("SCALE22_RESULT ")]
+            if not lines:
+                sys.stderr.write(proc.stderr[-2000:])
+                raise RuntimeError(f"run N={n} rep={rep} produced no result")
+            line = lines[-1]
+            runs[n].append(json.loads(line.split(" ", 1)[1]))
+            print(f"rep {rep} N={n}: "
+                  f"{runs[n][-1]['TOTAL_wall_s']}s", flush=True)
+
+    # median across repeats, per stage/metric; rows must agree exactly
+    summary: dict[int, dict] = {}
+    for n in NS:
+        stages = runs[n][0].keys()
+        summary[n] = {}
+        for st in stages:
+            if st == "TOTAL_wall_s":
+                summary[n][st] = statistics.median(
+                    r[st] for r in runs[n])
+                continue
+            rows = {r[st]["rows"] for r in runs[n]}
+            assert len(rows) == 1, (n, st, rows)
+            summary[n][st] = {
+                k: (rows.pop() if k == "rows"
+                    else statistics.median(r[st][k] for r in runs[n]))
+                for k in runs[n][0][st]}
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

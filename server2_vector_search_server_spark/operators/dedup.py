@@ -222,9 +222,13 @@ def drop_minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     # Materialize the signatures: without this, projection collapse inlines
     # the full minhash F.aggregate into EVERY band-slice element_at (bands ×
     # rows_per_band re-evaluations per row — measured 6× slower in the §22
-    # pipeline). localCheckpoint (not persist) so the blocks free on GC.
+    # pipeline). persist + count (the minhash_near_duplicates pattern), not
+    # localCheckpoint: lazy local checkpoints materialized concurrently by
+    # AQE's broadcast-build futures showed intermittent 10-15× CPU blowups
+    # in repeated §22 trials; the eager count is a deterministic barrier.
     sigs = (add_minhash(docs, text_col=text_col).select(id_col, "minhash")
-            .localCheckpoint(eager=False))
+            .persist())
+    sigs.count()
     b = lsh_bands(sigs, id_col=id_col, bands=bands)
     bucket_min = (b.groupBy("band_index", "band_key")
                   .agg(F.min(id_col).alias("bucket_rep")))

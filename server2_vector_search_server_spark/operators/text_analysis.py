@@ -233,16 +233,19 @@ def exclusive_prefix_sum(df, *, order_col: str = "doc_id",
     ``tests/test_dedup_ann_text.py``).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint (not persist): the subtotal pass and the main path
-    # both read the ranged partitions; checkpointing materializes them once
-    # and frees the blocks when the DataFrame is GC'd (no leaked cache —
-    # the semantic_dedup lesson). It also PINS the sampled range boundaries:
-    # the two passes run as separate jobs, and a cache-evicted recompute
-    # with re-sampled boundaries would silently misalign pid → offset.
+    # persist (MEMORY_AND_DISK — spills, never silently drops): the
+    # subtotal pass and the main path must read the SAME materialized range
+    # partitions. The partitioning must be pinned because the two passes
+    # run as separate jobs and repartitionByRange samples its boundaries —
+    # a re-evaluated exchange with re-sampled boundaries would silently
+    # misalign pid → offset. The subtotal collect below is the
+    # materializing action. (localCheckpoint also pins, but lazy local
+    # checkpoints raced AQE's concurrent broadcast-build futures with
+    # intermittent 10-15× CPU blowups in §22 trials.)
     ranged = (df.repartitionByRange(n, F.col(order_col))
               .sortWithinPartitions(order_col)
               .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
+              .persist())
 
     # Local exclusive cumsum as one Arrow pass over the already-sorted
     # partition — NOT a Window.partitionBy(_pid): that form forces a second
