@@ -370,3 +370,56 @@ def ingest_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
                      lambda x: x["h"]))).alias("corpus_md5"))
             .orderBy("format"))
+
+
+# --------------------------------------------------------------------------
+# Spark-4 Python DataSource: planned synthetic corpus with filter pushdown
+
+@query(
+    "synthetic_source_scan",
+    survey="A2-adjacent(Spark-4 Python DataSource: planned partitions + "
+           "pushFilters doc_id range pruning; rows a pure function of "
+           "doc_id so the oracle regenerates the corpus literally)",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 400)) AS doc_id),
+    gen AS (
+      SELECT doc_id,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string(
+               list_transform(range(0, CAST(5 + doc_id % 10 AS INTEGER)),
+                              i -> 'w' || CAST((doc_id*31 + i*7) % 97
+                                               AS VARCHAR)),
+               ' ') AS text
+      FROM ids
+      WHERE doc_id >= 120 AND doc_id < 360)
+    SELECT CAST(doc_id % 3 AS BIGINT) AS lang_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM gen
+    GROUP BY lang_bucket
+    ORDER BY lang_bucket
+    """,
+)
+def synthetic_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the registered Python data source with a ``doc_id`` range
+    predicate: ``pushFilters`` narrows the planned id range (whole splits
+    pruned BEFORE any task runs — the Python-source counterpart of
+    partition pruning), tasks generate rows in parallel, and the per-bucket
+    corpus digest must equal DuckDB regenerating the same pure-function
+    rows. ``sources/synthetic.py``."""
+    from server2_vector_search_server_spark.sources import synthetic
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    synthetic.register(spark)
+    df = (spark.read.format("synthetic_docs")
+          .option("n", "400").option("parts", "8").load()
+          .filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 360)))
+    return (df.withColumn("h", F.md5("text"))
+            .groupBy((F.col("doc_id") % 3).alias("lang_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                     lambda x: x["h"]))).alias("corpus_md5"))
+            .orderBy("lang_bucket"))
