@@ -27,6 +27,7 @@ directory; lengths are unchanged, so every offset stays valid).
 from __future__ import annotations
 
 import io
+import uuid
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -423,3 +424,67 @@ def synthetic_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
                      lambda x: x["h"]))).alias("corpus_md5"))
             .orderBy("lang_bucket"))
+
+
+@query(
+    "streaming_synthetic_source_ingest",
+    survey="I + A2-adjacent(Python streaming DataSource: "
+           "SimpleDataSourceStreamReader micro-batches with deterministic "
+           "replayable offsets; drained stream equals the batch "
+           "regeneration oracle)",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 300)) AS doc_id),
+    gen AS (
+      SELECT doc_id,
+             'doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string(
+               list_transform(range(0, CAST(5 + doc_id % 10 AS INTEGER)),
+                              i -> 'w' || CAST((doc_id*31 + i*7) % 97
+                                               AS VARCHAR)),
+               ' ') AS text
+      FROM ids)
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+           ELSE 'de' END AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM gen
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def streaming_synthetic_source_ingest(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The Python STREAMING data source end-to-end: the source emits
+    100-row micro-batches with ``{"id": next}`` offsets
+    (``readBetweenOffsets`` regenerates any committed range, so checkpoint
+    recovery is exactly-once by the source's own contract), the memory
+    sink drains all 300 rows, and the per-language corpus digest must
+    equal DuckDB regenerating the corpus in one batch — streamed ingestion
+    is provably lossless and duplicate-free."""
+    import time as _time
+
+    from server2_vector_search_server_spark.sources import synthetic
+
+    synthetic.register(spark)
+    sink = f"synth_stream_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.format("synthetic_docs")
+              .option("n", "300").option("batch", "100").load())
+    q = (stream.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(processingTime="250 milliseconds")
+         .start())
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.table(sink).count() >= 300:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    t = spark.table(sink).withColumn("h", F.md5("text"))
+    return (t.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                     lambda x: x["h"]))).alias("corpus_md5"))
+            .orderBy("lang"))

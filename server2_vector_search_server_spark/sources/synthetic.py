@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "synthetic_docs"
 _LANGS = ("en", "es", "de")
@@ -105,6 +110,37 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same pure-function corpus: offsets are
+    ``{"id": next_doc_id}``, each batch emits up to ``batch`` rows, and
+    ``readBetweenOffsets`` regenerates any committed range untouched — the
+    deterministic-replay contract that makes checkpoint recovery
+    exactly-once (same property the WAL replay tests pin for the parquet
+    stream, here provided BY the source instead of by the sink)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.batch = max(1, int(options.get("batch", 100)))
+
+    def initialOffset(self):
+        return {"id": 0}
+
+    def read(self, start):
+        lo = int(start["id"])
+        hi = min(lo + self.batch, self.n)
+        return (iter([doc_row(i) for i in range(lo, hi)]), {"id": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([doc_row(i)
+                     for i in range(int(start["id"]), int(end["id"]))])
+
+    def commit(self, end):
+        pass
