@@ -548,3 +548,88 @@ def order_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6).alias("p75"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "nation_customer_listagg",
+    survey="H(native LISTAGG ... WITHIN GROUP — the ANSI ordered string "
+           "aggregation Spark 4.1 added; deterministic ORDER BY is the "
+           "portability contract)",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           string_agg(CAST(c.c_custkey AS VARCHAR), ','
+                      ORDER BY c.c_custkey) AS custkeys,
+           string_agg(c.c_mktsegment, '|'
+                      ORDER BY c.c_mktsegment DESC, c.c_custkey)
+             AS segments_desc
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_custkey < 120
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`` (Spark 4.1)
+    — including a DESC multi-key ordering — against DuckDB's
+    ``string_agg(expr, sep ORDER BY ...)``. Ordered string aggregation is
+    only portable when the order is total (c_custkey tiebreak on the
+    second aggregate); the earlier `segment_nation_roster` pins the
+    sorted-collect_set fallback contract, this pins the ANSI clause
+    itself."""
+    load_tables = tbl(spark, sf_dir, "customer"), tbl(spark, sf_dir, "nation")
+    for name, df in zip(("customer", "nation"), load_tables):
+        df.createOrReplaceTempView(name)
+    return spark.sql("""
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               listagg(CAST(c.c_custkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY c.c_custkey) AS custkeys,
+               listagg(c.c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c.c_mktsegment DESC, c.c_custkey)
+                 AS segments_desc
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_custkey < 120
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """)
+
+
+@query(
+    "sql_session_variables",
+    survey="H(SQL session variables: DECLARE / SET VAR / IDENTIFIER-free "
+           "parameterized SQL — the Spark 4 surface for value "
+           "parameterization without string interpolation)",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0)
+             AS total_value
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4): thresholds DECLAREd and SET once,
+    referenced by name in the query — the engine-level analog of the
+    reference's request-scoped parameters (k, score thresholds), without
+    string interpolation or driver-side plan rebuilds. The oracle is the
+    same query with the values inlined: variable references must be
+    constant-folded into identical predicates (pushdown still applies)."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff_date DATE")
+    spark.sql("SET VAR price_floor = 150000.0")
+    spark.sql("SET VAR cutoff_date = DATE '1995-01-01'")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0D)
+                 AS total_value
+        FROM orders
+        WHERE o_totalprice > price_floor AND o_orderdate >= cutoff_date
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
