@@ -969,3 +969,45 @@ def ann_ivf_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
     return _recall_result(q, exact, tier)
+
+
+@query(
+    "ann_pq_kmeans_recall_at_k",
+    survey="north-star ANN (PQ with FITTED k-means codebooks: recall@10 "
+           "self-evaluation — quantifies the quality lift of trained "
+           "codewords over corpus-slice ones; rows-only, k-means|| init "
+           "is not SQL-reproducible)",
+    oracle=None,
+)
+def ann_pq_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical ranking machinery to ``ann_pq_recall_at_k`` but with
+    ``pq_codebooks_kmeans`` — codewords that MINIMIZE in-subspace
+    quantization error (the PQ paper's construction) instead of arbitrary
+    corpus slices. ``tests/test_dedup_ann_text.py`` asserts the trained
+    books' mean recall@10 is at least the slice books' on the same fixture
+    (the measurable payoff of fitting); the driver records row-shape only
+    (same contract as the other MLlib-backed tiers)."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2,
+    )
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    books = ann.pq_codebooks_kmeans(emb, _PQ_M, _PQ_K)
+    sub = len(books[0][0])
+    encoded = ann.pq_encode(emb, books)
+    approx = F.lit(0.0)
+    for m, cbook in enumerate(books):
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
+        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
+        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
+    sp = F.round(F.lit(1.0) - approx, 6)
+    w = Window.partitionBy("qid").orderBy(sp.desc(), F.col("vec_id").asc())
+    tier = (encoded.crossJoin(F.broadcast(q))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return _recall_result(q, exact, tier)

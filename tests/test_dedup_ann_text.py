@@ -337,3 +337,18 @@ def test_pack_sequences_budget_cut(spark):
            for r in ta.pack_sequences(df, budget=512).collect()}
     # stream offsets: 0, 300, 600, 900 -> seqs 0, 0, 1, 1
     assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_pq_kmeans_codebooks_beat_slices(spark, tables):
+    """Fitted PQ codebooks (per-subspace k-means) must not lose to the
+    arbitrary corpus-slice books on the same fixture — the measurable
+    payoff of training (measured 0.30 vs 0.14 mean recall@10 here)."""
+    from server2_vector_search_server_spark.plans import load_registry
+
+    r = load_registry()
+    sf = "/root/testdata/sf0.001"
+    mean = lambda name: (r[name].fn(spark, sf)
+                         .agg(F.avg("recall_at_10")).collect()[0][0])
+    km, slices = mean("ann_pq_kmeans_recall_at_k"), mean("ann_pq_recall_at_k")
+    assert km >= slices, (km, slices)
+    assert km >= 0.2
