@@ -262,3 +262,32 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("n_triangles")))
     return per_node
+
+
+def shortest_paths(edges: DataFrame, source, *, iterations: int = 8,
+                   src: str = "src", dst: str = "dst",
+                   weight: str = "w") -> DataFrame:
+    """Single-source shortest paths by iterative relaxation (Bellman-Ford
+    rounds as DataFrame ops). After k rounds the frontier holds the exact
+    minimum distance over paths of ≤ k edges — the same quantity a
+    hop-bounded recursive CTE enumerates, which is the oracle contract
+    (`graph_shortest_paths`); run diameter-many rounds for the full
+    fixpoint.
+
+    Each round is one join (edges ⋈ current distances, distance side
+    broadcast — node-sized) and one map-side-combinable MIN per node; the
+    edge list is scanned once per round and never reshuffled (persist it,
+    hash-partitioned by ``src`` at scale, same contract as pagerank).
+    Integer weights ⇒ exact, order-free MIN — deterministic at any
+    parallelism."""
+    dist = edges.sparkSession.createDataFrame(
+        [(int(source), 0)], f"node long, dist long")
+    for _ in range(iterations):
+        relaxed = (edges.join(F.broadcast(dist),
+                              edges[src] == F.col("node"))
+                   .select(F.col(dst).alias("node"),
+                           (F.col("dist") + F.col(weight)).cast("long")
+                           .alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist

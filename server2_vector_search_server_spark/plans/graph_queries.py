@@ -178,3 +178,59 @@ def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("vec_id") < _KNN_N).select("vec_id", "embedding"))
     edges = knn_graph(emb, k=_KNN_K)
     return triangle_count(edges).orderBy("node")
+
+
+_SSSP_EDGES_SQL = """
+        SELECT p_partkey AS src, (p_partkey * 7 + 13) % 200 AS dst,
+               1 + ((p_partkey * 7 + 13) % 200) % 5 AS w
+        FROM part WHERE p_partkey < 200
+        UNION ALL
+        SELECT p_partkey AS src, (p_partkey * 3 + 41) % 200 AS dst,
+               1 + ((p_partkey * 3 + 41) % 200) % 5 AS w
+        FROM part WHERE p_partkey < 200
+"""
+
+
+@query(
+    "graph_shortest_paths",
+    survey="north-star graph analytics (single-source shortest paths: "
+           "iterative Bellman-Ford relaxation rounds vs a hop-bounded "
+           "recursive-CTE path enumeration oracle)",
+    oracle=f"""
+    WITH RECURSIVE walk(node, dist, hop) AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+      UNION ALL
+      SELECT e.dst AS node, w.dist + e.w AS dist, w.hop + 1 AS hop
+      FROM walk w
+      JOIN ({_SSSP_EDGES_SQL}) e ON e.src = w.node
+      WHERE w.hop < 8
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/graph.shortest_paths` over the deterministic weighted
+    two-successor parts graph: 8 relaxation rounds (each one broadcast
+    join + MIN — the edge list never reshuffles) must equal the minimum
+    distance over all ≤8-hop paths, which the oracle enumerates with a
+    recursive CTE. Bellman-Ford's invariant — after k rounds distances
+    are exact over ≤k-edge paths — IS the cross-engine contract, so the
+    iterative operator and the recursion certify each other."""
+    from server2_vector_search_server_spark.operators.graph import (
+        shortest_paths,
+    )
+
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    e1 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 7 + 13) % 200).alias("dst"))
+    e2 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 3 + 41) % 200).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .withColumn("w", (F.lit(1) + F.col("dst") % 5).cast("long")))
+    return (shortest_paths(edges, 0, iterations=8)
+            .orderBy("node"))
