@@ -493,3 +493,73 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.unionByName(diff)
             .select("user_id", "op", "multiplicity")
             .orderBy("op", "user_id"))
+
+
+@query(
+    "store_compaction_invariance",
+    survey="A5/A7-adjacent(OPTIMIZE-style small-file compaction: "
+           "fragmented micro-appends folded into right-sized files with "
+           "hash-proven content invariance)",
+    oracle="""
+    SELECT 'content_md5_unchanged' AS check_name, true AS ok,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 60)
+                AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT 'file_count_reduced', true,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id < 60)
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def store_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem end-to-end: six micro-appends fragment the
+    store (one file per append per partition — the streaming-ingest
+    pattern), ``ChunkStore.compact`` rewrites partitions via
+    dynamic-partition-overwrite, and the query proves BOTH operational
+    claims in one hashable result: the full-content digest (doc_name,
+    chunk_index, md5(content), collection over every surviving row) is
+    byte-identical across the rewrite, and the physical parquet file count
+    strictly drops. At 100 TB this is the background OPTIMIZE job — scan
+    cost tracks file count, not bytes, under micro-batch ingestion."""
+    import glob
+    import tempfile
+
+    from server2_vector_search_server_spark.plans.ingest import (
+        ingest_documents,
+    )
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+
+    root = tempfile.mkdtemp(prefix="compact_e2e_")
+    store = ChunkStore(spark, root)
+    docs = tbl(spark, sf_dir, "documents") \
+        .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
+                "text", "doc_id")
+    for lo in range(0, 60, 10):   # six fragmenting micro-appends
+        ingest_documents(
+            store, docs.filter((F.col("doc_id") >= lo)
+                               & (F.col("doc_id") < lo + 10)),
+            collection="collection_a")
+
+    def digest():
+        t = store.read(None)
+        row_h = F.md5(F.concat_ws(
+            "|", "doc_name", F.col("chunk_index").cast("string"),
+            F.md5("content"), "collection"))
+        return (t.withColumn("h", row_h)
+                .agg(F.md5(F.concat_ws("", F.sort_array(
+                    F.collect_list("h")))).alias("d"),
+                    F.count_distinct("doc_name").alias("n"))
+                .collect()[0])
+
+    def n_files():
+        return len(glob.glob(f"{root}/collection=*/*.parquet"))
+
+    before, files_before = digest(), n_files()
+    store.compact(rows_per_file=1_000_000)
+    after, files_after = digest(), n_files()
+    return spark.createDataFrame(
+        [("content_md5_unchanged", before["d"] == after["d"],
+          int(after["n"])),
+         ("file_count_reduced", files_after < files_before,
+          int(after["n"]))],
+        "check_name string, ok boolean, n_docs long").orderBy("check_name")
