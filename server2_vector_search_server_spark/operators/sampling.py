@@ -51,3 +51,56 @@ def stratified_sample(df: DataFrame, strata_col: str,
     """Per-stratum Bernoulli sample (seeded). Strata absent from
     ``fractions`` are dropped — the rebalancing semantic."""
     return df.stat.sampleBy(strata_col, dict(fractions), seed)
+
+
+def heavy_hitters(df, col_name: str, *, k: int = 50,
+                  threshold_fraction: float | None = None):
+    """Exact heavy hitters at sketch cost: per-partition Misra-Gries
+    summaries (k counters, one Arrow pass, no shuffle) produce a candidate
+    set that PROVABLY contains every value with frequency > n/k; the
+    candidates (≤ k per partition — bounded, broadcastable) are then
+    exact-counted in one semi-join-filtered aggregate and thresholded.
+
+    The two-phase shape is the same architecture as the ANN tiers
+    (approximate prune → exact rescore): the sketch bounds WORK, the
+    rescore restores EXACT semantics, so the result is hash-identical to
+    the full GROUP BY ... HAVING count > n/k — but the wide shuffle only
+    carries candidate rows. Misra-Gries guarantee: decrements hit every
+    counter equally, so a value occurring more than n/k times cannot be
+    evicted from every partition summary it dominates.
+
+    threshold_fraction defaults to 1/k (the guarantee bound); pass a larger
+    fraction to keep the sketch margin while thresholding higher."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    frac = threshold_fraction if threshold_fraction is not None else 1.0 / k
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col_name]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters
+                            if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col_name: list(counters.keys())})
+
+    candidates = (df.select(col_name)
+                  .mapInPandas(mg, schema=f"{col_name} string")
+                  .distinct())
+    n = df.count()
+    floor = int(n * frac)
+    return (df.join(F.broadcast(candidates), col_name, "left_semi")
+            .groupBy(col_name)
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") > floor)
+            .orderBy(F.col("n_occurrences").desc(), col_name))

@@ -86,3 +86,45 @@ def approx_event_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("value_p50_p95"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_heavy_hitters",
+    survey="north-star approx (exact heavy hitters at sketch cost: "
+           "per-partition Misra-Gries candidates -> exact rescore; the "
+           "sketch bounds work, the rescore restores hash-exact semantics)",
+    oracle="""
+    WITH vals AS (
+      SELECT CASE WHEN event_id % 10 < 3
+                  THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+                  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS v
+      FROM events WHERE event_id < 20000)
+    SELECT v, COUNT(*) AS n_occurrences
+    FROM vals
+    GROUP BY v
+    HAVING COUNT(*) > CAST((SELECT COUNT(*) FROM vals) / 50 AS BIGINT)
+    ORDER BY n_occurrences DESC, v
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators/sampling.heavy_hitters`` over a planted hot/long-tail
+    mix (3 hot values ≈ 2 000 occurrences each, ~14 000 singletons): the
+    per-partition Misra-Gries pass (k=50 counters, no shuffle) provably
+    cannot evict a value with global frequency > n/50, and the exact
+    rescore over the bounded candidate set makes the result hash-identical
+    to the full GROUP BY ... HAVING — while the wide aggregate only ever
+    sees candidate rows. Same prune-then-rescore architecture as the ANN
+    tiers, applied to frequency."""
+    from server2_vector_search_server_spark.operators.sampling import (
+        heavy_hitters,
+    )
+
+    events = tbl(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    vals = events.select(
+        F.when(F.col("event_id") % 10 < 3,
+               F.concat(F.lit("hot_"),
+                        (F.col("event_id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("cold_"),
+                            F.col("event_id").cast("string")))
+        .alias("v"))
+    return heavy_hitters(vals, "v", k=50)

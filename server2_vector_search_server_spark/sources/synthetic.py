@@ -115,6 +115,9 @@ class SyntheticDocsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # a reader that implements pushFilters is REJECTED outright when the
+    # python filter-pushdown conf is off, so enable it at registration
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
 
 

@@ -66,3 +66,26 @@ def test_approx_percentile_error_bound(tables):
     spread = events.agg(
         (F.max("value") - F.min("value")).alias("r")).first()["r"]
     assert abs(rows["approx_p50"] - rows["exact_p50"]) <= 0.01 * spread
+
+
+def test_heavy_hitters_guarantee_and_exactness(spark):
+    """Misra-Gries candidate guarantee + exact rescore: the result must
+    EQUAL the plain GROUP BY ... HAVING on an adversarial mix (heavy
+    values interleaved with a rotating long tail designed to pressure
+    counter eviction)."""
+    from server2_vector_search_server_spark.operators.sampling import (
+        heavy_hitters,
+    )
+
+    rows = []
+    for i in range(5000):
+        rows.append((f"hot_{i % 2}",) if i % 5 < 2
+                    else (f"tail_{i % 997}",))
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    got = {(r["v"], r["n_occurrences"])
+           for r in heavy_hitters(df, "v", k=20).collect()}
+    n = len(rows)
+    exact = {(r["v"], r["n"]) for r in
+             df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > n // 20).collect()}
+    assert got == exact and {v for v, _ in got} == {"hot_0", "hot_1"}
