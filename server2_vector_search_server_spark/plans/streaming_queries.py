@@ -502,3 +502,73 @@ def streaming_stream_stream_join(spark: SparkSession,
              .alias("attributed_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_dedup_ttl",
+    survey="I(state-BOUNDED streaming dedup: dropDuplicatesWithinWatermark "
+           "— cross-batch suppression inside the watermark window, state "
+           "eviction + late-row filtering beyond it; the 100 TB-safe "
+           "variant of streaming_dedup_exact's unbounded state)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('b1_initial_keys',            CAST(100 AS BIGINT)),
+      ('b2_fresh_keys',              CAST(10 AS BIGINT)),
+      ('b2_inwindow_dupes_emitted',  CAST(0 AS BIGINT)),
+      ('b3_expired_dupes_emitted',   CAST(0 AS BIGINT)),
+      ('total_emitted',              CAST(110 AS BIGINT))
+    ) AS t(probe, n) ORDER BY probe
+    """,
+)
+def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` end-to-end over three deterministic
+    micro-batches (50 s watermark): batch 2's duplicates of still-live keys
+    are suppressed ACROSS the batch boundary; batch 3's duplicates of
+    evicted keys are filtered as late data (numRowsDroppedByWatermark), so
+    nothing is ever emitted twice AND the state store holds only the
+    watermark window — per-key state is evicted instead of growing with
+    corpus history (`streaming_dedup_exact` keeps everything; this is the
+    eviction-bounded production variant). The emitted multiset is fully
+    deterministic, so the probe counts hash-gate the semantics."""
+    import datetime
+    import time as _time
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def _t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    src = tempfile.mkdtemp(prefix="ttl_dedup_")
+
+    def _write(rows):
+        (spark.createDataFrame(rows, "doc_id long, ts timestamp")
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.2)   # distinct mod-times => deterministic batch order
+
+    _write([(i, _t(i)) for i in range(100)])                 # b1
+    _write([(i, _t(i)) for i in range(60, 100)]              # b2: live dupes
+           + [(i, _t(100 + (i - 100))) for i in range(100, 110)])
+    _write([(i, _t(i)) for i in range(0, 31)])               # b3: late dupes
+    stream = (spark.readStream.schema("doc_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = (stream.withWatermark("ts", "50 seconds")
+               .dropDuplicatesWithinWatermark(["doc_id"]))
+    sink = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    per_key = spark.table(sink).groupBy("doc_id").count()
+    probes = [
+        ("b1_initial_keys",
+         per_key.filter("doc_id < 100 and count = 1").count()),
+        ("b2_fresh_keys",
+         per_key.filter("doc_id >= 100 and count = 1").count()),
+        ("b2_inwindow_dupes_emitted",
+         per_key.filter("doc_id >= 60 and doc_id < 100 and count > 1")
+         .count()),
+        ("b3_expired_dupes_emitted",
+         per_key.filter("doc_id < 31 and count > 1").count()),
+        ("total_emitted", spark.table(sink).count()),
+    ]
+    return (spark.createDataFrame(probes, "probe string, n long")
+            .orderBy("probe"))
