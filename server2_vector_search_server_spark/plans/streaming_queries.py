@@ -572,3 +572,56 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (spark.createDataFrame(probes, "probe string, n long")
             .orderBy("probe"))
+
+
+@query(
+    "streaming_static_enrichment",
+    survey="I(stream-static join: micro-batch stream enriched against a "
+           "broadcast dimension — stateless, no watermark needed; the "
+           "third join family next to batch and stream-stream)",
+    oracle=f"""
+    WITH dim AS (
+      SELECT user_id, 'seg_' || CAST(user_id % 7 AS VARCHAR) AS segment
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 400))
+    SELECT d.segment,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('e.value', 2)} AS segment_value
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    WHERE e.user_id < 400
+    GROUP BY d.segment
+    ORDER BY d.segment
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriches each micro-batch
+    against a STATIC user→segment dimension. Unlike stream-stream joins
+    this is stateless — every batch joins the dim fresh (broadcast-sized
+    here; at 100 TB the dim is a slowly-changing table the batches re-read,
+    which is why reference-data updates become visible mid-stream). The
+    drained enrichment aggregate must equal the batch join; per-batch
+    aggregation happens in foreachBatch-free append mode with the rollup
+    applied after draining (exact cents sum, hash-gated)."""
+    work = tempfile.mkdtemp(prefix="enrich_")
+    src = os.path.join(work, "events")
+    (tbl(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+     .repartition(5).write.parquet(src))
+    dim = (tbl(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+           .select("user_id").distinct()
+           .select("user_id",
+                   F.concat(F.lit("seg_"),
+                            (F.col("user_id") % 7).cast("string"))
+                   .alias("segment")))
+    stream = read_events_stream(spark, src, maxFilesPerTrigger=2)
+    enriched = (stream.join(F.broadcast(dim), "user_id")
+                .select("segment", "value"))
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (enriched.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                 .alias("segment_value"))
+            .orderBy("segment"))
