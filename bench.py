@@ -84,6 +84,7 @@ HEADLINE = [
     "streaming_stream_stream_join",  # dual-watermark interval join
     "dedup_minhash_keep_min",   # pairs-free bucket-min fuzzy dedup
     "text_sequence_packing_distributed",  # two-pass prefix-sum packing
+    "ann_matryoshka_knn",       # truncated-prefix funnel + exact rescore
 ]
 
 

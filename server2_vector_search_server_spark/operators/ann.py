@@ -301,6 +301,55 @@ def sq8_knn(
             .drop(vec_col, "qvec", "sq8_scale"))
 
 
+def matryoshka_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    *,
+    prefix_dim: int = 16,
+    candidates: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Matryoshka (truncated-prefix) two-stage retrieval: rank the whole
+    corpus on squared-L2 over only the FIRST ``prefix_dim`` components, keep
+    the ``candidates`` best, exact-rescore those on the full vector, return
+    top-k.
+
+    This is the MRL serving pattern (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022 — public): nested-prefix
+    embeddings let the cheap pass read ``prefix_dim/dim`` of the vector
+    bytes. Here the prefix is an ``F.slice`` inside whole-stage codegen so
+    the query stays self-contained and oracle-checkable; at 100 TB you
+    materialize the prefix as its own column (or its own file via
+    ``write_ivf_index``-style layout) and the ranking scan's I/O drops by
+    dim/prefix_dim — with 1024-dim float32 vectors and a 64-dim prefix
+    that is 16x less scanned, shuffled, and cached per probe, and unlike
+    SQ8/PQ the rescore needs no codebook state. Funnel shape mirrors the
+    reference's over-fetch contract (``vector_store.py:141`` fetches k then
+    rescores client-side).
+
+    Output: ``score_prefix`` (truncated 1 - d^2 ranking score) and
+    ``score`` (exact, full-dim), both rounded; final order is
+    (score DESC, id ASC).
+    """
+    q_prefix = vector_literal(list(query_vec)[:prefix_dim])
+    prefix = F.slice(F.col(vec_col), 1, prefix_dim)
+    cand = (
+        corpus.withColumn("score_prefix", F.round(
+            F.lit(1.0) - squared_l2(q_prefix, prefix), score_decimals))
+        .orderBy(F.col("score_prefix").desc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return (cand.withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                        F.col(vec_col)), score_decimals))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop(vec_col))
+
+
 # --- tier 2d: product quantization (PQ) -------------------------------------
 
 def pq_codebooks(corpus: DataFrame, n_subspaces: int, n_codewords: int, *,

@@ -252,6 +252,46 @@ def ann_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.sq8_knn(emb, _vec(spark, sf_dir, _QUERY_ID), k=5)
 
 
+# --- Matryoshka (truncated-prefix) -----------------------------------------
+
+_MRL_PREFIX = 16      # 64-dim fixture vectors / 4 — the cheap nested prefix
+_MRL_CAND = 25
+
+
+def _sql_mrl_pref(expr: str) -> str:
+    return f"({expr})[1:{_MRL_PREFIX}]"
+
+
+@query(
+    "ann_matryoshka_knn",
+    survey="north-star ANN (Matryoshka truncated-prefix funnel: rank on "
+           "the first prefix_dim components, exact-rescore the survivors)",
+    oracle=f"""
+    WITH cand AS (
+      SELECT vec_id, label, embedding,
+             ROUND(1.0 - {sql_sq_l2(_sql_mrl_pref('embedding'),
+                                    _sql_mrl_pref(_sql_qv(_QUERY_ID)))}, 6)
+               AS score_prefix
+      FROM embeddings
+      ORDER BY score_prefix DESC, vec_id ASC LIMIT {_MRL_CAND})
+    SELECT vec_id, label, score_prefix,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM cand
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+)
+def ann_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka tier: the corpus-wide ranking reads only the first
+    {prefix}/{dim} of each vector (a materialized prefix column at scale —
+    dim/prefix_dim less I/O per probe), the exact rescore touches just the
+    over-fetched candidate set. No codebook/centroid state to manage,
+    unlike SQ8/PQ/IVF."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ann.matryoshka_knn(emb, _vec(spark, sf_dir, _QUERY_ID), k=5,
+                              prefix_dim=_MRL_PREFIX, candidates=_MRL_CAND)
+
+
 # --- PQ (product quantization) ---------------------------------------------
 
 _PQ_M = 4
@@ -816,6 +856,48 @@ def ann_sq8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     s8 = F.round(F.lit(1.0) - squared_l2(dequant, F.col("qv")), 6)
     w = Window.partitionBy("qid").orderBy(s8.desc(), F.col("vec_id").asc())
     tier = (quant.crossJoin(F.broadcast(q))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return _recall_result(q, exact, tier)
+
+
+@query(
+    "ann_matryoshka_recall_at_k",
+    survey="north-star ANN (Matryoshka tier self-evaluation: recall@10 of "
+           "the truncated-prefix ranking vs exact, per query)",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    tier AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(1.0 - {sql_sq_l2(
+                     _sql_mrl_pref('e.embedding'),
+                     _sql_mrl_pref('q.qv'))}, 6)
+                            DESC, e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q) t
+      WHERE rn <= {_RECALL_K}),
+    {_SQL_RECALL_TAIL}
+    """,
+)
+def ann_matryoshka_recall_at_k(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Recall@10 of the raw truncated-prefix ranking (no rescore stage) for
+    5 query vectors in one job — the number that sizes the over-fetch
+    funnel: if prefix recall@10 is r, candidates must be ~k/r for the
+    rescored top-k to approach exact. Same single-scan shape as the other
+    recall tiers."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    sp = F.round(F.lit(1.0) - squared_l2(
+        F.slice(F.col("embedding"), 1, _MRL_PREFIX),
+        F.slice(F.col("qv"), 1, _MRL_PREFIX)), 6)
+    w = Window.partitionBy("qid").orderBy(sp.desc(), F.col("vec_id").asc())
+    tier = (emb.crossJoin(F.broadcast(q))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
     return _recall_result(q, exact, tier)
