@@ -563,3 +563,77 @@ def store_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("file_count_reduced", files_after < files_before,
           int(after["n"]))],
         "check_name string, ok boolean, n_docs long").orderBy("check_name")
+
+
+@query(
+    "store_upsert_merge",
+    survey="A5/A8-adjacent(MERGE-by-doc_id upsert: the Chroma WAL "
+           "operation=2 semantics — re-ingesting a document REPLACES its "
+           "chunks via one dynamic-partition overwrite, proven by digest)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('all_docs_present',        true, CAST(35 AS BIGINT)),
+      ('chunk_ids_unique',        true, CAST(35 AS BIGINT)),
+      ('untouched_unchanged',     true, CAST(20 AS BIGINT)),
+      ('updated_content_applied', true, CAST(10 AS BIGINT))
+    ) AS t(check_name, ok, n) ORDER BY check_name
+    """,
+)
+def store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics end-to-end: 30 documents ingested, then a 15-doc
+    batch upserted where 10 overlap (content rewritten to UPPER) and 5 are
+    new. Four hashable proofs: 35 distinct docs survive; chunk_ids stay
+    unique (deterministic ids mean an append-instead-of-merge bug would
+    duplicate them); the 20 untouched docs' content digest is unchanged;
+    every chunk of the 10 re-ingested docs carries the NEW (uppercase)
+    content — no stale chunk outlives its upsert. This is the CDC-ingest
+    contract at 100 TB: cost bounded by the batch's partition footprint,
+    table-wide content integrity preserved."""
+    import tempfile
+
+    from server2_vector_search_server_spark.plans.ingest import (
+        ingest_documents,
+    )
+    from server2_vector_search_server_spark.sources.store import ChunkStore
+
+    root = tempfile.mkdtemp(prefix="upsert_e2e_")
+    store = ChunkStore(spark, root)
+    docs = tbl(spark, sf_dir, "documents") \
+        .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
+                "text", "doc_id")
+    ingest_documents(store, docs.filter(F.col("doc_id") < 30),
+                     collection="collection_a")
+
+    def digest(df):
+        row_h = F.md5(F.concat_ws(
+            "|", "doc_name", F.col("chunk_index").cast("string"),
+            F.md5("content"), "collection"))
+        return (df.withColumn("h", row_h)
+                .agg(F.md5(F.concat_ws("", F.sort_array(
+                    F.collect_list("h")))).alias("d")).collect()[0]["d"])
+
+    doc_num = F.substring_index("doc_name", "_", -1).cast("int")
+    untouched_before = digest(store.read(None).filter(doc_num < 20))
+
+    batch = (docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 35))
+             .withColumn("text", F.upper("text")))
+    ingest_documents(store, batch, collection="collection_a",
+                     on_conflict="replace")
+
+    t = store.read(None)
+    stats = t.agg(
+        F.count_distinct("doc_name").alias("n_docs"),
+        (F.count_distinct("chunk_id") == F.count(F.lit(1)))
+        .alias("ids_unique")).collect()[0]
+    upd = (t.filter((doc_num >= 20) & (doc_num < 30))
+           .agg(F.count_distinct("doc_name").alias("n_upd"),
+                F.bool_and(F.col("content") == F.upper("content"))
+                .alias("all_upper")).collect()[0])
+    untouched_after = digest(t.filter(doc_num < 20))
+    return spark.createDataFrame(
+        [("all_docs_present", int(stats["n_docs"]) == 35, 35),
+         ("chunk_ids_unique", bool(stats["ids_unique"]), 35),
+         ("untouched_unchanged", untouched_before == untouched_after, 20),
+         ("updated_content_applied",
+          bool(upd["all_upper"]) and int(upd["n_upd"]) == 10, 10)],
+        "check_name string, ok boolean, n long").orderBy("check_name")

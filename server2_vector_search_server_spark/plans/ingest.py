@@ -46,21 +46,28 @@ def ingest_documents(
     embed_dim: int = config.TEST_EMBEDDING_DIM,
     deterministic_ids: bool = True,
     embedder=embed_hash,
+    on_conflict: str = "skip",
 ) -> DataFrame:
     """Run the full pipeline; returns the chunk rows that were written.
 
     ``docs``: one row per incoming document with (name_col, text_col).
-    The global dedup gate skips documents whose name exists in ANY collection
-    (``document_exists_globally``, app.py:152 — here one anti-join instead of
-    N LIMIT-1 probes).
+    ``on_conflict='skip'`` (the reference's live behavior): the global dedup
+    gate skips documents whose name exists in ANY collection
+    (``document_exists_globally``, app.py:152 — here one anti-join instead
+    of N LIMIT-1 probes). ``on_conflict='replace'``: no gate — the write
+    goes through :meth:`ChunkStore.upsert`, replacing every existing chunk
+    of the re-ingested documents (the Chroma WAL upsert semantics,
+    operation=2 in ``embeddings_queue``).
     """
     if collection not in config.ALL_COLLECTION_NAMES:
         raise ValueError(f"Invalid collection name: {collection!r}")
+    if on_conflict not in ("skip", "replace"):
+        raise ValueError(f"Invalid on_conflict: {on_conflict!r}")
 
     incoming = docs.select(F.col(name_col).alias("doc_name"),
                            F.col(text_col).alias("text"))
 
-    if not store.is_empty():
+    if on_conflict == "skip" and not store.is_empty():
         existing = store.read(None)   # global gate: all collections
         incoming = dedup_new_documents(incoming, existing, on="doc_name")
 
@@ -95,7 +102,10 @@ def ingest_documents(
     # severs the lineage, so the append cannot invalidate them, and callers
     # inspecting the result don't re-run chunking + embedding either.
     chunks = chunks.localCheckpoint(eager=True)
-    store.append(chunks)
+    if on_conflict == "replace":
+        store.upsert(chunks)
+    else:
+        store.append(chunks)
     return chunks
 
 

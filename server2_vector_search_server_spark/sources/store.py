@@ -50,6 +50,37 @@ class ChunkStore:
         self.spark = spark
         self.root = root
 
+    def _overwrite_partitions(self, out: DataFrame,
+                              affected: list[str]) -> None:
+        """Dynamic-partition overwrite of ``affected`` with ``out``'s rows,
+        including the case dynamic mode cannot express: a partition whose
+        surviving row set is EMPTY is never rewritten by Spark (nothing to
+        write → old files stay), so fully-emptied partitions are dropped
+        explicitly after the write. The survivor set is collected BEFORE
+        the write — ``out``'s lineage reads ``self.root``, and re-running
+        it after the overwrite would see the mutated table."""
+        import shutil
+
+        cols = [f.name for f in CHUNKS_SCHEMA.fields]
+        still_present = {r["collection"] for r in
+                         out.select("collection").distinct().collect()}
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            "dynamic")
+        try:
+            (out.select(*cols)
+             .write.mode("overwrite").partitionBy("collection")
+             .parquet(self.root))
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                                prev)
+        for part in set(affected) - still_present:
+            # local-path fallback for "drop empty partition" — on Delta/
+            # Iceberg this is the metadata delete the commit already did
+            shutil.rmtree(os.path.join(self.root, f"collection={part}"),
+                          ignore_errors=True)
+
     # -- A5: upsert/append ---------------------------------------------------
     def append(self, chunks: DataFrame) -> None:
         """Append chunk rows. ``collection`` must be present; the master
@@ -57,6 +88,44 @@ class ChunkStore:
         cols = [f.name for f in CHUNKS_SCHEMA.fields]
         (chunks.select(*cols)
          .write.mode("append").partitionBy("collection").parquet(self.root))
+
+    def upsert(self, chunks: DataFrame) -> None:
+        """MERGE-by-``doc_id``: replace every existing chunk of the incoming
+        batch's documents (across ALL collections — the same cascade scope
+        as :meth:`delete_document`), then write the new rows, in ONE
+        dynamic-partition overwrite of only the affected partitions.
+
+        This is the Chroma WAL upsert (operation=2 in ``embeddings_queue``,
+        SURVEY.md §1.1 WAL row — re-adding a document replaces its vectors)
+        expressed as the parquet MERGE fallback; on Delta/Iceberg this is
+        literally ``MERGE INTO``. Contract: the batch is small relative to
+        the store (its distinct doc_ids broadcast into the anti-join), the
+        standard CDC-upsert shape — untouched partitions are never read or
+        rewritten, so cost tracks the batch's partition footprint, not the
+        table.
+        """
+        cols = [f.name for f in CHUNKS_SCHEMA.fields]
+        # eager checkpoint: the overwrite below re-executes this plan; if its
+        # lineage reads self.root (or anything the write invalidates), the
+        # recacheByPath trap re-runs it against the mutated store.
+        incoming = chunks.select(*cols).localCheckpoint(eager=True)
+        if self.is_empty():
+            (incoming.write.mode("append").partitionBy("collection")
+             .parquet(self.root))
+            return
+        table = self.read(None)
+        ids = incoming.select("doc_id").distinct()
+        hit_parts = {r["collection"] for r in
+                     table.join(F.broadcast(ids), "doc_id")
+                     .select("collection").distinct().collect()}
+        hit_parts |= {r["collection"] for r in
+                      incoming.select("collection").distinct().collect()}
+        parts = sorted(hit_parts)
+        survivors = (table.filter(F.col("collection").isin(parts))
+                     .join(F.broadcast(ids), "doc_id", "left_anti"))
+        out = (survivors.select(*cols)
+               .unionByName(incoming.select(*cols)))
+        self._overwrite_partitions(out, parts)
 
     # -- A7: scans ----------------------------------------------------------
     def read(self, collection: str | None = None) -> DataFrame:
@@ -97,20 +166,9 @@ class ChunkStore:
                      .select("collection").distinct().collect()]
         if not hit_parts:
             return False
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                   "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                            "dynamic")
-        try:
-            cols = [f.name for f in CHUNKS_SCHEMA.fields]
-            (table.filter(F.col("collection").isin(hit_parts))
-             .filter(F.col("doc_id") != doc_id)
-             .select(*cols)
-             .write.mode("overwrite").partitionBy("collection")
-             .parquet(self.root))
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                                prev)
+        self._overwrite_partitions(
+            table.filter(F.col("collection").isin(hit_parts))
+            .filter(F.col("doc_id") != doc_id), hit_parts)
         return True
 
     # -- maintenance ---------------------------------------------------------

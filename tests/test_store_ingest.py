@@ -76,6 +76,46 @@ def test_reupload_is_skipped(spark, store):
     assert store.read(None).count() == before
 
 
+def test_upsert_replaces_existing_chunks(spark, store):
+    """A5/WAL-upsert: on_conflict='replace' swaps a document's chunks in
+    place (no stale chunks, no duplicate ids) and leaves others alone."""
+    _ingest(spark, store)
+    before_beta = {r["content"] for r in store.read(None)
+                   .filter(F.col("doc_name") == "beta.txt").collect()}
+    new_docs = [("alpha.txt", "ALPHA REWRITTEN ONE. ALPHA REWRITTEN TWO."),
+                ("delta.txt", "delta new doc. with two sentences.")]
+    _ingest(spark, store, docs=new_docs, on_conflict="replace")
+    table = store.read(None)
+    assert table.select("chunk_id").distinct().count() == table.count()
+    alpha = [r["content"] for r in
+             table.filter(F.col("doc_name") == "alpha.txt").collect()]
+    assert alpha and all("REWRITTEN" in c for c in alpha)
+    assert {r["doc_name"] for r in
+            table.select("doc_name").distinct().collect()} == {
+                "alpha.txt", "beta.txt", "gamma.txt", "delta.txt"}
+    after_beta = {r["content"] for r in
+                  table.filter(F.col("doc_name") == "beta.txt").collect()}
+    assert after_beta == before_beta
+
+
+def test_upsert_cross_collection_cascade(spark, store):
+    """Upsert removes the doc's chunks in OTHER collections too (the same
+    scope as delete's cascade) — no orphaned stale copy under master."""
+    _ingest(spark, store, docs=DOCS[:1], collection="collection_a")
+    _ingest(spark, store, docs=DOCS[1:], collection="collection_b")
+    new_docs = [("alpha.txt", "alpha moved. now in collection b.")]
+    _ingest(spark, store, docs=new_docs, collection="collection_b",
+            on_conflict="replace")
+    table = store.read(None)
+    alpha = table.filter(F.col("doc_name") == "alpha.txt")
+    assert {r["collection"] for r in
+            alpha.select("collection").distinct().collect()} == {
+                "collection_b"}
+    contents = [r["content"] for r in alpha.collect()]
+    assert any("moved" in c for c in contents)
+    assert not any("alpha one" in c for c in contents)   # old chunks gone
+
+
 def test_delete_document_cascades(spark, store):
     """A8/§5.4: delete-then-search excludes the doc everywhere."""
     _ingest(spark, store, docs=DOCS[:2], collection="collection_a")
@@ -89,6 +129,21 @@ def test_delete_document_cascades(spark, store):
     assert remaining.filter(F.col("doc_name") == "beta.txt").count() > 0
     assert remaining.filter(F.col("doc_name") == "gamma.txt").count() > 0
     assert not store.delete_document("no-such-id")
+
+
+def test_delete_last_doc_empties_partition(spark, store):
+    """Dynamic overwrite cannot write an EMPTY partition — deleting the only
+    doc in a collection must still remove its stale files (regression for
+    the empty-survivor-set case)."""
+    _ingest(spark, store, docs=DOCS[:1], collection="collection_a")
+    _ingest(spark, store, docs=DOCS[1:], collection="collection_b")
+    doc_id = store.read(None).filter(F.col("doc_name") == "alpha.txt") \
+        .select("doc_id").first()[0]
+    assert store.delete_document(doc_id)
+    remaining = store.read(None)
+    assert remaining.filter(F.col("collection") == "collection_a").count() == 0
+    assert remaining.filter(F.col("doc_name") == "alpha.txt").count() == 0
+    assert remaining.count() > 0
 
 
 def test_search_over_ingested_chunks(spark, store):
