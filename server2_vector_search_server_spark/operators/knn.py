@@ -265,3 +265,69 @@ def _arrow_multi_scored(queries: DataFrame, corpus: DataFrame, k: int, *,
             yield pd.concat(parts, ignore_index=True)
 
     return corpus.mapInPandas(run, schema=out_schema)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    *,
+    lam: float = 0.7,
+    lam_complement: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR '98
+    — public): greedily pick ``argmax lam*rel(d) − (1−lam)*max_sim(d,
+    picked)``, trading relevance against redundancy — the diversification
+    pass production retrieval stacks run over the ANN candidate set.
+
+    Contract: ``candidates`` is the OVER-FETCHED top-C result of a ranked
+    retrieval (C in the tens — the same bounded set the reference's
+    client-side rescore handles, ``vector_store.py:141``); the corpus-sized
+    work already happened in that first-stage scan. The greedy loop is
+    inherently sequential (pick i depends on picks 1..i−1), so it runs as
+    k tiny JVM jobs over the checkpointed candidate set — every
+    similarity/round stays in Spark expressions (never Python floats), so
+    the output is DuckDB-oracle-checkable bit-for-bit.
+
+    ``lam_complement`` is passed explicitly rather than computed as
+    ``1 − lam``: ``1 − 0.7`` is ``0.30000000000000004`` in binary floating
+    point, and the oracle writes ``0.3`` — both engines must use the SAME
+    literal.
+
+    Output: one row per pick — (rank 1..k, id, mmr_score).
+    """
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+
+    spark = candidates.sparkSession
+    cand = candidates.select(id_col, rel_col, vec_col) \
+        .localCheckpoint(eager=True)
+    picked: list = []
+    rows: list[tuple] = []
+    for rank in range(1, k + 1):
+        cur = cand.filter(~F.col(id_col).isin(picked)) if picked else cand
+        if picked:
+            pvecs = (cand.filter(F.col(id_col).isin(picked))
+                     .select(F.col(vec_col).alias("_pvec")))
+            sim = F.round(F.lit(1.0) - squared_l2(F.col(vec_col),
+                                                  F.col("_pvec")),
+                          score_decimals)
+            scored = (cur.crossJoin(F.broadcast(pvecs))
+                      .groupBy(id_col, rel_col)
+                      .agg(F.max(sim).alias("_maxsim"))
+                      .withColumn("_mmr", F.round(
+                          F.lit(lam) * F.col(rel_col)
+                          - F.lit(lam_complement) * F.col("_maxsim"),
+                          score_decimals)))
+        else:
+            scored = cur.withColumn("_mmr", F.round(
+                F.lit(lam) * F.col(rel_col), score_decimals))
+        top = (scored.orderBy(F.col("_mmr").desc(), F.col(id_col).asc())
+               .limit(1).collect()[0])
+        picked.append(top[id_col])
+        rows.append((rank, top[id_col], float(top["_mmr"])))
+    id_type = cand.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"rank int, {id_col} {id_type}, mmr_score double")

@@ -273,3 +273,76 @@ def search_maxsim_late_interaction(spark: SparkSession,
             .agg(exact_sum(F.col("best"), 6).alias("maxsim"))
             .select("label", F.round("maxsim", 6).alias("maxsim"))
             .orderBy(F.col("maxsim").desc(), F.col("label").asc()))
+
+
+# --- MMR diversified re-rank -------------------------------------------------
+
+_MMR_C = 12           # over-fetched candidate set size
+_MMR_K = 5
+_MMR_QV = "(SELECT embedding FROM embeddings WHERE vec_id = 42)"
+# identical literals on both engines — never write 1 - 0.7 (which is
+# 0.30000000000000004 in binary floating point), write 0.3
+_MMR_LAM = "CAST(0.7 AS DOUBLE)"
+_MMR_OML = "CAST(0.3 AS DOUBLE)"
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as K chained CTE stages (the same unrolling
+    trick the pagerank / k-means oracles use for iterative algorithms)."""
+    from server2_vector_search_server_spark.plans.registry import sql_sq_l2
+
+    ctes = [f"""cand AS (
+      SELECT vec_id, ROUND(1.0 - {sql_sq_l2('embedding', _MMR_QV)}, 6)
+               AS rel, embedding
+      FROM embeddings
+      ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_C})"""]
+    ctes.append(f"""p1 AS (
+      SELECT CAST(1 AS INTEGER) AS rank, vec_id,
+             ROUND({_MMR_LAM} * rel, 6) AS mmr_score
+      FROM cand ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)""")
+    for i in range(2, _MMR_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{j}" for j in range(1, i))
+        sim = sql_sq_l2('c.embedding', 'pk.embedding')
+        ctes.append(f"""p{i} AS (
+      SELECT CAST({i} AS INTEGER) AS rank, c.vec_id,
+             ROUND({_MMR_LAM} * c.rel - {_MMR_OML} * (
+               SELECT MAX(ROUND(1.0 - {sim}, 6))
+               FROM cand pk WHERE pk.vec_id IN ({picked})), 6) AS mmr_score
+      FROM cand c WHERE c.vec_id NOT IN ({picked})
+      ORDER BY mmr_score DESC, c.vec_id ASC LIMIT 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, mmr_score FROM p{i}"
+        for i in range(1, _MMR_K + 1))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {union} ORDER BY rank"
+
+
+@query(
+    "search_mmr_diversified",
+    survey="C1/F3-adjacent(MMR diversified re-rank over the over-fetched "
+           "candidate set: greedy relevance-vs-redundancy selection, "
+           "unrolled-CTE oracle)",
+    oracle=_mmr_sql(),
+)
+def search_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with diversification: brute-force top-12 by the
+    reference score contract (the corpus-sized scan), then the greedy MMR
+    loop picks 5 of 12 balancing relevance against similarity to already-
+    picked results (lambda = 0.7). The loop is k tiny JVM jobs over the
+    checkpointed candidates — sequential by nature, bounded by C, and
+    bit-identical to the unrolled SQL because every float op is the same
+    Spark/DuckDB expression."""
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import (
+        mmr_rerank,
+        vector_literal,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    rel = F.round(F.lit(1.0) - squared_l2(vector_literal(qv),
+                                          F.col("embedding")), 6)
+    cand = (emb.select("vec_id", rel.alias("rel"), "embedding")
+            .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+            .limit(_MMR_C))
+    return mmr_rerank(cand, k=_MMR_K, lam=0.7, lam_complement=0.3)
