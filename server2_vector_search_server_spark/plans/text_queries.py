@@ -137,6 +137,69 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SQL_CONT_Q = f"""
+    ROUND(CAST(0.5 AS DOUBLE) * {_SQL_STOP_RATIO}
+        + CAST(0.3 AS DOUBLE) * ({_SQL_MWL} / CAST(12.0 AS DOUBLE))
+        - CAST(0.2 AS DOUBLE) * {_SQL_PUNCT_RATIO}, 6)
+"""
+
+
+@query(
+    "text_quality_percentile_filter",
+    survey="north-star text analysis (per-language quality-percentile "
+           "pruning: drop the bottom quartile WITHIN each language — the "
+           "FineWeb/CCNet curation step)",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_SQL_PRED_LANG} AS predicted_lang,
+             {_SQL_CONT_Q} AS q
+      FROM documents),
+    thr AS (
+      SELECT predicted_lang,
+             ROUND(CAST(quantile_cont(q, 0.25) AS DOUBLE), 4) AS threshold
+      FROM scored GROUP BY predicted_lang)
+    SELECT s.predicted_lang, t.threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN s.q >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.q >= t.threshold THEN s.doc_id ELSE 0 END)
+                AS BIGINT) AS kept_doc_id_sum
+    FROM scored s JOIN thr t USING (predicted_lang)
+    GROUP BY s.predicted_lang, t.threshold
+    ORDER BY s.predicted_lang
+    """,
+)
+def text_quality_percentile_filter(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Quantile pruning WITHIN language strata — a flat global cutoff would
+    gut whichever language scores systematically lower, so real curation
+    pipelines (CCNet, FineWeb) threshold per language. One scan computes a
+    continuous quality blend per doc; per-language p25 thresholds are a
+    language-count-sized aggregate (broadcast back); the filter + audit
+    rollup is map-side partial-aggregable. At 100 TB the only change is
+    `approx_percentile` for the threshold pass (t-digest, mergeable)."""
+    docs = tbl(spark, sf_dir, "documents")
+    q = F.round(
+        F.lit(0.5) * ta.stopword_ratio(F.col("text"))
+        + F.lit(0.3) * (ta.mean_word_length(F.col("text")) / F.lit(12.0))
+        - F.lit(0.2) * ta.punct_ratio(F.col("text")), 6)
+    scored = docs.select(
+        "doc_id", ta.detect_language(F.col("text")).alias("predicted_lang"),
+        q.alias("q"))
+    thr = (scored.groupBy("predicted_lang")
+           .agg(F.round(F.expr("percentile(q, 0.25)"), 4)
+                .alias("threshold")))
+    keep = F.col("q") >= F.col("threshold")
+    return (scored.join(F.broadcast(thr), "predicted_lang")
+            .groupBy("predicted_lang", "threshold")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                 F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+                 .alias("n_kept"),
+                 F.sum(F.when(keep, F.col("doc_id")).otherwise(0))
+                 .cast("long").alias("kept_doc_id_sum"))
+            .orderBy("predicted_lang"))
+
+
 @query(
     "text_fingerprint",
     survey="north-star text analysis (document fingerprinting)",
