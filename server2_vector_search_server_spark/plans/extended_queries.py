@@ -637,3 +637,86 @@ def store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("updated_content_applied",
           bool(upd["all_upper"]) and int(upd["n_upd"]) == 10, 10)],
         "check_name string, ok boolean, n long").orderBy("check_name")
+
+
+@query(
+    "store_snapshot_time_travel",
+    survey="A5/A7/A8-adjacent(snapshot isolation + time travel: immutable "
+           "files, atomic manifest commits — append/upsert/delete as "
+           "versions, readers pinned to the snapshot they resolved)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('reader_isolated_at_v1',   true, CAST(20 AS BIGINT)),
+      ('time_travel_v1_stable',   true, CAST(20 AS BIGINT)),
+      ('v1_append_count',         true, CAST(20 AS BIGINT)),
+      ('v2_upsert_count',         true, CAST(23 AS BIGINT)),
+      ('v2_update_applied',       true, CAST(5 AS BIGINT)),
+      ('v3_delete_count',         true, CAST(22 AS BIGINT))
+    ) AS t(check_name, ok, n) ORDER BY check_name
+    """,
+)
+def store_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The isolation story ChunkStore's in-place rewrites cannot give:
+    three commits (append 20 docs -> upsert 5 updated + 3 new -> delete 1),
+    then six hashable proofs — per-version counts, a reader that resolved
+    v1 BEFORE the later commits still sees exactly v1 (snapshot isolation),
+    the v1 time-travel digest is bit-stable after two more commits, and
+    the upserted docs carry the new uppercase content only from v2 on. At
+    100 TB this is the Iceberg/Delta commit protocol: a 40-minute scan
+    cannot be broken by a concurrent compaction/delete."""
+    import tempfile
+
+    from server2_vector_search_server_spark.sources.snapshots import (
+        SnapshotChunkStore,
+    )
+
+    root = tempfile.mkdtemp(prefix="snap_e2e_")
+    store = SnapshotChunkStore(spark, root)
+    docs = tbl(spark, sf_dir, "documents")
+
+    def chunks(lo, hi, upper=False):
+        d = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        text = F.upper("text") if upper else F.col("text")
+        name = F.concat(F.lit("doc_"), F.col("doc_id"))
+        return d.select(
+            F.md5(name).alias("chunk_id"), F.md5(name).alias("doc_id"),
+            name.alias("doc_name"), F.lit(0).alias("chunk_index"),
+            F.lit("collection_a").alias("original_collection"),
+            text.alias("content"),
+            F.create_map(F.lit("source"), name).alias("metadata"),
+            F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>")
+            .alias("embedding"),
+            F.lit("collection_a").alias("collection"))
+
+    def digest(df):
+        row_h = F.md5(F.concat_ws("|", "doc_name", F.md5("content")))
+        return (df.withColumn("h", row_h)
+                .agg(F.md5(F.concat_ws("", F.sort_array(
+                    F.collect_list("h")))).alias("d")).collect()[0]["d"])
+
+    store.append(chunks(0, 20))                       # v1
+    scan_v1 = store.read(None)                        # pinned to v1 files
+    d1 = digest(store.read(None, version=1))
+    store.upsert(chunks(15, 23, upper=True))          # v2: 5 updated, 3 new
+    doc0_id = store.read(None).filter(F.col("doc_name") == "doc_0") \
+        .select("doc_id").first()[0]
+    store.delete_document(doc0_id)                    # v3
+    n_v1 = store.read(None, version=1).count()
+    n_v2 = store.read(None, version=2).count()
+    n_v3 = store.read(None).count()
+    doc_num = F.substring_index("doc_name", "_", -1).cast("int")
+    upd = (store.read(None, version=2)
+           .filter((doc_num >= 15) & (doc_num < 20))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.bool_and(F.col("content") == F.upper("content"))
+                .alias("all_upper")).collect()[0])
+    return spark.createDataFrame(
+        [("reader_isolated_at_v1", scan_v1.count() == 20, 20),
+         ("time_travel_v1_stable",
+          digest(store.read(None, version=1)) == d1, 20),
+         ("v1_append_count", n_v1 == 20, 20),
+         ("v2_upsert_count", n_v2 == 23, 23),
+         ("v2_update_applied",
+          bool(upd["all_upper"]) and int(upd["n"]) == 5, 5),
+         ("v3_delete_count", n_v3 == 22, 22)],
+        "check_name string, ok boolean, n long").orderBy("check_name")

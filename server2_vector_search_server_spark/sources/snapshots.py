@@ -1,0 +1,214 @@
+"""Snapshot-isolated chunk store: manifest commits + time travel.
+
+``ChunkStore`` (``sources/store.py``) mutates partitions IN PLACE
+(dynamic-partition overwrite). Correct for a single writer with no readers
+mid-rewrite — but at 100 TB a long-running scan that overlaps a delete/
+upsert rewrite can read a partition directory mid-swap and see partial
+state. Table formats solve this with an immutable-file + manifest design
+(Iceberg's snapshot list / Delta's transaction log — public designs);
+this module is that protocol on plain parquet:
+
+  * data files are IMMUTABLE — every commit writes new files under a fresh
+    ``data/c{N}-*/`` directory and never touches existing ones;
+  * a snapshot is a JSON manifest listing exactly the live files;
+    ``_manifests/v{N}.json`` is written to a temp name and ``os.rename``d
+    into place — the atomic commit point (single-writer; a multi-writer
+    deployment puts a CAS on this rename, which is precisely what
+    Delta/Iceberg catalogs do);
+  * readers resolve a manifest ONCE and then only ever open files it
+    names: a scan started at v3 is unaffected by later commits (snapshot
+    isolation), and ``read(version=2)`` is time travel for free;
+  * logical delete/upsert rewrites only the files that contain affected
+    rows — untouched files carry over into the new manifest by reference,
+    so commit cost tracks the touched-file footprint, not the table;
+  * old versions are reclaimed by ``expire(keep_last)`` — the GC that
+    Iceberg calls expire-snapshots — never by the commit itself.
+
+Reference parity: same observable semantics as ``ChunkStore`` (append /
+upsert-by-doc_id / delete-by-doc_id / collection-pruned scan), with
+history. Cite: the reference persists Chroma sqlite stores with no
+isolation story at all (single-process FastAPI, ``vector_store.py``); this
+is what that contract has to become on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.sources.store import CHUNKS_SCHEMA
+
+_COLS = [f.name for f in CHUNKS_SCHEMA.fields]
+
+
+class SnapshotChunkStore:
+    """Immutable-file chunk table with atomic manifest commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest protocol ---------------------------------------------------
+    def versions(self) -> list[int]:
+        return sorted(
+            int(name[1:-5]) for name in os.listdir(self.manifest_dir)
+            if name.startswith("v") and name.endswith(".json"))
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, version: int) -> dict:
+        path = os.path.join(self.manifest_dir, f"v{version}.json")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _live_files(self, version: int | None = None) -> list[str]:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return []
+        return self._manifest(v)["files"]
+
+    def _commit(self, files: list[str], op: str) -> int:
+        """Write manifest v{N+1} atomically (tmp + rename)."""
+        v = self.current_version() + 1
+        doc = {"version": v, "operation": op, "files": sorted(files)}
+        tmp = os.path.join(self.manifest_dir, f".v{v}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.rename(tmp, os.path.join(self.manifest_dir, f"v{v}.json"))
+        return v
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Materialize rows as new immutable files; return their paths."""
+        import pyarrow.parquet as pq
+
+        out = os.path.join(self.data_dir,
+                           f"c{self.current_version() + 1}-{uuid.uuid4().hex[:8]}")
+        df.select(*_COLS).write.mode("error").parquet(out)
+        files = []
+        for name in os.listdir(out):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(out, name)
+            # parallel writes emit zero-row part files for empty partitions;
+            # referencing them bloats manifests and pins commit dirs in GC
+            if pq.ParquetFile(path).metadata.num_rows == 0:
+                os.remove(path)
+            else:
+                files.append(path)
+        return files
+
+    # -- reads ---------------------------------------------------------------
+    def read(self, collection: str | None = None,
+             version: int | None = None) -> DataFrame:
+        """Scan a snapshot (default: latest). The file list is resolved
+        HERE, once — the returned DataFrame never lists directories, so
+        later commits (or expiry of OTHER versions) cannot change or break
+        what this scan reads: snapshot isolation."""
+        from server2_vector_search_server_spark import config
+
+        files = self._live_files(version)
+        if not files:
+            df = self.spark.createDataFrame([], CHUNKS_SCHEMA)
+        else:
+            df = self.spark.read.schema(CHUNKS_SCHEMA).parquet(*files)
+        if collection and collection != config.MASTER_COLLECTION_NAME:
+            df = df.filter(F.col("collection") == collection)
+        return df
+
+    def history(self) -> list[dict]:
+        return [{"version": v, "operation": self._manifest(v)["operation"],
+                 "n_files": len(self._manifest(v)["files"])}
+                for v in self.versions()]
+
+    # -- writes (each is one atomic commit) ----------------------------------
+    def append(self, chunks: DataFrame) -> int:
+        new = self._write_data(chunks)
+        return self._commit(self._live_files() + new, "append")
+
+    def upsert(self, chunks: DataFrame) -> int:
+        """MERGE-by-doc_id: files containing affected doc_ids are replaced
+        by rewritten copies (affected rows dropped); untouched files carry
+        over BY REFERENCE. Commit cost ∝ touched files, not table size."""
+        incoming = chunks.select(*_COLS).localCheckpoint(eager=True)
+        ids = [r["doc_id"] for r in
+               incoming.select("doc_id").distinct().collect()]
+        survivors, carried = self._split_files(ids)
+        new = self._write_data(incoming)
+        rewritten: list[str] = []
+        if survivors is not None:
+            rewritten = self._write_data(survivors)
+        return self._commit(carried + rewritten + new, "upsert")
+
+    def delete_document(self, doc_id: str) -> int:
+        survivors, carried = self._split_files([doc_id])
+        rewritten: list[str] = []
+        if survivors is not None:
+            rewritten = self._write_data(survivors)
+        return self._commit(carried + rewritten, "delete")
+
+    def _split_files(self, doc_ids: list[str]):
+        """(survivor rows from touched files | None, untouched file list).
+
+        One footprint scan finds which files contain the doc_ids (parquet
+        min/max row-group stats make this cheap on id-sorted files; the
+        input_file_name aggregate is files-count-sized)."""
+        files = self._live_files()
+        if not files:
+            return None, []
+        table = (self.spark.read.schema(CHUNKS_SCHEMA).parquet(*files)
+                 .withColumn("_file", F.input_file_name()))
+        touched = {os.path.normpath(r["_file"].removeprefix("file:"))
+                   for r in table.filter(F.col("doc_id").isin(doc_ids))
+                   .select("_file").distinct().collect()}
+        carried = [f for f in files
+                   if os.path.normpath(os.path.abspath(f)) not in touched]
+        if len(carried) == len(files):
+            return None, carried
+        touched_files = [f for f in files
+                         if os.path.normpath(os.path.abspath(f)) in touched]
+        # no checkpoint needed: the lineage reads IMMUTABLE files that stay
+        # on disk until expire() — the commit can never invalidate them
+        survivors = (self.spark.read.schema(CHUNKS_SCHEMA)
+                     .parquet(*touched_files)
+                     .filter(~F.col("doc_id").isin(doc_ids)))
+        return survivors, carried
+
+    # -- maintenance ---------------------------------------------------------
+    def expire(self, keep_last: int = 1) -> int:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data files no surviving manifest references. Returns files removed.
+        This is the ONLY operation that deletes data — commits never do."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        live: set[str] = set()
+        for v in keep:
+            live.update(os.path.normpath(os.path.abspath(f))
+                        for f in self._manifest(v)["files"])
+        removed = 0
+        for commit_dir in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, commit_dir)
+            for name in os.listdir(full):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.normpath(os.path.abspath(
+                    os.path.join(full, name)))
+                if path not in live:
+                    os.remove(path)
+                    removed += 1
+            if not any(n.endswith(".parquet") for n in os.listdir(full)):
+                shutil.rmtree(full, ignore_errors=True)
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
+        return removed

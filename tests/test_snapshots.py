@@ -1,0 +1,101 @@
+"""Snapshot-isolated chunk store (sources/snapshots.py): manifest commits,
+time travel, reader isolation, file-level merge, expiry GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.sources.snapshots import (
+    SnapshotChunkStore,
+)
+
+
+def _chunks(spark, docs, collection="collection_a"):
+    rows = [(f"{name}#{i}", name, f"{name}.txt", i, collection,
+             text, {"source": name}, [0.1, 0.2], collection)
+            for name, texts in docs for i, text in enumerate(texts)]
+    return spark.createDataFrame(
+        rows, "chunk_id string, doc_id string, doc_name string, "
+              "chunk_index int, original_collection string, content string, "
+              "metadata map<string,string>, embedding array<float>, "
+              "collection string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotChunkStore(spark, str(tmp_path / "snap"))
+
+
+def test_append_and_versions(spark, store):
+    assert store.current_version() == 0
+    assert store.read(None).count() == 0
+    v1 = store.append(_chunks(spark, [("a", ["a1", "a2"])]))
+    v2 = store.append(_chunks(spark, [("b", ["b1"])]))
+    assert (v1, v2) == (1, 2)
+    assert store.read(None).count() == 3
+    assert [h["operation"] for h in store.history()] == ["append", "append"]
+
+
+def test_time_travel_reads_old_snapshot(spark, store):
+    store.append(_chunks(spark, [("a", ["a1", "a2"])]))
+    store.append(_chunks(spark, [("b", ["b1"])]))
+    store.delete_document("a")
+    assert store.read(None).count() == 1                      # latest
+    assert store.read(None, version=2).count() == 3           # time travel
+    assert store.read(None, version=1).count() == 2
+    names = {r["doc_id"] for r in store.read(None).collect()}
+    assert names == {"b"}
+
+
+def test_reader_isolated_from_later_commits(spark, store):
+    store.append(_chunks(spark, [("a", ["a1", "a2"]), ("b", ["b1"])]))
+    scan = store.read(None)            # resolves manifest v1 NOW
+    store.delete_document("a")         # commit v2
+    store.upsert(_chunks(spark, [("b", ["B1-new", "B2-new"])]))   # v3
+    # the v1-resolved scan still sees the v1 rows, bit-for-bit
+    assert scan.count() == 3
+    assert {r["content"] for r in scan.collect()} == {"a1", "a2", "b1"}
+
+
+def test_upsert_replaces_and_carries_untouched_files(spark, store):
+    store.append(_chunks(spark, [("a", ["a1", "a2"])]))
+    store.append(_chunks(spark, [("b", ["b1"])]))
+    files_before = set(store._live_files())
+    store.upsert(_chunks(spark, [("b", ["B1-new"]), ("c", ["c1"])]))
+    t = store.read(None)
+    assert {r["content"] for r in
+            t.filter(F.col("doc_id") == "b").collect()} == {"B1-new"}
+    assert t.count() == 4              # a1 a2 B1-new c1
+    # the file holding only doc a was carried by reference, not rewritten
+    assert any(f in set(store._live_files()) for f in files_before)
+
+
+def test_delete_all_docs_yields_empty_readable_table(spark, store):
+    store.append(_chunks(spark, [("a", ["a1"])]))
+    store.delete_document("a")
+    assert store.read(None).count() == 0
+    assert store.current_version() == 2
+
+
+def test_expire_gc_unreferenced_files(spark, store):
+    store.append(_chunks(spark, [("a", ["a1", "a2"])]))
+    store.append(_chunks(spark, [("b", ["b1"])]))
+    store.delete_document("a")
+    removed = store.expire(keep_last=1)
+    assert removed > 0
+    assert store.versions() == [3]
+    # latest snapshot still fully readable after GC
+    assert {r["doc_id"] for r in store.read(None).collect()} == {"b"}
+    # time travel to expired versions is gone
+    with pytest.raises(FileNotFoundError):
+        store._manifest(1)
+
+
+def test_collection_pruned_read(spark, store):
+    store.append(_chunks(spark, [("a", ["a1"])], collection="collection_a"))
+    store.append(_chunks(spark, [("b", ["b1"])], collection="collection_b"))
+    assert store.read("collection_a").count() == 1
+    assert store.read("master").count() == 2
