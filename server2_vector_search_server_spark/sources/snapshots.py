@@ -185,6 +185,22 @@ class SnapshotChunkStore:
         return survivors, carried
 
     # -- maintenance ---------------------------------------------------------
+    def compact(self, rows_per_file: int = 100_000) -> int:
+        """OPTIMIZE as a COMMIT: fold the accumulated small files into
+        right-sized ones and publish that as the next version. Unlike
+        ``ChunkStore.compact`` this never disturbs readers — old versions
+        (and any in-flight scan) keep their files until ``expire``; the
+        content is identical by construction, only the file layout changes.
+        """
+        files = self._live_files()
+        if not files:
+            return self.current_version()
+        table = self.spark.read.schema(CHUNKS_SCHEMA).parquet(*files)
+        n = table.count()
+        n_files = max(1, n // rows_per_file)
+        new = self._write_data(table.repartition(n_files))
+        return self._commit(new, "compact")
+
     def expire(self, keep_last: int = 1) -> int:
         """Drop manifests older than the newest ``keep_last`` and delete
         data files no surviving manifest references. Returns files removed.

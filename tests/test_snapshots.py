@@ -94,6 +94,24 @@ def test_expire_gc_unreferenced_files(spark, store):
         store._manifest(1)
 
 
+def test_compact_is_a_commit_preserving_history(spark, store):
+    """Compaction publishes a new version with identical content in fewer
+    files; readers of OLDER versions are untouched."""
+    for name in ("a", "b", "c", "d"):
+        store.append(_chunks(spark, [(name, [f"{name}1", f"{name}2"])]))
+    v_before = store.current_version()
+    files_before = len(store._live_files())
+    contents_before = {r["content"] for r in store.read(None).collect()}
+    v = store.compact()
+    assert v == v_before + 1
+    assert len(store._live_files()) < files_before
+    assert {r["content"] for r in store.read(None).collect()} \
+        == contents_before
+    # pre-compaction version still time-travels
+    assert store.read(None, version=v_before).count() == 8
+    assert store.history()[-1]["operation"] == "compact"
+
+
 def test_collection_pruned_read(spark, store):
     store.append(_chunks(spark, [("a", ["a1"])], collection="collection_a"))
     store.append(_chunks(spark, [("b", ["b1"])], collection="collection_b"))
