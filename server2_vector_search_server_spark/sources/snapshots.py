@@ -184,6 +184,26 @@ class SnapshotChunkStore:
                      .filter(~F.col("doc_id").isin(doc_ids)))
         return survivors, carried
 
+    def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int:
+        """``foreachBatch`` sink with EXACTLY-ONCE commits.
+
+        Structured Streaming replays a micro-batch whose foreachBatch ran
+        but whose checkpoint offset never committed (crash in between) —
+        the classic at-least-once window. The manifest gives idempotence
+        for free: the commit is tagged with the batch id, a replay finds
+        the tag and returns without writing. Orphan data files from a
+        crash BETWEEN ``_write_data`` and ``_commit`` are never referenced
+        by any manifest, so ``expire``'s GC reclaims them. This is the
+        same txn-id dance Delta's idempotent writes do
+        (``txnAppId``/``txnVersion`` — public API).
+        """
+        tag = f"stream-append:{batch_id}"
+        for v in reversed(self.versions()):
+            if self._manifest(v)["operation"] == tag:
+                return v
+        new = self._write_data(batch)
+        return self._commit(self._live_files() + new, tag)
+
     # -- maintenance ---------------------------------------------------------
     def compact(self, rows_per_file: int = 100_000) -> int:
         """OPTIMIZE as a COMMIT: fold the accumulated small files into

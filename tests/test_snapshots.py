@@ -117,3 +117,52 @@ def test_collection_pruned_read(spark, store):
     store.append(_chunks(spark, [("b", ["b1"])], collection="collection_b"))
     assert store.read("collection_a").count() == 1
     assert store.read("master").count() == 2
+
+
+def test_stream_batch_commit_is_idempotent(spark, store):
+    """A replayed foreachBatch micro-batch (same batch_id) must not
+    double-append — the manifest tag makes the commit exactly-once."""
+    b0 = _chunks(spark, [("a", ["a1", "a2"])])
+    b1 = _chunks(spark, [("b", ["b1"])])
+    v1 = store.append_stream_batch(b0, batch_id=0)
+    v2 = store.append_stream_batch(b1, batch_id=1)
+    assert (v1, v2) == (1, 2)
+    assert store.read(None).count() == 3
+    # crash-replay of batch 1: recognized, skipped, version unchanged
+    assert store.append_stream_batch(b1, batch_id=1) == 2
+    assert store.current_version() == 2
+    assert store.read(None).count() == 3
+    # a genuinely new batch still commits
+    assert store.append_stream_batch(
+        _chunks(spark, [("c", ["c1"])]), batch_id=2) == 3
+    assert store.read(None).count() == 4
+
+
+def test_stream_into_snapshot_store_end_to_end(spark, store, tmp_path):
+    """readStream -> foreachBatch(append_stream_batch): drained stream
+    lands every row exactly once; versions track micro-batches."""
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    _chunks(spark, [("a", ["a1", "a2"]), ("b", ["b1"])]) \
+        .coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(store.append_stream_batch)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert store.read(None).count() == 3
+    assert all(h["operation"].startswith("stream-append:")
+               for h in store.history())
+    # restart from the same checkpoint with no new data: no new commits
+    v = store.current_version()
+    q2 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream.foreachBatch(store.append_stream_batch)
+          .option("checkpointLocation", chk)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert store.current_version() == v
+    assert store.read(None).count() == 3
