@@ -252,3 +252,50 @@ def test_ivf_batch_indexed_uses_dynamic_partition_pruning(spark):
     # runtime partition filter (DPP) — the scan reads only probed cell
     # directories, never the whole index
     assert "dynamicpruning" in plan.lower()
+
+
+def test_cbo_statistics_drive_join_reorder(spark, tmp_path):
+    """ANALYZE TABLE statistics let the cost-based optimizer reorder a
+    user-written join chain: (big ⋈ big) ⋈ tiny becomes (big ⋈ tiny) ⋈ big
+    once CBO knows the row counts — the statistics discipline that matters
+    when Catalyst cannot see sizes from file metadata alone (views, joins
+    of joins). At 100 TB, collecting stats after ingest is what keeps
+    multi-join plans from exploding an intermediate."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS cbo_big_dim")
+    spark.sql("DROP TABLE IF EXISTS cbo_tiny_dim")
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("d")) \
+        .write.mode("overwrite").saveAsTable("cbo_fact")
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("big_payload")) \
+        .write.mode("overwrite").saveAsTable("cbo_big_dim")
+    spark.range(0, 10).select(
+        F.col("id").alias("d"), F.lit("y").alias("tiny_payload")) \
+        .write.mode("overwrite").saveAsTable("cbo_tiny_dim")
+    for t in ("cbo_fact", "cbo_big_dim", "cbo_tiny_dim"):
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+
+    confs = {"spark.sql.cbo.enabled": "true",
+             "spark.sql.cbo.joinReorder.enabled": "true"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # written order joins the two big tables FIRST
+        optimized = spark.sql("""
+            SELECT count(*) AS n FROM cbo_fact f
+            JOIN cbo_big_dim b ON f.k = b.k
+            JOIN cbo_tiny_dim t ON f.d = t.d
+        """)._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # with stats, the reorderer puts the selective tiny join UNDER the big
+    # one — in the printed tree the deeper relation appears first, so tiny
+    # must precede big (user order prints big first; verified non-vacuous:
+    # with cbo off the order is big, tiny)
+    assert optimized.index("cbo_tiny_dim") < optimized.index("cbo_big_dim"), \
+        "join reorder did not push the tiny dimension join down"
