@@ -261,41 +261,43 @@ def test_cbo_statistics_drive_join_reorder(spark, tmp_path):
     when Catalyst cannot see sizes from file metadata alone (views, joins
     of joins). At 100 TB, collecting stats after ingest is what keeps
     multi-join plans from exploding an intermediate."""
+    import uuid
+
     from pyspark.sql import functions as F
 
-    spark.sql("DROP TABLE IF EXISTS cbo_fact")
-    spark.sql("DROP TABLE IF EXISTS cbo_big_dim")
-    spark.sql("DROP TABLE IF EXISTS cbo_tiny_dim")
-    spark.range(0, 50_000).select(
-        F.col("id").alias("k"), (F.col("id") % 1000).alias("d")) \
-        .write.mode("overwrite").saveAsTable("cbo_fact")
-    spark.range(0, 50_000).select(
-        F.col("id").alias("k"), F.lit("x").alias("big_payload")) \
-        .write.mode("overwrite").saveAsTable("cbo_big_dim")
-    spark.range(0, 10).select(
-        F.col("id").alias("d"), F.lit("y").alias("tiny_payload")) \
-        .write.mode("overwrite").saveAsTable("cbo_tiny_dim")
-    for t in ("cbo_fact", "cbo_big_dim", "cbo_tiny_dim"):
-        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
-
+    sfx = uuid.uuid4().hex[:6]
+    fact, big, tiny = f"cbo_fact_{sfx}", f"cbo_big_{sfx}", f"cbo_tiny_{sfx}"
+    frames = {
+        fact: spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("d")),
+        big: spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("x").alias("big_payload")),
+        tiny: spark.range(0, 10).select(
+            F.col("id").alias("d"), F.lit("y").alias("tiny_payload")),
+    }
     confs = {"spark.sql.cbo.enabled": "true",
              "spark.sql.cbo.joinReorder.enabled": "true"}
     saved = {k: spark.conf.get(k) for k in confs}
     try:
+        for name, df in frames.items():
+            df.write.option("path", str(tmp_path / name)).saveAsTable(name)
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
         for k, v in confs.items():
             spark.conf.set(k, v)
         # written order joins the two big tables FIRST
-        optimized = spark.sql("""
-            SELECT count(*) AS n FROM cbo_fact f
-            JOIN cbo_big_dim b ON f.k = b.k
-            JOIN cbo_tiny_dim t ON f.d = t.d
+        optimized = spark.sql(f"""
+            SELECT count(*) AS n FROM {fact} f
+            JOIN {big} b ON f.k = b.k
+            JOIN {tiny} t ON f.d = t.d
         """)._jdf.queryExecution().optimizedPlan().toString()
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+        for name in frames:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
     # with stats, the reorderer puts the selective tiny join UNDER the big
     # one — in the printed tree the deeper relation appears first, so tiny
     # must precede big (user order prints big first; verified non-vacuous:
     # with cbo off the order is big, tiny)
-    assert optimized.index("cbo_tiny_dim") < optimized.index("cbo_big_dim"), \
+    assert optimized.index(tiny) < optimized.index(big), \
         "join reorder did not push the tiny dimension join down"
