@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_minhash_keep_min",   # pairs-free bucket-min fuzzy dedup
     "text_sequence_packing_distributed",  # two-pass prefix-sum packing
     "ann_matryoshka_knn",       # truncated-prefix funnel + exact rescore
+    "ann_binary_hamming_knn",   # 1-bit sign pack, XOR+popcount ranking
 ]
 
 

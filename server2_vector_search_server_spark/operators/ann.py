@@ -350,6 +350,82 @@ def matryoshka_knn(
             .drop(vec_col))
 
 
+BQ_WORD_BITS = 32   # 32 bits per BIGINT word: bit 63 would overflow
+                    # DuckDB's checked signed shift, so both engines pack
+                    # half-words — identical values, zero portability risk
+
+
+def sign_pack_words(vec_col: str, dim: int) -> list[Column]:
+    """Pack sign bits (``x > 0``) into ``ceil(dim/32)`` BIGINT words —
+    1-bit binary quantization (Charikar sign-hash storage form; 32× less
+    than float32 even at half-word packing once stored as INT). Bits are
+    summed, not OR'd: each bit value occurs once, so ``+`` == ``|`` and
+    the SAME fold works verbatim in DuckDB."""
+    words = []
+    B = BQ_WORD_BITS
+    for w in range((dim + B - 1) // B):
+        lo, n = w * B, min(B, dim - w * B)
+        words.append(F.expr(
+            f"aggregate(sequence(0, {n - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + if(CAST(element_at({vec_col}, i + {lo + 1}) "
+            f"AS DOUBLE) > CAST(0.0 AS DOUBLE), "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        ).alias(f"bq_word_{w}"))
+    return words
+
+
+def binary_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    *,
+    candidates: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """1-bit binary-quantized retrieval: rank the corpus by HAMMING
+    distance between sign-bit packs (``bit_count(xor)`` per 64-bit word —
+    pure integer ops inside whole-stage codegen), keep the ``candidates``
+    best, exact-rescore on the full vector.
+
+    The aggressive end of the compression ladder (SQ8 4× → PQ ~16× →
+    binary 32×): at 100 TB the packed corpus is ~3 TB, the ranking scan is
+    XOR+popcount over longs (SIMD-friendly, no float math), and the funnel
+    restores accuracy exactly like the Matryoshka/SQ8 tiers. The sign-hash
+    locality argument is Charikar's (SimHash, STOC'02 — public); the
+    query-side pack is computed driver-side from the literal.
+
+    Output: ``hamming`` (INT, ranking key ASC) + exact ``score``; final
+    order (score DESC, id ASC).
+    """
+    dim = len(list(query_vec))
+    B = BQ_WORD_BITS
+    q_words = []
+    for w in range((dim + B - 1) // B):
+        word = 0
+        for i, x in enumerate(list(query_vec)[w * B:(w + 1) * B]):
+            if float(x) > 0.0:
+                word += 1 << i
+        q_words.append(word)
+    packed = corpus.select(id_col, "label", vec_col,
+                           *sign_pack_words(vec_col, dim))
+    ham = None
+    for w, qw in enumerate(q_words):
+        term = F.bit_count(
+            F.col(f"bq_word_{w}").bitwiseXOR(F.lit(qw).cast("long")))
+        ham = term if ham is None else ham + term
+    cand = (packed.withColumn("hamming", ham.cast("int"))
+            .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+            .limit(candidates))
+    return (cand.withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                        F.col(vec_col)), score_decimals))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "label", "hamming", "score"))
+
+
 # --- tier 2d: product quantization (PQ) -------------------------------------
 
 def pq_codebooks(corpus: DataFrame, n_subspaces: int, n_codewords: int, *,

@@ -292,6 +292,68 @@ def ann_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                               prefix_dim=_MRL_PREFIX, candidates=_MRL_CAND)
 
 
+# --- binary (1-bit sign pack, Hamming ranking) ------------------------------
+
+_BQ_DIM = 64
+_BQ_CAND = 25
+_BQ_WORDS = 2      # ann.BQ_WORD_BITS = 32 bits/word (bit 63 overflows
+                   # DuckDB's checked signed shift)
+
+
+def _sql_bq_pack(vec: str, w: int) -> str:
+    """DuckDB twin of ann.sign_pack_words, word ``w``: 32 sign bits summed
+    into a BIGINT (each bit once, so + == |)."""
+    lo = w * 32
+    return (f"list_sum(list_transform(range(0, 32), "
+            f"i -> CASE WHEN CAST(({vec})[i + {lo + 1}] AS DOUBLE) "
+            f"> CAST(0.0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << i) "
+            f"ELSE CAST(0 AS BIGINT) END))")
+
+
+def _sql_bq_hamming(a_packs: list[str], b_packs: list[str]) -> str:
+    """All args must be PACKED expressions — DuckDB disallows subqueries
+    inside lambdas, so query-side packs are hoisted into a CTE."""
+    terms = " + ".join(f"bit_count(xor({a}, {b}))"
+                       for a, b in zip(a_packs, b_packs))
+    return f"CAST({terms} AS INTEGER)"
+
+
+@query(
+    "ann_binary_hamming_knn",
+    survey="north-star ANN (1-bit binary quantization: XOR+popcount "
+           "Hamming ranking over sign packs, exact rescore — the 32x "
+           "compression tier)",
+    oracle=f"""
+    WITH qpack AS (
+      SELECT {_sql_bq_pack('embedding', 0)} AS qw0,
+             {_sql_bq_pack('embedding', 1)} AS qw1
+      FROM embeddings WHERE vec_id = {_QUERY_ID}),
+    cand AS (
+      SELECT vec_id, label, embedding,
+             {_sql_bq_hamming(
+                 [_sql_bq_pack('embedding', 0), _sql_bq_pack('embedding', 1)],
+                 ['(SELECT qw0 FROM qpack)', '(SELECT qw1 FROM qpack)'])}
+               AS hamming
+      FROM embeddings
+      ORDER BY hamming ASC, vec_id ASC LIMIT {_BQ_CAND})
+    SELECT vec_id, label, hamming,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM cand
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+)
+def ann_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary tier: the ranking scan is integer XOR+popcount over one
+    packed BIGINT per vector (64-dim fixture) — no float math, 32x less
+    to scan than float32 when the pack is materialized; the exact rescore
+    touches only the over-fetched candidates, as in the SQ8/Matryoshka
+    funnels."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ann.binary_knn(emb, _vec(spark, sf_dir, _QUERY_ID), k=5,
+                          candidates=_BQ_CAND)
+
+
 # --- PQ (product quantization) ---------------------------------------------
 
 _PQ_M = 4
@@ -898,6 +960,56 @@ def ann_matryoshka_recall_at_k(spark: SparkSession,
         F.slice(F.col("qv"), 1, _MRL_PREFIX)), 6)
     w = Window.partitionBy("qid").orderBy(sp.desc(), F.col("vec_id").asc())
     tier = (emb.crossJoin(F.broadcast(q))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    return _recall_result(q, exact, tier)
+
+
+@query(
+    "ann_binary_recall_at_k",
+    survey="north-star ANN (binary tier self-evaluation: recall@10 of the "
+           "Hamming ranking vs exact, per query)",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    qp AS (
+      SELECT qid, {_sql_bq_pack('qv', 0)} AS qw0,
+             {_sql_bq_pack('qv', 1)} AS qw1 FROM q),
+    ep AS (
+      SELECT vec_id, {_sql_bq_pack('embedding', 0)} AS ew0,
+             {_sql_bq_pack('embedding', 1)} AS ew1 FROM embeddings),
+    tier AS (
+      SELECT qid, vec_id FROM (
+        SELECT qp.qid, ep.vec_id,
+               row_number() OVER (
+                 PARTITION BY qp.qid
+                 ORDER BY {_sql_bq_hamming(['ep.ew0', 'ep.ew1'],
+                                           ['qp.qw0', 'qp.qw1'])} ASC,
+                          ep.vec_id ASC) AS rn
+        FROM ep CROSS JOIN qp) t
+      WHERE rn <= {_RECALL_K}),
+    {_SQL_RECALL_TAIL}
+    """,
+)
+def ann_binary_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the raw Hamming ranking — the number that decides how
+    hard the 32x tier's over-fetch must work; with it, binary-vs-SQ8-vs-
+    Matryoshka is a measured accuracy/compression frontier, not folklore."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.operators.ann import (
+        sign_pack_words,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    packed = emb.select("vec_id", *sign_pack_words("embedding", _BQ_DIM))
+    q_words = sign_pack_words("qv", _BQ_DIM)
+    q_packed = q.select(
+        "qid", *[q_words[i].alias(f"q_word_{i}") for i in range(_BQ_WORDS)])
+    ham = sum(
+        (F.bit_count(F.col(f"bq_word_{i}").bitwiseXOR(F.col(f"q_word_{i}")))
+         for i in range(_BQ_WORDS)), F.lit(0)).cast("int")
+    w = Window.partitionBy("qid").orderBy(ham.asc(), F.col("vec_id").asc())
+    tier = (packed.crossJoin(F.broadcast(q_packed))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
     return _recall_result(q, exact, tier)
