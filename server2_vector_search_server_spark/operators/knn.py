@@ -324,8 +324,11 @@ def mmr_rerank(
         else:
             scored = cur.withColumn("_mmr", F.round(
                 F.lit(lam) * F.col(rel_col), score_decimals))
-        top = (scored.orderBy(F.col("_mmr").desc(), F.col(id_col).asc())
-               .limit(1).collect()[0])
+        top_rows = (scored.orderBy(F.col("_mmr").desc(), F.col(id_col).asc())
+                    .limit(1).collect())
+        if not top_rows:        # k exceeded the candidate count
+            break
+        top = top_rows[0]
         picked.append(top[id_col])
         rows.append((rank, top[id_col], float(top["_mmr"])))
     id_type = cand.schema[id_col].dataType.simpleString()

@@ -179,3 +179,24 @@ def test_pq_knn_anchor_query_exact_for_anchor(tables):
     rows = {r["vec_id"]: r for r in pq_knn(emb, q, books, k=50).collect()}
     assert 3 in rows                       # own cell ranks near the top
     assert rows[3]["score_pq"] == rows[3]["score"] == 1.0
+
+
+def test_mmr_rerank_diversity_and_bounds(spark):
+    """MMR picks the relevant-but-diverse set: two near-identical top
+    candidates cannot BOTH be picked before a diverse one; k beyond the
+    candidate count truncates instead of erroring."""
+    from server2_vector_search_server_spark.operators.knn import mmr_rerank
+
+    # rel: a1 highest, a2 a near-duplicate of a1, b diverse slightly lower
+    cand = spark.createDataFrame(
+        [(1, 0.99, [1.0, 0.0]),       # a1
+         (2, 0.98, [0.999, 0.01]),    # a2 ~ duplicate of a1
+         (3, 0.90, [0.0, 1.0])],      # b  orthogonal
+        "vec_id long, rel double, embedding array<double>")
+    out = mmr_rerank(cand, k=3, lam=0.5, lam_complement=0.5)
+    picks = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert picks[0] == 1               # pure relevance first
+    assert picks[1] == 3               # diversity beats the near-duplicate
+    assert picks[2] == 2
+    # k > candidates: graceful truncation
+    assert mmr_rerank(cand, k=10, lam=0.5, lam_complement=0.5).count() == 3
