@@ -625,3 +625,76 @@ def streaming_static_enrichment(spark: SparkSession,
                  (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
                  .alias("segment_value"))
             .orderBy("segment"))
+
+
+@query(
+    "streaming_snapshot_ingest",
+    survey="I/A5-adjacent(streaming ingest into the snapshot store: "
+           "foreachBatch commits tagged by batch id — exactly-once under "
+           "replay, one manifest version per micro-batch)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('distinct_docs',            CAST(40 AS BIGINT)),
+      ('replay_added_no_rows',     CAST(0 AS BIGINT)),
+      ('rows_after_replay',        CAST(40 AS BIGINT)),
+      ('versions_equal_batches',   CAST(1 AS BIGINT))
+    ) AS t(probe, n) ORDER BY probe
+    """,
+)
+def streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → foreachBatch → SnapshotChunkStore.append_stream_batch,
+    drained twice from the SAME checkpoint: the second drain (Structured
+    Streaming's replay regime) finds every batch id already committed in a
+    manifest and adds NOTHING — rows, versions, and the replay delta are
+    all hash-checked. This is the at-least-once→exactly-once bridge for
+    file-landing pipelines at 100 TB: idempotence lives in the TABLE's
+    commit protocol, not in hoping the checkpoint never lags the sink."""
+    import tempfile as _tf
+
+    from server2_vector_search_server_spark.sources.snapshots import (
+        SnapshotChunkStore,
+    )
+
+    root = _tf.mkdtemp(prefix="snapstream_")
+    src = os.path.join(root, "src")
+    chk = os.path.join(root, "chk")
+    docs = (tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 40))
+    name = F.concat(F.lit("doc_"), F.col("doc_id"))
+    chunks = docs.select(
+        F.md5(name).alias("chunk_id"), F.md5(name).alias("doc_id"),
+        name.alias("doc_name"), F.lit(0).alias("chunk_index"),
+        F.lit("collection_a").alias("original_collection"),
+        F.col("text").alias("content"),
+        F.create_map(F.lit("source"), name).alias("metadata"),
+        F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>")
+        .alias("embedding"),
+        F.lit("collection_a").alias("collection"))
+    # four source files -> four micro-batches (maxFilesPerTrigger=1)
+    chunks.repartitionByRange(4, "doc_name").write.parquet(src)
+    store = SnapshotChunkStore(spark, os.path.join(root, "store"))
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.foreachBatch(store.append_stream_batch)
+             .option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    rows_first = store.read(None).count()
+    versions_first = store.current_version()
+    n_batches = len([h for h in store.history()
+                     if h["operation"].startswith("stream-append:")])
+    drain()   # replay regime: same checkpoint, no new data
+    rows_after = store.read(None).count()
+    return spark.createDataFrame(
+        [("distinct_docs",
+          store.read(None).select("doc_name").distinct().count()),
+         ("replay_added_no_rows", rows_after - rows_first),
+         ("rows_after_replay", rows_after),
+         ("versions_equal_batches",
+          1 if versions_first == n_batches == store.current_version()
+          else 0)],
+        "probe string, n long").orderBy("probe")
