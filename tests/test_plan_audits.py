@@ -301,3 +301,13 @@ def test_cbo_statistics_drive_join_reorder(spark, tmp_path):
     # with cbo off the order is big, tiny)
     assert optimized.index(tiny) < optimized.index(big), \
         "join reorder did not push the tiny dimension join down"
+
+
+def test_compression_funnels_rank_as_partial_topk(spark):
+    """Matryoshka and binary tiers must rank with TakeOrderedAndProject
+    (per-partition partial top-k riding the exchange) — a global Sort here
+    would be the 100 TB bottleneck."""
+    for name in ("ann_matryoshka_knn", "ann_binary_hamming_knn"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort " not in plan.split("TakeOrderedAndProject")[0], name
