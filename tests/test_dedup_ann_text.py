@@ -352,3 +352,48 @@ def test_pq_kmeans_codebooks_beat_slices(spark, tables):
     km, slices = mean("ann_pq_kmeans_recall_at_k"), mean("ann_pq_recall_at_k")
     assert km >= slices, (km, slices)
     assert km >= 0.2
+
+
+def test_sign_pack_popcount_matches_positive_count(tables):
+    """Property: total popcount of the packed words == number of strictly
+    positive elements, for every corpus vector."""
+    emb = tables["embeddings"]
+    packed = emb.select(
+        "vec_id", "embedding", *ann.sign_pack_words("embedding", 64))
+    pop = (F.bit_count(F.col("bq_word_0"))
+           + F.bit_count(F.col("bq_word_1")))
+    positives = F.size(F.filter("embedding", lambda x:
+                                x.cast("double") > 0.0))
+    bad = packed.filter(pop != positives).count()
+    assert bad == 0
+
+
+def test_binary_knn_self_match_and_exact_scores(tables):
+    """The binary funnel finds the self-match (Hamming 0) and its exact
+    rescore agrees with the brute-force scorer."""
+    from server2_vector_search_server_spark.operators.knn import knn_topk
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    out = ann.binary_knn(emb, q, k=5).collect()
+    assert out and out[0]["vec_id"] == 42 and out[0]["hamming"] == 0
+    exact = {r["vec_id"]: r["score"]
+             for r in knn_topk(emb, q, k=emb.count(),
+                               threshold=None).collect()}
+    for r in out:
+        assert r["score"] == exact[r["vec_id"]]
+
+
+def test_matryoshka_full_prefix_is_exact(tables):
+    """Property: with prefix_dim == dim the 'approximate' ranking IS the
+    exact ranking — the funnel's error comes only from truncation."""
+    from server2_vector_search_server_spark.operators.knn import knn_topk
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    out = ann.matryoshka_knn(emb, q, k=5, prefix_dim=64,
+                             candidates=5).collect()
+    exact = knn_topk(emb, q, k=5, threshold=None).collect()
+    assert [r["vec_id"] for r in out] == [r["vec_id"] for r in exact]
+    for a, b in zip(out, exact):
+        assert a["score"] == b["score"] == a["score_prefix"]
