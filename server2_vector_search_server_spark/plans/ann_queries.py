@@ -252,6 +252,58 @@ def ann_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.sq8_knn(emb, _vec(spark, sf_dir, _QUERY_ID), k=5)
 
 
+_FILTER_LABEL = 1
+
+
+@query(
+    "ann_ivf_filtered_knn",
+    survey="north-star ANN × B1(filtered ANN: the metadata prefilter "
+           "composed with IVF cell pruning — filter first, probe the "
+           "survivors' cells)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC, centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.label = {_FILTER_LABEL}) t
+      WHERE rn = 1)
+    SELECT a.vec_id, a.label, a.centroid_id,
+           ROUND(1.0 - {sql_sq_l2('a.embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM assigned a
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+    ORDER BY score DESC, a.vec_id ASC LIMIT 5
+    """,
+)
+def ann_ivf_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the production combination the reference serves as
+    `where` + k-NN (vector_store.py:141 passes the filter INTO the HNSW
+    query): the metadata predicate prunes the corpus BEFORE cell
+    assignment (pushed to the scan), probes then rank only surviving
+    members of the probed cells. Pre-filtering beats post-filtering
+    whenever the filter is selective: post-filter k-NN can return < k rows
+    after discarding, while pre-filter top-k is always k-complete within
+    the probed cells."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    filtered = emb.filter(F.col("label") == _FILTER_LABEL)
+    return ann.ivf_knn(filtered, centroids, _vec(spark, sf_dir, _QUERY_ID),
+                       k=5, nprobe=_NPROBE)
+
+
 # --- Matryoshka (truncated-prefix) -----------------------------------------
 
 _MRL_PREFIX = 16      # 64-dim fixture vectors / 4 — the cheap nested prefix
