@@ -185,3 +185,35 @@ def bool_rollup_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.bool_or(F.col("n_chars") > 400).alias("any_large"),
              F.count(F.when(F.col("n_chars") > 400, 1)).alias("n_large"))
     )
+
+
+@query(
+    "list_documents_keyset_page",
+    survey="D1-extension(keyset pagination: the catalog listing page the "
+           "reference UI would need at scale — seek predicate + LIMIT, "
+           "never OFFSET)",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE (source, doc_id) > ('src12', 60)
+    ORDER BY source, doc_id
+    LIMIT 15
+    """,
+)
+def list_documents_keyset_page(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Page 'after (source='src12', doc_id=60)' via a KEYSET (seek) predicate.
+    OFFSET-based paging is O(offset) per page — page 10 000 of a 100 TB
+    catalog scans and discards 10 000 pages; the seek predicate is pushed
+    to the scan (row-group min/max pruning on sorted layout) and every
+    page costs the same. The tuple comparison is the standard composite
+    cursor; Spark expresses it as the equivalent disjunction, which
+    Catalyst still pushes down per-column."""
+    docs = tbl(spark, sf_dir, "documents")
+    after_source, after_id = "src12", 60
+    seek = (F.col("source") > after_source) | (
+        (F.col("source") == after_source) & (F.col("doc_id") > after_id))
+    return (docs.filter(seek)
+            .select("doc_id", "source", "n_chars")
+            .orderBy("source", "doc_id")
+            .limit(15))
