@@ -720,3 +720,39 @@ def store_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
           bool(upd["all_upper"]) and int(upd["n"]) == 5, 5),
          ("v3_delete_count", n_v3 == 22, 22)],
         "check_name string, ok boolean, n long").orderBy("check_name")
+
+
+@query(
+    "fulltext_snippets",
+    survey="B7-extension(search-result snippets: a highlight window around "
+           "the first match — the UI half of the $contains contract)",
+    oracle="""
+    SELECT doc_id,
+           replace(substr(text,
+                          greatest(1, CAST(strpos(text, 'vector') AS BIGINT)
+                                   - 20),
+                          50),
+                   'vector', '[vector]') AS snippet
+    FROM documents
+    WHERE contains(text, 'vector') AND doc_id < 120
+    ORDER BY doc_id
+    """,
+)
+def fulltext_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contains-search with result snippets: a 50-char window starting 20
+    chars before the first hit, match term bracket-highlighted — computed
+    in the SAME projection as the filter, so the text column is read once
+    and nothing but (doc_id, snippet) survives the scan. Character-based
+    (not byte) indexing on both engines keeps multi-byte corpora
+    consistent."""
+    docs = tbl(spark, sf_dir, "documents")
+    term = "vector"
+    pos = F.instr(F.col("text"), term).cast("long")
+    snippet = F.regexp_replace(
+        F.substring(F.col("text"),
+                    F.greatest(F.lit(1), pos - 20).cast("int"), 50),
+        term, f"[{term}]")
+    return (docs.filter(F.col("text").contains(term)
+                        & (F.col("doc_id") < 120))
+            .select("doc_id", snippet.alias("snippet"))
+            .orderBy("doc_id"))
