@@ -135,3 +135,61 @@ def search_unscored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "search_per_collection_topk",
+    survey="C1/G-extension(per-collection top-k in ONE scan: the "
+           "reference's N per-collection searches collapsed into a single "
+           "window-ranked pass)",
+    oracle="""
+    SELECT label AS collection_id, vec_id,
+           ROUND(1.0 - list_sum(list_transform(
+               list_zip(embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 42)),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+             AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT label, vec_id, embedding,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY ROUND(1.0 - list_sum(list_transform(
+                   list_zip(embedding,
+                            (SELECT embedding FROM embeddings
+                             WHERE vec_id = 42)),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6)
+                        DESC, vec_id ASC) AS rn
+      FROM embeddings) t
+    WHERE rn <= 3
+    ORDER BY collection_id, rank
+    """,
+)
+def search_per_collection_topk(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The reference answers 'search every collection' with N sequential
+    HNSW queries (one per Chroma store, vector_store.py:24-35); here it is
+    ONE scored scan window-partitioned by the segment key — rank-per-group
+    is partial-aggregable (each partition computes its own top-3 before
+    the exchange), so cost is one corpus pass regardless of how many
+    collections exist. `label` stands in for the collection key on the
+    embeddings fixture."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import vector_literal
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    score = F.round(F.lit(1.0) - squared_l2(vector_literal(qv),
+                                            F.col("embedding")), 6)
+    w = Window.partitionBy("label").orderBy(score.desc(),
+                                            F.col("vec_id").asc())
+    return (emb.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("label").alias("collection_id"), "vec_id",
+                    "score", "rank")
+            .orderBy("collection_id", "rank"))

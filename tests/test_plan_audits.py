@@ -311,3 +311,31 @@ def test_compression_funnels_rank_as_partial_topk(spark):
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
         assert "Sort " not in plan.split("TakeOrderedAndProject")[0], name
+
+
+def test_binary_pack_materialized_scan_prunes_embedding(spark, tmp_path):
+    """The binary tier's promise, like SQ8's: once the sign packs are
+    materialized, the Hamming ranking scan's ReadSchema contains ONLY the
+    packed words + id — the 32x footprint is actual column pruning."""
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators.ann import (
+        sign_pack_words,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    path = str(tmp_path / "bq")
+    emb.select("vec_id", "embedding",
+               *sign_pack_words("embedding", 64)).write.parquet(path)
+    stored = spark.read.parquet(path)
+    ham = (F.bit_count(F.col("bq_word_0").bitwiseXOR(F.lit(123).cast("long")))
+           + F.bit_count(F.col("bq_word_1")
+                         .bitwiseXOR(F.lit(456).cast("long"))))
+    ranked = (stored.select("vec_id", ham.cast("int").alias("h"))
+              .orderBy("h", "vec_id").limit(5))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "bq_word_0" in read_schema and "bq_word_1" in read_schema
+    assert "embedding" not in read_schema
+    assert "TakeOrderedAndProject" in plan
