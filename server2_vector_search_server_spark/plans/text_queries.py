@@ -742,3 +742,86 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("clean").alias("clean_hash"))
         .orderBy("doc_id")
     )
+
+
+_CT_K = 4   # clusters = centroid vectors embeddings[0..3]
+
+
+@query(
+    "text_cluster_topic_terms",
+    survey="north-star text analysis × ANN (corpus exploration: embedding "
+           "clusters labeled by c-TF-IDF top terms — the BERTopic shape)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS c
+      FROM embeddings WHERE vec_id < {_CT_K}),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(
+                     list_zip(e.embedding, cent.c),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                   ASC, cent.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent) t
+      WHERE rn = 1),
+    docs AS (
+      SELECT a.cid, lower(d.text) AS text
+      FROM documents d JOIN assigned a ON a.vec_id = d.doc_id),
+    terms AS (
+      SELECT cid, t.term
+      FROM docs, UNNEST(list_filter(
+             string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t(term)),
+    tf AS (
+      SELECT cid, term, COUNT(*) AS tf FROM terms GROUP BY cid, term),
+    df AS (
+      SELECT term, COUNT(DISTINCT cid) AS df FROM terms GROUP BY term),
+    scored AS (
+      SELECT tf.cid, tf.term,
+             ROUND(tf.tf * (CAST({_CT_K} AS DOUBLE) / df.df), 6) AS ctfidf,
+             row_number() OVER (PARTITION BY tf.cid
+                                ORDER BY tf.tf * (CAST({_CT_K} AS DOUBLE)
+                                                  / df.df) DESC,
+                                         tf.term ASC) AS rank
+      FROM tf JOIN df USING (term))
+    SELECT cid AS cluster_id, CAST(rank AS INTEGER) AS rank, term, ctfidf
+    FROM scored WHERE rank <= 3
+    ORDER BY cluster_id, rank
+    """,
+)
+def text_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exploration end-to-end: documents cluster by embedding
+    (argmin over {_CT_K} deterministic centroids — the IVF assign reused as
+    k-means E-step), each cluster labeled by its top-3 c-TF-IDF terms
+    (class-based TF-IDF: tf within the cluster x K/df across clusters —
+    the BERTopic labeling scheme, public). One assignment scan + the tf/df
+    shuffles at CLUSTER granularity: the df side is vocabulary-sized and
+    the tf side has at most K x vocab rows, so the whole labeling stage is
+    broadcast-friendly at any corpus size."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.operators.ann import ivf_assign
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < _CT_K)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    assigned = ivf_assign(emb, cent).select(
+        "vec_id", F.col("centroid_id").alias("cid"))
+    docs = (tbl(spark, sf_dir, "documents")
+            .join(assigned, F.col("doc_id") == F.col("vec_id"))
+            .select("cid", F.lower(F.col("text")).alias("text")))
+    terms = docs.select("cid", F.explode(tokens(F.col("text")))
+                        .alias("term"))
+    tf = terms.groupBy("cid", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("cid").alias("df"))
+    raw = F.col("tf") * (F.lit(float(_CT_K)) / F.col("df"))
+    w = Window.partitionBy("cid").orderBy(raw.desc(), F.col("term").asc())
+    return (tf.join(df_, "term")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("cid").alias("cluster_id"), "rank", "term",
+                    F.round(raw, 6).alias("ctfidf"))
+            .orderBy("cluster_id", "rank"))
