@@ -123,3 +123,68 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("week_offset"))
             .agg(F.count_distinct("user_id").alias("n_active"))
             .orderBy("cohort_wk", "week_offset"))
+
+
+@query(
+    "customer_rfm_segments",
+    survey="D/E-extension(RFM segmentation: recency/frequency/monetary "
+           "quartile scores via BROADCAST thresholds — never a "
+           "single-partition ntile)",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_diff('day', DATE '1990-01-01',
+                            MAX(o_orderdate)) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    thr AS (
+      SELECT
+        ROUND(CAST(quantile_cont(recency_days, 0.5) AS DOUBLE), 4) AS r50,
+        ROUND(CAST(quantile_cont(freq, 0.5) AS DOUBLE), 4) AS f50,
+        ROUND(CAST(quantile_cont(monetary, 0.5) AS DOUBLE), 4) AS m50
+      FROM rfm)
+    SELECT CONCAT(CASE WHEN recency_days > r50 THEN 'R+' ELSE 'R-' END,
+                  CASE WHEN freq > f50 THEN 'F+' ELSE 'F-' END,
+                  CASE WHEN monetary > m50 THEN 'M+' ELSE 'M-' END)
+             AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey
+    FROM rfm CROSS JOIN thr
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation, the retention
+    workhorse. The scale trap is `ntile(4) OVER (ORDER BY metric)` — a
+    GLOBAL window is a single-partition sort of every customer; instead the
+    median thresholds are ONE scalar row (broadcast cross join) and scoring
+    is a stateless CASE per customer — fully partial-aggregable. Monetary
+    uses the scaled-BIGINT exact sum so the thresholds are shuffle-order
+    independent."""
+    orders = tbl(spark, sf_dir, "orders")
+    rfm = (orders.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.datediff(F.max("o_orderdate").cast("date"),
+                           F.lit("1990-01-01").cast("date"))
+                .cast("long").alias("recency_days"),
+                F.count(F.lit(1)).cast("long").alias("freq"),
+                (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 / 100.0).alias("monetary")))
+    thr = rfm.agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), 4).alias("r50"),
+        F.round(F.expr("percentile(freq, 0.5)"), 4).alias("f50"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 4).alias("m50"))
+    seg = F.concat(
+        F.when(F.col("recency_days") > F.col("r50"),
+               F.lit("R+")).otherwise(F.lit("R-")),
+        F.when(F.col("freq") > F.col("f50"),
+               F.lit("F+")).otherwise(F.lit("F-")),
+        F.when(F.col("monetary") > F.col("m50"),
+               F.lit("M+")).otherwise(F.lit("M-")))
+    return (rfm.crossJoin(F.broadcast(thr))
+            .groupBy(seg.alias("segment"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.min("custkey").cast("long").alias("min_custkey"))
+            .orderBy("segment"))
