@@ -291,3 +291,61 @@ def shortest_paths(edges: DataFrame, source, *, iterations: int = 8,
         dist = (dist.unionByName(relaxed)
                 .groupBy("node").agg(F.min("dist").alias("dist")))
     return dist
+
+
+def beam_search_knn(
+    vectors: DataFrame,
+    edges: DataFrame,
+    query_vec,
+    k: int = 5,
+    *,
+    beam: int = 6,
+    hops: int = 3,
+    entry_ids=(0,),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Greedy beam search over a materialized k-NN graph — the distributed
+    analog of the reference's actual index traversal (ChromaDB's HNSW
+    walks a neighborhood graph from an entry point; Malkov & Yashunin,
+    TPAMI'18 — public algorithm). Per hop: expand the frontier's
+    neighbors, score candidates against the query, keep the ``beam`` best;
+    after ``hops`` expansions, return the top-k of everything visited.
+
+    Scale shape: the frontier is beam-sized (broadcast into each
+    expansion), so every hop is one partition-prunable lookup join against
+    the edge table (bucket/sort edges by ``src`` at build time and each
+    hop touches only the frontier's buckets) plus a beam-sized score join
+    — query cost is O(hops × beam × degree) EDGE ROWS, independent of
+    corpus size, which is exactly the HNSW value proposition. Determinism:
+    scores round to ``score_decimals``, all ranks tie-break on id, so the
+    walk is reproducible and oracle-checkable hop for hop.
+    """
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import vector_literal
+
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    score = F.round(
+        F.lit(1.0) - squared_l2(vector_literal(query_vec), F.col(vec_col)),
+        score_decimals)
+    scored_vecs = vectors.select(F.col(id_col).alias("id"),
+                                 score.alias("score"))
+    spark = vectors.sparkSession
+    frontier = spark.createDataFrame([(int(i),) for i in entry_ids],
+                                     "id long")
+    visited = frontier
+    for _ in range(hops):
+        neigh = (sym.join(F.broadcast(frontier),
+                          sym["src"] == frontier["id"])
+                 .select(F.col("dst").alias("id")))
+        cand = frontier.unionByName(neigh).distinct()
+        ranked = (cand.join(scored_vecs, "id")
+                  .orderBy(F.col("score").desc(), F.col("id").asc()))
+        frontier = ranked.limit(beam).select("id")
+        visited = visited.unionByName(cand).distinct()
+    return (visited.join(scored_vecs, "id")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k)
+            .select(F.col("id").alias(id_col), "score"))

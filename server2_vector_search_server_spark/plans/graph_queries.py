@@ -234,3 +234,79 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("w", (F.lit(1) + F.col("dst") % 5).cast("long")))
     return (shortest_paths(edges, 0, iterations=8)
             .orderBy("node"))
+
+
+# --- HNSW-analog: beam search over the k-NN graph ---------------------------
+
+_BS_GRAPH_K = 4
+_BS_BEAM = 6
+_BS_HOPS = 3
+_BS_QV = "(SELECT embedding FROM embeddings WHERE vec_id = 42)"
+
+
+def _beam_search_sql() -> str:
+    """Unrolled greedy beam search (hop CTEs), over the same deterministic
+    k-NN graph the Spark side builds."""
+    from server2_vector_search_server_spark.plans.registry import sql_sq_l2
+
+    parts = [f"""nn AS (
+      SELECT _src, _dst FROM (
+        SELECT a.vec_id AS _src, b.vec_id AS _dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ROUND({sql_sq_l2('a.embedding', 'b.embedding')},
+                                6) ASC,
+                          b.vec_id ASC) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+      WHERE rn <= {_BS_GRAPH_K})""",
+             """e2 AS (
+      SELECT DISTINCT least(_src, _dst) AS src,
+             greatest(_src, _dst) AS dst FROM nn)""",
+             """sym AS (
+      SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)""",
+             f"""sc AS (
+      SELECT vec_id AS id,
+             ROUND(1.0 - {sql_sq_l2('embedding', _BS_QV)}, 6) AS score
+      FROM embeddings)""",
+             "f0 AS (SELECT CAST(0 AS BIGINT) AS id)",
+             "v0 AS (SELECT id FROM f0)"]
+    for h in range(1, _BS_HOPS + 1):
+        parts.append(f"""c{h} AS (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM f{h - 1}
+        UNION ALL
+        SELECT s.dst AS id FROM sym s JOIN f{h - 1} f ON s.src = f.id))""")
+        parts.append(f"""f{h} AS (
+      SELECT c.id FROM c{h} c JOIN sc ON sc.id = c.id
+      ORDER BY sc.score DESC, c.id ASC LIMIT {_BS_BEAM})""")
+        parts.append(
+            f"v{h} AS (SELECT id FROM v{h - 1} UNION SELECT id FROM c{h})")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT sc.id AS vec_id, sc.score
+    FROM v{_BS_HOPS} v JOIN sc ON sc.id = v.id
+    ORDER BY sc.score DESC, vec_id ASC LIMIT 5""")
+
+
+@query(
+    "graph_beam_search_knn",
+    survey="north-star ANN × graph (HNSW-analog serving: greedy beam "
+           "search over the materialized k-NN graph, hop-unrolled oracle)",
+    oracle=_beam_search_sql(),
+)
+def graph_beam_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's real index is an HNSW neighborhood graph
+    (chroma.sqlite3 segment `hnsw-local-persisted`, M=16); this is the
+    same traversal discipline distributed: build the exact k-NN graph
+    once (at corpus scale the candidate pairs come from the LSH/IVF
+    tiers), then answer a query by walking it — 3 hops of beam 6 from
+    entry 0, each hop one broadcast-frontier lookup join. Query cost is
+    O(hops x beam x degree) edge rows, corpus-size independent."""
+    from server2_vector_search_server_spark.operators.graph import (
+        beam_search_knn,
+        knn_graph,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    edges = knn_graph(emb, k=_BS_GRAPH_K)
+    return beam_search_knn(emb, edges, qv, k=5, beam=_BS_BEAM,
+                           hops=_BS_HOPS, entry_ids=(0,))
