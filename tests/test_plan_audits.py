@@ -339,3 +339,13 @@ def test_binary_pack_materialized_scan_prunes_embedding(spark, tmp_path):
     assert "bq_word_0" in read_schema and "bq_word_1" in read_schema
     assert "embedding" not in read_schema
     assert "TakeOrderedAndProject" in plan
+
+
+def test_keyset_seek_predicate_pushed_to_scan(spark):
+    """The pagination cursor's tuple comparison must reach the parquet scan
+    as one pushed Or(GreaterThan, And(EqualTo, GreaterThan)) filter — the
+    seek is row-group-prunable, which is the whole point of keyset paging."""
+    plan = _plan(spark, "list_documents_keyset_page")
+    assert ("PushedFilters: [Or(GreaterThan(source,src12),"
+            "And(EqualTo(source,src12),GreaterThan(doc_id,60)))]") in plan
+    assert "TakeOrderedAndProject" in plan
