@@ -234,3 +234,50 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("user_id", "n_events",
                        F.round("ewma", 6).alias("ewma"))
             .orderBy("user_id"))
+
+
+@query(
+    "events_transition_matrix",
+    survey="E-extension(first-order Markov transitions: per-user lag over "
+           "event time, global transition counts + row-normalized "
+           "probabilities)",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events),
+    counts AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, event_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts
+    ORDER BY prev_type, event_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What follows what: per-user event sequences (lag over (ts, event_id)
+    — the id tie-break makes same-timestamp order deterministic), rolled
+    into the global first-order transition matrix with row-normalized
+    probabilities. One shuffle on user_id for the lag, one tiny
+    (types x types) aggregate — the matrix itself is bounded by the event
+    vocabulary, so the normalization window runs on a broadcast-scale
+    table no matter the corpus."""
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.withColumn("prev_type",
+                                F.lag("event_type").over(w))
+    counts = (ordered.filter(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w_row = Window.partitionBy("prev_type")
+    return (counts.withColumn(
+                "p", F.round(F.col("n").cast("double")
+                             / F.sum("n").over(w_row), 6))
+            .orderBy("prev_type", "event_type"))
