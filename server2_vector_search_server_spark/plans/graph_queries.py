@@ -244,11 +244,7 @@ _BS_HOPS = 3
 _BS_QV = "(SELECT embedding FROM embeddings WHERE vec_id = 42)"
 
 
-def _beam_search_sql() -> str:
-    """Unrolled greedy beam search (hop CTEs), over the same deterministic
-    k-NN graph the Spark side builds."""
-    from server2_vector_search_server_spark.plans.registry import sql_sq_l2
-
+def _exact_graph_ctes() -> list[str]:
     parts = [f"""nn AS (
       SELECT _src, _dst FROM (
         SELECT a.vec_id AS _src, b.vec_id AS _dst,
@@ -257,11 +253,20 @@ def _beam_search_sql() -> str:
                                 6) ASC,
                           b.vec_id ASC) AS rn
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
-      WHERE rn <= {_BS_GRAPH_K})""",
-             """e2 AS (
+      WHERE rn <= {_BS_GRAPH_K})"""]
+    return parts
+
+
+def _beam_search_sql(graph_ctes: list[str] | None = None) -> str:
+    """Unrolled greedy beam search (hop CTEs), over the same deterministic
+    k-NN graph the Spark side builds. ``graph_ctes`` must end in a CTE
+    named ``nn`` with columns (_src, _dst); the exact cross-join graph is
+    the default."""
+    parts = list(graph_ctes or _exact_graph_ctes())
+    parts += ["""e2 AS (
       SELECT DISTINCT least(_src, _dst) AS src,
              greatest(_src, _dst) AS dst FROM nn)""",
-             """sym AS (
+              """sym AS (
       SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)""",
              f"""sc AS (
       SELECT vec_id AS id,
@@ -308,5 +313,67 @@ def graph_beam_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
     edges = knn_graph(emb, k=_BS_GRAPH_K)
+    return beam_search_knn(emb, edges, qv, k=5, beam=_BS_BEAM,
+                           hops=_BS_HOPS, entry_ids=(0,))
+
+
+_BKT_CELLS = 8
+_BKT_NPROBE = 2
+
+
+def _bucketed_graph_ctes() -> list[str]:
+    return [f"""member AS (
+      SELECT cid, vec_id, embedding FROM (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND({sql_sq_l2('e.embedding', 'c.embedding')},
+                                6) ASC,
+                          c.vec_id ASC) AS crn
+        FROM embeddings e CROSS JOIN (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id < {_BKT_CELLS}) c) t
+      WHERE crn <= {_BKT_NPROBE})""",
+            f"""bpairs AS (
+      SELECT DISTINCT a.vec_id AS _src, b.vec_id AS _dst,
+             ROUND({sql_sq_l2('a.embedding', 'b.embedding')}, 6) AS _d
+      FROM member a JOIN member b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id)""",
+            f"""nn AS (
+      SELECT _src, _dst FROM (
+        SELECT _src, _dst,
+               row_number() OVER (PARTITION BY _src
+                                  ORDER BY _d ASC, _dst ASC) AS rn
+        FROM bpairs) t
+      WHERE rn <= {_BS_GRAPH_K})"""]
+
+
+@query(
+    "graph_beam_search_bucketed",
+    survey="north-star ANN × graph (the SCALE path end-to-end: k-NN graph "
+           "built from shared-IVF-cell candidates — shuffle Σ(cell²), "
+           "never corpus² — then the same beam-search serving walk)",
+    oracle=_beam_search_sql(_bucketed_graph_ctes()),
+)
+def graph_beam_search_bucketed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Graph ANN with NO quadratic stage anywhere: construction pairs come
+    from shared IVF cells (each vector registers in its nprobe=2 nearest
+    of 8 cells — multi-probe applied to construction, so boundary
+    neighbors still meet), per-source top-4 builds the graph, and the
+    query is the identical 3-hop beam walk as `graph_beam_search_knn`.
+    Both stages are hash-checked: cell membership, candidate pairs, edge
+    set, and every hop of the walk are deterministic on both engines."""
+    from server2_vector_search_server_spark.operators.graph import (
+        beam_search_knn,
+        knn_graph_bucketed,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    cent = (emb.filter(F.col("vec_id") < _BKT_CELLS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    edges = knn_graph_bucketed(emb, cent, k=_BS_GRAPH_K,
+                               nprobe=_BKT_NPROBE)
     return beam_search_knn(emb, edges, qv, k=5, beam=_BS_BEAM,
                            hops=_BS_HOPS, entry_ids=(0,))
