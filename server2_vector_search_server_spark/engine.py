@@ -67,9 +67,15 @@ class DocumentSearchEngine:
 
     def __init__(self, spark: SparkSession, root: str, *,
                  embed_dim: int = config.TEST_EMBEDDING_DIM,
-                 embedder=embed_hash):
+                 embedder=embed_hash,
+                 store_cls: type = ChunkStore):
+        """``store_cls`` selects the storage backend: the in-place
+        partitioned ``ChunkStore`` (default) or the snapshot-isolated
+        ``sources.snapshots.SnapshotChunkStore`` — both satisfy the same
+        append/read/delete_document/is_empty contract, so every endpoint
+        runs unchanged on either."""
         self.spark = spark
-        self.store = ChunkStore(spark, root)
+        self.store = store_cls(spark, root)
         self.embed_dim = embed_dim
         self.embedder = embedder
 

@@ -126,6 +126,26 @@ class SnapshotChunkStore:
             df = df.filter(F.col("collection") == collection)
         return df
 
+    def is_empty(self) -> bool:
+        """ChunkStore-contract probe: no snapshot, or the latest snapshot
+        references no files."""
+        return not self._live_files()
+
+    def document_exists(self, doc_name: str,
+                        collection: str | None = None) -> bool:
+        """LIMIT-1 probe, same contract as ChunkStore.document_exists."""
+        if self.is_empty():
+            return False
+        df = self.read(collection).filter(F.col("doc_name") == doc_name)
+        return df.limit(1).count() > 0
+
+    def list_documents(self, collection: str | None = None) -> DataFrame:
+        from server2_vector_search_server_spark.operators.catalog import (
+            list_documents,
+        )
+
+        return list_documents(self.read(collection))
+
     def history(self) -> list[dict]:
         return [{"version": v, "operation": self._manifest(v)["operation"],
                  "n_files": len(self._manifest(v)["files"])}

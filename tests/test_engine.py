@@ -166,3 +166,33 @@ def test_custom_embedder_searches_with_matching_vectors(spark, tmp_path):
     assert len(top) == 1 and top[0]["doc_name"] == "custom.txt"
     # identical text through identical embedder: score == 1 - d^2 ~= 1
     assert top[0]["score"] > 0.999
+
+
+def test_engine_runs_on_snapshot_backend(spark, tmp_path):
+    """The six-endpoint facade runs unchanged on the snapshot-isolated
+    store: upload → search_score → exists → delete (a version commit, not
+    an in-place rewrite) → list, with history accumulating."""
+    from server2_vector_search_server_spark.sources.snapshots import (
+        SnapshotChunkStore,
+    )
+
+    eng = DocumentSearchEngine(spark, str(tmp_path / "snap"),
+                               store_cls=SnapshotChunkStore)
+    eng.upload_documents(DOCS_A, "collection_a")
+    eng.upload_documents(DOCS_B, "collection_b")
+    assert eng.store.document_exists("alpha.txt")
+    hits = eng.search_score("spark alpha", k=3, threshold=None)
+    assert hits.count() > 0
+    # re-upload dedup gate works through the snapshot read path
+    statuses = eng.upload_documents([("alpha.txt", "changed")],
+                                    "collection_b")
+    assert statuses[0]["status"] == "skipped"
+    doc_id = eng.store.read(None) \
+        .filter("doc_name = 'alpha.txt'").select("doc_id").first()[0]
+    v_before = eng.store.current_version()
+    assert eng.delete_document(doc_id)
+    assert eng.store.current_version() == v_before + 1
+    assert not eng.store.document_exists("alpha.txt")
+    # the pre-delete snapshot still time-travels
+    assert eng.store.read(None, version=v_before) \
+        .filter("doc_name = 'alpha.txt'").count() > 0
