@@ -104,3 +104,53 @@ def test_triangle_count_normalizes_directed_and_reversed_edges(spark):
     got_clean = {r["node"]: r["n_triangles"]
                  for r in triangle_count(clean).collect()}
     assert got_clean == got
+
+
+def test_bucketed_knn_graph_recalls_exact_edges(spark):
+    """The shared-cell construction recovers most exact k-NN edges on the
+    fixture slice (boundary losses bounded by nprobe), and every bucketed
+    edge is normalized src<dst like the exact form."""
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators.graph import (
+        knn_graph,
+        knn_graph_bucketed,
+    )
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") < 150).select("vec_id", "embedding"))
+    cent = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    exact = {(r["src"], r["dst"])
+             for r in knn_graph(emb, k=3).collect()}
+    bucketed = {(r["src"], r["dst"])
+                for r in knn_graph_bucketed(emb, cent, k=3,
+                                            nprobe=2).collect()}
+    assert all(s < d for s, d in bucketed)
+    recall = len(exact & bucketed) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_beam_search_finds_query_neighborhood(spark):
+    """Walking from a far entry point still reaches the query's true
+    nearest neighbor when the graph is connected enough (beam > degree)."""
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators.graph import (
+        beam_search_knn,
+        knn_graph,
+    )
+    from server2_vector_search_server_spark.operators.knn import knn_topk
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") < 100).select("vec_id", "embedding"))
+    qv = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    edges = knn_graph(emb, k=6)
+    got = beam_search_knn(emb, edges, qv, k=3, beam=8, hops=4,
+                          entry_ids=(0,)).collect()
+    assert got[0]["vec_id"] == 42          # self-match reachable
+    exact = {r["vec_id"]: r["score"]
+             for r in knn_topk(emb, qv, k=100, threshold=None).collect()}
+    for r in got:                          # scores agree with brute force
+        assert r["score"] == exact[r["vec_id"]]
