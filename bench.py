@@ -86,7 +86,6 @@ HEADLINE = [
     "text_sequence_packing_distributed",  # two-pass prefix-sum packing
     "ann_matryoshka_knn",       # truncated-prefix funnel + exact rescore
     "ann_binary_hamming_knn",   # 1-bit sign pack, XOR+popcount ranking
-    "graph_beam_search_bucketed",  # graph ANN: bucketed build + beam walk
 ]
 
 

@@ -317,7 +317,7 @@ def graph_beam_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                            hops=_BS_HOPS, entry_ids=(0,))
 
 
-_BKT_CELLS = 8
+_BKT_CELLS = 32
 _BKT_NPROBE = 2
 
 
