@@ -86,6 +86,9 @@ HEADLINE = [
     "text_sequence_packing_distributed",  # two-pass prefix-sum packing
     "ann_matryoshka_knn",       # truncated-prefix funnel + exact rescore
     "ann_binary_hamming_knn",   # 1-bit sign pack, XOR+popcount ranking
+    "events_hll_distinct_rollup",  # HLL sketches + hll_union_agg rollup
+    "events_concurrency_sweep",  # sweep-line interval overlap (prefix sum)
+    "text_dsir_importance",     # DSIR hashed-unigram importance weights
 ]
 
 

@@ -313,3 +313,71 @@ def pack_sequences(docs, *, id_col: str = "doc_id",
             F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long")))
     return offs.withColumn(
         "seq_id", F.floor(F.col("tokens_before") / budget).cast("long"))
+
+
+def md5_bucket(term: Column, n_buckets: int = 64) -> Column:
+    """Portable hashed-feature bucket: first two hex chars of md5, read as
+    ascii codes, mod ``n_buckets``. Identical arithmetic exists on any SQL
+    engine with md5/ascii (the DuckDB twin uses the same expression), unlike
+    engine-native hash() functions whose algorithms differ."""
+    h = F.md5(term)
+    return ((F.ascii(F.substring(h, 1, 1)) * 256
+             + F.ascii(F.substring(h, 2, 1))) % n_buckets).cast("int")
+
+
+def dsir_importance(docs, target_pred: Column, *, id_col: str = "doc_id",
+                    text_col: str = "text", n_buckets: int = 64,
+                    weight_decimals: int = 6):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score every
+    document by how target-like its hashed-unigram distribution is.
+
+      weight(bucket) = log p_target(bucket) − log p_source(bucket)
+                       (add-1 smoothed over ``n_buckets`` hashed features)
+      importance(doc) = Σ_tokens weight(bucket(token))
+
+    Scale shape: two scans of the token stream (one to count buckets per
+    side, one to score docs) + a ``n_buckets``-row broadcast join — never a
+    doc×doc comparison. Per-bucket log-weights are rounded then scaled to
+    integer micro-units so the per-doc sum is an exact BIGINT fold
+    (shuffle-order independent; see plans/registry.py parity rules).
+
+    Returns (id_col, n_tokens, importance) — importance in double units,
+    derived from the exact integer sum.
+    """
+    toks = docs.select(
+        F.col(id_col), target_pred.alias("_is_target"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"))
+    toks = toks.withColumn(
+        "_bucket", md5_bucket(F.lower(F.col("_tok")), n_buckets)).drop("_tok")
+
+    # n_buckets rows — materialize once (localCheckpoint severs lineage) so
+    # the totals aggregate and the weight projection don't each re-scan the
+    # exploded token stream.
+    counts = (toks.groupBy("_bucket")
+              .agg(F.count(F.lit(1)).alias("_cs"),
+                   F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+                   .cast("long").alias("_ct"))
+              .localCheckpoint(eager=True))
+    totals = counts.agg(F.sum("_cs").alias("_ns"),
+                        F.sum("_ct").alias("_nt")).collect()[0]
+    ns, nt = int(totals["_ns"]), int(totals["_nt"])
+    # One fixed operation order on both engines; round before scaling, then
+    # ROUND()+CAST (Spark CAST truncates, DuckDB CAST rounds — ROUND first
+    # makes them agree).
+    w = F.round(
+        F.log(F.col("_ct") + 1.0) - F.log(F.lit(float(nt + n_buckets)))
+        - F.log(F.col("_cs") + 1.0) + F.log(F.lit(float(ns + n_buckets))),
+        weight_decimals)
+    weights = counts.select(
+        "_bucket",
+        F.round(w * 1_000_000).cast("long").alias("_w_micro"))
+
+    scored = (toks.join(F.broadcast(weights), "_bucket")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("_w_micro").alias("_imp_micro")))
+    return scored.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.round(F.col("_imp_micro") / 1_000_000.0, weight_decimals)
+        .alias("importance"))

@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.product_analytics_queries",
     "server2_vector_search_server_spark.plans.basket_queries",
     "server2_vector_search_server_spark.plans.breadth_queries3",
+    "server2_vector_search_server_spark.plans.sketch_queries",
     "server2_vector_search_server_spark.plans.source_queries",
     "server2_vector_search_server_spark.plans.web_queries",
     "server2_vector_search_server_spark.plans.variant_queries",

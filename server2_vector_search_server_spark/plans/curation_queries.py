@@ -246,3 +246,97 @@ def curation_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_selected", F.lit(0)).cast("long")
                     .alias("n_selected"))
             .orderBy("lang"))
+
+
+@query(
+    "documents_pareto_skyline",
+    survey="north-star curation (skyline / Pareto-frontier selection: docs "
+           "not dominated on (quality, length) — the multi-criteria keep "
+           "set a curation pipeline retains when no single score wins)",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_SQL_QUALITY} AS quality, n_chars FROM documents)
+    SELECT a.doc_id, a.quality, a.n_chars
+    FROM scored a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM scored b
+      WHERE b.quality >= a.quality AND b.n_chars >= a.n_chars
+        AND (b.quality > a.quality OR b.n_chars > a.n_chars))
+    ORDER BY a.quality DESC, a.n_chars DESC, a.doc_id
+    """,
+)
+def documents_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (maximal-vector) query without the quadratic NOT-EXISTS the
+    oracle uses: aggregate to per-quality-level maxima first (one shuffle,
+    ≤ |distinct quality| rows), then a running-max sweep over the level
+    table decides which levels survive — a level is on the frontier iff its
+    max length strictly exceeds every higher-quality level's. Docs rejoin
+    the surviving (quality, n_max) pairs by broadcast. The window runs on
+    the LEVEL table (bounded: quality is a rounded score, ≤10^d levels at
+    any corpus size), never on the corpus — the standard sort-based skyline
+    decomposition (Börzsönyi et al., ICDE'01).
+    """
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        ta.quality_score(F.col("text")).alias("quality"),
+        "n_chars")
+    lvl = docs.groupBy("quality").agg(F.max("n_chars").alias("n_max"))
+    w = (Window.orderBy(F.col("quality").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sky_lvl = (lvl.withColumn("prev_max", F.max("n_max").over(w))
+               .filter(F.col("prev_max").isNull()
+                       | (F.col("n_max") > F.col("prev_max")))
+               # rename: sky_lvl shares lineage with docs (self-join) —
+               # same-name join columns would resolve trivially-true
+               .select(F.col("quality").alias("_q_lvl"),
+                       F.col("n_max").alias("_n_lvl")))
+    return (docs.join(F.broadcast(sky_lvl),
+                      (F.col("quality") == F.col("_q_lvl"))
+                      & (F.col("n_chars") == F.col("_n_lvl")))
+            .select("doc_id", "quality", "n_chars")
+            .orderBy(F.col("quality").desc(), F.col("n_chars").desc(),
+                     "doc_id"))
+
+
+@query(
+    "text_dsir_importance",
+    survey="north-star curation (DSIR importance weights: hashed-unigram "
+           "log-likelihood ratio of target vs source distribution, "
+           "Xie et al. 2023 — the data-selection scorer)",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS is_target, lower(t.term) AS tok
+      FROM documents, UNNEST(list_filter(
+             string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+           AS t(term)),
+    b AS (
+      SELECT doc_id, is_target,
+             (ascii(substr(md5(tok), 1, 1)) * 256
+              + ascii(substr(md5(tok), 2, 1))) % 64 AS bucket
+      FROM toks),
+    counts AS (
+      SELECT bucket, COUNT(*) AS cs,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+      FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt FROM counts),
+    weights AS (
+      SELECT bucket,
+             CAST(ROUND(ROUND(ln(ct + 1.0) - ln(nt + 64.0)
+                              - ln(cs + 1.0) + ln(ns + 64.0), 6)
+                        * 1000000) AS BIGINT) AS w_micro
+      FROM counts, tot)
+    SELECT b.doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(w.w_micro) / 1000000.0, 6) AS importance
+    FROM b JOIN weights w USING (bucket)
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection scoring (operators/text_analysis.dsir_importance):
+    target = English docs, source = whole corpus. Two token-stream scans +
+    a 64-row broadcast; per-doc sums fold integer micro-units so the result
+    is shuffle-order independent (registry parity rules)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (ta.dsir_importance(docs, F.col("lang") == "en")
+            .orderBy("doc_id"))

@@ -188,3 +188,54 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
                  F.min("custkey").cast("long").alias("min_custkey"))
             .orderBy("segment"))
+
+
+@query(
+    "events_concurrency_sweep",
+    survey="north-star event analytics (interval-overlap sweep line: max "
+           "concurrent 5-minute sessions per hour — O(n log n) event-point "
+           "prefix sum, never the O(n²) self-range-join)",
+    oracle="""
+    WITH pts AS (
+      SELECT t, SUM(delta) AS net FROM (
+        SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS t, -1 AS delta
+        FROM events) u
+      GROUP BY t),
+    cum AS (
+      SELECT t, SUM(net) OVER (ORDER BY t) AS conc FROM pts)
+    SELECT time_bucket(INTERVAL '1 hour', t) AS hour_start,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM cum GROUP BY hour_start ORDER BY hour_start
+    """,
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: every event opens a [ts, ts+5min) interval;
+    +1/−1 boundary points are pre-aggregated per distinct instant (so the
+    running state is tie-order independent: with the half-open convention,
+    peak concurrency at instant t equals the post-t running sum), then the
+    running sum uses the two-pass range-partitioned prefix scan
+    (operators/text_analysis.exclusive_prefix_sum) — NO single-reducer
+    global window, the thing that dies first at 100 TB. The naive
+    alternative (self-join on range overlap) is quadratic in the densest
+    hour. DuckDB oracle uses the plain window form — bit-identical by the
+    prefix-sum parity contract."""
+    from server2_vector_search_server_spark.operators.text_analysis import (
+        exclusive_prefix_sum,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"))
+    pts = (starts.unionByName(ends)
+           .groupBy("t").agg(F.sum("delta").alias("net")))
+    cum = exclusive_prefix_sum(pts, order_col="t", value_col="net",
+                               out_col="net_before")
+    return (cum.withColumn(
+                "conc", (F.col("net_before") + F.col("net")).cast("long"))
+            .groupBy(F.date_trunc("hour", F.col("t")).alias("hour_start"))
+            .agg(F.max("conc").alias("max_concurrent"))
+            .orderBy("hour_start"))

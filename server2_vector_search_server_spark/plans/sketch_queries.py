@@ -1,0 +1,176 @@
+"""Mergeable-sketch query surface: HLL distinct counting, KLL quantiles,
+theta set expressions (Spark 4's Apache DataSketches integration).
+
+These are the 100-TB summary primitives: a sketch is a bounded-size state
+that merges associatively, so per-partition partial sketches roll up through
+any shuffle/rollup tree without ever materializing the distinct set — the
+pattern every petabyte warehouse uses for distinct-user and quantile
+dashboards. The queries here prove three things end-to-end:
+
+  * per-group sketches REAGGREGATE (``hll_union_agg`` over per-type
+    sketches == sketching the whole table),
+  * estimates land inside the published error bound (checked as hashed
+    boolean columns: the oracle asserts TRUE, so a drifted estimate fails
+    the driver's value hash),
+  * the exact companion values (hash-checked BIGINTs/doubles) come from
+    shapes that stay scale-safe: one distinct agg per pass (never the
+    multi-count_distinct Expand blowup — ROUND_NOTES gotcha), per-user
+    pre-aggregation for set cardinalities.
+
+Sketch estimates themselves are engine-internal (DuckDB has no DataSketches
+twin), hence the bound-check design instead of value equality — same pattern
+as ``ann_ivf_recall_at_k``'s self-evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+
+def _within_pct(est, exact, pct: float = 0.05):
+    """|est − exact| ≤ max(1, pct·exact) as a Column (both args Columns)."""
+    tol = F.greatest(F.lit(1.0), exact.cast("double") * pct)
+    return (F.abs(est.cast("double") - exact.cast("double")) <= tol)
+
+
+@query(
+    "events_hll_distinct_rollup",
+    survey="north-star sketches (HLL distinct users per event type + merged "
+           "global rollup via hll_union_agg; estimates bound-checked "
+           "against exact distinct counts)",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def events_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type HLL sketches plus their MERGE: the '__all__' row's estimate
+    comes from ``hll_union_agg`` over the five per-type sketches, not from
+    rescanning — the rollup contract that lets a 100-TB pipeline keep one
+    sketch per (day, type) partition and answer any coarser grain by union.
+    Exact distinct counts ride along as the hash-checked ground truth."""
+    ev = tbl(spark, sf_dir, "events")
+    per = (ev.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                F.count_distinct("user_id").alias("exact_users")))
+    glob = (per.agg(F.hll_union_agg("sk").alias("sk"))
+            .crossJoin(ev.agg(F.count_distinct("user_id")
+                              .alias("exact_users")))
+            .withColumn("event_type", F.lit("__all__")))
+    both = per.select("event_type", "exact_users", "sk").unionByName(
+        glob.select("event_type", "exact_users", "sk"))
+    est = F.hll_sketch_estimate("sk")
+    return (both.select(
+                "event_type", "exact_users",
+                _within_pct(est, F.col("exact_users"))
+                .alias("est_within_5pct"))
+            .orderBy("event_type"))
+
+
+_KLL_QS = ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95"))
+
+
+@query(
+    "events_kll_value_quantiles",
+    survey="north-star sketches (KLL quantile sketch over event values; "
+           "estimated quantiles bound-checked by true rank error ≤ 5%, "
+           "exact interpolated percentiles hash-checked)",
+    oracle="SELECT "
+           + ", ".join(
+               f"ROUND(quantile_cont(value, {q}), 4) AS {tag}, "
+               f"TRUE AS {tag}_rank_ok" for q, tag in _KLL_QS)
+           + " FROM events",
+)
+def events_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One KLL sketch pass answers all quantiles with bounded state (~KB at
+    any input size — vs exact percentile's full sort). Self-check: the true
+    rank of each estimated quantile (one broadcast + one avg pass) must sit
+    within 5% of the target rank — ≫ the k=200 sketch's ~1.65% bound, so
+    the boolean is deterministic in practice. Exact percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` at 4 decimals) are the
+    hash-checked companions."""
+    ev = tbl(spark, sf_dir, "events")
+    ests = (ev.agg(F.kll_sketch_agg_double("value").alias("sk"))
+            .select(*[F.kll_sketch_get_quantile_double("sk", F.lit(q))
+                      .alias(f"_est_{tag}") for q, tag in _KLL_QS]))
+    joined = ev.crossJoin(F.broadcast(ests))
+    cols = []
+    for q, tag in _KLL_QS:
+        cols.append(F.round(F.percentile("value", F.lit(q)), 4).alias(tag))
+        rank = F.avg((F.col("value") <= F.col(f"_est_{tag}")).cast("double"))
+        cols.append((F.abs(rank - F.lit(q)) <= 0.05).alias(f"{tag}_rank_ok"))
+    return joined.agg(*cols)
+
+
+@query(
+    "events_theta_set_users",
+    survey="north-star sketches (theta sketches: distinct-user set algebra "
+           "— union/intersection/difference of click vs purchase audiences "
+           "without materializing either set)",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             bool_or(event_type = 'click') AS c,
+             bool_or(event_type = 'purchase') AS p
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id)
+    SELECT COUNT(*) AS exact_union,
+           SUM(CASE WHEN c AND p THEN 1 ELSE 0 END) :: BIGINT
+             AS exact_intersection,
+           SUM(CASE WHEN c AND NOT p THEN 1 ELSE 0 END) :: BIGINT
+             AS exact_difference,
+           TRUE AS union_est_ok, TRUE AS inter_est_ok, TRUE AS diff_est_ok
+    FROM per_user
+    """,
+)
+def events_theta_set_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra on sketches: build one theta sketch per segment
+    in a single scan (null-skipping conditional agg), then union /
+    intersection / difference are O(sketch) driver-free scalar expressions
+    — the only sketch family with closed set operations (HLL unions but
+    cannot intersect). Exact companions come from a per-user pre-aggregate
+    (one shuffle, no Expand), the segment-membership shape that stays
+    linear at any corpus size."""
+    ev = tbl(spark, sf_dir, "events")
+    per_user = (ev.filter(F.col("event_type").isin("click", "purchase"))
+                .groupBy("user_id")
+                .agg(F.bool_or(F.col("event_type") == "click").alias("c"),
+                     F.bool_or(F.col("event_type") == "purchase")
+                     .alias("p")))
+    exact = per_user.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("c") & F.col("p")).cast("int")).cast("long")
+        .alias("exact_intersection"),
+        F.sum((F.col("c") & ~F.col("p")).cast("int")).cast("long")
+        .alias("exact_difference"))
+    sks = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")))
+        .alias("sk_c"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")))
+        .alias("sk_p"))
+    ests = sks.select(
+        F.theta_sketch_estimate(F.theta_union("sk_c", "sk_p"))
+        .alias("_eu"),
+        F.theta_sketch_estimate(F.theta_intersection("sk_c", "sk_p"))
+        .alias("_ei"),
+        F.theta_sketch_estimate(F.theta_difference("sk_c", "sk_p"))
+        .alias("_ed"))
+    return (exact.crossJoin(ests)
+            .select("exact_union", "exact_intersection", "exact_difference",
+                    _within_pct(F.col("_eu"), F.col("exact_union"))
+                    .alias("union_est_ok"),
+                    _within_pct(F.col("_ei"), F.col("exact_intersection"))
+                    .alias("inter_est_ok"),
+                    _within_pct(F.col("_ed"), F.col("exact_difference"))
+                    .alias("diff_est_ok")))
