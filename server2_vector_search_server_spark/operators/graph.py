@@ -385,17 +385,47 @@ def knn_graph_bucketed(
     from pyspark.sql import Window
 
     from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import vector_literal
 
-    cent = F.broadcast(centroids.select(
-        F.col(centroid_id_col).alias("_cid"),
-        F.col(centroid_vec_col).alias("_cvec")))
-    d_cell = F.round(squared_l2(F.col(vec_col), F.col("_cvec")), 6)
-    w_cell = Window.partitionBy(id_col).orderBy(d_cell.asc(),
-                                                F.col("_cid").asc())
-    member = (vectors.crossJoin(cent)
-              .withColumn("_crn", F.row_number().over(w_cell))
-              .filter(F.col("_crn") <= nprobe)
-              .select(F.col("_cid"), F.col(id_col), F.col(vec_col)))
+    # nprobe-nearest-cell membership as a NARROW projection: centroids are
+    # driver-small literals, per-row (rounded-dist, cid) structs are
+    # array_sorted and sliced — identical ranking to the window form
+    # (ROUND ASC, cid ASC) with zero joins and zero shuffle. The
+    # crossJoin+window form multiplied the corpus by n_cells and shuffled
+    # it back down (SCALE.md §13's ivf_assign lesson; re-measured here:
+    # the 40k×512-cell build spent minutes in that window alone).
+    # CRITICAL shape: ONE transform over a constant-folded array-of-arrays
+    # literal, exactly like ivf_assign — NOT n_cells separate struct
+    # subtrees (that form blows the expression tree out of codegen and
+    # evaluated 512 independent aggregates per row; measured minutes vs
+    # seconds at 40k×512).
+    cent_rows = sorted(centroids.collect(),
+                       key=lambda r: r[centroid_id_col])
+    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
+                         for r in cent_rows])
+    id_lit = F.array(*[F.lit(int(r[centroid_id_col])).cast("long")
+                       for r in cent_rows])
+    dists = F.transform(
+        cent_lit, lambda c: F.round(squared_l2(c, F.col(vec_col)), 6))
+    cell_structs = F.zip_with(
+        dists, id_lit, lambda d, i: F.struct(d.alias("d"), i.alias("cid")))
+    # (cid, id) ONLY — the vector payload is re-joined per unique pair
+    # later, never carried through the membership/pair shuffles. The
+    # projection is the CPU-heavy step (higher-order functions evaluate
+    # interpreted, n_cells×dim work per row): materialize it once
+    # (localCheckpoint) or the self-join below computes it TWICE, and give
+    # it the session's parallelism — membership inherits the input's
+    # partitioning, and a single-file parquet scan would otherwise run the
+    # whole projection on ONE core (§22 one-split gotcha; measured 200 s
+    # single-task vs seconds wide at 40k×512).
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    member = (vectors.repartition(n_parts, F.col(id_col))
+              .select(
+                  F.col(id_col),
+                  F.explode(F.slice(F.array_sort(cell_structs), 1, nprobe))
+                  .alias("_m"))
+              .select(F.col("_m.cid").alias("_cid"), F.col(id_col))
+              .localCheckpoint(eager=True))
     # candidate generation carries ONLY ids: the within-cell join and the
     # cross-cell dedup shuffle 16-byte pairs, not 2x the vector payload —
     # distances are computed once per UNIQUE pair after the dedup, via two
