@@ -136,3 +136,54 @@ def ewma_by_key(events: DataFrame, *, key_col: str = "user_id",
 
     return (events.select(key_col, ts_col, order_col, val_col)
             .groupBy(key_col).applyInPandas(fold, out_schema))
+
+
+def asof_join_cogrouped(left: DataFrame, right: DataFrame, *, on: str = "ts",
+                        by: str = "user_id", value_col: str = "value",
+                        out_col: str = "asof_value") -> DataFrame:
+    """:func:`asof_join` semantics via the cogrouped-pandas API
+    (``groupBy(k).cogroup(...).applyInPandas`` + ``pd.merge_asof``) — the
+    J-surface variant: both sides shuffle ONCE on the key, each key's two
+    slices meet in a single Arrow batch, and the per-key merge is the
+    textbook sorted backward-scan. Same contract as the window form (>=,
+    same-ts right row visible, right deduped to MAX(value) per (by, on));
+    oracle-checked against DuckDB's native ASOF JOIN by the
+    ``events_asof_cogroup`` query.
+
+    Per-key state is one pandas frame — the cogroup path suits FAT payloads
+    (many carried columns) where the union+window trick would carry every
+    column through the tag-sort; for a single carried value the window form
+    does one shuffle of one column and wins. Both are O(n log n) per key.
+    """
+    import pandas as pd
+
+    # the right side's ordering column gets a FRESH name: when both cogroup
+    # children expose a same-named derived attribute (e.g. both sides' `ts`
+    # normalized from the same parquet column), the cogroup exchange
+    # resolved them to one attribute and the right-side frame arrived
+    # WITHOUT its ts — observed on the nanos-normalized events table
+    rts = f"_r_{on}"
+    rights = (right.groupBy(F.col(by), F.col(on).alias(rts))
+              .agg(F.max(value_col).alias(out_col)))
+    left_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+    out_schema = f"{left_fields}, {out_col} double"
+
+    def merge(ldf: "pd.DataFrame", rdf: "pd.DataFrame") -> "pd.DataFrame":
+        ldf = ldf.sort_values(on, kind="mergesort")
+        if rdf.empty:
+            ldf[out_col] = pd.array([None] * len(ldf), dtype="Float64")
+            return ldf
+        rdf = rdf.sort_values(rts, kind="mergesort")
+        merged = pd.merge_asof(ldf, rdf.drop(columns=[by]),
+                               left_on=on, right_on=rts,
+                               direction="backward",
+                               allow_exact_matches=True)
+        merged = merged.drop(columns=[rts])
+        # nullable dtype: a plain float64 NaN would surface as Spark NaN,
+        # not NULL, and break ASOF-left-join parity
+        merged[out_col] = merged[out_col].astype("Float64")
+        return merged
+
+    return (left.groupBy(by).cogroup(rights.groupBy(by))
+            .applyInPandas(merge, schema=out_schema))

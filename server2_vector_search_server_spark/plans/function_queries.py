@@ -728,3 +728,43 @@ def part_pattern_matching_breadth(spark: SparkSession,
             .alias("type_not_numeric"))
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "events_iqr_grouped_agg",
+    survey="J(GROUPED_AGG pandas UDF: vectorized Arrow aggregate — the one "
+           "pandas-UDF flavor the rest of the surface didn't exercise)",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4)
+             AS iqr
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_iqr_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interquartile range per event type through a GROUPED_AGG pandas UDF:
+    each group's values arrive as ONE Arrow batch and reduce to a scalar in
+    numpy (np.percentile's linear interpolation == DuckDB quantile_cont) —
+    the vectorized-UDAF surface. Rounding happens JVM-side (Python round is
+    banker's — ROUND_NOTES gotcha). Partial aggregation does not apply to
+    grouped-agg UDFs (whole group must meet), so the shuffle carries raw
+    rows — acceptable for percentile-family aggregates, which are
+    non-decomposable anyway (the decomposable path is the KLL sketch query).
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` stringizes
+    # the Series->float hints this module-level decorator would infer from
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def iqr(v):
+        vals = v.dropna().to_numpy()
+        if vals.size == 0:
+            return None
+        q75, q25 = np.percentile(vals, [75.0, 25.0])
+        return float(q75 - q25)
+
+    ev = tbl(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(iqr(F.col("value")), 4).alias("iqr"))
+            .orderBy("event_type"))

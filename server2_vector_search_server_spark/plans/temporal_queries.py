@@ -281,3 +281,40 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p", F.round(F.col("n").cast("double")
                              / F.sum("n").over(w_row), 6))
             .orderBy("prev_type", "event_type"))
+
+
+@query(
+    "events_asof_cogroup",
+    survey="J(cogrouped applyInPandas) + C-extension(as-of join via "
+           "pd.merge_asof per cogrouped key)",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS last_purchase
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, e.event_type, p.last_purchase
+    FROM (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events) e
+    ASOF LEFT JOIN purch p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as events_asof_join, exercised through the cogrouped
+    Arrow path (operators/temporal.asof_join_cogrouped): one shuffle per
+    side on user_id, pd.merge_asof inside each cogroup batch. Identical
+    oracle — the two implementations must agree bit-for-bit."""
+    from server2_vector_search_server_spark.operators.temporal import (
+        asof_join_cogrouped,
+    )
+
+    events = tbl(spark, sf_dir, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    return (asof_join_cogrouped(
+                events.select("event_id", "user_id", "event_type", "ts"),
+                purchases, on="ts", by="user_id",
+                value_col="value", out_col="last_purchase")
+            .select("event_id", "user_id", "event_type", "last_purchase")
+            .orderBy("event_id"))
