@@ -257,7 +257,7 @@ def _exact_graph_ctes() -> list[str]:
     return parts
 
 
-def _beam_search_sql(graph_ctes: list[str] | None = None) -> str:
+def _beam_walk_parts(graph_ctes: list[str] | None = None) -> list[str]:
     """Unrolled greedy beam search (hop CTEs), over the same deterministic
     k-NN graph the Spark side builds. ``graph_ctes`` must end in a CTE
     named ``nn`` with columns (_src, _dst); the exact cross-join graph is
@@ -285,10 +285,32 @@ def _beam_search_sql(graph_ctes: list[str] | None = None) -> str:
       ORDER BY sc.score DESC, c.id ASC LIMIT {_BS_BEAM})""")
         parts.append(
             f"v{h} AS (SELECT id FROM v{h - 1} UNION SELECT id FROM c{h})")
+    return parts
+
+
+def _beam_search_sql(graph_ctes: list[str] | None = None) -> str:
+    parts = _beam_walk_parts(graph_ctes)
     return ("WITH " + ",\n    ".join(parts) + f"""
     SELECT sc.id AS vec_id, sc.score
     FROM v{_BS_HOPS} v JOIN sc ON sc.id = v.id
     ORDER BY sc.score DESC, vec_id ASC LIMIT 5""")
+
+
+def _beam_recall_sql(recall_k: int) -> str:
+    """Recall@k of the bucketed-graph walk vs the exact ranking: both the
+    walk result and the brute-force top-k are computed in-SQL from the same
+    CTEs, so the recall number itself is hash-checked (same pattern as
+    ann_ivf_recall_at_k)."""
+    parts = _beam_walk_parts(_bucketed_graph_ctes())
+    parts.append(f"""walk AS (
+      SELECT sc.id FROM v{_BS_HOPS} v JOIN sc ON sc.id = v.id
+      ORDER BY sc.score DESC, sc.id ASC LIMIT {recall_k})""")
+    parts.append(f"""exact AS (
+      SELECT id FROM sc ORDER BY score DESC, id ASC LIMIT {recall_k})""")
+    return ("WITH " + ",\n    ".join(parts) + f"""
+    SELECT CAST(COUNT(*) AS INTEGER) AS n_hits,
+           ROUND(COUNT(*) / {float(recall_k)}, 6) AS recall_at_{recall_k}
+    FROM exact JOIN walk USING (id)""")
 
 
 @query(
@@ -377,3 +399,50 @@ def graph_beam_search_bucketed(spark: SparkSession,
                                nprobe=_BKT_NPROBE)
     return beam_search_knn(emb, edges, qv, k=5, beam=_BS_BEAM,
                            hops=_BS_HOPS, entry_ids=(0,))
+
+
+_BS_RECALL_K = 10
+
+
+@query(
+    "graph_beam_recall_at_k",
+    survey="north-star ANN × graph (index-quality self-evaluation: "
+           "recall@10 of the bucketed-graph beam walk vs the exact "
+           "ranking — the tier-comparison number for the graph index)",
+    oracle=_beam_recall_sql(_BS_RECALL_K),
+)
+def graph_beam_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk quality quantified like every other ANN tier (recall@10 at
+    matched probe budget): the visited set's top-10 joined against the
+    brute-force top-10. A low number here means the entry point / hop
+    budget, not the graph, is the binding constraint — the operational
+    dial an HNSW deployment tunes (efSearch analog = beam)."""
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.graph import (
+        beam_search_knn,
+        knn_graph_bucketed,
+    )
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    cent = (emb.filter(F.col("vec_id") < _BKT_CELLS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    edges = knn_graph_bucketed(emb, cent, k=_BS_GRAPH_K,
+                               nprobe=_BKT_NPROBE)
+    walk = (beam_search_knn(emb, edges, qv, k=_BS_RECALL_K, beam=_BS_BEAM,
+                            hops=_BS_HOPS, entry_ids=(0,))
+            .select(F.col("vec_id").alias("id")))
+    score = F.round(
+        F.lit(1.0) - squared_l2(vector_literal(qv), F.col("embedding")), 6)
+    exact = (emb.select(F.col("vec_id").alias("id"), score.alias("score"))
+             .orderBy(F.col("score").desc(), F.col("id").asc())
+             .limit(_BS_RECALL_K))
+    hits = exact.join(walk, "id")
+    return hits.agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        F.round(F.count(F.lit(1)) / float(_BS_RECALL_K), 6)
+        .alias(f"recall_at_{_BS_RECALL_K}"))

@@ -825,3 +825,48 @@ def text_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("cid").alias("cluster_id"), "rank", "term",
                     F.round(raw, 6).alias("ctfidf"))
             .orderBy("cluster_id", "rank"))
+
+
+@query(
+    "text_bpe_merge_pairs",
+    survey="north-star text analysis (BPE tokenizer-training step: corpus "
+           "adjacent-character-pair frequencies, the argmax of which is the "
+           "next merge rule)",
+    oracle="""
+    WITH words AS (
+      SELECT lower(t.term) AS w
+      FROM documents, UNNEST(list_filter(
+             string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+           AS t(term)),
+    vocab AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+    pairs AS (
+      SELECT p.pair, freq
+      FROM vocab, UNNEST(list_transform(
+             range(1, length(w)), i -> substr(w, i, 2))) AS p(pair)
+      WHERE length(w) >= 2)
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round (Sennrich et al. 2016, public method): the
+    top adjacent-symbol pair counts. The scale-critical shape: aggregate
+    the corpus to its VOCABULARY first (one shuffle; vocab ≪ corpus), then
+    explode character pairs only over unique words weighted by frequency —
+    a 100-TB corpus explodes ~10M vocab rows, not 10^11 token rows. A full
+    trainer loops this query, applying the argmax merge to the vocab
+    between rounds (same plan each round over a shrinking symbol table)."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    vocab = (docs.select(
+                 F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    pair_expr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.substring(F.col("w"), i, F.lit(2)))
+    return (vocab.filter(F.length("w") >= 2)
+            .select(F.explode(pair_expr).alias("pair"), "freq")
+            .groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "pair").limit(20))
