@@ -698,3 +698,81 @@ def streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
           1 if versions_first == n_batches == store.current_version()
           else 0)],
         "probe string, n long").orderBy("probe")
+
+
+@query(
+    "streaming_stream_stream_left_outer_join",
+    survey="I(stream-stream LEFT OUTER join: null-matched left rows are "
+           "emitted by WATERMARK EVICTION, not at join time — the third "
+           "and subtlest streaming join family after inner and "
+           "stream-static)",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+             - INTERVAL 1 HOUR AS w),
+    pairs AS (
+      SELECT c.user_id, c.event_id AS c_event, c.ts AS c_ts,
+             p.event_id AS p_event
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+    emitted AS (
+      SELECT user_id, c_event, p_event FROM pairs, wm
+      WHERE p_event IS NOT NULL
+         OR c_ts + INTERVAL 30 MINUTE < wm.w)
+    SELECT user_id,
+           CAST(COUNT(p_event) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN p_event IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unattributed_emitted
+    FROM emitted GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_stream_stream_left_outer_join(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: matched pairs emit at join time, but a
+    click with NO purchase in its 30-minute window can only emit its
+    null-matched row once the global watermark (min of both streams' max
+    event time − 1 h) passes the click's last possible match time — before
+    that, a matching purchase could still arrive. Spark runs a final
+    no-data batch after availableNow drains to advance the watermark and
+    flush evictable state, so the emitted set is deterministic: all matched
+    pairs + exactly the unmatched clicks whose window closed below the
+    final watermark. The oracle reproduces BOTH populations — the eviction
+    predicate (strict <) is part of the checked contract. Clicks younger
+    than watermark−30 min stay in state and are correctly ABSENT."""
+    src = tempfile.mkdtemp(prefix="ss_louter_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    clicks = (read_events_stream(spark, src)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("c_event"))
+              .withWatermark("c_ts", "1 hour"))
+    purchases = (read_events_stream(spark, src)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_event"))
+                 .withWatermark("p_ts", "1 hour"))
+    joined = clicks.join(
+        purchases,
+        F.expr("c_user = p_user AND p_ts >= c_ts "
+               "AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
+        "leftOuter")
+    sink = f"ss_louter_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    pairs = spark.table(sink)
+    return (pairs.groupBy(F.col("c_user").alias("user_id"))
+            .agg(F.count("p_event").alias("n_attributed"),
+                 F.sum(F.col("p_event").isNull().cast("int")).cast("long")
+                 .alias("n_unattributed_emitted"))
+            .orderBy("user_id"))
