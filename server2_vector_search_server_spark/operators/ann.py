@@ -931,3 +931,47 @@ def ivf_knn_batch_indexed(
     return (cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop(*drop_cols))
+
+
+def adaptive_filtered_knn(
+    filtered: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 2,
+    *,
+    cutoff: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Cost-based strategy switch for filtered vector search — the planner
+    decision an adaptive engine makes per query: when the metadata filter
+    leaves few survivors, an EXACT scan of the survivors is both cheaper
+    and more accurate than probing the index (nothing to prune, and IVF
+    could miss survivors outside the probed cells); when the filter is
+    broad, fall back to IVF cell pruning (:func:`ivf_knn`) so the ranking
+    never touches the whole corpus.
+
+    The statistics probe is one ``count()`` on the filtered frame — at
+    100 TB this is a catalog/statistics lookup (or a cached selectivity
+    estimate), not a data scan; here the filter is pushed into the parquet
+    scan so the count reads only the pruned row groups. Output is
+    strategy-uniform: (id, score, strategy).
+    """
+    n = filtered.count()
+    if n <= cutoff:
+        score = F.round(
+            F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                    F.col(vec_col)), score_decimals)
+        picked = (filtered.select(F.col(id_col), score.alias("score"))
+                  .orderBy(F.col("score").desc(), F.col(id_col).asc())
+                  .limit(k))
+        strategy = "exact"
+    else:
+        picked = (ivf_knn(filtered, centroids, query_vec, k=k,
+                          nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+                          score_decimals=score_decimals)
+                  .select(F.col(id_col), F.col("score")))
+        strategy = "ivf"
+    return picked.withColumn("strategy", F.lit(strategy))

@@ -1257,3 +1257,88 @@ def ann_pq_kmeans_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
     return _recall_result(q, exact, tier)
+
+
+_ADAPTIVE_CUTOFF = 100
+
+
+@query(
+    "search_adaptive_knn_selective",
+    survey="north-star ANN × B1 (cost-based strategy switch, SELECTIVE "
+           "branch: the filter leaves few survivors, so the planner scans "
+           "them exactly instead of probing the index)",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score,
+           'exact' AS strategy
+    FROM embeddings
+    WHERE label = {_FILTER_LABEL} AND vec_id % 5 = 0
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+)
+def search_adaptive_knn_selective(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """operators/ann.adaptive_filtered_knn with a highly selective filter:
+    the survivor count (a pushed-down pruned scan here; a statistics lookup
+    at 100 TB) lands under the cutoff, so the EXACT branch runs — cheaper
+    than probing and recall-1.0 by construction. The strategy column is
+    part of the hash-checked contract: the oracle pins WHICH plan ran."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    filtered = emb.filter((F.col("label") == _FILTER_LABEL)
+                          & (F.col("vec_id") % 5 == 0))
+    return ann.adaptive_filtered_knn(
+        filtered, centroids, _vec(spark, sf_dir, _QUERY_ID),
+        k=5, nprobe=_NPROBE, cutoff=_ADAPTIVE_CUTOFF)
+
+
+@query(
+    "search_adaptive_knn_broad",
+    survey="north-star ANN × B1 (cost-based strategy switch, BROAD branch: "
+           "an unselective filter keeps the corpus big, so the planner "
+           "probes IVF cells instead of scanning)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC,
+               centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.label >= 0) t
+      WHERE rn = 1)
+    SELECT a.vec_id,
+           ROUND(1.0 - {sql_sq_l2('a.embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score,
+           'ivf' AS strategy
+    FROM assigned a
+    WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+    ORDER BY score DESC, a.vec_id ASC LIMIT 5
+    """,
+)
+def search_adaptive_knn_broad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator, unselective filter (label >= 0 keeps everything): the
+    survivor count exceeds the cutoff and the IVF branch runs — the oracle
+    reproduces the full probe + cell-restricted ranking AND asserts
+    strategy='ivf', so a mis-switched plan fails the hash even when both
+    branches would return similar top-5 sets."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    filtered = emb.filter(F.col("label") >= 0)
+    return ann.adaptive_filtered_knn(
+        filtered, centroids, _vec(spark, sf_dir, _QUERY_ID),
+        k=5, nprobe=_NPROBE, cutoff=_ADAPTIVE_CUTOFF)
