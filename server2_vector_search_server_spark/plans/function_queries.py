@@ -768,3 +768,42 @@ def events_iqr_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type")
             .agg(F.round(iqr(F.col("value")), 4).alias("iqr"))
             .orderBy("event_type"))
+
+
+@query(
+    "udtf_polymorphic_parse",
+    survey="J5-extension(polymorphic Python UDTF: analyze() computes the "
+           "output schema at plan time from the column-spec argument — "
+           "Spark 4 dynamic-schema table function)",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ROUND(value, 3) AS DOUBLE) AS value
+    FROM events WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def udtf_polymorphic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof of the dynamic schema: serialize events to
+    pipe-delimited lines, parse them back through ``parse_delimited`` whose
+    output columns come from the spec literal via analyze() — the parsed
+    relation must equal the source projection. A second call site with a
+    different spec would plan a different schema from the SAME function
+    (that polymorphism is unit-tested in tests/test_sketch_dsir_skyline.py).
+    """
+    from server2_vector_search_server_spark.operators.udtf_ops import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    lines = ev.select(
+        F.concat_ws("|", F.col("event_id"), F.col("event_type"),
+                    F.round(F.col("value"), 3)).alias("line"))
+    lines.createOrReplaceTempView("udtf_lines")
+    return spark.sql("""
+        SELECT p.event_id, p.event_type, p.value
+        FROM udtf_lines l,
+             LATERAL parse_delimited(
+               l.line, 'event_id bigint, event_type string, value double') p
+        ORDER BY p.event_id
+    """)

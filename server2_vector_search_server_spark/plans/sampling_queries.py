@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators import sampling
 from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.text_queries import _SQL_QUALITY
 
 
 @query(
@@ -128,3 +129,59 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("event_id").cast("string")))
         .alias("v"))
     return heavy_hitters(vals, "v", k=50)
+
+
+_WS_K = 50
+_WS_HEX = "0123456789abcdef"
+# dyadic-rational place values 16^-1 .. 16^-8: exact in double on both
+# engines (emitted as Python-repr literals, never computed via pow/exp)
+_WS_PLACES = [16 ** -(i + 1) for i in range(8)]
+
+
+def _sql_ws_u(id_expr: str) -> str:
+    terms = [
+        f"(strpos('{_WS_HEX}', substr(md5(CAST({id_expr} AS VARCHAR)), "
+        f"{i + 1}, 1)) - 1) * {place!r}"
+        for i, place in enumerate(_WS_PLACES)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "documents_weighted_sample",
+    survey="north-star curation (weighted sampling without replacement: "
+           "Efraimidis-Spirakis A-Res keys u^(1/w) with DETERMINISTIC "
+           "md5-derived uniforms — quality-proportional corpus sampling "
+           "that is reproducible and oracle-checkable)",
+    oracle=f"""
+    SELECT doc_id, {_SQL_QUALITY} AS weight,
+           ROUND(pow({_sql_ws_u('doc_id')}, 1.0 / {_SQL_QUALITY}), 6)
+             AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id ASC LIMIT {_WS_K}
+    """,
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by key = u^(1/w) is an exact weighted sample without
+    replacement (Efraimidis & Spirakis 2006, public method); u comes from
+    the first 8 hex digits of md5(doc_id) — exactly uniform on the 16^-8
+    lattice and identical on both engines (digit value via position in the
+    hex alphabet; place values are dyadic-rational literals, never
+    pow/exp). One scan + a TakeOrderedAndProject: the sampler is a
+    projection, not a shuffle. Weight = the quality score, so curation
+    keeps high-quality docs with proportionally higher probability."""
+    from server2_vector_search_server_spark.operators import (
+        text_analysis as ta,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = None
+    for i, place in enumerate(_WS_PLACES):
+        term = ((F.instr(F.lit(_WS_HEX), F.substring(h, i + 1, 1)) - 1)
+                .cast("double") * place)
+        u = term if u is None else u + term
+    w = ta.quality_score(F.col("text"))
+    key = F.round(F.pow(u, F.lit(1.0) / w), 6)
+    return (docs.select("doc_id", w.alias("weight"), key.alias("es_key"))
+            .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+            .limit(_WS_K))

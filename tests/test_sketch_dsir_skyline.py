@@ -111,3 +111,22 @@ def test_hll_rollup_merge_equals_global(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
     ).collect()[0]["e"]
     assert merged == direct  # merge-then-estimate == estimate-of-all
+
+
+def test_polymorphic_udtf_two_schemas_one_function(spark):
+    from server2_vector_search_server_spark.operators.udtf_ops import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    spark.sql("SELECT 1").collect()
+    a = spark.sql(
+        "SELECT * FROM parse_delimited('7|x', 'k bigint, v string')")
+    b = spark.sql(
+        "SELECT * FROM parse_delimited('7|1.5|x', "
+        "'k int, score double, tag string')")
+    assert [f.name for f in a.schema.fields] == ["k", "v"]
+    assert [(f.name, f.dataType.simpleString()) for f in b.schema.fields] \
+        == [("k", "int"), ("score", "double"), ("tag", "string")]
+    assert a.collect()[0].asDict() == {"k": 7, "v": "x"}
+    assert b.collect()[0].asDict() == {"k": 7, "score": 1.5, "tag": "x"}
