@@ -114,3 +114,37 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
             best_ts = max(rt for rt, _ in prior)
             want[i] = float(max(v for rt, v in prior if rt == best_ts))
     assert got == want
+
+
+def test_asof_cogrouped_equals_window_form(spark):
+    """The two independent as-of implementations (union+window carry-forward
+    vs cogrouped pd.merge_asof) must agree on a randomized-but-seeded input
+    covering: dup timestamps on both sides, keys with no rights, keys with
+    no lefts, exact-ts matches, and null-result rows."""
+    import random
+
+    from server2_vector_search_server_spark.operators.temporal import (
+        asof_join_cogrouped,
+    )
+
+    rng = random.Random(1234)
+    base = "2024-01-01 0{}:{:02d}:00"
+    lefts, rights = [], []
+    for i in range(300):
+        key = f"u{rng.randint(1, 8)}"
+        ts = base.format(rng.randint(0, 9), rng.randint(0, 59))
+        lefts.append((i, key, ts))
+    for j in range(150):
+        key = f"u{rng.randint(3, 10)}"       # keys 9-10: rights only
+        ts = base.format(rng.randint(0, 9), rng.randint(0, 59))
+        rights.append((key, ts, float(rng.randint(1, 50))))
+    left = _ts_df(spark, lefts, "id long, user_id string, ts string")
+    right = _ts_df(spark, rights, "user_id string, ts string, value double")
+
+    a = asof_join(left, right, on="ts", by="user_id",
+                  value_col="value", out_col="v")
+    b = asof_join_cogrouped(left, right, on="ts", by="user_id",
+                            value_col="value", out_col="v")
+    ra = {r["id"]: r["v"] for r in a.collect()}
+    rb = {r["id"]: r["v"] for r in b.collect()}
+    assert ra == rb and len(ra) == 300
