@@ -96,6 +96,47 @@ def hyperplane_knn(
 
 # --- tier 2b: IVF coarse quantization --------------------------------------
 
+CODEBOOK_LIT_MAX_ELEMENTS = 1024
+
+
+def codebook_transport(vectors: DataFrame, cent_rows, *,
+                       centroid_id_col: str = "centroid_id",
+                       centroid_vec_col: str = "centroid"):
+    """Attach a driver-small codebook to ``vectors``, picking the cheaper
+    transport by size (measured in SCALE.md §32):
+
+      * ≤ ``CODEBOOK_LIT_MAX_ELEMENTS`` total floats: expression LITERALS —
+        zero extra jobs, and Catalyst constant-folds them;
+      * above: ONE broadcast row — building n_cent×dim nested ``F.lit``
+        trees costs seconds of driver-side Py4J round-trips PER QUERY
+        (2.9 s at 64×64; ~20 s at 512×64) and bloats every plan, while the
+        broadcast row is serialized data with a constant-size plan, at the
+        price of one broadcast exchange (~0.3 s locally).
+
+    Arithmetic downstream is bit-identical either way (same doubles, same
+    op order). ``cent_rows`` must be sorted by centroid id. Returns
+    ``(paired_df, vecs_arr, ids_arr)``: callers build their distance
+    expressions over the two array columns and, if ``paired_df`` is not
+    ``vectors``, drop ``_cb_ids``/``_cb_vecs`` when done.
+    """
+    cent_ids = [r[centroid_id_col] for r in cent_rows]
+    dim = len(cent_rows[0][centroid_vec_col]) if cent_rows else 0
+    if len(cent_rows) * dim <= CODEBOOK_LIT_MAX_ELEMENTS:
+        vecs_arr = F.array(*[vector_literal(r[centroid_vec_col])
+                             for r in cent_rows])
+        ids_arr = F.array(*[F.lit(int(c)).cast("long") for c in cent_ids])
+        return vectors, vecs_arr, ids_arr
+    if not all(isinstance(c, int) for c in cent_ids):
+        raise ValueError("codebook_transport expects integer centroid ids "
+                         f"(got {type(cent_ids[0]).__name__})")
+    cb = vectors.sparkSession.createDataFrame(
+        [(list(map(int, cent_ids)),
+          [[float(x) for x in r[centroid_vec_col]] for r in cent_rows])],
+        "_cb_ids array<bigint>, _cb_vecs array<array<double>>")
+    paired = vectors.crossJoin(F.broadcast(cb))
+    return paired, F.col("_cb_vecs"), F.col("_cb_ids")
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                vec_col: str = "embedding", id_col: str = "vec_id",
                centroid_id_col: str = "centroid_id",
@@ -104,24 +145,25 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
     step: at scale, write the corpus partitioned/bucketed by ``centroid_id``.
 
     Centroids are collected (they must be driver-small — this IS the coarse
-    quantizer) and embedded as a literal array, so assignment is a narrow
-    argmin projection: zero joins, zero shuffles, zero row blow-up. The
-    previous crossJoin(broadcast) + row_number window multiplied the corpus
-    by n_centroids and shuffled it back down — measured 27.5 s vs 8.5 s for
-    200k×64 against 64 centroids (see SCALE.md). Tie-break matches the window form: lowest
-    centroid id among equal distances (centroid literals sorted by id,
-    array_position takes the first minimum)."""
+    quantizer) and attached via :func:`codebook_transport`, so assignment is
+    a narrow argmin projection: zero shuffles, zero row blow-up (the big-
+    codebook transport adds one single-row broadcast). The old
+    crossJoin(broadcast of the centroid TABLE) + row_number window
+    multiplied the corpus by n_centroids and shuffled it back down —
+    measured 27.5 s vs 8.5 s for 200k×64 against 64 centroids (SCALE.md).
+    Tie-break matches the window form: lowest centroid id among equal
+    distances (array_min over (d, cid) structs, rows sorted by id)."""
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    cent_ids = [r[centroid_id_col] for r in cent_rows]
-    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
-                         for r in cent_rows])
-    id_lit = F.array(*[F.lit(c) for c in cent_ids])
-    dists = F.transform(cent_lit, lambda c: squared_l2(c, F.col(vec_col)))
-    best = F.element_at(id_lit,
-                        F.array_position(dists, F.array_min(dists))
-                        .cast("int"))
-    return vectors.withColumn(centroid_id_col, best)
+    paired, vecs_arr, ids_arr = codebook_transport(
+        vectors, cent_rows, centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col)
+    dists = F.transform(vecs_arr, lambda c: squared_l2(c, F.col(vec_col)))
+    best = F.array_min(F.zip_with(
+        dists, ids_arr,
+        lambda d, i: F.struct(d.alias("d"), i.alias("cid"))))["cid"]
+    out = paired.withColumn(centroid_id_col, best)
+    return out.drop("_cb_ids", "_cb_vecs") if paired is not vectors else out
 
 
 def ivf_knn(
@@ -841,18 +883,18 @@ def ivf_knn_batch(
 
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
-                         for r in cent_rows])
-    id_lit = F.array(*[F.lit(r[centroid_id_col]) for r in cent_rows])
+    q_paired, cb_vecs, cb_ids = codebook_transport(
+        queries, cent_rows, centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col)
     ranked = F.array_sort(
         F.zip_with(
-            F.transform(cent_lit,
+            F.transform(cb_vecs,
                         lambda c: F.round(squared_l2(c, F.col(query_vec_col)),
                                           score_decimals)),
-            id_lit,
+            cb_ids,
             lambda d, cid: F.struct(d.alias("d"), cid.alias("cid"))))
     probes = (
-        queries.select(
+        q_paired.select(
             query_id_col, query_vec_col,
             F.explode(F.slice(ranked, 1, nprobe)).alias("_p"))
         .select(query_id_col, query_vec_col,
@@ -902,18 +944,18 @@ def ivf_knn_batch_indexed(
 
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
-                         for r in cent_rows])
-    id_lit = F.array(*[F.lit(r[centroid_id_col]) for r in cent_rows])
+    q_paired, cb_vecs, cb_ids = codebook_transport(
+        queries, cent_rows, centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col)
     ranked = F.array_sort(
         F.zip_with(
-            F.transform(cent_lit,
+            F.transform(cb_vecs,
                         lambda c: F.round(squared_l2(c, F.col(query_vec_col)),
                                           score_decimals)),
-            id_lit,
+            cb_ids,
             lambda d, cid: F.struct(d.alias("d"), cid.alias("cid"))))
     probes = (
-        queries.select(
+        q_paired.select(
             query_id_col, query_vec_col,
             F.explode(F.slice(ranked, 1, nprobe)).alias("_p"))
         .select(query_id_col, query_vec_col,

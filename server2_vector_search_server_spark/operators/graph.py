@@ -394,21 +394,31 @@ def knn_graph_bucketed(
     # crossJoin+window form multiplied the corpus by n_cells and shuffled
     # it back down (SCALE.md §13's ivf_assign lesson; re-measured here:
     # the 40k×512-cell build spent minutes in that window alone).
-    # CRITICAL shape: ONE transform over a constant-folded array-of-arrays
-    # literal, exactly like ivf_assign — NOT n_cells separate struct
-    # subtrees (that form blows the expression tree out of codegen and
-    # evaluated 512 independent aggregates per row; measured minutes vs
-    # seconds at 40k×512).
+    # CRITICAL shape: ONE transform over the codebook arrays (literal or
+    # single broadcast row, size-picked by ann.codebook_transport) — NOT
+    # n_cells separate struct subtrees (that form blows the expression
+    # tree out of codegen and evaluated 512 independent aggregates per
+    # row; measured minutes vs seconds at 40k×512), and at 512×64 the
+    # nested-literal build itself costs ~20 s of Py4J (SCALE.md §32).
+    from server2_vector_search_server_spark.operators.ann import (
+        codebook_transport,
+    )
+
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    cent_lit = F.array(*[vector_literal(r[centroid_vec_col])
-                         for r in cent_rows])
-    id_lit = F.array(*[F.lit(int(r[centroid_id_col])).cast("long")
-                       for r in cent_rows])
+    # ORDER MATTERS: repartition the bare vectors FIRST, attach the
+    # codebook AFTER — repartitioning the joined frame would ship the
+    # codebook columns through the exchange with every row (40k rows ×
+    # 512×64 doubles ≈ 10 GB of shuffle; measured +25 s on this build).
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    spread = vectors.repartition(n_parts, F.col(id_col))
+    paired, vecs_arr, ids_arr = codebook_transport(
+        spread, cent_rows, centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col)
     dists = F.transform(
-        cent_lit, lambda c: F.round(squared_l2(c, F.col(vec_col)), 6))
+        vecs_arr, lambda c: F.round(squared_l2(c, F.col(vec_col)), 6))
     cell_structs = F.zip_with(
-        dists, id_lit, lambda d, i: F.struct(d.alias("d"), i.alias("cid")))
+        dists, ids_arr, lambda d, i: F.struct(d.alias("d"), i.alias("cid")))
     # (cid, id) ONLY — the vector payload is re-joined per unique pair
     # later, never carried through the membership/pair shuffles. The
     # projection is the CPU-heavy step (higher-order functions evaluate
@@ -418,9 +428,7 @@ def knn_graph_bucketed(
     # partitioning, and a single-file parquet scan would otherwise run the
     # whole projection on ONE core (§22 one-split gotcha; measured 200 s
     # single-task vs seconds wide at 40k×512).
-    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    member = (vectors.repartition(n_parts, F.col(id_col))
-              .select(
+    member = (paired.select(
                   F.col(id_col),
                   F.explode(F.slice(F.array_sort(cell_structs), 1, nprobe))
                   .alias("_m"))
