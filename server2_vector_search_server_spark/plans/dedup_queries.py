@@ -11,6 +11,8 @@ two engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -472,4 +474,52 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("doc_id", "text",
                        F.col("n_kept").cast("int").alias("n_kept"),
                        F.col("n_removed").cast("int").alias("n_removed"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "streaming_dedup_minhash",
+    survey="I × north-star dedup (streaming FUZZY dedup: MinHash/LSH band "
+           "state persisted across micro-batches; id-ordered arrival makes "
+           "the online answer equal the batch keep-min oracle)",
+    oracle=_SQL_KEEP_MIN,
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online twin of dedup_minhash_keep_min: three id-ordered
+    micro-batches (originals, near-dup copies, exact copies) flow through
+    streaming/fuzzy_dedup.run_minhash_dedup_stream — each batch equi-joins
+    its bands against the band table accumulated from PRIOR batches, so
+    near-duplicates arriving any number of batches later are suppressed
+    without rescanning history. Same SQL oracle as the batch form: the
+    stream must converge to the identical kept set."""
+    import tempfile
+    import time as _time
+
+    from server2_vector_search_server_spark.streaming.fuzzy_dedup import (
+        run_minhash_dedup_stream,
+    )
+
+    base = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _N_BASE).select("doc_id", "text")
+    near = base.select((F.col("doc_id") + 10000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(_PERTURB)).alias("text"))
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    root = tempfile.mkdtemp(prefix="fuzzy_dedup_stream_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i, b in enumerate((base, near, exact)):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, f"stage{i}"))
+        part = [p for p in os.listdir(os.path.join(root, f"stage{i}"))
+                if p.endswith(".parquet")][0]
+        os.rename(os.path.join(root, f"stage{i}", part),
+                  os.path.join(src, f"batch_{i}.parquet"))
+        _time.sleep(1.2)   # distinct mod-times => deterministic batch order
+    run_minhash_dedup_stream(
+        spark, src,
+        state_dir=os.path.join(root, "state"),
+        kept_dir=os.path.join(root, "kept"),
+        checkpoint_dir=os.path.join(root, "ckpt"))
+    kept = spark.read.parquet(os.path.join(root, "kept"))
+    return (kept.select("doc_id", F.md5("text").alias("content_md5"))
             .orderBy("doc_id"))

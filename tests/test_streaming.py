@@ -428,3 +428,48 @@ def test_running_user_totals_tws_v2(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_value"])
            for r in spark.table("running_totals_tws").collect()}
     assert got == {10: (3, 8.0), 20: (1, 1.0)}
+
+
+def test_fuzzy_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """Full replay against existing state/kept dirs (checkpoint wiped) must
+    converge to the same kept set: per-batch dynamic partition overwrite
+    rewrites each batch's partition instead of double-counting it."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.plans import load_registry
+    from server2_vector_search_server_spark.streaming.fuzzy_dedup import (
+        run_minhash_dedup_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    load_registry()
+    from server2_vector_search_server_spark.plans.dedup_queries import (
+        _docs_with_dups,
+    )
+
+    docs = _docs_with_dups(spark, SF_SMOKE)
+    src = str(tmp_path / "src"); os.makedirs(src)
+    lo = docs.filter(F.col("doc_id") < 10000)
+    hi = docs.filter(F.col("doc_id") >= 10000)
+    for i, b in enumerate((lo, hi)):
+        stage = str(tmp_path / f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part),
+                  os.path.join(src, f"batch_{i}.parquet"))
+        _time.sleep(1.1)
+    state, kept = str(tmp_path / "state"), str(tmp_path / "kept")
+    run_minhash_dedup_stream(spark, src, state_dir=state, kept_dir=kept,
+                             checkpoint_dir=str(tmp_path / "ckpt1"))
+    first = sorted(r["doc_id"] for r in
+                   spark.read.parquet(kept).select("doc_id").collect())
+    # crash-recovery analog: checkpoint lost, every batch replays against
+    # the surviving state/kept dirs
+    run_minhash_dedup_stream(spark, src, state_dir=state, kept_dir=kept,
+                             checkpoint_dir=str(tmp_path / "ckpt2"))
+    second = sorted(r["doc_id"] for r in
+                    spark.read.parquet(kept).select("doc_id").collect())
+    assert first == second and len(first) > 0
