@@ -340,3 +340,57 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     return (ta.dsir_importance(docs, F.col("lang") == "en")
             .orderBy("doc_id"))
+
+
+_SHUF_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle_shards",
+    survey="north-star curation (deterministic global shuffle + sharding "
+           "for training order: md5-keyed permutation, hash-assigned "
+           "shards, within-shard positions — the export step after "
+           "curate/dedup/pack)",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+               % {_SHUF_SHARDS} AS shard
+      FROM documents)
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM keyed
+    ORDER BY shard, pos_in_shard
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order export: a reproducible global shuffle is a SORT BY A
+    KEYED HASH, not an RNG — md5(doc_id) gives every doc a pseudorandom
+    but stable position, the shard is a hash bucket (md5_bucket — the
+    portable arithmetic), and within-shard order is the hash order. At
+    100 TB this is one hash-partitioned exchange on shard + a within-shard
+    sort (each shard sorts independently — no global single-reducer sort),
+    then a partitioned write; epochs and resumable readers get the same
+    order every time. The window here is per-shard, bounded by shard size
+    by construction."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.operators import (
+        text_analysis as ta,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        ta.md5_bucket(F.col("doc_id").cast("string"),
+                      _SHUF_SHARDS).alias("shard"))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc()))
+    return (keyed.select("doc_id", "shard",
+                         F.row_number().over(w).cast("long")
+                         .alias("pos_in_shard"))
+            .orderBy("shard", "pos_in_shard"))
