@@ -349,3 +349,55 @@ def test_keyset_seek_predicate_pushed_to_scan(spark):
     assert ("PushedFilters: [Or(GreaterThan(source,src12),"
             "And(EqualTo(source,src12),GreaterThan(doc_id,60)))]") in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_skyline_rejoins_levels_via_broadcast(spark):
+    plan = _plan(spark, "documents_pareto_skyline")
+    # the surviving (quality, n_max) level table is tiny by construction —
+    # the doc rejoin must broadcast it, never shuffle the corpus
+    assert "BroadcastHashJoin" in plan
+    # the running-max window runs on the LEVEL table (bounded), which the
+    # plan shows as a window AFTER an aggregate, not over the raw scan
+    assert "Window" in plan
+
+
+def test_concurrency_sweep_has_no_global_window(spark):
+    plan = _plan(spark, "events_concurrency_sweep")
+    # the running sum is the two-pass range-partitioned prefix scan
+    # (mapInPandas + broadcast offsets) — a Window over SinglePartition
+    # would be the one-reducer form this operator exists to avoid
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_shuffle_shards_window_partitioned_by_shard(spark):
+    plan = _plan(spark, "corpus_shuffle_shards")
+    # per-shard positions: the window's required distribution is the shard
+    # hash partitioning — no single-reducer global sort anywhere
+    assert "hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_big_codebook_travels_as_broadcast_row(spark):
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators import ann
+    from server2_vector_search_server_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    cents = (emb.filter(F.col("vec_id") < 64)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("centroid")))
+    out = ann.ivf_assign(emb, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # 64×64 > CODEBOOK_LIT_MAX_ELEMENTS: the codebook must arrive via the
+    # single-row broadcast transport, not as a folded literal army
+    assert "BroadcastNestedLoopJoin" in plan
+    small = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("centroid")))
+    plan_small = (ann.ivf_assign(emb, small)
+                  ._jdf.queryExecution().executedPlan().toString())
+    # small codebooks stay literal: zero extra joins/jobs
+    assert "BroadcastNestedLoopJoin" not in plan_small
