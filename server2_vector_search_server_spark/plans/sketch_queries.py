@@ -174,3 +174,79 @@ def events_theta_set_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("inter_est_ok"),
                     _within_pct(F.col("_ed"), F.col("exact_difference"))
                     .alias("diff_est_ok")))
+
+
+@query(
+    "streaming_hll_distinct_rollup",
+    survey="I × north-star sketches (incremental distinct-count "
+           "maintenance: per-micro-batch partial HLL sketches persisted, "
+           "merged at read — the streaming dashboard pattern; exact "
+           "companions hash-checked, estimate bound-checked)",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id), TRUE
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def streaming_hll_distinct_rollup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """events_hll_distinct_rollup maintained INCREMENTALLY: each micro-batch
+    writes one partial sketch per event type into its own ingest_batch
+    partition (bytes, not ids — state per (batch, type) is ~KB regardless
+    of user cardinality; replay overwrites its own partition, the
+    streaming/ivm.py discipline), and the serving read merges partials
+    with hll_union_agg. No distinct set is ever materialized or rescanned
+    — refresh cost ∝ batch size, query cost ∝ partial count. Exact
+    companions come from one batch pass over the drained table; the merged
+    estimates must land within 5% (hash-checked booleans)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from server2_vector_search_server_spark.session import (
+        read_events_stream, read_table,
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    src = tempfile.mkdtemp(prefix="hll_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    state = tempfile.mkdtemp(prefix="hll_state_") + "/sketches"
+
+    def process(batch, batch_id: int) -> None:
+        (batch.groupBy("event_type")
+         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+         .withColumn("ingest_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .parquet(state))
+
+    q = (read_events_stream(spark, src)
+         .select("event_type", "user_id")
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix=f"hll_ckpt_{_uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    partials = spark.read.parquet(state)
+    per = (partials.groupBy("event_type")
+           .agg(F.hll_union_agg("sk").alias("sk")))
+    glob = (per.agg(F.hll_union_agg("sk").alias("sk"))
+            .withColumn("event_type", F.lit("__all__")))
+    merged = per.unionByName(glob.select("event_type", "sk"))
+    ev = read_table(spark, sf_dir, "events")
+    exact = (ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("exact_users")))
+    exact_all = (ev.agg(F.count_distinct("user_id").alias("exact_users"))
+                 .withColumn("event_type", F.lit("__all__")))
+    exacts = exact.unionByName(exact_all.select("event_type", "exact_users"))
+    est = F.hll_sketch_estimate("sk")
+    return (merged.join(exacts, "event_type")
+            .select("event_type", "exact_users",
+                    _within_pct(est, F.col("exact_users"))
+                    .alias("est_within_5pct"))
+            .orderBy("event_type"))
