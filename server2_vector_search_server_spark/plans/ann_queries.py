@@ -1342,3 +1342,158 @@ def search_adaptive_knn_broad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.adaptive_filtered_knn(
         filtered, centroids, _vec(spark, sf_dir, _QUERY_ID),
         k=5, nprobe=_NPROBE, cutoff=_ADAPTIVE_CUTOFF)
+
+
+# --- IVF x PQ with RESIDUAL encoding ----------------------------------------
+
+def _sql_resid(v: str, c: str) -> str:
+    return (f"list_transform(list_zip({v}, {c}), "
+            f"p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))")
+
+
+def _rpq_code_cte(m: int) -> str:
+    return f"""
+    rcode{m + 1} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2(_sql_slice('e.resid', m),
+                                     _sql_slice('c.resid', m))} ASC,
+                          c.cid ASC) AS rn
+        FROM rcell e CROSS JOIN cwr c) t
+      WHERE rn = 1)"""
+
+
+_RPQ_QD = " + ".join(
+    sql_sq_l2(_sql_slice("e.qresid", m), _sql_slice(f"rc{m + 1}.resid", m))
+    for m in range(_PQ_M))
+
+_RPQ_JOINS = "\n      ".join(
+    f"JOIN rcode{m + 1} ON rcode{m + 1}.vec_id = e.vec_id "
+    f"JOIN cwr rc{m + 1} ON rc{m + 1}.cid = rcode{m + 1}.cid"
+    for m in range(_PQ_M))
+
+_SQL_RPQ_BASE = f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC,
+               centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned2 AS (
+      SELECT vec_id, label, embedding, centroid_id, centroid FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id, c.centroid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    cwr AS (
+      SELECT vec_id AS cid, {_sql_resid('embedding', 'centroid')} AS resid
+      FROM assigned2 WHERE vec_id < {_PQ_K}),
+    rcell AS (
+      SELECT vec_id, label, embedding, centroid_id,
+             {_sql_resid('embedding', 'centroid')} AS resid,
+             {_sql_resid(_sql_qv(_QUERY_ID), 'centroid')} AS qresid
+      FROM assigned2
+      WHERE centroid_id IN (SELECT centroid_id FROM probe)),
+    {",".join(_rpq_code_cte(m) for m in range(_PQ_M))}"""
+
+
+@query(
+    "ann_ivf_pq_residual_knn",
+    survey="north-star ANN (RESIDUAL IVF-PQ — the Faiss IVFx,PQy "
+           "composition: codes quantize v − centroid, per-probed-cell "
+           "asymmetric-distance tables from q − centroid_c)",
+    oracle=f"""
+    {_SQL_RPQ_BASE},
+    cand AS (
+      SELECT e.vec_id, e.label, e.centroid_id, e.embedding,
+             ROUND(1.0 - (0.0 + {_RPQ_QD}), 6) AS score_pq
+      FROM rcell e
+      {_RPQ_JOINS}
+      ORDER BY score_pq DESC, e.vec_id ASC LIMIT 5)
+    SELECT vec_id, label, centroid_id, score_pq,
+           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+             AS score
+    FROM cand
+    """,
+)
+def ann_ivf_pq_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ end-to-end (operators/ann.ivf_pq_residual_knn):
+    residuals concentrate the code budget on within-cell structure — the
+    standard recall lift over non-residual PQ at the same (M, K, nprobe).
+    Every stage (assignment, residual codebooks, codes, per-cell ADC
+    lookups, rescore) is deterministic and replicated relationally in the
+    oracle, so the composition is hash-checked stage-for-stage."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.residual_pq_codebooks(emb, centroids, _PQ_M, _PQ_K)
+    return ann.ivf_pq_residual_knn(
+        emb, centroids, _vec(spark, sf_dir, _QUERY_ID), books,
+        k=5, nprobe=_NPROBE)
+
+
+@query(
+    "ann_ivf_pq_residual_recall_at_k",
+    survey="north-star ANN (index-quality self-evaluation: recall@10 of "
+           "residual IVF-PQ vs the exact ranking — the lift over "
+           "non-residual ann_ivf_pq at the same budget, quantified)",
+    oracle=f"""
+    {_SQL_RPQ_BASE},
+    rtop AS (
+      SELECT e.vec_id
+      FROM rcell e
+      {_RPQ_JOINS}
+      ORDER BY ROUND(1.0 - (0.0 + {_RPQ_QD}), 6) DESC, e.vec_id ASC
+      LIMIT 10),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+                 DESC, vec_id ASC
+      LIMIT 10)
+    SELECT CAST(COUNT(*) AS INTEGER) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+    FROM exact JOIN rtop USING (vec_id)
+    """,
+)
+def ann_ivf_pq_residual_recall_at_k(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Recall@10 of the residual composition against brute force, same
+    shape as the other tier self-evals — comparable side-by-side with
+    ann_ivf_pq_recall_at_k to see what residual encoding buys. Measured
+    caveat on THIS fixture: recall is probe-bound, not code-bound — the
+    synthetic vectors are near-uniform, so nprobe=2 of 8 cells caps recall
+    regardless of code quality (k-means-fitted residual books measured the
+    same 0.1–0.2; SCALE.md §1a's uniform-vectors lesson). On clustered
+    real embeddings the residual lift appears once the probe set contains
+    the true neighbors."""
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    books = ann.residual_pq_codebooks(emb, centroids, _PQ_M, _PQ_K)
+    qv = _vec(spark, sf_dir, _QUERY_ID)
+    walk = (ann.ivf_pq_residual_knn(emb, centroids, qv, books,
+                                    k=10, nprobe=_NPROBE)
+            .select("vec_id"))
+    score = F.round(
+        F.lit(1.0) - squared_l2(vector_literal(qv), F.col("embedding")), 6)
+    exact = (emb.select("vec_id", score.alias("score"))
+             .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+             .limit(10).select("vec_id"))
+    hits = exact.join(walk, "vec_id")
+    return hits.agg(F.count(F.lit(1)).cast("int").alias("n_hits"),
+                    F.round(F.count(F.lit(1)) / 10.0, 6)
+                    .alias("recall_at_10"))
