@@ -870,3 +870,81 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(pair_expr).alias("pair"), "freq")
             .groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
             .orderBy(F.col("n").desc(), "pair").limit(20))
+
+
+@query(
+    "text_char_lm_score",
+    survey="north-star text analysis (character-bigram LM scoring — the "
+           "CCNet/KenLM-style perplexity-proxy quality filter: docs whose "
+           "character statistics diverge from the target corpus score "
+           "high negative log-likelihood)",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, (lang = 'en') AS is_target, lower(text) AS t
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, is_target, g.bg
+      FROM chars, UNNEST(list_transform(
+             range(1, length(t)), i -> substr(t, i, 2))) AS g(bg)
+      WHERE length(t) >= 2),
+    tgt AS (
+      SELECT bg, COUNT(*) AS ct FROM bigrams WHERE is_target GROUP BY bg),
+    norm AS (
+      SELECT (SELECT SUM(ct) FROM tgt) AS nt,
+             (SELECT COUNT(DISTINCT bg) FROM bigrams) AS b),
+    w AS (
+      SELECT v.bg,
+             CAST(ROUND(ROUND(ln(COALESCE(t.ct, 0) + 1.0)
+                              - ln(n.nt + n.b), 6) * 1000000) AS BIGINT)
+               AS lp_micro
+      FROM (SELECT DISTINCT bg FROM bigrams) v
+      LEFT JOIN tgt t USING (bg) CROSS JOIN norm n)
+    SELECT bg0.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-(SUM(w.lp_micro) / 1000000.0) / COUNT(*), 6)
+             AS avg_neg_log_prob
+    FROM bigrams bg0 JOIN w USING (bg)
+    GROUP BY bg0.doc_id
+    ORDER BY bg0.doc_id
+    """,
+)
+def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring without a model dependency: an
+    add-1-smoothed character-bigram LM is FIT on the target slice (English
+    docs) and every document is scored by average negative log-likelihood
+    — high values flag text whose character statistics diverge from the
+    target (the public CCNet recipe's LM filter, with the n-gram LM
+    standing in for KenLM). Scale shape: two passes over the character
+    stream (vocab counts, then scoring) + a vocab-sized broadcast; per-doc
+    sums fold integer micro-units (registry parity rules). The same
+    machinery generalizes to word n-grams by swapping the explode."""
+    docs = tbl(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", (F.col("lang") == "en").alias("is_target"),
+        F.lower(F.col("text")).alias("t"))
+    bg_expr = F.transform(
+        F.sequence(F.lit(1), F.length("t") - 1),
+        lambda i: F.substring(F.col("t"), i, F.lit(2)))
+    bigrams = (chars.filter(F.length("t") >= 2)
+               .select("doc_id", "is_target",
+                       F.explode(bg_expr).alias("bg")))
+    tgt = (bigrams.filter("is_target")
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("ct")))
+    vocab = bigrams.select("bg").distinct().localCheckpoint(eager=True)
+    totals = (tgt.agg(F.sum("ct").alias("nt")).collect()[0],
+              vocab.count())
+    nt, b = int(totals[0]["nt"]), int(totals[1])
+    lp = F.round(
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+        - F.log(F.lit(float(nt + b))), 6)
+    w = (vocab.join(tgt, "bg", "left")
+         .select("bg", F.round(lp * 1_000_000).cast("long")
+                 .alias("lp_micro")))
+    return (bigrams.join(F.broadcast(w), "bg")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("lp_micro").alias("_s"))
+            .select("doc_id", "n_bigrams",
+                    F.round(-(F.col("_s") / 1_000_000.0)
+                            / F.col("n_bigrams"), 6)
+                    .alias("avg_neg_log_prob"))
+            .orderBy("doc_id"))
