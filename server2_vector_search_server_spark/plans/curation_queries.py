@@ -394,3 +394,66 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.row_number().over(w).cast("long")
                          .alias("pos_in_shard"))
             .orderBy("shard", "pos_in_shard"))
+
+
+@query(
+    "documents_source_drift_chi2",
+    survey="north-star curation (ingest monitoring: per-source language-"
+           "distribution drift vs the corpus baseline as a chi-square "
+           "statistic — the per-feed alarm a production pipeline runs "
+           "before a bad source pollutes training data)",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang),
+    src_tot AS (SELECT source, SUM(n) AS ns FROM per GROUP BY source),
+    langs AS (
+      SELECT lang, SUM(n) AS nl FROM per GROUP BY lang),
+    tot AS (SELECT SUM(n) AS nt FROM per),
+    expected AS (
+      SELECT s.source, g.lang,
+             s.ns * (g.nl * 1.0 / t.nt) AS e
+      FROM src_tot s CROSS JOIN langs g CROSS JOIN tot t),
+    joined AS (
+      SELECT ex.source, ex.lang, COALESCE(p.n, 0) AS o, ex.e
+      FROM expected ex LEFT JOIN per p
+        ON p.source = ex.source AND p.lang = ex.lang)
+    SELECT source,
+           CAST(SUM(CAST(ROUND(ROUND((o - e) * (o - e) / e, 6) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS chi2_micro,
+           CAST(COUNT(*) - 1 AS INTEGER) AS dof
+    FROM joined GROUP BY source ORDER BY source
+    """,
+)
+def documents_source_drift_chi2(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Pearson chi-square of each source's language mix against the corpus
+    baseline, computed from ONE (source, lang) contingency aggregate —
+    counts shuffle once, everything downstream is arithmetic over a table
+    of |sources|×|langs| rows (broadcast-sized at any corpus scale; the
+    corpus itself is touched exactly once). Per-cell terms are rounded
+    then scaled to integer micro-units before the per-source SUM so the
+    statistic is shuffle-order exact. A monitoring job thresholds
+    chi2/dof per feed to quarantine drifting sources."""
+    docs = tbl(spark, sf_dir, "documents")
+    per = (docs.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=True))
+    src_tot = per.groupBy("source").agg(F.sum("n").alias("ns"))
+    glob = per.groupBy("lang").agg(F.sum("n").alias("nl"))
+    nt = per.agg(F.sum("n")).collect()[0][0]
+    expected = (src_tot.crossJoin(glob)
+                .select("source", "lang",
+                        (F.col("ns") * (F.col("nl") * 1.0
+                                        / F.lit(float(nt)))).alias("e")))
+    joined = (expected.join(per, ["source", "lang"], "left")
+              .select("source",
+                      F.coalesce(F.col("n"), F.lit(0)).alias("o"),
+                      "e"))
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                   / F.col("e"), 6)
+    return (joined.groupBy("source")
+            .agg(F.sum(F.round(term * 1_000_000).cast("long"))
+                 .cast("long").alias("chi2_micro"),
+                 (F.count(F.lit(1)) - 1).cast("int").alias("dof"))
+            .orderBy("source"))
