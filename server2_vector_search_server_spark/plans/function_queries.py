@@ -807,3 +807,54 @@ def udtf_polymorphic_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                l.line, 'event_id bigint, event_type string, value double') p
         ORDER BY p.event_id
     """)
+
+
+@query(
+    "events_anomaly_mad",
+    survey="D/H-extension(robust anomaly detection: median absolute "
+           "deviation per group — outlier counts immune to the outliers "
+           "themselves, unlike stddev z-scores)",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, ANY_VALUE(d.med) AS med, ANY_VALUE(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 5.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type: median and
+    MAD are each one grouped exact-percentile pass whose per-group results
+    broadcast back over the fact scan (group count is tiny — the join
+    never shuffles the events), then outliers are a conditional count.
+    Robust statistics matter for data-quality gates precisely because a
+    corrupted feed inflates stddev and hides its own anomalies; the
+    median/MAD pair is unmoved by the tail it is hunting. Both medians
+    rounded to 6 on both engines (percentile == quantile_cont)."""
+    ev = tbl(spark, sf_dir, "events")
+    med = (ev.groupBy("event_type")
+           .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.any_value("med").alias("med"),
+                 F.any_value("mad").alias("mad"),
+                 F.sum((F.col("adev") > 5.0 * F.col("mad")).cast("int"))
+                 .cast("long").alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("event_type"))
