@@ -183,14 +183,32 @@ def main() -> None:
             geomean = math.exp(sum(math.log(r) for r in ratios.values())
                                / len(ratios))
             out["baseline"] = base_name
-            out["vs_baseline"] = ratios
             out["vs_baseline_geomean"] = round(geomean, 3)
             out["vs_baseline_worst"] = max(ratios, key=ratios.get)
             # the explicit 2× gate, per query (noise margin: median-of-3
             # still swings; flag only clear breaches)
             out["over_2x_baseline"] = sorted(
                 n for n, r in ratios.items() if r > 2.0)
-    print(json.dumps(out))
+            # Full per-query ratio table goes to a SIDE FILE, not stdout:
+            # r3's stdout line carried all 52 ratios and overflowed the
+            # driver's tail-capture window (BENCH_r03.json "parsed": null —
+            # the recorded tail started mid-JSON). The stdout line must stay
+            # compact enough to survive capture; the detail lands next to
+            # the repo for humans/judge.
+            try:
+                here = os.path.dirname(os.path.abspath(__file__))
+                with open(os.path.join(here, "BENCH_COMPARE.json"), "w") as fh:
+                    json.dump({"baseline": base_name,
+                               "vs_baseline": ratios,
+                               "geomean": round(geomean, 3)}, fh, indent=1)
+            except OSError:
+                pass
+    # The driver parses the LAST stdout line as JSON from a bounded tail
+    # capture — flush stderr first so interleaving can't split the line,
+    # then emit exactly one compact line.
+    sys.stderr.flush()
+    print(json.dumps(out, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -316,13 +316,20 @@ def pack_sequences(docs, *, id_col: str = "doc_id",
 
 
 def md5_bucket(term: Column, n_buckets: int = 64) -> Column:
-    """Portable hashed-feature bucket: first two hex chars of md5, read as
-    ascii codes, mod ``n_buckets``. Identical arithmetic exists on any SQL
-    engine with md5/ascii (the DuckDB twin uses the same expression), unlike
-    engine-native hash() functions whose algorithms differ."""
+    """Portable hashed-feature bucket: first two hex chars of md5 read as a
+    base-16 NUMBER (``conv(hex2, 16, 10)`` → uniform 0..255), mod
+    ``n_buckets``. The DuckDB twin computes the same value digit-wise via
+    ``(strpos(hexabc, c1)-1)*16 + (strpos(hexabc, c2)-1)``.
+
+    The previous ascii-code form (``ascii(c1)*256 + ascii(c2)``) collapsed
+    power-of-two bucket counts ≤ 256 to at most 16 effective buckets
+    (256 ≡ 0 mod 2^k for k ≤ 8, so the first char contributed nothing and
+    the second only 16 ascii codes) — ADVICE r3, verified: n=64 yielded 16
+    distinct buckets. Hex-digit VALUES are uniform over 0..255, so all 64
+    advertised DSIR features are live."""
     h = F.md5(term)
-    return ((F.ascii(F.substring(h, 1, 1)) * 256
-             + F.ascii(F.substring(h, 2, 1))) % n_buckets).cast("int")
+    return (F.conv(F.substring(h, 1, 2), 16, 10)
+            .cast("int") % n_buckets).cast("int")
 
 
 def dsir_importance(docs, target_pred: Column, *, id_col: str = "doc_id",

@@ -311,8 +311,9 @@ def documents_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS t(term)),
     b AS (
       SELECT doc_id, is_target,
-             (ascii(substr(md5(tok), 1, 1)) * 256
-              + ascii(substr(md5(tok), 2, 1))) % 64 AS bucket
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+               % 64 AS bucket
       FROM toks),
     counts AS (
       SELECT bucket, COUNT(*) AS cs,
@@ -354,8 +355,10 @@ _SHUF_SHARDS = 8
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
-             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
-              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
                % {_SHUF_SHARDS} AS shard
       FROM documents)
     SELECT doc_id, CAST(shard AS INTEGER) AS shard,

@@ -26,6 +26,18 @@ def test_md5_bucket_range_and_determinism(spark):
     assert rows[0]["b"] == rows[3]["b"]
 
 
+def test_md5_bucket_uses_all_buckets(spark):
+    # ADVICE r3 regression: the ascii-code form collapsed any power-of-two
+    # n_buckets <= 256 to at most 16 effective buckets. With hex-digit
+    # values the first two md5 chars are uniform over 0..255, so 500
+    # distinct tokens must hit (nearly) all 64 buckets — far more than 16.
+    df = spark.range(500).select(
+        F.concat(F.lit("tok_"), F.col("id")).alias("w"))
+    n = (df.select(md5_bucket(F.col("w"), 64).alias("b"))
+         .distinct().count())
+    assert n > 55, f"only {n} distinct buckets for n_buckets=64"
+
+
 def test_dsir_importance_prefers_target_language(spark):
     # target docs share the token "qqq"; source-only docs share "zzz".
     # A fresh doc made of target tokens must outscore one of source tokens:
