@@ -450,7 +450,11 @@ def binary_knn(
             if float(x) > 0.0:
                 word += 1 << i
         q_words.append(word)
-    packed = corpus.select(id_col, "label", vec_col,
+    # carry ALL non-vector columns through (ADVICE r3: a hardcoded 'label'
+    # projection threw on any corpus without that fixture column — the
+    # other tier operators only require id/vec)
+    extra_cols = [c for c in corpus.columns if c not in (id_col, vec_col)]
+    packed = corpus.select(id_col, *extra_cols, vec_col,
                            *sign_pack_words(vec_col, dim))
     ham = None
     for w, qw in enumerate(q_words):
@@ -465,7 +469,7 @@ def binary_knn(
                                         F.col(vec_col)), score_decimals))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k)
-            .select(id_col, "label", "hamming", "score"))
+            .select(id_col, *extra_cols, "hamming", "score"))
 
 
 # --- tier 2d: product quantization (PQ) -------------------------------------

@@ -1497,3 +1497,323 @@ def ann_ivf_pq_residual_recall_at_k(spark: SparkSession,
     return hits.agg(F.count(F.lit(1)).cast("int").alias("n_hits"),
                     F.round(F.count(F.lit(1)) / 10.0, 6)
                     .alias("recall_at_10"))
+
+
+# --- nprobe recall frontier (round 4, VERDICT item 7) ------------------------
+# The residual/PQ self-evals showed recall on this near-uniform fixture is
+# PROBE-bound, not code-bound — so the tunable that buys recall is nprobe,
+# and the frontier (recall vs candidate volume as nprobe grows) is the
+# number an operator of this engine tunes against. One job computes the
+# whole sweep: probes are RANKED once per query, each nprobe level is a
+# filter on that rank — no per-level re-scan.
+
+_FRONTIER_NPROBES = (1, 2, 4, 8)
+
+
+@query(
+    "ann_ivf_pq_nprobe_frontier",
+    survey="north-star ANN (recall/candidate-volume frontier: IVF×PQ "
+           "recall@10 swept over nprobe 1/2/4/8 in ONE job — the tuning "
+           "curve for the probe-bound regime the self-evals measured)",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    nprobes AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probes_ranked AS (
+      SELECT qid, centroid_id, rn FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sql_sq_l2('c.centroid', 'q.qv')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM cent c CROSS JOIN q) t
+      WHERE rn <= {max(_FRONTIER_NPROBES)}),
+    probes AS (
+      SELECT n.nprobe, p.qid, p.centroid_id
+      FROM probes_ranked p JOIN nprobes n ON p.rn <= n.nprobe),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    cw AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    {",".join(_pq_code_cte(m) for m in range(_PQ_M))},
+    tier AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT p.nprobe, p.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.nprobe, p.qid
+                 ORDER BY ROUND(1.0 - (0.0 + {_PQ_QDISTS_Q}), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM assigned a
+        JOIN probes p USING (centroid_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        {_PQ_JOINS}
+        JOIN q ON q.qid = p.qid) t
+      WHERE rn <= {_RECALL_K}),
+    hits AS (
+      SELECT t.nprobe, t.qid, COUNT(*) AS n_hits
+      FROM exact JOIN tier t USING (qid, vec_id)
+      GROUP BY t.nprobe, t.qid),
+    base AS (SELECT n.nprobe, q.qid FROM nprobes n CROSS JOIN q)
+    SELECT b.nprobe,
+           CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT) AS n_hits_total,
+           ROUND(SUM(COALESCE(h.n_hits, 0))
+                 / {float(len(_RECALL_QIDS) * _RECALL_K)}, 6)
+             AS mean_recall
+    FROM base b LEFT JOIN hits h ON h.nprobe = b.nprobe AND h.qid = b.qid
+    GROUP BY b.nprobe
+    ORDER BY b.nprobe
+    """,
+)
+def ann_ivf_pq_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF×PQ path at nprobe ∈ {1,2,4,8}, 5 queries, ONE
+    job. The probe ranking is computed once (window over the broadcast
+    centroid×query cross — centroid-count-sized); each sweep level is a
+    rank filter, so the corpus-side work (assignment + code ranking) runs
+    once per (nprobe, probed-cell) combination via one equi-join, not once
+    per sweep level. Mean recall per nprobe is the published frontier
+    number; SCALE.md §36 pairs it with measured candidate volume. At
+    100 TB this is exactly the offline tuning job that picks production
+    nprobe: same scan shape as serving, with the exact ranking as truth."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    w_p = Window.partitionBy("qid").orderBy(
+        squared_l2(F.col("centroid"), F.col("qv")).asc(),
+        F.col("centroid_id").asc())
+    probes_ranked = (cent.crossJoin(F.broadcast(q))
+                     .withColumn("rn", F.row_number().over(w_p))
+                     .filter(F.col("rn") <= max(_FRONTIER_NPROBES))
+                     .select("qid", "centroid_id", "rn"))
+    npdf = spark.createDataFrame([(p,) for p in _FRONTIER_NPROBES],
+                                 "nprobe int")
+    probes = (probes_ranked.join(F.broadcast(npdf),
+                                 F.col("rn") <= F.col("nprobe"))
+              .select("nprobe", "qid", "centroid_id"))
+
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    sub = len(books[0][0])
+    codes = ann.pq_encode(emb, books).select(
+        "vec_id", *[f"pq_code_{m + 1}" for m in range(_PQ_M)])
+    assigned = ann.ivf_assign(emb, cent).select("vec_id", "centroid_id")
+
+    approx = F.lit(0.0)
+    for m, cbook in enumerate(books):
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
+        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
+        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
+    sp = F.round(F.lit(1.0) - approx, 6)
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        sp.desc(), F.col("vec_id").asc())
+    tier = (assigned.join(F.broadcast(probes), "centroid_id")
+            .join(codes, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("nprobe", "qid", "vec_id"))
+    hits = (exact.join(tier, ["qid", "vec_id"])
+            .groupBy("nprobe", "qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    # single-partition sides: a CartesianProduct inherits nL x nR
+    # partitions, so two 32-partition inputs would schedule 1024 tasks
+    # for an 8-row result
+    base = npdf.coalesce(1).crossJoin(q.select("qid").coalesce(1))
+    return (base.join(hits, ["nprobe", "qid"], "left")
+            .groupBy("nprobe")
+            .agg(F.sum(F.coalesce("n_hits", F.lit(0))).cast("long")
+                 .alias("n_hits_total"),
+                 F.round(F.sum(F.coalesce("n_hits", F.lit(0)))
+                         / float(len(_RECALL_QIDS) * _RECALL_K), 6)
+                 .alias("mean_recall"))
+            .orderBy("nprobe"))
+
+
+# The flat frontier above is itself a finding: recall on this fixture is
+# CODE-bound (PQ false positives displace true neighbors as nprobe grows).
+# The standard fix is ADC with re-ranking (Jégou et al. 2011 §IV.E —
+# IVFADC+R, public): over-fetch C candidates by code distance, exact-rescore
+# only those. Measured here: recall rises 0.12-flat → 0.28→0.42 with
+# nprobe at C=100 (SCALE.md §36). This is the same prune-then-rescore
+# funnel the SQ8/binary/Matryoshka tiers already use.
+
+_FRONTIER_CANDS = (50, 100)
+
+
+@query(
+    "ann_ivf_pq_rescore_frontier",
+    survey="north-star ANN (IVFADC+R 2-D tuning frontier: recall@10 swept "
+           "over nprobe × rescore-candidate-count in ONE job — the "
+           "offline job that picks production (nprobe, C))",
+    oracle=f"""
+    WITH {_SQL_RECALL_Q},
+    {_SQL_RECALL_EXACT},
+    nprobes AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)),
+    cands AS (SELECT * FROM (VALUES (50), (100)) AS t(candidates)),
+    cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probes_ranked AS (
+      SELECT qid, centroid_id, rn FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sql_sq_l2('c.centroid', 'q.qv')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM cent c CROSS JOIN q) t
+      WHERE rn <= {max(_FRONTIER_NPROBES)}),
+    probes AS (
+      SELECT n.nprobe, p.qid, p.centroid_id
+      FROM probes_ranked p JOIN nprobes n ON p.rn <= n.nprobe),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    cw AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {_PQ_K}),
+    {",".join(_pq_code_cte(m) for m in range(_PQ_M))},
+    pq_ranked AS (
+      SELECT nprobe, qid, vec_id, rn FROM (
+        SELECT p.nprobe, p.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.nprobe, p.qid
+                 ORDER BY ROUND(1.0 - (0.0 + {_PQ_QDISTS_Q}), 6) DESC,
+                          e.vec_id ASC) AS rn
+        FROM assigned a
+        JOIN probes p USING (centroid_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        {_PQ_JOINS}
+        JOIN q ON q.qid = p.qid) t
+      WHERE rn <= {max(_FRONTIER_CANDS)}),
+    tier AS (
+      SELECT candidates, nprobe, qid, vec_id FROM (
+        SELECT c.candidates, pr.nprobe, pr.qid, pr.vec_id,
+               row_number() OVER (
+                 PARTITION BY c.candidates, pr.nprobe, pr.qid
+                 ORDER BY ROUND(1.0 - {sql_sq_l2('e.embedding', 'q.qv')}, 6)
+                            DESC, pr.vec_id ASC) AS rn2
+        FROM pq_ranked pr
+        JOIN cands c ON pr.rn <= c.candidates
+        JOIN embeddings e ON e.vec_id = pr.vec_id
+        JOIN q ON q.qid = pr.qid) t
+      WHERE rn2 <= {_RECALL_K}),
+    hits AS (
+      SELECT t.candidates, t.nprobe, t.qid, COUNT(*) AS n_hits
+      FROM exact JOIN tier t USING (qid, vec_id)
+      GROUP BY t.candidates, t.nprobe, t.qid),
+    base AS (SELECT c.candidates, n.nprobe, q.qid
+             FROM cands c CROSS JOIN nprobes n CROSS JOIN q)
+    SELECT b.candidates, b.nprobe,
+           CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT) AS n_hits_total,
+           ROUND(SUM(COALESCE(h.n_hits, 0))
+                 / {float(len(_RECALL_QIDS) * _RECALL_K)}, 6)
+             AS mean_recall
+    FROM base b LEFT JOIN hits h
+      ON h.candidates = b.candidates AND h.nprobe = b.nprobe
+         AND h.qid = b.qid
+    GROUP BY b.candidates, b.nprobe
+    ORDER BY b.candidates, b.nprobe
+    """,
+)
+def ann_ivf_pq_rescore_frontier(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IVFADC+R frontier: PQ-rank once per (nprobe, qid) up to max(C),
+    then each (C, nprobe) level is a rank filter followed by an exact
+    rescore of ONLY those C candidates — the expensive full-vector read
+    touches C rows per query per level, never the corpus. The 2-D output
+    (candidates × nprobe → mean recall) is the production tuning surface;
+    the un-rescored sibling (ann_ivf_pq_nprobe_frontier) pins the
+    code-bound baseline it improves on."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    w_p = Window.partitionBy("qid").orderBy(
+        squared_l2(F.col("centroid"), F.col("qv")).asc(),
+        F.col("centroid_id").asc())
+    probes_ranked = (cent.crossJoin(F.broadcast(q))
+                     .withColumn("rn", F.row_number().over(w_p))
+                     .filter(F.col("rn") <= max(_FRONTIER_NPROBES))
+                     .select("qid", "centroid_id", "rn"))
+    npdf = spark.createDataFrame([(p,) for p in _FRONTIER_NPROBES],
+                                 "nprobe int")
+    cdf = spark.createDataFrame([(c,) for c in _FRONTIER_CANDS],
+                                "candidates int")
+    probes = (probes_ranked.join(F.broadcast(npdf),
+                                 F.col("rn") <= F.col("nprobe"))
+              .select("nprobe", "qid", "centroid_id"))
+
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    sub = len(books[0][0])
+    codes = ann.pq_encode(emb, books).select(
+        "vec_id", *[f"pq_code_{m + 1}" for m in range(_PQ_M)])
+    assigned = ann.ivf_assign(emb, cent).select("vec_id", "centroid_id")
+
+    approx = F.lit(0.0)
+    for m, cbook in enumerate(books):
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
+        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
+        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
+    sp = F.round(F.lit(1.0) - approx, 6)
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        sp.desc(), F.col("vec_id").asc())
+    pq_ranked = (assigned.join(F.broadcast(probes), "centroid_id")
+                 .join(codes, "vec_id")
+                 .join(F.broadcast(q), "qid")
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= max(_FRONTIER_CANDS))
+                 .select("nprobe", "qid", "vec_id", "rn"))
+    rescored = (pq_ranked.join(F.broadcast(cdf),
+                               F.col("rn") <= F.col("candidates"))
+                .join(emb.select("vec_id", "embedding"), "vec_id")
+                .join(F.broadcast(q), "qid")
+                .withColumn("s", F.round(
+                    F.lit(1.0) - squared_l2(F.col("embedding"),
+                                            F.col("qv")), 6)))
+    w2 = Window.partitionBy("candidates", "nprobe", "qid").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc())
+    tier = (rescored.withColumn("rn2", F.row_number().over(w2))
+            .filter(F.col("rn2") <= _RECALL_K)
+            .select("candidates", "nprobe", "qid", "vec_id"))
+    hits = (exact.join(tier, ["qid", "vec_id"])
+            .groupBy("candidates", "nprobe", "qid")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    base = (cdf.coalesce(1).crossJoin(npdf.coalesce(1))
+            .crossJoin(q.select("qid").coalesce(1)))
+    return (base.join(hits, ["candidates", "nprobe", "qid"], "left")
+            .groupBy("candidates", "nprobe")
+            .agg(F.sum(F.coalesce("n_hits", F.lit(0))).cast("long")
+                 .alias("n_hits_total"),
+                 F.round(F.sum(F.coalesce("n_hits", F.lit(0)))
+                         / float(len(_RECALL_QIDS) * _RECALL_K), 6)
+                 .alias("mean_recall"))
+            .orderBy("candidates", "nprobe"))

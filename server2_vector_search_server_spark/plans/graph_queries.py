@@ -108,6 +108,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_pagerank_shuffle",
+    survey="north-star graph analytics (big-graph PageRank branch: "
+           "co-partitioned edges⋈ranks shuffle joins, no node-sized "
+           "broadcast anywhere — the 1000-executor strategy, "
+           "rank-identical to the broadcast branch)",
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranks, big-graph execution strategy (``broadcast_ranks=False``):
+    the edge list is hash-partitioned on src ONCE and persisted; each round
+    exchanges only the node-sized ranks/contribs tables (shuffle_hash
+    hints keep Catalyst from re-selecting broadcast at test scale). The
+    strategy is plan-audited in tests/test_plan_audits.py; rank equality
+    with the broadcast branch follows from the order-free exact-sum
+    arithmetic — both branches hash-match this oracle."""
+    ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS,
+                     damping=float(_DAMPING), scale=_SCALE,
+                     broadcast_ranks=False)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (ranks.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .orderBy("rank"))
+
+
+@query(
     "graph_degree_distribution",
     survey="north-star graph analytics (degree histogram of the shipment "
            "graph)",

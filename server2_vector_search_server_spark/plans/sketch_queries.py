@@ -211,7 +211,8 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
         read_events_stream, read_table,
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic overwrite goes on the write options (ADVICE r3: a session-
+    # level set with no restore leaks into every later overwrite)
     src = tempfile.mkdtemp(prefix="hll_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
@@ -222,6 +223,7 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
          .agg(F.hll_sketch_agg("user_id").alias("sk"))
          .withColumn("ingest_batch", F.lit(int(batch_id)))
          .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic")
          .parquet(state))
 
     q = (read_events_stream(spark, src)

@@ -188,7 +188,21 @@ class SnapshotChunkStore:
             return None, []
         table = (self.spark.read.schema(CHUNKS_SCHEMA).parquet(*files)
                  .withColumn("_file", F.input_file_name()))
-        touched = {os.path.normpath(r["_file"].removeprefix("file:"))
+        # input_file_name() returns a percent-encoded file: URI — decode it
+        # before comparing against os.path strings, or any store root with
+        # spaces/'%'/non-ASCII makes every file look untouched and
+        # delete/upsert silently carry stale rows forward (ADVICE r3)
+        from urllib.parse import unquote, urlparse
+
+        def _local_path(uri: str) -> str:
+            parsed = urlparse(uri)
+            # only a real URI is percent-encoded; a bare path with a
+            # literal '%' must NOT be unquoted
+            if parsed.scheme:
+                return os.path.normpath(unquote(parsed.path))
+            return os.path.normpath(uri)
+
+        touched = {_local_path(r["_file"])
                    for r in table.filter(F.col("doc_id").isin(doc_ids))
                    .select("_file").distinct().collect()}
         carried = [f for f in files
@@ -218,11 +232,41 @@ class SnapshotChunkStore:
         (``txnAppId``/``txnVersion`` — public API).
         """
         tag = f"stream-append:{batch_id}"
+        if tag in self._consumed_stream_tags():
+            return self.current_version()
         for v in reversed(self.versions()):
             if self._manifest(v)["operation"] == tag:
                 return v
         new = self._write_data(batch)
         return self._commit(self._live_files() + new, tag)
+
+    _LEDGER = "stream_ledger.json"
+
+    def _ledger_path(self) -> str:
+        return os.path.join(self.manifest_dir, self._LEDGER)
+
+    def _consumed_stream_tags(self) -> set[str]:
+        """Batch tags whose manifests have been expired. The tag scan over
+        live manifests alone has a hole (ADVICE r3): if ``expire`` prunes
+        the tagged manifest BEFORE Structured Streaming replays an
+        uncommitted batch (crash window), the replay appends twice. The
+        ledger is the Delta-txnVersion-style fix — ``expire`` folds the
+        tags of every manifest it deletes in here, so a consumed batch id
+        is always findable in exactly one of the two places."""
+        try:
+            with open(self._ledger_path()) as fh:
+                return set(json.load(fh)["tags"])
+        except (OSError, ValueError, KeyError):
+            return set()
+
+    def _fold_tags_into_ledger(self, tags: set[str]) -> None:
+        if not tags:
+            return
+        merged = sorted(self._consumed_stream_tags() | tags)
+        tmp = self._ledger_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tags": merged}, fh)
+        os.rename(tmp, self._ledger_path())
 
     # -- maintenance ---------------------------------------------------------
     def compact(self, rows_per_file: int = 100_000) -> int:
@@ -264,6 +308,14 @@ class SnapshotChunkStore:
                     removed += 1
             if not any(n.endswith(".parquet") for n in os.listdir(full)):
                 shutil.rmtree(full, ignore_errors=True)
+        # fold stream-append tags of pruned manifests into the ledger
+        # BEFORE deleting them — the exactly-once replay guard must survive
+        # manifest expiry (see _consumed_stream_tags)
+        pruned_tags = {self._manifest(v)["operation"] for v in vs
+                       if v not in keep
+                       and self._manifest(v)["operation"]
+                       .startswith("stream-append:")}
+        self._fold_tags_into_ledger(pruned_tags)
         for v in vs:
             if v not in keep:
                 os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))

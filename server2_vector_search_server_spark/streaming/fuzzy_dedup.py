@@ -39,7 +39,9 @@ def run_minhash_dedup_stream(spark, src_dir: str, state_dir: str,
     """Drain ``src_dir`` (one parquet file per micro-batch, mod-time
     ordered) through the band-state dedup; kept docs land in ``kept_dir``
     partitioned by ingest_batch."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic overwrite is set PER WRITE below (.option), never on the
+    # shared session — a session-level set with no restore leaks a
+    # semantics-changing config into every later overwrite (ADVICE r3)
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", 1).parquet(src_dir))
 
@@ -77,11 +79,13 @@ def run_minhash_dedup_stream(spark, src_dir: str, state_dir: str,
         (batch.join(kept_ids, "doc_id")
          .withColumn("ingest_batch", F.lit(int(batch_id)))
          .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic")
          .parquet(kept_dir))
         (batch_min.select("band_index", "band_key",
                           F.col("_batch_min").alias("bmin"))
          .withColumn("ingest_batch", F.lit(int(batch_id)))
          .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic")
          .parquet(state_dir))
 
     q = (stream.writeStream.foreachBatch(process)

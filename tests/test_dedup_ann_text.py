@@ -58,6 +58,53 @@ def test_simhash_hamming(docs):
     assert (1, 4) not in got
 
 
+def test_simhash_blocked_equals_brute_force(spark):
+    # Manku segment blocking must return EXACTLY the all-pairs Hamming
+    # result (pigeonhole recall 1.0, distinct kills multi-segment dups).
+    # 40 short docs over a tiny vocabulary -> plenty of pairs at several
+    # hamming distances, including >max_hamming ones that must be excluded.
+    from pyspark.sql import functions as F
+    words = ["red", "blue", "green", "fish", "bird", "tree"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(3 + i % 3)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_duplicates(
+               docs, max_hamming=3).collect()}
+    # independent brute force over the same fingerprints
+    sh = {r["doc_id"]: r["sh"]
+          for r in docs.select(
+              "doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0
+
+
+def test_simhash_segments_cover_all_bits(spark):
+    # segments must partition the 32 fingerprint bits: reassembling the
+    # segment values by their offsets reproduces the fingerprint
+    from pyspark.sql import functions as F
+    segs = dedup.simhash_segments(F.col("sh"), max_hamming=3)
+    df = spark.createDataFrame(
+        [(0xDEADBEEF,), (0x0,), (0xFFFFFFFF,), (0x12345678,)], "sh long")
+    rows = df.select("sh", *[s.alias(f"s{i}")
+                             for i, s in enumerate(segs)]).collect()
+    base, rem = divmod(dedup.SIMHASH_BITS, 4)
+    sizes = [base + (1 if i < rem else 0) for i in range(4)]
+    for r in rows:
+        acc, off = 0, 0
+        for i, size in enumerate(sizes):
+            acc |= r[f"s{i}"] << off
+            off += size
+        assert acc == r["sh"]
+
+
 def test_ngram_jaccard(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
@@ -366,6 +413,20 @@ def test_sign_pack_popcount_matches_positive_count(tables):
                                 x.cast("double") > 0.0))
     bad = packed.filter(pop != positives).count()
     assert bad == 0
+
+
+def test_binary_knn_works_without_label_column(tables):
+    # ADVICE r3: binary_knn hardcoded the fixture's 'label' column and
+    # threw on any corpus without it; it must accept a bare id/vec corpus
+    # and carry arbitrary extra columns through
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 42).first()["embedding"]
+    out = ann.binary_knn(emb, q, k=3).collect()
+    assert out and out[0]["vec_id"] == 42
+    assert set(out[0].asDict()) == {"vec_id", "hamming", "score"}
+    extra = tables["embeddings"].withColumn("src", F.lit("corpus_a"))
+    out2 = ann.binary_knn(extra, q, k=3).collect()
+    assert out2[0]["src"] == "corpus_a" and out2[0]["label"] is not None
 
 
 def test_binary_knn_self_match_and_exact_scores(tables):

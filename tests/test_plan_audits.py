@@ -401,3 +401,32 @@ def test_big_codebook_travels_as_broadcast_row(spark):
                   ._jdf.queryExecution().executedPlan().toString())
     # small codebooks stay literal: zero extra joins/jobs
     assert "BroadcastNestedLoopJoin" not in plan_small
+
+
+def test_pagerank_shuffle_branch_never_broadcasts_ranks(spark):
+    # big-graph branch (broadcast_ranks=False): ranks, contribs and outdeg
+    # are all node-sized — none may travel as a broadcast, so no
+    # BroadcastHashJoin may key on the graph columns (src/node). The
+    # lineitem⋈orders join that BUILDS the edge list keys on l_orderkey
+    # and is legitimately broadcast at test scale — excluded by key.
+    plan = _plan(spark, "graph_pagerank_shuffle")
+    graph_bcasts = [ln for ln in plan.splitlines()
+                    if "BroadcastHashJoin" in ln
+                    and ("src#" in ln or "node#" in ln)]
+    assert graph_bcasts == []
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_broadcast_branch_keeps_edges_unshuffled(spark):
+    # small-graph branch: every per-round join is a broadcast — the edge
+    # list is exchanged zero times after the initial persist
+    plan = _plan(spark, "graph_pagerank")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_pairs_equi_join_not_cross(spark):
+    # Manku segment blocking replaced the bounded crossJoin (VERDICT r3):
+    # the pair generator must now be an equi-join on the block key
+    plan = _plan(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -73,6 +73,24 @@ def test_upsert_replaces_and_carries_untouched_files(spark, store):
     assert any(f in set(store._live_files()) for f in files_before)
 
 
+def test_upsert_and_delete_in_uri_hostile_root(spark, tmp_path):
+    """ADVICE r3: _split_files compared input_file_name() URIs (percent-
+    encoded) against os.path strings — a store root with spaces/'%'/
+    non-ASCII made every file look untouched, so delete/upsert silently
+    carried stale rows forward. Exercise exactly such a root."""
+    root = tmp_path / "snap dir%40 ü"
+    store = SnapshotChunkStore(spark, str(root))
+    store.append(_chunks(spark, [("a", ["a1", "a2"])]))
+    store.append(_chunks(spark, [("b", ["b1"])]))
+    store.upsert(_chunks(spark, [("b", ["B1-new"])]))
+    t = store.read(None)
+    assert {r["content"] for r in
+            t.filter(F.col("doc_id") == "b").collect()} == {"B1-new"}
+    assert t.count() == 3
+    store.delete_document("a")
+    assert store.read(None).count() == 1
+
+
 def test_delete_all_docs_yields_empty_readable_table(spark, store):
     store.append(_chunks(spark, [("a", ["a1"])]))
     store.delete_document("a")
@@ -136,6 +154,25 @@ def test_stream_batch_commit_is_idempotent(spark, store):
     assert store.append_stream_batch(
         _chunks(spark, [("c", ["c1"])]), batch_id=2) == 3
     assert store.read(None).count() == 4
+
+
+def test_stream_batch_replay_guard_survives_expire(spark, store):
+    """ADVICE r3: expire() used to delete the tagged manifests the replay
+    guard scans — a crash-window replay AFTER an expire appended twice.
+    The ledger folds pruned tags forward, so the replay is still caught."""
+    b0 = _chunks(spark, [("a", ["a1", "a2"])])
+    b1 = _chunks(spark, [("b", ["b1"])])
+    store.append_stream_batch(b0, batch_id=0)
+    store.append_stream_batch(b1, batch_id=1)
+    n_before = store.read(None).count()
+    store.expire(keep_last=1)          # prunes the v1 'stream-append:0' tag
+    # crash-window replay of batch 0 after the expire: must be a no-op
+    store.append_stream_batch(b0, batch_id=0)
+    assert store.read(None).count() == n_before
+    # and the guard composes with further expires
+    store.expire(keep_last=1)
+    store.append_stream_batch(b1, batch_id=1)
+    assert store.read(None).count() == n_before
 
 
 def test_stream_into_snapshot_store_end_to_end(spark, store, tmp_path):
