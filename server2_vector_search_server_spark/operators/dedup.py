@@ -172,12 +172,17 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity verification ≥ threshold.
 
-    The (id, signature) projection is persisted: it feeds both sides of the
-    band self-join plus both verification joins, and at scale it is tiny
-    relative to the corpus (num_perm longs per doc) — materializing it once
-    is the 100 TB-safe choice vs recomputing text shingling four times."""
+    The (id, signature) projection is materialized once (EAGER
+    localCheckpoint): it feeds both sides of the band self-join plus both
+    verification joins, and at scale it is tiny relative to the corpus
+    (num_perm longs per doc) — materializing it once is the 100 TB-safe
+    choice vs recomputing text shingling four times. Checkpoint, not
+    persist: checkpoint blocks free when the result is GC'd, while a
+    persist() with no unpersist() pins cache in a long-lived session
+    (the r3 ADVICE class); eager materialization is the same deterministic
+    barrier persist+count was, without the lazy-checkpoint/AQE race."""
     sigs = (add_minhash(docs, text_col=text_col)
-            .select(id_col, "minhash").persist())
+            .select(id_col, "minhash").localCheckpoint(eager=True))
     pairs = minhash_candidate_pairs(sigs, id_col=id_col)
     a = sigs.select(F.col(id_col).alias("id_a"),
                     F.col("minhash").alias("sig_a"))
@@ -222,13 +227,13 @@ def drop_minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     # Materialize the signatures: without this, projection collapse inlines
     # the full minhash F.aggregate into EVERY band-slice element_at (bands ×
     # rows_per_band re-evaluations per row — measured 6× slower in the §22
-    # pipeline). persist + count (the minhash_near_duplicates pattern), not
-    # localCheckpoint: lazy local checkpoints materialized concurrently by
-    # AQE's broadcast-build futures showed intermittent 10-15× CPU blowups
-    # in repeated §22 trials; the eager count is a deterministic barrier.
+    # pipeline). EAGER localCheckpoint: the §22 CPU blowups came from LAZY
+    # checkpoints materialized concurrently by AQE's broadcast-build
+    # futures; eager materialization is the same deterministic barrier the
+    # old persist+count was, and its blocks free on GC instead of pinning
+    # session cache (r3 ADVICE class).
     sigs = (add_minhash(docs, text_col=text_col).select(id_col, "minhash")
-            .persist())
-    sigs.count()
+            .localCheckpoint(eager=True))
     b = lsh_bands(sigs, id_col=id_col, bands=bands)
     bucket_min = (b.groupBy("band_index", "band_key")
                   .agg(F.min(id_col).alias("bucket_rep")))

@@ -183,25 +183,30 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
       exchanges, zero edge-sized ones.
     """
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    # eager localCheckpoint, not persist: nodes/ed are scanned every round,
+    # but checkpoint blocks free when the result DataFrame is GC'd — an
+    # unreleased persist() would pin session cache across calls (r3 ADVICE
+    # class; the n=count() below needs nodes materialized anyway)
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
-             .distinct().persist())
+             .distinct().localCheckpoint(eager=True))
     n = nodes.count()
     use_bcast = (broadcast_ranks if broadcast_ranks is not None
                  else n <= broadcast_node_limit)
 
-    # ed is scanned once per round -> persist (callers/bench clearCache()
-    # afterwards — unpersisting here would evict BEFORE the lazy plan runs)
     if use_bcast:
         # outdeg is node-sized -> broadcast, so the edge list never shuffles
-        ed = edges.join(F.broadcast(out_deg), src).persist()
+        ed = (edges.join(F.broadcast(out_deg), src)
+              .localCheckpoint(eager=True))
     else:
         # one edge shuffle total: pin hash(src) partitioning, groupBy(src)
         # above reuses the same key so the outdeg join is co-located
         # (shuffle_hash hint: outdeg is node-sized too — Catalyst must not
-        # broadcast it on this branch either)
+        # broadcast it on this branch either). The checkpointed scan
+        # preserves hash(src) outputPartitioning for every round's join.
         ed = (edges.repartition(F.col(src))
-              .join(out_deg.hint("shuffle_hash"), src).persist())
+              .join(out_deg.hint("shuffle_hash"), src)
+              .localCheckpoint(eager=True))
 
     base = (1.0 - damping) / n
     factor = 10 ** scale

@@ -233,19 +233,19 @@ def exclusive_prefix_sum(df, *, order_col: str = "doc_id",
     ``tests/test_dedup_ann_text.py``).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persist (MEMORY_AND_DISK — spills, never silently drops): the
-    # subtotal pass and the main path must read the SAME materialized range
-    # partitions. The partitioning must be pinned because the two passes
+    # The subtotal pass and the main path must read the SAME materialized
+    # range partitions. The partitioning must be pinned because the two passes
     # run as separate jobs and repartitionByRange samples its boundaries —
     # a re-evaluated exchange with re-sampled boundaries would silently
-    # misalign pid → offset. The subtotal collect below is the
-    # materializing action. (localCheckpoint also pins, but lazy local
-    # checkpoints raced AQE's concurrent broadcast-build futures with
-    # intermittent 10-15× CPU blowups in §22 trials.)
+    # misalign pid → offset. EAGER localCheckpoint materializes HERE —
+    # pinning both the sampled range boundaries and the pid column before
+    # either pass runs (the §22 races involved LAZY checkpoints; an eager
+    # one is a deterministic barrier), and freeing on GC instead of
+    # pinning session cache like the old unreleased persist().
     ranged = (df.repartitionByRange(n, F.col(order_col))
               .sortWithinPartitions(order_col)
               .withColumn("_pid", F.spark_partition_id())
-              .persist())
+              .localCheckpoint(eager=True))
 
     # Local exclusive cumsum as one Arrow pass over the already-sorted
     # partition — NOT a Window.partitionBy(_pid): that form forces a second
