@@ -89,6 +89,8 @@ HEADLINE = [
     "events_hll_distinct_rollup",  # HLL sketches + hll_union_agg rollup
     "events_concurrency_sweep",  # sweep-line interval overlap (prefix sum)
     "text_dsir_importance",     # DSIR hashed-unigram importance weights
+    "dedup_simhash",            # Manku-blocked SimHash pairs (round 4)
+    "graph_pagerank_shuffle",   # big-graph PageRank branch (round 4)
 ]
 
 
