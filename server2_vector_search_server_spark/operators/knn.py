@@ -267,6 +267,52 @@ def _arrow_multi_scored(queries: DataFrame, corpus: DataFrame, k: int, *,
     return corpus.mapInPandas(run, schema=out_schema)
 
 
+def overfetch_rerank(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = config.DEFAULT_API_K,
+    *,
+    overfetch: int = 2,
+    coarse_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = config.SCORE_DECIMALS,
+) -> DataFrame:
+    """The reference's F3 over-fetch-then-re-rank contract
+    (``search_engine.py:23,48-51`` — fetch ``k*2`` candidates, rescore,
+    emit top k), made non-vestigial: stage 1 ranks by a CHEAP coarse score
+    (similarity on the first ``coarse_dim`` dims — a Matryoshka-style
+    prefix, so the ranking scan reads a fraction of every vector), keeps
+    ``k * overfetch`` candidates, and stage 2 exact-rescores ONLY those.
+
+    Scale shape: stage 1 is a TakeOrderedAndProject over a prefix
+    projection (per-partition partial top-k, no global sort — and with a
+    materialized prefix column, a scan that never reads the full vector);
+    stage 2 touches ``k*overfetch`` rows. The same funnel the
+    SQ8/binary/PQ tiers use, at the API surface the reference stubbed.
+
+    Output: corpus columns minus the vector, plus ``coarse_score`` and
+    exact ``score``; ordered score DESC, id ASC, limit k.
+    """
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+
+    k = _resolve_k(k)
+    q_pref = vector_literal(list(query_vec)[:coarse_dim])
+    coarse = F.round(
+        F.lit(1.0) - squared_l2(q_pref, F.slice(F.col(vec_col), 1,
+                                                coarse_dim)),
+        score_decimals)
+    cand = (corpus.withColumn("coarse_score", coarse)
+            .orderBy(F.col("coarse_score").desc(), F.col(id_col).asc())
+            .limit(k * overfetch))
+    exact = F.round(similarity_score(vector_literal(query_vec),
+                                     F.col(vec_col)), score_decimals)
+    return (cand.withColumn("score", exact)
+            .drop(vec_col)
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int = 5,

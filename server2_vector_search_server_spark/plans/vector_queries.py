@@ -20,6 +20,7 @@ from server2_vector_search_server_spark.operators.knn import knn_join, knn_topk
 from server2_vector_search_server_spark.plans.registry import (
     query,
     sql_score,
+    sql_sq_l2,
     tbl,
 )
 
@@ -193,3 +194,45 @@ def search_per_collection_topk(spark: SparkSession,
             .select(F.col("label").alias("collection_id"), "vec_id",
                     "score", "rank")
             .orderBy("collection_id", "rank"))
+
+
+_OF_K = 5
+_OF_OVERFETCH = 2
+_OF_COARSE_DIM = 16
+
+
+@query(
+    "search_overfetch_rerank",
+    survey="F3",
+    oracle=f"""
+    WITH cand AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             ROUND(1.0 - {sql_sq_l2(f'(e.embedding[1:{_OF_COARSE_DIM}])',
+                                    f'(({_QV0})[1:{_OF_COARSE_DIM}])')}, 6)
+               AS coarse_score
+      FROM embeddings e
+      ORDER BY coarse_score DESC, e.vec_id ASC
+      LIMIT {_OF_K * _OF_OVERFETCH})
+    SELECT vec_id, label, coarse_score,
+           {sql_score('embedding', _QV0)} AS score
+    FROM cand
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {_OF_K}
+    """,
+)
+def search_overfetch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F3 (reference ``search_engine.py:23,48-51`` — the vestigial
+    fetch-``2k``-then-rescore module), registered as a live funnel:
+    stage 1 ranks on a 16-dim prefix score (reads 1/4 of each vector when
+    the prefix is materialized; TakeOrderedAndProject partial top-k, no
+    global sort), stage 2 exact-rescores only the 2k survivors. The same
+    coarse→exact shape every compressed ANN tier uses, at the plain
+    search-API surface the reference stubbed."""
+    from server2_vector_search_server_spark.operators.knn import (
+        overfetch_rerank,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return overfetch_rerank(emb, _query_vec(spark, sf_dir), k=_OF_K,
+                            overfetch=_OF_OVERFETCH,
+                            coarse_dim=_OF_COARSE_DIM)

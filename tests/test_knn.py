@@ -200,3 +200,40 @@ def test_mmr_rerank_diversity_and_bounds(spark):
     assert picks[2] == 2
     # k > candidates: graceful truncation
     assert mmr_rerank(cand, k=10, lam=0.5, lam_complement=0.5).count() == 3
+
+
+def test_overfetch_rerank_funnel_contract(spark):
+    """Stage 1 keeps exactly k*overfetch by COARSE (prefix) score; stage 2
+    exact-rescores only those. A vector that is exact-best but outside the
+    coarse top-2k must NOT surface — that asymmetry is the funnel contract
+    (and the accuracy/cost trade the operator documents)."""
+    from server2_vector_search_server_spark.operators.knn import (
+        overfetch_rerank,
+    )
+
+    dim = 4
+    q = [1.0, 1.0, 0.0, 0.0]
+    rows = []
+    # ids 0..5: perfect prefix match (first 2 dims == q), worsening tail:
+    # coarse score 1.0 for all, exact score 1 - (0.1*i)^2
+    for i in range(6):
+        rows.append((i, [1.0, 1.0, 0.1 * i, 0.0]))
+    # id 99: exact score 0.98 — better than ids 2..5 — but coarse (2-dim)
+    # score 0.98 < the six 1.0s, so stage 1's top-4 cut excludes it
+    rows.append((99, [0.9, 0.9, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = overfetch_rerank(emb, q, k=2, overfetch=2, coarse_dim=2).collect()
+    got = [r["vec_id"] for r in out]
+    assert got == [0, 1]                 # exact order among survivors
+    assert 99 not in got                 # funnel excluded the bad-prefix row
+    # sanity: 99 really is exact-better than candidate 3 (else the
+    # exclusion assertion is vacuous)
+    exact99 = 1.0 - (2 * 0.1 ** 2)
+    exact3 = 1.0 - 0.3 ** 2
+    assert exact99 > exact3
+    assert all(set(r.asDict()) == {"vec_id", "coarse_score", "score"}
+               for r in out)
+    # widening the funnel to cover the corpus restores exactness
+    out_full = overfetch_rerank(emb, q, k=2, overfetch=4,
+                                coarse_dim=dim).collect()
+    assert [r["vec_id"] for r in out_full] == [0, 1]
