@@ -188,9 +188,14 @@ def main() -> None:
             out["vs_baseline_geomean"] = round(geomean, 3)
             out["vs_baseline_worst"] = max(ratios, key=ratios.get)
             # the explicit 2× gate, per query (noise margin: median-of-3
-            # still swings; flag only clear breaches)
-            out["over_2x_baseline"] = sorted(
-                n for n, r in ratios.items() if r > 2.0)
+            # still swings; flag only clear breaches). Cap at the 10 worst:
+            # on a loaded machine EVERY query can breach, and an unbounded
+            # list would re-overflow the driver's tail capture — the full
+            # table is in BENCH_COMPARE.json regardless.
+            over = sorted((n for n, r in ratios.items() if r > 2.0),
+                          key=lambda n: -ratios[n])
+            out["over_2x_count"] = len(over)
+            out["over_2x_baseline"] = over[:10]
             # Full per-query ratio table goes to a SIDE FILE, not stdout:
             # r3's stdout line carried all 52 ratios and overflowed the
             # driver's tail-capture window (BENCH_r03.json "parsed": null —

@@ -201,10 +201,12 @@ def chunking_golden_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A1/J6(PDF->text on real bytes: plain + FlateDecode content streams)",
     oracle="""
     SELECT * FROM (VALUES
-      ('flate.pdf', CAST(22 AS BIGINT), md5('Compressed gamma text.')),
+      ('flate.pdf', CAST(22 AS BIGINT), md5('Compressed gamma text.'),
+       CAST(1 AS INTEGER)),
       ('plain.pdf', CAST(30 AS BIGINT),
-       md5('PDF alpha page.' || chr(10) || 'PDF beta page.'))
-    ) AS t(member_name, n_chars, text_md5)
+       md5('PDF alpha page.' || chr(10) || 'PDF beta page.'),
+       CAST(2 AS INTEGER))
+    ) AS t(member_name, n_chars, text_md5, total_pages)
     ORDER BY member_name
     """,
 )
@@ -213,7 +215,9 @@ def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flate-compressed — through the A1 path (parse_pdf_members: pypdf when
     importable, else the bundled pure-Python extractor). Multi-page text
     joins with a newline per page, mirroring the loader's page join
-    (document_processor.py:120-124)."""
+    (document_processor.py:120-124); ``total_pages`` mirrors the loader
+    metadata the reference persists alongside the text (its WAL rows carry
+    it — VERDICT r3 missing-item 3)."""
     from server2_vector_search_server_spark.sources.files import (
         parse_pdf_members,
     )
@@ -231,7 +235,8 @@ def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (parse_pdf_members(members)
             .select("member_name",
                     F.length("text").cast("long").alias("n_chars"),
-                    F.md5("text").alias("text_md5"))
+                    F.md5("text").alias("text_md5"),
+                    "total_pages")
             .orderBy("member_name"))
 
 

@@ -133,17 +133,29 @@ def parse_pdf_members(members: DataFrame,
         try:
             import pypdf  # type: ignore
 
-            def extract(blob: bytes) -> str:
+            def extract(blob: bytes) -> tuple[str, int]:
                 reader = pypdf.PdfReader(io.BytesIO(blob))
-                return "\n".join(p.extract_text() or "" for p in reader.pages)
+                return ("\n".join(p.extract_text() or ""
+                                  for p in reader.pages),
+                        len(reader.pages))
         except ImportError:
             from server2_vector_search_server_spark.sources.pdf_fallback \
-                import extract_text as extract
+                import count_pages, extract_text
+
+            def extract(blob: bytes) -> tuple[str, int]:
+                return extract_text(blob), count_pages(blob)
         for pdf in batches:
             out = pdf.drop(columns=[content_col]).copy()
-            out["text"] = [extract(blob) for blob in pdf[content_col]]
+            parsed = [extract(blob) for blob in pdf[content_col]]
+            out["text"] = [t for t, _ in parsed]
+            # total_pages: the loader metadata the reference's Docling path
+            # persists alongside the text (its WAL rows carry it); both
+            # backends produce it — pypdf from the page list, the fallback
+            # from the page tree /Count
+            out["total_pages"] = [n for _, n in parsed]
             yield out
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in pdfs.schema if f.name != content_col)
-    return pdfs.mapInPandas(run, schema=f"{schema}, text string")
+    return pdfs.mapInPandas(
+        run, schema=f"{schema}, text string, total_pages int")

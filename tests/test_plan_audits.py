@@ -430,3 +430,11 @@ def test_simhash_pairs_equi_join_not_cross(spark):
     plan = _plan(spark, "dedup_simhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overfetch_rerank_stages_plan_as_partial_topk(spark):
+    # both funnel stages must plan as TakeOrderedAndProject (per-partition
+    # partial top-k, no global Sort+Limit of the corpus)
+    plan = _plan(spark, "search_overfetch_rerank")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -111,6 +111,7 @@ def test_pdf_members_extract_text_via_zip(spark, zip_dir):
     rows = parse_pdf_members(expand_zip(files)).collect()
     assert len(rows) == 1
     assert rows[0]["text"] == "First page here.\nSecond page there."
+    assert rows[0]["total_pages"] == 2
 
 
 def test_pdf_fallback_escapes_tj_arrays_and_flate():
