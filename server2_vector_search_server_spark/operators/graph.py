@@ -182,31 +182,44 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
       and the node join are plain shuffle joins. Per round: two node-sized
       exchanges, zero edge-sized ones.
     """
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    # eager localCheckpoint, not persist: nodes/ed are scanned every round,
-    # but checkpoint blocks free when the result DataFrame is GC'd — an
-    # unreleased persist() would pin session cache across calls (r3 ADVICE
-    # class; the n=count() below needs nodes materialized anyway)
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    # ONE edge-sized materialization (eager localCheckpoint — blocks free
+    # on GC, unlike an unreleased persist(), r3 ADVICE class): everything
+    # downstream (outdeg, nodes, every round's join) derives from e0, so
+    # the caller's edge plan — often a join+distinct itself — is computed
+    # exactly once. The previous shape materialized nodes and the
+    # degree-annotated edges from the RAW plan separately, building the
+    # upstream join twice. On the big-graph branch the checkpoint also
+    # pins hash(src) partitioning for every round's join.
+    if broadcast_ranks is False:
+        e0 = (edges.select(src, dst).repartition(F.col(src))
+              .localCheckpoint(eager=True))
+    else:
+        e0 = edges.select(src, dst).localCheckpoint(eager=True)
+    out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (e0.select(F.col(src).alias("node"))
+             .union(e0.select(F.col(dst).alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
     use_bcast = (broadcast_ranks if broadcast_ranks is not None
                  else n <= broadcast_node_limit)
 
     if use_bcast:
-        # outdeg is node-sized -> broadcast, so the edge list never shuffles
-        ed = (edges.join(F.broadcast(out_deg), src)
-              .localCheckpoint(eager=True))
+        # outdeg is node-sized -> broadcast, so the edge list never
+        # shuffles; lazy on purpose — the checkpointed e0 rescan is cheap
+        # and identical broadcast subtrees reuse within a job
+        ed = e0.join(F.broadcast(out_deg), src)
     else:
-        # one edge shuffle total: pin hash(src) partitioning, groupBy(src)
-        # above reuses the same key so the outdeg join is co-located
-        # (shuffle_hash hint: outdeg is node-sized too — Catalyst must not
-        # broadcast it on this branch either). The checkpointed scan
-        # preserves hash(src) outputPartitioning for every round's join.
-        ed = (edges.repartition(F.col(src))
-              .join(out_deg.hint("shuffle_hash"), src)
-              .localCheckpoint(eager=True))
+        if broadcast_ranks is None:
+            # auto mode discovered a big graph AFTER e0 was built
+            # unpartitioned: pin hash(src) now (one extra edge
+            # materialization, only on this path)
+            e0 = e0.repartition(F.col(src)).localCheckpoint(eager=True)
+            out_deg = e0.groupBy(src).agg(
+                F.count(F.lit(1)).alias("outdeg"))
+        # co-located equi-join: e0 is pinned hash(src), groupBy(src) above
+        # reuses the same key (shuffle_hash hint: outdeg is node-sized too
+        # — Catalyst must not broadcast it on this branch either)
+        ed = e0.join(out_deg.hint("shuffle_hash"), src)
 
     base = (1.0 - damping) / n
     factor = 10 ** scale

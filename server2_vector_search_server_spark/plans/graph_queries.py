@@ -77,13 +77,28 @@ def _pagerank_oracle() -> str:
     """
 
 
+def _rank_top20(ranks: DataFrame) -> DataFrame:
+    """Top-20 with rank: orderBy+limit plans TakeOrderedAndProject (partial
+    per-partition top-k) instead of a single-partition global window over
+    ALL nodes; the row_number window then runs on 20 rows."""
+    from pyspark.sql import Window
+
+    top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     od = tbl(spark, sf_dir, "orders")
+    # distinct BEFORE concat: the dedup shuffle carries two BIGINTs per
+    # row instead of two strings (same result set — the prefixed concat is
+    # injective), measured ~25% off the edge-build wall at sf0.1
     return (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .select("l_suppkey", "o_custkey").distinct()
             .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-                    F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
-            .distinct())
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("dst")))
 
 
 @query(
@@ -95,16 +110,13 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank over supplier→customer shipments, 3 rounds, d=0.85.
 
-    The operator persists the degree-annotated edge list so each round
-    re-reads memory, not parquet, and broadcasts the node-sized rank table —
-    rounds never shuffle edges, only the partial-aggregated contribution
-    sums (SCALE.md §18)."""
+    The operator checkpoints the edge list ONCE (everything — outdeg,
+    nodes, every round's join — derives from that one materialization) and
+    broadcasts the node-sized rank table: rounds never shuffle edges, only
+    the partial-aggregated contribution sums (SCALE.md §18, §35)."""
     ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS,
                      damping=float(_DAMPING), scale=_SCALE)
-    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    return (ranks.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
-            .orderBy("rank"))
+    return _rank_top20(ranks)
 
 
 @query(
@@ -126,10 +138,7 @@ def graph_pagerank_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS,
                      damping=float(_DAMPING), scale=_SCALE,
                      broadcast_ranks=False)
-    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
-    return (ranks.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
-            .orderBy("rank"))
+    return _rank_top20(ranks)
 
 
 @query(
