@@ -450,9 +450,21 @@ def binary_knn(
             if float(x) > 0.0:
                 word += 1 << i
         q_words.append(word)
-    # carry ALL non-vector columns through (ADVICE r3: a hardcoded 'label'
+    # carry non-vector columns through (ADVICE r3: a hardcoded 'label'
     # projection threw on any corpus without that fixture column — the
-    # other tier operators only require id/vec)
+    # other tier operators only require id/vec). Names this operator
+    # GENERATES are reserved: a corpus column called 'hamming'/'score'
+    # would be silently clobbered and a 'bq_word_N' would break the packed
+    # projection's analysis — refuse loudly instead (code-review r4).
+    reserved = {"hamming", "score"} | {
+        f"bq_word_{w}" for w in range((dim + B - 1) // B)}
+    clash = [c for c in corpus.columns
+             if c not in (id_col, vec_col) and c in reserved]
+    if clash:
+        raise ValueError(
+            f"binary_knn output names collide with corpus columns {clash}; "
+            f"rename them before calling (reserved: hamming, score, "
+            f"bq_word_*)")
     extra_cols = [c for c in corpus.columns if c not in (id_col, vec_col)]
     packed = corpus.select(id_col, *extra_cols, vec_col,
                            *sign_pack_words(vec_col, dim))

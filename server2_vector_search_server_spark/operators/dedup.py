@@ -180,7 +180,11 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     persist: checkpoint blocks free when the result is GC'd, while a
     persist() with no unpersist() pins cache in a long-lived session
     (the r3 ADVICE class); eager materialization is the same deterministic
-    barrier persist+count was, without the lazy-checkpoint/AQE race."""
+    barrier persist+count was, without the lazy-checkpoint/AQE race.
+    Cluster caveat: localCheckpoint trades lineage for executor-local
+    blocks — on deployments with executor churn/dynamic allocation,
+    swap in ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
+    (reliable storage) at the same call sites."""
     sigs = (add_minhash(docs, text_col=text_col)
             .select(id_col, "minhash").localCheckpoint(eager=True))
     pairs = minhash_candidate_pairs(sigs, id_col=id_col)

@@ -189,7 +189,10 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
     # exactly once. The previous shape materialized nodes and the
     # degree-annotated edges from the RAW plan separately, building the
     # upstream join twice. On the big-graph branch the checkpoint also
-    # pins hash(src) partitioning for every round's join.
+    # pins hash(src) partitioning for every round's join. (Cluster
+    # caveat: localCheckpoint blocks are executor-local and die with the
+    # executor — under churn/dynamic allocation use a reliable
+    # checkpoint dir instead; same barrier semantics.)
     if broadcast_ranks is False:
         e0 = (edges.select(src, dst).repartition(F.col(src))
               .localCheckpoint(eager=True))
@@ -211,9 +214,11 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
     else:
         if broadcast_ranks is None:
             # auto mode discovered a big graph AFTER e0 was built
-            # unpartitioned: pin hash(src) now (one extra edge
-            # materialization, only on this path)
-            e0 = e0.repartition(F.col(src)).localCheckpoint(eager=True)
+            # unpartitioned: add a lazy repartition — NOT a second
+            # edge-sized checkpoint (code-review r4). All rounds execute
+            # as one job, so the exchange over the checkpointed e0 runs
+            # once and later rounds hit ReusedExchange.
+            e0 = e0.repartition(F.col(src))
             out_deg = e0.groupBy(src).agg(
                 F.count(F.lit(1)).alias("outdeg"))
         # co-located equi-join: e0 is pinned hash(src), groupBy(src) above

@@ -282,14 +282,17 @@ def overfetch_rerank(
     (``search_engine.py:23,48-51`` — fetch ``k*2`` candidates, rescore,
     emit top k), made non-vestigial: stage 1 ranks by a CHEAP coarse score
     (similarity on the first ``coarse_dim`` dims — a Matryoshka-style
-    prefix, so the ranking scan reads a fraction of every vector), keeps
-    ``k * overfetch`` candidates, and stage 2 exact-rescores ONLY those.
+    prefix), keeps ``k * overfetch`` candidates, and stage 2
+    exact-rescores ONLY those.
 
-    Scale shape: stage 1 is a TakeOrderedAndProject over a prefix
-    projection (per-partition partial top-k, no global sort — and with a
-    materialized prefix column, a scan that never reads the full vector);
-    stage 2 touches ``k*overfetch`` rows. The same funnel the
-    SQ8/binary/PQ tiers use, at the API surface the reference stubbed.
+    Scale shape: stage 1 is a TakeOrderedAndProject (per-partition partial
+    top-k, no global sort) whose per-row ARITHMETIC is coarse_dim/dim of
+    the full score; the scan still deserializes whole vectors — the I/O
+    saving additionally requires a materialized prefix column, which is
+    the Matryoshka tier's job (``ann.matryoshka_knn`` + SCALE.md §26),
+    not this operator's. Stage 2 touches ``k*overfetch`` rows. The same
+    funnel the SQ8/binary/PQ tiers use, at the API surface the reference
+    stubbed.
 
     Output: corpus columns minus the vector, plus ``coarse_score`` and
     exact ``score``; ordered score DESC, id ASC, limit k.

@@ -241,7 +241,9 @@ def exclusive_prefix_sum(df, *, order_col: str = "doc_id",
     # pinning both the sampled range boundaries and the pid column before
     # either pass runs (the §22 races involved LAZY checkpoints; an eager
     # one is a deterministic barrier), and freeing on GC instead of
-    # pinning session cache like the old unreleased persist().
+    # pinning session cache like the old unreleased persist(). Cluster
+    # caveat: executor-local blocks — use a reliable checkpoint dir
+    # under executor churn.
     ranged = (df.repartitionByRange(n, F.col(order_col))
               .sortWithinPartitions(order_col)
               .withColumn("_pid", F.spark_partition_id())

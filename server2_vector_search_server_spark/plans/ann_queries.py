@@ -1510,6 +1510,73 @@ def ann_ivf_pq_residual_recall_at_k(spark: SparkSession,
 _FRONTIER_NPROBES = (1, 2, 4, 8)
 
 
+def _pq_frontier_ranked(spark, sf_dir, max_rank):
+    """Shared stage-1 machinery of BOTH frontier queries (code-review r4:
+    was duplicated verbatim): probes ranked once per query, swept over
+    ``_FRONTIER_NPROBES`` via a rank filter, corpus PQ-code-ranked per
+    (nprobe, qid) up to ``max_rank``. Returns
+    (emb, q, exact, npdf, pq_ranked[nprobe, qid, vec_id, rn])."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import (
+        vector_literal,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    w_p = Window.partitionBy("qid").orderBy(
+        squared_l2(F.col("centroid"), F.col("qv")).asc(),
+        F.col("centroid_id").asc())
+    probes_ranked = (cent.crossJoin(F.broadcast(q))
+                     .withColumn("rn", F.row_number().over(w_p))
+                     .filter(F.col("rn") <= max(_FRONTIER_NPROBES))
+                     .select("qid", "centroid_id", "rn"))
+    npdf = spark.createDataFrame([(p,) for p in _FRONTIER_NPROBES],
+                                 "nprobe int")
+    probes = (probes_ranked.join(F.broadcast(npdf),
+                                 F.col("rn") <= F.col("nprobe"))
+              .select("nprobe", "qid", "centroid_id"))
+
+    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
+    sub = len(books[0][0])
+    codes = ann.pq_encode(emb, books).select(
+        "vec_id", *[f"pq_code_{m + 1}" for m in range(_PQ_M)])
+    assigned = ann.ivf_assign(emb, cent).select("vec_id", "centroid_id")
+
+    approx = F.lit(0.0)
+    for m, cbook in enumerate(books):
+        cw_lit = F.array(*[vector_literal(c) for c in cbook])
+        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
+        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
+        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
+    sp = F.round(F.lit(1.0) - approx, 6)
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        sp.desc(), F.col("vec_id").asc())
+    pq_ranked = (assigned.join(F.broadcast(probes), "centroid_id")
+                 .join(codes, "vec_id")
+                 .join(F.broadcast(q), "qid")
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= max_rank)
+                 .select("nprobe", "qid", "vec_id", "rn"))
+    return emb, q, exact, npdf, pq_ranked
+
+
+def _frontier_result(q, base_keys, base, hits):
+    """Shared tail: per-level hit totals -> mean recall, ordered."""
+    return (base.join(hits, base_keys + ["qid"], "left")
+            .groupBy(*base_keys)
+            .agg(F.sum(F.coalesce("n_hits", F.lit(0))).cast("long")
+                 .alias("n_hits_total"),
+                 F.round(F.sum(F.coalesce("n_hits", F.lit(0)))
+                         / float(len(_RECALL_QIDS) * _RECALL_K), 6)
+                 .alias("mean_recall"))
+            .orderBy(*base_keys))
+
+
+
 @query(
     "ann_ivf_pq_nprobe_frontier",
     survey="north-star ANN (recall/candidate-volume frontier: IVF×PQ "
@@ -1584,65 +1651,16 @@ def ann_ivf_pq_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     number; SCALE.md §36 pairs it with measured candidate volume. At
     100 TB this is exactly the offline tuning job that picks production
     nprobe: same scan shape as serving, with the exact ranking as truth."""
-    from pyspark.sql import Window
-
-    from server2_vector_search_server_spark.functions.vector import squared_l2
-    from server2_vector_search_server_spark.operators.knn import (
-        vector_literal,
-    )
-
-    emb, q, exact = _recall_parts(spark, sf_dir)
-    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
-            .select(F.col("vec_id").alias("centroid_id"),
-                    F.col("embedding").alias("centroid")))
-    w_p = Window.partitionBy("qid").orderBy(
-        squared_l2(F.col("centroid"), F.col("qv")).asc(),
-        F.col("centroid_id").asc())
-    probes_ranked = (cent.crossJoin(F.broadcast(q))
-                     .withColumn("rn", F.row_number().over(w_p))
-                     .filter(F.col("rn") <= max(_FRONTIER_NPROBES))
-                     .select("qid", "centroid_id", "rn"))
-    npdf = spark.createDataFrame([(p,) for p in _FRONTIER_NPROBES],
-                                 "nprobe int")
-    probes = (probes_ranked.join(F.broadcast(npdf),
-                                 F.col("rn") <= F.col("nprobe"))
-              .select("nprobe", "qid", "centroid_id"))
-
-    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
-    sub = len(books[0][0])
-    codes = ann.pq_encode(emb, books).select(
-        "vec_id", *[f"pq_code_{m + 1}" for m in range(_PQ_M)])
-    assigned = ann.ivf_assign(emb, cent).select("vec_id", "centroid_id")
-
-    approx = F.lit(0.0)
-    for m, cbook in enumerate(books):
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
-        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
-        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
-        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
-    sp = F.round(F.lit(1.0) - approx, 6)
-    w = Window.partitionBy("nprobe", "qid").orderBy(
-        sp.desc(), F.col("vec_id").asc())
-    tier = (assigned.join(F.broadcast(probes), "centroid_id")
-            .join(codes, "vec_id")
-            .join(F.broadcast(q), "qid")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _RECALL_K)
-            .select("nprobe", "qid", "vec_id"))
+    emb, q, exact, npdf, pq_ranked = _pq_frontier_ranked(
+        spark, sf_dir, _RECALL_K)
+    tier = pq_ranked.select("nprobe", "qid", "vec_id")
     hits = (exact.join(tier, ["qid", "vec_id"])
             .groupBy("nprobe", "qid").agg(F.count(F.lit(1)).alias("n_hits")))
     # single-partition sides: a CartesianProduct inherits nL x nR
     # partitions, so two 32-partition inputs would schedule 1024 tasks
     # for an 8-row result
     base = npdf.coalesce(1).crossJoin(q.select("qid").coalesce(1))
-    return (base.join(hits, ["nprobe", "qid"], "left")
-            .groupBy("nprobe")
-            .agg(F.sum(F.coalesce("n_hits", F.lit(0))).cast("long")
-                 .alias("n_hits_total"),
-                 F.round(F.sum(F.coalesce("n_hits", F.lit(0)))
-                         / float(len(_RECALL_QIDS) * _RECALL_K), 6)
-                 .alias("mean_recall"))
-            .orderBy("nprobe"))
+    return _frontier_result(q, ["nprobe"], base, hits)
 
 
 # The flat frontier above is itself a finding: recall on this fixture is
@@ -1748,50 +1766,11 @@ def ann_ivf_pq_rescore_frontier(spark: SparkSession,
     from pyspark.sql import Window
 
     from server2_vector_search_server_spark.functions.vector import squared_l2
-    from server2_vector_search_server_spark.operators.knn import (
-        vector_literal,
-    )
 
-    emb, q, exact = _recall_parts(spark, sf_dir)
-    cent = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
-            .select(F.col("vec_id").alias("centroid_id"),
-                    F.col("embedding").alias("centroid")))
-    w_p = Window.partitionBy("qid").orderBy(
-        squared_l2(F.col("centroid"), F.col("qv")).asc(),
-        F.col("centroid_id").asc())
-    probes_ranked = (cent.crossJoin(F.broadcast(q))
-                     .withColumn("rn", F.row_number().over(w_p))
-                     .filter(F.col("rn") <= max(_FRONTIER_NPROBES))
-                     .select("qid", "centroid_id", "rn"))
-    npdf = spark.createDataFrame([(p,) for p in _FRONTIER_NPROBES],
-                                 "nprobe int")
+    emb, q, exact, npdf, pq_ranked = _pq_frontier_ranked(
+        spark, sf_dir, max(_FRONTIER_CANDS))
     cdf = spark.createDataFrame([(c,) for c in _FRONTIER_CANDS],
                                 "candidates int")
-    probes = (probes_ranked.join(F.broadcast(npdf),
-                                 F.col("rn") <= F.col("nprobe"))
-              .select("nprobe", "qid", "centroid_id"))
-
-    books = ann.pq_codebooks(emb, _PQ_M, _PQ_K)
-    sub = len(books[0][0])
-    codes = ann.pq_encode(emb, books).select(
-        "vec_id", *[f"pq_code_{m + 1}" for m in range(_PQ_M)])
-    assigned = ann.ivf_assign(emb, cent).select("vec_id", "centroid_id")
-
-    approx = F.lit(0.0)
-    for m, cbook in enumerate(books):
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
-        q_slice = F.slice(F.col("qv"), m * sub + 1, sub)
-        qdists = F.transform(cw_lit, lambda c: squared_l2(c, q_slice))
-        approx = approx + F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
-    sp = F.round(F.lit(1.0) - approx, 6)
-    w = Window.partitionBy("nprobe", "qid").orderBy(
-        sp.desc(), F.col("vec_id").asc())
-    pq_ranked = (assigned.join(F.broadcast(probes), "centroid_id")
-                 .join(codes, "vec_id")
-                 .join(F.broadcast(q), "qid")
-                 .withColumn("rn", F.row_number().over(w))
-                 .filter(F.col("rn") <= max(_FRONTIER_CANDS))
-                 .select("nprobe", "qid", "vec_id", "rn"))
     rescored = (pq_ranked.join(F.broadcast(cdf),
                                F.col("rn") <= F.col("candidates"))
                 .join(emb.select("vec_id", "embedding"), "vec_id")
@@ -1809,11 +1788,4 @@ def ann_ivf_pq_rescore_frontier(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_hits")))
     base = (cdf.coalesce(1).crossJoin(npdf.coalesce(1))
             .crossJoin(q.select("qid").coalesce(1)))
-    return (base.join(hits, ["candidates", "nprobe", "qid"], "left")
-            .groupBy("candidates", "nprobe")
-            .agg(F.sum(F.coalesce("n_hits", F.lit(0))).cast("long")
-                 .alias("n_hits_total"),
-                 F.round(F.sum(F.coalesce("n_hits", F.lit(0)))
-                         / float(len(_RECALL_QIDS) * _RECALL_K), 6)
-                 .alias("mean_recall"))
-            .orderBy("candidates", "nprobe"))
+    return _frontier_result(q, ["candidates", "nprobe"], base, hits)

@@ -427,6 +427,11 @@ def test_binary_knn_works_without_label_column(tables):
     extra = tables["embeddings"].withColumn("src", F.lit("corpus_a"))
     out2 = ann.binary_knn(extra, q, k=3).collect()
     assert out2[0]["src"] == "corpus_a" and out2[0]["label"] is not None
+    # reserved output names must be refused loudly, not silently clobbered
+    import pytest
+    clash = tables["embeddings"].withColumn("score", F.lit(0.0))
+    with pytest.raises(ValueError, match="collide"):
+        ann.binary_knn(clash, q, k=3)
 
 
 def test_binary_knn_self_match_and_exact_scores(tables):

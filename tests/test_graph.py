@@ -154,3 +154,23 @@ def test_beam_search_finds_query_neighborhood(spark):
              for r in knn_topk(emb, qv, k=100, threshold=None).collect()}
     for r in got:                          # scores agree with brute force
         assert r["score"] == exact[r["vec_id"]]
+
+
+def test_pagerank_auto_switch_matches_broadcast(spark):
+    """Auto mode with a tiny broadcast_node_limit must take the big-graph
+    branch (lazy repartition, no second edge checkpoint) and produce
+    EXACTLY the broadcast branch's ranks — strategy only moves rows."""
+    from server2_vector_search_server_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string")
+    small = {(r["node"], r["pr"])
+             for r in pagerank(edges, iterations=3).collect()}
+    auto_big = {(r["node"], r["pr"])
+                for r in pagerank(edges, iterations=3,
+                                  broadcast_node_limit=1).collect()}
+    forced = {(r["node"], r["pr"])
+              for r in pagerank(edges, iterations=3,
+                                broadcast_ranks=False).collect()}
+    assert small == auto_big == forced and len(small) == 4

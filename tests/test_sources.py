@@ -150,3 +150,39 @@ def test_documents_jsonl_and_csv_roundtrip(spark, tables, tmp_path):
         assert back.count() == docs.count()
         diff = (docs.exceptAll(back)).unionAll(back.exceptAll(docs))
         assert diff.count() == 0
+
+
+def test_count_pages_multi_node_page_tree():
+    """count_pages must follow the Catalog's /Pages reference to the ROOT
+    of a multi-node page tree — an intermediate /Pages node serialized
+    earlier carries only its subtree's /Count (code-review r4 finding)."""
+    from server2_vector_search_server_spark.sources.pdf_fallback import (
+        build_minimal_pdf,
+        count_pages,
+    )
+
+    # intermediate node (obj 7, /Count 50) appears BEFORE the root
+    # (obj 2, /Count 100) in byte order; the catalog points at obj 2
+    blob = (b"%PDF-1.4\n"
+            b"7 0 obj\n<< /Type /Pages /Parent 2 0 R /Count 50 >>\nendobj\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [7 0 R 8 0 R] /Count 100 >>\n"
+            b"endobj\n"
+            b"8 0 obj\n<< /Type /Pages /Parent 2 0 R /Count 50 >>\nendobj\n"
+            b"%%EOF\n")
+    assert count_pages(blob) == 100
+    # root without /Count must not borrow one from a later object:
+    # falls through to max-over-Pages-nodes
+    blob2 = (b"%PDF-1.4\n"
+             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+             b"2 0 obj\n<< /Kids [7 0 R] >>\nendobj\n"
+             b"7 0 obj\n<< /Type /Pages /Count 50 >>\nendobj\n%%EOF\n")
+    assert count_pages(blob2) == 50
+    # flat fixture PDFs still count correctly through the catalog path
+    assert count_pages(build_minimal_pdf(["a", "b", "c"])) == 3
+    # object number must match exactly (obj 12 is not obj 2)
+    blob3 = (b"%PDF-1.4\n"
+             b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+             b"12 0 obj\n<< /Type /Pages /Count 9 >>\nendobj\n"
+             b"2 0 obj\n<< /Type /Pages /Count 4 >>\nendobj\n%%EOF\n")
+    assert count_pages(blob3) == 4
