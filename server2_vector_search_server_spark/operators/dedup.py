@@ -251,30 +251,57 @@ def drop_minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
 
 # --- SimHash ----------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 62, not 32 (round 4): the token hash is mod 2^31−1, so it carries only
+# 31 useful bits — the old 32-bit fingerprint's top bit was degenerate
+# (always 0), and worse, 8-bit Manku segments give only 256 blocking keys,
+# leaving blocked candidate volume at ~n²/256 per segment (measured: the
+# blocked join stopped beating the cross join on a 200k-doc sparse corpus,
+# SCALE.md §34). Two derived 31-bit hashes per token widen the fingerprint
+# to 62 bits → 15/16-bit segments → 32-65k keys per segment, the key-space
+# Manku's 64-bit design assumes.
+SIMHASH_BITS = 62
+# second hash: h2 = (A2·h1 + B2) mod 2^31−1 — literals shared with the
+# DuckDB oracle (plans/dedup_queries._sql_simhash)
+SIMHASH_A2 = 1_103_515_245
+SIMHASH_B2 = 12_345
 
 
 def simhash(text: Column, *, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over unigram token hashes: bit i set iff Σ_t (±1 per bit i of
-    hash(t)) > 0. One token-hash array, `bits` aggregate expressions."""
+    """SimHash over unigram token hashes: bit i set iff Σ_t (±1 per bit i
+    of hash(t)) > 0 (Charikar STOC'02, public). Bits 0-30 vote with the
+    31-poly token hash, bits 31-61 with the derived second hash.
+
+    Single-pass form (the ``minhash_signature`` lesson): ONE ``F.aggregate``
+    over the token-hash array carries a ``bits``-slot vote accumulator —
+    the naive per-bit form re-traverses the array ``bits`` times and
+    recomputes the second hash per bit (62 scans; measured 2.4× slower at
+    62 bits). ``shiftright`` needs a literal shift, so bit extraction uses
+    a literal power array: bit i of h is ``(h % 2p >= p)`` with
+    ``p = pow2[i]``."""
     th = F.transform(tokens(text), token_hash)
+    # per bit slot: which hash (h1 for 0-30, h2 above) and which power
+    pows = F.array(*[F.lit(1 << (i if i < 31 else i - 31)).cast("long")
+                     for i in range(bits)])
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    init = F.array(*[F.lit(0).cast("long")] * bits)
 
-    def _vote_fn(i: int):
-        # PySpark higher-order lambdas must take exactly the declared arity
-        def fn(acc, x):
-            return acc + (F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2 - 1)
-        return fn
+    def step(acc, h1):
+        h2 = (F.lit(SIMHASH_A2).cast("long") * h1
+              + F.lit(SIMHASH_B2)) % MERSENNE31
 
-    bit_terms = []
-    for i in range(bits):
-        vote = F.aggregate(th, F.lit(0).cast("long"), _vote_fn(i))
-        bit_terms.append(
-            F.when(vote > 0, F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+        def vote(v, i):
+            h = F.when(i < 31, h1).otherwise(h2)
+            p = F.element_at(pows, i + 1)
+            bit = (h % (p * 2) >= p).cast("long")
+            return v + bit * 2 - 1
+        return F.transform(acc, vote)
+
+    votes = F.aggregate(th, init, step)
+    signed = F.zip_with(
+        votes, weights,
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(signed, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
 
 
 def simhash_segments(fingerprint: Column, *, max_hamming: int = 3,

@@ -179,10 +179,16 @@ def dedup_minhash_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. SimHash near-dup
 
 def _sql_simhash(hashes_expr: str, bits: int = dedup.SIMHASH_BITS) -> str:
+    """Twin of operators/dedup.simhash: bits 0-30 vote with the token
+    hash, bits 31-61 with the derived second hash (same A2/B2 literals)."""
+    h2 = (f"list_transform({hashes_expr}, "
+          f"x -> ({dedup.SIMHASH_A2} * x + {dedup.SIMHASH_B2}) "
+          f"% {MERSENNE31})")
     terms = []
     for i in range(bits):
-        vote = (f"list_sum(list_transform({hashes_expr}, "
-                f"x -> ((x >> {i}) & 1) * 2 - 1))")
+        src, shift = (hashes_expr, i) if i < 31 else (h2, i - 31)
+        vote = (f"list_sum(list_transform({src}, "
+                f"x -> ((x >> {shift}) & 1) * 2 - 1))")
         terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << i} AS BIGINT) "
                      f"ELSE CAST(0 AS BIGINT) END)")
     return "(" + " + ".join(terms) + ")"
