@@ -450,17 +450,31 @@ def cosine_near_duplicates(vectors: DataFrame, *, vec_col: str = "embedding",
     repeated calls in a long-lived session (ADVICE r3); checkpoint blocks
     are freed when the result is garbage-collected — same pattern as
     ``semantic_dedup`` below. Oracle mirrors the normalize-then-dot
-    arithmetic exactly."""
+    arithmetic exactly.
+
+    The normalized set is repartitioned to the session's default
+    parallelism BEFORE the checkpoint: the nested-loop join's stream side
+    inherits the checkpoint's partitioning, and a parquet-scan residue of
+    1-2 partitions serializes the O(n²) interpreted dot products onto 1-2
+    cores. The checkpoint is LAZY (``eager=False``): the plan is truncated
+    at call time either way (the DataFrame becomes a ``Scan ExistingRDD``,
+    so Catalyst cannot inline the norms into the join condition), but lazy
+    folds the materialization into the join's broadcast-build job instead
+    of paying a separate driver-blocking job per call — A/B at local[32],
+    80k pairs: eager/narrow 1.34 s, eager/repartitioned 0.94 s,
+    lazy/repartitioned 0.77 s median."""
     v = vectors if max_id is None else vectors.filter(F.col(id_col) < max_id)
     vec = F.col(vec_col)
     norm = l2_norm(vec)
     # zero-norm guard: all-zero vector stays all-zero (cosine 0 vs anything)
     denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    nparts = v.sparkSession.sparkContext.defaultParallelism
     normalized = (
         v.select(F.col(id_col),
                  F.transform(vec,
                              lambda x: x.cast("double") / denom).alias("_nv"))
-        .localCheckpoint(eager=True)
+        .repartition(nparts)
+        .localCheckpoint(eager=False)
     )
     a = normalized.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("n_a"))
     b = normalized.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("n_b"))

@@ -280,9 +280,13 @@ _SQL_COSINE = f"""
 def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _COS_N).select("vec_id", "embedding")
-    copy = emb.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
-    return dedup.cosine_near_duplicates(
-        emb.unionByName(copy), threshold=_COS_THRESHOLD)
+    # planted-duplicate union via explode — ONE parquet scan; a two-branch
+    # unionByName scans the file twice inside the operator's checkpoint job
+    both = emb.select(
+        F.explode(F.array(F.col("vec_id"),
+                          F.col("vec_id") + 20000)).alias("vec_id"),
+        "embedding")
+    return dedup.cosine_near_duplicates(both, threshold=_COS_THRESHOLD)
 
 
 @query(
