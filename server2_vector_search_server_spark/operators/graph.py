@@ -23,7 +23,7 @@ function without changing callers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -156,10 +156,12 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
     at any parallelism.
 
     Classic Pregel-style iteration re-expressed as DataFrame ops: each round
-    is contribs = edges ⋈ ranks on src, then a partial-aggregable SUM per
-    dst, then a left join back onto the node set. Dangling-node mass is
-    dropped (the simplified PR variant) — documented, identical on both
-    engines.
+    is contribs = edges ⋈ prior contribs on src (the rank expression is
+    folded into the join — round 1 needs no join at all, the initial rank
+    being a constant), then a partial-aggregable SUM per dst; the node-sized
+    rank table is materialized ONCE, after the last round. Dangling-node
+    mass is dropped (the simplified PR variant) — documented, identical on
+    both engines.
 
     Determinism contract: per-edge contributions are summed via the
     scaled-BIGINT exact-sum pattern (registry.exact_sum) and each round's
@@ -228,29 +230,44 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
 
     base = (1.0 - damping) / n
     factor = 10 ** scale
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n), scale).alias("pr"))
+
+    def _pr_expr() -> Column:
+        # the per-round rank, folded into the NEXT round's edge join:
+        # pr_i(v) = round(base + d·contrib_i(v), scale), absent ⇒ base.
+        # Bit-identical to materializing a node-sized rank table (same
+        # rounding, same coalesce), but each round costs ONE join instead
+        # of two — the nodes ⋈ contribs rank rebuild happens only once,
+        # after the last round.
+        return F.round(base + damping * F.coalesce("contrib", F.lit(0.0)),
+                       scale)
+
+    contribs = None
     for _ in range(iterations):
-        # shuffle_hash hint on the big-graph branch: without it Catalyst's
-        # size estimate would quietly re-select broadcast for a small test
-        # graph, making the strategy untestable — and at real scale the
-        # whole point is that ranks must NOT be broadcast
-        rk = (F.broadcast(ranks) if use_bcast
-              else ranks.hint("shuffle_hash"))
-        contribs = (
-            ed.join(rk, ed[src] == rk["node"])
-            .select(F.col(dst).alias("node"),
-                    (F.col("pr") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg((F.sum(F.round(F.col("c") * factor).cast("long"))
-                  / float(factor)).alias("contrib")))
-        cb = (F.broadcast(contribs) if use_bcast
-              else contribs.hint("shuffle_hash"))
-        ranks = (nodes.join(cb, "node", "left")
-                 .select("node",
-                         F.round(base + damping
-                                 * F.coalesce("contrib", F.lit(0.0)), scale)
-                         .alias("pr")))
-    return ranks
+        if contribs is None:
+            # round 1: every source holds the uniform rank — a constant,
+            # so the first round needs NO rank join at all
+            j = ed.select(F.col(dst).alias("node"),
+                          (F.round(F.lit(1.0 / n), scale)
+                           / F.col("outdeg")).alias("c"))
+        else:
+            # shuffle_hash hint on the big-graph branch: without it
+            # Catalyst's size estimate would quietly re-select broadcast
+            # for a small test graph, making the strategy untestable — and
+            # at real scale the whole point is that the node-sized contrib
+            # table must NOT be broadcast
+            cb = (F.broadcast(contribs) if use_bcast
+                  else contribs.hint("shuffle_hash"))
+            # LEFT join: sources with no inbound mass still rank `base`
+            j = (ed.join(cb, ed[src] == cb["node"], "left")
+                 .select(F.col(dst).alias("node"),
+                         (_pr_expr() / F.col("outdeg")).alias("c")))
+        contribs = (j.groupBy("node")
+                    .agg((F.sum(F.round(F.col("c") * factor).cast("long"))
+                          / float(factor)).alias("contrib")))
+    cb = (F.broadcast(contribs) if use_bcast
+          else contribs.hint("shuffle_hash"))
+    return (nodes.join(cb, "node", "left")
+            .select("node", _pr_expr().alias("pr")))
 
 
 def knn_graph(vectors: DataFrame, k: int = 2, *,
