@@ -63,6 +63,21 @@ def perm_params(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
 PERMS = perm_params()
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input arrives narrower. A small parquet file scans as ONE partition,
+    which serializes every per-document heavy expression (MinHash
+    signatures, SimHash votes, shingle sets) onto one core — measured 11 s
+    single-partition vs sub-second wide for full-corpus MinHash signatures
+    at sf0.1. No-op when the input is already at least that wide: at real
+    scale the scan width is governed by spark.sql.files.maxPartitionBytes
+    and an extra shuffle of raw text would be pure cost."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= nparts:
+        return df
+    return df.repartition(nparts)
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_duplicate_groups(docs: DataFrame, *, text_col: str = "text",
@@ -185,7 +200,7 @@ def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     blocks — on deployments with executor churn/dynamic allocation,
     swap in ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``
     (reliable storage) at the same call sites."""
-    sigs = (add_minhash(docs, text_col=text_col)
+    sigs = (add_minhash(_widen(docs), text_col=text_col)
             .select(id_col, "minhash").localCheckpoint(eager=True))
     pairs = minhash_candidate_pairs(sigs, id_col=id_col)
     a = sigs.select(F.col(id_col).alias("id_a"),
@@ -236,8 +251,8 @@ def drop_minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     # futures; eager materialization is the same deterministic barrier the
     # old persist+count was, and its blocks free on GC instead of pinning
     # session cache (r3 ADVICE class).
-    sigs = (add_minhash(docs, text_col=text_col).select(id_col, "minhash")
-            .localCheckpoint(eager=True))
+    sigs = (add_minhash(_widen(docs), text_col=text_col)
+            .select(id_col, "minhash").localCheckpoint(eager=True))
     b = lsh_bands(sigs, id_col=id_col, bands=bands)
     bucket_min = (b.groupBy("band_index", "band_key")
                   .agg(F.min(id_col).alias("bucket_rep")))
@@ -360,8 +375,8 @@ def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     value) is what the class collapse defuses; AQE skew-join splits any
     residual hot bucket (SCALE.md §34)."""
     d = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
-    s = (d.select(F.col(id_col).alias("id"),
-                  simhash(F.col(text_col)).alias("sh"))
+    s = (_widen(d).select(F.col(id_col).alias("id"),
+                          simhash(F.col(text_col)).alias("sh"))
          .localCheckpoint(eager=True))
 
     # intra-class: identical fingerprints, hamming 0 by construction
@@ -417,8 +432,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
     """Exact n-gram Jaccard over doc pairs ≥ threshold (verification
     primitive; MinHash-LSH is the candidate generator at scale)."""
     d = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
-    s = d.select(F.col(id_col).alias("id"),
-                 word_shingles(F.col(text_col), n).alias("sh"))
+    s = _widen(d).select(F.col(id_col).alias("id"),
+                         word_shingles(F.col(text_col), n).alias("sh"))
     a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -468,12 +483,10 @@ def cosine_near_duplicates(vectors: DataFrame, *, vec_col: str = "embedding",
     norm = l2_norm(vec)
     # zero-norm guard: all-zero vector stays all-zero (cosine 0 vs anything)
     denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-    nparts = v.sparkSession.sparkContext.defaultParallelism
     normalized = (
-        v.select(F.col(id_col),
-                 F.transform(vec,
-                             lambda x: x.cast("double") / denom).alias("_nv"))
-        .repartition(nparts)
+        _widen(v.select(F.col(id_col),
+                        F.transform(vec, lambda x: x.cast("double") / denom)
+                        .alias("_nv")))
         .localCheckpoint(eager=False)
     )
     a = normalized.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("n_a"))

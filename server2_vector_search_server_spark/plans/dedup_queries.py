@@ -48,12 +48,18 @@ _SQL_DOCS = f"""
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # base + planted exact dup + planted near dup, via ONE explode over ONE
+    # parquet scan — the equivalent three-branch union re-scans the file
+    # once per branch inside every downstream materialization job
     base = tbl(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _N_BASE).select("doc_id", "text")
-    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
-    near = base.select((F.col("doc_id") + 10000).alias("doc_id"),
-                       F.concat(F.col("text"), F.lit(_PERTURB)).alias("text"))
-    return base.unionByName(exact).unionByName(near)
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 20000).alias("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 10000).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(_PERTURB)).alias("text")))
+    return (base.select(F.explode(variants).alias("v"))
+            .select("v.doc_id", "v.text"))
 
 
 # ---------------------------------------------------------------------------
