@@ -91,6 +91,7 @@ HEADLINE = [
     "text_dsir_importance",     # DSIR hashed-unigram importance weights
     "dedup_simhash",            # Manku-blocked SimHash pairs (round 4)
     "graph_pagerank_shuffle",   # big-graph PageRank branch (round 4)
+    "dedup_substring_spans",    # ExactSubstr windowed span dedup (round 4)
 ]
 
 

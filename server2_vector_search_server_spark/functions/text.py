@@ -46,6 +46,37 @@ def sql_token_hash(tok_expr: str) -> str:
             f"(acc, c) -> (acc * 31 + c) % {MERSENNE31})")
 
 
+def token_windows(text: Column, n: int = 8) -> Column:
+    """POSITIONAL word n-gram windows, one per start offset, in document
+    order — unlike :func:`word_shingles` there is no ``array_distinct``:
+    element *i* (1-based) is the window starting at token *i*, so
+    ``posexplode`` recovers the start position. The unit of exact-substring
+    deduplication (Lee et al. 2022, arXiv:2107.06499 — ExactSubstr)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)])))
+
+
+def sql_token_windows(text_expr: str, n: int = 8) -> str:
+    """DuckDB twin of :func:`token_windows` (1-based list indexing both);
+    yields a list of ``{pos, win}`` structs so the caller can unnest with
+    positions."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    parts = " || ' ' || ".join(f"__tk[i + {j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({toks}) - {n - 1} <= 0 "
+        f"THEN CAST([] AS STRUCT(pos BIGINT, win VARCHAR)[]) "
+        f"ELSE (SELECT list_transform("
+        f"range(1, len(__tk) - {n - 1} + 1), "
+        f"i -> {{'pos': i, 'win': {parts}}}) FROM (SELECT {toks} AS __tk)) "
+        f"END)"
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column."""
     toks = tokens(text)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.functions.text import (
     MERSENNE31,
     token_hash,
+    token_windows,
     tokens,
     word_shingles,
 )
@@ -444,6 +445,94 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- exact substring dedup (Lee et al. 2022, ExactSubstr) --------------------
+
+def _dup_windows(docs: DataFrame, *, text_col: str, id_col: str,
+                 window_tokens: int,
+                 max_doc_freq: int) -> tuple[DataFrame, DataFrame]:
+    """(id, pos, wh) rows for every window start, plus the set of window
+    keys that appear in 2..max_doc_freq distinct documents. Shared plumbing
+    for the pair and span forms below."""
+    w = (_widen(docs)
+         .select(F.col(id_col).alias("id"),
+                 F.posexplode(token_windows(F.col(text_col), window_tokens))
+                 .alias("p0", "win"))
+         .select("id", (F.col("p0") + 1).cast("long").alias("pos"),
+                 F.md5("win").alias("wh")))
+    dup = (w.groupBy("wh")
+           .agg(F.count_distinct("id").alias("ndocs"))
+           .filter((F.col("ndocs") >= 2)
+                   & (F.col("ndocs") <= max_doc_freq))
+           .select("wh"))
+    return w, dup
+
+
+def substring_duplicate_pairs(docs: DataFrame, *, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window_tokens: int = 8,
+                              max_doc_freq: int = 100) -> DataFrame:
+    """Document pairs sharing at least one EXACT run of ``window_tokens``
+    consecutive tokens (the suffix-array dedup of Lee et al. 2022,
+    arXiv:2107.06499, re-expressed for a distributed engine as rolling
+    k-token windows — the standard stand-in, since a global suffix array
+    is not shardable, and any duplicated substring of length ≥ k contains
+    a duplicated k-window).
+
+    Scale shape: windows ∝ total tokens, keyed by md5 (128-bit — collision
+    odds negligible, and the key is a fixed 32 bytes however long the
+    window). Candidate pairs come from an EQUI-join on the window key over
+    per-doc DISTINCT window sets, never a cross join; ``max_doc_freq``
+    drops windows shared by more than that many documents (boilerplate —
+    license headers, navigation chrome — is the skew case: a window in f
+    docs contributes f² candidates, so the cap bounds the blowup exactly
+    the way stop-words bound an inverted index; capped windows are
+    REPORTED by the companion span form, just not paired)."""
+    w, dup = _dup_windows(docs, text_col=text_col, id_col=id_col,
+                          window_tokens=window_tokens,
+                          max_doc_freq=max_doc_freq)
+    dw = w.join(dup, "wh").select("id", "wh").distinct()
+    a = dw.select(F.col("id").alias("id_a"), "wh")
+    b = dw.select(F.col("id").alias("id_b"), F.col("wh").alias("wh_b"))
+    return (a.join(b, (a["wh"] == b["wh_b"])
+                   & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_windows")))
+
+
+def substring_duplicate_spans(docs: DataFrame, *, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window_tokens: int = 8,
+                              max_doc_freq: int = 100) -> DataFrame:
+    """Per-document MERGED token spans covered by duplicated windows — the
+    deletion unit of ExactSubstr dedup (Lee et al. 2022 remove the
+    duplicated bytes, not the document). A window starting at ``pos``
+    covers tokens ``[pos, pos + k − 1]``; overlapping/adjacent flagged
+    windows merge via gaps-and-islands (a running ``max(end)`` window
+    over start order — per-document partitions, so the window state is
+    bounded by document length, never corpus size)."""
+    from pyspark.sql import Window as W
+
+    w, dup = _dup_windows(docs, text_col=text_col, id_col=id_col,
+                          window_tokens=window_tokens,
+                          max_doc_freq=max_doc_freq)
+    flagged = (w.join(dup, "wh")
+               .select("id", "pos",
+                       (F.col("pos") + window_tokens - 1).alias("end")))
+    order = W.partitionBy("id").orderBy("pos")
+    prev_max = F.max("end").over(
+        order.rowsBetween(W.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1) \
+        .otherwise(0)
+    islands = (flagged
+               .withColumn("island", F.sum(brk).over(order)))
+    return (islands.groupBy("id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"))
+            .select(F.col("id").alias(id_col), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_tokens")))
 
 
 # --- embedding cosine -------------------------------------------------------

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.functions.text import (
     MERSENNE31,
     sql_token_hash,
+    sql_token_windows,
     sql_word_shingles,
 )
 from server2_vector_search_server_spark.operators import dedup
@@ -491,6 +492,91 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_kept").cast("int").alias("n_kept"),
                        F.col("n_removed").cast("int").alias("n_removed"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# 9. exact-substring dedup (Lee et al. 2022 ExactSubstr, windowed form)
+
+_SUBSTR_K = 8
+_SUBSTR_CAP = 100
+
+_SQL_SUBSTR_COMMON = f"""
+    docs2 AS ({_SQL_DOCS}),
+    w AS (
+      SELECT doc_id, unnest({sql_token_windows('text', _SUBSTR_K)}) AS x
+      FROM docs2),
+    kw AS (SELECT doc_id, x.pos AS pos, md5(x.win) AS wh FROM w),
+    dup AS (
+      SELECT wh FROM kw GROUP BY wh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_CAP})"""
+
+
+@query(
+    "dedup_substring_pairs",
+    survey="north-star dedup (exact-substring dedup, pair form: documents "
+           "sharing an exact k-token run — the Lee et al. 2022 ExactSubstr "
+           "criterion as a windowed equi-join, frequency-capped against "
+           "boilerplate skew)",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_COMMON},
+    dw AS (SELECT DISTINCT doc_id, wh FROM kw JOIN dup USING (wh))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_windows
+    FROM dw a JOIN dw b USING (wh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing ≥1 exact 8-token window over the planted-dup
+    corpus (base / byte-exact copy / perturbed near-copy): every pair of
+    variants of the same base doc shares its interior windows, and the
+    count of shared windows separates exact copies from tail-perturbed
+    ones (operators/dedup.substring_duplicate_pairs)."""
+    return (dedup.substring_duplicate_pairs(
+        _docs_with_dups(spark, sf_dir),
+        window_tokens=_SUBSTR_K, max_doc_freq=_SUBSTR_CAP)
+        .orderBy("id_a", "id_b"))
+
+
+@query(
+    "dedup_substring_spans",
+    survey="north-star dedup (exact-substring dedup, span form: per-doc "
+           "merged duplicated-token intervals — the deletion unit of "
+           "ExactSubstr; gaps-and-islands over flagged window starts)",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_COMMON},
+    flagged AS (
+      SELECT doc_id, pos, pos + {_SUBSTR_K} - 1 AS e
+      FROM kw JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN MAX(e) OVER prior IS NULL
+                       OR pos > MAX(e) OVER prior
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged
+      WINDOW prior AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+           CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl2 GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated-token spans per document — what ExactSubstr
+    deletes. The near-dup variants share the base text but not the
+    perturbed tail, so their spans stop short of the document end
+    (operators/dedup.substring_duplicate_spans)."""
+    return (dedup.substring_duplicate_spans(
+        _docs_with_dups(spark, sf_dir),
+        window_tokens=_SUBSTR_K, max_doc_freq=_SUBSTR_CAP)
+        .orderBy("doc_id", "span_start"))
 
 
 @query(

@@ -463,3 +463,75 @@ def test_matryoshka_full_prefix_is_exact(tables):
     assert [r["vec_id"] for r in out] == [r["vec_id"] for r in exact]
     for a, b in zip(out, exact):
         assert a["score"] == b["score"] == a["score_prefix"]
+
+
+# --- exact-substring dedup (Lee et al. 2022 windowed form) -------------------
+
+@pytest.fixture(scope="module")
+def substr_docs(spark):
+    shared = " ".join(f"s{i}" for i in range(10))       # 10 shared tokens
+    gap_a = " ".join(f"a{i}" for i in range(12))        # unique filler
+    gap_b = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} {gap_a} {shared}"),              # two shared regions
+        (2, f"{gap_b} {shared}"),                       # one shared region
+        (3, " ".join(f"c{i}" for i in range(30))),      # no overlap
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_pairs_planted(substr_docs):
+    out = dedup.substring_duplicate_pairs(substr_docs, window_tokens=8)
+    got = {(r["id_a"], r["id_b"]): r["shared_windows"] for r in out.collect()}
+    # only (1,2) share the 10-token run; a 10-token run has 3 distinct
+    # 8-token windows
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 3
+
+
+def test_substring_pairs_matches_brute_force(substr_docs):
+    """Property: pair (a,b) is emitted iff some exact 8-token window occurs
+    in both texts — checked directly against Python string windows."""
+    rows = {r["doc_id"]: r["text"] for r in substr_docs.collect()}
+
+    def wins(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+
+    expect = {(a, b)
+              for a in rows for b in rows
+              if a < b and wins(rows[a]) & wins(rows[b])}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.substring_duplicate_pairs(
+               substr_docs, window_tokens=8).collect()}
+    assert got == expect
+
+
+def test_substring_spans_merge_and_gap(substr_docs):
+    out = dedup.substring_duplicate_spans(substr_docs, window_tokens=8)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"]))
+    # doc 1: shared run at tokens 1-10 and again at 23-32 — two islands,
+    # each covering the full 10-token run (starts 1..3 ⇒ [1, 10])
+    assert sorted(spans[1]) == [(1, 10, 10), (23, 32, 10)]
+    # doc 2: one island at the tail (starts 13..15 ⇒ [13, 22])
+    assert spans[2] == [(13, 22, 10)]
+    # doc 3: nothing duplicated
+    assert 3 not in spans
+
+
+def test_substring_frequency_cap_drops_boilerplate(spark):
+    """A window in MORE than max_doc_freq docs must not generate pairs
+    (the boilerplate skew valve)."""
+    boiler = " ".join(f"x{i}" for i in range(8))
+    rows = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g")
+            for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.substring_duplicate_pairs(docs, window_tokens=8,
+                                             max_doc_freq=4)
+    assert capped.count() == 0          # boiler window is in 5 > 4 docs
+    uncapped = dedup.substring_duplicate_pairs(docs, window_tokens=8,
+                                               max_doc_freq=5)
+    assert uncapped.count() == 10       # all C(5,2) pairs

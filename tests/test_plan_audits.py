@@ -438,3 +438,24 @@ def test_overfetch_rerank_stages_plan_as_partial_topk(spark):
     plan = _plan(spark, "search_overfetch_rerank")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_pairs_equi_join_no_cross(spark):
+    # ExactSubstr pair generation must be an equi-join on the window key
+    # (plus a broadcastable dup-window semi-join) — never a cross join
+    plan = _plan(spark, "dedup_substring_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_windows_partition_by_doc(spark):
+    # gaps-and-islands state must be per-document (bounded by doc length),
+    # and the pair explosion must not appear in the span form at all
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    # every window spec partitions on the doc id: "windowspecdefinition(
+    # id#NNL, pos#NNL ASC ..." — a global (unpartitioned) running window
+    # would single-task the merge
+    import re
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "id" for s in specs)
