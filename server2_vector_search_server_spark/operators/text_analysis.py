@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.text import (
     token_hash,
+    token_windows,
     tokens,
     word_shingles,
 )
@@ -173,6 +174,129 @@ def gopher_rule_columns(text: Column) -> list[Column]:
             frac_ellipsis.alias("frac_ellipsis_lines"),
             n_stop_hits.alias("n_stop_hits"),
             keep.alias("keep")]
+
+
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 10)
+
+
+def add_gopher_repetition(docs: DataFrame, *, text_col: str = "text",
+                          ) -> DataFrame:
+    """Append the Gopher REPETITION filter family (Rae et al. 2021, Table
+    A1 — the other half of the rule set, the one RefinedWeb/FineWeb carry
+    forward): within-document repetition measured as
+
+    - ``dup_line_frac`` — fraction of non-empty lines whose exact text
+      occurs more than once in the document;
+    - ``dup_line_char_frac`` — fraction of line characters inside those
+      duplicated lines;
+    - ``top_{2,3,4}gram_char_frac`` — fraction of token characters covered
+      by the single heaviest n-gram, coverage = max over distinct n-grams
+      of occurrences × n-gram token length (deterministic even under
+      frequency ties, unlike "the most frequent n-gram");
+    - ``dup_{5,10}gram_char_frac`` — fraction of token characters covered
+      by ALL n-grams occurring more than once (summed without overlap
+      correction — the standard curation-pipeline approximation), the two
+      endpoints of the paper's 5..10 family;
+    - conjunctive ``rep_keep`` at the paper's thresholds (dup lines ≤ 0.30,
+      dup line chars ≤ 0.20, top 2/3/4-gram ≤ 0.20/0.18/0.16,
+      dup 5/10-gram ≤ 0.15/0.10).
+
+    Shaped as a DataFrame transform, NOT a bag of column expressions, for
+    a load-bearing reason: each stage binds the expensive arrays (window
+    lists, per-distinct-gram occurrence counts) to NAMED columns that later
+    stages reference more than once. Catalyst's CollapseProject never
+    inlines a multi-referenced non-trivial column, so every O(windows²)
+    count-by-equality runs exactly once per document — the single-select
+    form re-embedded the full tokenize→window subtree in every metric AND
+    re-embedded all seven metrics inside ``rep_keep`` (measured 315 s for
+    120 docs vs ~1 s staged). Same lesson as SCALE.md §2/§4/§37 but inside
+    ONE projection pipeline: duplication happens at expression level, not
+    just across joins. Still zero shuffles, zero Python — at 100 TB this
+    fuses into the scan next to ``gopher_rule_columns``; per-doc cost is
+    O(lines² + windows²), bounded by document length."""
+    text = F.col(text_col)
+    out = docs.withColumns({
+        "_lines": F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != ""),
+        "_toks": tokens(text),
+        **{f"_w{n}": token_windows(text, n)
+           for n in (*_REP_TOP_NS, *_REP_DUP_NS)},
+    })
+    # per-line / per-distinct-gram occurrence counts — each O(len²) lambda
+    # is bound ONCE here
+    out = out.withColumns({
+        "_lcnt": F.transform(
+            F.col("_lines"),
+            lambda ln: F.size(F.filter(F.col("_lines"),
+                                       lambda x: x == ln))),
+        **{f"_d{n}": F.array_distinct(F.col(f"_w{n}"))
+           for n in (*_REP_TOP_NS, *_REP_DUP_NS)},
+    })
+    def _count_in(w_name: str):
+        # factory, not a default-arg lambda: PySpark reads lambda ARITY to
+        # pick the (element) vs (element, index) HOF form, so a captured
+        # `n=n` default would be parsed as the index parameter
+        def fn(d):
+            return F.size(
+                F.filter(F.col(w_name), lambda x: x == d)).cast("long")
+        return fn
+
+    out = out.withColumns({
+        f"_c{n}": F.transform(F.col(f"_d{n}"), _count_in(f"_w{n}"))
+        for n in (*_REP_TOP_NS, *_REP_DUP_NS)
+    })
+    nl = F.when(F.size("_lines") == 0, F.lit(1)).otherwise(F.size("_lines"))
+    line_chars = F.aggregate(F.col("_lines"), F.lit(0).cast("long"),
+                             lambda a, ln: a + F.length(ln))
+    tok_chars = F.aggregate(F.col("_toks"), F.lit(0).cast("long"),
+                            lambda a, t: a + F.length(t))
+    out = out.withColumns({
+        "_nl": nl.cast("double"),
+        "_lc": F.greatest(line_chars, F.lit(1).cast("long")).cast("double"),
+        "_tc": F.greatest(tok_chars, F.lit(1).cast("long")).cast("double"),
+    })
+
+    def _cover(n: int) -> Column:
+        # occurrences × token chars per distinct n-gram (string length
+        # minus the n−1 joining spaces)
+        return F.zip_with(F.col(f"_c{n}"), F.col(f"_d{n}"),
+                          lambda c, d: c * (F.length(d) - F.lit(n - 1)))
+
+    metrics = {
+        "dup_line_frac": F.round(
+            F.size(F.filter(F.col("_lcnt"), lambda c: c > 1))
+            .cast("double") / F.col("_nl"), 6),
+        "dup_line_char_frac": F.round(
+            F.aggregate(
+                F.zip_with(F.col("_lcnt"), F.col("_lines"),
+                           lambda c, ln: F.when(c > 1, F.length(ln)
+                                                .cast("long"))
+                           .otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double") / F.col("_lc"), 6),
+        **{f"top_{n}gram_char_frac": F.round(
+            F.coalesce(F.array_max(_cover(n)), F.lit(0).cast("long"))
+            .cast("double") / F.col("_tc"), 6) for n in _REP_TOP_NS},
+        **{f"dup_{n}gram_char_frac": F.round(
+            F.aggregate(
+                F.zip_with(F.col(f"_c{n}"), _cover(n),
+                           lambda c, cov: F.when(c > 1, cov)
+                           .otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double") / F.col("_tc"), 6) for n in _REP_DUP_NS},
+    }
+    out = out.withColumns(metrics)
+    out = out.withColumn(
+        "rep_keep",
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("top_2gram_char_frac") <= 0.20)
+        & (F.col("top_3gram_char_frac") <= 0.18)
+        & (F.col("top_4gram_char_frac") <= 0.16)
+        & (F.col("dup_5gram_char_frac") <= 0.15)
+        & (F.col("dup_10gram_char_frac") <= 0.10))
+    drop = [c for c in out.columns if c.startswith("_")]
+    return out.drop(*drop)
 
 
 def train_quality_classifier(docs, *, text_col: str = "text",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.text import (
     sql_token_hash,
+    sql_token_windows,
     sql_word_shingles,
     tokens,
 )
@@ -480,6 +481,111 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", *ta.gopher_rule_columns(F.col("text")))
             .withColumn("n_words", F.col("n_words").cast("int"))
             .withColumn("n_stop_hits", F.col("n_stop_hits").cast("int"))
+            .orderBy("doc_id"))
+
+
+# --- Gopher repetition rules (Rae et al. 2021 Table A1) ---------------------
+
+_REP_LINE = "REPEAT ME PLEASE"
+_REP_SPAM = " spam" * 10
+
+
+def _sql_rep_wins(n: int) -> str:
+    return (f"list_transform({sql_token_windows('text', n)}, "
+            f"s -> s.win)")
+
+
+def _sql_top_cover(n: int) -> str:
+    w = f"w{n}"
+    return (f"ROUND(CAST(coalesce(list_max(list_transform("
+            f"list_distinct({w}), d -> len(list_filter({w}, x -> x = d)) "
+            f"* (length(d) - {n - 1}))), 0) AS DOUBLE) / tc, 6)")
+
+
+def _sql_dup_cover(n: int) -> str:
+    w = f"w{n}"
+    return (f"ROUND(CAST(coalesce(list_sum(list_transform("
+            f"list_distinct({w}), d -> CASE "
+            f"WHEN len(list_filter({w}, x -> x = d)) > 1 "
+            f"THEN len(list_filter({w}, x -> x = d)) * (length(d) - {n - 1}) "
+            f"ELSE 0 END)), 0) AS DOUBLE) / tc, 6)")
+
+
+_SQL_GOPHER_REP = f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || '{_REP_LINE}' || chr(10) ||
+                       '{_REP_LINE}' || chr(10) || '{_REP_LINE}'
+                  WHEN doc_id % 3 = 1 THEN text || '{_REP_SPAM}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 120),
+    feat AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         ln -> trim(ln) != '') AS lines,
+             {_SQL_TOKS} AS toks,
+             {_sql_rep_wins(2)} AS w2, {_sql_rep_wins(3)} AS w3,
+             {_sql_rep_wins(4)} AS w4, {_sql_rep_wins(5)} AS w5,
+             {_sql_rep_wins(10)} AS w10
+      FROM docs2),
+    feat2 AS (
+      SELECT *,
+             CASE WHEN len(lines) = 0 THEN 1 ELSE len(lines) END AS nl,
+             CAST(greatest(coalesce(list_sum(list_transform(lines,
+                  ln -> length(ln))), 0), 1) AS DOUBLE) AS lc,
+             CAST(greatest(coalesce(list_sum(list_transform(toks,
+                  t -> length(t))), 0), 1) AS DOUBLE) AS tc,
+             list_filter(lines, ln ->
+                  len(list_filter(lines, x -> x = ln)) > 1) AS dup_lines
+      FROM feat),
+    m AS (
+      SELECT doc_id,
+             ROUND(CAST(len(dup_lines) AS DOUBLE) / nl, 6) AS dup_line_frac,
+             ROUND(CAST(coalesce(list_sum(list_transform(dup_lines,
+                   ln -> length(ln))), 0) AS DOUBLE) / lc, 6)
+               AS dup_line_char_frac,
+             {_sql_top_cover(2)} AS top_2gram_char_frac,
+             {_sql_top_cover(3)} AS top_3gram_char_frac,
+             {_sql_top_cover(4)} AS top_4gram_char_frac,
+             {_sql_dup_cover(5)} AS dup_5gram_char_frac,
+             {_sql_dup_cover(10)} AS dup_10gram_char_frac
+      FROM feat2)
+    SELECT *,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+            AND dup_10gram_char_frac <= 0.10) AS rep_keep
+    FROM m ORDER BY doc_id
+"""
+
+
+@query(
+    "text_gopher_repetition",
+    survey="north-star text analysis (Gopher repetition filter family, "
+           "Rae et al. 2021 Table A1: duplicate lines, top/duplicated "
+           "n-gram character coverage — the RefinedWeb/FineWeb carry-over "
+           "rules)",
+    oracle=_SQL_GOPHER_REP,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics per doc over a corpus with
+    planted repetition (every 3rd doc gets a tripled line, the next a
+    heavy bigram tail) — one narrow projection, no shuffle, no Python
+    (operators/text_analysis.gopher_repetition_columns)."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(f"\n{_REP_LINE}\n{_REP_LINE}\n{_REP_LINE}")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(_REP_SPAM)))
+        .otherwise(F.col("text")).alias("text"))
+    # widen before the O(doc_len²) per-document lambdas: the 120-doc slice
+    # scans as one partition, which would single-core the whole family
+    wide = planted.repartition(spark.sparkContext.defaultParallelism)
+    return (ta.add_gopher_repetition(wide).drop("text")
             .orderBy("doc_id"))
 
 

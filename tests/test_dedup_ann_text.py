@@ -535,3 +535,36 @@ def test_substring_frequency_cap_drops_boilerplate(spark):
     uncapped = dedup.substring_duplicate_pairs(docs, window_tokens=8,
                                                max_doc_freq=5)
     assert uncapped.count() == 10       # all C(5,2) pairs
+
+
+# --- Gopher repetition rules -------------------------------------------------
+
+def test_gopher_repetition_hand_computed(spark):
+    """Metric values pinned by hand on a crafted doc:
+    text: lines ['a b c d', 'a b c d', 'x y z w'] (12 tokens, 12 token
+    chars, 24 line chars incl. spaces)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d\na b c d\nx y z w")], "doc_id long, text string")
+    r = ta.add_gopher_repetition(df).collect()[0]
+    # two of three lines duplicated
+    assert r["dup_line_frac"] == round(2 / 3, 6)
+    # dup line chars = 7 + 7 of 7+7+7 total
+    assert r["dup_line_char_frac"] == round(14 / 21, 6)
+    # 2-grams: 'a b','b c','c d' twice + 'd a','d x' once + 'x y','y z',
+    # 'z w' -> heaviest covers 2 occurrences x 2 chars = 4 of 12 token chars
+    assert r["top_2gram_char_frac"] == round(4 / 12, 6)
+    # 5-grams: 'a b c d a','b c d a b','c d a b c','d a b c d', 'a b c d x',
+    # 'b c d x y', 'c d x y z', 'd x y z w' -- all distinct, no dups
+    assert r["dup_5gram_char_frac"] == 0.0
+    assert not r["rep_keep"]          # dup_line_frac 0.667 > 0.30
+
+
+def test_gopher_repetition_clean_doc_keeps(spark):
+    df = spark.createDataFrame(
+        [(1, "\n".join(" ".join(f"t{i}_{j}" for j in range(10))
+                       for i in range(5)))],
+        "doc_id long, text string")
+    r = ta.add_gopher_repetition(df).collect()[0]
+    assert r["dup_line_frac"] == 0.0
+    assert r["top_2gram_char_frac"] <= 0.20
+    assert r["rep_keep"]
