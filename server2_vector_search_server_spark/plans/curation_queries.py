@@ -460,3 +460,121 @@ def documents_source_drift_chi2(spark: SparkSession,
                  .cast("long").alias("chi2_micro"),
                  (F.count(F.lit(1)) - 1).cast("int").alias("dof"))
             .orderBy("source"))
+
+
+# --- leakage-safe train/val split -------------------------------------------
+#
+# Near-duplicate documents that straddle a train/val split leak training
+# content into evaluation (the benchmark-contamination failure mode applied
+# to one's OWN held-out set). The guard: split by DUP-CLUSTER, not by doc —
+# assign every connected component of the near-dup graph to one side.
+
+_SPLIT_MOD = 3    # doc/cluster ≡ 0 (mod 3) → val
+
+from server2_vector_search_server_spark.plans.dedup_queries import (  # noqa: E402,E501
+    _SQL_COSINE as _SQL_NEARDUP_PAIRS,
+)
+
+_SQL_LEAKAGE = f"""
+    WITH RECURSIVE pairs AS ({_SQL_NEARDUP_PAIRS}),
+    nodes AS (SELECT id_a AS node FROM pairs UNION SELECT id_b FROM pairs),
+    edges_bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.a AS node, r.lbl FROM edges_bi e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    sizes AS (
+      SELECT
+        CAST(SUM(CASE WHEN node % {_SPLIT_MOD} = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS nv_naive,
+        CAST(SUM(CASE WHEN node % {_SPLIT_MOD} = 0 THEN 0 ELSE 1 END)
+          AS BIGINT) AS nt_naive,
+        CAST(SUM(CASE WHEN component % {_SPLIT_MOD} = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS nv_safe,
+        CAST(SUM(CASE WHEN component % {_SPLIT_MOD} = 0 THEN 0 ELSE 1 END)
+          AS BIGINT) AS nt_safe
+      FROM comp),
+    nl AS (
+      SELECT CAST(SUM(CASE WHEN (id_a % {_SPLIT_MOD} = 0)
+                             <> (id_b % {_SPLIT_MOD} = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS leak
+      FROM pairs),
+    sl AS (
+      SELECT CAST(SUM(CASE WHEN (ca.component % {_SPLIT_MOD} = 0)
+                             <> (cb.component % {_SPLIT_MOD} = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS leak
+      FROM pairs p
+      JOIN comp ca ON ca.node = p.id_a
+      JOIN comp cb ON cb.node = p.id_b)
+    SELECT * FROM (
+      SELECT 'naive' AS method, nt_naive AS n_train, nv_naive AS n_val,
+             (SELECT leak FROM nl) AS leaked_pairs FROM sizes
+      UNION ALL
+      SELECT 'cluster', nt_safe, nv_safe, (SELECT leak FROM sl) FROM sizes)
+    ORDER BY method
+"""
+
+
+
+
+@query(
+    "corpus_leakage_safe_split",
+    survey="north-star pipeline composition (cluster-granular train/val "
+           "split: near-dup components never straddle the split; the "
+           "naive per-doc split's leaked-pair count is the counterfactual)",
+    oracle=_SQL_LEAKAGE,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two split strategies over the planted near-dup corpus, one row each:
+    ``naive`` assigns docs by ``doc_id % 3``, ``cluster`` assigns whole
+    near-dup components by ``component % 3`` (component = min member id,
+    from the same iterative min-label propagation the dedup family uses).
+    ``leaked_pairs`` counts near-dup pairs with endpoints on opposite
+    sides — 0 by construction for the cluster split, ~2/3 of all pairs for
+    the naive one (the planted copy sits at id + 20000 ≡ id + 2 mod 3).
+
+    Scale shape: components come from the shared iterative operator
+    (shuffle ∝ edges per round); the split itself is pure arithmetic on
+    the component id — no extra shuffle beyond the two pair⋈component
+    joins, both broadcast-sized per cluster at any corpus scale."""
+    from server2_vector_search_server_spark.operators import graph
+    from server2_vector_search_server_spark.plans.dedup_queries import (
+        _cosine_pairs,
+    )
+
+    pairs = (_cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+             .localCheckpoint(eager=True))
+    comps = graph.connected_components(pairs, "id_a", "id_b")
+
+    def _val(col):
+        return (col % _SPLIT_MOD == 0).cast("long")
+
+    sizes = comps.agg(
+        F.sum(_val(F.col("node"))).alias("nv_naive"),
+        F.sum(1 - _val(F.col("node"))).alias("nt_naive"),
+        F.sum(_val(F.col("component"))).alias("nv_safe"),
+        F.sum(1 - _val(F.col("component"))).alias("nt_safe"))
+    naive_leak = pairs.agg(F.sum(
+        (_val(F.col("id_a")) != _val(F.col("id_b"))).cast("long"))
+        .alias("leak"))
+    ca = comps.select(F.col("node").alias("id_a"),
+                      F.col("component").alias("comp_a"))
+    cb = comps.select(F.col("node").alias("id_b"),
+                      F.col("component").alias("comp_b"))
+    safe_leak = (pairs.join(ca, "id_a").join(cb, "id_b")
+                 .agg(F.sum((_val(F.col("comp_a"))
+                             != _val(F.col("comp_b"))).cast("long"))
+                      .alias("leak")))
+    row_naive = sizes.crossJoin(naive_leak).select(
+        F.lit("naive").alias("method"),
+        F.col("nt_naive").cast("long").alias("n_train"),
+        F.col("nv_naive").cast("long").alias("n_val"),
+        F.col("leak").cast("long").alias("leaked_pairs"))
+    row_safe = sizes.crossJoin(safe_leak).select(
+        F.lit("cluster").alias("method"),
+        F.col("nt_safe").cast("long").alias("n_train"),
+        F.col("nv_safe").cast("long").alias("n_val"),
+        F.col("leak").cast("long").alias("leaked_pairs"))
+    return row_naive.unionByName(row_safe).orderBy("method")
