@@ -451,10 +451,20 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
 
 def _dup_windows(docs: DataFrame, *, text_col: str, id_col: str,
                  window_tokens: int,
-                 max_doc_freq: int) -> tuple[DataFrame, DataFrame]:
-    """(id, pos, wh) rows for every window start, plus the set of window
-    keys that appear in 2..max_doc_freq distinct documents. Shared plumbing
-    for the pair and span forms below.
+                 max_doc_freq: int | None) -> tuple[DataFrame, DataFrame]:
+    """(id, pos, wh) rows for every window start, plus the duplicated
+    window-key set. Shared plumbing for the pair and span forms below.
+
+    The two forms need DIFFERENT duplication criteria, both derived from
+    one aggregate here:
+
+    - ``max_doc_freq`` set (pair form): keys in 2..max_doc_freq DISTINCT
+      documents — pairing is inherently cross-document, and the cap is
+      the f² candidate-blowup valve;
+    - ``max_doc_freq=None`` (span form): keys with ≥ 2 TOTAL occurrences,
+      same doc or not — ExactSubstr's criterion includes a paragraph
+      repeated within one document, and span output is linear in
+      occurrences, so no cap is needed.
 
     The window table is materialized ONCE (eager localCheckpoint): it feeds
     the duplicated-key aggregate plus both sides of the pair self-join, and
@@ -471,11 +481,17 @@ def _dup_windows(docs: DataFrame, *, text_col: str, id_col: str,
          .select("id", (F.col("p0") + 1).cast("long").alias("pos"),
                  F.md5("win").alias("wh"))
          .localCheckpoint(eager=True))
-    dup = (w.groupBy("wh")
-           .agg(F.count_distinct("id").alias("ndocs"))
-           .filter((F.col("ndocs") >= 2)
-                   & (F.col("ndocs") <= max_doc_freq))
-           .select("wh"))
+    if max_doc_freq is None:
+        dup = (w.groupBy("wh")
+               .agg(F.count(F.lit(1)).alias("nocc"))
+               .filter(F.col("nocc") >= 2)
+               .select("wh"))
+    else:
+        dup = (w.groupBy("wh")
+               .agg(F.count_distinct("id").alias("ndocs"))
+               .filter((F.col("ndocs") >= 2)
+                       & (F.col("ndocs") <= max_doc_freq))
+               .select("wh"))
     return w, dup
 
 
@@ -513,20 +529,26 @@ def substring_duplicate_pairs(docs: DataFrame, *, text_col: str = "text",
 
 def substring_duplicate_spans(docs: DataFrame, *, text_col: str = "text",
                               id_col: str = "doc_id",
-                              window_tokens: int = 8,
-                              max_doc_freq: int = 100) -> DataFrame:
+                              window_tokens: int = 8) -> DataFrame:
     """Per-document MERGED token spans covered by duplicated windows — the
     deletion unit of ExactSubstr dedup (Lee et al. 2022 remove the
     duplicated bytes, not the document). A window starting at ``pos``
     covers tokens ``[pos, pos + k − 1]``; overlapping/adjacent flagged
     windows merge via gaps-and-islands (a running ``max(end)`` window
     over start order — per-document partitions, so the window state is
-    bounded by document length, never corpus size)."""
+    bounded by document length, never corpus size).
+
+    Duplication here means ≥ 2 TOTAL occurrences, same document or not —
+    the paper's suffix array sees a paragraph repeated within one doc, so
+    this form must too — and carries NO frequency cap, unlike the pair
+    form: a window in f documents contributes f flagged rows (linear),
+    not f² pairs, so corpus-wide boilerplate is safe to report and is
+    exactly what a deletion pipeline needs to see."""
     from pyspark.sql import Window as W
 
     w, dup = _dup_windows(docs, text_col=text_col, id_col=id_col,
                           window_tokens=window_tokens,
-                          max_doc_freq=max_doc_freq)
+                          max_doc_freq=None)
     flagged = (w.join(dup, "wh")
                .select("id", "pos",
                        (F.col("pos") + window_tokens - 1).alias("end")))

@@ -241,6 +241,13 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
         return F.round(base + damping * F.coalesce("contrib", F.lit(0.0)),
                        scale)
 
+    if iterations <= 0:
+        # zero rounds = the uniform initial ranks (the pre-refactor
+        # contract; the fold below needs at least one round to produce a
+        # contrib table)
+        return nodes.select(
+            "node", F.round(F.lit(1.0 / n), scale).alias("pr"))
+
     contribs = None
     for _ in range(iterations):
         if contribs is None:

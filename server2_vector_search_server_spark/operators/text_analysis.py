@@ -295,8 +295,12 @@ def add_gopher_repetition(docs: DataFrame, *, text_col: str = "text",
         & (F.col("top_4gram_char_frac") <= 0.16)
         & (F.col("dup_5gram_char_frac") <= 0.15)
         & (F.col("dup_10gram_char_frac") <= 0.10))
-    drop = [c for c in out.columns if c.startswith("_")]
-    return out.drop(*drop)
+    # drop exactly OUR scratch columns, not any caller column that happens
+    # to start with '_'
+    ns = (*_REP_TOP_NS, *_REP_DUP_NS)
+    scratch = (["_lines", "_toks", "_lcnt", "_nl", "_lc", "_tc"]
+               + [f"_{p}{n}" for n in ns for p in ("w", "d", "c")])
+    return out.drop(*scratch)
 
 
 def train_quality_classifier(docs, *, text_col: str = "text",

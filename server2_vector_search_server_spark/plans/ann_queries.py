@@ -37,7 +37,15 @@ _BUILD_MEMO: dict = {}
 
 
 def _memo(key, build):
+    import os as _os
+
     out = _BUILD_MEMO.get(key)
+    # a memoized PATH can be reaped out from under a long-lived session
+    # (/tmp cleaners); rebuild rather than scan a vanished directory.
+    # Inputs under sf_dir are assumed immutable within a process — the
+    # driver regenerates testdata only across process boundaries.
+    if isinstance(out, str) and not _os.path.exists(out):
+        out = None
     if out is None:
         out = build()
         _BUILD_MEMO[key] = out

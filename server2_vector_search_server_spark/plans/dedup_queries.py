@@ -500,15 +500,22 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 8
 _SUBSTR_CAP = 100
 
-_SQL_SUBSTR_COMMON = f"""
+_SQL_SUBSTR_BASE = f"""
     docs2 AS ({_SQL_DOCS}),
     w AS (
       SELECT doc_id, unnest({sql_token_windows('text', _SUBSTR_K)}) AS x
       FROM docs2),
-    kw AS (SELECT doc_id, x.pos AS pos, md5(x.win) AS wh FROM w),
+    kw AS (SELECT doc_id, x.pos AS pos, md5(x.win) AS wh FROM w)"""
+
+# pair form: cross-document, frequency-capped (the f² valve);
+# span form: >= 2 TOTAL occurrences incl. intra-document, uncapped
+_SQL_SUBSTR_COMMON = f"""{_SQL_SUBSTR_BASE},
     dup AS (
       SELECT wh FROM kw GROUP BY wh
       HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_CAP})"""
+
+_SQL_SUBSTR_COMMON_SPAN = f"""{_SQL_SUBSTR_BASE},
+    dup AS (SELECT wh FROM kw GROUP BY wh HAVING COUNT(*) >= 2)"""
 
 
 @query(
@@ -546,7 +553,7 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            "merged duplicated-token intervals — the deletion unit of "
            "ExactSubstr; gaps-and-islands over flagged window starts)",
     oracle=f"""
-    WITH {_SQL_SUBSTR_COMMON},
+    WITH {_SQL_SUBSTR_COMMON_SPAN},
     flagged AS (
       SELECT doc_id, pos, pos + {_SUBSTR_K} - 1 AS e
       FROM kw JOIN dup USING (wh)),
@@ -574,8 +581,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbed tail, so their spans stop short of the document end
     (operators/dedup.substring_duplicate_spans)."""
     return (dedup.substring_duplicate_spans(
-        _docs_with_dups(spark, sf_dir),
-        window_tokens=_SUBSTR_K, max_doc_freq=_SUBSTR_CAP)
+        _docs_with_dups(spark, sf_dir), window_tokens=_SUBSTR_K)
         .orderBy("doc_id", "span_start"))
 
 

@@ -584,8 +584,8 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
     # widen before the O(doc_len²) per-document lambdas: the 120-doc slice
     # scans as one partition, which would single-core the whole family
-    wide = planted.repartition(spark.sparkContext.defaultParallelism)
-    return (ta.add_gopher_repetition(wide).drop("text")
+    from server2_vector_search_server_spark.operators.dedup import _widen
+    return (ta.add_gopher_repetition(_widen(planted)).drop("text")
             .orderBy("doc_id"))
 
 

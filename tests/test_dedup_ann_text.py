@@ -568,3 +568,53 @@ def test_gopher_repetition_clean_doc_keeps(spark):
     assert r["dup_line_frac"] == 0.0
     assert r["top_2gram_char_frac"] <= 0.20
     assert r["rep_keep"]
+
+
+def test_substring_spans_intra_document_repetition(spark):
+    """ExactSubstr criterion includes a paragraph repeated WITHIN one doc
+    (code-review r4): the span form must flag it even with no cross-doc
+    duplication; the pair form (cross-document by definition) must not
+    pair anything."""
+    para = " ".join(f"p{i}" for i in range(10))
+    gap = " ".join(f"g{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, f"{para} {gap} {para}"),
+         (2, " ".join(f"q{i}" for i in range(30)))],
+        "doc_id long, text string")
+    spans = dedup.substring_duplicate_spans(df, window_tokens=8).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans}
+    assert got == {(1, 1, 10), (1, 23, 32)}
+    assert dedup.substring_duplicate_pairs(df, window_tokens=8).count() == 0
+
+
+def test_substring_spans_uncapped_boilerplate(spark):
+    """The span form reports corpus-wide boilerplate the pair form's
+    frequency cap drops (the documented contract)."""
+    boiler = " ".join(f"x{i}" for i in range(8))
+    rows = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g")
+            for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.substring_duplicate_pairs(docs, window_tokens=8,
+                                            max_doc_freq=4)
+    spans = dedup.substring_duplicate_spans(docs, window_tokens=8)
+    assert pairs.count() == 0               # capped out of pairing
+    assert spans.count() == 5               # but every doc's span reported
+
+
+def test_pagerank_zero_iterations_returns_uniform(spark):
+    from server2_vector_search_server_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    ranks = {r["node"]: r["pr"]
+             for r in pagerank(edges, iterations=0).collect()}
+    assert ranks == {1: round(1 / 3, 12), 2: round(1 / 3, 12),
+                     3: round(1 / 3, 12)}
+
+
+def test_gopher_repetition_preserves_caller_underscore_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "keepme")],
+        "doc_id long, text string, _source string")
+    out = ta.add_gopher_repetition(df)
+    assert "_source" in out.columns
+    assert out.collect()[0]["_source"] == "keepme"
