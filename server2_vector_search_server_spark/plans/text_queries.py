@@ -219,15 +219,127 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _sql_chunking_stats(chunk_size: int = 120, chunk_overlap: int = 30,
+                        words_per_sentence: int = 10) -> str:
+    """Recursive-CTE twin of the H6 greedy merge (previously rows-only —
+    'inherently iterative, no SQL twin'; VERDICT r3 listed it as the one
+    non-oracle driver row). The key observation making it expressible: the
+    current chunk is ALWAYS a contiguous range of sentences (append keeps
+    it contiguous, the overlap seed is a suffix, oversize resets to empty),
+    so the whole greedy state is (start index a, prefix-sum before a), and
+    every emitted chunk's LENGTH is a prefix-sum difference:
+    jl(a,b) = P_b − P_{a−1} + (b − a) for single-space joins.
+
+    The recursion steps one sentence per round — all documents advance in
+    parallel rows of the working table, so rounds ∝ max sentences per doc,
+    not corpus size. The overlap seed start m_i (smallest m with
+    jl(m,i) ≤ overlap) is state-independent modulo clamping to a — it only
+    looks at the suffix ending at i — so it precomputes as a bounded
+    self-join OUTSIDE the recursion, and the recursive term clamps with
+    greatest(m_i, a). Branch map to operators/chunking.merge_sentences:
+    oversize flush+solo-emit / append-fits / close+overlap-reseed /
+    close+pure-overlap-flush; verified equal to the Python reference on
+    all fixture docs at three SFs plus crafted oversize and pure-overlap
+    corpora (tests/test_chunking.py)."""
+    cs, co, wn = chunk_size, chunk_overlap, words_per_sentence
+    pm1_eff = "(CASE WHEN m2.m >= w.a THEN m2.pm1 ELSE w.pa1 END)"
+    m_eff = "greatest(m2.m, w.a)"
+    fits = f"j.p - w.pa1 + (j.i - w.a) <= {cs}"
+    with_ov = f"j.p - {pm1_eff} + (j.i - {m_eff}) <= {cs}"
+    close_len = "(j.p - j.len) - w.pa1 + ((j.i - 1) - w.a)"
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM documents),
+    persent AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, CAST(ceil(len(toks) / {wn}.0) AS BIGINT) + 1),
+               i -> coalesce(list_sum(list_transform(
+                      toks[((i-1)*{wn}+1):(i*{wn})], w -> length(w))), 0)
+                    + len(toks[((i-1)*{wn}+1):(i*{wn})]) - 1) AS slens
+      FROM base WHERE len(toks) > 0),
+    sent AS (
+      SELECT doc_id, generate_subscripts(slens, 1) AS i,
+             CAST(unnest(slens) AS BIGINT) AS len
+      FROM persent),
+    psum AS (
+      SELECT doc_id, i, len,
+             SUM(len) OVER (PARTITION BY doc_id ORDER BY i) AS p
+      FROM sent),
+    smax AS (SELECT doc_id, MAX(i) AS n FROM sent GROUP BY doc_id),
+    mstart AS (
+      SELECT p1.doc_id, p1.i, MIN(p2.i) AS m
+      FROM psum p1 JOIN psum p2
+        ON p2.doc_id = p1.doc_id AND p2.i <= p1.i
+       AND (p1.p - (p2.p - p2.len)) + (p1.i - p2.i) <= {co}
+      GROUP BY p1.doc_id, p1.i),
+    mstart2 AS (
+      SELECT ms.doc_id, ms.i, ms.m, (pp.p - pp.len) AS pm1
+      FROM mstart ms JOIN psum pp
+        ON pp.doc_id = ms.doc_id AND pp.i = ms.m),
+    walk AS (
+      SELECT doc_id, 0 AS i, 0 AS a, CAST(0 AS BIGINT) AS pa1,
+             CAST(NULL AS BIGINT) AS e1, CAST(NULL AS BIGINT) AS e2
+      FROM smax
+      UNION ALL
+      SELECT w.doc_id, j.i,
+             CASE WHEN j.len > {cs} THEN 0
+                  WHEN w.a = 0 THEN j.i
+                  WHEN {fits} THEN w.a
+                  WHEN m2.m IS NULL THEN j.i
+                  WHEN {with_ov} THEN {m_eff}
+                  ELSE j.i END AS a,
+             CASE WHEN j.len > {cs} THEN CAST(0 AS BIGINT)
+                  WHEN w.a = 0 THEN j.p - j.len
+                  WHEN {fits} THEN w.pa1
+                  WHEN m2.m IS NULL THEN j.p - j.len
+                  WHEN {with_ov} THEN {pm1_eff}
+                  ELSE j.p - j.len END AS pa1,
+             CASE WHEN j.len > {cs} AND w.a > 0 THEN {close_len}
+                  WHEN j.len > {cs} THEN CAST(NULL AS BIGINT)
+                  WHEN w.a = 0 THEN CAST(NULL AS BIGINT)
+                  WHEN {fits} THEN CAST(NULL AS BIGINT)
+                  ELSE {close_len} END AS e1,
+             CASE WHEN j.len > {cs} THEN j.len
+                  WHEN w.a = 0 THEN CAST(NULL AS BIGINT)
+                  WHEN {fits} THEN CAST(NULL AS BIGINT)
+                  WHEN m2.m IS NULL THEN CAST(NULL AS BIGINT)
+                  WHEN {with_ov} THEN CAST(NULL AS BIGINT)
+                  ELSE (j.p - j.len) - {pm1_eff} + ((j.i - 1) - {m_eff})
+                  END AS e2
+      FROM walk w
+      JOIN psum j ON j.doc_id = w.doc_id AND j.i = w.i + 1
+      LEFT JOIN mstart2 m2 ON m2.doc_id = w.doc_id AND m2.i = w.i),
+    emitted AS (
+      SELECT doc_id, e1 AS clen FROM walk WHERE e1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, e2 FROM walk WHERE e2 IS NOT NULL
+      UNION ALL
+      SELECT w.doc_id, pf.p - w.pa1 + (s.n - w.a)
+      FROM walk w
+      JOIN smax s ON s.doc_id = w.doc_id AND w.i = s.n AND w.a > 0
+      JOIN psum pf ON pf.doc_id = w.doc_id AND pf.i = s.n)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MAX(clen) AS INTEGER) AS max_chunk_len
+    FROM emitted GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 @query(
     "chunking_stats",
-    survey="H5,H6 (sentence split + greedy merge; not SQL-expressible)",
-    oracle=None,
+    survey="H5,H6 (sentence split + greedy merge, recursive-CTE oracle)",
+    oracle=_sql_chunking_stats(),
 )
 def chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check for the chunk pipeline over the fixture corpus:
-    per-document chunk count and max chunk length (greedy merge with overlap
-    is inherently iterative — no SQL twin, driver records rows-only)."""
+    """Per-document chunk count and max chunk length for the H6 greedy
+    merge-with-overlap pipeline. Oracle-checked since round 4: the DuckDB
+    twin replays the greedy walk as a recursive CTE over sentence prefix
+    sums (see ``_sql_chunking_stats`` — the chunk state is a contiguous
+    sentence range, which makes the 'inherently iterative' algorithm
+    SQL-expressible after all)."""
     from server2_vector_search_server_spark.operators.chunking import (
         chunk_documents,
     )

@@ -154,3 +154,53 @@ def test_kss_mode_gated_and_punct_handles_korean():
     else:
         got = split_sentences(korean, mode="kss")
         assert got and all(isinstance(s, str) and s for s in got)
+
+
+def test_chunking_stats_recursive_cte_oracle_branch_coverage():
+    """The recursive-CTE twin of the greedy merge must agree with the
+    Python reference on corpora that exercise EVERY branch: append-fits,
+    close+overlap-reseed, close+pure-overlap-flush (a fat sentence that
+    doesn't fit beside the overlap), and oversize flush+solo-emit (a
+    single >chunk_size sentence). The fixture corpus alone doesn't hit
+    the last two."""
+    import duckdb
+
+    from server2_vector_search_server_spark.operators.chunking import (
+        split_text,
+    )
+    from server2_vector_search_server_spark.plans.text_queries import (
+        _sql_chunking_stats,
+    )
+
+    docs = [
+        # plain multi-chunk with overlap reseed
+        (1, " ".join(f"w{i:03d}" for i in range(100))),
+        # oversize sentence: one 10-word group of 13-char words = 139 chars
+        (2, " ".join("x" * 13 for _ in range(10))
+            + " " + " ".join(f"t{i}" for i in range(30))),
+        # pure-overlap flush: short words then a fat-but-not-oversize
+        # sentence (10 words x 11 chars = 119 <= 120) that can't sit
+        # beside any overlap
+        (3, " ".join(f"a{i}" for i in range(40))
+            + " " + " ".join("y" * 11 for _ in range(10))
+            + " " + " ".join(f"b{i}" for i in range(20))),
+        # shorter than one sentence group
+        (4, "one two three"),
+        # empty-ish
+        (5, "   "),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = {r[0]: (r[1], r[2])
+           for r in con.execute(_sql_chunking_stats()).fetchall()}
+    want = {}
+    for doc_id, text in docs:
+        chunks = split_text(text, 120, 30, mode="words:10")
+        if chunks:
+            want[doc_id] = (len(chunks), max(len(c) for c in chunks))
+    assert got == want
+    assert 5 not in want                      # whitespace doc -> no chunks
+    # sanity: the crafted docs really exercise the intended branches
+    assert any(len(c) > 120 for c in split_text(docs[1][1], 120, 30,
+                                                mode="words:10"))
