@@ -67,15 +67,41 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_frequent_itemsets",
-    survey="north-star pattern mining (MLlib FP-Growth frequent itemsets; "
-           "distributed miner, not SQL-reproducible)",
-    oracle=None,
+    survey="north-star pattern mining (MLlib FP-Growth frequent itemsets, "
+           "recursive-CTE subset-enumeration oracle)",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
+      FROM lineitem GROUP BY l_orderkey),
+    -- every subset of every basket, each built exactly once (extend by
+    -- strictly-later positions); bounded by sum(2^|basket|), fine at
+    -- oracle SF
+    sub AS (
+      SELECT l_orderkey, [items[i]] AS s, i AS last_i, items
+      FROM b, LATERAL (SELECT unnest(range(1, len(items) + 1)) AS i)
+      UNION ALL
+      SELECT l_orderkey, list_append(s, items[j]) AS s, j, items
+      FROM sub,
+           LATERAL (SELECT unnest(range(last_i + 1, len(items) + 1)) AS j)
+    )
+    SELECT array_to_string(list_sort(s), ',') AS items,
+           CAST(COUNT(*) AS BIGINT) AS freq
+    FROM sub WHERE len(s) >= 2
+    GROUP BY 1 HAVING COUNT(*) >= 3
+    ORDER BY freq DESC, items ASC
+    """,
 )
 def orders_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FP-Growth over per-order part baskets (minSupport 0.1%): the scale
-    path for association mining — no pairwise explosion, the FP-tree is
-    mined per hash partition. Items sorted inside each set and sets ordered
-    (freq desc, items) for a deterministic rows-only check."""
+    """FP-Growth over per-order part baskets: the scale path for
+    association mining — no pairwise explosion, the FP-tree is mined per
+    hash partition. Oracle-checked since round 4: FP-Growth is an EXACT
+    algorithm (every itemset with support ≥ minCount, nothing else), so a
+    DuckDB twin that enumerates all ≥2-subsets of each ≤13-item basket via
+    a recursive CTE and thresholds on count must produce the identical
+    set — feasible at oracle SF (Σ 2^|basket| ≈ 8·10⁵ rows at sf0.01),
+    while FP-Growth is what survives at corpus scale. Items serialized to
+    a sorted CSV string (the driver's canonicalizer cannot hash list
+    cells)."""
     from pyspark.ml.fpm import FPGrowth
 
     baskets = (tbl(spark, sf_dir, "lineitem")
@@ -89,22 +115,63 @@ def orders_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                      minConfidence=0.1).fit(baskets)
     return (model.freqItemsets
             .filter(F.size("items") >= 2)
-            .select(F.array_sort("items").alias("items"), "freq")
-            .orderBy(F.col("freq").desc(),
-                     F.col("items").cast("string").asc()))
+            .select(F.array_join(
+                F.transform(F.array_sort("items"),
+                            lambda x: x.cast("string")), ",")
+                .alias("items"), "freq")
+            .orderBy(F.col("freq").desc(), F.col("items").asc()))
 
 
 @query(
     "events_frequent_sequences",
-    survey="north-star pattern mining (MLlib PrefixSpan sequential patterns "
-           "over per-user event-type sequences; not SQL-reproducible)",
-    oracle=None,
+    survey="north-star pattern mining (MLlib PrefixSpan sequential "
+           "patterns, subsequence-enumeration oracle)",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    e AS (SELECT user_id, event_type, rn FROM ev WHERE rn <= 20),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM e),
+    p1 AS (SELECT DISTINCT user_id,
+                  '[[' || event_type || ']]' AS pat FROM e),
+    p2 AS (
+      SELECT DISTINCT a.user_id,
+             '[[' || a.event_type || '], [' || b.event_type || ']]' AS pat
+      FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn > a.rn),
+    p3 AS (
+      SELECT DISTINCT a.user_id,
+             '[[' || a.event_type || '], [' || b.event_type || '], ['
+                  || c.event_type || ']]' AS pat
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.rn > a.rn
+      JOIN e c ON c.user_id = b.user_id AND c.rn > b.rn),
+    allp AS (
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      UNION ALL SELECT * FROM p3)
+    SELECT pat AS pattern, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM allp
+    GROUP BY pat
+    HAVING COUNT(*) >= CAST(ceil(0.5 * (SELECT n FROM nu)) AS BIGINT)
+    ORDER BY freq DESC, pattern ASC
+    """,
 )
 def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixSpan over each user's first 20 events (event types in time
     order, one item per itemset): which journeys are frequent. Sequence
     assembly is a window + per-user aggregate; mining is MLlib's
-    distributed prefix-projection."""
+    distributed prefix-projection.
+
+    Oracle-checked since round 4: PrefixSpan is EXACT (every pattern with
+    support ≥ ceil(minSupport·n), nothing else), and with
+    maxPatternLength=3 over ≤20-item single-item-itemset sequences, the
+    DuckDB twin can enumerate each user's DISTINCT subsequences of length
+    ≤3 with three position-ordered self-joins (≤ C(20,3)+C(20,2)+20 ≈
+    1.3k rows per user) and threshold the per-pattern user count — the
+    enumeration is oracle-SF math; prefix-projection is what scales. The
+    pattern string replicates Spark's array<array<string>> cast
+    ('[[a], [b]]') so the hash compare is byte-identical."""
     from pyspark.ml.fpm import PrefixSpan
     from pyspark.sql import Window
 
