@@ -742,3 +742,102 @@ def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
         .withColumn("n_removed", F.col("_n_total") - F.col("n_kept"))
         .drop("_n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup: new batch vs. an existing (huge) corpus.
+
+BLOOM_BITS = 1 << 16       # m — filter size in bits (8 KiB serialized)
+BLOOM_HASHES = 5           # k — probes per key
+
+
+def bloom_positions(key: Column, *, n_bits: int = BLOOM_BITS,
+                    n_hashes: int = BLOOM_HASHES) -> Column:
+    """The k bit positions for ``key``: independently seeded xxhash64,
+    reduced mod m. Pure column expressions (codegen'd), and shared by the
+    build and probe sides so both compute bit-identical positions."""
+    return F.array(*[
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
+        for seed in range(n_hashes)])
+
+
+def build_bloom(corpus: DataFrame, key_col: str, *,
+                n_bits: int = BLOOM_BITS,
+                n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Build a Bloom filter over ``corpus[key_col]`` as a ONE-ROW DataFrame
+    ``(bloom_words: array<bigint>)`` of m/64 words.
+
+    Distributed build: per-row positions -> explode -> groupBy word index
+    with ``bit_or`` of the per-position masks. Partial aggregation collapses
+    repeats executor-side, so at most m/64 (index, word) rows ever cross the
+    wire or reach the driver — the corpus itself is scanned once and never
+    shuffled. The filter rides to probes as a broadcast row (same transport
+    pattern as ann.codebook_transport), never as a giant literal.
+    """
+    n_words = (n_bits + 63) // 64
+    rows = (
+        corpus.select(F.explode(
+            bloom_positions(F.col(key_col), n_bits=n_bits,
+                            n_hashes=n_hashes)).alias("pos"))
+        .groupBy(F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"))
+        .agg(F.bit_or(F.expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 64 as int))"))
+            .alias("word"))
+        .collect())
+    words = [0] * n_words
+    for r in rows:
+        words[r["word_idx"]] = r["word"]
+    spark = corpus.sparkSession
+    return spark.createDataFrame([(words,)], "bloom_words array<bigint>")
+
+
+def bloom_might_contain(pos_col: str, words_col: str) -> Column:
+    """True iff every one of the key's bit positions is set in the filter.
+    A single SQL expression (forall + get + shifts) — whole-stage codegen,
+    no UDF."""
+    return F.expr(
+        f"forall({pos_col}, p -> "
+        f"(shiftrightunsigned(get({words_col}, cast(shiftright(p, 6) as "
+        f"int)), cast(p % 64 as int)) & 1) = 1)")
+
+
+def bloom_incremental_new_docs(batch: DataFrame, corpus: DataFrame, *,
+                               key_col: str = "content_hash",
+                               n_bits: int = BLOOM_BITS,
+                               n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Incremental cross-corpus dedup: keep the rows of ``batch`` whose
+    ``key_col`` does NOT already exist in ``corpus`` — the continuous-crawl
+    shape (today's crawl vs. the 100 TB corpus already ingested), scaled by
+    a Bloom filter so the corpus is not re-joined for the no-hit majority.
+
+    Three stages, result EXACT (bloom errors are one-sided and verified):
+
+      1. build: one corpus scan folds into an m-bit filter (m/64 longs —
+         bounded, mergeable, broadcastable; see :func:`build_bloom`);
+      2. probe: each batch row tests its k bits against the broadcast row —
+         a map-side filter, no join, no shuffle. Bloom negatives are
+         DEFINITELY new (no false negatives) and exit here: at a typical
+         duplication rate the bulk of the batch never touches the corpus;
+      3. verify: the surviving candidates (true dups + ~fpp false
+         positives) are LEFT ANTI joined against the corpus keys — the only
+         stage that shuffles corpus data, and it shuffles just the key
+         column for a candidate set the bloom already shrank.
+
+    This is the batched form of the reference's per-upload existence probe
+    (vector_store.py:56-89) for the case where the "existing" side is far
+    too large to broadcast — the same pattern Spark itself uses for runtime
+    row-level filtering.
+    """
+    bloom = build_bloom(corpus.select(key_col), key_col,
+                        n_bits=n_bits, n_hashes=n_hashes)
+    probed = (
+        batch.withColumn("_pos", bloom_positions(
+            F.col(key_col), n_bits=n_bits, n_hashes=n_hashes))
+        .join(F.broadcast(bloom))
+        .withColumn("_maybe", bloom_might_contain("_pos", "bloom_words"))
+        .drop("_pos", "bloom_words"))
+    definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    candidates = probed.filter(F.col("_maybe")).drop("_maybe")
+    verified_new = candidates.join(
+        corpus.select(key_col).distinct(), key_col, "left_anti")
+    return definite_new.unionByName(verified_new)

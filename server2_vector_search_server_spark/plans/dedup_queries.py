@@ -631,3 +631,47 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = spark.read.parquet(os.path.join(root, "kept"))
     return (kept.select("doc_id", F.md5("text").alias("content_md5"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# 12. bloom-gated incremental dedup (new batch vs. existing corpus)
+
+@query(
+    "dedup_bloom_incremental",
+    survey="north-star dedup (bloom-gated incremental cross-corpus dedup) + "
+           "B5-at-scale (batched existence probe, vector_store.py:56-89)",
+    oracle="""
+    WITH corpus AS (
+        SELECT md5(text) AS content_hash FROM documents WHERE doc_id < 400
+    ), batch AS (
+        SELECT doc_id, md5(text) AS content_hash
+        FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 30000 AS doc_id, md5(text) AS content_hash
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT b.doc_id, b.content_hash FROM batch b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM corpus c WHERE c.content_hash = b.content_hash)
+    ORDER BY b.doc_id
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup: today's batch (genuine new docs + 50 replayed
+    corpus docs) against the already-ingested corpus (doc_id < 400), keyed
+    on the content digest. The Bloom stage answers "definitely new" with a
+    map-side bit test (no join); only the bloom-positive candidates are
+    anti-joined against corpus keys for exactness — at 100 TB the corpus is
+    scanned once into an 8 KiB filter instead of being re-joined per batch.
+    The result is EXACT (one-sided error + verify), so the oracle is the
+    plain NOT EXISTS."""
+    docs = tbl(spark, sf_dir, "documents")
+    corpus = (docs.filter(F.col("doc_id") < 400)
+              .select(F.md5("text").alias("content_hash")))
+    genuine = docs.filter(F.col("doc_id") >= 400)
+    replayed = (docs.filter(F.col("doc_id") < 50)
+                .withColumn("doc_id", F.col("doc_id") + 30000))
+    batch = (genuine.unionByName(replayed)
+             .select("doc_id", F.md5("text").alias("content_hash")))
+    return (dedup.bloom_incremental_new_docs(batch, corpus)
+            .select("doc_id", "content_hash").orderBy("doc_id"))

@@ -52,3 +52,48 @@ def events_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              exact_sum(F.col("value"), 2).alias("total_value"))
         .orderBy("event_date", "event_type")
     )
+
+
+@query(
+    "lineitem_zorder_clustered_scan",
+    survey="A-extension(write-time layout: Z-order clustering — one file "
+           "set serves narrow predicates on BOTH key columns)",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_exact_sum(
+               'CAST(l_extendedprice AS DOUBLE) * '
+               '(1 - CAST(l_discount AS DOUBLE))', 2)} AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 40 AND 80 AND l_suppkey BETWEEN 2 AND 5
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout cashing in: materialize lineitem clustered by the
+    Morton interleave of (l_partkey, l_suppkey), then answer a query with a
+    narrow band predicate on BOTH columns. Every file covers a small
+    rectangle in (partkey, suppkey) space, so parquet row-group min/max
+    stats skip files for either predicate — single-column sorting can only
+    serve one (tests/test_layout.py asserts the skip geometry). At 100 TB
+    this is the Delta/Iceberg OPTIMIZE ZORDER move, done with plain
+    DataFrame ops: range-repartition on the Morton key + sort within
+    partitions."""
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag",
+        "l_extendedprice", "l_discount")
+    path = tempfile.mkdtemp(prefix="lineitem_zorder_")
+    layout.write_zordered(li, path, "l_partkey", "l_suppkey",
+                          bits=16, n_files=16)
+    stored = spark.read.parquet(path)
+    return (
+        stored
+        .filter(F.col("l_partkey").between(40, 80)
+                & F.col("l_suppkey").between(2, 5))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             exact_sum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 2).alias("revenue"))
+        .orderBy("l_returnflag")
+    )

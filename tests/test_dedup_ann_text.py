@@ -618,3 +618,58 @@ def test_gopher_repetition_preserves_caller_underscore_columns(spark):
     out = ta.add_gopher_repetition(df)
     assert "_source" in out.columns
     assert out.collect()[0]["_source"] == "keepme"
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter incremental dedup
+
+
+def test_bloom_build_bounded_and_probe_no_false_negatives(tables):
+    docs = tables["documents"].select(
+        "doc_id", F.md5("text").alias("content_hash"))
+    corpus = docs.filter(F.col("doc_id") < 100)
+    bloom = dedup.build_bloom(corpus, "content_hash")
+    row = bloom.first()
+    assert len(row["bloom_words"]) == dedup.BLOOM_BITS // 64
+    # every corpus key must probe positive (no false negatives — the
+    # property the exactness of the operator rests on)
+    probed = (corpus
+              .withColumn("_pos", dedup.bloom_positions(F.col("content_hash")))
+              .join(F.broadcast(bloom))
+              .withColumn("maybe", dedup.bloom_might_contain(
+                  "_pos", "bloom_words")))
+    assert probed.filter(~F.col("maybe")).count() == 0
+
+
+def test_bloom_incremental_matches_plain_anti_join(tables):
+    docs = tables["documents"].select(
+        "doc_id", F.md5("text").alias("content_hash"))
+    corpus = docs.filter(F.col("doc_id") < 300).select("content_hash")
+    batch = (docs.filter(F.col("doc_id") >= 300)
+             .unionByName(docs.filter(F.col("doc_id") < 40)
+                          .withColumn("doc_id", F.col("doc_id") + 30000)))
+    got = sorted(r["doc_id"] for r in
+                 dedup.bloom_incremental_new_docs(batch, corpus).collect())
+    expect = sorted(r["doc_id"] for r in batch.join(
+        corpus.distinct(), "content_hash", "left_anti").collect())
+    assert got == expect
+    # the replayed rows are dups and must be gone; genuine rows survive
+    assert all(i < 30000 for i in got)
+    assert len(got) > 0
+
+
+def test_bloom_probe_filters_most_nonmembers(spark):
+    # 500 member keys, 2000 probe-only keys: with m=2^16 / k=5 the false
+    # positive rate is well under 1%, so the verify join sees a tiny
+    # candidate set — the property the 100 TB story rests on
+    members = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    bloom = dedup.build_bloom(members, "k")
+    probes = spark.range(10_000, 12_000).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    n_fp = (probes
+            .withColumn("_pos", dedup.bloom_positions(F.col("k")))
+            .join(F.broadcast(bloom))
+            .filter(dedup.bloom_might_contain("_pos", "bloom_words"))
+            .count())
+    assert n_fp <= 20  # <1% of 2000
