@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.web_queries",
     "server2_vector_search_server_spark.plans.variant_queries",
     "server2_vector_search_server_spark.plans.linkage_queries",
+    "server2_vector_search_server_spark.plans.training_queries",
 ]
 
 

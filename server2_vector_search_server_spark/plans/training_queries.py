@@ -1,0 +1,286 @@
+"""Training-pipeline query surface: contrastive hard-negative mining,
+k-NN label evaluation, and schema-evolution reads.
+
+The reference serves retrieval (`app.py:396-444` scores a query vector
+against an HNSW collection); the training loop that PRODUCES those
+embeddings needs the mirror-image operators over the same tables:
+
+* **hard-negative mining** (DPR, Karpukhin et al. 2020; ANCE, Xiong et
+  al. 2021): for each anchor, the most-similar corpus items with a
+  DIFFERENT label — the negatives that actually move a contrastive loss.
+  At 100 TB this is a k-NN batch job, not a serving call: anchors are
+  broadcast, the corpus is scanned once, and top-k per anchor is a
+  partial-aggregable window — the same physical shape as
+  `search_multi_query_knn`.
+* **k-NN label evaluation** (the standard embedding-quality probe used
+  before committing a checkpoint): held-out vectors classified by
+  majority vote of their k nearest train vectors. Same join/window
+  shape; the vote is one more tiny aggregate.
+* **schema evolution**: corpora live for years; batches gain columns
+  (a new quality score, a new provenance field). Spark's
+  ``mergeSchema`` parquet read is the engine-side contract that old
+  batches stay readable and new columns backfill as NULL — the
+  Iceberg/Delta `ADD COLUMN` semantics without a table format.
+
+Determinism contract (FIXTURES.md): cosine = dot of once-normalized
+vectors (same op order as `operators/dedup.cosine_near_duplicates`),
+ROUNDed to 6 decimals on both engines; ties broken by ascending id;
+majority votes tie-break (count DESC, label ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.functions.vector import (
+    dot,
+    l2_normalize,
+)
+from server2_vector_search_server_spark.plans.registry import (
+    query,
+    sql_dot,
+    sql_l2_norm,
+    tbl,
+)
+
+# ---------------------------------------------------------------------------
+# shared: once-normalized embedding fragments (Spark + DuckDB twins)
+
+_SQL_NORMED = """
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               (CASE WHEN {norm} = 0 THEN 1.0 ELSE {norm} END)) AS nv
+      FROM embeddings
+""".format(norm=sql_l2_norm("embedding"))
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", l2_normalize(F.col("embedding")).alias("nv"))
+
+
+# ---------------------------------------------------------------------------
+# 1. contrastive hard-negative mining
+
+_HN_ANCHORS = 8
+_HN_CORPUS = 400
+_HN_K = 5
+
+_SQL_HARD_NEGATIVES = f"""
+    WITH normed AS ({_SQL_NORMED}),
+    anchors AS (SELECT * FROM normed WHERE vec_id < {_HN_ANCHORS}),
+    corpus AS (SELECT * FROM normed WHERE vec_id < {_HN_CORPUS}),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             ROUND({sql_dot('a.nv', 'c.nv')}, 6) AS cosine
+      FROM anchors a JOIN corpus c
+        ON c.label <> a.label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id
+        ORDER BY cosine DESC, negative_id ASC) AS rnk
+      FROM scored)
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM ranked WHERE rnk <= {_HN_K}
+    ORDER BY anchor_id, rnk
+"""
+
+
+@query(
+    "embedding_hard_negatives",
+    survey="north-star training pipeline (contrastive hard-negative "
+           "mining: per-anchor top-k most-similar other-label items; "
+           "DPR/ANCE-style negatives over the C1/E kNN machinery)",
+    oracle=_SQL_HARD_NEGATIVES,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each anchor embedding, the k corpus vectors most cosine-similar
+    to it that carry a DIFFERENT label — the classic hard negatives a
+    contrastive trainer mines between epochs.
+
+    Physical shape (the part that must survive 100 TB): the anchor set is
+    small by construction (a training batch) → **broadcast**; the corpus is
+    scanned ONCE; the non-equi `label <>` predicate rides the broadcast
+    join; per-anchor top-k is a window partitioned by anchor — shuffle is
+    corpus × n_anchors rows hashed on anchor_id, the same bound as
+    `search_multi_query_knn`, and AQE coalesces the tiny post-filter side.
+    No pairwise corpus × corpus blowup anywhere.
+    """
+    normed = _normed(spark, sf_dir)
+    anchors = (normed.filter(F.col("vec_id") < _HN_ANCHORS)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       F.col("label").alias("anchor_label"),
+                       F.col("nv").alias("anchor_nv")))
+    corpus = (normed.filter(F.col("vec_id") < _HN_CORPUS)
+              .select(F.col("vec_id").alias("negative_id"),
+                      F.col("label").alias("negative_label"), "nv"))
+    scored = (corpus.join(
+        F.broadcast(anchors),
+        F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("cosine", F.round(
+            dot(F.col("anchor_nv"), F.col("nv")), 6)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _HN_K)
+            .select("anchor_id", "anchor_label", "negative_id",
+                    "negative_label", F.col("rnk").cast("long").alias("rnk"),
+                    "cosine")
+            .orderBy("anchor_id", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# 2. k-NN label evaluation (embedding-quality probe)
+
+_EVAL_SPLIT = 450          # train: vec_id < 450; test: 450 <= vec_id < 500
+_EVAL_TEST_HI = 500
+_EVAL_K = 5
+
+_SQL_KNN_EVAL = f"""
+    WITH normed AS ({_SQL_NORMED}),
+    train AS (SELECT * FROM normed WHERE vec_id < {_EVAL_SPLIT}),
+    test AS (SELECT * FROM normed
+             WHERE vec_id >= {_EVAL_SPLIT} AND vec_id < {_EVAL_TEST_HI}),
+    scored AS (
+      SELECT t.vec_id AS test_id, t.label AS true_label,
+             tr.vec_id AS train_id, tr.label AS train_label,
+             ROUND({sql_dot('t.nv', 'tr.nv')}, 6) AS cosine
+      FROM test t JOIN train tr ON true),
+    nn AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY test_id ORDER BY cosine DESC, train_id ASC) AS rnk
+      FROM scored),
+    votes AS (
+      SELECT test_id, true_label, train_label, COUNT(*) AS n_votes
+      FROM nn WHERE rnk <= {_EVAL_K}
+      GROUP BY test_id, true_label, train_label),
+    winner AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY test_id
+        ORDER BY n_votes DESC, train_label ASC) AS vr
+      FROM votes)
+    SELECT test_id, true_label, train_label AS pred_label,
+           n_votes, (train_label = true_label) AS correct
+    FROM winner WHERE vr = 1
+    ORDER BY test_id
+"""
+
+
+@query(
+    "embedding_knn_label_eval",
+    survey="north-star training pipeline (k-NN majority-vote label "
+           "evaluation of an embedding space: held-out split, C1 kNN + "
+           "D4 vote aggregate)",
+    oracle=_SQL_KNN_EVAL,
+)
+def embedding_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each held-out vector by majority vote of its k nearest
+    train vectors (cosine), tie-broken (votes DESC, label ASC). The output
+    is per-test-row so the parity hash pins every single prediction, not
+    just the aggregate accuracy.
+
+    Scale: the TEST side is the small one (an eval split, thousands) →
+    broadcast it; the 100 TB train corpus is scanned once. Top-k per test
+    id and the vote are both partial-aggregable. This is also exactly the
+    shape of kNN-LM / retrieval-augmented eval jobs.
+    """
+    normed = _normed(spark, sf_dir)
+    train = (normed.filter(F.col("vec_id") < _EVAL_SPLIT)
+             .select(F.col("vec_id").alias("train_id"),
+                     F.col("label").alias("train_label"), "nv"))
+    test = (normed.filter((F.col("vec_id") >= _EVAL_SPLIT)
+                          & (F.col("vec_id") < _EVAL_TEST_HI))
+            .select(F.col("vec_id").alias("test_id"),
+                    F.col("label").alias("true_label"),
+                    F.col("nv").alias("test_nv")))
+    scored = (train.crossJoin(F.broadcast(test))
+              .withColumn("cosine", F.round(
+                  dot(F.col("test_nv"), F.col("nv")), 6)))
+    w_nn = Window.partitionBy("test_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc())
+    votes = (scored.withColumn("rnk", F.row_number().over(w_nn))
+             .filter(F.col("rnk") <= _EVAL_K)
+             .groupBy("test_id", "true_label", "train_label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    w_win = Window.partitionBy("test_id").orderBy(
+        F.col("n_votes").desc(), F.col("train_label").asc())
+    return (votes.withColumn("vr", F.row_number().over(w_win))
+            .filter(F.col("vr") == 1)
+            .select("test_id", "true_label",
+                    F.col("train_label").alias("pred_label"), "n_votes",
+                    (F.col("train_label") == F.col("true_label"))
+                    .alias("correct"))
+            .orderBy("test_id"))
+
+
+# ---------------------------------------------------------------------------
+# 3. schema evolution: mergeSchema read over batches written years apart
+
+@query(
+    "store_schema_evolution",
+    survey="A5/A7-adjacent (schema evolution: old parquet batches stay "
+           "readable after columns are added; mergeSchema union + NULL "
+           "backfill, the ADD COLUMN contract of Iceberg/Delta)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('all_rows_survive',        true, CAST(60 AS BIGINT)),
+      ('new_col_null_in_old',     true, CAST(40 AS BIGINT)),
+      ('new_col_set_in_new',      true, CAST(20 AS BIGINT)),
+      ('old_reader_still_works',  true, CAST(40 AS BIGINT)),
+      ('schema_is_union',         true, CAST(4 AS BIGINT))
+    ) AS t(check_name, ok, n) ORDER BY check_name
+    """,
+)
+def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write batch 1 with (doc_id, text, source); write batch 2 with an
+    added ``quality double`` column; prove the five contracts a long-lived
+    corpus needs: the merged read sees the union schema, every row
+    survives, the new column is NULL exactly on old rows and populated
+    exactly on new rows, and a reader pinned to the OLD schema still reads
+    the old batch untouched.
+
+    At 100 TB the merged read is metadata-only extra work: mergeSchema
+    unions footers at planning time, and Parquet's missing-column read
+    path materializes NULL vectors without touching data pages — no
+    rewrite of old batches, ever. (The anti-pattern this replaces is a
+    full-corpus rewrite per added column.)
+    """
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    docs = tbl(spark, sf_dir, "documents")
+    old = (docs.filter(F.col("doc_id") < 40)
+           .select("doc_id", "text", "source"))
+    new = (docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+           .select("doc_id", "text", "source",
+                   (F.length("text").cast("double") / 1000.0)
+                   .alias("quality")))
+    old.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2"))
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("quality").isNull()
+                     & (F.col("doc_id") < 40), 1).otherwise(0))
+        .alias("n_old_null"),
+        F.sum(F.when(F.col("quality").isNotNull()
+                     & (F.col("doc_id") >= 40), 1).otherwise(0))
+        .alias("n_new_set")).collect()[0]
+    old_reader_n = spark.read.parquet(
+        os.path.join(root, "batch=1")).count()
+    cols = sorted(merged.columns)
+    return spark.createDataFrame(
+        [("all_rows_survive", int(stats["n_all"]) == 60, 60),
+         ("new_col_null_in_old", int(stats["n_old_null"]) == 40, 40),
+         ("new_col_set_in_new", int(stats["n_new_set"]) == 20, 20),
+         ("old_reader_still_works", old_reader_n == 40, 40),
+         ("schema_is_union",
+          cols == ["doc_id", "quality", "source", "text"], 4)],
+        "check_name string, ok boolean, n long").orderBy("check_name")
