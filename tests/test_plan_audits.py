@@ -459,3 +459,22 @@ def test_substring_spans_windows_partition_by_doc(spark):
     import re
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and all(s == "id" for s in specs)
+
+
+def test_hard_negatives_broadcasts_anchors_single_corpus_scan(spark):
+    # anchors (a training batch) must broadcast — the 100 TB corpus side
+    # is scanned once and never shuffled for the join itself; the label<>
+    # non-equi predicate rides a BroadcastNestedLoopJoin, NOT a cartesian
+    plan = _plan(spark, "embedding_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one scan of the embeddings parquet feeds the join (the
+    # planted anchor subset arrives via broadcast, not a second scan join)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_knn_label_eval_broadcasts_test_split(spark):
+    # the eval split is the small side: broadcast it, scan train once
+    plan = _plan(spark, "embedding_knn_label_eval")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
