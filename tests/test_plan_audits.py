@@ -478,3 +478,11 @@ def test_knn_label_eval_broadcasts_test_split(spark):
     plan = _plan(spark, "embedding_knn_label_eval")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_index_upkeep_serving_prunes_cells(spark):
+    # the incrementally-built index must serve with PARTITION pruning on
+    # centroid_id (under every ingest_batch dir), not a post-scan filter
+    plan = _plan(spark, "streaming_ann_index_upkeep")
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:250]
