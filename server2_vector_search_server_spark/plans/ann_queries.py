@@ -1936,3 +1936,84 @@ def streaming_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ann.ivf_knn_indexed(spark, index, centroids, qv,
                                 k=5, nprobe=_NPROBE)
             .select("vec_id", "label", "centroid_id", "score"))
+
+
+@query(
+    "ann_index_compaction_invariance",
+    survey="A5/C1-adjacent (vector-index compaction: fold per-batch cell "
+           "partitions into one file set per cell; serving result is "
+           "bit-identical before and after — the read contract is the "
+           "partition column, not the file layout)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC, centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    served AS (
+      SELECT a.vec_id, a.label, a.centroid_id,
+             ROUND(1.0 - {sql_sq_l2('a.embedding', _sql_qv(_QUERY_ID))}, 6)
+               AS score
+      FROM assigned a
+      WHERE a.centroid_id IN (SELECT centroid_id FROM probe)
+      ORDER BY score DESC, a.vec_id ASC LIMIT 5)
+    SELECT phase, vec_id, label, centroid_id, score
+    FROM served, (VALUES ('before'), ('after')) AS p(phase)
+    ORDER BY phase, score DESC, vec_id ASC
+    """,
+)
+def ann_index_compaction_invariance(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The maintenance step `streaming_ann_index_upkeep`'s docstring
+    promises: many small ``ingest_batch=*/centroid_id=c`` files (the
+    streaming-append tax) folded into ONE file set per cell, with serving
+    provably unchanged — both phases are served through the same probe path
+    and the oracle pins both to the identical kNN rows. At 100 TB this is
+    the background job that keeps probe-side file listings O(cells), not
+    O(cells × batches); it commutes with ingest because compaction writes a
+    NEW directory and the swap is a pointer move (snapshot-store pattern).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    root = _tf.mkdtemp(prefix="ivf_compact_")
+    fragmented = _os.path.join(root, "frag")
+    compacted = _os.path.join(root, "compact")
+    # four per-batch commits -> fragmented multi-batch layout
+    assigned = ann.ivf_assign(emb, centroids)
+    (assigned.withColumn("ingest_batch",
+                         (F.col("vec_id") % 4).cast("int"))
+     .write.partitionBy("ingest_batch", "centroid_id").parquet(fragmented))
+
+    qv = _vec(spark, sf_dir, _QUERY_ID)
+
+    def serve(path):
+        return (ann.ivf_knn_indexed(spark, path, centroids, qv,
+                                    k=5, nprobe=_NPROBE)
+                .select("vec_id", "label", "centroid_id", "score"))
+
+    before = serve(fragmented)
+    # compaction: one coalesced file set per cell, batch dimension folded
+    (spark.read.parquet(fragmented).drop("ingest_batch")
+     .repartition("centroid_id")
+     .write.partitionBy("centroid_id").parquet(compacted))
+    after = serve(compacted)
+    return (before.withColumn("phase", F.lit("before"))
+            .unionByName(after.withColumn("phase", F.lit("after")))
+            .select("phase", "vec_id", "label", "centroid_id", "score")
+            .orderBy("phase", F.col("score").desc(), F.col("vec_id").asc()))
