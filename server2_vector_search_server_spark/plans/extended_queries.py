@@ -756,3 +756,106 @@ def fulltext_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("doc_id") < 120))
             .select("doc_id", snippet.alias("snippet"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history: update batches -> validity intervals
+
+_SCD2_BATCHES = (
+    # (batch_ts, lo, hi): docs [lo, hi) rewritten at time batch_ts
+    (0, 0, 40),
+    (1, 10, 20),
+    (2, 15, 25),
+)
+
+_SQL_SCD2_VERSIONS = " UNION ALL ".join(
+    f"SELECT doc_id, CAST({ts} AS BIGINT) AS effective_ts, "
+    f"md5(text || '@' || CAST({ts} AS VARCHAR)) AS content_hash "
+    f"FROM documents WHERE doc_id >= {lo} AND doc_id < {hi}"
+    for ts, lo, hi in _SCD2_BATCHES)
+
+_SQL_SCD2_HISTORY = f"""
+    WITH versions AS ({_SQL_SCD2_VERSIONS}),
+    hist AS (
+      SELECT doc_id, effective_ts AS valid_from,
+             LEAD(effective_ts) OVER (
+               PARTITION BY doc_id ORDER BY effective_ts) AS valid_to,
+             content_hash
+      FROM versions)
+    SELECT doc_id, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current, content_hash
+    FROM hist ORDER BY doc_id, valid_from
+"""
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    parts = []
+    for ts, lo, hi in _SCD2_BATCHES:
+        parts.append(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id",
+                    F.lit(ts).cast("long").alias("effective_ts"),
+                    F.md5(F.concat(F.col("text"), F.lit("@"),
+                                   F.lit(str(ts)))).alias("content_hash")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "documents_scd2_history",
+    survey="D/E-adjacent (SCD Type-2 dimension history: update batches "
+           "folded into per-key validity intervals via LEAD; the corpus "
+           "metadata-versioning pattern for slowly-changing document "
+           "attributes)",
+    oracle=_SQL_SCD2_HISTORY,
+)
+def documents_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three update batches become per-document validity intervals
+    ``[valid_from, valid_to)`` with the open interval marked current —
+    the Kimball SCD2 build as one window pass. Scale: the window
+    partitions by doc_id (one hash exchange on the natural key, no
+    global sort); at 100 TB this runs incrementally instead — new batch
+    rows close ONLY the affected keys' open intervals via a keyed merge,
+    which is exactly the snapshot store's upsert path
+    (`sources/snapshots.py`), so the full-history rebuild here is the
+    bootstrap, not the steady state."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("effective_ts")
+    hist = (_scd2_versions(spark, sf_dir)
+            .withColumn("valid_to", F.lead("effective_ts").over(w))
+            .withColumnRenamed("effective_ts", "valid_from"))
+    return (hist.select("doc_id", "valid_from", "valid_to",
+                        F.col("valid_to").isNull().alias("is_current"),
+                        "content_hash")
+            .orderBy("doc_id", "valid_from"))
+
+
+@query(
+    "documents_scd2_point_in_time",
+    survey="C/E-adjacent (point-in-time dimension lookup: as-of join "
+           "against SCD2 validity intervals)",
+    oracle=f"""
+    WITH hist AS ({_SQL_SCD2_HISTORY})
+    SELECT doc_id, valid_from AS version_ts, content_hash
+    FROM hist
+    WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+    ORDER BY doc_id
+    """,
+)
+def documents_scd2_point_in_time(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The consumer side of SCD2: reconstruct the dimension exactly as it
+    stood at t=1 — one interval-containment filter, no window. At scale
+    this predicate rides partition pruning when history is written
+    partitioned by a time bucket of ``valid_from``."""
+    hist = documents_scd2_history(spark, sf_dir)
+    return (hist.filter((F.col("valid_from") <= 1)
+                        & (F.col("valid_to").isNull()
+                           | (F.col("valid_to") > 1)))
+            .select("doc_id", F.col("valid_from").alias("version_ts"),
+                    "content_hash")
+            .orderBy("doc_id"))
