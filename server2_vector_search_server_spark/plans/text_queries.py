@@ -1166,3 +1166,110 @@ def text_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_bigrams"), 6)
                     .alias("avg_neg_log_prob"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE training: 3 merge rounds, argmax merge applied between rounds
+
+_BPE_ROUNDS = 3
+_BPE_DOCS = 100
+
+# a word spaced into symbols: 'the' -> 't h e'; a merge is a literal
+# space-removing replace, whose leftmost non-overlapping greedy semantics
+# are IDENTICAL in java.lang.String.replace (Spark `replace`) and DuckDB
+# `replace` — that shared contract is what makes iterative BPE
+# oracle-checkable without a UDF.
+_SQL_SPACED_VOCAB = f"""
+      SELECT array_to_string(list_transform(
+               range(1, length(w) + 1), i -> substr(w, i, 1)), ' ') AS w,
+             COUNT(*) AS freq
+      FROM (
+        SELECT lower(t.term) AS w
+        FROM documents, UNNEST(list_filter(
+               string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+             AS t(term)
+        WHERE doc_id < {_BPE_DOCS})
+      GROUP BY w
+"""
+
+
+def _sql_bpe_round(prev: str, rnd: int) -> str:
+    """One unrolled BPE round: pair counts over ``prev`` -> 1-row argmax
+    ``best{rnd}`` -> merged vocab ``v{rnd}``."""
+    return f"""
+    p{rnd} AS (
+      SELECT pr.pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM {prev}, UNNEST(list_transform(
+             range(1, len(string_split({prev}.w, ' '))),
+             i -> string_split({prev}.w, ' ')[i] || ' ' ||
+                  string_split({prev}.w, ' ')[i + 1])) AS pr(pair)
+      WHERE len(string_split({prev}.w, ' ')) >= 2
+      GROUP BY pr.pair),
+    best{rnd} AS (
+      SELECT CAST({rnd} AS BIGINT) AS round, pair, n
+      FROM p{rnd} ORDER BY n DESC, pair ASC LIMIT 1),
+    v{rnd} AS (
+      SELECT replace(v.w, b.pair, replace(b.pair, ' ', '')) AS w, v.freq
+      FROM {prev} v CROSS JOIN best{rnd} b)"""
+
+
+_SQL_BPE_TRAIN = (
+    "WITH v0 AS (" + _SQL_SPACED_VOCAB + "),"
+    + ",".join(_sql_bpe_round(f"v{r - 1}", r)
+               for r in range(1, _BPE_ROUNDS + 1))
+    + "".join(f"""
+    SELECT round, pair, n FROM best{r}
+    {'UNION ALL' if r < _BPE_ROUNDS else ''}"""
+              for r in range(1, _BPE_ROUNDS + 1))
+    + " ORDER BY round")
+
+
+@query(
+    "text_bpe_train_merges",
+    survey="north-star text analysis (ITERATIVE BPE tokenizer training: "
+           "argmax merge applied to the vocabulary between rounds — the "
+           "driver loop `text_bpe_merge_pairs` promises, run for real; "
+           "oracle unrolls the same three rounds as CTE stages)",
+    oracle=_SQL_BPE_TRAIN,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three real BPE training rounds (Sennrich et al. 2016): count
+    adjacent symbol pairs over the frequency-weighted VOCABULARY (never
+    the token stream), take the (count DESC, pair ASC) argmax, apply it as
+    a literal space-removing replace, repeat on the shrunk symbol table.
+
+    Scale: each round is one vocab-sized aggregate (vocab ≪ corpus — the
+    corpus is folded into word frequencies once, up front) plus a narrow
+    map; the 1-row argmax collect per round is the same bounded driver
+    transfer as an ANN centroid fetch. 50k merges over a 10M-word vocab is
+    50k tiny jobs on an ever-shrinking table — driver loop cost, not data
+    cost. The vocab is localCheckpointed between rounds so round r+1's
+    lineage doesn't re-run rounds 1..r."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _BPE_DOCS)
+    spaced = F.array_join(F.split(F.lower(F.col("w")), ""), " ")
+    vocab = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                 .alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(spaced.alias("w"), "freq")
+             .localCheckpoint(eager=False))
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.col("w"), " ")
+        pair_expr = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(F.element_at(syms, i), F.lit(" "),
+                               F.element_at(syms, i + 1)))
+        best = (vocab.filter(F.size(syms) >= 2)
+                .select(F.explode(pair_expr).alias("pair"), "freq")
+                .groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair").asc())
+                .first())
+        merges.append((rnd, best["pair"], int(best["n"])))
+        vocab = (vocab.select(
+            F.replace(F.col("w"), F.lit(best["pair"]),
+                      F.lit(best["pair"].replace(" ", ""))).alias("w"),
+            "freq").localCheckpoint(eager=False))
+    return spark.createDataFrame(merges, "round long, pair string, n long") \
+        .orderBy("round")
