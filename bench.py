@@ -92,6 +92,9 @@ HEADLINE = [
     "dedup_simhash",            # Manku-blocked SimHash pairs (round 4)
     "graph_pagerank_shuffle",   # big-graph PageRank branch (round 4)
     "dedup_substring_spans",    # ExactSubstr windowed span dedup (round 4)
+    "embedding_hard_negatives",  # contrastive negative mining (round 4)
+    "embedding_knn_label_eval",  # kNN embedding-quality probe (round 4)
+    "text_bpe_train_merges",    # iterative BPE training rounds (round 4)
 ]
 
 
