@@ -284,3 +284,137 @@ def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("schema_is_union",
           cols == ["doc_id", "quality", "source", "text"], 4)],
         "check_name string, ok boolean, n long").orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# 4. margin-based bitext mining (cross-lingual parallel-corpus candidates)
+
+_BT_ANCHORS = 60           # en documents with doc_id < 60
+_BT_CANDS = 200            # non-en documents with doc_id < 200
+_BT_K = 4                  # neighborhood size for the margin normalizer
+_BT_MARGIN = 1.0
+
+# margin(x,y) = cos(x,y) / mean(top-k cos of x  ∪-avg  top-k cos of y)
+# (Artetxe & Schwenk 2019 "ratio" margin, public method). The two top-k
+# sums go through the scaled-BIGINT exact-sum pattern so aggregation order
+# cannot perturb the margin in the last ulp on either engine.
+
+_SQL_BITEXT = f"""
+    WITH docs AS (
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    normed AS (
+      SELECT doc_id, lang,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               (CASE WHEN {sql_l2_norm('embedding')} = 0 THEN 1.0
+                     ELSE {sql_l2_norm('embedding')} END)) AS nv
+      FROM docs),
+    anchors AS (SELECT * FROM normed
+                WHERE lang = 'en' AND doc_id < {_BT_ANCHORS}),
+    cands AS (SELECT * FROM normed
+              WHERE lang <> 'en' AND doc_id < {_BT_CANDS}),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS cand_id, c.lang AS cand_lang,
+             ROUND({sql_dot('a.nv', 'c.nv')}, 6) AS cosine
+      FROM anchors a CROSS JOIN cands c),
+    arank AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                 ORDER BY cosine DESC, cand_id ASC) AS ra
+      FROM pairs),
+    asum AS (
+      SELECT anchor_id,
+             CAST(SUM(CAST(ROUND(cosine * 1000000) AS BIGINT)) AS BIGINT)
+               AS sx_micro
+      FROM arank WHERE ra <= {_BT_K} GROUP BY anchor_id),
+    crank AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+                 ORDER BY cosine DESC, anchor_id ASC) AS rc
+      FROM pairs),
+    csum AS (
+      SELECT cand_id,
+             CAST(SUM(CAST(ROUND(cosine * 1000000) AS BIGINT)) AS BIGINT)
+               AS sy_micro
+      FROM crank WHERE rc <= {_BT_K} GROUP BY cand_id),
+    margins AS (
+      SELECT p.anchor_id, p.cand_id, p.cand_lang, p.cosine,
+             ROUND(p.cosine /
+               ((a.sx_micro + c.sy_micro) /
+                ({2.0 * _BT_K} * 1000000.0)), 6) AS margin
+      FROM pairs p
+      JOIN asum a ON a.anchor_id = p.anchor_id
+      JOIN csum c ON c.cand_id = p.cand_id),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                 ORDER BY margin DESC, cand_id ASC) AS rb
+      FROM margins)
+    SELECT anchor_id, cand_id, cand_lang, cosine, margin
+    FROM best WHERE rb = 1 AND margin >= {_BT_MARGIN}
+    ORDER BY anchor_id
+"""
+
+
+@query(
+    "crosslingual_bitext_candidates",
+    survey="north-star training pipeline (margin-based bitext mining, "
+           "Artetxe & Schwenk 2019: best other-language match per anchor "
+           "scored by cosine over mean of both directions' k-NN "
+           "neighborhoods — the parallel-corpus mining step of "
+           "multilingual training data)",
+    oracle=_SQL_BITEXT,
+)
+def crosslingual_bitext_candidates(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Mine translation-pair candidates: for each English anchor, the
+    non-English document with the highest MARGIN score — raw cosine
+    normalized by the mean of both endpoints' k-NN cosines, which kills
+    the 'hub' vectors that plain cosine-thresholding would match to
+    everything. Kept only when margin ≥ 1 (better than the candidate's
+    average neighborhood).
+
+    Scale: the pair space here is blocked by language and bounded ids; at
+    100 TB the same margin arithmetic runs over ANN candidate lists
+    (`ann_ivf_batch_indexed_knn` provides per-anchor top-k at index
+    speed), so the quadratic stage never materializes — margins only ever
+    score k·anchors rows. Both top-k neighborhoods and the final best-match
+    are rank-limited windows (WindowGroupLimit partial top-k)."""
+    docs = tbl(spark, sf_dir, "documents")
+    emb = tbl(spark, sf_dir, "embeddings")
+    normed = (docs.join(emb, docs.doc_id == emb.vec_id)
+              .select("doc_id", "lang",
+                      l2_normalize(F.col("embedding")).alias("nv")))
+    anchors = (normed.filter((F.col("lang") == "en")
+                             & (F.col("doc_id") < _BT_ANCHORS))
+               .select(F.col("doc_id").alias("anchor_id"),
+                       F.col("nv").alias("anchor_nv")))
+    cands = (normed.filter((F.col("lang") != "en")
+                           & (F.col("doc_id") < _BT_CANDS))
+             .select(F.col("doc_id").alias("cand_id"),
+                     F.col("lang").alias("cand_lang"), "nv"))
+    pairs = (cands.crossJoin(F.broadcast(anchors))
+             .withColumn("cosine", F.round(
+                 dot(F.col("anchor_nv"), F.col("nv")), 6))
+             .drop("anchor_nv", "nv"))
+    micro = F.round(F.col("cosine") * 1000000).cast("long")
+    w_a = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc())
+    asum = (pairs.withColumn("ra", F.row_number().over(w_a))
+            .filter(F.col("ra") <= _BT_K)
+            .groupBy("anchor_id")
+            .agg(F.sum(micro).cast("long").alias("sx_micro")))
+    w_c = Window.partitionBy("cand_id").orderBy(
+        F.col("cosine").desc(), F.col("anchor_id").asc())
+    csum = (pairs.withColumn("rc", F.row_number().over(w_c))
+            .filter(F.col("rc") <= _BT_K)
+            .groupBy("cand_id")
+            .agg(F.sum(micro).cast("long").alias("sy_micro")))
+    margins = (pairs.join(asum, "anchor_id").join(csum, "cand_id")
+               .withColumn("margin", F.round(
+                   F.col("cosine") /
+                   ((F.col("sx_micro") + F.col("sy_micro")) /
+                    F.lit(2.0 * _BT_K * 1000000.0)), 6)))
+    w_b = Window.partitionBy("anchor_id").orderBy(
+        F.col("margin").desc(), F.col("cand_id").asc())
+    return (margins.withColumn("rb", F.row_number().over(w_b))
+            .filter((F.col("rb") == 1) & (F.col("margin") >= _BT_MARGIN))
+            .select("anchor_id", "cand_id", "cand_lang", "cosine", "margin")
+            .orderBy("anchor_id"))
