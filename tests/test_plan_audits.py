@@ -486,3 +486,12 @@ def test_streaming_index_upkeep_serving_prunes_cells(spark):
     plan = _plan(spark, "streaming_ann_index_upkeep")
     assert "PartitionFilters: [" in plan
     assert "centroid_id" in plan.split("PartitionFilters")[1][:250]
+
+
+def test_bitext_margin_windows_plan_as_partial_topk(spark):
+    # both kNN-neighborhood windows and the best-match window are
+    # rank-limited -> WindowGroupLimit (per-partition partial top-k);
+    # anchors broadcast, no cartesian fallback
+    plan = _plan(spark, "crosslingual_bitext_candidates")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
