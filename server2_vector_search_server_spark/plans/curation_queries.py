@@ -578,3 +578,53 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv_safe").cast("long").alias("n_val"),
         F.col("leak").cast("long").alias("leaked_pairs"))
     return row_naive.unionByName(row_safe).orderBy("method")
+
+# ---------------------------------------------------------------------------
+# k-anonymity screen over quasi-identifiers
+
+_KANON_K = 5
+
+_SQL_K_ANONYMITY = f"""
+    WITH cells AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY lang, source, len_bucket)
+    SELECT lang, source, len_bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           (n_docs < {_KANON_K}) AS below_k
+    FROM cells
+    WHERE n_docs < {_KANON_K}
+    ORDER BY lang, source, len_bucket
+"""
+
+
+@query(
+    "documents_k_anonymity_screen",
+    survey="north-star curation governance (k-anonymity over "
+           "quasi-identifier cells: any (lang, source, size-bucket) "
+           "combination matching fewer than k documents is a "
+           "re-identification risk to suppress or generalize before "
+           "release)",
+    oracle=_SQL_K_ANONYMITY,
+)
+def documents_k_anonymity_screen(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The release-gate screen run before publishing a corpus slice:
+    group by the quasi-identifier tuple, keep cells with fewer than k
+    members — those rows are suppressed or their identifiers generalized
+    (widen the length bucket, drop `source`) until every cell clears k.
+    One hash-partitioned aggregate; at 100 TB the QI cardinality (not the
+    corpus) bounds the reduce side, and the same rollup feeds the
+    generalization loop (re-aggregate on the coarsened tuple — each pass
+    is the identical plan on a shrinking cell table)."""
+    docs = tbl(spark, sf_dir, "documents")
+    cells = (docs.groupBy(
+        "lang", "source",
+        F.floor(F.col("n_chars") / F.lit(200.0)).cast("long")
+        .alias("len_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (cells.filter(F.col("n_docs") < _KANON_K)
+            .select("lang", "source", "len_bucket",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    (F.col("n_docs") < _KANON_K).alias("below_k"))
+            .orderBy("lang", "source", "len_bucket"))
