@@ -590,8 +590,7 @@ _SQL_K_ANONYMITY = f"""
              CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
              COUNT(*) AS n_docs
       FROM documents GROUP BY lang, source, len_bucket)
-    SELECT lang, source, len_bucket, CAST(n_docs AS BIGINT) AS n_docs,
-           (n_docs < {_KANON_K}) AS below_k
+    SELECT lang, source, len_bucket, CAST(n_docs AS BIGINT) AS n_docs
     FROM cells
     WHERE n_docs < {_KANON_K}
     ORDER BY lang, source, len_bucket
@@ -625,6 +624,5 @@ def documents_k_anonymity_screen(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_docs")))
     return (cells.filter(F.col("n_docs") < _KANON_K)
             .select("lang", "source", "len_bucket",
-                    F.col("n_docs").cast("long").alias("n_docs"),
-                    (F.col("n_docs") < _KANON_K).alias("below_k"))
+                    F.col("n_docs").cast("long").alias("n_docs"))
             .orderBy("lang", "source", "len_bucket"))

@@ -233,14 +233,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.5
 
+# ONE definition of the ground-truth pair metric — dedup_ngram_jaccard's
+# oracle and dedup_minhash_quality_eval's truth must stay the same formula
+_SQL_JACCARD_EXPR = """ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                 END, 6)"""
+
 _SQL_JACCARD = f"""
     WITH docs2 AS ({_SQL_DOCS}),
     sh AS (SELECT doc_id, {sql_word_shingles('text', 3)} AS sh FROM docs2)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-                 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
-                 END, 6) AS jaccard
+           {_SQL_JACCARD_EXPR} AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE jaccard >= {_JACCARD_THRESHOLD}
 """
@@ -680,12 +684,6 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 10. LSH quality self-eval: candidate recall/precision vs true Jaccard
 
-_SQL_JACCARD_EXPR = """ROUND(CASE
-      WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
-      END, 6)"""
-
 _SQL_LSH_EVAL = f"""
     WITH docs2 AS ({_SQL_DOCS}),
     sh AS (SELECT doc_id, {sql_word_shingles('text', 3)} AS sh FROM docs2),
@@ -742,9 +740,13 @@ def dedup_minhash_quality_eval(spark: SparkSession,
     the banded equi-join that scales; nothing in the deployed path is
     quadratic."""
     docs = _docs_with_dups(spark, sf_dir)
+    # materialize both pair sets ONCE (eager localCheckpoint, the repo's
+    # no-persist-leak pattern): three separate count() actions would
+    # re-run the quadratic truth join and the band join twice each
     truth = (dedup.ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD)
-             .select("id_a", "id_b"))
-    cand = dedup.minhash_candidate_pairs(dedup.add_minhash(docs))
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    cand = (dedup.minhash_candidate_pairs(dedup.add_minhash(docs))
+            .localCheckpoint(eager=True))
     hits = truth.join(cand, ["id_a", "id_b"])
     n_truth = truth.count()
     n_cand = cand.count()

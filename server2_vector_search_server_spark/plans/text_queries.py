@@ -1175,10 +1175,15 @@ _BPE_ROUNDS = 3
 _BPE_DOCS = 100
 
 # a word spaced into symbols: 'the' -> 't h e'; a merge is a literal
-# space-removing replace, whose leftmost non-overlapping greedy semantics
-# are IDENTICAL in java.lang.String.replace (Spark `replace`) and DuckDB
-# `replace` — that shared contract is what makes iterative BPE
-# oracle-checkable without a UDF.
+# replace whose leftmost non-overlapping greedy semantics are IDENTICAL in
+# java.lang.String.replace (Spark `replace`) and DuckDB `replace` — that
+# shared contract is what makes iterative BPE oracle-checkable without a
+# UDF. The replace runs on a SENTINEL-DELIMITED render (\x01 around every
+# symbol, pattern \x01A\x01 \x01B\x01): a bare 'A B' replace would also
+# match across symbol boundaries once multi-char symbols exist (pattern
+# 'e t' inside 'e th' fusing e with half of th — not a BPE merge); the
+# sentinels are the subword-nmt (?<!\S)/(?!\S) guards in a form RE2-less
+# DuckDB can run. Assumes corpus tokens never contain \x01.
 _SQL_SPACED_VOCAB = f"""
       SELECT array_to_string(list_transform(
                range(1, length(w) + 1), i -> substr(w, i, 1)), ' ') AS w,
@@ -1191,6 +1196,23 @@ _SQL_SPACED_VOCAB = f"""
         WHERE doc_id < {_BPE_DOCS})
       GROUP BY w
 """
+
+
+def bpe_apply_merge(w, pair: str):
+    """Apply one BPE merge to a space-separated symbol string, guarded so
+    the pattern only matches WHOLE adjacent symbols (see the sentinel
+    comment above): 'e t' must not merge inside 'x e th'. Twin of the
+    v{rnd} stage in :func:`_sql_bpe_round`."""
+    sep = "\x01"
+    delimited = F.concat(
+        F.lit(sep),
+        F.replace(w, F.lit(" "), F.lit(sep + " " + sep)),
+        F.lit(sep))
+    pattern = sep + pair.replace(" ", f"{sep} {sep}") + sep
+    merged = sep + pair.replace(" ", "") + sep
+    return F.replace(
+        F.replace(delimited, F.lit(pattern), F.lit(merged)),
+        F.lit(sep), F.lit(""))
 
 
 def _sql_bpe_round(prev: str, rnd: int) -> str:
@@ -1209,7 +1231,14 @@ def _sql_bpe_round(prev: str, rnd: int) -> str:
       SELECT CAST({rnd} AS BIGINT) AS round, pair, n
       FROM p{rnd} ORDER BY n DESC, pair ASC LIMIT 1),
     v{rnd} AS (
-      SELECT replace(v.w, b.pair, replace(b.pair, ' ', '')) AS w, v.freq
+      SELECT replace(
+               replace(
+                 chr(1) || replace(v.w, ' ', chr(1) || ' ' || chr(1))
+                        || chr(1),
+                 chr(1) || replace(b.pair, ' ', chr(1) || ' ' || chr(1))
+                        || chr(1),
+                 chr(1) || replace(b.pair, ' ', '') || chr(1)),
+               chr(1), '') AS w, v.freq
       FROM {prev} v CROSS JOIN best{rnd} b)"""
 
 
@@ -1268,8 +1297,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .first())
         merges.append((rnd, best["pair"], int(best["n"])))
         vocab = (vocab.select(
-            F.replace(F.col("w"), F.lit(best["pair"]),
-                      F.lit(best["pair"].replace(" ", ""))).alias("w"),
+            bpe_apply_merge(F.col("w"), best["pair"]).alias("w"),
             "freq").localCheckpoint(eager=False))
     return spark.createDataFrame(merges, "round long, pair string, n long") \
         .orderBy("round")

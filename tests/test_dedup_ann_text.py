@@ -673,3 +673,25 @@ def test_bloom_probe_filters_most_nonmembers(spark):
             .filter(dedup.bloom_might_contain("_pos", "bloom_words"))
             .count())
     assert n_fp <= 20  # <1% of 2000
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    # 'e t' must merge only WHOLE adjacent symbols: not inside 'e th'
+    # (prefix of a multi-char symbol), and repeated pairs merge greedily
+    # left-to-right without overlap
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.plans.text_queries import (
+        bpe_apply_merge,
+    )
+
+    rows = [("x e th",), ("g e t",), ("e t e t",), ("e t e",), ("th e t",)]
+    df = spark.createDataFrame(rows, "w string")
+    got = [r["w"] for r in
+           df.select(bpe_apply_merge(F.col("w"), "e t").alias("w"))
+           .collect()]
+    assert got == ["x e th",   # boundary-guarded: no merge into 'th'
+                   "g et",
+                   "et et",    # both disjoint occurrences merge
+                   "et e",     # greedy leftmost, no overlap
+                   "th et"]
