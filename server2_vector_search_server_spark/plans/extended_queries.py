@@ -904,13 +904,16 @@ def streaming_scd2_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         cur = spark.read.parquet(state)
         keys = batch.select("doc_id").distinct()
-        # only the buckets that contain an updated key are rewritten
-        touched = (cur.join(F.broadcast(keys), "doc_id", "left_semi")
-                   .select((F.col("doc_id") % _SCD2_BUCKETS).cast("int")
-                           .alias("bucket")).distinct())
-        affected = (cur.withColumn(
-            "bucket", (F.col("doc_id") % _SCD2_BUCKETS).cast("int"))
-            .join(F.broadcast(touched), "bucket"))
+        # the touched-bucket set comes from the BATCH's keys alone (no
+        # state scan) and is bounded by the bucket count, so collecting it
+        # is the same bounded driver transfer as an ANN centroid fetch;
+        # the literal IN on the stored PARTITION column prunes the state
+        # scan to touched directories STATICALLY — DPP's heuristics never
+        # get a vote (plan-audited)
+        touched = sorted(r["bucket"] for r in keys.select(
+            (F.col("doc_id") % _SCD2_BUCKETS).cast("int").alias("bucket"))
+            .distinct().collect())
+        affected = cur.filter(F.col("bucket").isin(touched))
         closed = (affected.join(F.broadcast(keys.withColumnRenamed(
             "doc_id", "_k")), (F.col("doc_id") == F.col("_k"))
             & F.col("valid_to").isNull(), "left")

@@ -495,3 +495,22 @@ def test_bitext_margin_windows_plan_as_partial_topk(spark):
     plan = _plan(spark, "crosslingual_bitext_candidates")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_upkeep_state_scan_prunes_touched_buckets(spark, tmp_path):
+    # the incremental rewrite's state read must prune to the TOUCHED
+    # bucket directories (partition filter on the stored bucket column,
+    # driven by the broadcast touched-bucket set) — the docstring claim
+    # that untouched buckets' files are never opened
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    (spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 8).cast("int").alias("bucket"))
+     .write.partitionBy("bucket").parquet(state))
+    cur = spark.read.parquet(state)
+    plan = (cur.filter(F.col("bucket").isin([0, 1]))
+            ._jdf.queryExecution().executedPlan().toString())
+    pf = plan.split("PartitionFilters: [")[1][:200]
+    assert "bucket" in pf and " IN (0,1)" in pf
