@@ -695,3 +695,54 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
                    "et et",    # both disjoint occurrences merge
                    "et e",     # greedy leftmost, no overlap
                    "th et"]
+
+
+def test_bpe_merge_matches_reference_on_random_symbol_strings(spark):
+    # 200 seeded-random symbol strings x random pairs, all checked in ONE
+    # Spark job against a Python reference of greedy leftmost
+    # whole-symbol pair merging (the subword-nmt semantics)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.plans.text_queries import (
+        bpe_apply_merge,
+    )
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "ab", "ba", "aa", "th", "e", "t"]
+
+    def reference(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return " ".join(out)
+
+    cases = []
+    for idx in range(200):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 10))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((idx, " ".join(syms), a, b,
+                      reference(syms, a, b)))
+    df = spark.createDataFrame(
+        cases, "idx int, w string, a string, b string, want string")
+    # one pair per distinct (a,b): apply per-group via the same literal
+    # path the trainer uses
+    bad = []
+    for (a, b), grp in __import__("itertools").groupby(
+            sorted(cases, key=lambda c: (c[2], c[3])),
+            key=lambda c: (c[2], c[3])):
+        grp = list(grp)
+        sub = df.filter((F.col("a") == a) & (F.col("b") == b))
+        got = {r["idx"]: r["got"] for r in sub.select(
+            "idx", bpe_apply_merge(F.col("w"), f"{a} {b}").alias("got"))
+            .collect()}
+        for idx, w, _, _, want in grp:
+            if got[idx] != want:
+                bad.append((w, f"{a} {b}", got[idx], want))
+    assert not bad, bad[:5]
