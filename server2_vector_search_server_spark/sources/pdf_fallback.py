@@ -5,15 +5,17 @@ The reference's primary ingest format is PDF via DoclingLoader
 container, so :func:`extract_text` implements the minimal subset needed to
 run the A1 path end-to-end on real bytes: it scans ``stream``/``endstream``
 content blocks, inflates ``/FlateDecode`` streams with stdlib zlib, and
-collects the literal strings fed to the text-showing operators
+collects the literal and hex strings fed to the text-showing operators
 (``Tj``, ``'``, ``"``, and ``TJ`` arrays) inside ``BT``/``ET`` text objects,
-applying PDF string escapes (including octal). ``pypdf`` is preferred when
-importable (``sources/files.parse_pdf_members``); this fallback keeps the
-pipeline honest-but-executable when it is not.
+applying PDF string escapes (including octal) and hex decoding (whitespace
+ignored, odd length zero-padded, PDF 32000-1 §7.3.4.3). ``pypdf`` is
+preferred when importable (``sources/files.parse_pdf_members``); this
+fallback keeps the pipeline honest-but-executable when it is not.
 
-Known limits (documented, acceptable for the ingest contract): hex strings
-(``<...> Tj``), nested unescaped parentheses, non-Flate filters, CID/Type0
-font re-mapping, and positioning-aware word spacing are not handled — text
+Known limits (documented, acceptable for the ingest contract): nested
+unescaped parentheses, non-Flate filters, CID/Type0 font re-mapping (hex
+strings are decoded as raw Latin-1-ish bytes, which is correct only for
+simple fonts), and positioning-aware word spacing are not handled — text
 comes back in content-stream order, one line per text object.
 
 :func:`build_minimal_pdf` is the deterministic fixture generator used by
@@ -28,12 +30,17 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-# literal string followed by a show operator, or a TJ array
+# literal or hex string followed by a show operator, or a TJ array
 _SHOW_RE = re.compile(
     rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"
-    rb"|\[(?P<arr>(?:\((?:\\.|[^\\()])*\)|[^\]])*)\]\s*TJ",
+    rb"|<(?P<hexs>[0-9A-Fa-f \r\n\t]*)>\s*(?:Tj|'|\")"
+    rb"|\[(?P<arr>(?:\((?:\\.|[^\\()])*\)"
+    rb"|<[0-9A-Fa-f \r\n\t]*>|[^\]])*)\]\s*TJ",
     re.DOTALL)
-_ARR_LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)", re.DOTALL)
+# strings inside a TJ array, in order (literal or hex)
+_ARR_STR_RE = re.compile(
+    rb"\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hexs>[0-9A-Fa-f \r\n\t]*)>",
+    re.DOTALL)
 _ESCAPE_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.DOTALL)
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -50,6 +57,18 @@ def _unescape(lit: bytes) -> bytes:
             return bytes([int(esc, 8) & 0xFF])
         return esc                               # unknown escape: drop the \
     return _ESCAPE_RE.sub(sub, lit)
+
+
+def _unhex(hexs: bytes) -> bytes:
+    """PDF hex string body -> bytes: whitespace ignored, odd length padded
+    with a trailing 0 (PDF 32000-1 §7.3.4.3)."""
+    h = re.sub(rb"\s+", b"", hexs)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
 
 
 def _content_streams(blob: bytes) -> list[bytes]:
@@ -79,9 +98,14 @@ def _text_objects(content: bytes) -> list[bytes]:
         for m in _SHOW_RE.finditer(bt.group(1)):
             if m.group("lit") is not None:
                 parts.append(_unescape(m.group("lit")))
+            elif m.group("hexs") is not None:
+                parts.append(_unhex(m.group("hexs")))
             else:
-                for lit in _ARR_LIT_RE.findall(m.group("arr")):
-                    parts.append(_unescape(lit[1:-1]))
+                for sm in _ARR_STR_RE.finditer(m.group("arr")):
+                    if sm.group("lit") is not None:
+                        parts.append(_unescape(sm.group("lit")))
+                    else:
+                        parts.append(_unhex(sm.group("hexs")))
         if parts:
             blocks.append(b"".join(parts))
     return blocks
@@ -141,9 +165,12 @@ def _escape_literal(text: str) -> bytes:
               .replace(b")", rb"\)")
 
 
-def build_minimal_pdf(lines: list[str], *, compress: bool = False) -> bytes:
+def build_minimal_pdf(lines: list[str], *, compress: bool = False,
+                      hex_strings: bool = False) -> bytes:
     """A complete, strictly-valid single-page-per-line PDF with the given
-    text lines — correct xref offsets so real parsers accept it too."""
+    text lines — correct xref offsets so real parsers accept it too.
+    ``hex_strings=True`` emits each line as ``<hex> Tj`` instead of a
+    literal string, exercising the hex decode branch."""
     objs: list[bytes] = []
     n_pages = len(lines)
     page_ids = [4 + 2 * i for i in range(n_pages)]
@@ -153,8 +180,12 @@ def build_minimal_pdf(lines: list[str], *, compress: bool = False) -> bytes:
                 .encode())                                            # 2
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     for i, line in enumerate(lines):                                  # 3
-        content = (b"BT /F1 12 Tf 72 720 Td (" + _escape_literal(line)
-                   + b") Tj ET")
+        if hex_strings:
+            content = (b"BT /F1 12 Tf 72 720 Td <"
+                       + line.encode("utf-8").hex().encode() + b"> Tj ET")
+        else:
+            content = (b"BT /F1 12 Tf 72 720 Td (" + _escape_literal(line)
+                       + b") Tj ET")
         filt = b""
         if compress:
             content = zlib.compress(content)

@@ -186,3 +186,22 @@ def test_count_pages_multi_node_page_tree():
              b"12 0 obj\n<< /Type /Pages /Count 9 >>\nendobj\n"
              b"2 0 obj\n<< /Type /Pages /Count 4 >>\nendobj\n%%EOF\n")
     assert count_pages(blob3) == 4
+
+
+def test_pdf_fallback_hex_strings():
+    # PDF 32000-1 §7.3.4.3: hex strings show like literals — whitespace
+    # inside ignored, odd digit count zero-padded; also inside TJ arrays
+    from server2_vector_search_server_spark.sources import pdf_fallback as pf
+
+    blob = pf.build_minimal_pdf(["Hex page one", "Zwei!"],
+                                hex_strings=True)
+    assert pf.extract_text(blob) == "Hex page one\nZwei!"
+
+    # hand-built content: whitespace inside hex, odd length, TJ mix
+    content = (b"BT <4865 6C6C 6F> Tj ET "
+               b"BT [(lit-) <6A6F696E65 64> -250 (!)] TJ ET "
+               b"BT <5> Tj ET")   # odd length: '5' -> 0x50 = 'P'
+    page = pf.build_minimal_pdf(["x"])
+    # graft raw content into a stream the extractor will scan
+    blob2 = page.replace(b"BT /F1 12 Tf 72 720 Td (x) Tj ET", content)
+    assert pf.extract_text(blob2) == "Hello\nlit-joined!\nP"
