@@ -20,7 +20,7 @@ DuckDB oracle reproduces every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.text import (
@@ -445,6 +445,57 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.5) -> DataFrame:
+    """EXACT threshold-Jaccard pairs WITHOUT the quadratic cross join:
+    AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08 — public algorithms).
+
+    Order every document's shingle SET by global rarity (document
+    frequency ascending, token ascending); any pair with Jaccard ≥ t must
+    share at least one token inside both documents' first
+    ``|x| − ceil(t·|x|) + 1`` tokens (if the prefixes were disjoint, the
+    overlap is at most min(|A|,|B|) − prefix complement < t·max(|A|,|B|) ≤
+    the overlap Jaccard ≥ t requires). So: equi-join on PREFIX tokens for
+    candidates — no false negatives, unlike MinHash banding — then verify
+    exact Jaccard only on candidates.
+
+    Scale: the join is candidates ∝ Σ df(prefix_token)² over RARE tokens
+    by construction (rarity ordering is what shrinks the blow-up); the
+    df pass is one vocabulary-sized aggregate, broadcast back. Same
+    result contract as :func:`ngram_jaccard_pairs` — the oracle parity
+    against the quadratic reference IS the no-false-negative proof.
+    """
+    s = _widen(docs).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
+    s = s.localCheckpoint(eager=True)     # reused 3x: df pass, prefixes, verify
+    tok = s.select("id", F.size("sh").alias("sz"),
+                   F.explode("sh").alias("t"))
+    df_tok = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                         F.col("t").asc())
+    pref = (tok.join(df_tok, "t")
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <=
+                    F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                    + 1)
+            .select("id", "t"))
+    cand = (pref.select(F.col("id").alias("id_a"), "t")
+            .join(pref.select(F.col("id").alias("id_b"), "t"), "t")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard",
+                        F.round(jaccard_similarity(F.col("sh_a"),
+                                                   F.col("sh_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 # --- exact substring dedup (Lee et al. 2022, ExactSubstr) --------------------

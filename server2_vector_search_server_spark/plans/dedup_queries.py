@@ -762,3 +762,24 @@ def dedup_minhash_quality_eval(spark: SparkSession,
         .alias("recall"),
         F.round(F.col("n_hits").cast("double") / F.col("n_candidates"), 6)
         .alias("precision"))
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    survey="north-star dedup (AllPairs/PPJoin prefix filtering: EXACT "
+           "threshold-Jaccard pairs from a rare-token prefix equi-join — "
+           "no false negatives, unlike LSH banding; same oracle as the "
+           "quadratic reference, which IS the exactness proof)",
+    oracle=_SQL_JACCARD,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Same answer as `dedup_ngram_jaccard`, different physics: candidates
+    come from an equi-join on each document's rarest
+    ``|x| − ceil(t·|x|) + 1`` shingles (global df order) instead of the
+    all-pairs cross join; exact Jaccard verifies candidates only. The
+    shared quadratic oracle hash-pins that prefix filtering dropped
+    nothing — the lossless counterpart to `dedup_minhash_quality_eval`'s
+    measured LSH recall of 0.994."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), threshold=_JACCARD_THRESHOLD)

@@ -514,3 +514,11 @@ def test_scd2_upkeep_state_scan_prunes_touched_buckets(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     pf = plan.split("PartitionFilters: [")[1][:200]
     assert "bucket" in pf and " IN (0,1)" in pf
+
+
+def test_prefix_filter_jaccard_has_no_cross_join(spark):
+    # the whole point vs ngram_jaccard_pairs: candidates come from an
+    # equi-join on rare prefix tokens, never a cartesian/cross product
+    plan = _plan(spark, "dedup_jaccard_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
