@@ -601,3 +601,53 @@ def events_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
       PIVOT (SUM(cents) AS cents, COUNT(cents) AS n
              FOR event_type IN ('click' AS click, 'purchase' AS purchase))
       ORDER BY user_bucket""")
+
+
+@query(
+    "events_bitmap_distinct_users",
+    survey="D4-adjacent (bitmap-aggregate distinct counting: Spark 4 "
+           "bitmap_construct_agg/bitmap_count — the roaring-bitmap "
+           "pattern for mergeable EXACT distinct counts; oracle is plain "
+           "COUNT(DISTINCT))",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id % 64) AS BIGINT)
+             AS n_user_buckets
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_bitmap_distinct_users(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type computed as BITMAPS: each
+    user_id sets one bit (bitmap_bucket_number/bitmap_bit_position),
+    per-partition bitmaps OR-merge (bitmap_construct_agg is a full
+    partial-aggregable monoid), bitmap_count pops the answer. Unlike HLL
+    (`events_hll_distinct_rollup`) this is exact, and unlike
+    COUNT(DISTINCT) it never expands rows (no Expand node, no
+    distinct-shuffle of (type, user) pairs — the SCALE §13 trap): state
+    per group is one bitmap ≤ |id-space|/8 bits. The 100 TB pattern for
+    billion-user distinct dashboards with int keys; the second column
+    shows the same machinery over a hashed/bucketed key for unbounded id
+    spaces. Oracle: plain COUNT(DISTINCT) — same numbers, different
+    physics."""
+    events = tbl(spark, sf_dir, "events")
+    by_bucket = (events.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        F.expr("bitmap_bucket_number(user_id % 64)").alias("hbkt"),
+        F.expr("bitmap_bit_position(user_id % 64)").alias("hpos")))
+    full = (by_bucket.groupBy("event_type", "bkt")
+            .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))")
+                 .alias("c"))
+            .groupBy("event_type")
+            .agg(F.sum("c").cast("long").alias("n_users")))
+    hashed = (by_bucket.groupBy("event_type", "hbkt")
+              .agg(F.expr("bitmap_count(bitmap_construct_agg(hpos))")
+                   .alias("c"))
+              .groupBy("event_type")
+              .agg(F.sum("c").cast("long").alias("n_user_buckets")))
+    return (full.join(hashed, "event_type")
+            .select("event_type", "n_users", "n_user_buckets")
+            .orderBy("event_type"))
