@@ -95,6 +95,7 @@ HEADLINE = [
     "embedding_hard_negatives",  # contrastive negative mining (round 4)
     "embedding_knn_label_eval",  # kNN embedding-quality probe (round 4)
     "text_bpe_train_merges",    # iterative BPE training rounds (round 4)
+    "dedup_jaccard_prefix_filter",  # lossless AllPairs set join (round 4)
 ]
 
 

@@ -33,7 +33,7 @@ import zipfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.plans.registry import query
+from server2_vector_search_server_spark.plans.registry import query, tbl
 
 
 # --------------------------------------------------------------------------
@@ -493,3 +493,52 @@ def streaming_synthetic_source_ingest(spark: SparkSession,
                      F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
                      lambda x: x["h"]))).alias("corpus_md5"))
             .orderBy("lang"))
+
+
+@query(
+    "ingest_observed_metrics",
+    survey="A5/J-adjacent (pipeline observability: df.observe collects "
+           "row-count/quality metrics DURING the ingest write — no second "
+           "scan; the Spark-native form of write-side data-quality "
+           "counters)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('n_rows',      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)),
+      ('null_texts',  (SELECT CAST(SUM(CASE WHEN text IS NULL THEN 1
+                                   ELSE 0 END) AS BIGINT) FROM documents)),
+      ('n_english',   (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1
+                                   ELSE 0 END) AS BIGINT) FROM documents)),
+      ('total_chars', (SELECT CAST(SUM(length(text)) AS BIGINT)
+                       FROM documents))
+    ) AS t(metric, value) ORDER BY metric
+    """,
+)
+def ingest_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality counters attached to the ingest scan with ``observe``:
+    the metrics accumulate ON the write job's single pass (observe plants
+    a CollectMetrics node — accumulator-backed, no shuffle, no extra
+    action), so the corpus is read ONCE for data + metrics together. At
+    100 TB this replaces the anti-pattern of a separate COUNT/metrics
+    pass over what was just written — the same contract as Delta's
+    operationMetrics, in plain Spark. The observed values are returned as
+    the result and hash-checked against direct aggregation."""
+    from pyspark.sql import Observation
+
+    docs = tbl(spark, sf_dir, "documents")
+    obs = Observation("ingest_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .alias("null_texts"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .alias("n_english"),
+        F.sum(F.length("text")).alias("total_chars"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [("n_rows", int(m["n_rows"])),
+         ("null_texts", int(m["null_texts"])),
+         ("n_english", int(m["n_english"])),
+         ("total_chars", int(m["total_chars"]))],
+        "metric string, value long").orderBy("metric")
