@@ -39,7 +39,11 @@ HEADLINE = [
     "events_hourly_rollup",     # event-time tumbling rollup
     "dedup_exact",              # exact dedup (hash groupBy)
     "dedup_minhash_lsh",        # MinHash+LSH near-dup (band bucket join)
-    "dedup_embedding_cosine",   # embedding near-dup (bucketed cosine)
+    # r5: pillar re-pointed from the exact-crossJoin `dedup_embedding_cosine`
+    # (kept as the registry's bounded verification oracle) to the sign-LSH
+    # scale path, so the headline bench exercises only 100 TB-shaped plans
+    # (VERDICT r4 item 4); dedup_cosine_lsh_quality_eval pins recall.
+    "dedup_embedding_cosine_lsh",  # embedding near-dup (multi-table sign-LSH)
     "text_token_stats",         # tokenization / text analytics
     "text_quality_scores",      # quality scoring pipeline
     "ann_ivf_knn",              # IVF ANN (centroid prune + local top-k)
@@ -215,11 +219,40 @@ def main() -> None:
                                "geomean": round(geomean, 3)}, fh, indent=1)
             except OSError:
                 pass
-    # The driver parses the LAST stdout line as JSON from a bounded tail
-    # capture — flush stderr first so interleaving can't split the line,
-    # then emit exactly one compact line.
+    # The driver parses the LAST stdout line as JSON from a ~2,000-char
+    # tail capture. The full per-query object is ~2,050 bytes and has
+    # overflowed that window two rounds running (BENCH_r03/r04
+    # "parsed": null). So: print the FULL object first (for humans and the
+    # side file), then a compact summary — strictly < 1,900 bytes, no
+    # per-query map — as the final line the driver actually parses. The
+    # per-query detail is duplicated to BENCH_FULL.json on disk.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass
     sys.stderr.flush()
     print(json.dumps(out, separators=(",", ":")))
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "repeats": out["repeats"],
+        "aggregation": out["aggregation"],
+        "n_queries": len(timings),
+        "queries_file": "BENCH_FULL.json",
+    }
+    for key in ("baseline", "vs_baseline_geomean", "vs_baseline_worst",
+                "over_2x_count"):
+        if key in out:
+            summary[key] = out[key]
+    if "over_2x_baseline" in out:
+        summary["over_2x_baseline"] = out["over_2x_baseline"][:5]
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1900, f"summary line {len(line)}B breaks tail capture"
+    print(line)
     sys.stdout.flush()
 
 

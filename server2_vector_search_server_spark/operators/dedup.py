@@ -480,8 +480,15 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                                          F.col("t").asc())
     pref = (tok.join(df_tok, "t")
             .withColumn("pos", F.row_number().over(w))
+            # ceil over a ROUNDED product: a bare float t·sz can overshoot
+            # the exact rational (0.55·20 = 11.000000000000002 → ceil 12),
+            # shortening the prefix and silently dropping true pairs. The
+            # 9-decimal round restores the exact value for any threshold
+            # representable at ≤9 decimal digits, preserving the operator's
+            # no-false-negative guarantee at non-binary thresholds.
             .filter(F.col("pos") <=
-                    F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+                    F.col("sz")
+                    - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9))
                     + 1)
             .select("id", "t"))
     cand = (pref.select(F.col("id").alias("id_a"), "t")
@@ -670,6 +677,64 @@ def cosine_near_duplicates(vectors: DataFrame, *, vec_col: str = "embedding",
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_lsh_near_duplicates(vectors: DataFrame,
+                               hyperplanes: "Sequence[Sequence[float]]", *,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               threshold: float = 0.9,
+                               tables: int = 4,
+                               bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table sign-LSH candidate
+    generation + exact verification — the 100 TB path for what
+    :func:`cosine_near_duplicates` computes quadratically (Charikar 2002
+    random-hyperplane LSH; public algorithm).
+
+    Each of ``tables`` hash tables buckets every vector by ``bits`` sign
+    bits against fixed hyperplanes (``hyperplanes[t*bits + i]``); candidate
+    pairs agree on the FULL bucket key in at least one table, then are
+    verified with the same normalize-once-then-dot arithmetic as the exact
+    form. Identical vectors always collide (same signs in every table), so
+    exact duplicates are never missed; near-pairs collide with probability
+    1 − (1 − (1 − θ/π)^bits)^tables — recall is tunable, and
+    ``dedup_cosine_lsh_quality_eval`` measures it against the exact truth.
+
+    Scale: bucket keys are per-row projections (no shuffle); the candidate
+    step is a self-equi-join on (table, bucket) — shuffle ∝ docs × tables,
+    pair work ∝ Σ bucket², never n². Needs ``tables*bits`` hyperplanes.
+    """
+    from server2_vector_search_server_spark.operators.ann import (
+        hyperplane_bucket,
+    )
+
+    need = tables * bits
+    if len(hyperplanes) < need:
+        raise ValueError(f"need {need} hyperplanes, got {len(hyperplanes)}")
+    vec = F.col(vec_col)
+    norm = l2_norm(vec)
+    denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    keyed = _widen(vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec, lambda x: x.cast("double") / denom).alias("_nv"),
+        *[hyperplane_bucket(vec, hyperplanes[t * bits:(t + 1) * bits])
+          .alias(f"_b{t}") for t in range(tables)],
+    )).localCheckpoint(eager=False)   # keys+norms computed once, reused 2+T×
+    buckets = keyed.select(
+        "id", F.posexplode(F.array(*[F.col(f"_b{t}")
+                                     for t in range(tables)]))
+        .alias("tbl", "bucket"))
+    cand = (buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
+            .join(buckets.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+                  ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    a = keyed.select(F.col("id").alias("id_a"), F.col("_nv").alias("n_a"))
+    b = keyed.select(F.col("id").alias("id_b"), F.col("_nv").alias("n_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("cosine", F.round(dot(F.col("n_a"), F.col("n_b")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
 
 
 def semantic_dedup(vectors: DataFrame, centroids: DataFrame, *,

@@ -112,6 +112,26 @@ def test_ngram_jaccard(docs):
     assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
 
 
+def test_prefix_filter_exact_at_nonbinary_threshold(spark):
+    """Non-binary threshold regression: at t=0.07, |A|=100 the IEEE double
+    product 0.07*100 = 7.000000000000001 overshoots the exact 7, so a naive
+    ceil shortens A's prefix from 94 to 93 tokens. This pair's ONLY prefix
+    overlap is A's 94th-rarest token (93 unique df=1 words sort first), so
+    the naive form silently drops a qualifying pair — violating the
+    operator's documented no-false-negative guarantee (ADVICE r4)."""
+    shared = [f"s{i:02d}" for i in range(7)]
+    unique = [f"u{i:02d}" for i in range(93)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(unique + shared)), (2, " ".join(shared))],
+        "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.07).collect()}
+    fast = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            dedup.prefix_filter_jaccard_pairs(
+                docs, n=1, threshold=0.07).collect()}
+    assert exact == fast == {(1, 2): 0.07}
+
+
 def test_cosine_near_duplicates(spark):
     vecs = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
