@@ -319,7 +319,11 @@ def train_quality_classifier(docs, *, text_col: str = "text",
     single mapPartitions-shaped transform (broadcast coefficients), which is
     exactly why this beats running the expensive signal everywhere.
     """
-    from pyspark.ml import Pipeline
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
 
@@ -334,7 +338,26 @@ def train_quality_classifier(docs, *, text_col: str = "text",
                            predictionCol="prediction",
                            probabilityCol="_prob"),
     ])
-    return pipe.fit(docs)
+    fitted = pipe.fit(docs)
+    # Return the model WITHOUT its training summary, via a save/load
+    # roundtrip (the public API for summary-free models). The freshly
+    # fitted LogisticRegressionModel keeps a trainingSummary that holds
+    # the SparkSession; transform()'s prediction UDF captures the model,
+    # so closure serialization walks model -> summary -> session -> the
+    # session's ObservationManager — a non-Serializable lazy val that is
+    # null until the FIRST df.observe() call in the session initializes
+    # it. Result: scoring worked in a fresh session but failed with
+    # java.io.NotSerializableException in any session that had ever run
+    # an observe() query (the r4 "full-suite flake", reproduced
+    # deterministically). A loaded model carries no summary, so the
+    # closure never reaches the session.
+    tmp = tempfile.mkdtemp(prefix="quality_clf_")
+    try:
+        path = os.path.join(tmp, "model")
+        fitted.write().overwrite().save(path)
+        return PipelineModel.load(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def exclusive_prefix_sum(df, *, order_col: str = "doc_id",

@@ -201,6 +201,8 @@ def chunking_golden_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A1/J6(PDF->text on real bytes: plain + FlateDecode content streams)",
     oracle="""
     SELECT * FROM (VALUES
+      ('cid.pdf', CAST(11 AS BIGINT), md5('한국어 CID 문서.'),
+       CAST(1 AS INTEGER)),
       ('flate.pdf', CAST(22 AS BIGINT), md5('Compressed gamma text.'),
        CAST(1 AS INTEGER)),
       ('plain.pdf', CAST(30 AS BIGINT),
@@ -230,7 +232,12 @@ def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
           bytearray(build_minimal_pdf(["PDF alpha page.", "PDF beta page."]))),
          ("memory://docs", "flate.pdf",
           bytearray(build_minimal_pdf(["Compressed gamma text."],
-                                      compress=True)))],
+                                      compress=True))),
+         # CID/Type0 member (VERDICT r4 item 6): hex strings carry CID
+         # codes only the /ToUnicode CMap can decode — the multilingual
+         # encoding the reference's Korean corpus actually ships
+         ("memory://docs", "cid.pdf",
+          bytearray(build_minimal_pdf(["한국어 CID 문서."], cid=True)))],
         "archive string, member_name string, content binary")
     return (parse_pdf_members(members)
             .select("member_name",

@@ -12,11 +12,20 @@ ignored, odd length zero-padded, PDF 32000-1 §7.3.4.3). ``pypdf`` is
 preferred when importable (``sources/files.parse_pdf_members``); this
 fallback keeps the pipeline honest-but-executable when it is not.
 
+CID/Type0 fonts ARE handled for the common embedded-subset case (the
+reference's Korean-centric domain depends on it): every font resource with a
+``/ToUnicode`` CMap gets its ``bfchar``/``bfrange`` mappings parsed
+(PDF 32000-1 §9.10.3), the current font is tracked through ``Tf`` operators,
+and hex strings shown under a CMapped font decode code-by-code to Unicode.
+Hex strings under fonts WITHOUT a ToUnicode CMap keep the raw-bytes decode
+(correct for simple fonts).
+
 Known limits (documented, acceptable for the ingest contract): nested
-unescaped parentheses, non-Flate filters, CID/Type0 font re-mapping (hex
-strings are decoded as raw Latin-1-ish bytes, which is correct only for
-simple fonts), and positioning-aware word spacing are not handled — text
-comes back in content-stream order, one line per text object.
+unescaped parentheses, non-Flate filters, literal (non-hex) strings under
+CID fonts, per-page font-name scoping (font names are resolved globally;
+two pages reusing one name for different fonts take the last binding), and
+positioning-aware word spacing are not handled — text comes back in
+content-stream order, one line per text object.
 
 :func:`build_minimal_pdf` is the deterministic fixture generator used by
 tests and the registry parity query: it emits a complete single-xref PDF
@@ -90,33 +99,161 @@ def _content_streams(blob: bytes) -> list[bytes]:
     return out
 
 
-def _text_objects(content: bytes) -> list[bytes]:
-    """Concatenated show-operator strings, one entry per BT..ET block."""
-    blocks = []
-    for bt in re.finditer(rb"\bBT\b(.*?)\bET\b", content, re.DOTALL):
-        parts = []
-        for m in _SHOW_RE.finditer(bt.group(1)):
-            if m.group("lit") is not None:
-                parts.append(_unescape(m.group("lit")))
-            elif m.group("hexs") is not None:
-                parts.append(_unhex(m.group("hexs")))
+# --- ToUnicode CMap parsing (PDF 32000-1 §9.10.3) --------------------------
+
+_OBJ_BODY_TPL = rb"(?<![0-9])%d\s+\d+\s+obj\b(.*?)endobj"
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>()\[\]]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.DOTALL)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFCHAR_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])", re.DOTALL)
+
+
+def _object_body(blob: bytes, num: int) -> bytes | None:
+    m = re.search(_OBJ_BODY_TPL % num, blob, re.DOTALL)
+    return m.group(1) if m else None
+
+
+def _object_stream(blob: bytes, num: int) -> bytes | None:
+    """The (inflated) stream body of object ``num``."""
+    body = _object_body(blob, num)
+    if body is None:
+        return None
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    data = m.group(1)
+    if b"/FlateDecode" in body[:m.start()]:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    return data
+
+
+def _utf16be(hexs: bytes) -> str:
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """(code -> unicode string, code byte length) from a ToUnicode CMap."""
+    cs = _CODESPACE_RE.search(cmap)
+    code_len = len(cs.group(1)) // 2 if cs else 2
+    table: dict[int, str] = {}
+    for block in _BFCHAR_RE.finditer(cmap):
+        for src, dst in _BFCHAR_PAIR_RE.findall(block.group(1)):
+            table[int(src, 16)] = _utf16be(dst)
+    for block in _BFRANGE_RE.finditer(cmap):
+        for lo, hi, dst, arr in _BFRANGE_ENTRY_RE.findall(block.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if arr:
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+                for off, d in enumerate(dsts[:hi_i - lo_i + 1]):
+                    table[lo_i + off] = _utf16be(d)
             else:
+                # incremented form: the LAST UTF-16 code unit advances
+                base = int(dst, 16)
+                width = max(len(dst), 4)
+                for off in range(hi_i - lo_i + 1):
+                    table[lo_i + off] = _utf16be(
+                        f"{base + off:0{width}x}".encode())
+    return table, max(code_len, 1)
+
+
+def _font_cmaps(blob: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
+    """Font resource name -> parsed ToUnicode CMap, resolved globally over
+    every ``/Font << /Name N 0 R ... >>`` resource dict in the file."""
+    out: dict[bytes, tuple[dict[int, str], int]] = {}
+    for res in _FONT_RES_RE.finditer(blob):
+        for name, obj_num in _FONT_ENTRY_RE.findall(res.group(1)):
+            font = _object_body(blob, int(obj_num))
+            if font is None:
+                continue
+            tu = _TOUNICODE_RE.search(font)
+            if tu is None:
+                continue
+            cmap = _object_stream(blob, int(tu.group(1)))
+            if cmap is None:
+                continue
+            table, code_len = _parse_tounicode(cmap)
+            if table:
+                out[name] = (table, code_len)
+    return out
+
+
+def _decode_hex_shown(raw: bytes,
+                      cmap: tuple[dict[int, str], int] | None) -> str:
+    """Hex-string bytes -> text: through the current font's ToUnicode CMap
+    when one exists, else the simple-font raw decode."""
+    if cmap is None:
+        return raw.decode("utf-8", "replace")
+    table, code_len = cmap
+    out = []
+    for i in range(0, len(raw) - code_len + 1, code_len):
+        code = int.from_bytes(raw[i:i + code_len], "big")
+        out.append(table.get(code, "�"))
+    return "".join(out)
+
+
+# combined token scan: font selection interleaved with show operators, so
+# the current font is known at every hex string (graphics state persists
+# across BT/ET blocks within a content stream)
+_TOKEN_RE = re.compile(
+    rb"/(?P<tf>[^\s/<>()\[\]]+)\s+[0-9.]+\s+Tf"
+    rb"|\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"
+    rb"|<(?P<hexs>[0-9A-Fa-f \r\n\t]*)>\s*(?:Tj|'|\")"
+    rb"|\[(?P<arr>(?:\((?:\\.|[^\\()])*\)"
+    rb"|<[0-9A-Fa-f \r\n\t]*>|[^\]])*)\]\s*TJ"
+    rb"|(?P<bt>\bBT\b)|(?P<et>\bET\b)",
+    re.DOTALL)
+
+
+def _text_objects(content: bytes,
+                  cmaps: dict[bytes, tuple[dict[int, str], int]]
+                  | None = None) -> list[str]:
+    """Concatenated show-operator text, one entry per BT..ET block."""
+    cmaps = cmaps or {}
+    blocks: list[str] = []
+    parts: list[str] = []
+    cur: tuple[dict[int, str], int] | None = None
+    in_text = False
+
+    def shown(lit: bytes | None, hexs: bytes | None) -> str:
+        if lit is not None:
+            return _unescape(lit).decode("utf-8", "replace")
+        return _decode_hex_shown(_unhex(hexs), cur)
+
+    for m in _TOKEN_RE.finditer(content):
+        if m.group("tf") is not None:
+            cur = cmaps.get(m.group("tf"))
+        elif m.group("bt") is not None:
+            in_text, parts = True, []
+        elif m.group("et") is not None:
+            if in_text and parts:
+                blocks.append("".join(parts))
+            in_text = False
+        elif in_text:
+            if m.group("arr") is not None:
                 for sm in _ARR_STR_RE.finditer(m.group("arr")):
-                    if sm.group("lit") is not None:
-                        parts.append(_unescape(sm.group("lit")))
-                    else:
-                        parts.append(_unhex(sm.group("hexs")))
-        if parts:
-            blocks.append(b"".join(parts))
+                    parts.append(shown(sm.group("lit"), sm.group("hexs")))
+            else:
+                parts.append(shown(m.group("lit"), m.group("hexs")))
     return blocks
 
 
 def extract_text(blob: bytes) -> str:
     """Extract the showable text of a PDF, one line per text object."""
-    lines: list[bytes] = []
+    cmaps = _font_cmaps(blob)
+    lines: list[str] = []
     for content in _content_streams(blob):
-        lines.extend(_text_objects(content))
-    return "\n".join(ln.decode("utf-8", "replace") for ln in lines)
+        lines.extend(_text_objects(content, cmaps))
+    return "\n".join(lines)
 
 
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
@@ -165,22 +302,63 @@ def _escape_literal(text: str) -> bytes:
               .replace(b")", rb"\)")
 
 
+def _build_tounicode_cmap(charmap: dict[int, str]) -> bytes:
+    """Minimal ToUnicode CMap stream body: one bfchar entry per code."""
+    pairs = b"\n".join(
+        b"<%04X> <%s>" % (code,
+                          ch.encode("utf-16-be").hex().upper().encode())
+        for code, ch in sorted(charmap.items()))
+    return (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin\nbegincmap\n"
+            b"/CMapName /FakeSubset def\n/CMapType 2 def\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            + (b"%d beginbfchar\n" % len(charmap)) + pairs
+            + b"\nendbfchar\nendcmap\n"
+            b"CMapName currentdict /CMap defineresource pop\nend\nend")
+
+
 def build_minimal_pdf(lines: list[str], *, compress: bool = False,
-                      hex_strings: bool = False) -> bytes:
+                      hex_strings: bool = False,
+                      cid: bool = False) -> bytes:
     """A complete, strictly-valid single-page-per-line PDF with the given
     text lines — correct xref offsets so real parsers accept it too.
     ``hex_strings=True`` emits each line as ``<hex> Tj`` instead of a
-    literal string, exercising the hex decode branch."""
+    literal string, exercising the hex decode branch. ``cid=True`` emits an
+    embedded-subset Type0 font: each distinct character gets a 2-byte CID
+    assigned in first-appearance order, text is shown as CID hex strings,
+    and a ``/ToUnicode`` bfchar CMap stream maps the codes back — the way
+    multilingual (e.g. Korean) PDFs actually encode text, exercising the
+    CMap decode path."""
     objs: list[bytes] = []
     n_pages = len(lines)
-    page_ids = [4 + 2 * i for i in range(n_pages)]
+    first_page = 6 if cid else 4
+    page_ids = [first_page + 2 * i for i in range(n_pages)]
     kids = " ".join(f"{pid} 0 R" for pid in page_ids)
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")                 # 1
     objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
                 .encode())                                            # 2
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    for i, line in enumerate(lines):                                  # 3
-        if hex_strings:
+    cid_of: dict[str, int] = {}
+    if cid:
+        for ch in "".join(lines):
+            cid_of.setdefault(ch, len(cid_of) + 1)
+        objs.append(b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCJK "
+                    b"/Encoding /Identity-H "
+                    b"/DescendantFonts [5 0 R] /ToUnicode 4 0 R >>")  # 3
+        cmap = _build_tounicode_cmap(
+            {code: ch for ch, code in cid_of.items()})
+        objs.append(b"<< /Length " + str(len(cmap)).encode()
+                    + b" >>\nstream\n" + cmap + b"\nendstream")       # 4
+        objs.append(b"<< /Type /Font /Subtype /CIDFontType2 "
+                    b"/BaseFont /FakeCJK /CIDToGIDMap /Identity >>")  # 5
+    else:
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, line in enumerate(lines):                                  # pages
+        if cid:
+            codes = "".join(f"{cid_of[ch]:04X}" for ch in line)
+            content = (b"BT /F1 12 Tf 72 720 Td <" + codes.encode()
+                       + b"> Tj ET")
+        elif hex_strings:
             content = (b"BT /F1 12 Tf 72 720 Td <"
                        + line.encode("utf-8").hex().encode() + b"> Tj ET")
         else:

@@ -1,0 +1,173 @@
+"""Exercise the import-gated real-library branches WITHOUT the libraries.
+
+The container prohibits installs, so ``sentence_transformers`` / ``pypdf`` /
+``kss`` are absent and their branches (``embedding._load_model``,
+``sources/files.parse_pdf_members``'s pypdf path, ``chunking._kss_split``)
+normally never execute (VERDICT r4 item 3). These tests run them under
+CLEARLY-MARKED DETERMINISTIC FAKE modules so the *glue* is proven: worker-side
+import resolution, batching, column shapes, the no-E5-prefix contract
+(reference ``embedding.py:11-15``), ``normalize_embeddings=True``, pypdf's
+page-list wiring (reference ``document_processor.py:120-121``), and KSS's
+error fallback (reference ``text_spliter.py:57,66-68``).
+
+Mechanics: the gated imports happen inside Spark *Python workers*, which a
+driver-side ``sys.modules`` stub never reaches. So the fakes are written as
+real modules into a temp dir, exported via ``PYTHONPATH``, and the whole
+scenario runs in a fresh subprocess SparkSession (PYTHONPATH propagates
+driver → JVM → pyspark workers in local mode). One subprocess covers all
+three branches to pay the ~15 s Spark startup once. The fakes embed their own
+contract assertions — a violated contract raises in the worker and fails the
+job. Isolated from the shared test session, so the absent-library behavior
+asserted elsewhere (``test_embedding.py``) is unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import subprocess
+import sys
+import textwrap
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+_FAKE_SENTENCE_TRANSFORMERS = '''\
+"""DETERMINISTIC FAKE of sentence_transformers (glue test only)."""
+import numpy as np
+
+EXPECTED_MODEL = "intfloat/multilingual-e5-large-instruct"
+
+
+class SentenceTransformer:
+    def __init__(self, name):
+        # the engine must request the reference's exact model (config.py:35)
+        assert name == EXPECTED_MODEL, f"unexpected model {name!r}"
+        self.name = name
+
+    def encode(self, texts, normalize_embeddings=False):
+        # reference embedding.py:24-26 normalizes; the engine must ask for it
+        assert normalize_embeddings is True
+        # reference embedding.py:11-15 adds NO query:/passage: E5 prefixes;
+        # texts must arrive verbatim
+        assert all(not t.startswith(("query: ", "passage: ")) for t in texts)
+        out = np.array([[float(len(t)), 1.0, 0.5] for t in texts])
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+'''
+
+_FAKE_PYPDF = '''\
+"""DETERMINISTIC FAKE of pypdf (glue test only)."""
+
+
+class _Page:
+    def __init__(self, text):
+        self._text = text
+
+    def extract_text(self):
+        return self._text
+
+
+class PdfReader:
+    def __init__(self, stream):
+        data = stream.read()
+        # the real PDF bytes must reach the reader intact
+        assert data.startswith(b"%PDF"), data[:16]
+        self.pages = [_Page(f"FAKEPDF:p{i}:{len(data)}") for i in range(2)]
+'''
+
+_FAKE_KSS = '''\
+"""DETERMINISTIC FAKE of kss (glue test only)."""
+
+
+def split_sentences(text):
+    if "BOOM" in text:
+        raise RuntimeError("simulated kss failure")
+    return ["FAKEKSS::" + p.strip() for p in text.split(".") if p.strip()]
+'''
+
+_SCENARIO = '''\
+import math
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# --- 1. embed_with_model default path: worker imports the (fake) library ---
+from server2_vector_search_server_spark.embedding import embed_with_model
+
+texts = spark.createDataFrame(
+    [(1, "alpha"), (2, "bravo charlie"), (3, "delta echo foxtrot")],
+    "id long, content string")
+rows = {r["id"]: r["embedding"]
+        for r in embed_with_model(texts).orderBy("id").collect()}
+assert set(rows) == {1, 2, 3}
+for rid, text in [(1, "alpha"), (2, "bravo charlie"),
+                  (3, "delta echo foxtrot")]:
+    vec = rows[rid]
+    assert len(vec) == 3, vec                     # fake dim flows through
+    n = float(len(text))
+    norm = math.sqrt(n * n + 1.0 + 0.25)
+    expect = [n / norm, 1.0 / norm, 0.5 / norm]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(vec, expect)), (vec, expect)
+print("OK embed_with_model")
+
+# --- 2. parse_pdf_members pypdf branch over real fixture PDF bytes ---------
+from server2_vector_search_server_spark.sources.files import parse_pdf_members
+from server2_vector_search_server_spark.sources.pdf_fallback import (
+    build_minimal_pdf,
+)
+
+blob = build_minimal_pdf(["hello world", "second page"])
+members = spark.createDataFrame(
+    [("doc.pdf", bytearray(blob))], "member_name string, content binary")
+out = parse_pdf_members(members).collect()
+assert len(out) == 1
+row = out[0]
+# marker text proves the PYPDF branch ran (not the bundled fallback), with
+# the exact blob delivered and total_pages wired from reader.pages
+assert row["text"] == f"FAKEPDF:p0:{len(blob)}\\nFAKEPDF:p1:{len(blob)}", row
+assert row["total_pages"] == 2
+print("OK parse_pdf_members pypdf branch")
+
+# --- 3. kss split: primary path + the reference error fallback ------------
+from server2_vector_search_server_spark.operators.chunking import (
+    split_sentences,
+)
+
+got = split_sentences("Hi there. Bye now.", mode="kss")
+assert got == ["FAKEKSS::Hi there", "FAKEKSS::Bye now"], got
+# text_spliter.py:66-68: on ANY kss error, fall back to newline split
+got = split_sentences("BOOM line one\\nline two", mode="kss")
+assert got == ["BOOM line one", "line two"], got
+print("OK kss branch + error fallback")
+
+spark.stop()
+print("ALL-OK")
+'''
+
+
+def test_gated_branches_run_under_fake_modules(tmp_path):
+    fakes = tmp_path / "fakes"
+    fakes.mkdir()
+    (fakes / "sentence_transformers.py").write_text(
+        _FAKE_SENTENCE_TRANSFORMERS)
+    (fakes / "pypdf.py").write_text(_FAKE_PYPDF)
+    (fakes / "kss.py").write_text(_FAKE_KSS)
+    script = tmp_path / "scenario.py"
+    script.write_text(textwrap.dedent(_SCENARIO))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(fakes), str(REPO)] +
+        ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    proc = subprocess.run(
+        [sys.executable, str(script)], env=env, cwd=str(REPO),
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    out = proc.stdout
+    assert "ALL-OK" in out, (out, proc.stderr[-4000:])
+    assert "OK embed_with_model" in out
+    assert "OK parse_pdf_members pypdf branch" in out
+    assert "OK kss branch + error fallback" in out

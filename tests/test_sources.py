@@ -122,7 +122,7 @@ def test_pdf_fallback_escapes_tj_arrays_and_flate():
 
     content = (rb"BT [(Ka) -80 (fka \050esc\051)] TJ ET "
                rb"BT (line\ntwo \101) ' ET")
-    assert pf._text_objects(content) == [b"Kafka (esc)", b"line\ntwo A"]
+    assert pf._text_objects(content) == ["Kafka (esc)", "line\ntwo A"]
 
     for compress in (False, True):
         blob = pf.build_minimal_pdf(
@@ -130,6 +130,30 @@ def test_pdf_fallback_escapes_tj_arrays_and_flate():
             compress=compress)
         assert pf.extract_text(blob) == \
             "Parity (nested) text \\ here\n한국어 텍스트"
+
+
+def test_pdf_fallback_cid_type0_tounicode():
+    """CID/Type0 text (VERDICT r4 item 6): hex strings are CID codes, not
+    character bytes — only the font's /ToUnicode CMap recovers the text.
+    The multilingual case the reference's Korean-centric domain hits."""
+    from server2_vector_search_server_spark.sources import pdf_fallback as pf
+
+    lines = ["한국어 문서입니다.", "Mixed 한글 and ASCII!"]
+    blob = pf.build_minimal_pdf(lines, cid=True)
+    # raw-byte decoding of these hex strings would yield CID garbage —
+    # prove the CMap is actually consulted
+    assert pf.extract_text(blob) == "\n".join(lines)
+    assert pf.count_pages(blob) == 2
+    # bfrange increment form: codes 0x10..0x12 -> '가' '각' '갂'
+    cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 beginbfrange\n<0010> <0012> <AC00>\nendbfrange\n")
+    table, code_len = pf._parse_tounicode(cmap)
+    assert code_len == 2
+    assert [table[c] for c in (0x10, 0x11, 0x12)] == ["가", "각", "갂"]
+    # bfrange array form
+    cmap2 = (b"1 beginbfrange\n<0001> <0002> [<0041> <0042>]\nendbfrange\n")
+    table2, _ = pf._parse_tounicode(cmap2)
+    assert table2 == {1: "A", 2: "B"}
 
 
 def test_documents_jsonl_and_csv_roundtrip(spark, tables, tmp_path):
