@@ -132,6 +132,48 @@ def sample_video_frames(media: DataFrame, *, every_n_seconds: float = 1.0,
     return src.mapInPandas(run, schema=out_schema)
 
 
+def phash_near_duplicate_pairs(features: DataFrame, *,
+                               hash_col: str = "phash",
+                               id_col: str = "media_id",
+                               max_hamming: int = 3) -> DataFrame:
+    """Perceptual-hash image near-dedup: pairs whose 64-bit pHash differs
+    in ≤ ``max_hamming`` bits — the standard image-dedup move (same image
+    re-encoded/resized drifts a few pHash bits; distinct images differ in
+    ~32). Candidates via Manku segment blocking (the SimHash machinery
+    applied to the image modality): split the 64-bit hash into
+    ``max_hamming + 1`` segments — a pair within the radius must agree
+    exactly on ≥ 1 segment (pigeonhole) — equi-join per segment, then
+    verify with XOR+popcount. Shuffle ∝ images × segments, never n².
+
+    Segment extraction uses ARITHMETIC shift + mask: ``(h >> off) & mask``
+    equals the logical-shift segment for any off ≤ 64−seg_bits, and is
+    what DuckDB's ``>>`` computes too — keeping the oracle twin bit-exact
+    on negative (sign-bit-set) hashes."""
+    n_segments = max_hamming + 1
+    seg_bits = 64 // n_segments
+    mask = (1 << seg_bits) - 1
+    h = F.col(hash_col)
+    segs = F.array(*[
+        F.shiftright(h, i * seg_bits).bitwiseAND(F.lit(mask))
+        for i in range(n_segments)])
+    keyed = features.select(
+        F.col(id_col).alias("id"), h.alias("h"),
+        F.posexplode(segs).alias("seg_idx", "seg_val"))
+    cand = (keyed.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                         "seg_idx", "seg_val")
+            .join(keyed.select(F.col("id").alias("id_b"),
+                               F.col("h").alias("h_b"),
+                               "seg_idx", "seg_val"),
+                  ["seg_idx", "seg_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def repartition_for_media(df: DataFrame, rows_per_partition: int = 256) -> DataFrame:
     """Bound Arrow batch memory for large binary rows: partition count from
     row count, not input file layout."""

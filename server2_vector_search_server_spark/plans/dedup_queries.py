@@ -24,6 +24,7 @@ from server2_vector_search_server_spark.functions.text import (
 )
 from server2_vector_search_server_spark.operators import dedup
 from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
     query,
     sql_dot,
     sql_l2_norm,
@@ -759,7 +760,6 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates arriving any number of batches later are suppressed
     without rescanning history. Same SQL oracle as the batch form: the
     stream must converge to the identical kept set."""
-    import tempfile
     import time as _time
 
     from server2_vector_search_server_spark.streaming.fuzzy_dedup import (
@@ -771,7 +771,7 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = base.select((F.col("doc_id") + 10000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(_PERTURB)).alias("text"))
     exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
-    root = tempfile.mkdtemp(prefix="fuzzy_dedup_stream_")
+    root = scratch_dir("fuzzy_dedup_stream_")
     src = os.path.join(root, "src")
     os.makedirs(src)
     for i, b in enumerate((base, near, exact)):

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators import multimodal
 from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
     exact_sum, query, sql_exact_sum, tbl,
 )
 
@@ -235,6 +236,81 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+_PHASH_HAMMING = 3
+_PHASH_SEGS = "\n      UNION ALL ".join(
+    f"SELECT media_id, phash, {i} AS seg_idx, "
+    f"(phash >> {i * 16}) & 65535 AS seg_val FROM planted"
+    for i in range(_PHASH_HAMMING + 1))
+
+
+@query(
+    "multimodal_phash_near_dups",
+    survey="multimodal(perceptual-hash image dedup: Manku segment blocking "
+           "over 64-bit pHash, XOR+popcount verify — the image-modality "
+           "near-dup operator)",
+    oracle=f"""
+    WITH media AS ({_SQL_MEDIA}),
+    feats AS (SELECT media_id, {_sql_phash()} AS phash, dig FROM media),
+    planted AS (
+      SELECT media_id, phash FROM feats
+      UNION ALL
+      SELECT media_id || '_re' AS media_id,
+             xor(phash,
+                 xor(1::BIGINT << CAST({_sql_digest_byte(11)} % 63 AS INTEGER),
+                     1::BIGINT << CAST({_sql_digest_byte(12)} % 63 AS INTEGER)))
+        AS phash
+      FROM feats),
+    segs AS (
+      {_PHASH_SEGS}),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, a.phash AS h_a,
+                      b.media_id AS id_b, b.phash AS h_b
+      FROM segs a JOIN segs b
+        ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val
+       AND a.media_id < b.media_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h_a, h_b)) <= {_PHASH_HAMMING}
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup on perceptual hashes: each fixture image gets a
+    planted 're-encode' twin whose pHash drifts ≤ 2 deterministic bits
+    (digest-derived positions) — the drift a real resize/JPEG-requant
+    produces — while distinct images differ in ~32 bits. The operator
+    (``multimodal.phash_near_duplicate_pairs``) blocks candidates with
+    Manku segments (shuffle ∝ images × 4, never n²) and verifies with
+    XOR+popcount; the oracle replays the identical arithmetic, so both
+    the candidate geometry and the Hamming verify are hash-pinned. At
+    100 TB: pHash is 8 bytes/image — the dedup never touches pixel
+    bytes after feature extraction."""
+    media = _media_from_documents(spark, sf_dir)
+    feats = (multimodal.extract_image_features(media)
+             .select("media_id", "phash"))
+    dig = media.select(
+        "media_id",
+        F.sha2(F.col("content"), 256).alias("_hex"))
+    byte = lambda j: F.conv(  # noqa: E731
+        F.substring("_hex", 2 * j + 1, 2), 16, 10).cast("long")
+    twins = (feats.join(dig, "media_id")
+             .select(F.concat(F.col("media_id"), F.lit("_re"))
+                     .alias("media_id"),
+                     (byte(11) % 63).cast("int").alias("_b1"),
+                     (byte(12) % 63).cast("int").alias("_b2"),
+                     "phash")
+             .select("media_id",
+                     F.expr("phash ^ (shiftleft(1L, _b1) ^ "
+                            "shiftleft(1L, _b2))").alias("phash")))
+    planted = feats.unionByName(twins)
+    return (multimodal.phash_near_duplicate_pairs(
+                planted, max_hamming=_PHASH_HAMMING)
+            .select("id_a", "id_b", F.col("hamming").cast("long")
+                    .alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
 @query(
     "multimodal_video_frames",
     survey="multimodal(video frame sampling: one media row -> N frame rows)",
@@ -279,14 +355,13 @@ def ingest_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup gate (app.py:152 semantics — one anti-join, not per-file probes),
     so collection_b lands exactly docs 50..74. The oracle derives both counts
     from the fixture; a broken gate changes the hash."""
-    import tempfile
 
     from server2_vector_search_server_spark.plans.ingest import (
         ingest_documents,
     )
     from server2_vector_search_server_spark.sources.store import ChunkStore
 
-    store = ChunkStore(spark, tempfile.mkdtemp(prefix="ingest_e2e_"))
+    store = ChunkStore(spark, scratch_dir("ingest_e2e_"))
     docs = tbl(spark, sf_dir, "documents") \
         .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
                 "text", "doc_id")
@@ -328,14 +403,13 @@ def store_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND from the master union view in the same rewrite. Ingest 40 docs across
     two collections, delete one doc from each, then count per collection and
     through the master view."""
-    import tempfile
 
     from server2_vector_search_server_spark.plans.ingest import (
         ingest_documents,
     )
     from server2_vector_search_server_spark.sources.store import ChunkStore
 
-    store = ChunkStore(spark, tempfile.mkdtemp(prefix="store_delete_"))
+    store = ChunkStore(spark, scratch_dir("store_delete_"))
     docs = tbl(spark, sf_dir, "documents") \
         .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
                 "text", "doc_id")
@@ -522,14 +596,13 @@ def store_compaction_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly drops. At 100 TB this is the background OPTIMIZE job — scan
     cost tracks file count, not bytes, under micro-batch ingestion."""
     import glob
-    import tempfile
 
     from server2_vector_search_server_spark.plans.ingest import (
         ingest_documents,
     )
     from server2_vector_search_server_spark.sources.store import ChunkStore
 
-    root = tempfile.mkdtemp(prefix="compact_e2e_")
+    root = scratch_dir("compact_e2e_")
     store = ChunkStore(spark, root)
     docs = tbl(spark, sf_dir, "documents") \
         .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
@@ -589,14 +662,13 @@ def store_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     content — no stale chunk outlives its upsert. This is the CDC-ingest
     contract at 100 TB: cost bounded by the batch's partition footprint,
     table-wide content integrity preserved."""
-    import tempfile
 
     from server2_vector_search_server_spark.plans.ingest import (
         ingest_documents,
     )
     from server2_vector_search_server_spark.sources.store import ChunkStore
 
-    root = tempfile.mkdtemp(prefix="upsert_e2e_")
+    root = scratch_dir("upsert_e2e_")
     store = ChunkStore(spark, root)
     docs = tbl(spark, sf_dir, "documents") \
         .select(F.concat(F.lit("doc_"), F.col("doc_id")).alias("doc_name"),
@@ -664,13 +736,12 @@ def store_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the upserted docs carry the new uppercase content only from v2 on. At
     100 TB this is the Iceberg/Delta commit protocol: a 40-minute scan
     cannot be broken by a concurrent compaction/delete."""
-    import tempfile
 
     from server2_vector_search_server_spark.sources.snapshots import (
         SnapshotChunkStore,
     )
 
-    root = tempfile.mkdtemp(prefix="snap_e2e_")
+    root = scratch_dir("snap_e2e_")
     store = SnapshotChunkStore(spark, root)
     docs = tbl(spark, sf_dir, "documents")
 
@@ -887,9 +958,8 @@ def streaming_scd2_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned upsert, `sources/snapshots.py`) and the rewrite stays
     proportional to affected buckets."""
     import os as _os
-    import tempfile as _tf
 
-    root = _tf.mkdtemp(prefix="scd2_inc_")
+    root = scratch_dir("scd2_inc_")
     state = _os.path.join(root, "state")
     versions = _scd2_versions(spark, sf_dir)
     bucket = (F.col("doc_id") % _SCD2_BUCKETS).cast("int")

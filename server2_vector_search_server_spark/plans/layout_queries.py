@@ -4,13 +4,13 @@ write-time layout turns predicates into file/partition pruning.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators import layout
 from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
     exact_sum,
     query,
     sql_exact_sum,
@@ -40,7 +40,7 @@ def events_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories (asserted in tests/test_layout.py); at 100 TB that is the
     difference between scanning 10 TB and 100 TB for a daily report."""
     events = tbl(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="events_by_day_")
+    path = scratch_dir("events_by_day_")
     part_col = layout.write_time_partitioned(events, path, ts_col="ts")
     stored = spark.read.parquet(path)
     return (
@@ -83,7 +83,7 @@ def lineitem_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFram
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_returnflag",
         "l_extendedprice", "l_discount")
-    path = tempfile.mkdtemp(prefix="lineitem_zorder_")
+    path = scratch_dir("lineitem_zorder_")
     layout.write_zordered(li, path, "l_partkey", "l_suppkey",
                           bits=16, n_files=16)
     stored = spark.read.parquet(path)

@@ -52,6 +52,27 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+_SCRATCH_ROOT: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp directory under ONE process-scoped scratch root that is
+    removed at interpreter exit (ADVICE r4: the per-query ``mkdtemp``
+    calls accumulated parquet copies across repeated correctness sweeps).
+    Same lifetime semantics as the old per-site mkdtemp — directories
+    stay alive for the whole process (streaming queries and ``_memo``-ed
+    indexes rely on that) — but everything is swept together at exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
 # --- shared oracle SQL fragments -------------------------------------------
 
 def sql_sq_l2(a: str, b: str) -> str:

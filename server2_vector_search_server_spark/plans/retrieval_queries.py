@@ -346,3 +346,89 @@ def search_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
             .limit(_MMR_C))
     return mmr_rerank(cand, k=_MMR_K, lam=0.7, lam_complement=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback: search -> expand query -> re-search
+
+_PRF_K = 10          # feedback set size
+_PRF_FINAL_K = 5
+_PRF_ALPHA = "1.0"   # literals shared by both engines (never derived)
+_PRF_BETA = "0.5"
+_PRF_DIM = 64        # FIXTURES.md: embeddings are 64-dim at every SF
+_PRF_SCALE = 6       # exact-sum micro-units for the per-dim centroid
+
+
+def _prf_sql() -> str:
+    from server2_vector_search_server_spark.plans.registry import (
+        sql_exact_sum,
+        sql_sq_l2,
+    )
+
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+    top AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, q
+      ORDER BY ROUND(1.0 - {sql_sq_l2('e.embedding', 'q.qv')}, 6) DESC,
+               e.vec_id ASC
+      LIMIT {_PRF_K}),
+    dims AS (
+      SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM top, UNNEST(range(1, {_PRF_DIM + 1})) AS t(i)),
+    mean AS (
+      SELECT dim, {sql_exact_sum('x', _PRF_SCALE)} / {_PRF_K} AS m
+      FROM dims GROUP BY dim),
+    mean_list AS (SELECT list(m ORDER BY dim) AS ml FROM mean),
+    q2 AS (
+      SELECT list_transform(range(1, {_PRF_DIM + 1}),
+               i -> {_PRF_ALPHA} * CAST(q.qv[i] AS DOUBLE)
+                    + {_PRF_BETA} * ml[i]) AS qv2
+      FROM q, mean_list)
+    SELECT e.vec_id, e.label,
+           ROUND(1.0 - {sql_sq_l2('e.embedding', 'q2.qv2')}, 6) AS prf_score
+    FROM embeddings e, q2
+    ORDER BY prf_score DESC, e.vec_id ASC
+    LIMIT {_PRF_FINAL_K}
+    """
+
+
+@query(
+    "search_prf_rocchio",
+    survey="C1/F3-adjacent(pseudo-relevance feedback: top-k feedback "
+           "centroid blended into the query (Rocchio), exact re-search "
+           "with the expanded vector)",
+    oracle=_prf_sql(),
+)
+def search_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio PRF (Salton's SMART formulation, public algorithm): an
+    initial exact top-10 acts as the pseudo-relevant set; the expanded
+    query q' = alpha*q + beta*centroid(top10) is re-scored against the
+    corpus under the reference's 1 - d^2 contract. Per-dimension centroid
+    sums go through the scaled-BIGINT exact-sum pattern so shuffle order
+    cannot move q' by an ulp; the 64 means return to the driver via one
+    bounded collect (the codebook-transport pattern — dimension-sized,
+    never corpus-sized). At 100 TB both passes are single corpus scans
+    with a broadcast query vector; the feedback set is top-k tiny."""
+    from server2_vector_search_server_spark.functions.vector import squared_l2
+    from server2_vector_search_server_spark.operators.knn import vector_literal
+    from server2_vector_search_server_spark.plans.registry import exact_sum
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding").first()[0]
+    rel = F.round(F.lit(1.0) - squared_l2(F.col("embedding"),
+                                          vector_literal(qv)), 6)
+    top = (emb.select("vec_id", "embedding")
+           .orderBy(rel.desc(), F.col("vec_id").asc()).limit(_PRF_K))
+    mean = (top.select(F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("dim")
+            .agg((exact_sum(F.col("x").cast("double"), _PRF_SCALE)
+                  / _PRF_K).alias("m")))
+    mvals = {r["dim"]: r["m"] for r in mean.collect()}   # bounded: dim rows
+    alpha, beta = float(_PRF_ALPHA), float(_PRF_BETA)
+    q2 = [alpha * float(qv[i]) + beta * mvals[i] for i in range(_PRF_DIM)]
+    prf = F.round(F.lit(1.0) - squared_l2(F.col("embedding"),
+                                          vector_literal(q2)), 6)
+    return (emb.select("vec_id", "label", prf.alias("prf_score"))
+            .orderBy(F.col("prf_score").desc(), F.col("vec_id").asc())
+            .limit(_PRF_FINAL_K))

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
+    query, tbl,
+)
 
 
 def _within_pct(est, exact, pct: float = 0.05):
@@ -204,7 +207,6 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
     companions come from one batch pass over the drained table; the merged
     estimates must land within 5% (hash-checked booleans)."""
     import os
-    import tempfile
     import uuid as _uuid
 
     from server2_vector_search_server_spark.session import (
@@ -213,10 +215,10 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
 
     # dynamic overwrite goes on the write options (ADVICE r3: a session-
     # level set with no restore leaks into every later overwrite)
-    src = tempfile.mkdtemp(prefix="hll_stream_")
+    src = scratch_dir("hll_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
-    state = tempfile.mkdtemp(prefix="hll_state_") + "/sketches"
+    state = scratch_dir("hll_state_") + "/sketches"
 
     def process(batch, batch_id: int) -> None:
         (batch.groupBy("event_type")
@@ -230,7 +232,7 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
          .select("event_type", "user_id")
          .writeStream.foreachBatch(process)
          .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix=f"hll_ckpt_{_uuid.uuid4().hex[:6]}"))
+                 scratch_dir(f"hll_ckpt_{_uuid.uuid4().hex[:6]}"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
 
@@ -252,3 +254,123 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
                     _within_pct(est, F.col("exact_users"))
                     .alias("est_within_5pct"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimates with a one-sided error
+
+_CMS_D = 4            # depth: independent hash rows
+_CMS_W = 64           # width: cells per row
+_CMS_PROBES = ("hot_0", "hot_1", "hot_2", "cold_45")
+
+
+def _cms_params():
+    from server2_vector_search_server_spark.operators import dedup
+
+    return dedup.PERMS[:_CMS_D], dedup.MERSENNE31
+
+
+_SQL_CMS_VALS = """
+      SELECT CASE WHEN event_id % 10 < 3
+                  THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+                  ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS v
+      FROM events WHERE event_id < 20000
+"""
+
+
+def _sql_cms() -> str:
+    from server2_vector_search_server_spark.functions.text import (
+        sql_token_hash,
+    )
+
+    perms, m31 = _cms_params()
+    cell = lambda j: (f"(({perms[j][0]} * {sql_token_hash('v')} "  # noqa: E731
+                      f"+ {perms[j][1]}) % {m31}) % {_CMS_W}")
+    cells = "\n      UNION ALL ".join(
+        f"SELECT v, {j} AS j, {cell(j)} AS cell FROM vals"
+        for j in range(_CMS_D))
+    probe_cells = "\n      UNION ALL ".join(
+        f"SELECT v, {j} AS j, {cell(j)} AS cell FROM probes"
+        for j in range(_CMS_D))
+    probes = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    return f"""
+    WITH vals AS ({_SQL_CMS_VALS}),
+    cells AS (
+      {cells}),
+    sketch AS (
+      SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cells GROUP BY j, cell),
+    probes AS (SELECT * FROM (VALUES {probes}) AS p(v)),
+    probe_cells AS (
+      {probe_cells}),
+    est AS (
+      SELECT pc.v, MIN(s.c) AS cms_estimate
+      FROM probe_cells pc JOIN sketch s ON s.j = pc.j AND s.cell = pc.cell
+      GROUP BY pc.v),
+    truth AS (
+      SELECT p.v, CAST(COUNT(vals.v) AS BIGINT) AS true_count
+      FROM probes p LEFT JOIN vals ON vals.v = p.v GROUP BY p.v)
+    SELECT t.v, t.true_count, e.cms_estimate,
+           e.cms_estimate >= t.true_count AS never_undercounts,
+           e.cms_estimate - t.true_count AS overcount
+    FROM truth t JOIN est e ON e.v = t.v
+    ORDER BY t.v
+    """
+
+
+@query(
+    "events_countmin_estimates",
+    survey="north-star sketches (Count-Min point-frequency estimates: "
+           "depth-4 x width-64 deterministic-hash sketch, min-over-rows "
+           "lookup; estimates AND the one-sided-error guarantee both "
+           "hash-pinned exactly)",
+    oracle=_sql_cms(),
+)
+def events_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+    over the hot/long-tail value mix: ``d`` independent 31-poly hash rows
+    of ``w`` counter cells; a point estimate is the MIN over its row
+    cells, which can only over-count (collisions add, never subtract).
+    The hashes are the repo's deterministic affine family, so unlike HLL
+    the ENTIRE sketch is engine-reproducible: the oracle rebuilds the
+    cells bit-for-bit and hash-checks the estimates themselves plus the
+    never-undercounts guarantee and each probe's exact overcount. Scale:
+    the sketch is one groupBy over d·n rows into ≤ d·w cells — mergeable
+    bounded state (cell-wise SUM merges partitions/days), the same
+    rollup contract as the HLL family."""
+    from server2_vector_search_server_spark.functions.text import token_hash
+
+    perms, m31 = _cms_params()
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    vals = ev.select(
+        F.when(F.col("event_id") % 10 < 3,
+               F.concat(F.lit("hot_"),
+                        (F.col("event_id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("cold_"),
+                            F.col("event_id").cast("string"))).alias("v"))
+
+    def cells_of(df):
+        h = token_hash(F.col("v"))
+        return df.select(
+            "v",
+            F.posexplode(F.array(*[
+                ((F.lit(a) * h + F.lit(b)) % m31) % _CMS_W
+                for a, b in perms])).alias("j", "cell"))
+
+    sketch = (cells_of(vals).groupBy("j", "cell")
+              .agg(F.count(F.lit(1)).alias("c")))
+    probes = vals.sparkSession.createDataFrame(
+        [(p,) for p in _CMS_PROBES], "v string")
+    est = (cells_of(probes).join(sketch, ["j", "cell"])
+           .groupBy("v").agg(F.min("c").alias("cms_estimate")))
+    truth = (probes.join(vals.groupBy("v")
+                         .agg(F.count(F.lit(1)).alias("n")), "v", "left")
+             .select("v", F.coalesce("n", F.lit(0)).cast("long")
+                     .alias("true_count")))
+    return (truth.join(est, "v")
+            .select("v", "true_count", "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("true_count"))
+                    .alias("never_undercounts"),
+                    (F.col("cms_estimate") - F.col("true_count"))
+                    .alias("overcount"))
+            .orderBy("v"))

@@ -33,7 +33,10 @@ import zipfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
+    query, tbl,
+)
 
 
 # --------------------------------------------------------------------------
@@ -117,13 +120,12 @@ def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog, document_processor.py:105-117), and manifest them. Newlines must
     round-trip byte-exactly (the md5 covers the embedded ``\\n``)."""
     import os
-    import tempfile
 
     from server2_vector_search_server_spark.sources.files import (
         read_text_files,
     )
 
-    d = tempfile.mkdtemp(prefix="text_src_")
+    d = scratch_dir("text_src_")
     for name, text in _TEXT_FIXTURES.items():
         with open(os.path.join(d, name), "w", encoding="utf-8") as fh:
             fh.write(text)
@@ -278,7 +280,6 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     text verbatim and the self-match scores exactly 1.0 under the 1 - d^2
     contract). Summary scalars are BIGINT so the driver hash is
     dtype-stable."""
-    import tempfile
 
     from server2_vector_search_server_spark.engine import DocumentSearchEngine
     from server2_vector_search_server_spark.session import read_table
@@ -294,7 +295,7 @@ def engine_lifecycle_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .orderBy("doc_id").select("doc_id", "text").first())
     target_name = f"doc_{target_row['doc_id']}"
 
-    eng = DocumentSearchEngine(spark, tempfile.mkdtemp(prefix="lifecycle_"))
+    eng = DocumentSearchEngine(spark, scratch_dir("lifecycle_"))
     statuses = eng.upload_documents(
         [(f"doc_{r['doc_id']}", r["text"]) for r in docs.collect()],
         "collection_a")
@@ -351,13 +352,12 @@ def ingest_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoting, type, or null drift in a writer/reader pair changes the hash.
     """
     import functools
-    import tempfile
 
     from server2_vector_search_server_spark.plans.registry import tbl
 
     docs = (tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
             .select("doc_id", "text", "lang", "source", "n_chars"))
-    base = tempfile.mkdtemp(prefix="fmt_rt_")
+    base = scratch_dir("fmt_rt_")
     docs.write.mode("overwrite").orc(base + "/orc")
     docs.write.mode("overwrite").json(base + "/jsonl")
     docs.write.mode("overwrite").option("header", True).csv(base + "/csv")

@@ -21,7 +21,6 @@ delete tombstones, and cross-batch merge all get verified by value hash.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +28,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.session import read_events_stream
 from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
     REGISTRY, query, sql_exact_sum, tbl,
 )
 from server2_vector_search_server_spark.streaming.events import (
@@ -114,7 +114,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow) — hash-matched against the same gaps-and-islands oracle as
     the batch twin, proving the incremental merging-session plan equals the
     batch result."""
-    src = tempfile.mkdtemp(prefix="events_sess_stream_")
+    src = scratch_dir("events_sess_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
     events = read_events_stream(spark, src)
@@ -176,7 +176,7 @@ def streaming_wal_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream (maxFilesPerTrigger batches) → foreachBatch last-write-wins
     merge → reconstructed current state. Verifies upsert, delete-tombstone,
     and cross-micro-batch ordering against the DuckDB-computable final state."""
-    work = tempfile.mkdtemp(prefix="wal_replay_")
+    work = scratch_dir("wal_replay_")
     wal_dir = os.path.join(work, "wal")
     _build_wal(spark, sf_dir, wal_dir)
     log = WalLog(spark, os.path.join(work, "store"))
@@ -210,7 +210,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful plan computes the same result as the batch plan."""
     # file stream sources read directories; the fixture is a single file —
     # symlink it into a scratch dir (no copy, testdata stays read-only)
-    src = tempfile.mkdtemp(prefix="events_stream_")
+    src = scratch_dir("events_stream_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
     events = read_events_stream(spark, src)
@@ -257,7 +257,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") < 300).select("doc_id", "text"))
     corpus = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    src = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = scratch_dir("dedup_stream_")
     # several files => several micro-batches; copies land in different
     # batches than originals, so suppression must cross batch boundaries
     corpus.repartition(6).write.mode("overwrite").parquet(src)
@@ -310,7 +310,7 @@ def streaming_incremental_rollup(spark: SparkSession,
         HourlyRollupView, start_rollup_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="ivm_rollup_")
+    work = scratch_dir("ivm_rollup_")
     src = os.path.join(work, "events")
     tbl(spark, sf_dir, "events").repartition(6).write.parquet(src)
     view = HourlyRollupView(spark, os.path.join(work, "view"))
@@ -348,7 +348,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals,
     )
 
-    work = tempfile.mkdtemp(prefix="running_totals_")
+    work = scratch_dir("running_totals_")
     src = os.path.join(work, "events")
     (tbl(spark, sf_dir, "events").filter(F.col("user_id") < 300)
      .repartition(6).write.parquet(src))
@@ -408,7 +408,7 @@ def streaming_late_data_watermark(spark: SparkSession,
         tumbling_counts,
     )
 
-    work = tempfile.mkdtemp(prefix="late_data_")
+    work = scratch_dir("late_data_")
     src = os.path.join(work, "stream")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(src)
@@ -470,7 +470,7 @@ def streaming_stream_stream_join(spark: SparkSession,
     stream, so the pair set equals the batch interval join; the memory
     sink holds raw pairs and the per-user attribution rollup is aggregated
     after draining, hash-matched against the batch oracle."""
-    src = tempfile.mkdtemp(prefix="ss_join_")
+    src = scratch_dir("ss_join_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
     clicks = (read_events_stream(spark, src)
@@ -538,7 +538,7 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _t(s):
         return base + datetime.timedelta(seconds=s)
 
-    src = tempfile.mkdtemp(prefix="ttl_dedup_")
+    src = scratch_dir("ttl_dedup_")
 
     def _write(rows):
         (spark.createDataFrame(rows, "doc_id long, ts timestamp")
@@ -602,7 +602,7 @@ def streaming_static_enrichment(spark: SparkSession,
     drained enrichment aggregate must equal the batch join; per-batch
     aggregation happens in foreachBatch-free append mode with the rollup
     applied after draining (exact cents sum, hash-gated)."""
-    work = tempfile.mkdtemp(prefix="enrich_")
+    work = scratch_dir("enrich_")
     src = os.path.join(work, "events")
     (tbl(spark, sf_dir, "events").filter(F.col("user_id") < 400)
      .repartition(5).write.parquet(src))
@@ -649,13 +649,12 @@ def streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     all hash-checked. This is the at-least-once→exactly-once bridge for
     file-landing pipelines at 100 TB: idempotence lives in the TABLE's
     commit protocol, not in hoping the checkpoint never lags the sink."""
-    import tempfile as _tf
 
     from server2_vector_search_server_spark.sources.snapshots import (
         SnapshotChunkStore,
     )
 
-    root = _tf.mkdtemp(prefix="snapstream_")
+    root = scratch_dir("snapstream_")
     src = os.path.join(root, "src")
     chk = os.path.join(root, "chk")
     docs = (tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 40))
@@ -746,7 +745,7 @@ def streaming_stream_stream_left_outer_join(spark: SparkSession,
     final watermark. The oracle reproduces BOTH populations — the eviction
     predicate (strict <) is part of the checked contract. Clicks younger
     than watermark−30 min stay in state and are correctly ABSENT."""
-    src = tempfile.mkdtemp(prefix="ss_louter_")
+    src = scratch_dir("ss_louter_")
     os.symlink(os.path.join(sf_dir, "events.parquet"),
                os.path.join(src, "events.parquet"))
     clicks = (read_events_stream(spark, src)

@@ -751,16 +751,22 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="north-star text analysis (model-based quality filter: distill "
            "a HashingTF+IDF+LogisticRegression classifier from the "
            "rule-based quality signal — the fastText-recipe MLlib "
-           "pipeline; rows-only: L-BFGS internals aren't SQL)",
-    oracle=None,
+           "pipeline, pinned by a hash-checked train-set agreement bound)",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS agreement_ge_090
+    FROM documents WHERE doc_id < 500
+    """,
 )
 def text_quality_classifier_mllib(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Train the distilled quality classifier on documents labeled by the
     deterministic quality heuristic (the expensive-signal stand-in), score
-    the same corpus, and return the label×prediction agreement matrix —
-    the calibration table a curation pipeline inspects before trusting the
-    cheap model on the full corpus."""
+    the same corpus, and return the calibration verdict a curation
+    pipeline applies before trusting the cheap model: L-BFGS internals
+    aren't SQL, so the checked contract is the engine-independent
+    invariant (VERDICT r4 item 5) — train-set agreement ≥ 0.90 (measured
+    ≈ 0.998 at fixture scale) over the exact document count. An optimizer
+    or featurization drift flips the boolean and reds the hash."""
     docs = (tbl(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 500)
             .select("doc_id", "text",
@@ -768,9 +774,10 @@ def text_quality_classifier_mllib(spark: SparkSession,
                     .cast("double").alias("label")))
     model = ta.train_quality_classifier(docs)
     scored = model.transform(docs)
-    return (scored.groupBy("label", "prediction")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy("label", "prediction"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        ((F.sum((F.col("label") == F.col("prediction")).cast("long"))
+          / F.count(F.lit(1))) >= 0.90).alias("agreement_ge_090"))
 
 
 @query(
@@ -1283,6 +1290,13 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
              .select(spaced.alias("w"), "freq")
              .localCheckpoint(eager=False))
+    merges = _bpe_train_loop(vocab)
+    return spark.createDataFrame(merges, "round long, pair string, n long") \
+        .orderBy("round")
+
+
+def _bpe_train_loop(vocab) -> list[tuple[int, str, int]]:
+    """The shared training loop: (round, merged pair, count) per round."""
     merges = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         syms = F.split(F.col("w"), " ")
@@ -1299,5 +1313,79 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (vocab.select(
             bpe_apply_merge(F.col("w"), best["pair"]).alias("w"),
             "freq").localCheckpoint(eager=False))
-    return spark.createDataFrame(merges, "round long, pair string, n long") \
-        .orderBy("round")
+    return merges
+
+
+_BPE_ENC_DOCS = 50
+
+_SQL_BPE_ENCODE = (
+    "WITH v0 AS (" + _SQL_SPACED_VOCAB + "),"
+    + ",".join(_sql_bpe_round(f"v{r - 1}", r)
+               for r in range(1, _BPE_ROUNDS + 1))
+    + f""",
+    enc0 AS (
+      SELECT doc_id, array_to_string(list_transform(
+               range(1, length(t.term) + 1),
+               i -> substr(t.term, i, 1)), ' ') AS w
+      FROM documents, UNNEST(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS t(term)
+      WHERE doc_id < {_BPE_ENC_DOCS}),"""
+    + ",".join(f"""
+    enc{r} AS (
+      SELECT doc_id, replace(
+               replace(
+                 chr(1) || replace(e.w, ' ', chr(1) || ' ' || chr(1))
+                        || chr(1),
+                 chr(1) || replace(b.pair, ' ', chr(1) || ' ' || chr(1))
+                        || chr(1),
+                 chr(1) || replace(b.pair, ' ', '') || chr(1)),
+               chr(1), '') AS w
+      FROM enc{r - 1} e CROSS JOIN best{r} b)"""
+                for r in range(1, _BPE_ROUNDS + 1))
+    + f"""
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(w, ' '))) AS BIGINT) AS n_subwords
+    FROM enc{_BPE_ROUNDS} GROUP BY doc_id ORDER BY doc_id""")
+
+
+@query(
+    "text_bpe_encode_tokens",
+    survey="north-star text analysis (BPE tokenizer APPLY: encode the "
+           "corpus with the trained merge list — per-doc subword counts, "
+           "the token-budget pass every pretraining mix needs)",
+    oracle=_SQL_BPE_ENCODE,
+)
+def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of the tokenizer lifecycle: train the 3-round merge
+    list on the corpus vocabulary (same constants as
+    ``text_bpe_train_merges``), then ENCODE documents by applying the
+    merges in training order to each word's symbol string and counting
+    surviving symbols per document. Encoding is a narrow projection — the
+    merge list is a handful of literals folded into whole-stage codegen,
+    so at 100 TB the encode pass costs one corpus scan regardless of how
+    many merges were trained (each merge is a constant-pattern replace,
+    composed, not joined). The oracle unrolls train + encode as one CTE
+    chain, so the merges the encoder uses are themselves hash-pinned."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _BPE_DOCS)
+    spaced = F.array_join(F.split(F.lower(F.col("w")), ""), " ")
+    vocab = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                 .alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(spaced.alias("w"), "freq")
+             .localCheckpoint(eager=False))
+    merges = _bpe_train_loop(vocab)
+    enc_docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _BPE_ENC_DOCS)
+    words = enc_docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    w = F.array_join(F.split(F.col("w"), ""), " ")
+    for _, pair, _n in merges:
+        w = bpe_apply_merge(w, pair)
+    return (words.select("doc_id", F.size(F.split(w, " ")).alias("_n"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("_n").cast("long").alias("n_subwords"))
+            .orderBy("doc_id"))

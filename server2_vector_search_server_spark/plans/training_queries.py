@@ -38,6 +38,7 @@ from server2_vector_search_server_spark.functions.vector import (
     l2_normalize,
 )
 from server2_vector_search_server_spark.plans.registry import (
+    scratch_dir,
     query,
     sql_dot,
     sql_l2_norm,
@@ -250,9 +251,8 @@ def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus rewrite per added column.)
     """
     import os
-    import tempfile
 
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = scratch_dir("schema_evo_")
     docs = tbl(spark, sf_dir, "documents")
     old = (docs.filter(F.col("doc_id") < 40)
            .select("doc_id", "text", "source"))

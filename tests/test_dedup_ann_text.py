@@ -411,12 +411,16 @@ def test_pq_kmeans_codebooks_beat_slices(spark, tables):
     arbitrary corpus-slice books on the same fixture — the measurable
     payoff of training (measured 0.30 vs 0.14 mean recall@10 here)."""
     from server2_vector_search_server_spark.plans import load_registry
+    from server2_vector_search_server_spark.plans.ann_queries import (
+        pq_kmeans_recall_per_query,
+    )
 
     r = load_registry()
     sf = "/root/testdata/sf0.001"
-    mean = lambda name: (r[name].fn(spark, sf)
-                         .agg(F.avg("recall_at_10")).collect()[0][0])
-    km, slices = mean("ann_pq_kmeans_recall_at_k"), mean("ann_pq_recall_at_k")
+    km = (pq_kmeans_recall_per_query(spark, sf)
+          .agg(F.avg("recall_at_10")).collect()[0][0])
+    slices = (r["ann_pq_recall_at_k"].fn(spark, sf)
+              .agg(F.avg("recall_at_10")).collect()[0][0])
     assert km >= slices, (km, slices)
     assert km >= 0.2
 
