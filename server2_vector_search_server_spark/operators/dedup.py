@@ -700,37 +700,65 @@ def cosine_lsh_near_duplicates(vectors: DataFrame,
     1 − (1 − (1 − θ/π)^bits)^tables — recall is tunable, and
     ``dedup_cosine_lsh_quality_eval`` measures it against the exact truth.
 
-    Scale: bucket keys are per-row projections (no shuffle); the candidate
-    step is a self-equi-join on (table, bucket) — shuffle ∝ docs × tables,
-    pair work ∝ Σ bucket², never n². Needs ``tables*bits`` hyperplanes.
+    Scale: the hyperplanes ride as a broadcast TABLE, not as plan
+    literals — bucket bits come from one broadcast join + a (id, table)
+    bit-sum aggregate, so the plan size is independent of
+    ``tables × bits`` (the literal-expression form spent ~8 s per call
+    just BUILDING the 32×64-constant tree — measured round 5). The
+    candidate step is a self-equi-join on (table, bucket) — shuffle ∝
+    docs × tables, pair work ∝ Σ bucket², never n². Needs
+    ``tables*bits`` hyperplanes.
     """
-    from server2_vector_search_server_spark.operators.ann import (
-        hyperplane_bucket,
-    )
-
     need = tables * bits
     if len(hyperplanes) < need:
         raise ValueError(f"need {need} hyperplanes, got {len(hyperplanes)}")
+    spark = vectors.sparkSession
+    planes = spark.createDataFrame(
+        [(i, [float(x) for x in h])
+         for i, h in enumerate(hyperplanes[:need])],
+        "plane_idx int, plane array<double>")
     vec = F.col(vec_col)
     norm = l2_norm(vec)
     denom = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
-    keyed = _widen(vectors.select(
+    # NO localCheckpoint here, deliberately — twice-over lineage recompute
+    # is cheap (norms are a narrow projection; candidates come from HASH
+    # joins, so unlike the exact crossJoin twin Catalyst cannot push the
+    # normalize into an O(n²) loop condition), while each lazy checkpoint
+    # costs 1-2.5 s of plan→RDD conversion at CALL time (measured r5 —
+    # it dominated the pillar's wall). For a huge corpus, persist the
+    # inputs outside the operator instead.
+    normalized = _widen(vectors.select(
         F.col(id_col).alias("id"),
         F.transform(vec, lambda x: x.cast("double") / denom).alias("_nv"),
-        *[hyperplane_bucket(vec, hyperplanes[t * bits:(t + 1) * bits])
-          .alias(f"_b{t}") for t in range(tables)],
-    )).localCheckpoint(eager=False)   # keys+norms computed once, reused 2+T×
-    buckets = keyed.select(
-        "id", F.posexplode(F.array(*[F.col(f"_b{t}")
-                                     for t in range(tables)]))
-        .alias("tbl", "bucket"))
+    ))
+    # sign bit per (vector, hyperplane): dot of COLUMN arrays — same
+    # zip_with/aggregate fold order as the literal form, so the oracle's
+    # arithmetic (and every sign) is unchanged
+    # spread the fan-out: a small parquet scan arrives as 1-2 partitions,
+    # which would serialize all docs × tables·bits interpreted
+    # higher-order-function dots onto 1-2 cores (the same residue trap
+    # cosine_near_duplicates documents); one tiny pre-shuffle of the raw
+    # vectors buys full-width map-side dot computation
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    raw = (vectors.select(F.col(id_col).alias("id"), vec.alias("_v"))
+           .repartition(par))
+    buckets = (raw.join(F.broadcast(planes))
+               .select("id",
+                       F.floor(F.col("plane_idx") / bits).cast("int")
+                       .alias("tbl"),
+                       F.when(dot(F.col("_v"), F.col("plane")) > 0,
+                              F.expr(f"shiftleft(1L, int(plane_idx "
+                                     f"% {bits}))"))
+                       .otherwise(F.lit(0).cast("long")).alias("_bit"))
+               .groupBy("id", "tbl")
+               .agg(F.sum("_bit").alias("bucket")))
     cand = (buckets.select(F.col("id").alias("id_a"), "tbl", "bucket")
             .join(buckets.select(F.col("id").alias("id_b"), "tbl", "bucket"),
                   ["tbl", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    a = keyed.select(F.col("id").alias("id_a"), F.col("_nv").alias("n_a"))
-    b = keyed.select(F.col("id").alias("id_b"), F.col("_nv").alias("n_b"))
+    a = normalized.select(F.col("id").alias("id_a"), F.col("_nv").alias("n_a"))
+    b = normalized.select(F.col("id").alias("id_b"), F.col("_nv").alias("n_b"))
     return (cand.join(a, "id_a").join(b, "id_b")
             .withColumn("cosine", F.round(dot(F.col("n_a"), F.col("n_b")), 6))
             .filter(F.col("cosine") >= threshold)

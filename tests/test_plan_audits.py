@@ -522,3 +522,26 @@ def test_prefix_filter_jaccard_has_no_cross_join(spark):
     plan = _plan(spark, "dedup_jaccard_prefix_filter")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_lsh_has_no_cross_join(spark):
+    # the benched cosine pillar (r5): candidates come from the multi-table
+    # (tbl, bucket) equi-join — never the quadratic cross product the
+    # verification-primitive twin uses. The ONE allowed nested-loop join
+    # is the bounded 32-row hyperplane fan-out (broadcast-planes pattern,
+    # corpus × tables·bits — data-proportional, not corpus²).
+    plan = _plan(spark, "dedup_embedding_cosine_lsh")
+    assert "CartesianProduct" not in plan
+    # ≤ 2: the bounded planes fan-out appears once per self-join side
+    # (lineage recompute is deliberately cheaper than checkpoint planning)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # candidate generation + verify joins must be hash/merge equi-joins
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 3
+
+
+def test_phash_near_dups_has_no_cross_join(spark):
+    # image near-dedup: Manku segment equi-join, XOR+popcount verify only
+    # on bucket collisions
+    plan = _plan(spark, "multimodal_phash_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
