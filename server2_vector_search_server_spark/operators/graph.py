@@ -537,3 +537,144 @@ def knn_graph_bucketed(
     return (nn.select(F.least("_src", "_dst").alias("src"),
                       F.greatest("_src", "_dst").alias("dst"))
             .distinct())
+
+
+def personalized_pagerank(edges: DataFrame, restart_nodes: DataFrame, *,
+                          iterations: int = 3, damping: float = 0.85,
+                          src: str = "src", dst: str = "dst",
+                          scale: int = 12) -> DataFrame:
+    """Topic-sensitive / Personalized PageRank (Haveliwala 2002, public
+    algorithm): the restart mass returns to a PREFERENCE SET S instead of
+    the uniform vector —
+
+        pr_0(v)  = p(v)               (p uniform over S, 0 elsewhere)
+        pr_i(v)  = round((1−d)·p(v) + d·Σ_{u→v} pr_{i−1}(u)/outdeg(u),
+                         scale)
+
+    Same determinism contract as :func:`pagerank` (scaled-BIGINT exact
+    contribution sums, per-round rounding, fixed iteration count) so the
+    DuckDB oracle unrolls the identical rounds. Dangling mass dropped (the
+    simplified variant), like the base operator.
+
+    Scale: the rank table is SPARSE — only nodes within ``iterations``
+    hops of S carry mass, so for seed-local queries (the common PPR use:
+    'related to THIS supplier') the per-round rank side is tiny and rides
+    a broadcast join while the checkpointed edge list never shuffles. If
+    S's reach is node-scale, the base operator's shuffle-branch strategy
+    applies unchanged (hash-partition edges once, exchange only ranks).
+    """
+    e0 = edges.select(src, dst).localCheckpoint(eager=True)
+    out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e0.join(F.broadcast(out_deg), src)
+    seeds = (restart_nodes
+             .select(F.col(restart_nodes.columns[0]).alias("node"))
+             .distinct().localCheckpoint(eager=True))
+    s_n = seeds.count()
+    pvec = seeds.select("node", F.lit(1.0 / s_n).alias("p"))
+    factor = 10 ** scale
+    ranks = pvec.select("node", F.round(F.col("p"), scale).alias("pr"))
+    for _ in range(iterations):
+        rb = F.broadcast(ranks)
+        contribs = (ed.join(rb, ed[src] == rb["node"])
+                    .select(F.col(dst).alias("node"),
+                            (F.col("pr") / F.col("outdeg")).alias("c"))
+                    .groupBy("node")
+                    .agg((F.sum(F.round(F.col("c") * factor).cast("long"))
+                          / float(factor)).alias("contrib")))
+        ranks = (pvec.join(contribs, "node", "full_outer")
+                 .select("node",
+                         F.round((1.0 - damping)
+                                 * F.coalesce("p", F.lit(0.0))
+                                 + damping
+                                 * F.coalesce("contrib", F.lit(0.0)),
+                                 scale).alias("pr")))
+    return ranks
+
+
+def hits(edges: DataFrame, *, iterations: int = 2,
+         src: str = "src", dst: str = "dst", scale: int = 12) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public algorithm) with a
+    fixed iteration count and L1 normalization:
+
+        h_i(u) = Σ_{u→v} a_{i−1}(v)   then  h_i ← round(h_i / Σ h_i, scale)
+        a_i(v) = Σ_{u→v} h_i(u)       then  a_i ← round(a_i / Σ a_i, scale)
+
+    a_0 = 1 on every destination node. L1 (not the classic L2) keeps every
+    step rational — no sqrt in the normalizer — and scaled-BIGINT exact
+    sums make both the per-node aggregates and the GLOBAL normalizer
+    shuffle-order-free, so the DuckDB oracle unrolls identical rounds.
+    On a bipartite graph (e.g. supplier→customer) hubs live on the source
+    side and authorities on the destination side.
+
+    Scale: per round, two edge joins against node-sized score tables
+    (broadcast here; the shuffle-branch strategy of :func:`pagerank`
+    applies for node-scale graphs) and two scalar normalizers that ride a
+    1-row broadcast. Returns (node, hub, authority) — 0.0 for the side
+    the node is not on.
+    """
+    factor = 10 ** scale
+
+    def _esum(col):
+        return (F.sum(F.round(col * factor).cast("long")) / float(factor))
+
+    e0 = edges.select(src, dst).localCheckpoint(eager=True)
+    a = (e0.select(F.col(dst).alias("node")).distinct()
+         .withColumn("score", F.lit(1.0)))
+    h = None
+    for _ in range(iterations):
+        h_raw = (e0.join(F.broadcast(a), e0[dst] == a["node"])
+                 .groupBy(src).agg(_esum(F.col("score")).alias("raw")))
+        h_tot = h_raw.agg(_esum(F.col("raw")).alias("tot"))
+        h = (h_raw.crossJoin(F.broadcast(h_tot))
+             .select(F.col(src).alias("node"),
+                     F.round(F.col("raw") / F.col("tot"), scale)
+                     .alias("score")))
+        a_raw = (e0.join(F.broadcast(h), e0[src] == h["node"])
+                 .groupBy(dst).agg(_esum(F.col("score")).alias("raw")))
+        a_tot = a_raw.agg(_esum(F.col("raw")).alias("tot"))
+        a = (a_raw.crossJoin(F.broadcast(a_tot))
+             .select(F.col(dst).alias("node"),
+                     F.round(F.col("raw") / F.col("tot"), scale)
+                     .alias("score")))
+    hubs = h.select("node", F.col("score").alias("hub"),
+                    F.lit(0.0).alias("authority"))
+    auths = a.select("node", F.lit(0.0).alias("hub"),
+                     F.col("score").alias("authority"))
+    return hubs.unionByName(auths)
+
+
+def label_propagation(edges: DataFrame, *, iterations: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, public algorithm), made deterministic: every node starts with
+    its own id as label; each round it adopts the most frequent label in
+    its (undirected) neighborhood, ties broken by (count DESC, label ASC)
+    — the argmax is a row_number window, so the result is independent of
+    partitioning and identical across engines, unlike the classic
+    random-order variant. Fixed iteration count, synchronous updates.
+
+    Scale: per round one edge-sized equi-join against the node-sized label
+    table (broadcast here; shuffle-branch co-partitioning applies at node
+    scale — the same strategy fork as :func:`pagerank`) plus a
+    (node, label) count and a per-node top-1 window whose partition key is
+    the node — shuffle ∝ distinct neighbor labels, bounded by degree.
+    Returns (node, label) after the final round.
+    """
+    from pyspark.sql import Window
+
+    e0 = edges.select(src, dst).localCheckpoint(eager=True)
+    bi = (e0.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .unionByName(e0.select(F.col(dst).alias("a"),
+                                 F.col(src).alias("b"))).distinct())
+    labels = (bi.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    w = Window.partitionBy("a").orderBy(F.col("n").desc(),
+                                        F.col("label").asc())
+    for _ in range(iterations):
+        lb = F.broadcast(labels)
+        labels = (bi.join(lb, bi["b"] == lb["node"])
+                  .groupBy("a", "label").agg(F.count(F.lit(1)).alias("n"))
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select(F.col("a").alias("node"), "label"))
+    return labels

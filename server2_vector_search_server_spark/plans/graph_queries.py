@@ -480,3 +480,200 @@ def graph_beam_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_hits"),
         F.round(F.count(F.lit(1)) / float(_BS_RECALL_K), 6)
         .alias(f"recall_at_{_BS_RECALL_K}"))
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (topic-sensitive restart)
+
+_PPR_SEEDS = 5
+
+
+def _ppr_oracle() -> str:
+    rounds = []
+    for i in range(1, _ITERS + 1):
+        contrib = sql_exact_sum("(p.pr / ed.outdeg)", _SCALE)
+        rounds.append(f"""
+    c{i} AS (
+      SELECT ed.dst AS node, {contrib} AS contrib
+      FROM ed JOIN pr{i - 1} p ON p.node = ed.src
+      GROUP BY ed.dst),
+    pr{i} AS (
+      SELECT COALESCE(pv.node, c.node) AS node,
+             ROUND((1.0 - {_DAMPING}) * COALESCE(pv.p, 0.0)
+                   + {_DAMPING} * COALESCE(c.contrib, 0.0), {_SCALE}) AS pr
+      FROM pvec pv FULL OUTER JOIN c{i} c ON pv.node = c.node)""")
+    return f"""
+    WITH {_SQL_EDGES},
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, o.outdeg
+           FROM edges e JOIN outdeg o USING (src)),
+    restart AS (SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+                WHERE s_suppkey <= {_PPR_SEEDS}),
+    sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM restart),
+    pvec AS (SELECT node, 1.0 / sn.s AS p FROM restart CROSS JOIN sn),
+    pr0 AS (SELECT node, ROUND(p, {_SCALE}) AS pr FROM pvec),{",".join(rounds)}
+    SELECT node, pr,
+           CAST(row_number() OVER (ORDER BY pr DESC, node) AS INTEGER)
+             AS rank
+    FROM pr{_ITERS}
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """
+
+
+@query(
+    "graph_personalized_pagerank",
+    survey="north-star graph analytics (personalized PageRank: restart "
+           "mass to a seed set — 'related to THESE suppliers' ranking; "
+           "sparse rank table broadcast, edges never shuffle)",
+    oracle=_ppr_oracle(),
+)
+def graph_personalized_pagerank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-20 PPR from a 5-supplier seed set over the shipment graph —
+    the 'entities related to THIS set' ranking (recommendation /
+    similar-supplier discovery). The rank table stays sparse (reach of
+    the seeds), so every round broadcasts it against the one checkpointed
+    edge materialization; arithmetic is the base operator's exact-sum +
+    per-round rounding, oracle-unrolled."""
+    from server2_vector_search_server_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    sup = tbl(spark, sf_dir, "supplier")
+    seeds = (sup.filter(F.col("s_suppkey") <= _PPR_SEEDS)
+             .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")))
+    ranks = personalized_pagerank(
+        _edges(spark, sf_dir), seeds, iterations=_ITERS,
+        damping=float(_DAMPING), scale=_SCALE)
+    return _rank_top20(ranks)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+
+_HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev_a = "a0"
+    for i in range(1, _HITS_ITERS + 1):
+        es = lambda e: sql_exact_sum(e, _SCALE)  # noqa: E731
+        rounds.append(f"""
+    hraw{i} AS (
+      SELECT e.src AS node, {es('a.score')} AS raw
+      FROM edges e JOIN {prev_a} a ON a.node = e.dst GROUP BY e.src),
+    htot{i} AS (SELECT {es('raw')} AS tot FROM hraw{i}),
+    h{i} AS (SELECT node, ROUND(raw / t.tot, {_SCALE}) AS score
+             FROM hraw{i} CROSS JOIN htot{i} t),
+    araw{i} AS (
+      SELECT e.dst AS node, {es('h.score')} AS raw
+      FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst),
+    atot{i} AS (SELECT {es('raw')} AS tot FROM araw{i}),
+    a{i} AS (SELECT node, ROUND(raw / t.tot, {_SCALE}) AS score
+             FROM araw{i} CROSS JOIN atot{i} t)""")
+        prev_a = f"a{i}"
+    n = _HITS_ITERS
+    return f"""
+    WITH {_SQL_EDGES},
+    a0 AS (SELECT DISTINCT dst AS node, 1.0 AS score FROM edges),{",".join(rounds)},
+    both_sides AS (
+      SELECT node, score AS hub, 0.0 AS authority FROM h{n}
+      UNION ALL
+      SELECT node, 0.0 AS hub, score AS authority FROM a{n})
+    SELECT node, hub, authority,
+           CAST(row_number() OVER (
+             ORDER BY GREATEST(hub, authority) DESC, node) AS INTEGER)
+             AS rank
+    FROM both_sides
+    QUALIFY rank <= 20
+    ORDER BY rank
+    """
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    survey="north-star graph analytics (HITS hubs & authorities: "
+           "fixed-round mutual reinforcement with L1 normalization, "
+           "exact-sum normalizers, unrolled-CTE oracle)",
+    oracle=_hits_oracle(),
+)
+def graph_hits_hubs_authorities(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Top-20 by max(hub, authority) over the supplier→customer shipment
+    graph — hubs are high-fanout suppliers, authorities are customers
+    reached by strong hubs (the bipartite HITS reading). Two rounds, L1
+    normalizers as 1-row broadcasts, scaled-BIGINT exact sums throughout;
+    the oracle unrolls the identical recursion."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.operators.graph import hits
+
+    scored = hits(_edges(spark, sf_dir), iterations=_HITS_ITERS,
+                  scale=_SCALE)
+    key = F.greatest(F.col("hub"), F.col("authority"))
+    top = scored.orderBy(key.desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(key.desc(), F.col("node").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .orderBy("rank"))
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(f"""
+    cnt{i} AS (
+      SELECT bi.a, l.label, COUNT(*) AS n
+      FROM bi JOIN l{i - 1} l ON l.node = bi.b
+      GROUP BY bi.a, l.label),
+    l{i} AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label,
+               row_number() OVER (PARTITION BY a
+                 ORDER BY n DESC, label ASC) AS rn
+        FROM cnt{i}) t WHERE rn = 1)""")
+    return f"""
+    WITH {_SQL_EDGES},
+    bi AS (SELECT src AS a, dst AS b FROM edges
+           UNION SELECT dst, src FROM edges),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM bi),{",".join(rounds)}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_member, MAX(node) AS max_member
+    FROM l{_LPA_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """
+
+
+@query(
+    "graph_label_propagation",
+    survey="north-star graph analytics (deterministic synchronous label "
+           "propagation: most-frequent neighbor label, (count DESC, label "
+           "ASC) tie-break, fixed rounds — community summary)",
+    oracle=_lpa_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities (by size) after 3 synchronous label-propagation
+    rounds on the shipment graph. The deterministic tie-break makes LPA —
+    classically order-dependent — reproducible and hash-checkable; the
+    unrolled oracle replays identical rounds."""
+    from server2_vector_search_server_spark.operators.graph import (
+        label_propagation,
+    )
+
+    labels = label_propagation(_edges(spark, sf_dir), iterations=_LPA_ITERS)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node").alias("min_member"),
+                 F.max("node").alias("max_member"))
+            .orderBy(F.col("n_members").desc(), F.col("community").asc())
+            .limit(20))

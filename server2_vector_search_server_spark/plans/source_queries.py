@@ -549,3 +549,71 @@ def ingest_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("n_english", int(m["n_english"])),
          ("total_chars", int(m["total_chars"]))],
         "metric string, value long").orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# A2-adjacent: malformed-record quarantine (PERMISSIVE ingest contract)
+
+_BAD_JSONL = """\
+{"doc_id": 1, "text": "good row one", "lang": "en"}
+{"doc_id": 2, "text": "good row two", "lang": "de"}
+{"doc_id": 3, "text": "unterminated string, "lang": "en"}
+not json at all
+{"doc_id": 4, "text": "good row three", "lang": "fr"}
+{"doc_id": "five", "text": "type-mismatched id", "lang": "en"}
+{"doc_id": 6, "text": "good row four", "lang": "en"}
+"""
+
+
+@query(
+    "ingest_corrupt_quarantine",
+    survey="A2-adjacent(malformed-record quarantine: PERMISSIVE JSONL scan "
+           "with _corrupt_record capture -> valid rows + quarantine "
+           "manifest in one pass)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('quarantined', CAST(3 AS BIGINT), CAST(NULL AS BIGINT)),
+      ('valid', CAST(4 AS BIGINT), CAST(13 AS BIGINT))
+    ) AS t(bucket, n_rows, sum_doc_id)
+    ORDER BY bucket
+    """,
+)
+def ingest_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest contract a 100 TB pipeline actually needs: a PERMISSIVE
+    schema-on-read scan where malformed lines (broken JSON, non-JSON noise,
+    type-mismatched fields) land in ``_corrupt_record`` instead of failing
+    the job, and one pass splits the feed into valid rows and a quarantine
+    manifest (count + the raw lines kept for replay). Fixture: 7 lines, 3
+    bad in 3 different ways. The oracle pins the split exactly — a parser
+    behavior change (e.g. a type coercion silently accepting "five")
+    moves a row between buckets and reds the hash. Scale: this is one
+    scan, no shuffle before the tiny two-row aggregate; quarantined raw
+    lines would be written back to a dead-letter path in the same job."""
+    import os
+
+    from pyspark.sql import types as T
+
+    d = scratch_dir("corrupt_src_")
+    with open(os.path.join(d, "feed.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write(_BAD_JSONL)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    raw = (spark.read.schema(schema)
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt_record")
+           .json(d))
+    # caching before splitting on _corrupt_record is the documented Spark
+    # requirement: the column is only populated during the same scan that
+    # parses the row, and a re-scan may prune it (SPARK-21610 contract)
+    raw = raw.localCheckpoint(eager=True)
+    bucket = F.when(F.col("_corrupt_record").isNotNull(),
+                    F.lit("quarantined")).otherwise(F.lit("valid"))
+    return (raw.select(bucket.alias("bucket"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("doc_id").alias("sum_doc_id"))
+            .orderBy("bucket"))
