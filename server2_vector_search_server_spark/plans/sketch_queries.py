@@ -318,6 +318,51 @@ def _sql_cms() -> str:
     """
 
 
+def _cms_val_expr():
+    return (F.when(F.col("event_id") % 10 < 3,
+                   F.concat(F.lit("hot_"),
+                            (F.col("event_id") % 3).cast("string")))
+            .otherwise(F.concat(F.lit("cold_"),
+                                F.col("event_id").cast("string")))
+            .alias("v"))
+
+
+def _cms_cells(df):
+    """(v, j, cell) rows for every value × depth — shared by the batch
+    query and the streaming upkeep twin."""
+    from server2_vector_search_server_spark.functions.text import token_hash
+
+    perms, m31 = _cms_params()
+    h = token_hash(F.col("v"))
+    return df.select(
+        "v",
+        F.posexplode(F.array(*[
+            ((F.lit(a) * h + F.lit(b)) % m31) % _CMS_W
+            for a, b in perms])).alias("j", "cell"))
+
+
+def _cms_report(spark: SparkSession, sf_dir: str, sketch) -> DataFrame:
+    """Probe the sketch and join exact truth — the shared tail of both
+    CMS queries (same output contract as the _sql_cms oracle)."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    vals = ev.select(_cms_val_expr())
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "v string")
+    est = (_cms_cells(probes).join(sketch, ["j", "cell"])
+           .groupBy("v").agg(F.min("c").alias("cms_estimate")))
+    truth = (probes.join(vals.groupBy("v")
+                         .agg(F.count(F.lit(1)).alias("n")), "v", "left")
+             .select("v", F.coalesce("n", F.lit(0)).cast("long")
+                     .alias("true_count")))
+    return (truth.join(est, "v")
+            .select("v", "true_count", "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("true_count"))
+                    .alias("never_undercounts"),
+                    (F.col("cms_estimate") - F.col("true_count"))
+                    .alias("overcount"))
+            .orderBy("v"))
+
+
+
 @query(
     "events_countmin_estimates",
     survey="north-star sketches (Count-Min point-frequency estimates: "
@@ -338,39 +383,71 @@ def events_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch is one groupBy over d·n rows into ≤ d·w cells — mergeable
     bounded state (cell-wise SUM merges partitions/days), the same
     rollup contract as the HLL family."""
-    from server2_vector_search_server_spark.functions.text import token_hash
-
-    perms, m31 = _cms_params()
     ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
-    vals = ev.select(
-        F.when(F.col("event_id") % 10 < 3,
-               F.concat(F.lit("hot_"),
-                        (F.col("event_id") % 3).cast("string")))
-        .otherwise(F.concat(F.lit("cold_"),
-                            F.col("event_id").cast("string"))).alias("v"))
+    sketch = (_cms_cells(ev.select(_cms_val_expr()))
+              .groupBy("j", "cell").agg(F.count(F.lit(1)).alias("c")))
+    return _cms_report(spark, sf_dir, sketch)
 
-    def cells_of(df):
-        h = token_hash(F.col("v"))
-        return df.select(
-            "v",
-            F.posexplode(F.array(*[
-                ((F.lit(a) * h + F.lit(b)) % m31) % _CMS_W
-                for a, b in perms])).alias("j", "cell"))
 
-    sketch = (cells_of(vals).groupBy("j", "cell")
-              .agg(F.count(F.lit(1)).alias("c")))
-    probes = vals.sparkSession.createDataFrame(
-        [(p,) for p in _CMS_PROBES], "v string")
-    est = (cells_of(probes).join(sketch, ["j", "cell"])
-           .groupBy("v").agg(F.min("c").alias("cms_estimate")))
-    truth = (probes.join(vals.groupBy("v")
-                         .agg(F.count(F.lit(1)).alias("n")), "v", "left")
-             .select("v", F.coalesce("n", F.lit(0)).cast("long")
-                     .alias("true_count")))
-    return (truth.join(est, "v")
-            .select("v", "true_count", "cms_estimate",
-                    (F.col("cms_estimate") >= F.col("true_count"))
-                    .alias("never_undercounts"),
-                    (F.col("cms_estimate") - F.col("true_count"))
-                    .alias("overcount"))
-            .orderBy("v"))
+@query(
+    "streaming_countmin_upkeep",
+    survey="I × north-star sketches (incremental Count-Min maintenance: "
+           "per-micro-batch cell partials persisted per ingest_batch "
+           "partition, SUM-merged at read, batch-0 replay folded in — "
+           "the streaming sketch hash-pins to the SAME oracle as the "
+           "batch build, because cell-wise SUM merge is exact)",
+    oracle=_sql_cms(),
+)
+def streaming_countmin_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_countmin_estimates maintained INCREMENTALLY: each micro-batch
+    writes its (j, cell, count) partials into its own ingest_batch
+    partition (state per batch ≤ d·w rows regardless of batch size);
+    replay of batch 0 is simulated by re-committing its exact rows under
+    the original batch id — dynamic partition overwrite makes it
+    idempotent, and the final estimates prove it by hash-matching the
+    batch oracle EXACTLY (unlike HLL, the CMS merge is plain SUM, so
+    streaming-vs-batch equality is bit-exact, not bound-checked). Serving
+    merges ≤ batches·d·w cell rows — never rescans the stream."""
+    import os
+    import uuid as _uuid
+
+    from server2_vector_search_server_spark.session import (
+        read_events_stream,
+    )
+
+    src = scratch_dir("cms_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    state = scratch_dir("cms_state_") + "/cells"
+
+    def process(batch, batch_id: int) -> None:
+        vals = (batch.filter(F.col("event_id") < 20000)
+                .select(_cms_val_expr()))
+        (_cms_cells(vals).groupBy("j", "cell")
+         .agg(F.count(F.lit(1)).alias("c"))
+         .withColumn("ingest_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state))
+
+    q = (read_events_stream(spark, src)
+         .select("event_id")
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation",
+                 scratch_dir(f"cms_ckpt_{_uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # at-least-once replay: re-commit batch 0's exact partials under its
+    # original id; localCheckpoint decouples the read from the same-path
+    # dynamic overwrite (the ann-upkeep discipline)
+    b0 = (spark.read.parquet(state)
+          .filter(F.col("ingest_batch") == 0)
+          .select("j", "cell", "c").localCheckpoint(eager=True))
+    (b0.withColumn("ingest_batch", F.lit(0))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(state))
+
+    sketch = (spark.read.parquet(state)
+              .groupBy("j", "cell").agg(F.sum("c").alias("c")))
+    return _cms_report(spark, sf_dir, sketch)

@@ -545,3 +545,14 @@ def test_phash_near_dups_has_no_cross_join(spark):
     plan = _plan(spark, "multimodal_phash_near_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_graph_queries_have_no_cross_join(spark):
+    # PPR / HITS / LPA: every per-round join is an equi-join against a
+    # node-or-seed-sized table (broadcast at this scale); the only
+    # cross-ish joins allowed are 1-row normalizer broadcasts (HITS)
+    for name in ("graph_personalized_pagerank",
+                 "graph_hits_hubs_authorities",
+                 "graph_label_propagation"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
