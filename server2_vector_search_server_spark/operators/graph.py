@@ -592,7 +592,9 @@ def personalized_pagerank(edges: DataFrame, restart_nodes: DataFrame, *,
 
 
 def hits(edges: DataFrame, *, iterations: int = 2,
-         src: str = "src", dst: str = "dst", scale: int = 12) -> DataFrame:
+         src: str = "src", dst: str = "dst", scale: int = 12,
+         broadcast_scores: bool | None = None,
+         broadcast_node_limit: int = 5_000_000) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, public algorithm) with a
     fixed iteration count and L1 normalization:
 
@@ -606,11 +608,19 @@ def hits(edges: DataFrame, *, iterations: int = 2,
     On a bipartite graph (e.g. supplier→customer) hubs live on the source
     side and authorities on the destination side.
 
-    Scale: per round, two edge joins against node-sized score tables
-    (broadcast here; the shuffle-branch strategy of :func:`pagerank`
-    applies for node-scale graphs) and two scalar normalizers that ride a
-    1-row broadcast. Returns (node, hub, authority) — 0.0 for the side
-    the node is not on.
+    Scale — the same strategy fork as :func:`pagerank` (a per-round
+    broadcast of a node-sized table is a scale-killer at 100× nodes):
+
+    - small graphs (n ≤ ``broadcast_node_limit``): broadcast the score
+      tables; the edge list never shuffles.
+    - big graphs: TWO pre-partitioned edge checkpoints — by ``dst`` for
+      the hub step and by ``src`` for the authority step (the join key
+      alternates, so one partitioning can't serve both) — then every
+      round exchanges only the node-sized score tables (shuffle_hash
+      hints pin the strategy). Two edge-sized exchanges total, paid once.
+
+    The 1-row normalizers ride a broadcast on either branch. Returns
+    (node, hub, authority) — 0.0 for the side the node is not on.
     """
     factor = 10 ** scale
 
@@ -618,18 +628,31 @@ def hits(edges: DataFrame, *, iterations: int = 2,
         return (F.sum(F.round(col * factor).cast("long")) / float(factor))
 
     e0 = edges.select(src, dst).localCheckpoint(eager=True)
+    n = (e0.select(F.col(src).alias("node"))
+         .union(e0.select(F.col(dst).alias("node"))).distinct().count())
+    use_bcast = (broadcast_scores if broadcast_scores is not None
+                 else n <= broadcast_node_limit)
+    if use_bcast:
+        e_dst = e_src = e0
+        _side = lambda df: F.broadcast(df)          # noqa: E731
+    else:
+        e_dst = e0.repartition(F.col(dst)).localCheckpoint(eager=True)
+        e_src = e0.repartition(F.col(src)).localCheckpoint(eager=True)
+        _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
     a = (e0.select(F.col(dst).alias("node")).distinct()
          .withColumn("score", F.lit(1.0)))
     h = None
     for _ in range(iterations):
-        h_raw = (e0.join(F.broadcast(a), e0[dst] == a["node"])
+        ab = _side(a)
+        h_raw = (e_dst.join(ab, e_dst[dst] == ab["node"])
                  .groupBy(src).agg(_esum(F.col("score")).alias("raw")))
         h_tot = h_raw.agg(_esum(F.col("raw")).alias("tot"))
         h = (h_raw.crossJoin(F.broadcast(h_tot))
              .select(F.col(src).alias("node"),
                      F.round(F.col("raw") / F.col("tot"), scale)
                      .alias("score")))
-        a_raw = (e0.join(F.broadcast(h), e0[src] == h["node"])
+        hb = _side(h)
+        a_raw = (e_src.join(hb, e_src[src] == hb["node"])
                  .groupBy(dst).agg(_esum(F.col("score")).alias("raw")))
         a_tot = a_raw.agg(_esum(F.col("raw")).alias("tot"))
         a = (a_raw.crossJoin(F.broadcast(a_tot))
@@ -644,7 +667,9 @@ def hits(edges: DataFrame, *, iterations: int = 2,
 
 
 def label_propagation(edges: DataFrame, *, iterations: int = 3,
-                      src: str = "src", dst: str = "dst") -> DataFrame:
+                      src: str = "src", dst: str = "dst",
+                      broadcast_labels: bool | None = None,
+                      broadcast_node_limit: int = 5_000_000) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007, public algorithm), made deterministic: every node starts with
     its own id as label; each round it adopts the most frequent label in
@@ -653,12 +678,13 @@ def label_propagation(edges: DataFrame, *, iterations: int = 3,
     partitioning and identical across engines, unlike the classic
     random-order variant. Fixed iteration count, synchronous updates.
 
-    Scale: per round one edge-sized equi-join against the node-sized label
-    table (broadcast here; shuffle-branch co-partitioning applies at node
-    scale — the same strategy fork as :func:`pagerank`) plus a
-    (node, label) count and a per-node top-1 window whose partition key is
-    the node — shuffle ∝ distinct neighbor labels, bounded by degree.
-    Returns (node, label) after the final round.
+    Scale — the :func:`pagerank` strategy fork: small graphs broadcast
+    the node-sized label table (the bidirectional edge list never
+    shuffles); big graphs hash-partition the edge list by neighbor ``b``
+    ONCE and exchange only the label table per round (shuffle_hash hint).
+    The per-round (node, label) count and top-1 window shuffle ∝ distinct
+    neighbor labels, bounded by degree. Returns (node, label) after the
+    final round.
     """
     from pyspark.sql import Window
 
@@ -666,12 +692,23 @@ def label_propagation(edges: DataFrame, *, iterations: int = 3,
     bi = (e0.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .unionByName(e0.select(F.col(dst).alias("a"),
                                  F.col(src).alias("b"))).distinct())
+    if broadcast_labels is None:
+        n = bi.select("a").distinct().count()
+        use_bcast = n <= broadcast_node_limit
+    else:
+        use_bcast = broadcast_labels
+    if use_bcast:
+        bi = bi.localCheckpoint(eager=True)
+        _side = lambda df: F.broadcast(df)          # noqa: E731
+    else:
+        bi = bi.repartition(F.col("b")).localCheckpoint(eager=True)
+        _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
     labels = (bi.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     w = Window.partitionBy("a").orderBy(F.col("n").desc(),
                                         F.col("label").asc())
     for _ in range(iterations):
-        lb = F.broadcast(labels)
+        lb = _side(labels)
         labels = (bi.join(lb, bi["b"] == lb["node"])
                   .groupBy("a", "label").agg(F.count(F.lit(1)).alias("n"))
                   .withColumn("_rn", F.row_number().over(w))

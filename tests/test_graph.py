@@ -174,3 +174,34 @@ def test_pagerank_auto_switch_matches_broadcast(spark):
               for r in pagerank(edges, iterations=3,
                                 broadcast_ranks=False).collect()}
     assert small == auto_big == forced and len(small) == 4
+
+
+def test_hits_branches_identical(spark, tables):
+    """Both HITS execution strategies (broadcast scores vs pre-partitioned
+    edges + shuffled scores) must produce bit-identical scores — strategy
+    moves rows, never arithmetic (the pagerank branch-equality contract)."""
+    from server2_vector_search_server_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 7}", f"c{(i * 3) % 11}") for i in range(40)],
+        "src string, dst string").distinct()
+    a = {(r["node"], r["hub"], r["authority"])
+         for r in hits(edges, broadcast_scores=True).collect()}
+    b = {(r["node"], r["hub"], r["authority"])
+         for r in hits(edges, broadcast_scores=False).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_label_propagation_branches_identical(spark, tables):
+    from server2_vector_search_server_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 2 + 1) % 23}") for i in range(40)],
+        "src string, dst string").distinct()
+    a = {(r["node"], r["label"]) for r in
+         label_propagation(edges, broadcast_labels=True).collect()}
+    b = {(r["node"], r["label"]) for r in
+         label_propagation(edges, broadcast_labels=False).collect()}
+    assert a == b and len(a) > 0
