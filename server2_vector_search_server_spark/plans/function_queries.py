@@ -858,3 +858,104 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_outliers"),
                  F.count(F.lit(1)).alias("n_rows"))
             .orderBy("event_type"))
+
+
+@query(
+    "events_interpolated_hours",
+    survey="H/I-extension(time-series LINEAR interpolation over a gapped "
+           "hourly grid: LOCF carry of the previous known (hour, value) + "
+           "first following known point, exact-fraction blend — the "
+           "resample-and-interpolate primitive zero-fill can't express)",
+    oracle="""
+    WITH hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 23:00:00',
+                                    INTERVAL 1 HOUR)) AS hour),
+    known AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+             ROUND((SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+                   / COUNT(*), 6) AS v
+      FROM events
+      WHERE user_id = 7 AND CAST(ts AS DATE) = DATE '2024-01-05'
+      GROUP BY hour),
+    grid AS (
+      SELECT h.hour, k.v FROM hours h LEFT JOIN known k ON k.hour = h.hour),
+    fenced AS (
+      SELECT hour, v,
+             last_value(CASE WHEN v IS NOT NULL
+                             THEN struct_pack(h := hour, x := v) END
+                        IGNORE NULLS)
+               OVER (ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev,
+             first_value(CASE WHEN v IS NOT NULL
+                              THEN struct_pack(h := hour, x := v) END
+                         IGNORE NULLS)
+               OVER (ORDER BY hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nxt
+      FROM grid)
+    SELECT hour,
+           v AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev IS NULL OR nxt IS NULL THEN NULL
+             ELSE ROUND(prev.x + (nxt.x - prev.x)
+                        * (CAST(epoch(hour) - epoch(prev.h) AS DOUBLE)
+                           / CAST(epoch(nxt.h) - epoch(prev.h) AS DOUBLE)),
+                        6)
+           END AS interpolated
+    FROM fenced
+    ORDER BY hour
+    """,
+)
+def events_interpolated_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a gapped hourly series (user 7's mean
+    event value on one day): generate the full spine, LOCF-carry the
+    previous known (hour, value) struct and mirror-carry the next known
+    one with IGNORE NULLS windows, then blend by the exact hour fraction.
+    Hours before the first / after the last observation stay NULL (no
+    extrapolation). Known hourly means go through the scaled-BIGINT
+    exact-sum so shuffle order can't move an input by an ulp, and the
+    blend arithmetic is the same literal expression on both engines. At
+    100 TB the same plan runs per entity: the windows partition by the
+    series key, state one struct each way."""
+    from server2_vector_search_server_spark.plans.registry import exact_sum
+
+    events = tbl(spark, sf_dir, "events")
+    spine = (events.sparkSession.range(1).select(
+        F.explode(F.sequence(
+            F.lit("2024-01-05 00:00:00").cast("timestamp"),
+            F.lit("2024-01-05 23:00:00").cast("timestamp"),
+            F.expr("INTERVAL 1 HOUR"))).alias("hour")))
+    known = (
+        events.filter((F.col("user_id") == 7)
+                      & (F.to_date("ts") == F.lit("2024-01-05")))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(exact_sum(F.col("value"), 6) / F.count(F.lit(1)), 6)
+             .alias("v")))
+    grid = spine.join(known, "hour", "left")
+    from pyspark.sql import Window
+
+    point = F.when(F.col("v").isNotNull(),
+                   F.struct(F.col("hour").alias("h"), F.col("v").alias("x")))
+    w_prev = (Window.orderBy("hour")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.orderBy("hour")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    fenced = grid.select(
+        "hour", "v",
+        F.last(point, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(point, ignorenulls=True).over(w_next).alias("nxt"))
+    frac = (F.unix_timestamp("hour") - F.unix_timestamp("prev.h")) \
+        .cast("double") / (F.unix_timestamp("nxt.h")
+                           - F.unix_timestamp("prev.h")).cast("double")
+    interp = (F.when(F.col("v").isNotNull(), F.col("v"))
+              .when(F.col("prev").isNull() | F.col("nxt").isNull(),
+                    F.lit(None).cast("double"))
+              .otherwise(F.round(
+                  F.col("prev.x")
+                  + (F.col("nxt.x") - F.col("prev.x")) * frac, 6)))
+    return (fenced.select("hour", F.col("v").alias("observed"),
+                          interp.alias("interpolated"))
+            .orderBy("hour"))

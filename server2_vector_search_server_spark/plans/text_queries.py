@@ -1389,3 +1389,61 @@ def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("_n").cast("long").alias("n_subwords"))
             .orderBy("doc_id"))
+
+
+@query(
+    "text_readability_flesch",
+    survey="north-star text analysis (Flesch-Kincaid readability: "
+           "vowel-group syllable estimate, sentence/word/syllable rates, "
+           "grade + reading-ease as pure rational expressions)",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT), 1) AS n_sentences,
+             GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS BIGINT), 1) AS n_syllables
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 4) AS fk_grade,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+             AS flesch_ease
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading ease (public formulas) per
+    document: words from the whitespace tokenizer, sentences from
+    terminal-punctuation runs, syllables estimated as vowel-group count
+    (the standard cheap proxy — exact syllabification needs a dictionary).
+    Everything is counts and rational literals, so both engines agree
+    bit-for-bit; floors of 1 guard punctuation-free / vowel-free degenerate
+    docs. A curation pipeline thresholds these alongside the Gopher rules:
+    one narrow projection, no shuffle before the per-doc row."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"),
+        F.lit(1).cast("long"))
+    n_syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("long"), F.lit(1).cast("long"))
+    m = docs.select("doc_id", n_words.alias("n_words"),
+                    n_sentences.alias("n_sentences"),
+                    n_syllables.alias("n_syllables"))
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return (m.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+        .alias("flesch_ease"))
+        .orderBy("doc_id"))
