@@ -770,3 +770,28 @@ def test_bpe_merge_matches_reference_on_random_symbol_strings(spark):
             if got[idx] != want:
                 bad.append((w, f"{a} {b}", got[idx], want))
     assert not bad, bad[:5]
+
+
+def test_phash_manku_blocking_boundaries(spark):
+    """Pigeonhole contract of the 4-segment blocking: pairs within
+    hamming ≤ 3 ALWAYS share a 16-bit segment (found), and a pair with
+    exactly one flipped bit in EVERY segment (hamming 4) shares none —
+    correctly excluded by both the blocking and the radius."""
+    from server2_vector_search_server_spark.operators import multimodal
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("a", base),
+        ("b", base ^ 0b111),                    # 3 flips, one segment
+        ("c", base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))),  # 4 segs
+        ("d", base ^ ((1 << 5) | (1 << 21))),   # 2 flips, two segments
+    ]
+    feats = spark.createDataFrame(rows, "media_id string, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in multimodal.phash_near_duplicate_pairs(
+               feats, max_hamming=3).collect()}
+    assert got[("a", "b")] == 3
+    assert got[("a", "d")] == 2
+    # b ^ d = 5 bits -> over the radius even though they share segments
+    assert ("b", "d") not in got
+    assert not any("c" in p for p in got), got
