@@ -318,3 +318,97 @@ def events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 value_col="value", out_col="last_purchase")
             .select("event_id", "user_id", "event_type", "last_purchase")
             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection: loop-carried recursion closed into two windows
+
+_CUSUM_K = "0.5"          # slack (allowance) per step, shared literal
+_CUSUM_H = "3.0"          # decision threshold
+
+
+@query(
+    "events_cusum_drift",
+    survey="H/I-extension(CUSUM change-point detection per event type: "
+           "the loop-carried max(0, S+x-k) recursion closed into "
+           "prefix-sum minus running-min — two windows, no stateful fold)",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+             ROUND((SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                    / 1000000.0) / COUNT(*), 6) AS x
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+      GROUP BY event_type, hour),
+    pref AS (
+      SELECT event_type, hour,
+             SUM(CAST(ROUND((x - {_CUSUM_K}) * 1000000) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1000000.0 AS p
+      FROM hourly),
+    cusum AS (
+      SELECT event_type, hour,
+             ROUND(p - LEAST(0.0, MIN(p) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS s
+      FROM pref)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MAX(s), 6) AS max_cusum,
+           CAST(COUNT(CASE WHEN s > {_CUSUM_H} THEN 1 END) AS BIGINT)
+             AS n_alarm_hours,
+           MIN(CASE WHEN s > {_CUSUM_H} THEN hour END) AS first_alarm
+    FROM cusum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954, public method) over
+    hourly mean event values: the textbook recursion
+    S_i = max(0, S_{i-1} + (x_i − k)) is loop-carried — no window frame
+    expresses it directly — but it has an exact closed form:
+    S_i = P_i − min(0, min_{j<i} P_j) where P is the running prefix sum
+    of (x − k). So the 'inherently sequential' detector becomes TWO
+    ordinary windows (prefix sum + running min), fully parallel per
+    series — the same class of rewrite as the sweep-line prefix sum,
+    where the EWMA fold genuinely has no such form and keeps its
+    grouped-map shape. Hourly means and the prefix go through scaled-
+    BIGINT micro-units so shuffle order can't move an alarm by an ulp.
+    Output per type: hours observed, peak CUSUM, alarm-hour count, first
+    alarm time (threshold h={_CUSUM_H}, slack k={_CUSUM_K})."""
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.plans.registry import exact_sum
+
+    events = tbl(spark, sf_dir, "events")
+    hourly = (
+        events.filter((F.to_date("ts") >= F.lit("2024-01-05"))
+                      & (F.to_date("ts") <= F.lit("2024-01-07")))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(exact_sum(F.col("value"), 6) / F.count(F.lit(1)), 6)
+             .alias("x")))
+    w_all = (Window.partitionBy("event_type").orderBy("hour")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    k = float(_CUSUM_K)
+    pref = hourly.withColumn(
+        "p",
+        F.sum(F.round((F.col("x") - k) * 1_000_000).cast("long"))
+        .over(w_all) / 1_000_000.0)
+    # the running min INCLUDES the current row: S_i = P_i − min(0,
+    # min_{j≤i} P_j) — with 1-PRECEDING the clamp fails on new-minimum
+    # rows (S would go negative where the true CUSUM resets to 0)
+    cusum = pref.withColumn(
+        "s",
+        F.round(F.col("p")
+                - F.least(F.lit(0.0), F.min("p").over(w_all)), 6))
+    h = float(_CUSUM_H)
+    return (cusum.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 F.round(F.max("s"), 6).alias("max_cusum"),
+                 F.count(F.when(F.col("s") > h, 1)).alias("n_alarm_hours"),
+                 F.min(F.when(F.col("s") > h, F.col("hour")))
+                 .alias("first_alarm"))
+            .orderBy("event_type"))

@@ -148,3 +148,29 @@ def test_asof_cogrouped_equals_window_form(spark):
     ra = {r["id"]: r["v"] for r in a.collect()}
     rb = {r["id"]: r["v"] for r in b.collect()}
     assert ra == rb and len(ra) == 300
+
+
+def test_cusum_closed_form_equals_sequential_fold(spark):
+    """The two-window closed form S_i = P_i − min(0, min_{j≤i} P_j) must
+    equal the textbook sequential recursion max(0, S+d) exactly —
+    including the new-running-minimum rows where a 1-PRECEDING frame
+    would let S go negative instead of clamping (caught in r5: a shared
+    formula error is invisible to oracle parity, only an independent
+    fold exposes it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vals = [2.0, -5.0, 3.0, 1.0, -0.5, -9.0, 4.0, 4.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, d double")
+    w = (Window.orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pref = df.withColumn("p", F.sum("d").over(w))
+    got = [r["s"] for r in pref.withColumn(
+        "s", F.col("p") - F.least(F.lit(0.0), F.min("p").over(w)))
+        .orderBy("i").collect()]
+    s, want = 0.0, []
+    for d in vals:
+        s = max(0.0, s + d)
+        want.append(s)
+    assert got == want, (got, want)
