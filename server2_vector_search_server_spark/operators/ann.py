@@ -1152,3 +1152,100 @@ def ivf_pq_residual_knn(
                                         F.col(vec_col)), score_decimals))
             .drop(vec_col, "_resid", "_cvec",
                   *[f"pq_code_{m + 1}" for m in range(n_sub)]))
+
+
+# --- tier 2e: PCA pre-transform (rotation funnel) ---------------------------
+
+def pca_components(corpus: DataFrame, out_dim: int, *,
+                   vec_col: str = "embedding") -> list[list[float]]:
+    """Fit an MLlib PCA on the corpus and return the dim x out_dim
+    principal-component matrix (row i = input dim i's loadings).
+
+    This is the Faiss-style ``PCAR`` pre-transform stage: an orthonormal
+    rotation whose leading columns capture maximal variance, so truncating
+    to ``out_dim`` components loses the least squared error of any linear
+    projection (unlike the Matryoshka tier, which relies on the EMBEDDING
+    MODEL having been trained with nested prefixes). Reference parity:
+    vector_store.py serves fixed-dim HNSW; this is the engine-side
+    compression knob that model can't offer. At 100 TB: fit on a bounded
+    sample (covariance is a dim x dim aggregate — one map-side-combinable
+    pass), broadcast the matrix, and materialize the projected column
+    alongside the full vector so the ranking scan reads out_dim/dim of
+    the bytes. Eigendecomposition is LAPACK-side and not SQL-reproducible,
+    so queries built on this pin hash-checked invariants (the
+    ``pq_codebooks_kmeans`` contract pattern)."""
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    model = MLPCA(k=out_dim, inputCol="features", outputCol="pca") \
+        .fit(ml_df)
+    return [[float(x) for x in row] for row in model.pc.toArray()]
+
+
+def pca_project(vectors: DataFrame, components: list[list[float]], *,
+                vec_col: str = "embedding",
+                out_col: str = "reduced") -> DataFrame:
+    """Add ``out_col`` = vec @ components via a vectorized pandas_udf (one
+    BLAS matmul per Arrow batch). An expression-literal matmul would put
+    dim x out_dim multiply-adds into the plan tree — the cosine-LSH
+    rewrite measured that shape costing seconds of plan build alone
+    (ROUND_NOTES r5), and unlike the hyperplane case the dense fan-out
+    join buys nothing here, so the Arrow path is the right one. Spark's
+    own ``ml.feature.PCA.transform`` does the same multiply JVM-side but
+    yields ml Vectors; this keeps plain arrays for the oracle-checkable
+    funnel on top."""
+    import numpy as np
+    import pandas as pd
+
+    pc = np.asarray(components, dtype=np.float64)
+
+    def _proj(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(col.tolist(), dtype=np.float64)
+        return pd.Series(list(mat @ pc))
+
+    # explicit functionType: `from __future__ import annotations` stringifies
+    # hints, which PySpark's eval-type inference can't read
+    proj_udf = F.pandas_udf(_proj, "array<double>")
+    return vectors.withColumn(out_col, proj_udf(F.col(vec_col)))
+
+
+def pca_knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    components: list[list[float]],
+    k: int = 5,
+    *,
+    candidates: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """PCA two-stage retrieval: rank the corpus on squared-L2 in the
+    ``out_dim``-component rotated space (query projected driver-side —
+    one tiny matmul), keep ``candidates``, exact-rescore on the full
+    vector, return top-k. Same funnel contract as ``matryoshka_knn``;
+    the projection is the only stage Python touches, and it is
+    Arrow-batched."""
+    import numpy as np
+
+    pc = np.asarray(components, dtype=np.float64)
+    q_red = (np.asarray(list(query_vec), dtype=np.float64) @ pc).tolist()
+    cand = (
+        pca_project(corpus, components, vec_col=vec_col, out_col="_red")
+        .withColumn("score_pca", F.round(
+            F.lit(1.0) - squared_l2(vector_literal(q_red), F.col("_red")),
+            score_decimals))
+        .orderBy(F.col("score_pca").desc(), F.col(id_col).asc())
+        .limit(candidates)
+    )
+    return (cand.withColumn("score", F.round(
+                F.lit(1.0) - squared_l2(vector_literal(query_vec),
+                                        F.col(vec_col)), score_decimals))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop(vec_col, "_red"))

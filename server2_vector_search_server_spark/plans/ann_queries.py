@@ -2187,3 +2187,104 @@ def ann_index_compaction_invariance(spark: SparkSession,
             .unionByName(after.withColumn("phase", F.lit("after")))
             .select("phase", "vec_id", "label", "centroid_id", "score")
             .orderBy("phase", F.col("score").desc(), F.col("vec_id").asc()))
+
+
+# --- PCA pre-transform tier (Faiss-style PCAR rotation funnel) --------------
+
+_PCA_DIM = 16
+_PCA_CAND = 25
+
+
+def _pca_comps(spark, sf_dir):
+    """Fitted components, memoized per sf (an index artifact: identical
+    bytes on every rebuild of the same immutable input)."""
+    return _memo(("pca_components", sf_dir),
+                 lambda: ann.pca_components(
+                     tbl(spark, sf_dir, "embeddings"), _PCA_DIM))
+
+
+@query(
+    "ann_pca_knn",
+    survey="north-star ANN (PCA pre-transform tier: MLlib-fitted rotation, "
+           "rank in the 16-component space, exact rescore — pinned by "
+           "hash-checked invariants: k rows, self-hit at score 1, "
+           "orthonormal components)",
+    oracle=f"""
+    SELECT CAST(5 AS BIGINT) AS n_rows, TRUE AS self_found,
+           CAST(1.0 AS DOUBLE) AS self_score,
+           CAST({_PCA_DIM} AS BIGINT) AS out_dim, TRUE AS orthonormal
+    """,
+)
+def ann_pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-rotation funnel (the Faiss ``PCAR{d}`` pre-transform composed
+    with a flat rescore): rank the corpus on squared-L2 over the 16
+    leading principal components, exact-rescore the over-fetched
+    candidates. Unlike the Matryoshka tier this needs no cooperation from
+    the embedding model — the rotation is fitted to the corpus itself and
+    is the information-optimal linear truncation. LAPACK eigenvectors are
+    not SQL-reproducible, so the hash-checked contract is the invariant
+    set (the ``pq_codebooks_kmeans`` pattern): 5 rows return; the query's
+    own vector is found at exact score 1.0 (rank-preserving rescore);
+    the fitted matrix is dim x 16 and orthonormal to 1e-9 (a PCA-fit
+    regression — wrong centering, degenerate columns — flips it). Recall
+    quality is bounded separately by ``ann_pca_recall_at_k``."""
+    import numpy as np
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    comps = _pca_comps(spark, sf_dir)
+    pc = np.asarray(comps)
+    ortho = bool(np.abs(pc.T @ pc - np.eye(_PCA_DIM)).max() < 1e-9)
+    out = (ann.pca_knn(emb, _vec(spark, sf_dir, _QUERY_ID), comps,
+                       k=5, candidates=_PCA_CAND)
+           .localCheckpoint(eager=True))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max((F.col("vec_id") == _QUERY_ID).cast("int")).cast("boolean")
+        .alias("self_found"),
+        F.max(F.when(F.col("vec_id") == _QUERY_ID, F.col("score")))
+        .cast("double").alias("self_score"),
+        F.lit(len(pc[0])).cast("long").alias("out_dim"),
+        F.lit(ortho).alias("orthonormal"))
+
+
+@query(
+    "ann_pca_recall_at_k",
+    survey="north-star ANN (PCA tier self-evaluation: recall@10 of the "
+           "16-component rotated ranking vs exact, pinned by a "
+           "hash-checked mean-recall floor over the query panel)",
+    oracle=f"""
+    SELECT CAST({len(_RECALL_QIDS)} AS BIGINT) AS n_queries,
+           TRUE AS mean_recall_ge_012, TRUE AS recalls_in_range
+    """,
+)
+def ann_pca_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PCA-rotated ranking vs the exact ranking over the
+    standard 5-query panel, in one job: corpus and panel are both
+    projected by the same Arrow-batched matmul, the panel rides broadcast,
+    and per-query top-k is a partial window — no corpus re-scan per query.
+    Hash-pinned floor: mean recall@10 >= 0.12 (measured 0.30 at sf0.001 /
+    0.36 at sf0.01; chance is 10/n <= 0.02) and every per-query recall in
+    [0, 1] — a projection regression (dropped centering, truncated to
+    noise components) reds the row."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2,
+    )
+
+    emb, q, exact = _recall_parts(spark, sf_dir)
+    comps = _pca_comps(spark, sf_dir)
+    red = ann.pca_project(emb, comps, out_col="_red")
+    qred = (ann.pca_project(q, comps, vec_col="qv", out_col="_qred")
+            .select("qid", "_qred"))
+    sc = F.round(F.lit(1.0) - squared_l2(F.col("_red"), F.col("_qred")), 6)
+    w = Window.partitionBy("qid").orderBy(sc.desc(), F.col("vec_id").asc())
+    tier = (red.crossJoin(F.broadcast(qred))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K).select("qid", "vec_id"))
+    per_q = _recall_result(q, exact, tier)
+    rc = F.col(f"recall_at_{_RECALL_K}")
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.avg(rc) >= 0.12).alias("mean_recall_ge_012"),
+        ((F.min(rc) >= 0.0) & (F.max(rc) <= 1.0))
+        .alias("recalls_in_range"))

@@ -795,3 +795,41 @@ def test_phash_manku_blocking_boundaries(spark):
     # b ^ d = 5 bits -> over the radius even though they share segments
     assert ("b", "d") not in got
     assert not any("c" in p for p in got), got
+
+
+def test_pca_projection_preserves_full_dim_distances(spark):
+    """With out_dim == dim the PCA rotation is orthonormal, so pairwise
+    squared-L2 in the rotated space equals the original to float
+    tolerance — the property that makes the truncated funnel principled."""
+    import numpy as np
+    from server2_vector_search_server_spark.operators import ann
+    from server2_vector_search_server_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings").limit(40)
+    comps = ann.pca_components(emb, 64)
+    pc = np.asarray(comps)
+    assert pc.shape == (64, 64)
+    assert np.abs(pc.T @ pc - np.eye(64)).max() < 1e-9
+    rows = ann.pca_project(emb, comps, out_col="red") \
+        .select("embedding", "red").collect()
+    full = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    red = np.asarray([r["red"] for r in rows], dtype=np.float64)
+    d_full = ((full[:1] - full) ** 2).sum(axis=1)
+    d_red = ((red[:1] - red) ** 2).sum(axis=1)
+    assert np.abs(d_full - d_red).max() < 1e-8
+
+
+def test_pca_knn_self_hit_and_funnel_columns(spark):
+    from server2_vector_search_server_spark.operators import ann
+    from server2_vector_search_server_spark.session import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    comps = ann.pca_components(emb, 16)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    out = ann.pca_knn(emb, qv, comps, k=5, candidates=25).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 7 and out[0]["score"] == 1.0
+    assert "score_pca" in out[0].asDict() and "score" in out[0].asDict()
