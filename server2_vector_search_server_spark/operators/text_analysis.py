@@ -541,3 +541,55 @@ def dsir_importance(docs, target_pred: Column, *, id_col: str = "doc_id",
         F.col(id_col), F.col("n_tokens"),
         F.round(F.col("_imp_micro") / 1_000_000.0, weight_decimals)
         .alias("importance"))
+
+
+def winnow_select(h: Column, *, w: int = 4) -> Column:
+    """Winnowing selection over a PRE-MATERIALIZED positional hash array
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm,
+    public): in every sliding window of ``w`` consecutive hashes select
+    the minimum, breaking ties by the RIGHTMOST occurrence; the distinct
+    selected ``(pos, fp)`` pairs are the fingerprints.
+
+    Guarantees (the paper's): any shared token run of at least w+k-1
+    tokens contributes at least one IDENTICAL selected fingerprint to both
+    documents (no false negatives above the guarantee threshold), with
+    expected density 2/(w+1) — so overlap detection becomes an equi-join
+    on ``fp`` over ~2/(w+1) of the k-gram stream.
+
+    ``h`` MUST be a materialized column reference (``withColumn`` first),
+    not an inline expression: every ``element_at``/``slice`` here
+    re-evaluates its argument, so an inline hash-pipeline argument would
+    be recomputed O(m*w) times per row — measured as a timeout at fixture
+    scale. Against a column reference the whole selection is per-document
+    O(m*w) integer work in whole-stage codegen: no shuffle, no Python.
+    Documents shorter than ``w`` hash windows degrade to the paper's
+    boundary case (one window over the whole stream); empty streams yield
+    an empty array.
+    """
+    m = F.size(h)
+    n_win = F.when(m >= w, m - w + 1).otherwise(F.least(m, F.lit(1)))
+
+    def _select(p):
+        win_len = F.least(F.lit(w), m - p + 1)
+        mn = F.array_min(F.slice(h, p, win_len))
+        rpos = F.array_max(F.transform(
+            F.sequence(F.lit(0), win_len - 1),
+            lambda j: F.when(F.element_at(h, (p + j).cast("int")) == mn,
+                             p + j).otherwise(F.lit(-1))))
+        return F.struct(rpos.cast("long").alias("pos"),
+                        mn.cast("long").alias("fp"))
+
+    return F.when(m == 0, F.array().cast(
+        "array<struct<pos:bigint,fp:bigint>>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), _select)))
+
+
+def positional_kgram_hashes(text: Column, *, k: int = 3) -> Column:
+    """Positional word-k-gram hash stream — the winnowing input. Keep the
+    result in its own column (one evaluation per row) before selecting."""
+    from server2_vector_search_server_spark.functions.text import (
+        token_hash,
+        token_windows,
+    )
+
+    return F.transform(token_windows(text, k), token_hash)

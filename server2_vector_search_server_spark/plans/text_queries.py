@@ -1447,3 +1447,112 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4)
         .alias("flesch_ease"))
         .orderBy("doc_id"))
+
+
+# --- winnowing fingerprints (MOSS) -----------------------------------------
+
+_WIN_K = 3      # word k-grams
+_WIN_W = 4      # winnowing window over the hash stream
+
+
+def _sql_winnow_sels(max_doc: int) -> str:
+    """CTE text: per-doc winnowing selections as STRUCT(pos, fp)[] —
+    twin of operators/text_analysis.winnow_fingerprints (same k, w,
+    token hash, rightmost-minimum tie rule)."""
+    k, w = _WIN_K, _WIN_W
+    win_len = f"least({w}, len(h) - p + 1)"
+    mn = f"list_min(list_slice(h, p, p + {win_len} - 1))"
+    rpos = (f"list_max(list_transform(range(0, {win_len}), "
+            f"j -> CASE WHEN h[CAST(p + j AS BIGINT)] = {mn} "
+            f"THEN p + j ELSE -1 END))")
+    return f"""
+    hs AS (
+      SELECT doc_id,
+             list_transform({sql_token_windows('text', k)},
+                            s -> {sql_token_hash('s.win')}) AS h
+      FROM documents WHERE doc_id < {max_doc}),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0
+               THEN CAST([] AS STRUCT(pos BIGINT, fp BIGINT)[])
+             ELSE list_transform(
+               range(1, (CASE WHEN len(h) >= {w} THEN len(h) - {w - 1}
+                         ELSE 1 END) + 1),
+               p -> {{'pos': CAST({rpos} AS BIGINT),
+                      'fp': CAST({mn} AS BIGINT)}})
+             END AS sels
+      FROM hs)"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    survey="north-star text analysis (winnowing fingerprint selection — "
+           "Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS rule: "
+           "rightmost minimum per hash window, density 2/(w+1))",
+    oracle=f"""
+    WITH {_sql_winnow_sels(150)}
+    SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp
+    FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
+    ORDER BY doc_id, pos, fp
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional winnowing fingerprints per document — the selection
+    stage of MOSS-style overlap detection. One narrow projection, no
+    shuffle: at 100 TB the k-gram hashing and window minima fuse into the
+    scan and only the ~2/(w+1)-density selections leave it."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 150)
+            .withColumn("_h", ta.positional_kgram_hashes(F.col("text"),
+                                                         k=_WIN_K)))
+    sels = ta.winnow_select(F.col("_h"), w=_WIN_W)
+    return (docs.select("doc_id", F.explode(sels).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp"))
+            .orderBy("doc_id", "pos", "fp"))
+
+
+@query(
+    "text_winnowing_overlap_pairs",
+    survey="north-star dedup-adjacent (document overlap detection via "
+           "winnowing-fingerprint equi-join: any shared run of >= w+k-1 "
+           "tokens is guaranteed to collide on a selected fingerprint)",
+    oracle=f"""
+    WITH {_sql_winnow_sels(200)},
+    fps AS (
+      SELECT DISTINCT doc_id, s.fp AS fp
+      FROM (SELECT doc_id, unnest(sels) AS s FROM sel))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    """,
+)
+def text_winnowing_overlap_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The MOSS join: distinct (doc, fingerprint) pairs equi-joined on the
+    fingerprint, pairs ranked by shared selections. The shuffle is
+    proportional to SELECTED fingerprints (2/(w+1) of the k-gram stream),
+    not to document pairs — the same no-false-negative contract as the
+    prefix-filter Jaccard join but at winnowing's guarantee threshold
+    (shared runs >= w+k-1 tokens). Hot fingerprints (boilerplate) bound
+    the blowup exactly like LSH bands: a frequency cap on ``fp`` is the
+    documented skew valve at scale."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .withColumn("_h", ta.positional_kgram_hashes(F.col("text"),
+                                                         k=_WIN_K)))
+    sels = ta.winnow_select(F.col("_h"), w=_WIN_W)
+    fps = (docs.select("doc_id", F.explode(sels).alias("s"))
+           .select("doc_id", F.col("s.fp").alias("fp")).distinct())
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= 3)
+            .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b"))

@@ -833,3 +833,49 @@ def test_pca_knn_self_hit_and_funnel_columns(spark):
     assert len(out) == 5
     assert out[0]["vec_id"] == 7 and out[0]["score"] == 1.0
     assert "score_pca" in out[0].asDict() and "score" in out[0].asDict()
+
+
+def test_winnowing_guarantee_shared_run_collides(spark):
+    """The paper's no-false-negative guarantee: two documents sharing a
+    token run of >= w+k-1 tokens must share at least one selected
+    fingerprint VALUE, whatever surrounds the run."""
+    from server2_vector_search_server_spark.operators import text_analysis as ta
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [(1, "one two " + shared + " three four five six"),
+         (2, "seven eight nine ten " + shared + " eleven")],
+        ["doc_id", "text"])
+    out = (docs.withColumn("_h", ta.positional_kgram_hashes(
+               F.col("text"), k=k))
+           .select("doc_id", F.explode(ta.winnow_select(F.col("_h"), w=w))
+                   .alias("s"))
+           .select("doc_id", F.col("s.fp").alias("fp")).distinct())
+    a = {r["fp"] for r in out.filter(F.col("doc_id") == 1).collect()}
+    b = {r["fp"] for r in out.filter(F.col("doc_id") == 2).collect()}
+    assert a & b, "shared >= w+k-1 token run must share a fingerprint"
+
+
+def test_winnowing_rightmost_tie_and_short_doc(spark):
+    from server2_vector_search_server_spark.operators import text_analysis as ta
+
+    # identical k-grams everywhere -> every window's min is tied; the MOSS
+    # rule selects the RIGHTMOST, so positions advance with the window
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x x x"),        # 6 identical 3-gram windows
+         (2, "a b"),                    # shorter than k -> no k-gram
+         (3, "a b c d")],               # 2 windows < w -> one global window
+        ["doc_id", "text"])
+    out = (docs.withColumn("_h", ta.positional_kgram_hashes(
+               F.col("text"), k=3))
+           .select("doc_id", F.explode_outer(
+               ta.winnow_select(F.col("_h"), w=4)).alias("s"))
+           .select("doc_id", "s.pos", "s.fp"))
+    rows = {d: [(r["pos"], r["fp"]) for r in out.filter(
+        F.col("doc_id") == d).collect()] for d in (1, 2, 3)}
+    # doc 1: hashes identical; windows [1..4],[2..5],[3..6] select pos 4,5,6
+    assert [p for p, _ in rows[1]] == [4, 5, 6]
+    assert rows[2] == [(None, None)]
+    # doc 3: 2 windows, one global selection (rightmost min of both)
+    assert len(rows[3]) == 1
