@@ -1001,3 +1001,77 @@ def streaming_scd2_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("valid_to").isNull().alias("is_current"),
                          "content_hash")
             .orderBy("doc_id", "valid_from"))
+
+
+@query(
+    "store_cdc_apply",
+    survey="A5/A8-adjacent (ordered CDC apply: Debezium/Delta "
+           "APPLY-CHANGES semantics — last-writer-wins upserts, deletes, "
+           "log-only inserts — collapsed to one window + one full-outer "
+           "join)",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS cust_key,
+             ROUND(CAST(c_acctbal AS DOUBLE), 2) AS balance
+      FROM customer WHERE c_custkey < 200),
+    log AS (
+      SELECT o_custkey AS cust_key, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+             ROUND(CAST(o_totalprice AS DOUBLE), 2) AS balance
+      FROM orders WHERE o_custkey < 300),
+    last AS (
+      SELECT cust_key, op, balance FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cust_key ORDER BY seq DESC, op DESC) AS rn
+        FROM log) t WHERE rn = 1),
+    final AS (
+      SELECT COALESCE(b.cust_key, c.cust_key) AS cust_key,
+             CASE WHEN c.op IS NULL THEN b.balance ELSE c.balance END
+               AS balance,
+             CASE WHEN c.op IS NULL THEN 'base' ELSE 'cdc' END
+               AS row_source
+      FROM base b FULL OUTER JOIN last c ON b.cust_key = c.cust_key
+      WHERE c.op IS NULL OR c.op != 'D')
+    SELECT row_source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(balance * 100) AS BIGINT)) AS BIGINT)
+             AS balance_cents,
+           CAST(MIN(cust_key) AS BIGINT) AS min_key,
+           CAST(MAX(cust_key) AS BIGINT) AS max_key
+    FROM final GROUP BY row_source ORDER BY row_source
+    """,
+)
+def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC log applied onto a base snapshot via
+    ``sources.store.apply_cdc_log``: orders replay as per-customer balance
+    changes (orderkey = the monotone sequence; every 10th change is a
+    DELETE), customers 200-299 exist only in the log (the insert path),
+    untouched base rows survive as 'base'. The checked output folds the
+    final state per row-source: row counts, exact integer cent-sums
+    (shuffle-order-proof), key range. Covers all four CDC paths —
+    last-writer-wins upsert, delete-wins-at-tail, log-only insert,
+    untouched passthrough — in one hash row pair."""
+    from server2_vector_search_server_spark.sources.store import (
+        apply_cdc_log,
+    )
+
+    base = (tbl(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 200)
+            .select(F.col("c_custkey").alias("cust_key"),
+                    F.round(F.col("c_acctbal").cast("double"), 2)
+                    .alias("balance")))
+    log = (tbl(spark, sf_dir, "orders")
+           .filter(F.col("o_custkey") < 300)
+           .select(F.col("o_custkey").alias("cust_key"),
+                   F.col("o_orderkey").alias("seq"),
+                   F.when(F.col("o_orderkey") % 10 == 0, "D")
+                   .otherwise("U").alias("op"),
+                   F.round(F.col("o_totalprice").cast("double"), 2)
+                   .alias("balance")))
+    final = apply_cdc_log(base, log, key_col="cust_key", seq_col="seq")
+    return (final.groupBy("row_source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.round(F.col("balance") * 100).cast("long"))
+                 .cast("long").alias("balance_cents"),
+                 F.min("cust_key").cast("long").alias("min_key"),
+                 F.max("cust_key").cast("long").alias("max_key"))
+            .orderBy("row_source"))

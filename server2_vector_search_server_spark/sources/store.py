@@ -208,3 +208,47 @@ class ChunkStore:
         )
 
         return list_documents(self.read(collection))
+
+
+def apply_cdc_log(base: DataFrame, changes: DataFrame, *,
+                  key_col: str, seq_col: str,
+                  op_col: str = "op") -> DataFrame:
+    """Apply an ordered change-data-capture log onto a base snapshot —
+    the Debezium / Delta ``APPLY CHANGES INTO`` contract (public
+    semantics): each change row carries a key, a monotonically increasing
+    sequence, an op in {'I','U','D'} and the new payload; upserts replace
+    the row, 'D' removes it, and only the LATEST change per key wins —
+    intermediate history collapses before it ever touches the base.
+
+    Shape: one window (partial top-1 per key over the log — map-side
+    combinable, shuffle ∝ log size) + one full-outer join on the key
+    (shuffle ∝ touched keys + base), so replaying a week of CDC is the
+    same plan as replaying one batch. At 100 TB the join side composes
+    with partition-bounded writes (``ChunkStore.upsert``'s dynamic
+    overwrite) so only partitions holding touched keys rewrite.
+
+    Payload columns are taken from ``base``'s schema minus the key; the
+    log must carry the same names. Ties on ``seq_col`` break by op
+    reverse-alphabetically ('U' > 'I' > 'D': an equal-sequence
+    upsert-vs-delete resolves to the upsert, deterministically).
+    """
+    from pyspark.sql import Window
+
+    payload = [c for c in base.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc())
+    last = (changes.select(key_col, seq_col, op_col, *payload)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", seq_col))
+    b = base.alias("b")
+    c = last.alias("c")
+    joined = b.join(c, on=key_col, how="full_outer")
+    alive = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    out = [F.col(key_col)]
+    for p in payload:
+        out.append(F.when(F.col(f"c.{op_col}").isNull(), F.col(f"b.{p}"))
+                   .otherwise(F.col(f"c.{p}")).alias(p))
+    out.append(F.when(F.col(f"c.{op_col}").isNull(), F.lit("base"))
+               .otherwise(F.lit("cdc")).alias("row_source"))
+    return joined.filter(alive).select(*out)

@@ -204,3 +204,29 @@ def test_store_compact_reduces_files_preserves_rows(spark, tmp_path):
     after_rows = sorted(
         (r["chunk_id"], r["content"]) for r in store.read(None).collect())
     assert after_rows == before_rows
+
+
+def test_apply_cdc_log_semantics(spark):
+    """Last-writer-wins across all four paths, plus the seq-tie rule
+    (op DESC: an equal-seq upsert beats the delete)."""
+    from pyspark.sql import functions as F
+    from server2_vector_search_server_spark.sources.store import (
+        apply_cdc_log,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], ["k", "v"])
+    log = spark.createDataFrame(
+        [(1, 1, "U", 11.0), (1, 2, "D", 0.0),      # delete wins at tail
+         (2, 1, "D", 0.0), (2, 2, "U", 22.0),      # resurrect after delete
+         (3, 5, "U", 33.0), (3, 5, "D", 0.0),      # tie -> 'U' > 'D'
+         (9, 1, "I", 90.0)],                       # log-only insert
+        ["k", "seq", "op", "v"])
+    out = {r["k"]: (r["v"], r["row_source"])
+           for r in apply_cdc_log(base, log, key_col="k",
+                                  seq_col="seq").collect()}
+    assert 1 not in out
+    assert out[2] == (22.0, "cdc")
+    assert out[3] == (33.0, "cdc")
+    assert out[4] == (40.0, "base")
+    assert out[9] == (90.0, "cdc")
