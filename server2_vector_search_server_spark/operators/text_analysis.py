@@ -12,7 +12,9 @@ identical cast/round order).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.text import (
@@ -593,3 +595,47 @@ def positional_kgram_hashes(text: Column, *, k: int = 3) -> Column:
     )
 
     return F.transform(token_windows(text, k), token_hash)
+
+
+def blocklist_matches(docs: DataFrame, terms: Sequence[str], *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Multi-pattern blocklist matching — the content-safety filter stage
+    of every pretraining pipeline (C4's badwords filter, public): find
+    every occurrence of every blocklist term (single words AND multi-word
+    phrases) in every document, as (id, pos, term) rows.
+
+    NOT a giant alternation regex: ``rlike('(a|b|...|z)')`` scans each
+    document once PER CHARACTER with backtracking and cannot be pushed
+    into a join. Instead the corpus explodes into positional token
+    n-grams (one pass per DISTINCT phrase length in the list) and
+    equi-joins the broadcast term table — the Spark-native equivalent of
+    Aho-Corasick's one-pass multi-match: cost ∝ corpus tokens x distinct
+    phrase lengths + matches, shuffle only on the match stream. A
+    10,000-term list costs the same scans as a 10-term list (the join is
+    broadcast either way); matching is case-insensitive on whitespace
+    tokens.
+    """
+    from server2_vector_search_server_spark.functions.text import (
+        token_windows,
+    )
+
+    spark = docs.sparkSession
+    by_n: dict[int, list[str]] = {}
+    for t in terms:
+        by_n.setdefault(len(t.split()), []).append(t.lower())
+    parts = []
+    for n, ts in sorted(by_n.items()):
+        tdf = spark.createDataFrame([(t,) for t in sorted(ts)], ["term"])
+        grams = (docs.select(
+            id_col,
+            F.posexplode(token_windows(F.lower(F.col(text_col)), n))
+            .alias("pos0", "gram")))
+        parts.append(
+            grams.join(F.broadcast(tdf), F.col("gram") == F.col("term"))
+            .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"),
+                    "term"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1556,3 +1556,61 @@ def text_winnowing_overlap_pairs(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
             .filter(F.col("shared_fps") >= 3)
             .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b"))
+
+
+# --- blocklist multi-pattern matching --------------------------------------
+
+_BL_UNIGRAMS = ("merge", "vector")
+_BL_BIGRAMS = ("batch batch", "the fast")
+_BL_FLAG_HITS = 5
+
+
+@query(
+    "text_blocklist_matches",
+    survey="north-star text analysis (multi-pattern blocklist matching — "
+           "C4-style badwords filtering as positional n-gram equi-joins "
+           "against a broadcast term table, not a backtracking "
+           "alternation regex)",
+    oracle=f"""
+    WITH terms1(term) AS (VALUES {", ".join(f"('{t}')" for t in _BL_UNIGRAMS)}),
+    terms2(term) AS (VALUES {", ".join(f"('{t}')" for t in _BL_BIGRAMS)}),
+    g1 AS (
+      SELECT doc_id, s.pos AS pos, s.win AS gram
+      FROM (SELECT doc_id, unnest({sql_token_windows('lower(text)', 1)}) AS s
+            FROM documents WHERE doc_id < 300)),
+    g2 AS (
+      SELECT doc_id, s.pos AS pos, s.win AS gram
+      FROM (SELECT doc_id, unnest({sql_token_windows('lower(text)', 2)}) AS s
+            FROM documents WHERE doc_id < 300)),
+    m AS (
+      SELECT doc_id, pos, term FROM g1 JOIN terms1 ON gram = term
+      UNION ALL
+      SELECT doc_id, pos, term FROM g2 JOIN terms2 ON gram = term)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+           CAST(SUM(pos) AS BIGINT) AS pos_sum,
+           string_agg(DISTINCT term, ',' ORDER BY term) AS terms_csv,
+           COUNT(*) >= {_BL_FLAG_HITS} AS flagged
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_blocklist_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scan over the corpus: every occurrence (with position) of
+    every listed term — two single words and two 2-word phrases — found by
+    exploding positional n-grams once per distinct phrase length and
+    equi-joining the broadcast term table. Per-document fold: occurrence
+    count, distinct terms (sorted CSV — list cells don't hash), exact
+    position sum, and the flag verdict. The list scales without plan
+    growth (it's join DATA, not expression text), unlike an alternation
+    regex."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hits = ta.blocklist_matches(
+        docs, list(_BL_UNIGRAMS) + list(_BL_BIGRAMS))
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.count_distinct("term").cast("long").alias("n_terms"),
+                 F.sum("pos").cast("long").alias("pos_sum"),
+                 F.concat_ws(",", F.sort_array(F.collect_set("term")))
+                 .alias("terms_csv"),
+                 (F.count(F.lit(1)) >= _BL_FLAG_HITS).alias("flagged"))
+            .orderBy("doc_id"))

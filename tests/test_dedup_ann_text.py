@@ -879,3 +879,20 @@ def test_winnowing_rightmost_tie_and_short_doc(spark):
     assert rows[2] == [(None, None)]
     # doc 3: 2 windows, one global selection (rightmost min of both)
     assert len(rows[3]) == 1
+
+
+def test_blocklist_phrase_positions_and_overlap(spark):
+    from server2_vector_search_server_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "bad phrase here and bad phrase again"),
+         (2, "clean text only"),
+         (3, "bad bad bad")],   # overlapping unigram hits
+        ["doc_id", "text"])
+    out = ta.blocklist_matches(docs, ["bad", "bad phrase"]).collect()
+    rows = sorted((r["doc_id"], r["pos"], r["term"]) for r in out)
+    assert (1, 1, "bad") in rows and (1, 1, "bad phrase") in rows
+    assert (1, 5, "bad phrase") in rows
+    assert [r for r in rows if r[0] == 2] == []
+    assert [(p, t) for d, p, t in rows if d == 3] == [
+        (1, "bad"), (2, "bad"), (3, "bad")]
