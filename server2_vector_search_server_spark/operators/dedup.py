@@ -985,3 +985,64 @@ def bloom_incremental_new_docs(batch: DataFrame, corpus: DataFrame, *,
     verified_new = candidates.join(
         corpus.select(key_col).distinct(), key_col, "left_anti")
     return definite_new.unionByName(verified_new)
+
+
+def tfidf_cosine_pairs(docs: DataFrame, *, min_cosine: float = 0.9,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """All-pairs SPARSE cosine similarity over TF-IDF document vectors via
+    an inverted-index self-join (the classic DAAT all-pairs shape, cf.
+    Bayardo et al. WWW'07 — public): postings (doc, term, weight) join
+    postings on the term, per-pair dot products accumulate as exact
+    micro-unit integers, norms fold per document, cosine thresholds on
+    the ROUNDED value. Embedding-free near-dup detection: catches
+    copy-edited documents whose word DISTRIBUTIONS survive even when
+    shingle/minhash overlap is destroyed by reordering.
+
+    Scale: the join shuffles sum(df(t)^2) candidate rows — the inherent
+    DAAT bound. The valve is the document-frequency cap: terms in more
+    than df_cap documents contribute ~0 weight (idf -> 1) but df_cap^2
+    join rows, so at 100 TB you DROP postings above a df cut (C4 drops
+    stopwords for the same reason) before the join; the prefix-filter
+    sibling (``prefix_filter_jaccard_pairs``) is the exact-threshold
+    alternative when weights are binary. Float determinism: weight
+    products and squared weights are rounded to 1e-6 and summed as
+    BIGINT (shuffle-order-proof); sqrt is IEEE-correctly-rounded on both
+    engines.
+    """
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    n_docs = docs.count()
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df"))
+    w = (tf.join(df_, "term")
+         .select(F.col(id_col), F.col("term"),
+                 (F.col("tf").cast("double")
+                  * (F.lit(float(n_docs)) / F.col("df").cast("double")))
+                 .alias("w")))
+    norms = (w.groupBy(id_col)
+             .agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w")
+                                       * 1_000_000.0).cast("long"))
+                         / 1_000_000.0).alias("nrm")))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (a.join(b, (F.col("a.term") == F.col("b.term"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.sum(F.round(F.col("a.w") * F.col("b.w")
+                               * 1_000_000.0).cast("long"))
+                 .alias("dot_micro")))
+    na = norms.select(F.col(id_col).alias("doc_a"),
+                      F.col("nrm").alias("norm_a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"),
+                      F.col("nrm").alias("norm_b"))
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("cosine", F.round(
+                (F.col("dot_micro").cast("double") / 1_000_000.0)
+                / (F.col("norm_a") * F.col("norm_b")), 6))
+            .filter(F.col("cosine") >= min_cosine)
+            .select("doc_a", "doc_b", "cosine"))
