@@ -1046,3 +1046,65 @@ def tfidf_cosine_pairs(docs: DataFrame, *, min_cosine: float = 0.9,
                 / (F.col("norm_a") * F.col("norm_b")), 6))
             .filter(F.col("cosine") >= min_cosine)
             .select("doc_a", "doc_b", "cosine"))
+
+
+def cdc_chunks(docs: DataFrame, *, k: int = 4, divisor: int = 8,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (the Rabin/gear-CDC family — LBFS,
+    Muthitacharoen et al. SOSP'01, public — in its simple mod-rule form):
+    a chunk boundary falls AFTER token j exactly when the rolling hash of
+    the k-token window ending at j satisfies ``hash % divisor == 0``.
+    Boundaries depend only on local content, so an insertion near the
+    start of a document shifts ONE chunk and leaves every later boundary
+    aligned — the property that makes chunk-level dedup robust to edits,
+    where fixed-size chunking misaligns everything after the edit point.
+    Expected chunk length ≈ ``divisor`` tokens.
+
+    Because the boundary rule is per-position (no carried state, unlike
+    min/max-size CDC variants), the whole split is pure column
+    expressions over MATERIALIZED token/hash arrays — no shuffle, no
+    Python, SQL-twin-checkable. At 100 TB this fuses into the scan and
+    only (id, chunk digest) pairs leave it; the downstream dedup is one
+    digest groupBy, identical in shape to ``exact_duplicate_groups`` but
+    at sub-document granularity.
+
+    Returns (id, chunk_index, chunk_text) with 1-based contiguous-range
+    chunk indexes; empty documents yield no rows.
+    """
+    from server2_vector_search_server_spark.functions.text import (
+        token_hash,
+        token_windows,
+        tokens,
+    )
+
+    d = (docs
+         .withColumn("_toks", tokens(F.col(text_col)))
+         .withColumn("_h", F.transform(
+             token_windows(F.col(text_col), k), token_hash)))
+    ends_w = F.when(F.size("_h") == 0, F.array().cast("array<int>")) \
+        .otherwise(F.filter(
+            F.sequence(F.lit(1), F.size("_h")),
+            lambda p: F.element_at(F.col("_h"), p.cast("int"))
+            % divisor == 0))
+    full_ends = F.array_sort(F.array_distinct(F.concat(
+        F.transform(ends_w, lambda p: (p + k - 1).cast("int")),
+        F.array(F.size("_toks")))))
+    d = d.withColumn("_ends", full_ends)
+
+    def _chunk(m):
+        start = F.when(m == 1, F.lit(1)).otherwise(
+            F.element_at(F.col("_ends"), (m - 1).cast("int")) + 1)
+        end = F.element_at(F.col("_ends"), m.cast("int"))
+        return F.struct(
+            m.cast("int").alias("chunk_index"),
+            start.cast("int").alias("_start"), end.cast("int").alias("_end"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), start,
+                                     end - start + 1)).alias("chunk_text"))
+
+    chunks = F.filter(
+        F.transform(F.sequence(F.lit(1), F.size("_ends")), _chunk),
+        lambda c: c["_end"] >= c["_start"])
+    return (d.select(id_col, F.explode(chunks).alias("c"))
+            .select(id_col, F.col("c.chunk_index").alias("chunk_index"),
+                    F.col("c.chunk_text").alias("chunk_text")))

@@ -1002,3 +1002,110 @@ def dedup_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return (dedup.tfidf_cosine_pairs(docs, min_cosine=0.9)
             .orderBy("doc_a", "doc_b"))
+
+
+_CDC_K = 4
+_CDC_DIV = 8
+_CDC_PREFIX = "qq ww "
+
+
+@query(
+    "dedup_cdc_chunks",
+    survey="north-star dedup (content-defined chunking, LBFS/gear-CDC "
+           "mod-rule: boundaries from local window hashes realign after "
+           "a prefix edit, so chunk-level dedup survives edits that "
+           "misalign fixed-size chunks)",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_N_BASE}
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, '{_CDC_PREFIX}' || text AS text
+      FROM documents WHERE doc_id < {_N_BASE}),
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             list_transform({sql_token_windows('text', _CDC_K)},
+                            s -> {sql_token_hash('s.win')}) AS hl
+      FROM docs2),
+    bounds AS (
+      SELECT doc_id, toks,
+             list_sort(list_distinct(list_concat(
+               list_transform(
+                 list_filter(range(1, len(hl) + 1),
+                             p -> hl[p] % {_CDC_DIV} = 0),
+                 p -> p + {_CDC_K - 1}),
+               [CAST(len(toks) AS BIGINT)]))) AS ends
+      FROM tk),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, c.s, c.e), ' ')) AS digest
+      FROM (
+        SELECT doc_id, toks,
+               unnest(list_filter(
+                 list_transform(range(1, len(ends) + 1),
+                   m -> {{'s': CASE WHEN m = 1 THEN CAST(1 AS BIGINT)
+                               ELSE ends[m - 1] + 1 END,
+                         'e': ends[m]}}),
+                 c -> c.e >= c.s)) AS c
+        FROM bounds)),
+    pairs AS (SELECT DISTINCT doc_id, digest FROM chunks),
+    realign AS (
+      SELECT COUNT(*) AS realigned
+      FROM pairs b JOIN pairs t
+        ON t.doc_id = b.doc_id + 10000 AND t.digest = b.digest
+      WHERE b.doc_id < 10000)
+    SELECT CAST((SELECT COUNT(*) FROM docs2) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS total_chunks,
+           CAST((SELECT COUNT(DISTINCT digest) FROM chunks) AS BIGINT)
+             AS distinct_digests,
+           ROUND(1.0 - CAST((SELECT COUNT(DISTINCT digest) FROM chunks)
+                            AS DOUBLE)
+                       / (SELECT COUNT(*) FROM chunks), 6) AS dedup_ratio,
+           CAST((SELECT realigned FROM realign) AS BIGINT)
+             AS realigned_matches,
+           CAST((SELECT COUNT(*) FROM pairs WHERE doc_id < 10000)
+                AS BIGINT) AS base_chunk_pairs
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over content-defined boundaries: every base
+    document is paired with a PREFIX-edited copy (the edit class that
+    defeats fixed-size chunking entirely), both are CDC-chunked, and the
+    summary row proves the property — ``realigned_matches`` counts base
+    (doc, chunk-digest) pairs that reappear verbatim in the edited twin
+    (expected: nearly all chunks after the first boundary), and
+    ``dedup_ratio`` is the storage win from digest-level dedup. All
+    counts exact; the ratio is one deterministic division."""
+    base = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _N_BASE).select("doc_id", "text"))
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 10000).alias("doc_id"),
+                 F.concat(F.lit(_CDC_PREFIX), F.col("text"))
+                 .alias("text")))
+    docs2 = (base.select(F.explode(variants).alias("v"))
+             .select("v.doc_id", "v.text"))
+    chunks = (dedup.cdc_chunks(docs2, k=_CDC_K, divisor=_CDC_DIV)
+              .withColumn("digest", F.md5("chunk_text"))
+              .select("doc_id", "digest"))
+    stats = chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("total_chunks"),
+        F.count_distinct("digest").cast("long").alias("distinct_digests"))
+    pairs = chunks.distinct()
+    b = pairs.filter(F.col("doc_id") < 10000)
+    t = (pairs.filter(F.col("doc_id") >= 10000)
+         .select((F.col("doc_id") - 10000).alias("doc_id"), "digest"))
+    realign = b.join(t, ["doc_id", "digest"]).agg(
+        F.count(F.lit(1)).cast("long").alias("realigned_matches"))
+    base_pairs = b.agg(
+        F.count(F.lit(1)).cast("long").alias("base_chunk_pairs"))
+    n_docs = docs2.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (n_docs.crossJoin(stats).crossJoin(realign)
+            .crossJoin(base_pairs)
+            .select("n_docs", "total_chunks", "distinct_digests",
+                    F.round(F.lit(1.0)
+                            - F.col("distinct_digests").cast("double")
+                            / F.col("total_chunks"), 6)
+                    .alias("dedup_ratio"),
+                    "realigned_matches", "base_chunk_pairs"))

@@ -896,3 +896,28 @@ def test_blocklist_phrase_positions_and_overlap(spark):
     assert [r for r in rows if r[0] == 2] == []
     assert [(p, t) for d, p, t in rows if d == 3] == [
         (1, "bad"), (2, "bad"), (3, "bad")]
+
+
+def test_cdc_chunks_prefix_edit_realigns(spark):
+    """Content-defined boundaries recover after a prefix insertion: all
+    chunks except the first are byte-identical across the edit."""
+    from server2_vector_search_server_spark.operators import dedup
+
+    body = ("a b c d e f g h i j k l m n o p q r s t u v w x y z "
+            "one two three four")
+    docs = spark.createDataFrame(
+        [(1, body), (2, "XX YY " + body), (3, ""), (4, "a b")],
+        ["doc_id", "text"])
+    out = dedup.cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["chunk_text"]))
+    c1 = [t for _, t in sorted(by_doc[1])]
+    c2 = [t for _, t in sorted(by_doc[2])]
+    assert len(c1) >= 3 and len(c2) == len(c1)
+    assert c1[1:] == c2[1:]            # realigned after the edit
+    assert c2[0] == "XX YY " + c1[0]   # only the first chunk differs
+    assert "".join(t + " " for t in c1).strip() == body  # lossless split
+    assert 3 not in by_doc             # empty doc -> no rows
+    assert by_doc[4] == [(1, "a b")]   # short doc -> one chunk
