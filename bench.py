@@ -100,6 +100,10 @@ HEADLINE = [
     "embedding_knn_label_eval",  # kNN embedding-quality probe (round 4)
     "text_bpe_train_merges",    # iterative BPE training rounds (round 4)
     "dedup_jaccard_prefix_filter",  # lossless AllPairs set join (round 4)
+    "ann_pca_knn",              # PCA-rotation funnel, MLlib fit (round 5)
+    "text_winnowing_overlap_pairs",  # MOSS fingerprint equi-join (round 5)
+    "dedup_tfidf_cosine_pairs",  # sparse DAAT cosine all-pairs (round 5)
+    "dedup_cdc_chunks",         # content-defined chunk dedup (round 5)
 ]
 
 

@@ -651,3 +651,49 @@ def events_bitmap_distinct_users(spark: SparkSession,
     return (full.join(hashed, "event_type")
             .select("event_type", "n_users", "n_user_buckets")
             .orderBy("event_type"))
+
+
+@query(
+    "events_ohlc_hourly",
+    survey="I-extension (OHLC candle downsampling: deterministic "
+           "first/last via min_by/max_by on a composite order scalar, "
+           "one shuffle)",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           event_type,
+           ROUND(arg_min(CAST(value AS DOUBLE),
+                         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                           * 100000000 + event_id), 2) AS open,
+           ROUND(MAX(CAST(value AS DOUBLE)), 2) AS high,
+           ROUND(MIN(CAST(value AS DOUBLE)), 2) AS low,
+           ROUND(arg_max(CAST(value AS DOUBLE),
+                         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                           * 100000000 + event_id), 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC candles per event type —
+    the storage shape every metrics/market pipeline compacts raw ticks
+    into. first/last are NOT Spark's order-undefined ``first()``/
+    ``last()``: the open/close are ``min_by``/``max_by`` on the composite
+    scalar epoch*1e8 + event_id, so ties inside one second resolve by
+    event id identically on both engines, under any shuffle order. One
+    map-side-combinable aggregation — at 100 TB this is the canonical
+    'compact before you store' pass, shuffle ∝ buckets x types."""
+    events = tbl(spark, sf_dir, "events")
+    ordk = (F.unix_timestamp("ts").cast("long") * 100000000
+            + F.col("event_id"))
+    v = F.col("value").cast("double")
+    return (events
+            .groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                     "event_type")
+            .agg(F.round(F.min_by(v, ordk), 2).alias("open"),
+                 F.round(F.max(v), 2).alias("high"),
+                 F.round(F.min(v), 2).alias("low"),
+                 F.round(F.max_by(v, ordk), 2).alias("close"),
+                 F.count(F.lit(1)).cast("long").alias("volume"))
+            .orderBy("bucket", "event_type"))

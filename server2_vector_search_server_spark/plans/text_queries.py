@@ -1614,3 +1614,62 @@ def text_blocklist_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("terms_csv"),
                  (F.count(F.lit(1)) >= _BL_FLAG_HITS).alias("flagged"))
             .orderBy("doc_id"))
+
+
+@query(
+    "text_vocab_coverage",
+    survey="north-star text analysis (vocabulary coverage curve: token-"
+           "stream fraction covered by the top-N frequency-ranked terms — "
+           "the tokenizer-budget / OOV-rate planning query)",
+    oracle="""
+    WITH toks AS (
+      SELECT t.term
+      FROM (SELECT lower(text) AS text FROM documents) d,
+           UNNEST(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                              x -> x <> '')) AS t(term)),
+    tf AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    ranked AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tf),
+    total AS (SELECT SUM(cnt) AS tot FROM tf)
+    SELECT r.rnk AS top_n, r.term AS boundary_term,
+           CAST(r.cum AS BIGINT) AS covered_tokens,
+           CAST(t.tot AS BIGINT) AS total_tokens,
+           ROUND(CAST(r.cum AS DOUBLE) / t.tot, 6) AS coverage
+    FROM ranked r CROSS JOIN total t
+    WHERE r.rnk IN (5, 10, 20)
+    ORDER BY top_n
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative coverage of the token stream by the top-N most frequent
+    terms (ties rank alphabetically on both engines). Two shuffles: the
+    term-frequency groupBy (map-side combinable) and ONE single-partition
+    window over the VOCABULARY — safe at any corpus scale because the
+    window input is distinct terms, not tokens; a 100 TB corpus still has
+    a vocabulary that fits one partition after the tf fold (and if it
+    didn't, the standard two-pass range-partitioned prefix sum —
+    ``text_sequence_packing_distributed`` — applies)."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                      .alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = (tf.withColumn("rnk", F.row_number().over(w))
+              .withColumn("cum", F.sum("cnt").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    total = tf.agg(F.sum("cnt").alias("tot"))
+    return (ranked.filter(F.col("rnk").isin(5, 10, 20))
+            .crossJoin(total)
+            .select(F.col("rnk").alias("top_n"),
+                    F.col("term").alias("boundary_term"),
+                    F.col("cum").cast("long").alias("covered_tokens"),
+                    F.col("tot").cast("long").alias("total_tokens"),
+                    F.round(F.col("cum").cast("double") / F.col("tot"), 6)
+                    .alias("coverage"))
+            .orderBy("top_n"))
