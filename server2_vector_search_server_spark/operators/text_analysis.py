@@ -639,3 +639,64 @@ def blocklist_matches(docs: DataFrame, terms: Sequence[str], *,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rake_keyphrases(docs: DataFrame, *, stopwords: Sequence[str],
+                    top_k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents" — public): candidate phrases
+    are maximal token runs between stopwords; each word scores
+    degree/frequency over the CORPUS-wide candidate stream (degree = sum
+    of the lengths of phrases containing each occurrence, frequency =
+    occurrence count); a phrase scores the sum of its words' scores;
+    top-k phrases per document win.
+
+    Plan shape: one gaps-and-islands window (phrase ids = running
+    stopword count — shuffle ∝ tokens, the inherent cost of ordered
+    segmentation), two partial-aggregable folds (phrase length, word
+    stats), one broadcastable vocabulary join, and a per-document top-k
+    window. Word scores accumulate as exact micro-units so the float
+    division sums are shuffle-order-proof.
+    """
+    from pyspark.sql import Window
+
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    tok = (docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col))))
+        .alias("pos0", "word"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "word"))
+    st = F.when(F.col("word").isin(*[w.lower() for w in stopwords]), 1) \
+        .otherwise(0)
+    wg = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cand = (tok.withColumn("st", st)
+            .withColumn("g", F.sum("st").over(wg))
+            .filter(F.col("st") == 0)
+            .select(id_col, "g", "pos", "word"))
+    plen = cand.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("wlen"))
+    cw = cand.join(plen, [id_col, "g"])
+    ws = cw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("wlen").alias("deg"))
+    sm = F.round(F.col("deg").cast("double") / F.col("freq")
+                 * 1_000_000.0).cast("long")
+    scored = cw.join(F.broadcast(ws.withColumn("sm", sm)
+                                 .select("word", "sm")), "word")
+    pscore = scored.groupBy(id_col, "g").agg(
+        F.sum("sm").alias("score_micro"))
+    ptext = (cand.groupBy(id_col, "g")
+             .agg(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                 lambda x: x["word"])).alias("phrase")))
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc())
+    return (ptext.join(pscore, [id_col, "g"])
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_k)
+            .select(id_col, "rank", "phrase",
+                    F.round(F.col("score_micro").cast("double")
+                            / 1_000_000.0, 6).alias("score"))
+            .orderBy(id_col, "rank"))

@@ -677,3 +677,78 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("node").alias("max_member"))
             .orderBy(F.col("n_members").desc(), F.col("community").asc())
             .limit(20))
+
+
+# --- k-core decomposition (fixed peel rounds) -------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds (the same fixed-round CTE discipline as the
+    PageRank oracle: every round's survivor rule explicit)."""
+    k = _KCORE_K
+    parts = [f"""
+    e0 AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges)"""]
+    stats = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f"""
+    d{r} AS (SELECT src AS node, COUNT(*) AS deg
+             FROM e{r - 1} GROUP BY src),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN k{r} a ON e.src = a.node
+      JOIN k{r} b ON e.dst = b.node)""")
+        stats.append(
+            f"SELECT {r} AS round, "
+            f"CAST((SELECT COUNT(*) FROM k{r}) AS BIGINT) AS n_nodes, "
+            f"CAST((SELECT COUNT(*) FROM e{r}) / 2 AS BIGINT) AS n_edges")
+    return (",".join(parts) + "\n    "
+            + " UNION ALL ".join(stats) + " ORDER BY round")
+
+
+@query(
+    "graph_kcore_peeling",
+    survey="north-star graph analytics (k-core decomposition: iterative "
+           "degree peeling, fixed rounds — the standard community-"
+           "density filter)",
+    oracle=f"WITH {_SQL_EDGES},{_kcore_oracle()}",
+)
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the undirected shipment graph: each round drops
+    every node of degree < k and the edges touching it; the fixpoint is
+    the k-core. Per-round survivor counts are the checked output —
+    ROUND-BY-ROUND, so a subtly wrong degree or survivor rule reds the
+    row even if the final core happens to match.
+
+    Scale: each round is one map-side-combinable degree fold plus two
+    semi-joins of the edge list against the survivor set. Survivor sets
+    here ride broadcast; past ~5M nodes the joins flip to the
+    pre-partitioned shuffle strategy exactly as ``graph_pagerank``/
+    ``graph_label_propagation`` auto-switch (graph.py:208-228) — peeling
+    adds no new scale seam. Rounds are bounded by the graph's degeneracy
+    ordering depth; production k-core implementations cap rounds the
+    same way this query does."""
+    edges = _edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K) \
+            .select(F.col("src").alias("node")).localCheckpoint(eager=True)
+        sym = (sym.join(F.broadcast(keep),
+                        sym["src"] == keep["node"], "left_semi")
+               .join(F.broadcast(keep.select(F.col("node").alias("n2"))),
+                     F.col("dst") == F.col("n2"), "left_semi"))
+        n_nodes = keep.count()
+        n_edges = sym.count() // 2
+        sym = sym.localCheckpoint(eager=True)
+        rows.append((r, n_nodes, n_edges))
+    return spark.createDataFrame(
+        rows, "round int, n_nodes long, n_edges long").orderBy("round")

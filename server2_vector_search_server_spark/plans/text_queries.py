@@ -1673,3 +1673,64 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cum").cast("double") / F.col("tot"), 6)
                     .alias("coverage"))
             .orderBy("top_n"))
+
+
+@query(
+    "text_rake_keyphrases",
+    survey="north-star text analysis (RAKE keyphrase extraction, Rose et "
+           "al. 2010: stopword-delimited candidate phrases scored by "
+           "corpus-wide word degree/frequency)",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200),
+    tok AS (
+      SELECT doc_id, s.pos AS pos, s.win AS word
+      FROM (SELECT doc_id, unnest({sql_token_windows('text', 1)}) AS s
+            FROM docs)),
+    flagged AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ({", ".join(f"'{w}'" for w in ta.STOPWORDS['en'])})
+                  THEN 1 ELSE 0 END AS st
+      FROM tok),
+    grp AS (
+      SELECT *, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged),
+    cand AS (SELECT doc_id, g, pos, word FROM grp WHERE st = 0),
+    plen AS (
+      SELECT doc_id, g, COUNT(*) AS wlen FROM cand GROUP BY doc_id, g),
+    cw AS (
+      SELECT c.doc_id, c.g, c.pos, c.word, p.wlen
+      FROM cand c JOIN plen p USING (doc_id, g)),
+    ws AS (
+      SELECT word, COUNT(*) AS freq, SUM(wlen) AS deg
+      FROM cw GROUP BY word),
+    scored AS (
+      SELECT cw.doc_id, cw.g,
+             CAST(ROUND(CAST(ws.deg AS DOUBLE) / ws.freq * 1000000.0)
+                  AS BIGINT) AS sm
+      FROM cw JOIN ws USING (word)),
+    pscore AS (
+      SELECT doc_id, g, SUM(sm) AS score_micro
+      FROM scored GROUP BY doc_id, g),
+    ptext AS (
+      SELECT doc_id, g, string_agg(word, ' ' ORDER BY pos) AS phrase
+      FROM cand GROUP BY doc_id, g),
+    ranked AS (
+      SELECT t.doc_id, t.phrase, s.score_micro,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY s.score_micro DESC,
+                                         t.phrase ASC) AS rank
+      FROM ptext t JOIN pscore s USING (doc_id, g))
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+           ROUND(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 RAKE keyphrases per document over the English stopword
+    delimiters — the zero-model keyphrase extractor every curation
+    pipeline can afford at corpus scale."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = ta.rake_keyphrases(docs, stopwords=ta.STOPWORDS["en"], top_k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
