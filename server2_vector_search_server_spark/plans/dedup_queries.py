@@ -1109,3 +1109,73 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("total_chunks"), 6)
                     .alias("dedup_ratio"),
                     "realigned_matches", "base_chunk_pairs"))
+
+
+@query(
+    "dedup_canonicalized",
+    survey="north-star dedup (canonicalization-aware exact dedup: "
+           "lower/strip-punctuation/collapse-whitespace before hashing — "
+           "the C4/RefinedWeb normalization pass that catches trivial "
+           "variants raw digests miss)",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_N_BASE}
+      UNION ALL
+      SELECT doc_id + 30000 AS doc_id, upper(text) || ' !!' AS text
+      FROM documents WHERE doc_id < {_N_BASE}),
+    canon AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ctext
+      FROM docs2),
+    raw_groups AS (
+      SELECT md5(text) AS h, COUNT(*) AS n FROM canon GROUP BY h),
+    canon_groups AS (
+      SELECT md5(ctext) AS h, COUNT(*) AS n FROM canon GROUP BY h)
+    SELECT CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_docs,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM raw_groups WHERE n > 1)
+                AS BIGINT) AS raw_dup_docs,
+           CAST((SELECT COUNT(*) FROM raw_groups WHERE n > 1) AS BIGINT)
+             AS raw_dup_groups,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM canon_groups WHERE n > 1)
+                AS BIGINT) AS canon_dup_docs,
+           CAST((SELECT COUNT(*) FROM canon_groups WHERE n > 1) AS BIGINT)
+             AS canon_dup_groups
+    """,
+)
+def dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text canonicalization (lowercase, punctuation →
+    space, whitespace collapse, trim) vs on raw bytes, over a corpus
+    where every base document has a case-flipped punctuation-appended
+    twin. Raw digests see zero duplicate groups; canonical digests pair
+    every twin — the checked row pins both counts, so a normalization
+    regression (missed class, wrong collapse order) is a value diff, not
+    a vibe. Same one-shuffle digest-groupBy shape as ``dedup_exact``;
+    the canonicalization is a scan-fused projection, free at 100 TB."""
+    base = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _N_BASE).select("doc_id", "text"))
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct((F.col("doc_id") + 30000).alias("doc_id"),
+                 F.concat(F.upper(F.col("text")), F.lit(" !!"))
+                 .alias("text")))
+    docs2 = (base.select(F.explode(variants).alias("v"))
+             .select("v.doc_id", "v.text"))
+    canon = docs2.withColumn(
+        "ctext",
+        F.trim(F.regexp_replace(F.regexp_replace(
+            F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+
+    def dup_stats(col, prefix):
+        g = canon.groupBy(F.md5(col).alias("h")) \
+            .agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+        return g.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long")
+            .alias(f"{prefix}_dup_docs"),
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}_dup_groups"))
+
+    n_docs = docs2.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (n_docs.crossJoin(dup_stats(F.col("text"), "raw"))
+            .crossJoin(dup_stats(F.col("ctext"), "canon"))
+            .select("n_docs", "raw_dup_docs", "raw_dup_groups",
+                    "canon_dup_docs", "canon_dup_groups"))
