@@ -21,6 +21,8 @@ from server2_vector_search_server_spark.functions.text import (
     sql_token_hash,
     sql_token_windows,
     sql_word_shingles,
+    tokens,
+    word_shingles,
 )
 from server2_vector_search_server_spark.operators import dedup
 from server2_vector_search_server_spark.plans.registry import (
@@ -1179,3 +1181,82 @@ def dedup_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(dup_stats(F.col("ctext"), "canon"))
             .select("n_docs", "raw_dup_docs", "raw_dup_groups",
                     "canon_dup_docs", "canon_dup_groups"))
+
+
+@query(
+    "dedup_containment_pairs",
+    survey="north-star dedup (asymmetric Jaccard CONTAINMENT via shingle "
+           "equi-join: catches excerpt/quote inclusion that symmetric "
+           "Jaccard misses by construction)",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_N_BASE}
+      UNION ALL
+      SELECT doc_id + 40000 AS doc_id,
+             array_to_string(list_filter(string_split_regex(trim(text),
+               '\\s+'), x -> x <> '')[1:15], ' ') AS text
+      FROM documents WHERE doc_id < {_N_BASE}),
+    sh AS (
+      SELECT doc_id, unnest({sql_word_shingles('text', 3)}) AS s
+      FROM docs2),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE)
+                 / CASE WHEN x.sz < y.sz THEN x.sz ELSE y.sz END, 6)
+             AS containment,
+           ROUND(CAST(i AS DOUBLE) / (x.sz + y.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes x ON x.doc_id = doc_a
+    JOIN sizes y ON y.doc_id = doc_b
+    WHERE ROUND(CAST(i AS DOUBLE)
+                / CASE WHEN x.sz < y.sz THEN x.sz ELSE y.sz END, 6) >= 0.9
+      AND ROUND(CAST(i AS DOUBLE) / (x.sz + y.sz - i), 6) < 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt detection: every base document gets a planted 15-token
+    excerpt twin; the checked pairs have shingle CONTAINMENT >= 0.9 (the
+    excerpt's shingles live almost entirely inside the source) while
+    symmetric Jaccard stays < 0.5 (the size imbalance drowns the
+    intersection) — the exact blind spot of every symmetric-threshold
+    dedup stage, which is why contamination/quote screens key on
+    containment. Same shingle equi-join shuffle as the Jaccard family
+    (∝ Σ freq(shingle)²), one extra size join; the df-cap valve from
+    the DAAT section applies unchanged at 100 TB."""
+    docs2 = (tbl(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") < _N_BASE)
+             .select(F.explode(F.array(
+                 F.struct(F.col("doc_id"), F.col("text")),
+                 F.struct((F.col("doc_id") + 40000).alias("doc_id"),
+                          F.concat_ws(" ", F.slice(
+                              tokens(F.col("text")), 1, 15))
+                          .alias("text")))).alias("v"))
+             .select("v.doc_id", "v.text"))
+    sh = docs2.select("doc_id",
+                      F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    x = sizes.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sz").alias("sz_a"))
+    y = sizes.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sz").alias("sz_b"))
+    cont = F.round(F.col("i").cast("double")
+                   / F.least("sz_a", "sz_b"), 6)
+    jac = F.round(F.col("i").cast("double")
+                  / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 6)
+    return (inter.join(x, "doc_a").join(y, "doc_b")
+            .withColumn("containment", cont).withColumn("jaccard", jac)
+            .filter((F.col("containment") >= 0.9)
+                    & (F.col("jaccard") < 0.5))
+            .select("doc_a", "doc_b", "containment", "jaccard")
+            .orderBy("doc_a", "doc_b"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.plans.registry import (
     exact_sum,
     query,
+    scratch_dir,
     sql_exact_sum,
     tbl,
 )
@@ -653,12 +654,7 @@ def events_bitmap_distinct_users(spark: SparkSession,
             .orderBy("event_type"))
 
 
-@query(
-    "events_ohlc_hourly",
-    survey="I-extension (OHLC candle downsampling: deterministic "
-           "first/last via min_by/max_by on a composite order scalar, "
-           "one shuffle)",
-    oracle="""
+_SQL_OHLC = """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
            event_type,
            ROUND(arg_min(CAST(value AS DOUBLE),
@@ -673,7 +669,15 @@ def events_bitmap_distinct_users(spark: SparkSession,
     FROM events
     GROUP BY bucket, event_type
     ORDER BY bucket, event_type
-    """,
+    """
+
+
+@query(
+    "events_ohlc_hourly",
+    survey="I-extension (OHLC candle downsampling: deterministic "
+           "first/last via min_by/max_by on a composite order scalar, "
+           "one shuffle)",
+    oracle=_SQL_OHLC,
 )
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to hourly OHLC candles per event type —
@@ -696,4 +700,79 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min(v), 2).alias("low"),
                  F.round(F.max_by(v, ordk), 2).alias("close"),
                  F.count(F.lit(1)).cast("long").alias("volume"))
+            .orderBy("bucket", "event_type"))
+
+
+@query(
+    "streaming_ohlc_upkeep",
+    survey="I × time-series (incremental OHLC maintenance: per-micro-"
+           "batch candle partials per ingest_batch partition, "
+           "min_by/max_by-merged at read, batch-0 replay folded in — "
+           "hash-pins to the SAME oracle as the batch candles, because "
+           "the OHLC merge is exact and associative)",
+    oracle=_SQL_OHLC,
+)
+def streaming_ohlc_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_ohlc_hourly`` maintained incrementally: each micro-batch
+    folds its events into per-(bucket, type) candle PARTIALS — (open,
+    ord_min, high, low, close, ord_max, volume) — written under the
+    batch's own partition; state per batch ∝ touched buckets x types,
+    never events. Serving merges partials with the same associative
+    algebra (open = value at the globally minimal order key, etc.), so
+    stream-built candles equal batch-built candles BIT-EXACTLY — proven
+    by sharing the batch query's oracle. At-least-once replay of batch 0
+    is idempotent via dynamic partition overwrite (the CMS-upkeep
+    discipline). Values stay UNROUNDED in state; rounding happens once
+    at serve time, exactly like the batch path."""
+    import os
+    import uuid as _uuid
+
+    from server2_vector_search_server_spark.session import (
+        read_events_stream,
+    )
+
+    src = scratch_dir("ohlc_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    state = scratch_dir("ohlc_state_") + "/candles"
+
+    ordk = (F.unix_timestamp("ts").cast("long") * 100000000
+            + F.col("event_id"))
+    v = F.col("value").cast("double")
+
+    def process(batch, batch_id: int) -> None:
+        (batch
+         .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+         .agg(F.min_by(v, ordk).alias("open"),
+              F.min(ordk).alias("ord_min"),
+              F.max(v).alias("high"), F.min(v).alias("low"),
+              F.max_by(v, ordk).alias("close"),
+              F.max(ordk).alias("ord_max"),
+              F.count(F.lit(1)).alias("volume"))
+         .withColumn("ingest_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic").parquet(state))
+
+    q = (read_events_stream(spark, src)
+         .select("event_id", "ts", "event_type", "value")
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation",
+                 scratch_dir(f"ohlc_ckpt_{_uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    b0 = (spark.read.parquet(state)
+          .filter(F.col("ingest_batch") == 0)
+          .drop("ingest_batch").localCheckpoint(eager=True))
+    (b0.withColumn("ingest_batch", F.lit(0))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(state))
+
+    return (spark.read.parquet(state)
+            .groupBy("bucket", "event_type")
+            .agg(F.round(F.min_by("open", "ord_min"), 2).alias("open"),
+                 F.round(F.max("high"), 2).alias("high"),
+                 F.round(F.min("low"), 2).alias("low"),
+                 F.round(F.max_by("close", "ord_max"), 2).alias("close"),
+                 F.sum("volume").cast("long").alias("volume"))
             .orderBy("bucket", "event_type"))
