@@ -418,3 +418,103 @@ def crosslingual_bitext_candidates(spark: SparkSession,
             .filter((F.col("rb") == 1) & (F.col("margin") >= _BT_MARGIN))
             .select("anchor_id", "cand_id", "cand_lang", "cosine", "margin")
             .orderBy("anchor_id"))
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality eval: nDCG@10 over the labeled panel
+
+_NDCG_K = 10
+_NDCG_Q_LO, _NDCG_Q_HI = 450, 460
+# discount weights 1/log2(i+1) and their prefix sums, in exact micro-units
+# computed ONCE in Python and injected as literals into BOTH engines — so
+# no libm log2 ulp divergence can ever enter the hash.
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853,
+           356207, 333333, 315465, 301030, 289065]
+_NDCG_PREFIX = [0, 1000000, 1630930, 2130930, 2561607, 2948460,
+                3304667, 3638000, 3953465, 4254495, 4543560]
+
+
+@query(
+    "search_ndcg_eval",
+    survey="north-star retrieval eval (nDCG@10 of the cosine ranking "
+           "against label relevance — the standard graded search-quality "
+           "metric, discount weights as shared exact literals)",
+    oracle=f"""
+    WITH normed AS ({_SQL_NORMED}),
+    corpus AS (SELECT * FROM normed WHERE vec_id < {_NDCG_Q_LO}),
+    q AS (SELECT vec_id AS qid, label AS qlabel, nv AS qnv FROM normed
+          WHERE vec_id >= {_NDCG_Q_LO} AND vec_id < {_NDCG_Q_HI}),
+    ranked AS (
+      SELECT qid, qlabel, label, vec_id,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                 i -> nv[i] * qnv[i])), 6) DESC, vec_id ASC) AS rnk
+      FROM corpus CROSS JOIN q),
+    top AS (SELECT * FROM ranked WHERE rnk <= {_NDCG_K}),
+    dcg AS (
+      SELECT qid,
+             SUM(CASE WHEN label = qlabel
+                 THEN [{", ".join(str(w) for w in _NDCG_W)}][rnk]
+                 ELSE 0 END) AS dcg_micro,
+             SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS n_rel_top
+      FROM top GROUP BY qid),
+    totrel AS (
+      SELECT q.qid, COUNT(*) AS r_total
+      FROM q JOIN corpus c ON c.label = q.qlabel GROUP BY q.qid)
+    SELECT d.qid, CAST(d.n_rel_top AS BIGINT) AS n_rel_top,
+           CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+           CAST([{", ".join(str(p) for p in _NDCG_PREFIX)}]
+                [CASE WHEN t.r_total < {_NDCG_K} THEN t.r_total
+                      ELSE {_NDCG_K} END + 1] AS BIGINT) AS idcg_micro,
+           ROUND(CAST(d.dcg_micro AS DOUBLE)
+                 / [{", ".join(str(p) for p in _NDCG_PREFIX)}]
+                   [CASE WHEN t.r_total < {_NDCG_K} THEN t.r_total
+                         ELSE {_NDCG_K} END + 1], 6) AS ndcg
+    FROM dcg d JOIN totrel t ON t.qid = d.qid
+    ORDER BY d.qid
+    """,
+)
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per panel query: the cosine top-10 over the train corpus,
+    graded by label agreement, discounted by the STANDARD 1/log2(rank+1)
+    weights — but the weights (and their ideal-ranking prefix sums) are
+    exact micro-unit literals computed once and shared by both engines,
+    so DCG accumulates as integers and the only division is the final
+    normalize. IDCG uses min(total relevant in corpus, 10) — true nDCG,
+    not the in-window shortcut. Scale shape: panel broadcast, corpus
+    scanned once, per-query partial top-k window — identical physics to
+    ``embedding_knn_label_eval``."""
+    w_lit = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    p_lit = F.array(*[F.lit(p).cast("long") for p in _NDCG_PREFIX])
+    normed = _normed(spark, sf_dir)
+    corpus = normed.filter(F.col("vec_id") < _NDCG_Q_LO)
+    q = (normed.filter((F.col("vec_id") >= _NDCG_Q_LO)
+                       & (F.col("vec_id") < _NDCG_Q_HI))
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("qlabel"),
+                 F.col("nv").alias("qnv")))
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.round(dot(F.col("nv"), F.col("qnv")), 6).desc(),
+        F.col("vec_id").asc())
+    top = (corpus.crossJoin(F.broadcast(q))
+           .withColumn("rnk", F.row_number().over(w_rank))
+           .filter(F.col("rnk") <= _NDCG_K))
+    rel = (F.col("label") == F.col("qlabel")).cast("long")
+    dcg = (top.groupBy("qid")
+           .agg(F.sum(rel * F.element_at(w_lit, F.col("rnk")))
+                .alias("dcg_micro"),
+                F.sum(rel).alias("n_rel_top")))
+    totrel = (q.join(corpus.select("label"),
+                     q["qlabel"] == corpus["label"])
+              .groupBy("qid").agg(F.count(F.lit(1)).alias("r_total")))
+    idcg = F.element_at(
+        p_lit, F.least(F.col("r_total"), F.lit(_NDCG_K)).cast("int") + 1)
+    return (dcg.join(totrel, "qid")
+            .select("qid",
+                    F.col("n_rel_top").cast("long").alias("n_rel_top"),
+                    F.col("dcg_micro").cast("long").alias("dcg_micro"),
+                    idcg.cast("long").alias("idcg_micro"),
+                    F.round(F.col("dcg_micro").cast("double") / idcg, 6)
+                    .alias("ndcg"))
+            .orderBy("qid"))
