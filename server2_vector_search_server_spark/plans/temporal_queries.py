@@ -412,3 +412,51 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("s") > h, F.col("hour")))
                  .alias("first_alarm"))
             .orderBy("event_type"))
+
+
+@query(
+    "events_pattern_match_users",
+    survey="I-extension (MATCH_RECOGNIZE-style event-sequence regex: "
+           "per-user ordered type string, leftmost non-overlapping "
+           "matches of view->clicks*->purchase)",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches,
+           md5(s) AS seq_md5
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'vc*p')) > 0
+    ORDER BY user_id
+    """,
+)
+def events_pattern_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching — the SQL:2016 MATCH_RECOGNIZE /
+    Flink CEP use case, Spark-native: each user's event types collapse to
+    one ordered character string (one char per type — the five fixture
+    types have distinct initials), then a plain regex finds leftmost
+    non-overlapping ``view (click)* purchase`` journeys. The string IS
+    the per-user state: bounded by that user's event count, exactly the
+    sessionization bound; at 100 TB you window the sequence (per day /
+    per session id) before collecting, and the regex stays linear in
+    sequence length. ``seq_md5`` pins the full event ORDERING into the
+    hash — any tie-break or shuffle-order bug reds every row, not just
+    match counts."""
+    events = tbl(spark, sf_dir, "events")
+    seq = (events.groupBy("user_id")
+           .agg(F.array_join(F.transform(
+               F.array_sort(F.collect_list(F.struct(
+                   "ts", "event_id",
+                   F.substring("event_type", 1, 1).alias("ch")))),
+               lambda x: x["ch"]), "").alias("s")))
+    return (seq.select(
+                "user_id",
+                F.length("s").cast("long").alias("seq_len"),
+                F.regexp_count(F.col("s"), F.lit("vc*p")).cast("long")
+                .alias("n_matches"),
+                F.md5("s").alias("seq_md5"))
+            .filter(F.col("n_matches") > 0)
+            .orderBy("user_id"))
