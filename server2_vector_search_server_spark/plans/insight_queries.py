@@ -1141,3 +1141,256 @@ def streaming_bloom_dedup_upkeep(spark: SparkSession,
     verified = candidates.join(corpus_keys, "content_hash", "left_anti")
     return (maybe_new.unionByName(verified)
             .select("doc_id", "content_hash").orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# 15. Orthogonal Procrustes embedding-space alignment (distributed Gram,
+#     bounded driver SVD, invariant-pinned contract)
+
+_PROC_DIM = 64
+_PROC_SCALE = 1_000_000_000   # micro-units for the exact Gram accumulation
+
+
+@query(
+    "embedding_procrustes_alignment",
+    survey="training extension(cross-space embedding alignment: orthogonal "
+           "Procrustes — distributed exact cross-Gram accumulation, d×d "
+           "SVD on the driver (bounded by dim², never by corpus), rotation "
+           "broadcast back for the alignment-error pass; contract pinned "
+           "by engine-independent invariants)",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           TRUE AS orthonormal_ok,
+           TRUE AS recovered_ok,
+           TRUE AS improved_ok
+    FROM embeddings
+    """,
+)
+def embedding_procrustes_alignment(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment (Schönemann 1966 — the public method
+    behind cross-lingual embedding alignment à la MUSE/vecmap): given
+    paired vectors (x, y) in two spaces, find the orthogonal W minimizing
+    ‖XW − Y‖_F, i.e. W = UVᵀ from the SVD of M = XᵀY.
+
+    The paired space here is a KNOWN planted orthogonal transform
+    (coordinate reversal + alternating sign flips), so recovery is
+    provable: the solver must return exactly that rotation, and the
+    invariants the oracle pins — W orthonormal, post-alignment error ≈ 0,
+    ≥10× better than the identity baseline — hold for ANY correct
+    implementation (the established bounded-invariant contract pattern,
+    SURVEY §8.4).
+
+    Scale shape: the ONLY data-proportional work is the cross-Gram
+    M = Σ_n x xᵀ-style accumulation — a double posexplode into (j, k,
+    x_j·y_k) integer micro-unit partials, partial-aggregable into exactly
+    d² = 4,096 cells regardless of corpus size; the SVD runs on the driver
+    over the d×d matrix (dim-bounded, like the ANN centroid collects); the
+    rotation rides back via ann.codebook_transport (4,096 floats → ONE
+    broadcast row, SCALE §32) for a single scan computing alignment error
+    as an exact aggregate."""
+    import numpy as np
+
+    from server2_vector_search_server_spark.operators.ann import (
+        codebook_transport,
+    )
+
+    d = _PROC_DIM
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").alias("x")))
+    # planted target space: y[i] = (+1/-1 alternating) * x[d-1-i]
+    y_expr = F.expr(
+        f"transform(sequence(0, {d - 1}), i -> "
+        f"cast((case when i % 2 = 0 then 1.0 else -1.0 end) "
+        f"* element_at(x, {d} - i) as double))")
+    pairs = emb.withColumn("y", y_expr)
+
+    # distributed exact cross-Gram: M[j][k] = Σ x_j * y_k in micro-units
+    jx = pairs.select(
+        "y", F.posexplode("x").alias("j", "xj"))
+    cells = (jx.select("j", F.posexplode("y").alias("k", "yk"),
+                       F.col("xj"))
+             .groupBy("j", "k")
+             .agg(F.sum(F.round(F.col("xj").cast("double")
+                                * F.col("yk") * _PROC_SCALE)
+                        .cast("long")).alias("m_micro"))
+             .collect())
+    M = np.zeros((d, d))
+    for r in cells:
+        M[r["j"], r["k"]] = r["m_micro"] / _PROC_SCALE
+    U, _, Vt = np.linalg.svd(M)
+    W = np.round(U @ Vt, 9)
+    ortho_dev = float(np.abs(W.T @ W - np.eye(d)).max())
+
+    rows = [{"centroid_id": j, "centroid": W[j, :].tolist()}
+            for j in range(d)]
+    paired, w_rows, _ids = codebook_transport(
+        pairs, rows, centroid_id_col="centroid_id",
+        centroid_vec_col="centroid")
+    aligned = (
+        f"transform(sequence(0, {d - 1}), k -> "
+        f"aggregate(sequence(0, {d - 1}), cast(0.0 as double), "
+        f"(acc, j) -> acc + element_at(x, j + 1) "
+        f"* element_at(element_at(_w, j + 1), k + 1)))")
+    errs = (paired.withColumn("_w", w_rows)
+            .withColumn("_aligned", F.expr(aligned))
+            .select(
+                F.expr(f"aggregate(sequence(0, {d - 1}), "
+                       f"cast(0.0 as double), (acc, k) -> acc + "
+                       f"pow(element_at(_aligned, k + 1) "
+                       f"- element_at(y, k + 1), 2))").alias("e_aligned"),
+                F.expr(f"aggregate(sequence(0, {d - 1}), "
+                       f"cast(0.0 as double), (acc, k) -> acc + "
+                       f"pow(cast(element_at(x, k + 1) as double) "
+                       f"- element_at(y, k + 1), 2))").alias("e_ident")))
+    agg = errs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                   F.avg("e_aligned").alias("ma"),
+                   F.avg("e_ident").alias("mi"))
+    return agg.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.lit(bool(ortho_dev < 1e-4)).alias("orthonormal_ok"),
+        (F.col("ma") < 1e-6).alias("recovered_ok"),
+        (F.col("mi") > 10 * F.greatest(F.col("ma"), F.lit(1e-12)))
+        .alias("improved_ok"))
+
+
+# ---------------------------------------------------------------------------
+# 16. Incremental join-view maintenance (delta-join algebra, append-only)
+
+@query(
+    "store_incremental_join_view",
+    survey="store extension(incremental materialized JOIN view: ΔV = "
+           "ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB appended to the initial load — the "
+           "delta-join algebra streaming_incremental_rollup applies to "
+           "aggregates, extended to two-sided join views; final view "
+           "hash-equals the from-scratch join)",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def store_incremental_join_view(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """A materialized join view maintained by DELTAS instead of rebuilds:
+    initial load V₀ = A₀⋈B₀, then one maintenance step folds in new rows
+    on BOTH sides via the standard incremental-view-maintenance identity
+    ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (append-only case of Blakeley et al.
+    1986). The final aggregate over the maintained view must hash-equal
+    the from-scratch join — the correctness contract that makes delta
+    maintenance deployable.
+
+    Scale shape: the maintenance step's cost is Δ-proportional — each
+    delta term joins a BATCH against one stored side (broadcast here;
+    key-bucketed co-location at cluster scale) and appends; the base
+    tables are never re-joined. At 100 TB the rebuild this replaces is
+    the single largest recurring shuffle a warehouse runs."""
+    from server2_vector_search_server_spark.plans.registry import scratch_dir
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    a0 = orders.filter(F.col("o_orderkey") % 4 != 3)
+    da = orders.filter(F.col("o_orderkey") % 4 == 3)
+    b0 = cust.filter(F.col("c_custkey") % 5 != 4)
+    db = cust.filter(F.col("c_custkey") % 5 == 4)
+
+    view = scratch_dir("ivm_join_view_") + "/v"
+    (a0.join(F.broadcast(b0), a0.o_custkey == b0.c_custkey)
+     .select("o_orderkey", "o_totalprice", "c_mktsegment")
+     .write.mode("overwrite").parquet(view))
+    delta = (
+        da.join(F.broadcast(b0), da.o_custkey == b0.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_mktsegment")
+        .unionByName(
+            a0.join(F.broadcast(db), a0.o_custkey == db.c_custkey)
+            .select("o_orderkey", "o_totalprice", "c_mktsegment"))
+        .unionByName(
+            da.join(F.broadcast(db), da.o_custkey == db.c_custkey)
+            .select("o_orderkey", "o_totalprice", "c_mktsegment")))
+    delta.write.mode("append").parquet(view)
+
+    v = spark.read.parquet(view)
+    return (v.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_cents"))
+            .orderBy("c_mktsegment"))
+
+
+# ---------------------------------------------------------------------------
+# 17. Video scene-cut segmentation (frame-difference islands, pure arrays)
+
+_SCENE_FRAMES = 32
+_SCENE_CUT = 64    # |Δ intensity| >= 64 opens a new scene
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    survey="multimodal extension(video scene segmentation: per-frame "
+           "feature deltas -> cut boundaries -> scene lengths, computed "
+           "entirely as array expressions over the digest-stub frames — "
+           "no shuffle, no window)",
+    oracle=f"""
+    WITH media AS (
+      SELECT md5(text) AS media_id, sha256(text) AS dig
+      FROM documents WHERE doc_id BETWEEN 10 AND 99),
+    g AS (
+      SELECT media_id,
+             list_transform(range(0, {_SCENE_FRAMES}), t ->
+               CAST(('0x' || substr(dig, 2 * t + 1, 2)) AS INTEGER)) AS f
+      FROM media),
+    seg AS (
+      SELECT media_id,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+               list_filter(range(1, {_SCENE_FRAMES}),
+                           t -> abs(f[t + 1] - f[t]) >= {_SCENE_CUT})),
+               [CAST({_SCENE_FRAMES} AS BIGINT)]) AS edges
+      FROM g)
+    SELECT media_id,
+           CAST(len(edges) - 1 AS INTEGER) AS n_scenes,
+           CAST(list_max(list_transform(range(1, len(edges)),
+                i -> edges[i + 1] - edges[i])) AS INTEGER)
+             AS longest_scene_frames
+    FROM seg ORDER BY media_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Scene-cut detection over per-frame features: a cut opens wherever
+    consecutive frame intensities differ by ≥ threshold; scene lengths are
+    the gaps between cut boundaries. The frame features are the multimodal
+    family's deterministic digest stub (a real frame-histogram or
+    embedding-delta detector swaps in at the feature expression only).
+
+    Scale shape: the entire segmentation is per-row array algebra
+    (transform → filter → boundary diffs) inside the scan projection —
+    zero shuffles, zero windows; whole-stage codegen end to end. Contrast
+    with the lag-window formulation, which would shuffle every frame row
+    on media_id: frames stay packed in their media row instead."""
+    docs = tbl(spark, sf_dir, "documents")
+    media = (docs.filter((F.col("doc_id") >= 10)
+                         & (F.col("doc_id") <= 99))
+             .select(F.md5(F.col("text")).alias("media_id"),
+                     F.sha2(F.col("text"), 256).alias("dig")))
+    n, cut = _SCENE_FRAMES, _SCENE_CUT
+    f = (f"transform(sequence(0, {n - 1}), t -> "
+         f"cast(conv(substr(dig, 2 * t + 1, 2), 16, 10) as int))")
+    edges = (f"concat(array(cast(0 as bigint)), "
+             f"filter(sequence(1, {n - 1}), t -> "
+             f"abs(_f[t] - _f[t - 1]) >= {cut}), "
+             f"array(cast({n} as bigint)))")
+    return (media
+            .withColumn("_f", F.expr(f))
+            .withColumn("_edges", F.expr(edges))
+            .select(
+                "media_id",
+                (F.size("_edges") - 1).cast("int").alias("n_scenes"),
+                F.expr("cast(array_max(transform(sequence(1, "
+                       "size(_edges) - 1), i -> _edges[i] - _edges[i - 1]))"
+                       " as int)").alias("longest_scene_frames"))
+            .orderBy("media_id"))
