@@ -187,3 +187,50 @@ def asof_join_cogrouped(left: DataFrame, right: DataFrame, *, on: str = "ts",
 
     return (left.groupBy(by).cogroup(rights.groupBy(by))
             .applyInPandas(merge, schema=out_schema))
+
+
+def holt_by_key(events: DataFrame, *, key_col: str = "user_id",
+                ts_col: str = "ts", order_col: str = "event_id",
+                val_col: str = "value", alpha: float = 0.3,
+                gamma: float = 0.1) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key: level + trend
+    state folded over the ordered value sequence —
+    ``l' = α·x + (1−α)(l + b);  b' = γ(l' − l) + (1−γ)b`` seeded with
+    ``l = x₀, b = 0`` — the one-step-ahead forecasting twin of
+    :func:`ewma_by_key`, with the same grouped-map shape: ONE shuffle on
+    the entity key, O(1) loop-carried state per entity, entities parallel
+    across executors.
+
+    Determinism matches the ewma contract: plain-Python float folds (IEEE
+    doubles, same op sequence as a SQL recursive CTE evaluating the same
+    literals), no Python-side rounding (banker's-rounding trap).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    key_type = events.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key_col, key_type),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+    ])
+    one_minus_a, one_minus_g = 1.0 - alpha, 1.0 - gamma
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+        level = trend = None
+        for x in pdf[val_col]:
+            x = float(x)
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = alpha * x + one_minus_a * (level + trend)
+                trend = gamma * (new_level - level) + one_minus_g * trend
+                level = new_level
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n_events": [len(pdf)],
+             "level": [level], "trend": [trend]})
+
+    return (events.select(key_col, ts_col, order_col, val_col)
+            .groupBy(key_col).applyInPandas(fold, out_schema))

@@ -1394,3 +1394,245 @@ def multimodal_video_scene_cuts(spark: SparkSession,
                        "size(_edges) - 1), i -> _edges[i] - _edges[i - 1]))"
                        " as int)").alias("longest_scene_frames"))
             .orderBy("media_id"))
+
+
+# ---------------------------------------------------------------------------
+# 18. Holt linear smoothing per user (level + trend forecast fold)
+
+_HOLT_ALPHA = 0.3
+_HOLT_GAMMA = 0.1
+
+
+@query(
+    "events_holt_linear_by_user",
+    survey="E/I-extension(loop-carried level+trend state: Holt double "
+           "exponential smoothing per entity via grouped-map fold, "
+           "hash-checked against a recursive-CTE oracle evaluating the "
+           "identical float sequence)",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 300),
+    state AS (
+      SELECT user_id, rn, value AS l, CAST(0 AS DOUBLE) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             {_HOLT_ALPHA} * o.value + 0.7 * (s.l + s.b) AS l,
+             {_HOLT_GAMMA} * (({_HOLT_ALPHA} * o.value + 0.7 * (s.l + s.b))
+                              - s.l) + 0.9 * s.b AS b
+      FROM state s JOIN ordered o
+        ON o.user_id = s.user_id AND o.rn = s.rn + 1),
+    final AS (
+      SELECT user_id, rn, l, b,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rn DESC) AS rr
+      FROM state)
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_1
+    FROM final WHERE rr = 1 ORDER BY user_id
+    """,
+)
+def events_holt_linear_by_user(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Holt's linear method (Holt 1957 — level + trend double exponential
+    smoothing) folded per user, emitting the final state and the
+    one-step-ahead forecast level+trend — the simplest real forecasting
+    primitive a metrics warehouse maintains per entity.
+
+    Same custom-stateful-operator contract as events_ewma_by_user: the
+    recursion no window expresses runs as a grouped-map applyInPandas fold
+    (one shuffle, O(1) state per entity), and the DuckDB oracle unrolls
+    the identical float sequence as a recursive CTE — rounded only at the
+    end, so the states hash-match bit-for-bit."""
+    from server2_vector_search_server_spark.operators.temporal import (
+        holt_by_key,
+    )
+
+    events = tbl(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    out = holt_by_key(events, alpha=_HOLT_ALPHA, gamma=_HOLT_GAMMA)
+    return (out.select(
+        "user_id", "n_events",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_1"))
+        .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# 19. Dedup observability: duplicate rates per source (mirror-site scenario)
+
+@query(
+    "documents_dup_rate_by_source",
+    survey="curation extension(dedup observability: per-source exact-dup "
+           "rates — within-source distinct-digest counts and cross-source "
+           "mirror detection, the report a curation pipeline publishes "
+           "before dropping anything)",
+    oracle="""
+    WITH corpus AS (
+      SELECT source, md5(text) AS digest FROM documents
+      UNION ALL
+      SELECT 'mirror' AS source, md5(text) AS digest
+      FROM documents WHERE doc_id < 100),
+    spread AS (
+      SELECT digest, COUNT(DISTINCT source) AS n_sources
+      FROM corpus GROUP BY digest)
+    SELECT c.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT c.digest) AS n_unique,
+           COUNT(*) FILTER (s.n_sources >= 2) AS n_cross_source
+    FROM corpus c JOIN spread s ON s.digest = c.digest
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def documents_dup_rate_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Duplicate-rate observability per source over a mirror-site corpus
+    (the first 100 docs replayed under a 'mirror' source): per source, raw
+    doc count, within-source distinct digests, and how many docs are
+    cross-source duplicates — the report that justifies a dedup pass and
+    attributes it to offending domains before any row is dropped.
+
+    Scale shape: one digest-grain aggregate (count distinct sources per
+    digest — partial-aggregable), one broadcast-scale join back, one
+    source-grain conditional aggregate. Content never moves — only
+    128-bit digests shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    corpus = (docs.select("source", F.md5("text").alias("digest"))
+              .unionByName(
+                  docs.filter(F.col("doc_id") < 100)
+                  .select(F.lit("mirror").alias("source"),
+                          F.md5("text").alias("digest"))))
+    spread = (corpus.groupBy("digest")
+              .agg(F.count_distinct("source").alias("n_sources")))
+    return (corpus.join(spread, "digest")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("digest").alias("n_unique"),
+                 F.count(F.when(F.col("n_sources") >= 2, 1))
+                 .alias("n_cross_source"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# 20. MinHash banding PR curve (threshold sweep of the fixed-band index)
+
+_PR_THRESHOLDS = (0.35, 0.5, 0.65, 0.8)
+
+
+@query(
+    "dedup_minhash_pr_curve",
+    survey="north-star dedup (LSH tuning curve: recall/precision of the "
+           "FIXED banded index against exact-Jaccard truth at a sweep of "
+           "thresholds — the b×r S-curve read off empirically, one "
+           "hash-checked row per threshold)",
+    oracle=None,  # installed below from the dedup fragments
+)
+def dedup_minhash_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning view behind dedup_minhash_quality_eval's single point:
+    hold the banded index fixed (8 bands × 16 rows) and sweep the truth
+    threshold — banding recall rises along the S-curve as the threshold
+    moves past the bands' ~50% collision point, while candidate precision
+    against looser truth falls. This is exactly how production LSH picks
+    b×r: sweep on an affordable slice, deploy the banding that clears the
+    recall target at the contract threshold.
+
+    Scale honesty (same as the single-point eval): TRUTH is the quadratic
+    pair join, affordable only at eval-slice size; the candidate side is
+    the banded equi-join that scales. Both pair sets materialize ONCE
+    (eager localCheckpoint) and the sweep is conditional aggregation over
+    the flagged pairs — thresholds add zero extra joins."""
+    from server2_vector_search_server_spark.operators import dedup
+    from server2_vector_search_server_spark.plans.dedup_queries import (
+        _docs_with_dups,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    truth = (dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+             .localCheckpoint(eager=True))
+    cand = (dedup.minhash_candidate_pairs(dedup.add_minhash(docs))
+            .withColumn("_in_cand", F.lit(True))
+            .localCheckpoint(eager=True))
+    n_cand = cand.count()
+    flagged = (truth.join(cand, ["id_a", "id_b"], "left")
+               .select("jaccard",
+                       F.coalesce("_in_cand", F.lit(False))
+                       .alias("in_cand")))
+    th = spark.createDataFrame([(t,) for t in _PR_THRESHOLDS],
+                               "threshold double")
+    hit = (F.col("jaccard") >= F.col("threshold")) & F.col("in_cand")
+    return (flagged.crossJoin(F.broadcast(th))
+            .groupBy("threshold")
+            .agg(F.count(F.when(F.col("jaccard") >= F.col("threshold"), 1))
+                 .alias("n_truth"),
+                 F.count(F.when(hit, 1)).alias("n_hits"))
+            .select("threshold", "n_truth", "n_hits",
+                    F.lit(n_cand).cast("long").alias("n_candidates"),
+                    F.round(F.col("n_hits").cast("double")
+                            / F.col("n_truth"), 6).alias("recall"),
+                    F.round(F.col("n_hits").cast("double")
+                            / F.lit(float(n_cand)), 6).alias("precision"))
+            .orderBy("threshold"))
+
+
+def _install_pr_curve_oracle() -> None:
+    from server2_vector_search_server_spark.functions.text import (
+        sql_token_hash,
+        sql_word_shingles,
+    )
+    from server2_vector_search_server_spark.plans import dedup_queries as dq
+    from server2_vector_search_server_spark.plans.registry import (
+        REGISTRY,
+        RegisteredQuery,
+    )
+
+    ths = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+    sql = f"""
+    WITH docs2 AS ({dq._SQL_DOCS}),
+    sh AS (SELECT doc_id, {sql_word_shingles('text', 3)} AS sh FROM docs2),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             {dq._SQL_JACCARD_EXPR} AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    hs AS (
+      SELECT doc_id,
+             list_transform({sql_word_shingles('text', 3)},
+                            s -> {sql_token_hash('s')}) AS hashes
+      FROM docs2),
+    sigs AS (SELECT doc_id, {dq._sql_minhash_sig('hashes')} AS sig FROM hs),
+    bands AS ({dq._sql_band_selects('sigs')}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_index, band_key)
+      WHERE a.doc_id < b.doc_id),
+    flagged AS (
+      SELECT jac.j, (c.id_a IS NOT NULL) AS in_cand
+      FROM jac LEFT JOIN cand c
+        ON c.id_a = jac.id_a AND c.id_b = jac.id_b),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+    th AS (SELECT CAST(t AS DOUBLE) AS threshold
+           FROM (VALUES {ths}) v(t))
+    SELECT th.threshold,
+           CAST(COUNT(*) FILTER (j >= th.threshold) AS BIGINT) AS n_truth,
+           CAST(COUNT(*) FILTER (j >= th.threshold AND in_cand) AS BIGINT)
+             AS n_hits,
+           nc.n_candidates,
+           ROUND(CAST(COUNT(*) FILTER (j >= th.threshold AND in_cand)
+                      AS DOUBLE)
+                 / COUNT(*) FILTER (j >= th.threshold), 6) AS recall,
+           ROUND(CAST(COUNT(*) FILTER (j >= th.threshold AND in_cand)
+                      AS DOUBLE)
+                 / nc.n_candidates, 6) AS precision
+    FROM flagged CROSS JOIN th CROSS JOIN nc
+    GROUP BY th.threshold, nc.n_candidates
+    ORDER BY th.threshold
+    """
+    rq = REGISTRY["dedup_minhash_pr_curve"]
+    REGISTRY["dedup_minhash_pr_curve"] = RegisteredQuery(
+        rq.name, rq.fn, sql, rq.survey_ref)
+
+
+_install_pr_curve_oracle()
