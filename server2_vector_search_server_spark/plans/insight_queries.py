@@ -1636,3 +1636,261 @@ def _install_pr_curve_oracle() -> None:
 
 
 _install_pr_curve_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 21. Salted skew JOIN (replicate-the-small-side; exact equality contract)
+
+_SKEW_SALTS = 16
+
+
+@query(
+    "events_salted_skew_join",
+    survey="scale-extension(skew-mitigated JOIN: hot fact key salted into "
+           "16 sub-keys, dimension replicated across the salt domain — the "
+           "join twin of events_salted_hot_key_agg, hash-equal to the "
+           "plain join)",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN user_id >= 500 THEN 0 ELSE user_id END AS hot_key,
+             value
+      FROM events),
+    dim AS (
+      SELECT DISTINCT CASE WHEN user_id >= 500 THEN 0 ELSE user_id END
+               AS hot_key,
+             CASE WHEN (CASE WHEN user_id >= 500 THEN 0 ELSE user_id END)
+                  % 2 = 0 THEN 'even' ELSE 'odd' END AS segment
+      FROM events)
+    SELECT d.segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(f.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+)
+def events_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated JOIN as a registered contract: half the fact table
+    collapses onto one hot key, which in a plain shuffle join lands on ONE
+    reducer. The salted rewrite appends a deterministic salt to the fact
+    side and replicates the (small) dimension across the full salt domain,
+    so the hot key's rows spread over 16 reducers — and the result must
+    hash-equal the plain join, because salting only re-keys the exchange,
+    never the join predicate. This is the hand-rolled twin of AQE's
+    skew-join splitting, registered so the equality is hash-proven (the
+    join sibling of events_salted_hot_key_agg).
+
+    The dimension replication is an in-array fan-out (explode of the salt
+    sequence) — dim × 16 rows, still broadcast-scale; at cluster scale
+    with a non-broadcastable dim this is exactly the replicate-fraction
+    strategy of skewed-join papers (e.g. Beame et al. shares)."""
+    ev = tbl(spark, sf_dir, "events")
+    hot_key = F.when(F.col("user_id") >= 500, 0).otherwise(
+        F.col("user_id"))
+    fact = ev.select(hot_key.alias("hot_key"), "value")
+    # dim from a FRESH scan — deriving it from `fact` would share lineage
+    # with the join's other side (ROUND_NOTES r3 same-lineage gotcha)
+    dim = (tbl(spark, sf_dir, "events")
+           .select(hot_key.alias("hot_key")).distinct()
+           .withColumn("segment",
+                       F.when(F.col("hot_key") % 2 == 0, "even")
+                       .otherwise("odd")))
+    # fact side: deterministic salt; dim side: replicate across salts
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.hash(F.col("value").cast("string")),
+                        F.lit(_SKEW_SALTS)))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(_SKEW_SALTS - 1))))
+    joined = salted_fact.join(salted_dim, ["hot_key", "_salt"])
+    return (joined.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_cents"))
+            .orderBy("segment"))
+
+
+# ---------------------------------------------------------------------------
+# 22. Faceted search: one scan -> facet counts via grouping sets
+
+@query(
+    "search_faceted_counts",
+    survey="retrieval extension(faceted navigation: per-facet value counts "
+           "for a filtered result set in ONE grouping-sets scan — the "
+           "sidebar every search UI renders next to the hits)",
+    oracle="""
+    WITH hits AS (
+      SELECT lang, source,
+             CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 350 THEN 'medium' ELSE 'long' END
+               AS length_bucket
+      FROM documents WHERE n_chars >= 50)
+    SELECT facet, facet_value, n FROM (
+      SELECT 'lang' AS facet, lang AS facet_value, COUNT(*) AS n
+      FROM hits GROUP BY lang
+      UNION ALL
+      SELECT 'source', source, COUNT(*) FROM hits GROUP BY source
+      UNION ALL
+      SELECT 'length', length_bucket, COUNT(*) FROM hits
+      GROUP BY length_bucket)
+    ORDER BY facet, facet_value
+    """,
+)
+def search_faceted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted navigation counts: for the filtered result set, the count
+    of hits per value of each facet dimension (language, source, length
+    bucket), computed in a SINGLE scan via GROUPING SETS — Spark expands
+    one pass over the hits into all three groupings (the Expand operator),
+    instead of the three separate scans the UNION-ALL formulation (the
+    oracle's, for clarity) would run.
+
+    Scale shape: one scan + one Expand(×3) + one partial-aggregable
+    groupBy; facet cardinality bounds the exchange. The filter reaches
+    the parquet scan (n_chars is a column-level predicate)."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("n_chars") >= 50)
+    hits = docs.select(
+        "lang", "source",
+        F.when(F.col("n_chars") < 200, "short")
+        .when(F.col("n_chars") < 350, "medium")
+        .otherwise("long").alias("length_bucket"))
+    gs = (hits.groupingSets(
+        [["lang"], ["source"], ["length_bucket"]],
+        "lang", "source", "length_bucket")
+        .agg(F.count(F.lit(1)).alias("n")))
+    facet = (F.when(F.col("lang").isNotNull(), "lang")
+             .when(F.col("source").isNotNull(), "source")
+             .otherwise("length"))
+    value = F.coalesce("lang", "source", "length_bucket")
+    return (gs.select(facet.alias("facet"), value.alias("facet_value"),
+                      "n")
+            .orderBy("facet", "facet_value"))
+
+
+# ---------------------------------------------------------------------------
+# 23. Partition-spec evolution (daily -> hourly layout, merged reads)
+
+@query(
+    "store_partition_spec_evolution",
+    survey="store extension(partition-spec evolution: history written "
+           "under a date-grain layout, new data under date+hour, one "
+           "logical table reads both layouts — the lakehouse migration "
+           "that must not rewrite history)",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY day ORDER BY day LIMIT 14
+    """,
+)
+def store_partition_spec_evolution(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Partition-spec evolution without history rewrite: the first week of
+    events is stored partitioned by DATE (the original spec); later data
+    lands under the evolved DATE+HOUR spec in a separate root; the logical
+    table is the union of both layouts, and a day-grain report over it
+    must hash-match the plain table — proving reads are layout-agnostic.
+    This is the Iceberg/Delta partition-evolution contract expressed with
+    explicit roots: old files keep their spec forever, new files get the
+    finer one, queries see one table.
+
+    Scale shape: both branches prune partitions on the day predicate
+    (date=... directories); the hour-grain branch additionally prunes to
+    hour directories for intra-day queries. The union is a metadata
+    concat — no shuffle until the final aggregate."""
+    from server2_vector_search_server_spark.plans.registry import scratch_dir
+
+    ev = (tbl(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts"))
+          .withColumn("hour", F.hour("ts")))
+    cutoff = "2024-01-08"
+    root = scratch_dir("pspec_evolution_")
+    (ev.filter(F.col("day") < F.lit(cutoff)).drop("hour")
+     .write.mode("overwrite").partitionBy("day")
+     .parquet(root + "/daily"))
+    (ev.filter(F.col("day") >= F.lit(cutoff))
+     .write.mode("overwrite").partitionBy("day", "hour")
+     .parquet(root + "/hourly"))
+
+    old = spark.read.parquet(root + "/daily")
+    new = spark.read.parquet(root + "/hourly").drop("hour")
+    table = old.unionByName(new)
+    return (table.groupBy(F.date_format("day", "yyyy-MM-dd")
+                          .alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("event_type").alias("n_types"))
+            .orderBy("day").limit(14))
+
+
+# ---------------------------------------------------------------------------
+# 24. Funnel time-to-convert (stage-delta distributions)
+
+@query(
+    "events_funnel_time_to_convert",
+    survey="event-analytics extension(funnel latency: per-user "
+           "view->click->purchase stage deltas, median and p90 seconds "
+           "per transition — the 'how long does conversion take' view on "
+           "top of the conversion-rate funnel)",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+    deltas AS (
+      SELECT 'view_to_click' AS transition,
+             date_diff('second', v.t1, c.t2) AS secs
+      FROM v JOIN c ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 'click_to_purchase',
+             date_diff('second', c.t2, p.t3)
+      FROM c JOIN p ON c.user_id = p.user_id)
+    SELECT transition,
+           COUNT(*) AS n_users,
+           CAST(median(secs) AS DOUBLE) AS median_secs,
+           CAST(quantile_cont(secs, 0.9) AS DOUBLE) AS p90_secs
+    FROM deltas GROUP BY transition ORDER BY transition
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Funnel latency on top of events_funnel_conversion's stage times:
+    per converting user, the seconds between first view → first subsequent
+    click → first subsequent purchase, summarized as median and p90 per
+    transition — the metric that distinguishes a slow funnel from a leaky
+    one.
+
+    Scale shape: identical to the rate funnel (type-pushed scans reduced
+    to one MIN(ts) per user, user-sized stage joins); the percentile runs
+    over ≤ one delta per converting user. Durations are integer floor-
+    second diffs (engine-portable); exact interpolated percentiles via
+    percentile() on integers match quantile_cont."""
+    ev = tbl(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c.select("user_id", "t2"), "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    d1 = (v.join(c, "user_id")
+          .select(F.lit("view_to_click").alias("transition"),
+                  (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+                  .alias("secs")))
+    d2 = (c.join(p, "user_id")
+          .select(F.lit("click_to_purchase").alias("transition"),
+                  (F.unix_timestamp("t3") - F.unix_timestamp("t2"))
+                  .alias("secs")))
+    return (d1.unionByName(d2)
+            .groupBy("transition")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.percentile("secs", F.lit(0.5)).alias("median_secs"),
+                 F.percentile("secs", F.lit(0.9)).alias("p90_secs"))
+            .orderBy("transition"))
