@@ -47,7 +47,7 @@ def bench(label, df, runs=3):
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    print(f"  {label:: <46} {best:6.2f} s (best of {runs})")
+    print(f"  {label:<46} {best:6.2f} s (best of {runs})")
     return best
 
 
