@@ -1894,3 +1894,259 @@ def events_funnel_time_to_convert(spark: SparkSession,
                  F.percentile("secs", F.lit(0.5)).alias("median_secs"),
                  F.percentile("secs", F.lit(0.9)).alias("p90_secs"))
             .orderBy("transition"))
+
+
+# ---------------------------------------------------------------------------
+# 25. Mahalanobis-style OOD scoring per label (diagonal covariance)
+
+_OOD_EPS = "0.000000001"   # 1e-9 as a literal both engines parse identically
+_OOD_TOP = 20
+
+
+@query(
+    "embedding_ood_mahalanobis",
+    survey="training extension(out-of-distribution scoring: per-label "
+           "diagonal-covariance Mahalanobis distance from exact integer "
+           "moment sums — the embedding-space data-quality screen that "
+           "flags mislabeled / outlier vectors for curation)",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(d AS INTEGER) AS d,
+             embedding[CAST(d AS INTEGER) + 1] AS x
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS u(d)),
+    m AS (
+      SELECT label, d,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000000) AS BIGINT))
+               AS s1,
+             SUM(CAST(ROUND(CAST(x AS DOUBLE) * x * 1000000000000)
+                      AS BIGINT)) AS s2
+      FROM e GROUP BY label, d),
+    stats AS (
+      SELECT label, d,
+             (s1 / 1000000000.0) / n AS mu,
+             (s2 / 1000000000000.0) / n
+               - ((s1 / 1000000000.0) / n) * ((s1 / 1000000000.0) / n)
+               AS var
+      FROM m),
+    terms AS (
+      SELECT e.vec_id,
+             CAST(ROUND(ROUND((CAST(e.x AS DOUBLE) - s.mu)
+                              * (CAST(e.x AS DOUBLE) - s.mu)
+                              / (s.var + {_OOD_EPS}), 6) * 1000000)
+                  AS BIGINT) AS t_micro
+      FROM e JOIN stats s ON s.label = e.label AND s.d = e.d)
+    SELECT vec_id, ROUND(SUM(t_micro) / 1000000.0, 6) AS ood_score
+    FROM terms GROUP BY vec_id
+    ORDER BY SUM(t_micro) DESC, vec_id LIMIT {_OOD_TOP}
+    """,
+)
+def embedding_ood_mahalanobis(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Out-of-distribution screening (Lee et al. 2018's Mahalanobis
+    detector, diagonal-covariance form): fit per-label mean/variance per
+    dimension from EXACT integer moment sums (s1, s2 in micro-units, so
+    μ and σ² are identical closed forms on any engine), then score each
+    vector by Σ_d (x_d − μ)²/(σ²_d + ε) against ITS OWN label — the
+    top-scoring vectors are the mislabeled/outlier candidates a curation
+    pass reviews first.
+
+    Scale shape: one posexplode pass → (label, dim)-grain moment
+    aggregation (bounded by labels × dims, partial-aggregable), a
+    broadcast-scale stats join back, and a per-vector integer fold. The
+    moment-sum trick is the same exactness discipline as the registry's
+    exact-sum rule — variance from exact s1/s2 beats Welford for parity
+    because it is order-free."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label",
+                   F.posexplode("embedding").alias("d", "x"))
+    m = (e.groupBy("label", "d")
+         .agg(F.count(F.lit(1)).alias("n"),
+              # cast BEFORE scaling: float32 * int coerces to float32 in
+              # Spark but to double in DuckDB — tens of micro-units apart
+              F.sum(F.round(F.col("x").cast("double") * 1_000_000_000)
+                    .cast("long")).alias("s1"),
+              F.sum(F.round(F.col("x").cast("double") * F.col("x")
+                            * 1_000_000_000_000).cast("long"))
+              .alias("s2")))
+    mu = (F.col("s1") / 1_000_000_000.0) / F.col("n")
+    var = ((F.col("s2") / 1_000_000_000_000.0) / F.col("n")) - mu * mu
+    stats = m.select(F.col("label").alias("s_label"),
+                     F.col("d").alias("s_d"),
+                     mu.alias("mu"), var.alias("var"))
+    dx = F.col("x").cast("double") - F.col("mu")
+    t_micro = (F.round(F.round(dx * dx / (F.col("var")
+                                          + float(_OOD_EPS)), 6)
+                       * 1_000_000).cast("long"))
+    terms = (e.join(F.broadcast(stats),
+                    (e.label == stats.s_label) & (e.d == stats.s_d))
+             .select("vec_id", t_micro.alias("t_micro")))
+    agg = terms.groupBy("vec_id").agg(F.sum("t_micro").alias("_s"))
+    return (agg.orderBy(F.col("_s").desc(), "vec_id").limit(_OOD_TOP)
+            .select("vec_id",
+                    F.round(F.col("_s") / 1_000_000.0, 6)
+                    .alias("ood_score")))
+
+
+# ---------------------------------------------------------------------------
+# 26. Customer LTV by acquisition cohort
+
+@query(
+    "customer_ltv_cohorts",
+    survey="OLAP extension(lifetime-value triangle: customers grouped by "
+           "first-order year, revenue tracked by years-since-acquisition "
+           "— the cohort LTV report every subscription/commerce warehouse "
+           "maintains)",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(year(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    facts AS (
+      SELECT f.cohort,
+             year(o.o_orderdate) - f.cohort AS k,
+             o.o_custkey, o.o_totalprice
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+    SELECT cohort, CAST(k AS INTEGER) AS years_since_first,
+           COUNT(DISTINCT o_custkey) AS n_active,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM facts GROUP BY cohort, k ORDER BY cohort, k
+    """,
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV triangle: customers cohorted by acquisition year (their
+    first order), revenue and active-customer counts tracked by offset
+    years — reading down a column compares cohort quality, reading across
+    a row shows retention decay.
+
+    Scale shape: the firsts aggregate is one partial-aggregable groupBy
+    (customer-grain output); joined back broadcast-or-bucketed; the
+    triangle itself is bounded by years² cells. Same pattern as
+    events_cohort_retention at the relational grain."""
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.min(F.year("o_orderdate")).alias("cohort"))
+              .select(F.col("o_custkey").alias("f_custkey"), "cohort"))
+    facts = (orders.join(F.broadcast(firsts),
+                         orders.o_custkey == firsts.f_custkey)
+             .select("cohort",
+                     (F.year("o_orderdate") - F.col("cohort"))
+                     .cast("int").alias("years_since_first"),
+                     "o_custkey", "o_totalprice"))
+    return (facts.groupBy("cohort", "years_since_first")
+            .agg(F.count_distinct("o_custkey").alias("n_active"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("revenue_cents"))
+            .orderBy("cohort", "years_since_first"))
+
+
+# ---------------------------------------------------------------------------
+# 27. Snapshot diff (added / removed / changed between two table versions)
+
+@query(
+    "store_snapshot_diff",
+    survey="store extension(snapshot diff: added/removed/changed rows "
+           "between two table versions via digest full-outer join — the "
+           "audit report behind every lakehouse 'what changed' question)",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS dig FROM documents WHERE doc_id < 200),
+    v2 AS (
+      SELECT doc_id, md5(CASE WHEN doc_id < 15 THEN upper(text)
+                              ELSE text END) AS dig
+      FROM documents
+      WHERE doc_id >= 10 AND doc_id < 210),
+    d AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.dig <> v2.dig THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT change_type, COUNT(*) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+)
+def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version diff between two committed snapshots: v2 drops doc 0-9,
+    adds 200-209, and rewrites 10-14 (uppercased) — the diff classifies
+    every key as added / removed / changed / unchanged by a digest
+    full-outer join, the audit view a lakehouse serves for 'what did that
+    commit touch'. Both versions are materialized parquet (immutable
+    snapshot files, as the SnapshotChunkStore commits them).
+
+    Scale shape: one full-outer join keyed on the row id, comparing
+    128-bit digests — content never moves; the summary is a four-row
+    aggregate. At 100 TB the join prunes to the partitions either
+    manifest lists as changed."""
+    from server2_vector_search_server_spark.plans.registry import scratch_dir
+
+    docs = tbl(spark, sf_dir, "documents")
+    root = scratch_dir("snap_diff_")
+    (docs.filter(F.col("doc_id") < 200)
+     .select("doc_id", F.md5("text").alias("dig"))
+     .write.mode("overwrite").parquet(root + "/v1"))
+    (docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 210))
+     .select("doc_id",
+             F.md5(F.when(F.col("doc_id") < 15, F.upper("text"))
+                   .otherwise(F.col("text"))).alias("dig"))
+     .write.mode("overwrite").parquet(root + "/v2"))
+    v1 = spark.read.parquet(root + "/v1").select(
+        F.col("doc_id").alias("id1"), F.col("dig").alias("dig1"))
+    v2 = spark.read.parquet(root + "/v2").select(
+        F.col("doc_id").alias("id2"), F.col("dig").alias("dig2"))
+    d = (v1.join(v2, v1.id1 == v2.id2, "full_outer")
+         .select(F.coalesce("id1", "id2").alias("doc_id"),
+                 F.when(F.col("id1").isNull(), "added")
+                 .when(F.col("id2").isNull(), "removed")
+                 .when(F.col("dig1") != F.col("dig2"), "changed")
+                 .otherwise("unchanged").alias("change_type")))
+    return (d.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").cast("long").alias("min_doc_id"),
+                 F.max("doc_id").cast("long").alias("max_doc_id"))
+            .orderBy("change_type"))
+
+
+# ---------------------------------------------------------------------------
+# 28. Parameterized SQL (named-argument spark.sql against registered views)
+
+@query(
+    "sql_parameterized_query",
+    survey="SQL-surface extension(parameterized queries: named :arg "
+           "binding via spark.sql(..., args=...) — injection-safe "
+           "templating at the engine API, same result as the literal "
+           "form)",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_totalprice > 150000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL execution: the query text carries ``:cutoff`` /
+    ``:min_value`` placeholders and values bind at execution — the
+    injection-safe templating surface (Spark 3.4+ ``spark.sql(args=...)``)
+    a query service exposes instead of string interpolation. Binding is a
+    parse-time substitution, so the optimized plan (pushed filters,
+    partial aggs) is identical to the literal query the oracle runs."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders_v
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_value
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "1996-01-01", "min_value": 150000.0})
