@@ -2150,3 +2150,192 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         args={"cutoff": "1996-01-01", "min_value": 150000.0})
+
+
+# ---------------------------------------------------------------------------
+# 29. Item-item collaborative filtering (cosine over co-purchase sets)
+
+_CF_MAX_BASKET = 64
+_CF_TOP_PAIRS = 50
+
+
+@query(
+    "recommend_item_item_cosine",
+    survey="recommendation extension(item-item collaborative filtering: "
+           "co-purchase cosine over customer baskets, the Amazon-style "
+           "'customers who bought X also bought Y' neighborhood model — "
+           "in-array pair generation, degree-capped like the link-pred "
+           "fan-out)",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pcount AS (SELECT part, COUNT(*) AS n FROM items GROUP BY part),
+    baskets AS (
+      SELECT cust, list_sort(list_distinct(list(part))) AS parts
+      FROM items GROUP BY cust),
+    pairs AS (
+      SELECT parts[i + 1] AS p1, parts[j + 1] AS p2
+      FROM baskets,
+           UNNEST(range(0, len(parts) - 1)) AS ui(i),
+           UNNEST(range(0, len(parts))) AS uj(j)
+      WHERE j > i AND len(parts) BETWEEN 2 AND {_CF_MAX_BASKET}),
+    cooc AS (
+      SELECT p1, p2, COUNT(*) AS n_both FROM pairs GROUP BY p1, p2
+      HAVING COUNT(*) >= 2)
+    SELECT c.p1, c.p2, CAST(c.n_both AS BIGINT) AS n_both,
+           ROUND(CAST(c.n_both AS DOUBLE)
+                 / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 6)
+             AS cosine
+    FROM cooc c
+    JOIN pcount a ON a.part = c.p1
+    JOIN pcount b ON b.part = c.p2
+    ORDER BY cosine DESC, p1, p2 LIMIT {_CF_TOP_PAIRS}
+    """,
+)
+def recommend_item_item_cosine(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Item-item neighborhood recommendations (Sarwar et al. 2001 /
+    Linden et al. 2003, public methods): similarity between catalog items
+    as the cosine of their co-purchase incidence —
+    n_both / √(n_p1 · n_p2) — over distinct (customer, part) baskets,
+    support-thresholded, top-50 pairs.
+
+    Scale shape: the same density-aware in-array fan-out as
+    graph_adamic_adar_links (one groupBy into per-customer part sets,
+    basket-size cap, packed pair keys would apply identically at larger
+    corpora); item supports are a catalog-sized aggregate, so both
+    normalization joins broadcast. This is the co-occurrence kernel
+    behind every 'also bought' surface."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    items = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select(F.col("o_custkey").alias("cust"),
+                     F.col("l_partkey").alias("part"))
+             .distinct())
+    pcount = items.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    baskets = (items.groupBy("cust")
+               .agg(F.sort_array(F.collect_set("part")).alias("parts"))
+               .filter((F.size("parts") >= 2)
+                       & (F.size("parts") <= _CF_MAX_BASKET))
+               .repartition(max(8, spark.sparkContext
+                                .defaultParallelism // 4), "cust"))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(parts) - 2), i -> "
+        "transform(sequence(i + 1, size(parts) - 1), j -> "
+        "named_struct('p1', parts[i], 'p2', parts[j]))))")
+    cooc = (baskets.select(F.explode(pair_expr).alias("p"))
+            .select(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+            .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_both"))
+            .filter(F.col("n_both") >= 2))
+    a = pcount.select(F.col("part").alias("_pa"), F.col("n").alias("_na"))
+    b = pcount.select(F.col("part").alias("_pb"), F.col("n").alias("_nb"))
+    cosine = F.round(
+        F.col("n_both").cast("double")
+        / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+        6)
+    return (cooc
+            .join(F.broadcast(a), F.col("p1") == F.col("_pa"))
+            .join(F.broadcast(b), F.col("p2") == F.col("_pb"))
+            .select("p1", "p2", F.col("n_both").cast("long").alias("n_both"),
+                    cosine.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "p1", "p2")
+            .limit(_CF_TOP_PAIRS))
+
+
+# ---------------------------------------------------------------------------
+# 30. SymSpell spell correction (delete-variant equi-join, no distance scan)
+
+_SPELL_MIN_LEN = 4
+_SPELL_MIN_FREQ = 5
+_SPELL_QUERIES = ("tabl", "quury", "vectr", "windw", "filtr")
+_SPELL_TOP = 3
+_SQL_SPELL_QUERIES = ", ".join(f"('{q}')" for q in _SPELL_QUERIES)
+
+
+def _sql_deletes(expr: str) -> str:
+    """All 1-deletes of a term plus the term itself (DuckDB)."""
+    return (f"list_append(list_transform(range(1, length({expr}) + 1), "
+            f"i -> substr({expr}, 1, CAST(i AS INTEGER) - 1) || "
+            f"substr({expr}, CAST(i AS INTEGER) + 1)), {expr})")
+
+
+@query(
+    "search_spell_symspell",
+    survey="retrieval extension(SymSpell spell correction: dictionary and "
+           "query expand to 1-delete variants, candidates from the "
+           "delete-key EQUI-JOIN, exact edit-distance verify, frequency "
+           "ranking — no dictionary-wide distance scan)",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT t.term, COUNT(*) AS freq
+      FROM documents, UNNEST(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))
+           AS t(term)
+      WHERE length(t.term) >= {_SPELL_MIN_LEN}
+      GROUP BY t.term HAVING COUNT(*) >= {_SPELL_MIN_FREQ}),
+    dict_keys AS (
+      SELECT term, freq, k.key
+      FROM vocab, UNNEST({_sql_deletes('term')}) AS k(key)),
+    queries AS (SELECT q FROM (VALUES {_SQL_SPELL_QUERIES}) v(q)),
+    query_keys AS (
+      SELECT q, k.key FROM queries, UNNEST({_sql_deletes('q')}) AS k(key)),
+    cand AS (
+      SELECT DISTINCT q.q, d.term, d.freq
+      FROM query_keys q JOIN dict_keys d ON d.key = q.key
+      WHERE levenshtein(q.q, d.term) <= 1)
+    SELECT q AS query, term AS suggestion, CAST(freq AS BIGINT) AS freq,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT q, term, freq,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY freq DESC, term) AS rank
+      FROM cand)
+    WHERE rank <= {_SPELL_TOP}
+    ORDER BY query, rank
+    """,
+)
+def search_spell_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell spell correction (Garbe's public algorithm): the
+    dictionary's 1-delete variants are precomputed once, the query's
+    1-delete variants are generated at lookup, and edit-distance-≤1
+    candidates fall out of an EQUI-JOIN on shared delete keys — deletes
+    alone cover insertions, deletions, AND substitutions at distance 1.
+    A final exact levenshtein verifies (delete-key collisions can reach
+    distance 2), and suggestions rank by corpus frequency.
+
+    Scale shape: this is the spell-check that works at vocabulary scale —
+    the dictionary-side expansion is ~(1 + len) keys per term built once
+    (at 100 TB: materialized + bucketed on key), lookup is a hash join on
+    the key column, and NOTHING scans the dictionary per query, unlike
+    the naive min-levenshtein-over-vocab formulation."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                         .alias("term"))
+             .filter(F.length("term") >= _SPELL_MIN_LEN)
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+             .filter(F.col("freq") >= _SPELL_MIN_FREQ))
+    deletes = ("array_append(transform(sequence(1, length({c})), i -> "
+               "concat(substring({c}, 1, i - 1), "
+               "substring({c}, i + 1, length({c})))), {c})")
+    dict_keys = (vocab.select(
+        "term", "freq",
+        F.explode(F.expr(deletes.format(c="term"))).alias("key")))
+    queries = spark.createDataFrame([(q,) for q in _SPELL_QUERIES],
+                                    "q string")
+    query_keys = (queries.select(
+        "q", F.explode(F.expr(deletes.format(c="q"))).alias("key")))
+    cand = (dict_keys.join(F.broadcast(query_keys), "key")
+            .filter(F.levenshtein("q", "term") <= 1)
+            .select("q", "term", "freq").distinct())
+    w = Window.partitionBy("q").orderBy(F.col("freq").desc(),
+                                        F.col("term").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _SPELL_TOP)
+            .select(F.col("q").alias("query"),
+                    F.col("term").alias("suggestion"),
+                    F.col("freq").cast("long").alias("freq"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("query", "rank"))
