@@ -2339,3 +2339,208 @@ def search_spell_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("freq").cast("long").alias("freq"),
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("query", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# 31. TextRank extractive summarization (per-doc sentence graph, unrolled)
+
+_TR_DOCS = 40        # summarize doc_id < 40
+_TR_WINDOW = 12      # pseudo-sentence = 12-token window (corpus has no
+                     # punctuation; a real sentence splitter swaps in at
+                     # the segmentation expression)
+_TR_MIN_SHARED = 2   # edge iff >= 2 shared tokens
+_TR_DAMPING = "0.85"
+_TR_ROUNDS = 2
+_TR_SCALE = 9
+_TR_TOP = 2
+
+
+def _textrank_oracle() -> str:
+    from server2_vector_search_server_spark.plans.registry import (
+        sql_exact_sum,
+    )
+
+    w = _TR_WINDOW
+    rounds = []
+    for i in range(1, _TR_ROUNDS + 1):
+        contrib = sql_exact_sum(
+            "(p.pr * (e.w_micro / CAST(e.outw_micro AS DOUBLE)))",
+            _TR_SCALE)
+        rounds.append(f"""
+    c{i} AS (
+      SELECT e.doc_id, e.dst AS sid, {contrib} AS contrib
+      FROM ed e JOIN pr{i - 1} p
+        ON p.doc_id = e.doc_id AND p.sid = e.src
+      GROUP BY e.doc_id, e.dst),
+    pr{i} AS (
+      SELECT s.doc_id, s.sid,
+             ROUND(((1.0 - {_TR_DAMPING}) / nn.n)
+                   + {_TR_DAMPING} * COALESCE(c{i}.contrib, 0.0),
+                   {_TR_SCALE}) AS pr
+      FROM sents s
+      JOIN nn ON nn.doc_id = s.doc_id
+      LEFT JOIN c{i} ON c{i}.doc_id = s.doc_id AND c{i}.sid = s.sid)""")
+    rounds_sql = ",".join(rounds)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+                                 '\\s+'), x -> x <> '') AS tk
+      FROM documents WHERE doc_id < {_TR_DOCS} AND length(trim(text)) > 0),
+    sents AS (
+      SELECT doc_id, CAST(k AS INTEGER) AS sid,
+             list_distinct(list_transform(
+               range(k * {w}, least((k + 1) * {w}, len(tk))),
+               i -> tk[CAST(i AS INTEGER) + 1])) AS s_toks
+      FROM toks,
+           UNNEST(range(CAST(ceil(len(tk) / {w}.0) AS BIGINT))) AS u(k)),
+    nn AS (SELECT doc_id, COUNT(*) AS n FROM sents GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id, a.sid AS sa, b.sid AS sb,
+             CAST(ROUND(ROUND(
+               len(list_intersect(a.s_toks, b.s_toks))
+               / (ln(len(a.s_toks) + 1) + ln(len(b.s_toks) + 1)),
+               {_TR_SCALE}) * 1000000000) AS BIGINT) AS w_micro
+      FROM sents a JOIN sents b
+        ON a.doc_id = b.doc_id AND a.sid < b.sid
+      WHERE len(list_intersect(a.s_toks, b.s_toks)) >= {_TR_MIN_SHARED}),
+    ed0 AS (
+      SELECT doc_id, sa AS src, sb AS dst, w_micro FROM pairs
+      UNION ALL
+      SELECT doc_id, sb AS src, sa AS dst, w_micro FROM pairs),
+    outw AS (
+      SELECT doc_id, src, SUM(w_micro) AS outw_micro
+      FROM ed0 GROUP BY doc_id, src),
+    ed AS (
+      SELECT e.doc_id, e.src, e.dst, e.w_micro, o.outw_micro
+      FROM ed0 e JOIN outw o ON o.doc_id = e.doc_id AND o.src = e.src),
+    pr0 AS (
+      SELECT s.doc_id, s.sid, ROUND(1.0 / nn.n, {_TR_SCALE}) AS pr
+      FROM sents s JOIN nn ON nn.doc_id = s.doc_id),
+    {rounds_sql}
+    SELECT doc_id, CAST(sid AS INTEGER) AS sentence_idx,
+           ROUND(pr, 6) AS textrank,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, sid, pr,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY pr DESC, sid) AS rnk
+      FROM pr{_TR_ROUNDS})
+    WHERE rnk <= {_TR_TOP}
+    ORDER BY doc_id, rank
+    """
+
+
+@query(
+    "text_textrank_summary",
+    survey="text-analysis extension(extractive summarization: TextRank — "
+           "per-document sentence-similarity graph, damped power "
+           "iteration unrolled and hash-checked per round, top-2 "
+           "sentences per doc; the graph_pagerank discipline applied at "
+           "document granularity)",
+    oracle=_textrank_oracle(),
+)
+def text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004, public
+    method): each document's pseudo-sentences (12-token windows — the
+    corpus has no punctuation; a real splitter swaps in at the
+    segmentation expression) form a similarity graph weighted by
+    shared-token counts over log-length normalization; two damped
+    power-iteration rounds rank sentences; the top-2 per document are the
+    extractive summary.
+
+    Scale shape: EVERYTHING is partitioned by doc_id — the sentence
+    self-join, the per-round contribution aggregate, and the final top-k
+    window all reuse one hash partitioning, and no state is global: a
+    100 TB corpus summarizes embarrassingly parallel per doc. Per-round
+    ranks follow graph_pagerank's exact-parity discipline (micro-unit
+    edge weights, rounded ranks, exact-sum folds), so the iteration is
+    hash-checked, not approximated."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < _TR_DOCS)
+                    & (F.length(F.trim("text")) > 0)))
+    w, scale = _TR_WINDOW, _TR_SCALE
+    d = float(_TR_DAMPING)
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(trim(lower(text)), '\\\\s+'), "
+               "x -> x != '')").alias("tk"))
+    sents = (toks.select(
+        "doc_id",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.ceil(F.size("tk") / float(w)).cast("int") - 1)).alias("sid"))
+        .join(toks, "doc_id")
+        .select("doc_id", "sid",
+                F.expr(f"array_distinct(transform(sequence(sid * {w}, "
+                       f"least((sid + 1) * {w}, size(tk)) - 1), "
+                       f"i -> tk[i]))").alias("s_toks")))
+    nn = sents.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sents.select(F.col("doc_id").alias("d_a"),
+                     F.col("sid").alias("sa"),
+                     F.col("s_toks").alias("t_a"))
+    b = sents.select(F.col("doc_id").alias("d_b"),
+                     F.col("sid").alias("sb"),
+                     F.col("s_toks").alias("t_b"))
+    shared = F.size(F.array_intersect("t_a", "t_b"))
+    w_micro = F.round(
+        F.round(shared
+                / (F.log(F.size("t_a") + 1) + F.log(F.size("t_b") + 1)),
+                scale) * 1_000_000_000).cast("long")
+    pairs = (a.join(b, (F.col("d_a") == F.col("d_b"))
+                    & (F.col("sa") < F.col("sb")))
+             .filter(shared >= _TR_MIN_SHARED)
+             .select(F.col("d_a").alias("doc_id"), "sa", "sb",
+                     w_micro.alias("w_micro")))
+    ed0 = (pairs.select("doc_id", F.col("sa").alias("src"),
+                        F.col("sb").alias("dst"), "w_micro")
+           .unionByName(pairs.select(
+               "doc_id", F.col("sb").alias("src"),
+               F.col("sa").alias("dst"), "w_micro")))
+    outw = (ed0.groupBy("doc_id", "src")
+            .agg(F.sum("w_micro").alias("outw_micro"))
+            .select(F.col("doc_id").alias("o_doc"),
+                    F.col("src").alias("o_src"), "outw_micro"))
+    ed = (ed0.join(outw, (ed0.doc_id == F.col("o_doc"))
+                   & (ed0.src == F.col("o_src")))
+          .select("doc_id", "src", "dst", "w_micro", "outw_micro")
+          .localCheckpoint(eager=True))
+    pr = (sents.join(nn, "doc_id")
+          .select("doc_id", "sid",
+                  F.round(1.0 / F.col("n"), scale).alias("pr")))
+    base = (sents.select("doc_id", "sid")
+            .join(nn, "doc_id"))
+    for _ in range(_TR_ROUNDS):
+        prev = pr.select(F.col("doc_id").alias("p_doc"),
+                         F.col("sid").alias("p_sid"),
+                         F.col("pr").alias("p_pr"))
+        contrib = (ed.join(prev, (ed.doc_id == F.col("p_doc"))
+                           & (ed.src == F.col("p_sid")))
+                   .groupBy("doc_id", "dst")
+                   # exact-sum fold mirroring sql_exact_sum(expr, 9)
+                   # EXACTLY: round once at the scaled level, no inner
+                   # round (an asymmetric extra round is a latent 1-ulp
+                   # parity seam)
+                   .agg((F.sum(F.round(
+                       F.col("p_pr")
+                       * (F.col("w_micro")
+                          / F.col("outw_micro").cast("double"))
+                       * 1_000_000_000).cast("long"))
+                       / 1_000_000_000.0).alias("contrib"))
+                   .select(F.col("doc_id").alias("c_doc"),
+                           F.col("dst").alias("c_sid"), "contrib"))
+        pr = (base.join(contrib,
+                        (base.doc_id == F.col("c_doc"))
+                        & (base.sid == F.col("c_sid")), "left")
+              .select("doc_id", "sid",
+                      F.round((1.0 - d) / F.col("n")
+                              + d * F.coalesce("contrib", F.lit(0.0)),
+                              scale).alias("pr")))
+    wnd = Window.partitionBy("doc_id").orderBy(
+        F.col("pr").desc(), F.col("sid").asc())
+    return (pr.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= _TR_TOP)
+            .select("doc_id", F.col("sid").cast("int")
+                    .alias("sentence_idx"),
+                    F.round("pr", 6).alias("textrank"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("doc_id", "rank"))
