@@ -2544,3 +2544,258 @@ def text_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("pr", 6).alias("textrank"),
                     F.col("rank").cast("int").alias("rank"))
             .orderBy("doc_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# 32. Learning-to-rank feature assembly (one scan, all signals)
+
+_LTR_QUERIES = {0: ("join", "query"), 1: ("vector", "merge"),
+                2: ("table", "scan")}
+_LTR_DOC_LO, _LTR_DOC_HI = 10, 210
+_LTR_TOP = 20
+
+
+def _ltr_oracle() -> str:
+    from server2_vector_search_server_spark.plans.registry import sql_score
+
+    qcases_terms = " ".join(
+        f"WHEN q.qid = {qid} THEN len(list_filter(tk, "
+        f"t -> t IN ({', '.join(repr(t) for t in terms)})))"
+        for qid, terms in _LTR_QUERIES.items())
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({', '.join(str(k) for k in _LTR_QUERIES)})),
+    d AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS tk,
+             e.embedding AS dv
+      FROM documents
+      JOIN embeddings e ON e.vec_id = doc_id
+      WHERE doc_id >= {_LTR_DOC_LO} AND doc_id < {_LTR_DOC_HI}),
+    feats AS (
+      SELECT q.qid, d.doc_id,
+             {sql_score('d.dv', 'q.qv')} AS cosine_score,
+             CAST(CASE {qcases_terms} END AS BIGINT) AS term_hits,
+             CAST(d.n_chars AS BIGINT) AS n_chars,
+             CAST(len(d.tk) AS BIGINT) AS n_tokens
+      FROM d CROSS JOIN q)
+    SELECT qid, doc_id, cosine_score, term_hits, n_chars, n_tokens,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cosine_score DESC, doc_id)
+                  AS rnk
+      FROM feats)
+    WHERE rnk <= {_LTR_TOP}
+    ORDER BY qid, rank
+    """
+
+
+@query(
+    "search_ltr_feature_matrix",
+    survey="retrieval extension(learning-to-rank feature assembly: "
+           "per-(query, candidate) vector similarity + lexical hits + "
+           "document statistics in ONE corpus scan — the feature matrix "
+           "an LTR trainer consumes)",
+    oracle=_ltr_oracle(),
+)
+def search_ltr_feature_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The feature-extraction stage of a learning-to-rank pipeline: for
+    each query (a vector + its term set) and each candidate document, one
+    row of ranking signals — embedding cosine (the reference's score
+    contract), lexical term hits, document length in chars and tokens —
+    truncated to the per-query top-k by first-stage score. An LTR trainer
+    (LambdaMART etc.) consumes exactly this matrix; the engine's job is
+    assembling it in ONE scan.
+
+    Scale shape: the query set broadcasts (Q rows), the corpus+embedding
+    join is 1:1 id-aligned (bucketable), every feature is a column
+    expression computed in the same projection, and the per-query top-k
+    is a rank-limited window — Q × corpus expansion never materializes
+    beyond the window's partial top-k."""
+    from server2_vector_search_server_spark.functions.text import tokens
+    from server2_vector_search_server_spark.functions.vector import (
+        similarity_score,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id").isin(*_LTR_QUERIES))
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") >= _LTR_DOC_LO)
+                    & (F.col("doc_id") < _LTR_DOC_HI)))
+    d = (docs.join(emb.select(F.col("vec_id").alias("e_id"),
+                              F.col("embedding").alias("dv")),
+                   docs.doc_id == F.col("e_id"))
+         .select("doc_id", "n_chars",
+                 tokens(F.lower(F.col("text"))).alias("tk"), "dv"))
+    hits = F.coalesce(
+        *[F.when(F.col("qid") == qid,
+                 F.size(F.filter(F.col("tk"),
+                                 lambda t: t.isin(*terms))))
+          for qid, terms in _LTR_QUERIES.items()])
+    feats = (d.crossJoin(F.broadcast(q))
+             .select("qid", "doc_id",
+                     F.round(similarity_score(F.col("qv"), F.col("dv")),
+                             6).alias("cosine_score"),
+                     hits.cast("long").alias("term_hits"),
+                     F.col("n_chars").cast("long").alias("n_chars"),
+                     F.size("tk").cast("long").alias("n_tokens")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_score").desc(), F.col("doc_id").asc())
+    return (feats.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _LTR_TOP)
+            .select("qid", "doc_id", "cosine_score", "term_hits",
+                    "n_chars", "n_tokens",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("qid", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# 33. Burst detection (Kleinberg 2-state cost automaton, greedy labels)
+
+_BURST_S = 2.0        # burst-state rate multiplier
+_BURST_GAMMA = 1.0    # state-up transition cost factor (gamma * ln n)
+
+
+@query(
+    "events_burst_detection",
+    survey="event-analytics extension(burst detection: Kleinberg's "
+           "two-state arrival-rate automaton folded greedily per user — "
+           "loop-carried 2-state cost recursion, hash-checked against a "
+           "recursive-CTE oracle carrying both state costs)",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 300),
+    spans AS (
+      SELECT user_id, COUNT(*) AS n,
+             date_diff('second', MIN(ts), MAX(ts)) AS t_span
+      FROM ordered GROUP BY user_id HAVING COUNT(*) >= 2
+                                       AND date_diff('second', MIN(ts),
+                                                     MAX(ts)) > 0),
+    params AS (
+      SELECT user_id, n,
+             CAST(n AS DOUBLE) / t_span AS lam0,
+             {_BURST_S} * (CAST(n AS DOUBLE) / t_span) AS lam1,
+             {_BURST_GAMMA} * ln(CAST(n AS DOUBLE)) AS trans
+      FROM spans),
+    gaps AS (
+      SELECT o.user_id, o.rn,
+             date_diff('second',
+                       lag(o.ts) OVER (PARTITION BY o.user_id
+                                       ORDER BY o.rn), o.ts) AS g
+      FROM ordered o JOIN params p ON p.user_id = o.user_id),
+    state AS (
+      SELECT p.user_id, 1 AS rn,
+             CAST(0 AS DOUBLE) AS c0, p.trans AS c1,
+             0 AS lbl, CAST(0 AS BIGINT) AS n_burst_gaps,
+             CAST(0 AS BIGINT) AS n_bursts
+      FROM params p
+      UNION ALL
+      SELECT s.user_id, g.rn,
+             LEAST(s.c0, s.c1) + (p.lam0 * g.g - ln(p.lam0)) AS c0,
+             LEAST(s.c0 + p.trans, s.c1)
+               + (p.lam1 * g.g - ln(p.lam1)) AS c1,
+             CASE WHEN (LEAST(s.c0 + p.trans, s.c1)
+                        + (p.lam1 * g.g - ln(p.lam1)))
+                     < (LEAST(s.c0, s.c1) + (p.lam0 * g.g - ln(p.lam0)))
+                  THEN 1 ELSE 0 END AS lbl,
+             s.n_burst_gaps
+               + CASE WHEN (LEAST(s.c0 + p.trans, s.c1)
+                            + (p.lam1 * g.g - ln(p.lam1)))
+                         < (LEAST(s.c0, s.c1)
+                            + (p.lam0 * g.g - ln(p.lam0)))
+                      THEN 1 ELSE 0 END AS n_burst_gaps,
+             s.n_bursts
+               + CASE WHEN s.lbl = 0
+                       AND (LEAST(s.c0 + p.trans, s.c1)
+                            + (p.lam1 * g.g - ln(p.lam1)))
+                          < (LEAST(s.c0, s.c1)
+                             + (p.lam0 * g.g - ln(p.lam0)))
+                      THEN 1 ELSE 0 END AS n_bursts
+      FROM state s
+      JOIN gaps g ON g.user_id = s.user_id AND g.rn = s.rn + 1
+      JOIN params p ON p.user_id = s.user_id),
+    final AS (
+      SELECT user_id, rn, c0, c1, n_burst_gaps, n_bursts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rn DESC) AS rr
+      FROM state)
+    SELECT user_id, CAST(rn - 1 AS BIGINT) AS n_gaps,
+           n_burst_gaps, n_bursts,
+           ROUND(c0, 6) AS cost_base, ROUND(c1, 6) AS cost_burst
+    FROM final WHERE rr = 1 ORDER BY user_id
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection à la Kleinberg 2002 (the public two-state
+    arrival-rate automaton): per user, inter-arrival gaps are costed under
+    a baseline rate λ₀ = n/T and a burst rate 2λ₀, a state-up transition
+    charges γ·ln n, and the running minimal costs label each gap greedily
+    (the forward-only reading of the automaton — no backtracking pass, so
+    the fold stays single-direction and streamable). Outputs per user:
+    burst-labeled gap count, burst-episode count, and both final costs.
+
+    Same custom-stateful-operator contract as the EWMA/Holt family: a
+    grouped-map applyInPandas fold (one shuffle, TWO loop-carried floats
+    per entity), hash-checked against a recursive-CTE oracle carrying the
+    identical state columns through the identical float ops."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    s_mult, gamma = _BURST_S, _BURST_GAMMA
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("n_burst_gaps", T.LongType()),
+        T.StructField("n_bursts", T.LongType()),
+        T.StructField("c0", T.DoubleType()),
+        T.StructField("c1", T.DoubleType()),
+    ])
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        # floor to epoch seconds regardless of the Arrow datetime unit
+        # (Spark 4 hands pandas datetime64[us]; int64-of-ns assumptions
+        # would be 1000x off)
+        secs = (pd.to_datetime(pdf["ts"]).values
+                .astype("datetime64[s]").astype("int64").tolist())
+        n = len(secs)
+        t_span = secs[-1] - secs[0]
+        if n < 2 or t_span <= 0:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        lam0 = float(n) / t_span
+        lam1 = s_mult * lam0
+        trans = gamma * math.log(float(n))
+        c0, c1, lbl = 0.0, trans, 0
+        n_burst_gaps = n_bursts = 0
+        for i in range(1, n):
+            g = secs[i] - secs[i - 1]
+            nc0 = min(c0, c1) + (lam0 * g - math.log(lam0))
+            nc1 = min(c0 + trans, c1) + (lam1 * g - math.log(lam1))
+            new_lbl = 1 if nc1 < nc0 else 0
+            n_burst_gaps += new_lbl
+            if lbl == 0 and new_lbl == 1:
+                n_bursts += 1
+            c0, c1, lbl = nc0, nc1, new_lbl
+        return pd.DataFrame(
+            {"user_id": [int(pdf["user_id"].iloc[0])],
+             "n_gaps": [n - 1], "n_burst_gaps": [n_burst_gaps],
+             "n_bursts": [n_bursts], "c0": [c0], "c1": [c1]})
+
+    ev = (tbl(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+          .select("user_id", "ts", "event_id"))
+    out = ev.groupBy("user_id").applyInPandas(fold, out_schema)
+    return (out.select("user_id", "n_gaps", "n_burst_gaps", "n_bursts",
+                       F.round("c0", 6).alias("cost_base"),
+                       F.round("c1", 6).alias("cost_burst"))
+            .orderBy("user_id"))
