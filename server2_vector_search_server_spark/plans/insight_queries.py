@@ -1701,7 +1701,11 @@ def events_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(_SKEW_SALTS)))
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(_SKEW_SALTS - 1))))
-    joined = salted_fact.join(salted_dim, ["hot_key", "_salt"])
+    # pin the shuffle-hash join: salting exists for the regime where the
+    # dimension does NOT broadcast (at local fixture scale AQE would
+    # broadcast the dim and quietly erase the thing being demonstrated)
+    joined = salted_fact.join(salted_dim.hint("shuffle_hash"),
+                              ["hot_key", "_salt"])
     return (joined.groupBy("segment")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col("value") * 100).cast("long"))

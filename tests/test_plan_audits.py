@@ -601,3 +601,52 @@ def test_passage_maxp_generates_passages_in_scan_stage(spark):
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_textrank_stays_doc_partitioned(spark):
+    # sentence self-join, contribution aggregate, and top-k window must
+    # all key on doc_id — no global state, no cartesian
+    plan = _plan(spark, "text_textrank_summary")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_item_item_cf_in_array_fanout(spark):
+    plan = _plan(spark, "recommend_item_item_cosine")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    # both support-normalization joins broadcast the catalog-sized counts
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_symspell_is_keyed_join_not_distance_scan(spark):
+    plan = _plan(spark, "search_spell_symspell")
+    # candidates come from the delete-key equi-join; levenshtein appears
+    # only as a post-join verify filter, never as a join condition on the
+    # full dictionary
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_ood_moments_are_bounded_aggregate(spark):
+    plan = _plan(spark, "embedding_ood_mahalanobis")
+    # the (label, dim) moment aggregate partial-aggregates before its
+    # exchange, and the stats ride back as a broadcast join
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_skew_join_spreads_hot_key(spark):
+    import re
+
+    plan = _plan(spark, "events_salted_skew_join")
+    assert "CartesianProduct" not in plan
+    # the fact-side join exchange must key on (hot_key, _salt) — the hot
+    # key alone spread over 16 sub-keys is the whole point. (The dim
+    # side's pre-salt distinct() legitimately exchanges on hot_key alone:
+    # it moves dim-sized rows, not the skewed fact.)
+    assert re.search(r"hashpartitioning\(hot_key#\d+L?, _salt", plan), \
+        "no salted join exchange found"
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
