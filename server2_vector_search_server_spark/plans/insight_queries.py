@@ -2803,3 +2803,109 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("c0", 6).alias("cost_base"),
                        F.round("c1", 6).alias("cost_burst"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# 34. Write-Audit-Publish (staged commit with quality gate)
+
+@query(
+    "store_write_audit_publish",
+    survey="store extension(WAP — write-audit-publish: batches land in a "
+           "staging root, an audit gate checks them, only passing batches "
+           "publish atomically into the served table; failed data is "
+           "NEVER visible to readers)",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id, md5(text) AS dig FROM documents
+      WHERE doc_id < 150 AND length(text) >= 10),
+    b2 AS (  -- the corrupt batch: nulled-out text fails the audit
+      SELECT doc_id + 50000 AS doc_id, CAST(NULL AS VARCHAR) AS dig
+      FROM documents WHERE doc_id < 80),
+    b3 AS (
+      SELECT doc_id + 100000 AS doc_id, md5(text) AS dig FROM documents
+      WHERE doc_id >= 150 AND doc_id < 260 AND length(text) >= 10)
+    SELECT * FROM (
+      SELECT 'published_rows' AS check_name,
+             (SELECT COUNT(*) FROM b1) + (SELECT COUNT(*) FROM b3) AS n,
+             TRUE AS ok
+      UNION ALL
+      SELECT 'quarantined_batches', 1, TRUE
+      UNION ALL
+      SELECT 'no_nulls_visible', 0, TRUE
+      UNION ALL
+      SELECT 'batch2_rows_invisible', 0, TRUE
+    ) ORDER BY check_name
+    """,
+)
+def store_write_audit_publish(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The Write-Audit-Publish commit pattern (Netflix's Iceberg WAP /
+    dbt's build-then-swap): every ingest batch lands in a STAGING root,
+    an audit gate evaluates data-quality rules (null rate, row count,
+    digest presence), and only passing batches move into the published
+    root — a failing batch is quarantined without ever being visible to
+    a reader of the served table. Three batches flow here; the middle one
+    (null digests) must fail the audit.
+
+    The checks are hash-pinned: published row count equals exactly the
+    two good batches, one batch quarantined, zero nulls and zero
+    batch-2 rows visible. Scale shape: the audit is one aggregate over
+    the staged batch (observe-style counters would fold it into the
+    write pass, cf. ingest_observed_metrics); publish is a file move —
+    O(manifest), not O(data)."""
+    from server2_vector_search_server_spark.plans.registry import scratch_dir
+
+    docs = tbl(spark, sf_dir, "documents")
+    batches = [
+        (docs.filter((F.col("doc_id") < 150) & (F.length("text") >= 10))
+         .select("doc_id", F.md5("text").alias("dig"))),
+        (docs.filter(F.col("doc_id") < 80)
+         .select((F.col("doc_id") + 50000).alias("doc_id"),
+                 F.lit(None).cast("string").alias("dig"))),
+        (docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 260)
+                     & (F.length("text") >= 10))
+         .select((F.col("doc_id") + 100000).alias("doc_id"),
+                 F.md5("text").alias("dig"))),
+    ]
+    root = scratch_dir("wap_")
+    import os
+    import shutil
+
+    published = root + "/published"
+    os.makedirs(published, exist_ok=True)
+    quarantined = 0
+    for i, b in enumerate(batches):
+        staging = f"{root}/staging_b{i}"
+        b.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("dig").isNull(), 1)).alias("n_null"),
+            F.count_distinct("doc_id").alias("n_ids")).first()
+        passes = (audit["n"] > 0 and audit["n_null"] == 0
+                  and audit["n_ids"] == audit["n"])
+        if passes:
+            # publish = move files under the served root (O(manifest))
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(staging, f),
+                                os.path.join(published, f"b{i}_{f}"))
+        else:
+            quarantined += 1
+
+    served = spark.read.parquet(published)
+    checks = served.agg(
+        F.count(F.lit(1)).alias("published_rows"),
+        F.count(F.when(F.col("dig").isNull(), 1)).alias("nulls_visible"),
+        F.count(F.when((F.col("doc_id") >= 50000)
+                       & (F.col("doc_id") < 100000), 1))
+        .alias("b2_visible")).first()
+    rows = [
+        ("batch2_rows_invisible", int(checks["b2_visible"]),
+         checks["b2_visible"] == 0),
+        ("no_nulls_visible", int(checks["nulls_visible"]),
+         checks["nulls_visible"] == 0),
+        ("published_rows", int(checks["published_rows"]), True),
+        ("quarantined_batches", quarantined, quarantined == 1),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n long, ok boolean")
