@@ -2963,3 +2963,129 @@ def lineitem_eager_aggregation_join(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("order_cents").alias("revenue_cents"))
             .orderBy("c_mktsegment"))
+
+
+# ---------------------------------------------------------------------------
+# 36. IVF cell-split rebalance (index maintenance: split only hot cells)
+
+_SPLIT_N_CENTS = 4
+_SPLIT_MAX_CELL = 125
+
+
+def _cell_split_oracle() -> str:
+    from server2_vector_search_server_spark.plans.registry import sql_sq_l2
+
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS c FROM embeddings
+      WHERE vec_id < {_SPLIT_N_CENTS}),
+    pairs AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {sql_sq_l2('c.c', 'e.embedding')} AS d
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, cid) = 1),
+    counts AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid),
+    oversized AS (SELECT cid FROM counts WHERE n > {_SPLIT_MAX_CELL}),
+    seeds AS (
+      SELECT a.cid AS parent, MIN(a.vec_id) AS s1, MAX(a.vec_id) AS s2
+      FROM assign a JOIN oversized o ON a.cid = o.cid
+      GROUP BY a.cid),
+    seedvecs AS (
+      SELECT s.parent, x.vec_id AS scid, x.embedding AS sc
+      FROM seeds s JOIN embeddings x ON x.vec_id IN (s.s1, s.s2)),
+    resplit AS (
+      SELECT a.vec_id, sv.parent, sv.scid,
+             {sql_sq_l2('sv.sc', 'a.embedding')} AS d
+      FROM assign a JOIN seedvecs sv ON sv.parent = a.cid),
+    reassigned AS (
+      SELECT vec_id, parent, scid AS cell FROM resplit
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, scid) = 1),
+    final AS (
+      SELECT a.vec_id, a.cid AS cell, a.cid AS parent
+      FROM assign a
+      WHERE a.cid NOT IN (SELECT cid FROM oversized)
+      UNION ALL
+      SELECT vec_id, cell, parent FROM reassigned)
+    SELECT CAST(cell AS BIGINT) AS cell_id,
+           CAST(parent AS BIGINT) AS parent_cell,
+           COUNT(*) AS n_members
+    FROM final GROUP BY cell, parent ORDER BY cell_id
+    """
+
+
+@query(
+    "ann_ivf_cell_split_rebalance",
+    survey="ANN-ops extension(IVF index maintenance: oversized cells are "
+           "split in place — two deterministic seed vectors per hot cell, "
+           "members reassigned to the nearer seed, untouched cells never "
+           "rewritten; the serving-side rebalance that keeps cell-pruned "
+           "scans bounded as the corpus grows)",
+    oracle=_cell_split_oracle(),
+)
+def ann_ivf_cell_split_rebalance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """IVF index maintenance: as a corpus grows, hot cells exceed the
+    scan budget and must SPLIT without a full index rebuild. Cells over
+    the threshold are split by two deterministic seed members (min/max
+    id — the sampled-seed split strategy), their members reassigned to
+    the nearer seed; all other cells keep their files untouched — the
+    maintenance cost is proportional to the oversized cells only, the
+    same touched-partition-only discipline as the SCD2 upkeep
+    (SCALE.md §39).
+
+    The output is the final cell roster (cell, parent, size): hash
+    equality against the full relational mirror proves conservation
+    (every vector exactly once), locality (untouched cells keep their
+    exact membership), and the split itself."""
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2,
+    )
+    from server2_vector_search_server_spark.operators.ann import ivf_assign
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") < _SPLIT_N_CENTS)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("centroid")))
+    assigned = ivf_assign(emb, cents).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cid"))
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    oversized = [r["cid"] for r in
+                 counts.filter(F.col("n") > _SPLIT_MAX_CELL).collect()]
+    if not oversized:
+        return (assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n_members"))
+            .select(F.col("cid").cast("long").alias("cell_id"),
+                    F.col("cid").cast("long").alias("parent_cell"),
+                    "n_members").orderBy("cell_id"))
+    hot = assigned.filter(F.col("cid").isin(oversized))
+    seeds = (hot.groupBy(F.col("cid").alias("parent"))
+             .agg(F.min("vec_id").alias("s1"), F.max("vec_id").alias("s2")))
+    seedvecs = (seeds
+                .join(emb.select(F.col("vec_id").alias("scid"),
+                                 F.col("embedding").alias("sc")),
+                      (F.col("scid") == F.col("s1"))
+                      | (F.col("scid") == F.col("s2")))
+                .select("parent", "scid", "sc"))
+    resplit = (hot.join(F.broadcast(seedvecs),
+                        hot.cid == F.col("parent"))
+               .withColumn("d", squared_l2(F.col("sc"),
+                                           F.col("embedding"))))
+    w = Window.partitionBy("vec_id").orderBy("d", "scid")
+    reassigned = (resplit.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .select("vec_id", F.col("scid").alias("cell"),
+                          "parent"))
+    untouched = (assigned.filter(~F.col("cid").isin(oversized))
+                 .select("vec_id", F.col("cid").alias("cell"),
+                         F.col("cid").alias("parent")))
+    final = untouched.unionByName(reassigned)
+    return (final.groupBy("cell", "parent")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .select(F.col("cell").cast("long").alias("cell_id"),
+                    F.col("parent").cast("long").alias("parent_cell"),
+                    "n_members")
+            .orderBy("cell_id"))
