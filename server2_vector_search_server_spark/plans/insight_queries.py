@@ -3089,3 +3089,164 @@ def ann_ivf_cell_split_rebalance(spark: SparkSession,
                     F.col("parent").cast("long").alias("parent_cell"),
                     "n_members")
             .orderBy("cell_id"))
+
+
+# ---------------------------------------------------------------------------
+# 37. SLO burn-rate alerting (multi-window error-budget analysis)
+
+_SLO_TARGET = 0.75       # "good" ratio objective (error events are ~20%)
+_SLO_FAST_H = 1          # fast window (hours)
+_SLO_SLOW_H = 6          # slow window (hours)
+_SLO_BURN = 1.1          # alert when burn rate exceeds this in BOTH windows
+
+
+@query(
+    "events_slo_burn_alerts",
+    survey="observability extension(SLO error-budget burn-rate alerting: "
+           "per-hour error ratios, fast+slow trailing windows, alert "
+           "only when BOTH windows burn — the multi-window multi-burn "
+           "policy from the SRE workbook)",
+    oracle=f"""
+    WITH hours AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (event_type = 'error') AS n_err
+      FROM events GROUP BY h),
+    win AS (
+      SELECT h, n, n_err,
+             SUM(n) OVER wf AS n_fast, SUM(n_err) OVER wf AS e_fast,
+             SUM(n) OVER ws AS n_slow, SUM(n_err) OVER ws AS e_slow
+      FROM hours
+      WINDOW wf AS (ORDER BY h ROWS BETWEEN {_SLO_FAST_H - 1} PRECEDING
+                    AND CURRENT ROW),
+             ws AS (ORDER BY h ROWS BETWEEN {_SLO_SLOW_H - 1} PRECEDING
+                    AND CURRENT ROW)),
+    rates AS (
+      SELECT h,
+             (CAST(e_fast AS DOUBLE) / n_fast)
+               / (1.0 - {_SLO_TARGET}) AS burn_fast,
+             (CAST(e_slow AS DOUBLE) / n_slow)
+               / (1.0 - {_SLO_TARGET}) AS burn_slow
+      FROM win)
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS alert_hour,
+           ROUND(burn_fast, 6) AS burn_fast,
+           ROUND(burn_slow, 6) AS burn_slow
+    FROM rates
+    WHERE burn_fast > {_SLO_BURN} AND burn_slow > {_SLO_BURN}
+    ORDER BY alert_hour
+    """,
+)
+def events_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn-rate alerting (the Google SRE workbook's public
+    multi-window, multi-burn-rate policy): hourly error ratios roll into
+    a fast (1 h) and a slow (6 h) trailing window; an alert fires only
+    when BOTH windows burn budget faster than the threshold — the fast
+    window gives detection latency, the slow window suppresses blips.
+
+    Scale shape: one event-grain aggregate to the hour grain (partial
+    map-side), then BOTH trailing windows run over the hour-grain table —
+    thousands of rows per year regardless of event volume — under one
+    ORDER BY h sort. The alert predicate is a projection."""
+    ev = tbl(spark, sf_dir, "events")
+    hours = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count(F.when(F.col("event_type") == "error", 1))
+                  .alias("n_err")))
+    wf = Window.orderBy("h").rowsBetween(-(_SLO_FAST_H - 1), 0)
+    ws = Window.orderBy("h").rowsBetween(-(_SLO_SLOW_H - 1), 0)
+    budget = 1.0 - _SLO_TARGET
+    burn_fast = (F.sum("n_err").over(wf).cast("double")
+                 / F.sum("n").over(wf)) / budget
+    burn_slow = (F.sum("n_err").over(ws).cast("double")
+                 / F.sum("n").over(ws)) / budget
+    return (hours
+            .withColumn("burn_fast", burn_fast)
+            .withColumn("burn_slow", burn_slow)
+            .filter((F.col("burn_fast") > _SLO_BURN)
+                    & (F.col("burn_slow") > _SLO_BURN))
+            .select(F.date_format("h", "yyyy-MM-dd HH:00")
+                    .alias("alert_hour"),
+                    F.round("burn_fast", 6).alias("burn_fast"),
+                    F.round("burn_slow", 6).alias("burn_slow"))
+            .orderBy("alert_hour"))
+
+
+# ---------------------------------------------------------------------------
+# 38. Data-contract validation (constraint report with planted violations)
+
+@query(
+    "store_data_contract_checks",
+    survey="store extension(data-contract validation: PK uniqueness, FK "
+           "integrity, range and null-rate rules evaluated as one report "
+           "— with planted violations proving each rule actually fires)",
+    oracle="""
+    WITH orders2 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      UNION ALL   -- planted: duplicate PKs + dangling FK + bad price
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 1000 = 7
+      UNION ALL
+      SELECT 900000001 + range AS o_orderkey,
+             999999000 + range AS o_custkey,
+             -5.0 AS o_totalprice
+      FROM range(3)),
+    pk AS (
+      SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_rows
+      FROM orders2),
+    fk AS (
+      SELECT COUNT(*) AS dangling FROM orders2 o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)),
+    rng AS (
+      SELECT COUNT(*) AS bad_price FROM orders2
+      WHERE o_totalprice <= 0)
+    SELECT check_name, n_violations, n_violations = 0 AS passes FROM (
+      SELECT 'fk_custkey_exists' AS check_name,
+             CAST(fk.dangling AS BIGINT) AS n_violations FROM fk
+      UNION ALL
+      SELECT 'pk_orderkey_unique', CAST(pk.dup_rows AS BIGINT) FROM pk
+      UNION ALL
+      SELECT 'price_positive', CAST(rng.bad_price AS BIGINT) FROM rng)
+    ORDER BY check_name
+    """,
+)
+def store_data_contract_checks(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Data-contract enforcement as a query: the ingested orders batch is
+    validated against its contract — primary-key uniqueness, foreign-key
+    integrity against customer, positive-price range — and the report
+    counts violations per rule. Violations are PLANTED (replayed PKs,
+    dangling custkeys, negative prices) so every rule demonstrably fires;
+    on the clean fixture alone all counts would be zero and the checks
+    vacuous.
+
+    Scale shape: PK uniqueness is one partial-aggregable distinct-count;
+    the FK check is a broadcast anti-join against the dimension keys;
+    the range rule is a scan predicate. All three fold into one report —
+    the shape dbt tests / Deequ constraint suites compile to."""
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    planted_dupes = orders.filter(F.col("o_orderkey") % 1000 == 7)
+    planted_bad = spark.range(3).select(
+        (F.lit(900000001) + F.col("id")).alias("o_orderkey"),
+        (F.lit(999999000) + F.col("id")).alias("o_custkey"),
+        F.lit(-5.0).alias("o_totalprice"))
+    batch = orders.unionByName(planted_dupes).unionByName(planted_bad)
+    cust_keys = tbl(spark, sf_dir, "customer").select("c_custkey")
+    pk = batch.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .alias("n")).withColumn("check_name",
+                                F.lit("pk_orderkey_unique"))
+    fk = (batch.join(F.broadcast(cust_keys),
+                     batch.o_custkey == cust_keys.c_custkey,
+                     "left_anti")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .withColumn("check_name", F.lit("fk_custkey_exists")))
+    rng = (batch.filter(F.col("o_totalprice") <= 0)
+           .agg(F.count(F.lit(1)).alias("n"))
+           .withColumn("check_name", F.lit("price_positive")))
+    return (pk.unionByName(fk).unionByName(rng)
+            .select("check_name", F.col("n").cast("long")
+                    .alias("n_violations"),
+                    (F.col("n") == 0).alias("passes"))
+            .orderBy("check_name"))
