@@ -3250,3 +3250,139 @@ def store_data_contract_checks(spark: SparkSession,
                     .alias("n_violations"),
                     (F.col("n") == 0).alias("passes"))
             .orderBy("check_name"))
+
+
+# ---------------------------------------------------------------------------
+# 39. Differentially-private counts (seeded Laplace, portable noise)
+
+_DP_EPSILON = 0.5
+_DP_SEED = "dp_r5"
+
+
+@query(
+    "events_dp_noisy_counts",
+    survey="privacy extension(differential privacy: per-type event counts "
+           "released with Laplace(1/ε) noise — noise drawn from a "
+           "deterministic portable hash-uniform so the mechanism itself "
+           "is hash-checkable; complements documents_k_anonymity_screen)",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS true_n FROM events
+      GROUP BY event_type),
+    u AS (
+      SELECT event_type, true_n,
+             (CAST(('0x' || substr(md5('{_DP_SEED}' || event_type), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS cu
+      FROM c)
+    SELECT event_type, CAST(true_n AS BIGINT) AS true_n,
+           CAST(ROUND(true_n - (1.0 / {_DP_EPSILON})
+                 * CASE WHEN cu >= 0 THEN 1.0 ELSE -1.0 END
+                 * ln(1.0 - 2.0 * abs(cu))) AS BIGINT) AS noisy_n,
+           {_DP_EPSILON} AS epsilon
+    FROM u ORDER BY event_type
+    """,
+)
+def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006, the public
+    Laplace mechanism): each per-type count is perturbed with
+    Laplace(Δf/ε) noise (sensitivity 1 for counting queries), giving
+    ε-DP per released statistic. The noise here is drawn from a SEEDED
+    portable hash-uniform (md5 of seed+key → (−0.5, 0.5), inverse-CDF to
+    Laplace) — deterministic so the mechanism is hash-checkable end to
+    end; a production release swaps the seed source for a secure RNG and
+    nothing else changes.
+
+    Scale shape: one partial-aggregable count per key; the noise is a
+    projection. The true_n column exists for the parity contract only —
+    a real release would drop it (and the k-anonymity screen's
+    suppression rule composes: suppress below-threshold groups BEFORE
+    noising)."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    cu = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit(_DP_SEED), F.col("event_type"))), 1, 8),
+        16, 10).cast("long") + 0.5) / 4294967296.0 - 0.5)
+    lap = ((1.0 / _DP_EPSILON)
+           * F.when(cu >= 0, 1.0).otherwise(-1.0)
+           * F.log(1.0 - 2.0 * F.abs(cu)))
+    return (c.select("event_type",
+                     F.col("true_n").cast("long").alias("true_n"),
+                     F.round(F.col("true_n") - lap).cast("long")
+                     .alias("noisy_n"),
+                     F.lit(_DP_EPSILON).alias("epsilon"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# 40. Seasonal-naive forecast backtest (same-month-last-year + MAPE)
+
+@query(
+    "orders_seasonal_naive_backtest",
+    survey="forecasting extension(seasonal-naive backtest: forecast = "
+           "same-month-last-year revenue, scored with MAPE per nation — "
+           "the baseline every real forecasting pipeline must beat)",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name AS nation,
+             year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, yr, mo),
+    scored AS (
+      SELECT cur.nation, cur.yr, cur.mo, cur.cents,
+             prev.cents AS forecast_cents
+      FROM rev cur JOIN rev prev
+        ON prev.nation = cur.nation AND prev.mo = cur.mo
+       AND prev.yr = cur.yr - 1)
+    SELECT nation,
+           COUNT(*) AS n_months,
+           ROUND(SUM(ABS(CAST(cents - forecast_cents AS DOUBLE))
+                     / cents) / COUNT(*), 6) AS mape,
+           CAST(SUM(CAST(cents > forecast_cents AS INTEGER)) AS BIGINT)
+             AS n_up_months
+    FROM scored GROUP BY nation ORDER BY nation
+    """,
+)
+def orders_seasonal_naive_backtest(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The seasonal-naive baseline (forecast each month's revenue with the
+    same month last year) backtested per nation with MAPE — the
+    floor-model every forecasting system reports against, and the
+    benchmark Holt/ARIMA upgrades must beat. The self-join on
+    (nation, month, year−1) IS the forecast; no model state exists.
+
+    Scale shape: the monthly grain aggregate is the only
+    data-proportional step (partial map-side); the lag self-join and the
+    MAPE rollup run on nations × months rows. MAPE folds exact integer
+    cents through a deterministic double division per row, rounded once."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    rev = (orders
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("yr"),
+                    F.month("o_orderdate").alias("mo"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("cents")))
+    prev = rev.select(F.col("nation").alias("p_nation"),
+                      F.col("yr").alias("p_yr"),
+                      F.col("mo").alias("p_mo"),
+                      F.col("cents").alias("forecast_cents"))
+    scored = rev.join(prev, (F.col("p_nation") == F.col("nation"))
+                      & (F.col("p_mo") == F.col("mo"))
+                      & (F.col("p_yr") == F.col("yr") - 1))
+    return (scored.groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_months"),
+                 F.round(F.sum(
+                     F.abs((F.col("cents") - F.col("forecast_cents"))
+                           .cast("double")) / F.col("cents"))
+                     / F.count(F.lit(1)), 6).alias("mape"),
+                 F.sum((F.col("cents") > F.col("forecast_cents"))
+                       .cast("int")).cast("long").alias("n_up_months"))
+            .orderBy("nation"))
