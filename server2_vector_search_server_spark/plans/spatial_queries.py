@@ -1,0 +1,212 @@
+"""Geospatial query surface: grid-bucketed radius joins and nearest-neighbor
+assignment over synthetic-but-deterministic coordinates.
+
+The reference engine has no spatial operators (its nearest-neighbor surface
+is the embedding-space kNN, vector_store.py:139-214); a training-data /
+analytics platform at 100 TB needs the geo twins of those shapes — "which
+points fall within R of each site" and "which site is nearest to each
+point" — and the scalable form of both is the SAME pattern the engine's
+banded-LSH dedup uses: bucket both sides into grid cells sized so every
+true match lands in the 3x3 cell neighborhood, equi-join on the cell key,
+then verify with the exact distance. Shuffle is row-proportional on a
+bounded key; the quadratic cross-join only ever appears in the DuckDB
+oracle at test scale.
+
+Coordinates are derived from md5 of the row key (the registry's portable
+hash arithmetic, operators/text_analysis.md5_bucket pattern) and are EXACT
+doubles by construction: lat = lo + (span * u16) / 65536 where u16 is a
+16-bit integer — the quotient's denominator is a power of two, so Spark and
+DuckDB compute bit-identical values with no rounding step. The haversine
+formula is shared as ONE SQL string (sin/cos/asin/sqrt/radians parse in
+both dialects), so op order is identical by construction; threshold
+comparisons go through round(.,9) to kill last-ulp libm seams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+_EARTH_KM = 6371.0
+_RADIUS_KM = 70.0          # must stay below the min cell width, see below
+_CELL_DEG = 1.0
+# Domain: lat in [30, 50), lon in [-10, 30). At |lat| <= 50 a 1-degree lon
+# cell is >= 111.195 * cos(50 deg) = 71.47 km wide and a lat cell is
+# 111.195 km tall, so any pair within 70 km differs by < 1 cell index in
+# each axis and the 3x3 neighborhood join is lossless (no false negatives).
+_LAT_LO, _LAT_SPAN = 30.0, 20.0
+_LON_LO, _LON_SPAN = -10.0, 40.0
+
+
+def _sql_u16(key_sql: str, offset: int) -> str:
+    """DuckDB: hex digits [offset, offset+3] of md5(key) as a 0..65535 int
+    (digit-wise strpos arithmetic — the registry's portable-hash rule;
+    DuckDB has no conv())."""
+    digits = []
+    for i in range(4):
+        digits.append(
+            f"(strpos('0123456789abcdef', "
+            f"substr(md5({key_sql}), {offset + i}, 1)) - 1) "
+            f"* {16 ** (3 - i)}")
+    return "(" + " + ".join(digits) + ")"
+
+
+def _sql_coords(key_sql: str, lat_alias: str, lon_alias: str) -> str:
+    """lat/lon projection: exact doubles (power-of-two denominator)."""
+    return (f"{_LAT_LO} + ({_LAT_SPAN} * {_sql_u16(key_sql, 1)}) / 65536.0 "
+            f"AS {lat_alias}, "
+            f"{_LON_LO} + ({_LON_SPAN} * {_sql_u16(key_sql, 5)}) / 65536.0 "
+            f"AS {lon_alias}")
+
+
+def _spark_coords(df: DataFrame, key, lat: str, lon: str) -> DataFrame:
+    h = F.md5(key)
+    ulat = F.conv(F.substring(h, 1, 4), 16, 10).cast("double")
+    ulon = F.conv(F.substring(h, 5, 4), 16, 10).cast("double")
+    return (df
+            .withColumn(lat, F.lit(_LAT_LO)
+                        + (F.lit(_LAT_SPAN) * ulat) / F.lit(65536.0))
+            .withColumn(lon, F.lit(_LON_LO)
+                        + (F.lit(_LON_SPAN) * ulon) / F.lit(65536.0)))
+
+
+# ONE haversine text, parsed by both engines -> identical op order.
+def _haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (f"2.0 * {_EARTH_KM} * asin(sqrt("
+            f"sin(radians(({lat2} - {lat1})) / 2.0) "
+            f"* sin(radians(({lat2} - {lat1})) / 2.0) "
+            f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+            f"* sin(radians(({lon2} - {lon1})) / 2.0) "
+            f"* sin(radians(({lon2} - {lon1})) / 2.0)))")
+
+
+_CUST_KEY_SQL = "CAST(c_custkey AS VARCHAR) || 'c'"
+_SUPP_KEY_SQL = "CAST(s_suppkey AS VARCHAR) || 's'"
+_SQL_CUST_PTS = (f"SELECT c_custkey, "
+                 f"{_sql_coords(_CUST_KEY_SQL, 'lat', 'lon')} "
+                 f"FROM customer")
+_SQL_SUPP_PTS = (f"SELECT s_suppkey, "
+                 f"{_sql_coords(_SUPP_KEY_SQL, 'lat', 'lon')} "
+                 f"FROM supplier")
+_SQL_DIST = _haversine("s.lat", "s.lon", "c.lat", "c.lon")
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed (customer, supplier) candidates with exact distance —
+    shared by both spatial queries.
+
+    Scale shape: points get a 1-degree cell key; the site side (small here
+    -> broadcast; cell-key equi-join with an exchange when both sides are
+    large) is expanded to its 3x3 neighborhood so the join on (glat, glon)
+    finds every pair within the radius. Work is candidates-proportional
+    (cell occupancy x 9), never |A| x |B|; a skewed cell is an AQE skew
+    split, not a plan change. The exact haversine verify runs only on
+    candidates — the LSH band-join / verify split the dedup family uses."""
+    cust = _spark_coords(
+        tbl(spark, sf_dir, "customer").select("c_custkey"),
+        F.concat(F.col("c_custkey").cast("string"), F.lit("c")),
+        "lat", "lon")
+    supp = _spark_coords(
+        tbl(spark, sf_dir, "supplier").select("s_suppkey"),
+        F.concat(F.col("s_suppkey").cast("string"), F.lit("s")),
+        "lat", "lon")
+    cust = (cust.withColumn("glat", F.floor(F.col("lat") / _CELL_DEG))
+            .withColumn("glon", F.floor(F.col("lon") / _CELL_DEG)))
+    supp9 = (supp
+             .withColumnRenamed("lat", "s_lat")
+             .withColumnRenamed("lon", "s_lon")
+             .withColumn("glat", F.explode(F.sequence(
+                 F.floor(F.col("s_lat") / _CELL_DEG) - 1,
+                 F.floor(F.col("s_lat") / _CELL_DEG) + 1)))
+             .withColumn("glon", F.explode(F.sequence(
+                 F.floor(F.col("s_lon") / _CELL_DEG) - 1,
+                 F.floor(F.col("s_lon") / _CELL_DEG) + 1))))
+    dist = F.expr(_haversine("s_lat", "s_lon", "lat", "lon"))
+    return (cust.join(F.broadcast(supp9), ["glat", "glon"])
+            .withColumn("dist_km", dist)
+            .filter(F.round("dist_km", 9) < _RADIUS_KM))
+
+
+@query(
+    "geo_radius_supplier_coverage",
+    survey="spatial extension(radius join: customers within 70 km of each "
+           "supplier site via 1-degree grid-cell bucketing + 3x3 neighbor "
+           "equi-join + exact haversine verify — the banded-LSH "
+           "candidate/verify shape applied to geography)",
+    oracle=f"""
+    WITH c AS ({_SQL_CUST_PTS}), s AS ({_SQL_SUPP_PTS}),
+    pairs AS (
+      SELECT s.s_suppkey,
+             CAST(ROUND(ROUND({_SQL_DIST}, 9) * 1000000) AS BIGINT)
+               AS dist_micro
+      FROM c, s
+      WHERE ROUND({_SQL_DIST}, 9) < {_RADIUS_KM})
+    SELECT s_suppkey, COUNT(*) AS n_customers,
+           ROUND(SUM(dist_micro) / 1000000.0, 6) AS sum_dist_km
+    FROM pairs GROUP BY s_suppkey
+    ORDER BY n_customers DESC, s_suppkey
+    """,
+)
+def geo_radius_supplier_coverage(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-site radius coverage: how many customers sit within 70 km of
+    each supplier, plus the exact summed distance (integer micro-units so
+    the fold is shuffle-order independent). The oracle is the quadratic
+    cross-join ground truth — proving the grid join drops no pair."""
+    cand = _candidate_pairs(spark, sf_dir)
+    return (cand
+            .select("s_suppkey",
+                    F.round(F.round("dist_km", 9) * 1_000_000)
+                    .cast("long").alias("dist_micro"))
+            .groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("dist_micro") / 1_000_000.0, 6)
+                 .alias("sum_dist_km"))
+            .orderBy(F.col("n_customers").desc(), "s_suppkey"))
+
+
+@query(
+    "geo_nearest_supplier",
+    survey="spatial extension(nearest-site assignment: argmin-by-distance "
+           "per customer over grid-cell candidates, deterministic "
+           "micro-unit + key tie-break; geography's top-1 kNN)",
+    oracle=f"""
+    WITH c AS ({_SQL_CUST_PTS}), s AS ({_SQL_SUPP_PTS}),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             CAST(ROUND(ROUND({_SQL_DIST}, 9) * 1000000) AS BIGINT)
+               AS dist_micro
+      FROM c, s
+      WHERE ROUND({_SQL_DIST}, 9) < {_RADIUS_KM}),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, dist_micro,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_micro, s_suppkey) AS rn
+      FROM pairs)
+    SELECT c_custkey, s_suppkey AS nearest_suppkey,
+           ROUND(dist_micro / 1000000.0, 6) AS dist_km
+    FROM ranked WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment (the geo twin of the engine's top-1 kNN):
+    for every customer with a supplier inside the 70 km search ring, the
+    closest one. The argmin folds as min(struct(dist_micro, key)) — a
+    partial-aggregable reduction, cheaper than a row_number window because
+    it combines map-side and never materializes the loser rows."""
+    cand = _candidate_pairs(spark, sf_dir)
+    best = (cand
+            .select("c_custkey",
+                    F.struct(
+                        F.round(F.round("dist_km", 9) * 1_000_000)
+                        .cast("long").alias("dist_micro"),
+                        F.col("s_suppkey").alias("sk")).alias("cand"))
+            .groupBy("c_custkey").agg(F.min("cand").alias("best")))
+    return (best.select(
+        "c_custkey",
+        F.col("best.sk").alias("nearest_suppkey"),
+        F.round(F.col("best.dist_micro") / 1_000_000.0, 6).alias("dist_km"))
+        .orderBy("c_custkey"))
