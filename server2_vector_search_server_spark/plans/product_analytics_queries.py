@@ -239,3 +239,199 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_trunc("hour", F.col("t")).alias("hour_start"))
             .agg(F.max("conc").alias("max_concurrent"))
             .orderBy("hour_start"))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (user retention with right-censoring)
+
+_KM_CHURN_DAYS = 7   # inactive for > 7 days before observation end = churned
+
+
+@query(
+    "events_kaplan_meier_retention",
+    survey="product-analytics extension(Kaplan-Meier survival estimator "
+           "over user lifetimes with right-censoring: churn = death, "
+           "still-active-at-window-end = censored; the standard retention "
+           "curve product analytics publishes)",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    bounds AS (SELECT MAX(ts) AS obs_end FROM events),
+    life AS (
+      SELECT datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+               AS duration_days,
+             CASE WHEN last_ts < obs_end - INTERVAL {_KM_CHURN_DAYS} DAY
+                  THEN 1 ELSE 0 END AS died
+      FROM spans, bounds),
+    grp AS (
+      SELECT duration_days,
+             CAST(SUM(died) AS BIGINT) AS deaths,
+             CAST(COUNT(*) - SUM(died) AS BIGINT) AS censored,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM life GROUP BY duration_days),
+    risk AS (
+      SELECT *,
+             SUM(total) OVER (ORDER BY duration_days ASC
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS at_risk
+      FROM grp),
+    terms AS (
+      SELECT *,
+             CASE WHEN deaths = 0 THEN 0
+                  WHEN deaths < at_risk THEN
+                    CAST(ROUND(ROUND(ln(1.0 - CAST(deaths AS DOUBLE)
+                                          / CAST(at_risk AS DOUBLE)), 12)
+                               * 1000000000000) AS BIGINT)
+                  ELSE NULL END AS term_pico
+      FROM risk),
+    surv AS (
+      SELECT *,
+             SUM(term_pico) OVER (ORDER BY duration_days ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_pico,
+             MAX(CASE WHEN term_pico IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY duration_days ASC
+                     ROWS UNBOUNDED PRECEDING) AS extinct
+      FROM terms)
+    SELECT duration_days, deaths, censored, CAST(at_risk AS BIGINT) AS at_risk,
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE ROUND(exp(cum_pico / 1000000000000.0), 6) END
+             AS survival
+    FROM surv ORDER BY duration_days
+    """,
+)
+def events_kaplan_meier_retention(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator (Kaplan & Meier 1958) over user
+    lifetimes: S(t) = prod over death-times s<=t of (1 - d_s/n_s), with
+    users still active near the observation end right-censored (they leave
+    the risk set without counting as churn — dropping them instead is the
+    classic retention-curve bias).
+
+    Scale shape: one user-keyed shuffle builds lifetimes (partial-agg
+    min/max), then everything downstream operates on the DURATION-keyed
+    aggregate whose row count is bounded by the observation window in days
+    (~31 here, never data-proportional) — the unpartitioned windows that
+    chain the risk set and the cumulative hazard run over that bounded
+    table, the same bounded-domain justification as the skyline/level
+    queries. The product folds as exact pico-unit ln sums (registry
+    exact-sum rule) so shuffle order cannot perturb the curve; total
+    extinction (d = n) short-circuits to 0 instead of ln(0)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    spans = (ev.groupBy("user_id")
+             .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")))
+    bounds = ev.agg(F.max("ts").alias("obs_end"))
+    life = (spans.join(F.broadcast(bounds))
+            .select(
+                F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+                .alias("duration_days"),
+                F.when(F.col("last_ts")
+                       < F.col("obs_end")
+                       - F.expr(f"INTERVAL {_KM_CHURN_DAYS} DAYS"), 1)
+                .otherwise(0).alias("died")))
+    grp = (life.groupBy("duration_days")
+           .agg(F.sum("died").cast("long").alias("deaths"),
+                (F.count(F.lit(1)) - F.sum("died")).cast("long")
+                .alias("censored"),
+                F.count(F.lit(1)).cast("long").alias("total")))
+    w_fwd = (Window.orderBy(F.col("duration_days").asc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_cum = (Window.orderBy(F.col("duration_days").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = grp.withColumn("at_risk", F.sum("total").over(w_fwd))
+    term = (F.when(F.col("deaths") == 0, F.lit(0).cast("long"))
+            .when(F.col("deaths") < F.col("at_risk"),
+                  F.round(F.round(F.log(F.lit(1.0)
+                                        - F.col("deaths").cast("double")
+                                        / F.col("at_risk").cast("double")),
+                                  12) * 1_000_000_000_000).cast("long"))
+            .otherwise(F.lit(None).cast("long")))
+    surv = (risk.withColumn("term_pico", term)
+            .withColumn("cum_pico", F.sum("term_pico").over(w_cum))
+            .withColumn("extinct",
+                        F.max(F.when(F.col("term_pico").isNull(), 1)
+                              .otherwise(0)).over(w_cum)))
+    return (surv.select(
+        "duration_days", "deaths", "censored",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_pico") / 1_000_000_000_000.0), 6))
+        .alias("survival"))
+        .orderBy("duration_days"))
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning
+
+_WOE_BIN_LO, _WOE_BIN_HI = -7, 8   # log2 bins over value in (0.01, ~500]
+
+
+@query(
+    "events_woe_value_bins",
+    survey="product-analytics extension(weight-of-evidence / information-"
+           "value binning of event value against the purchase label — the "
+           "credit-scoring feature diagnostic, Laplace-smoothed)",
+    oracle=f"""
+    WITH base AS (
+      SELECT GREATEST({_WOE_BIN_LO}, LEAST({_WOE_BIN_HI},
+               CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
+                    AS INTEGER))) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+      FROM events WHERE value > 0),
+    grp AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(good) AS BIGINT) AS goods,
+             CAST(COUNT(*) - SUM(good) AS BIGINT) AS bads
+      FROM base GROUP BY bin),
+    tot AS (SELECT SUM(goods) AS g_tot, SUM(bads) AS b_tot,
+                   COUNT(*) AS k FROM grp),
+    woe AS (
+      SELECT bin, n, goods, bads,
+             ROUND(ln(((goods + 0.5) / (g_tot + 0.5 * k))
+                      / ((bads + 0.5) / (b_tot + 0.5 * k))), 6) AS woe,
+             ROUND(((goods + 0.5) / (g_tot + 0.5 * k)
+                    - (bads + 0.5) / (b_tot + 0.5 * k))
+                   * ROUND(ln(((goods + 0.5) / (g_tot + 0.5 * k))
+                              / ((bads + 0.5) / (b_tot + 0.5 * k))), 6), 6)
+               AS iv_contrib
+      FROM grp, tot)
+    SELECT * FROM woe ORDER BY bin
+    """,
+)
+def events_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning (the credit-risk / feature-engineering
+    standard; Siddiqi 2006): bucket the value feature into log2 bins,
+    score each bin by WoE = ln(P(bin|good)/P(bin|bad)) with Laplace
+    smoothing so empty cells stay finite, and report each bin's
+    information-value contribution IV_i = (g%_i - b%_i) * WoE_i.
+
+    Scale shape: one partial-aggregable groupBy on a BOUNDED bin key
+    (16 log2 bins); the totals join is a broadcast of one row. The log2
+    bin index goes through round(.,9) before floor on BOTH engines so
+    values landing exactly on power-of-two boundaries (money-like inputs)
+    cannot straddle an ulp seam."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bin_col = F.greatest(
+        F.lit(_WOE_BIN_LO),
+        F.least(F.lit(_WOE_BIN_HI),
+                F.floor(F.round(F.log(F.col("value").cast("double"))
+                                / F.log(F.lit(2.0)), 9)).cast("int")))
+    grp = (ev.select(bin_col.alias("bin"),
+                     F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0).alias("good"))
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("good").cast("long").alias("goods"),
+                (F.count(F.lit(1)) - F.sum("good")).cast("long")
+                .alias("bads")))
+    tot = grp.agg(F.sum("goods").alias("g_tot"), F.sum("bads").alias("b_tot"),
+                  F.count(F.lit(1)).alias("k"))
+    g_rate = (F.col("goods") + 0.5) / (F.col("g_tot") + 0.5 * F.col("k"))
+    b_rate = (F.col("bads") + 0.5) / (F.col("b_tot") + 0.5 * F.col("k"))
+    woe = F.round(F.log(g_rate / b_rate), 6)
+    return (grp.join(F.broadcast(tot))
+            .select("bin", "n", "goods", "bads", woe.alias("woe"),
+                    F.round((g_rate - b_rate) * woe, 6).alias("iv_contrib"))
+            .orderBy("bin"))
