@@ -432,3 +432,87 @@ def search_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (emb.select("vec_id", "label", prf.alias("prf_score"))
             .orderBy(F.col("prf_score").desc(), F.col("vec_id").asc())
             .limit(_PRF_FINAL_K))
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood language-model ranking (Dirichlet smoothing)
+
+_QL_MU = 300.0                      # Dirichlet prior mass (~3x avg doc len)
+_QL_TERMS = ("merge", "vector", "scan")
+_QL_K = 20
+_QL_TERMS_SQL = "('" + "', '".join(_QL_TERMS) + "')"
+_SQL_QL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "text_ql_dirichlet_topk",
+    survey="retrieval extension(query-likelihood language-model ranking "
+           "with Dirichlet smoothing, Zhai & Lafferty 2001 — the LM "
+           "retrieval family next to BM25; per-term log-likelihoods fold "
+           "as exact nano-unit sums)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.term FROM documents,
+             UNNEST({_SQL_QL_TOKS}) AS t(term)),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    coll AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_tot FROM toks),
+    cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks
+           WHERE term IN {_QL_TERMS_SQL} GROUP BY term),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN {_QL_TERMS_SQL} GROUP BY doc_id, term),
+    scored AS (
+      SELECT dl.doc_id,
+             SUM(CAST(ROUND(ROUND(ln((CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+                          + {_QL_MU} * (CAST(cf.cf AS DOUBLE)
+                                        / CAST(coll.c_tot AS DOUBLE)))
+                         / (CAST(dl.dl AS DOUBLE) + {_QL_MU})), 9)
+                       * 1000000000) AS BIGINT)) AS ql_nano
+      FROM dl CROSS JOIN cf CROSS JOIN coll
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+      GROUP BY dl.doc_id)
+    SELECT doc_id, ROUND(ql_nano / 1000000000.0, 6) AS ql_score
+    FROM scored
+    ORDER BY ql_nano DESC, doc_id LIMIT {_QL_K}
+    """,
+)
+def text_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    2001): score(q,d) = sum_t ln((tf_td + mu*P(t|C)) / (|d| + mu)). Unlike
+    BM25, absent terms still contribute through the collection model, so
+    every document is scored — the LM-retrieval property that makes the
+    smoothing mass a tunable recall knob.
+
+    Scale shape: ONE tokenization pass feeds three partial-aggregable
+    reductions — per-doc length (doc-keyed), collection size (scalar), and
+    query-term cf (|q| rows) — then scoring joins the BROADCAST |q|x1 term
+    stats against doc lengths with a left join on the sparse tf table:
+    cost = docs x |q| narrow rows, no re-tokenization, no corpus-sized
+    shuffle beyond the tf groupBy. Per-term log-likelihoods round to nano
+    units and fold as exact integers (registry rule); top-k orders by the
+    integer score with a doc_id tie-break so the LIMIT boundary is
+    deterministic on both engines."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text")))
+                       .alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).cast("long").alias("c_tot"))
+    qt = toks.filter(F.col("term").isin(*_QL_TERMS))
+    cf = qt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = (qt.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    term_ll = F.round(
+        F.round(F.log((F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                       + F.lit(_QL_MU) * (F.col("cf").cast("double")
+                                          / F.col("c_tot").cast("double")))
+                      / (F.col("dl").cast("double") + F.lit(_QL_MU))), 9)
+        * 1_000_000_000).cast("long")
+    scored = (dl.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(coll))
+              .join(tf, ["doc_id", "term"], "left")
+              .select("doc_id", term_ll.alias("ll_nano"))
+              .groupBy("doc_id").agg(F.sum("ll_nano").alias("ql_nano")))
+    return (scored.orderBy(F.col("ql_nano").desc(), "doc_id").limit(_QL_K)
+            .select("doc_id",
+                    F.round(F.col("ql_nano") / 1_000_000_000.0, 6)
+                    .alias("ql_score")))
