@@ -1260,3 +1260,94 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("jaccard") < 0.5))
             .select("doc_a", "doc_b", "containment", "jaccard")
             .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (Hernandez & Stolfo 1995)
+
+_SNM_WINDOW = 4          # compare each record with the next w-1 in key order
+_SNM_KEY_LEN = 40
+_SNM_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    survey="north-star dedup (sorted-neighborhood blocking: fabricated "
+           "sort key -> within-block sliding window of w=4 -> exact "
+           "3-gram Jaccard verify; the merge/purge method, Hernandez & "
+           "Stolfo 1995)",
+    oracle=f"""
+    WITH docs2 AS ({_SQL_DOCS}),
+    keyed AS (
+      SELECT doc_id, text,
+             substr(trim(text), 1, {_SNM_KEY_LEN}) AS snm_key,
+             substr(trim(text), 1, 1) AS blk
+      FROM docs2),
+    nbrs AS (
+      SELECT doc_id, text, i,
+             lead(doc_id, i) OVER (PARTITION BY blk, i
+                                   ORDER BY snm_key, doc_id) AS nbr_id,
+             lead(text, i) OVER (PARTITION BY blk, i
+                                 ORDER BY snm_key, doc_id) AS nbr_text
+      FROM keyed, UNNEST([1, 2, 3]) AS u(i)),
+    cand AS (
+      SELECT LEAST(doc_id, nbr_id) AS id_a,
+             GREATEST(doc_id, nbr_id) AS id_b,
+             {sql_word_shingles('text', 3)} AS sha,
+             {sql_word_shingles('nbr_text', 3)} AS shb
+      FROM nbrs WHERE nbr_id IS NOT NULL),
+    verified AS (
+      SELECT DISTINCT id_a, id_b,
+             ROUND(CASE WHEN len(list_distinct(sha || shb)) = 0 THEN 0.0
+                   ELSE CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+                        / CAST(len(list_distinct(sha || shb)) AS DOUBLE)
+                   END, 6) AS jaccard
+      FROM cand)
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= {_SNM_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (the merge/purge method): sort by
+    a fabricated key (text prefix), slide a w-record window, verify only
+    window pairs with exact 3-gram Jaccard. The third classic blocking
+    family next to the engine's LSH banding and prefix-filtering —
+    near-identical records sort adjacent, so candidate count is w*n
+    REGARDLESS of cluster size (LSH's hot-bucket quadratic risk doesn't
+    exist here; the trade is recall for pairs whose keys diverge early).
+
+    Scale shape: keys partition by a coarse block (first key char) so the
+    sort + lead window is per-block distributed, never a single global
+    partition; candidates are generated by w-1 lead() columns over ONE
+    sorted pass (no self-join), and the Jaccard verify touches only the
+    3(w-1)n candidate rows. At 100 TB this is a repartitionByRange + local
+    sort — the exact shape Spark's own sort-merge machinery provides."""
+    from pyspark.sql import Window
+
+    docs = _docs_with_dups(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id", "text",
+        F.substring(F.trim(F.col("text")), 1, _SNM_KEY_LEN).alias("snm_key"),
+        F.substring(F.trim(F.col("text")), 1, 1).alias("blk"))
+    w = Window.partitionBy("blk").orderBy("snm_key", "doc_id")
+    nbr = F.array(*[
+        F.lead(F.struct(F.col("doc_id").alias("nid"),
+                        F.col("text").alias("ntext")), i).over(w)
+        for i in range(1, _SNM_WINDOW)])
+    # window exprs can't nest under the explode in one projection
+    # (UNSUPPORTED_EXPR_FOR_OPERATOR) — materialize the lead array first
+    cand = (keyed.select("doc_id", "text", nbr.alias("nbrs"))
+            .select("doc_id", "text", F.explode("nbrs").alias("n"))
+            .filter(F.col("n.nid").isNotNull())
+            .select(F.least("doc_id", "n.nid").alias("id_a"),
+                    F.greatest("doc_id", "n.nid").alias("id_b"),
+                    word_shingles(F.col("text")).alias("sha"),
+                    word_shingles(F.col("n.ntext")).alias("shb")))
+    jac = F.round(
+        F.when(F.size(F.array_union("sha", "shb")) == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_intersect("sha", "shb")).cast("double")
+                   / F.size(F.array_union("sha", "shb")).cast("double")), 6)
+    return (cand.select("id_a", "id_b", jac.alias("jaccard")).distinct()
+            .filter(F.col("jaccard") >= _SNM_THRESHOLD)
+            .orderBy("id_a", "id_b"))
