@@ -518,3 +518,146 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("dcg_micro").cast("double") / idcg, 6)
                     .alias("ndcg"))
             .orderBy("qid"))
+
+
+# ---------------------------------------------------------------------------
+# ZCA whitening of the embedding space (distributed exact moments,
+# bounded driver eigendecomposition, invariant-pinned contract)
+
+_ZCA_DIM = 64
+_ZCA_SCALE = 1_000_000_000
+_ZCA_EPS = 1e-6
+
+
+@query(
+    "embedding_whitening_zca",
+    survey="training extension(ZCA whitening: distributed exact "
+           "first/second-moment accumulation, dim-bounded driver "
+           "eigendecomposition, broadcast rotation, whitened-covariance "
+           "identity verified distributed; the retrieval-preprocessing "
+           "step behind whitened sentence embeddings)",
+    oracle=f"""
+    WITH cells AS (
+      SELECT j,
+             SUM(CAST(ROUND(ROUND(CAST(embedding[j + 1] AS DOUBLE), 9)
+                            * {_ZCA_SCALE}) AS BIGINT)) AS s1_micro,
+             SUM(CAST(ROUND(ROUND(CAST(embedding[j + 1] AS DOUBLE)
+                                  * CAST(embedding[j + 1] AS DOUBLE), 9)
+                            * {_ZCA_SCALE}) AS BIGINT)) AS s2_micro
+      FROM embeddings, UNNEST(range(0, {_ZCA_DIM})) AS t(j)
+      GROUP BY j),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+    SELECT n.n_vectors,
+           ROUND(SUM((s2_micro / {_ZCA_SCALE}.0) / n.n_vectors
+                     - ((s1_micro / {_ZCA_SCALE}.0) / n.n_vectors)
+                       * ((s1_micro / {_ZCA_SCALE}.0) / n.n_vectors)), 6)
+             AS trace_cov,
+           TRUE AS zca_symmetric_ok,
+           TRUE AS whitened_identity_ok
+    FROM cells, n GROUP BY n.n_vectors
+    """,
+)
+def embedding_whitening_zca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening (Bell & Sejnowski 1997's zero-phase transform; the
+    "whitening-BERT" preprocessing for sentence embeddings): W =
+    U diag(1/sqrt(lambda+eps)) U^T from the covariance eigendecomposition —
+    the unique symmetric whitener, which keeps whitened vectors closest to
+    the originals.
+
+    Scale shape (the procrustes contract pattern): the data-proportional
+    work is exact moment accumulation — d first moments and d^2 Gram cells
+    as integer micro-units (partial-aggregable; never corpus-sized state);
+    the eigendecomposition is d x d on the driver (dim-bounded, like the
+    ANN centroid collects); the rotation rides back through
+    ann.codebook_transport for ONE distributed transform pass whose
+    whitened covariance is re-accumulated and checked against the identity
+    (max |cov_w - I| < 1e-3). The oracle pins n, the EXACT covariance
+    trace from the same micro-unit sums, and the two invariants any
+    correct whitener satisfies (W symmetric, whitened cov = I)."""
+    import numpy as np
+
+    from server2_vector_search_server_spark.operators.ann import (
+        codebook_transport,
+    )
+
+    d = _ZCA_DIM
+    emb = tbl(spark, sf_dir, "embeddings").select("embedding")
+    x_micro = F.round(F.round(F.col("x").cast("double"), 9) * _ZCA_SCALE) \
+        .cast("long")
+    jx = emb.select(F.posexplode("embedding").alias("j", "x"),
+                    F.col("embedding"))
+    cells = (jx.select(
+        "j", F.col("x"), x_micro.alias("s1c"),
+        F.round(F.round(F.col("x").cast("double")
+                        * F.col("x").cast("double"), 9)
+                * _ZCA_SCALE).cast("long").alias("s2c"),
+        F.posexplode("embedding").alias("k", "y"))
+        .groupBy("j", "k")
+        .agg(F.sum(F.when(F.col("k") == 0, F.col("s1c"))).alias("s1_micro"),
+             F.sum(F.when(F.col("k") == 0, F.col("s2c"))).alias("s2_micro"),
+             F.sum(F.round(F.col("x").cast("double") * F.col("y")
+                           * _ZCA_SCALE).cast("long")).alias("g_micro"),
+             F.count(F.lit(1)).alias("n"))
+        .collect())
+    n = cells[0]["n"]
+    s1 = np.zeros(d)
+    s2 = np.zeros(d)
+    G = np.zeros((d, d))
+    for r in cells:
+        G[r["j"], r["k"]] = r["g_micro"] / _ZCA_SCALE
+        if r["k"] == 0:
+            s1[r["j"]] = r["s1_micro"] / _ZCA_SCALE
+            s2[r["j"]] = r["s2_micro"] / _ZCA_SCALE
+    mu = s1 / n
+    cov = G / n - np.outer(mu, mu)
+    lam, U = np.linalg.eigh((cov + cov.T) / 2.0)
+    W = np.round(U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + _ZCA_EPS))
+                 @ U.T, 9)
+    symmetric_ok = bool(np.abs(W - W.T).max() < 1e-8)
+    mu_r = np.round(mu, 9)
+
+    rows = [{"centroid_id": j, "centroid": W[j, :].tolist()}
+            for j in range(d)]
+    paired, w_rows, _ids = codebook_transport(
+        emb, rows, centroid_id_col="centroid_id",
+        centroid_vec_col="centroid")
+    mu_lit = F.array(*[F.lit(float(v)).cast("double") for v in mu_r])
+    centered = (f"transform(sequence(0, {d - 1}), j -> "
+                f"cast(element_at(embedding, j + 1) as double) "
+                f"- element_at(_mu, j + 1))")
+    whitened = (f"transform(sequence(0, {d - 1}), k -> "
+                f"aggregate(sequence(0, {d - 1}), cast(0.0 as double), "
+                f"(acc, j) -> acc + element_at(_cx, j + 1) "
+                f"* element_at(element_at(_w, j + 1), k + 1)))")
+    ydf = (paired.withColumn("_mu", mu_lit).withColumn("_w", w_rows)
+           .withColumn("_cx", F.expr(centered))
+           .select(F.expr(whitened).alias("y")))
+    wcells = (ydf.select(F.posexplode("y").alias("j", "yj"), F.col("y"))
+              .select("j", "yj", F.posexplode("y").alias("k", "yk"))
+              .groupBy("j", "k")
+              .agg(F.sum(F.col("yj") * F.col("yk")).alias("s"),
+                   F.sum(F.when(F.col("k") == 0, F.col("yj"))).alias("m"))
+              .collect())
+    S = np.zeros((d, d))
+    m = np.zeros(d)
+    for r in wcells:
+        S[r["j"], r["k"]] = r["s"]
+        if r["k"] == 0:
+            m[r["j"]] = r["m"]
+    cov_w = S / n - np.outer(m / n, m / n)
+    identity_ok = bool(np.abs(cov_w - np.eye(d)).max() < 1e-3)
+
+    ndf = spark.createDataFrame(
+        [(int(n),)], "n_vectors long")
+    # exact trace from the SAME micro-unit sums the oracle uses
+    # (identical op order: s2/n - (s1/n)^2 per dim, summed, rounded)
+    s1m = [int(round(v * _ZCA_SCALE)) for v in s1.tolist()]
+    s2m = [int(round(v * _ZCA_SCALE)) for v in s2.tolist()]
+    trace = round(sum((b / _ZCA_SCALE) / n - ((a / _ZCA_SCALE) / n)
+                      * ((a / _ZCA_SCALE) / n)
+                      for a, b in zip(s1m, s2m)), 6)
+    return ndf.select(
+        "n_vectors",
+        F.lit(float(trace)).alias("trace_cov"),
+        F.lit(symmetric_ok).alias("zca_symmetric_ok"),
+        F.lit(identity_ok).alias("whitened_identity_ok"))
