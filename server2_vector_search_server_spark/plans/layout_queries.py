@@ -97,3 +97,74 @@ def lineitem_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFram
                        * (1 - F.col("l_discount")), 2).alias("revenue"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style one-pass column statistics
+
+_ANALYZE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_ANALYZE_SCALE = 10_000
+
+
+def _sql_analyze_branch(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+           ROUND(MIN(CAST({col} AS DOUBLE)), 6) AS min_val,
+           ROUND(MAX(CAST({col} AS DOUBLE)), 6) AS max_val,
+           ROUND(SUM(CAST(ROUND(CAST({col} AS DOUBLE) * {_ANALYZE_SCALE})
+                          AS BIGINT)) / {_ANALYZE_SCALE}.0
+                 / COUNT({col}), 6) AS avg_val
+    FROM lineitem"""
+
+
+@query(
+    "lineitem_analyze_column_stats",
+    survey="store extension(ANALYZE TABLE column statistics: per-column "
+           "row/null/NDV/min/max/avg computed from ONE table scan via "
+           "melt — the stats a cost-based optimizer and a data catalog "
+           "both feed on)",
+    oracle=" UNION ALL ".join(_sql_analyze_branch(c) for c in _ANALYZE_COLS)
+    + " ORDER BY column_name",
+)
+def lineitem_analyze_column_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics for the optimizer/catalog: every column's
+    count, null count, exact NDV, min/max, and exact-sum average.
+
+    Scale shape: the melt (explode of (name, value) structs) reads the
+    table ONCE and fans out k rows per input row — at 100 TB that is one
+    scan + one groupBy on a k-bounded key instead of k full scans (the
+    naive per-column loop) or one k-way Expand of COUNT(DISTINCT x, y, z)
+    in a single aggregate (the multi-distinct planner trap,
+    ROUND_NOTES.md). NDV per column is exact via the two-level aggregate:
+    distinct (column, value) pairs first (partial-aggregable), then
+    counts. The oracle unions per-column scans — oracle clarity, engine
+    efficiency."""
+    li = tbl(spark, sf_dir, "lineitem")
+    melted = li.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(c).cast("double").alias("v"))
+        for c in _ANALYZE_COLS])).alias("m")).select("m.*")
+    # exact NDV without Expand: distinct pairs, then count per column
+    ndv = (melted.filter(F.col("v").isNotNull())
+           .select("column_name", "v").distinct()
+           .groupBy("column_name")
+           .agg(F.count(F.lit(1)).cast("long").alias("ndv")))
+    stats = (melted.groupBy("column_name")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  (F.count(F.lit(1)) - F.count("v")).cast("long")
+                  .alias("n_nulls"),
+                  F.round(F.min("v"), 6).alias("min_val"),
+                  F.round(F.max("v"), 6).alias("max_val"),
+                  (F.sum(F.round(F.col("v") * _ANALYZE_SCALE).cast("long"))
+                   / float(_ANALYZE_SCALE)).alias("_sum"),
+                  F.count("v").alias("_nn")))
+    return (stats.join(ndv, "column_name")
+            .select("column_name", "n_rows", "n_nulls", "ndv",
+                    "min_val", "max_val",
+                    F.round(F.col("_sum") / F.col("_nn"), 6)
+                    .alias("avg_val"))
+            .orderBy("column_name"))
