@@ -451,3 +451,110 @@ def streaming_countmin_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = (spark.read.parquet(state)
               .groupBy("j", "cell").agg(F.sum("c").alias("c")))
     return _cms_report(spark, sf_dir, sketch)
+
+
+# ---------------------------------------------------------------------------
+# Lossy counting (Manku & Motwani 2002): bounded-state frequent items
+
+_LC_ROUNDS = 6          # 30 days of events -> 6 five-day buckets
+_LC_DAYS_PER_BUCKET = 5
+
+_SQL_LC_CNT = f"""
+    SELECT CAST(FLOOR(datediff('day',
+                         (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                         CAST(ts AS DATE))
+                      / {_LC_DAYS_PER_BUCKET}.0) AS INTEGER) AS b,
+           CAST(ROUND(CAST(value AS DOUBLE)) AS INTEGER) AS item,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _sql_lossy_counting() -> str:
+    parts = [f"cnt AS ({_SQL_LC_CNT})",
+             "st1 AS (SELECT item, c AS f, CAST(0 AS BIGINT) AS delta "
+             "FROM cnt WHERE b = 0 AND c + 0 > 1)"]
+    for r in range(2, _LC_ROUNDS + 1):
+        parts.append(f"""
+    st{r} AS (
+      SELECT COALESCE(s.item, c.item) AS item,
+             COALESCE(s.f, 0) + COALESCE(c.c, 0) AS f,
+             COALESCE(s.delta, {r - 1}) AS delta
+      FROM st{r - 1} s FULL OUTER JOIN (SELECT * FROM cnt WHERE b = {r - 1}) c
+        ON s.item = c.item
+      WHERE COALESCE(s.f, 0) + COALESCE(c.c, 0)
+            + COALESCE(s.delta, {r - 1}) > {r})""")
+    parts.append("""
+    truth AS (
+      SELECT CAST(ROUND(CAST(value AS DOUBLE)) AS INTEGER) AS item,
+             CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1)""")
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT s.item, CAST(s.f AS BIGINT) AS f, CAST(s.delta AS BIGINT) AS delta,
+           t.true_count,
+           (s.f <= t.true_count AND t.true_count <= s.f + s.delta)
+             AS error_bound_ok
+    FROM st{_LC_ROUNDS} s JOIN truth t ON s.item = t.item
+    ORDER BY s.f DESC, s.item LIMIT 50""")
+
+
+@query(
+    "events_lossy_counting",
+    survey="north-star sketches (lossy counting, Manku & Motwani 2002: "
+           "bucketed frequent-item summary with bounded state and the "
+           "f <= true <= f + delta guarantee hash-pinned per survivor)",
+    oracle=_sql_lossy_counting(),
+)
+def events_lossy_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy counting over the event value stream: 6 five-day buckets; per
+    bucket, merge counts into the summary and PRUNE entries whose
+    f + delta <= bucket index — state stays O(1/eps) regardless of stream
+    length, the one-pass frequent-items contract. The survivors'
+    deterministic (f, delta) state AND the per-item error-bound boolean
+    (f <= true <= f + delta) are hash-checked against a round-unrolled
+    oracle.
+
+    Scale shape: one shuffle builds (bucket, item) counts; each of the 6
+    maintenance rounds is a full-outer join between the BOUNDED summary
+    (pruned every round) and one bucket's counts — never stream-sized
+    state. localCheckpoint truncates the 6-round lineage (the iterative-
+    algorithm discipline: pagerank/kmeans). Buckets are DATA-derived
+    (event days), so the result is independent of partitioning and
+    micro-batch boundaries — the property that makes the summary
+    replayable in the WAL/streaming path."""
+    ev = tbl(spark, sf_dir, "events")
+    min_day = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cnt = (ev.join(F.broadcast(min_day))
+           .select((F.floor(F.datediff(F.to_date("ts"), F.col("d0"))
+                            / _LC_DAYS_PER_BUCKET)).cast("int").alias("b"),
+                   F.round(F.col("value").cast("double")).cast("int")
+                   .alias("item"))
+           .groupBy("b", "item").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    state = (cnt.filter((F.col("b") == 0) & (F.col("c") + 0 > 1))
+             .select("item", F.col("c").alias("f"),
+                     F.lit(0).cast("long").alias("delta")))
+    for r in range(2, _LC_ROUNDS + 1):
+        batch = (cnt.filter(F.col("b") == r - 1)
+                 .select(F.col("item").alias("b_item"), "c"))
+        merged = (state.join(batch, state.item == batch.b_item, "full_outer")
+                  .select(
+                      F.coalesce("item", "b_item").alias("item"),
+                      (F.coalesce("f", F.lit(0))
+                       + F.coalesce("c", F.lit(0))).alias("f"),
+                      F.coalesce("delta", F.lit(r - 1)).cast("long")
+                      .alias("delta")))
+        state = (merged.filter(F.col("f") + F.col("delta") > r)
+                 .localCheckpoint(eager=True))
+    truth = (ev.select(F.round(F.col("value").cast("double")).cast("int")
+                       .alias("item"))
+             .groupBy("item").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("true_count")))
+    out = (state.join(truth, "item")
+           .select("item", F.col("f").cast("long").alias("f"),
+                   F.col("delta").cast("long").alias("delta"),
+                   "true_count",
+                   ((F.col("f") <= F.col("true_count"))
+                    & (F.col("true_count") <= F.col("f") + F.col("delta")))
+                   .alias("error_bound_ok")))
+    return out.orderBy(F.col("f").desc(), "item").limit(50)
