@@ -3386,3 +3386,94 @@ def orders_seasonal_naive_backtest(spark: SparkSession,
                  F.sum((F.col("cents") > F.col("forecast_cents"))
                        .cast("int")).cast("long").alias("n_up_months"))
             .orderBy("nation"))
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the PAV minimax closed form
+
+_ISO_BIN_LO, _ISO_BIN_HI = -7, 8
+
+
+@query(
+    "events_isotonic_calibration",
+    survey="insight extension(isotonic regression calibration of purchase "
+           "rate vs value bin — the PAV fit computed by its exact minimax "
+           "closed form max_{i<=k} min_{j>=k} avg(i..j) over bounded "
+           "bins, Robertson/Barlow order-restricted inference)",
+    oracle=f"""
+    WITH base AS (
+      SELECT GREATEST({_ISO_BIN_LO}, LEAST({_ISO_BIN_HI},
+               CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
+                    AS INTEGER))) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good
+      FROM events WHERE value > 0),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(good) AS BIGINT) AS goods
+      FROM base GROUP BY bin),
+    ivl AS (
+      SELECT i.bin AS i, j.bin AS j,
+             CAST(SUM(m.goods) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS a
+      FROM bins i JOIN bins j ON i.bin <= j.bin
+      JOIN bins m ON m.bin BETWEEN i.bin AND j.bin
+      GROUP BY i.bin, j.bin),
+    inner_min AS (
+      SELECT k.bin AS k, ivl.i, MIN(ivl.a) AS m
+      FROM bins k JOIN ivl ON ivl.i <= k.bin AND ivl.j >= k.bin
+      GROUP BY k.bin, ivl.i),
+    fit AS (SELECT k, MAX(m) AS iso FROM inner_min GROUP BY k)
+    SELECT b.bin, b.n, b.goods,
+           ROUND(CAST(b.goods AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate,
+           ROUND(f.iso, 6) AS iso_rate
+    FROM bins b JOIN fit f ON f.k = b.bin
+    ORDER BY b.bin
+    """,
+)
+def events_isotonic_calibration(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of the purchase rate against the
+    value bin — the PAV solution computed by its EXACT minimax identity
+    fit_k = max_{i<=k} min_{j>=k} weightedAvg(i..j), so no sequential
+    pooling loop exists anywhere: the whole fit is three joins over the
+    BOUNDED bin table (16 bins -> <=16^3 interval rows), each
+    partial-aggregable. Interval averages divide the same exact integer
+    sums on both engines (IEEE division of identical operands is
+    bit-identical), so min/max select identical values and the fit is
+    hash-exact.
+
+    Scale shape: the data-proportional work is ONE groupBy onto the
+    bounded bin key; everything after runs on <=16-row tables. This is
+    the standard probability-calibration step (Zadrozny & Elkan 2002)
+    run after the WoE diagnostic (events_woe_value_bins)."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bin_col = F.greatest(
+        F.lit(_ISO_BIN_LO),
+        F.least(F.lit(_ISO_BIN_HI),
+                F.floor(F.round(F.log(F.col("value").cast("double"))
+                                / F.log(F.lit(2.0)), 9)).cast("int")))
+    bins = (ev.select(bin_col.alias("bin"),
+                      F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0).alias("good"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("good").cast("long").alias("goods"))
+            .localCheckpoint(eager=True))   # bounded; reused by 3 joins
+    bi = bins.select(F.col("bin").alias("i"))
+    bj = bins.select(F.col("bin").alias("j"))
+    bm = bins.select(F.col("bin").alias("m"), "n", "goods")
+    ivl = (bi.join(bj, F.col("i") <= F.col("j"))
+           .join(bm, (F.col("m") >= F.col("i")) & (F.col("m") <= F.col("j")))
+           .groupBy("i", "j")
+           .agg((F.sum("goods").cast("double")
+                 / F.sum("n").cast("double")).alias("a")))
+    ks = bins.select(F.col("bin").alias("k"))
+    inner = (ks.join(ivl, (F.col("i") <= F.col("k"))
+                     & (F.col("j") >= F.col("k")))
+             .groupBy("k", "i").agg(F.min("a").alias("m_a")))
+    fit = inner.groupBy("k").agg(F.max("m_a").alias("iso"))
+    return (bins.join(fit, bins.bin == fit.k)
+            .select("bin", "n", "goods",
+                    F.round(F.col("goods").cast("double")
+                            / F.col("n").cast("double"), 6).alias("rate"),
+                    F.round("iso", 6).alias("iso_rate"))
+            .orderBy("bin"))
