@@ -3477,3 +3477,101 @@ def events_isotonic_calibration(spark: SparkSession,
                             / F.col("n").cast("double"), 6).alias("rate"),
                     F.round("iso", 6).alias("iso_rate"))
             .orderBy("bin"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval
+
+_BOOT_N = 500          # event_id 0..499 is a dense, sf-stable sample frame
+_BOOT_B = 200          # bootstrap replicates
+_BOOT_LO_RANK = 5      # 2.5th percentile of 200 sorted means
+_BOOT_HI_RANK = 196    # 97.5th
+
+_SQL_BOOT_IDX = ("(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(r * 1000000 + j AS "
+    f"VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8))
+    + f") % {_BOOT_N}")
+
+
+@query(
+    "events_bootstrap_ci",
+    survey="insight extension(nonparametric bootstrap CI for the mean: "
+           "B=200 deterministic md5-indexed resamples, exact micro-unit "
+           "replicate means, rank-selected percentile bounds — Efron "
+           "1979 made engine-reproducible)",
+    oracle=f"""
+    WITH frame AS (
+      SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id < {_BOOT_N}),
+    draws AS (
+      SELECT r.r, {_SQL_BOOT_IDX} AS idx
+      FROM UNNEST(range(0, {_BOOT_B})) AS r(r),
+           UNNEST(range(0, {_BOOT_N})) AS d(j)),
+    means AS (
+      SELECT r, SUM(CAST(ROUND(f.v * 1000000) AS BIGINT)) AS s_micro
+      FROM draws JOIN frame f ON f.event_id = draws.idx
+      GROUP BY r),
+    ranked AS (
+      SELECT s_micro,
+             row_number() OVER (ORDER BY s_micro, r) AS rk
+      FROM means),
+    pt AS (
+      SELECT SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS s_micro FROM frame)
+    SELECT CAST({_BOOT_N} AS BIGINT) AS n,
+           CAST({_BOOT_B} AS BIGINT) AS replicates,
+           ROUND((pt.s_micro / 1000000.0) / {_BOOT_N}, 6) AS point_mean,
+           ROUND((lo.s_micro / 1000000.0) / {_BOOT_N}, 6) AS ci_lo,
+           ROUND((hi.s_micro / 1000000.0) / {_BOOT_N}, 6) AS ci_hi
+    FROM pt,
+         (SELECT s_micro FROM ranked WHERE rk = {_BOOT_LO_RANK}) lo,
+         (SELECT s_micro FROM ranked WHERE rk = {_BOOT_HI_RANK}) hi
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean event value —
+    with the resampling made DETERMINISTIC and engine-portable: replicate
+    r's draw j picks index md5(r*1e6+j) mod n (the registry's digit-wise
+    portable hash), so both engines materialize the identical 200
+    resamples and the CI itself is hash-checked, not bound-checked. The
+    usual RNG bootstrap can't be oracle-verified at all — seeded hashing
+    is what makes resampling-based stats testable across engines (and
+    reproducible across cluster re-runs, which is the production point).
+
+    Scale shape: draws are generated by a double sequence-explode (B x n
+    rows, no data scan), joined to the sample frame on its dense key —
+    an equi-join the planner broadcasts (frame <= n rows); replicate
+    means fold as exact micro-units; rank selection runs on the B-row
+    bounded table. For a 100 TB table the frame is a hash-sampled slice
+    (hash_sample_documents), never the full table."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") < _BOOT_N)
+    frame = ev.select("event_id", F.col("value").cast("double").alias("v"))
+    rs = spark.range(_BOOT_B).select(F.col("id").alias("r"))
+    draws = (rs.join(spark.range(_BOOT_N).select(F.col("id").alias("j")))
+             .select("r",
+                     (F.conv(F.substring(
+                         F.md5((F.col("r") * 1_000_000 + F.col("j"))
+                               .cast("string")), 1, 8), 16, 10)
+                      .cast("long") % _BOOT_N).alias("idx")))
+    means = (draws.join(F.broadcast(frame),
+                        draws.idx == frame.event_id)
+             .groupBy("r")
+             .agg(F.sum(F.round(F.col("v") * 1_000_000).cast("long"))
+                  .alias("s_micro")))
+    from pyspark.sql import Window
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("s_micro", "r")))
+    pt = frame.agg(F.sum(F.round(F.col("v") * 1_000_000).cast("long"))
+                   .alias("pt_micro"))
+    lo = (ranked.filter(F.col("rk") == _BOOT_LO_RANK)
+          .select(F.col("s_micro").alias("lo_micro")))
+    hi = (ranked.filter(F.col("rk") == _BOOT_HI_RANK)
+          .select(F.col("s_micro").alias("hi_micro")))
+    return (pt.join(lo).join(hi)
+            .select(F.lit(_BOOT_N).cast("long").alias("n"),
+                    F.lit(_BOOT_B).cast("long").alias("replicates"),
+                    F.round((F.col("pt_micro") / 1_000_000.0) / _BOOT_N, 6)
+                    .alias("point_mean"),
+                    F.round((F.col("lo_micro") / 1_000_000.0) / _BOOT_N, 6)
+                    .alias("ci_lo"),
+                    F.round((F.col("hi_micro") / 1_000_000.0) / _BOOT_N, 6)
+                    .alias("ci_hi")))
