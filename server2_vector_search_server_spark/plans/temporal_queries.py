@@ -460,3 +460,98 @@ def events_pattern_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5("s").alias("seq_md5"))
             .filter(F.col("n_matches") > 0)
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly event-count series
+
+_ACF_N = 720            # 30 days x 24 h spine, Jan 2024
+_ACF_MAX_LAG = 24
+_ACF_ORIGIN = "2024-01-01 00:00:00"
+
+
+@query(
+    "events_hourly_autocorrelation",
+    survey="temporal extension(autocorrelation function of the gap-filled "
+           "hourly count series at lags 1..24 — the seasonality "
+           "diagnostic; exact integer-scaled covariance identity, no "
+           "float summation anywhere)",
+    oracle=f"""
+    WITH spine AS (SELECT unnest(range(0, {_ACF_N})) AS t),
+    raw AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_ACF_ORIGIN}') / 3600.0)
+                    AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT s.t, COALESCE(r.n, 0) AS n
+      FROM spine s LEFT JOIN raw r ON r.t = s.t),
+    tot AS (
+      SELECT SUM(n) AS s, SUM(n * n) AS sq FROM c),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             SUM(a.n * b.n) AS sum_prod,
+             SUM(a.n) AS sum_a, SUM(b.n) AS sum_b
+      FROM lags l
+      JOIN c a ON a.t <= {_ACF_N - 1} - l.lag
+      JOIN c b ON b.t = a.t + l.lag
+      GROUP BY l.lag)
+    SELECT lag,
+           ROUND(CAST({_ACF_N} * {_ACF_N} * sum_prod
+                      - {_ACF_N} * tot.s * (sum_a + sum_b)
+                      + ({_ACF_N} - lag) * tot.s * tot.s AS DOUBLE)
+                 / CAST({_ACF_N} * {_ACF_N} * tot.sq
+                        - {_ACF_N} * tot.s * tot.s AS DOUBLE), 6) AS acf
+    FROM pairs, tot ORDER BY lag
+    """,
+)
+def events_hourly_autocorrelation(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """ACF of the hourly event-rate series at lags 1..24 h — the
+    seasonality/periodicity diagnostic behind the seasonal-naive forecast
+    (orders_seasonal_naive_backtest): a daily cycle shows as a peak at
+    lag 24. Computed by the INTEGER-scaled covariance identity
+    N^2*cov = N^2*sum(ab) - N*S*(sum_a+sum_b) + (N-L)*S^2, so both
+    engines divide the same two exact integers — there is no float
+    accumulation to drift (the exact-sum rule taken to its conclusion).
+
+    Scale shape: ONE scan groups events onto the bounded hour spine
+    (720 keys); the lag self-join and everything after run on
+    spine x 24 <= 17k bounded rows. Gap hours enter as real zeros via
+    the generated spine (groupBy alone silently drops them and biases
+    the ACF — the gap-fill gotcha)."""
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_ACF_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = (ev.select((F.floor(F.unix_timestamp("ts") / 3600.0)
+                      - origin_h).cast("long").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    spine = spark.range(_ACF_N).select(F.col("id").alias("t"))
+    c = (spine.join(raw, "t", "left")
+         .select("t", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+         .localCheckpoint(eager=True))       # bounded; reused three times
+    tot = c.agg(F.sum("n").alias("s"),
+                F.sum(F.col("n") * F.col("n")).alias("sq"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = c.select(F.col("t").alias("ta"), F.col("n").alias("na"))
+    b = c.select(F.col("t").alias("tb"), F.col("n").alias("nb"))
+    pairs = (lags.join(a, F.col("ta") <= F.lit(_ACF_N - 1) - F.col("lag"))
+             .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+             .groupBy("lag")
+             .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_prod"),
+                  F.sum("na").alias("sum_a"), F.sum("nb").alias("sum_b")))
+    n2 = _ACF_N * _ACF_N
+    return (pairs.join(F.broadcast(tot))
+            .select("lag",
+                    F.round(
+                        (F.lit(n2) * F.col("sum_prod")
+                         - F.lit(_ACF_N) * F.col("s")
+                         * (F.col("sum_a") + F.col("sum_b"))
+                         + (F.lit(_ACF_N) - F.col("lag"))
+                         * F.col("s") * F.col("s")).cast("double")
+                        / (F.lit(n2) * F.col("sq")
+                           - F.lit(_ACF_N) * F.col("s") * F.col("s"))
+                        .cast("double"), 6).alias("acf"))
+            .orderBy("lag"))
