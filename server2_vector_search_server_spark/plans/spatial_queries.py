@@ -210,3 +210,88 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.sk").alias("nearest_suppkey"),
         F.round(F.col("best.dist_micro") / 1_000_000.0, 6).alias("dist_km"))
         .orderBy("c_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# Geohash encoding + hierarchical prefix rollup
+
+_GH_BITS_PER_AXIS = 10          # 20-bit code -> 4 base-32 characters
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _sql_geohash4(lat: str, lon: str) -> str:
+    """4-char geohash (PUBLIC algorithm, Niemeyer 2008): quantize each
+    axis to 10 bits, interleave starting with LONGITUDE, base-32 encode.
+    Pure integer/arithmetic SQL that parses in both engines; validated
+    against the canonical test vector (57.64911, 10.40744) -> 'u4pr'."""
+    latq = f"CAST(FLOOR(({lat} + 90.0) / 180.0 * 1024.0) AS BIGINT)"
+    lonq = f"CAST(FLOOR(({lon} + 180.0) / 360.0 * 1024.0) AS BIGINT)"
+    terms = []
+    for b in range(_GH_BITS_PER_AXIS):
+        terms.append(f"(({lonq} // {1 << (9 - b)}) % 2) * {1 << (19 - 2 * b)}")
+        terms.append(f"(({latq} // {1 << (9 - b)}) % 2) * {1 << (18 - 2 * b)}")
+    code = "(" + " + ".join(terms) + ")"
+    chars = [f"substr('{_GH_B32}', CAST(({code} // {1 << (15 - 5 * i)}) % 32 "
+             f"AS INTEGER) + 1, 1)" for i in range(4)]
+    return " || ".join(chars)
+
+
+def _spark_geohash4(lat: str, lon: str):
+    # Spark has no // operator: translate to floor-div via CAST after /,
+    # keeping the quantizer text identical (FLOOR then integer ops).
+    latq = f"CAST(FLOOR(({lat} + 90.0) / 180.0 * 1024.0) AS BIGINT)"
+    lonq = f"CAST(FLOOR(({lon} + 180.0) / 360.0 * 1024.0) AS BIGINT)"
+    terms = []
+    for b in range(_GH_BITS_PER_AXIS):
+        terms.append(f"(CAST({lonq} / {1 << (9 - b)} AS BIGINT) % 2) "
+                     f"* {1 << (19 - 2 * b)}")
+        terms.append(f"(CAST({latq} / {1 << (9 - b)} AS BIGINT) % 2) "
+                     f"* {1 << (18 - 2 * b)}")
+    code = "(" + " + ".join(terms) + ")"
+    chars = [f"substr('{_GH_B32}', CAST({code} / {1 << (15 - 5 * i)} "
+             f"AS INT) % 32 + 1, 1)" for i in range(4)]
+    return F.expr(" || ".join(chars))
+
+
+@query(
+    "geo_geohash_rollup",
+    survey="spatial extension(geohash encoding + hierarchical prefix "
+           "rollup: 20-bit interleaved quantization to base-32 cells, "
+           "counts at 4-char cells with 3-char parent totals — the "
+           "multi-resolution spatial index key)",
+    oracle=f"""
+    WITH c AS ({_SQL_CUST_PTS}),
+    cells AS (
+      SELECT {_sql_geohash4('lat', 'lon')} AS gh4 FROM c),
+    g4 AS (
+      SELECT gh4, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cells GROUP BY gh4)
+    SELECT substr(gh4, 1, 3) AS gh3, gh4, n_customers,
+           CAST(SUM(n_customers) OVER (PARTITION BY substr(gh4, 1, 3))
+                AS BIGINT) AS n_in_parent
+    FROM g4 ORDER BY gh3, gh4
+    """,
+)
+def geo_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-keyed spatial rollup: every customer point encodes to a
+    4-char geohash (integer bit-interleave — no UDF, pure column
+    arithmetic identical on both engines), counts aggregate per cell, and
+    each cell carries its 3-char parent total — the prefix property that
+    makes geohash THE layout key for spatial data at scale: coarser cells
+    are substrings, so a prefix range scan IS the spatial filter, and the
+    hierarchy needs no second aggregation pass (a window over the cell
+    table, bounded by distinct cells, not points)."""
+    cust = _spark_coords(
+        tbl(spark, sf_dir, "customer").select("c_custkey"),
+        F.concat(F.col("c_custkey").cast("string"), F.lit("c")),
+        "lat", "lon")
+    from pyspark.sql import Window
+    g4 = (cust.select(_spark_geohash4("lat", "lon").alias("gh4"))
+          .groupBy("gh4").agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_customers")))
+    w = Window.partitionBy(F.substring("gh4", 1, 3))
+    return (g4.select(F.substring("gh4", 1, 3).alias("gh3"), "gh4",
+                      "n_customers",
+                      F.sum("n_customers").over(w).cast("long")
+                      .alias("n_in_parent"))
+            .orderBy("gh3", "gh4"))
