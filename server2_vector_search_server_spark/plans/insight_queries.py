@@ -3575,3 +3575,191 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("ci_lo"),
                     F.round((F.col("hi_micro") / 1_000_000.0) / _BOOT_N, 6)
                     .alias("ci_hi")))
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain (removal-effect) attribution
+
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_ROUNDS = 16
+_MK_PICO = 1_000_000_000_000
+_MK_STATES_SQL = ("(VALUES ('start'), ('click'), ('error'), ('signup'), "
+                  "('view'))")
+_MK_VARIANTS_SQL = ("(VALUES ('full'), ('click'), ('error'), ('signup'), "
+                    "('view'))")
+_MK_TRANSIENT_SQL = "('click', 'error', 'signup', 'view')"
+
+
+def _sql_markov_attribution() -> str:
+    head = f"""
+    seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    firstp AS (
+      SELECT user_id, MIN(rn) AS prn FROM seq
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS MATERIALIZED (
+      SELECT s.user_id,
+             CASE WHEN s.event_type = 'purchase' THEN 'conv'
+                  ELSE s.event_type END AS st, s.rn
+      FROM seq s LEFT JOIN firstp f ON s.user_id = f.user_id
+      WHERE f.prn IS NULL OR s.rn <= f.prn),
+    trans AS (
+      SELECT COALESCE(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+                      'start') AS src, st AS dst
+      FROM j),
+    term AS (
+      SELECT st AS src, 'null' AS dst
+      FROM (SELECT st, rn, MAX(rn) OVER (PARTITION BY user_id) AS mx,
+                   MAX(CASE WHEN st = 'conv' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id) AS has_conv
+            FROM j)
+      WHERE rn = mx AND has_conv = 0),
+    alltrans AS (SELECT src, dst FROM trans
+                 UNION ALL SELECT src, dst FROM term),
+    cnt AS (SELECT src, dst, COUNT(*) AS c FROM alltrans GROUP BY src, dst),
+    tot AS (SELECT src, SUM(c) AS t FROM cnt GROUP BY src),
+    prob AS MATERIALIZED (
+      SELECT cnt.src, cnt.dst, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+      FROM cnt JOIN tot ON cnt.src = tot.src),
+    variants AS (SELECT * FROM {_MK_VARIANTS_SQL} v(removed)),
+    vp AS MATERIALIZED (
+      SELECT v.removed, p.src, p.dst, p.p
+      FROM variants v JOIN prob p
+        ON p.dst <> v.removed AND p.src <> v.removed
+      WHERE p.dst IN {_MK_TRANSIENT_SQL}),
+    ct AS MATERIALIZED (
+      SELECT v.removed, s.state,
+             COALESCE(CAST(ROUND(p.p * {_MK_PICO}) AS BIGINT), 0)
+               AS conv_pico
+      FROM variants v
+      JOIN {_MK_STATES_SQL} s(state) ON s.state <> v.removed
+      LEFT JOIN prob p ON p.src = s.state AND p.dst = 'conv'),
+    pv1 AS MATERIALIZED (SELECT removed, state, conv_pico AS p_pico FROM ct)"""
+    rounds = []
+    for k in range(2, _MK_ROUNDS + 1):
+        rounds.append(f"""
+    pv{k} AS MATERIALIZED (
+      SELECT ct.removed, ct.state,
+             ct.conv_pico + COALESCE(SUM(CAST(ROUND(e.p * pv.p_pico)
+                                              AS BIGINT)), 0) AS p_pico
+      FROM ct
+      LEFT JOIN vp e ON e.removed = ct.removed AND e.src = ct.state
+      LEFT JOIN pv{k - 1} pv ON pv.removed = e.removed AND pv.state = e.dst
+      GROUP BY ct.removed, ct.state, ct.conv_pico)""")
+    last = f"pv{_MK_ROUNDS}"
+    tail = f"""
+    ,pf AS (SELECT p_pico FROM {last}
+            WHERE removed = 'full' AND state = 'start'),
+    eff AS (
+      SELECT v.removed AS channel,
+             pf.p_pico AS full_pico,
+             r.p_pico AS removed_pico,
+             pf.p_pico - r.p_pico AS effect_pico
+      FROM variants v
+      JOIN {last} r ON r.removed = v.removed AND r.state = 'start'
+      CROSS JOIN pf
+      WHERE v.removed <> 'full'),
+    etot AS (SELECT SUM(effect_pico) AS e FROM eff)
+    SELECT channel,
+           ROUND(full_pico / {_MK_PICO}.0, 6) AS p_conv_full,
+           ROUND(removed_pico / {_MK_PICO}.0, 6) AS p_conv_removed,
+           ROUND(effect_pico / {_MK_PICO}.0, 6) AS removal_effect,
+           ROUND(CAST(effect_pico AS DOUBLE)
+                 / CAST(NULLIF(etot.e, 0) AS DOUBLE), 6)
+             AS attribution_share
+    FROM eff, etot ORDER BY channel"""
+    return "WITH " + head + "," + ",".join(rounds) + tail
+
+
+@query(
+    "events_markov_attribution",
+    survey="insight extension(Markov-chain marketing attribution: "
+           "first-order journey transition model, conversion probability "
+           "by truncated absorbing-chain iteration, per-channel removal "
+           "effects and shares — Anderl et al. 2016's data-driven "
+           "attribution, hash-exact via pico-unit iteration)",
+    oracle=_sql_markov_attribution(),
+)
+def events_markov_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over user journeys: order each user's
+    events, truncate at first purchase ('conv'), close non-converting
+    journeys with 'null', estimate the first-order transition matrix, and
+    credit each channel by how much the start->conv absorption probability
+    drops when that channel is deleted from the chain (transitions into it
+    become lost mass).
+
+    Scale shape: the data-proportional work is one user-keyed window pass
+    + one (src, dst) groupBy — the transition matrix is BOUNDED by the
+    state domain (<= 6 x 7 cells), so the absorbing-chain arithmetic is
+    driver-side bounded compute, exactly like the procrustes/ZCA d x d
+    step. The truncated iteration (16 rounds) carries probabilities as
+    pico-unit INTEGERS with half-away rounding each round, so the oracle's
+    unrolled 16-round CTE chain reproduces every intermediate bit and the
+    final shares hash-match — no invariant hedging."""
+    import math
+
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wuser = Window.partitionBy("user_id")
+    seq = ev.select("user_id",
+                    F.when(F.col("event_type") == "purchase", "conv")
+                    .otherwise(F.col("event_type")).alias("st"),
+                    F.row_number().over(wseq).alias("rn"))
+    prn = (F.min(F.when(F.col("st") == "conv", F.col("rn")))
+           .over(wuser))
+    j = (seq.withColumn("prn", prn)
+         .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))))
+    trans = j.select(
+        F.coalesce(F.lag("st").over(wseq.orderBy("rn")), F.lit("start"))
+        .alias("src"),
+        F.col("st").alias("dst"))
+    term = (j.withColumn("mx", F.max("rn").over(wuser))
+            .withColumn("has_conv",
+                        F.max((F.col("st") == "conv").cast("int"))
+                        .over(wuser))
+            .filter((F.col("rn") == F.col("mx")) & (F.col("has_conv") == 0))
+            .select(F.col("st").alias("src"), F.lit("null").alias("dst")))
+    cnt = (trans.unionByName(term).groupBy("src", "dst")
+           .agg(F.count(F.lit(1)).alias("c")).collect())    # bounded <=42
+    totals: dict[str, int] = {}
+    for r in cnt:
+        totals[r["src"]] = totals.get(r["src"], 0) + r["c"]
+    prob = {(r["src"], r["dst"]): r["c"] / totals[r["src"]] for r in cnt}
+
+    def rnd(x: float) -> int:
+        return (-1 if x < 0 else 1) * math.floor(abs(x) + 0.5)
+
+    states = ("start",) + _MK_CHANNELS
+
+    def absorb(removed: str | None) -> int:
+        live = [s for s in states if s != removed]
+        conv = {s: rnd(prob.get((s, "conv"), 0.0) * _MK_PICO) for s in live}
+        p = dict(conv)
+        for _ in range(2, _MK_ROUNDS + 1):
+            p = {s: conv[s] + sum(rnd(prob[(s, c)] * p[c])
+                                  for c in _MK_CHANNELS
+                                  if c != removed and (s, c) in prob)
+                 for s in live}
+        return p["start"]
+
+    pf = absorb(None)
+    rows = []
+    for ch in _MK_CHANNELS:
+        pr = absorb(ch)
+        rows.append((ch, pf, pr, pf - pr))
+    etot = sum(r[3] for r in rows)
+
+    def r6(x: float) -> float:
+        return (-1 if x < 0 else 1) * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    out = [(ch, r6(f / _MK_PICO), r6(r / _MK_PICO), r6(e / _MK_PICO),
+            (r6(e / etot) if etot != 0 else None))
+           for ch, f, r, e in rows]
+    return spark.createDataFrame(
+        out, "channel string, p_conv_full double, p_conv_removed double, "
+             "removal_effect double, attribution_share double")
