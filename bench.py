@@ -108,6 +108,8 @@ HEADLINE = [
     "lineitem_bloom_join_prune",  # explicit runtime-filter join gate (r5)
     "multimodal_audio_fingerprint_match",  # landmark-hash vote match (r5)
     "events_attribution_credit",  # ignore-nulls window attribution (r5)
+    "geo_radius_supplier_coverage",  # grid-cell spatial radius join (r5)
+    "events_hourly_autocorrelation",  # bounded-spine ACF self-join (r5)
 ]
 
 

@@ -650,3 +650,56 @@ def test_salted_skew_join_spreads_hot_key(spark):
     assert re.search(r"hashpartitioning\(hot_key#\d+L?, _salt", plan), \
         "no salted join exchange found"
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_geo_radius_join_is_cell_equi_join(spark):
+    # spatial radius join: candidates must come from the (glat, glon)
+    # grid-cell equi-join (broadcast at this dim size), never a
+    # cartesian distance scan
+    plan = _plan(spark, "geo_radius_supplier_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_geo_nearest_is_partial_aggregable_argmin(spark):
+    # nearest-site assignment folds as min(struct(...)) — a HashAggregate,
+    # not a row_number window over all candidates
+    plan = _plan(spark, "geo_nearest_supplier")
+    assert "CartesianProduct" not in plan
+    # struct-valued min() aggregates as SortAggregate (structs aren't
+    # hash-aggregable) — the point is an Aggregate node, not a Window
+    assert ("HashAggregate" in plan or "SortAggregate" in plan
+            or "ObjectHashAggregate" in plan)
+    assert "row_number" not in plan
+
+
+def test_ql_dirichlet_single_tokenization_fanout(spark):
+    # QL scoring: the only cross-ish joins are the bounded |q|-row and
+    # 1-row broadcasts; doc-side work is equi-joined
+    plan = _plan(spark, "text_ql_dirichlet_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_sorted_neighborhood_generates_candidates_without_join(spark):
+    # SNM candidates come from lead() windows over the sorted blocks —
+    # no self-join of the corpus appears anywhere in the plan
+    plan = _plan(spark, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_kaplan_meier_windows_run_on_bounded_duration_table(spark):
+    # the unpartitioned windows must sit ABOVE the duration-keyed
+    # aggregate (bounded rows), never over raw per-user rows
+    from tests.conftest import SF_SMOKE
+    from server2_vector_search_server_spark.plans import load_registry
+    df = load_registry()["events_kaplan_meier_retention"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # executed-plan text is top-down: the cumulative-hazard Window must
+    # consume the duration aggregate, i.e. a HashAggregate appears BELOW
+    # (later in the text than) the first Window node
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.rindex("HashAggregate")
