@@ -435,3 +435,92 @@ def events_woe_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bin", "n", "goods", "bads", woe.alias("woe"),
                     F.round((g_rate - b_rate) * woe, 6).alias("iv_contrib"))
             .orderBy("bin"))
+
+
+# ---------------------------------------------------------------------------
+# Gini / Lorenz revenue concentration
+
+@query(
+    "customer_gini_revenue",
+    survey="product-analytics extension(Gini coefficient + Lorenz shares "
+           "of customer revenue — inequality/concentration measurement "
+           "with DISTRIBUTED exact ranks via the two-pass prefix sum, "
+           "never a single-reducer global window)",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS r
+      FROM rev),
+    tot AS (SELECT COUNT(*) AS n, SUM(cents) AS s,
+                   SUM(r * cents) AS s1 FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           ROUND(CAST(2 * s1 - (n + 1) * s AS DOUBLE)
+                 / CAST(n * s AS DOUBLE), 6) AS gini,
+           ROUND(CAST((SELECT SUM(cents) FROM ranked
+                       WHERE r > n - CAST(FLOOR(n / 10.0) AS BIGINT))
+                      AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top_decile_share,
+           ROUND(CAST((SELECT SUM(cents) FROM ranked
+                       WHERE r <= CAST(FLOOR(n / 2.0) AS BIGINT))
+                      AS DOUBLE) / CAST(s AS DOUBLE), 6)
+             AS bottom_half_share
+    FROM tot
+    """,
+)
+def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient by its exact
+    rank identity G = (2*sum(r*x_r) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending-sorted customer revenues, plus the top-decile and
+    bottom-half Lorenz shares.
+
+    Scale shape: ranks come from operators/text_analysis.
+    exclusive_prefix_sum — the two-pass range-partitioned prefix scan —
+    NOT a global-ORDER row_number window (which collapses onto one
+    reducer; the oracle uses it only because DuckDB runs single-node
+    anyway). Every aggregate folds exact BIGINT cents; the final ratios
+    divide identical integers. The rank-weighted sum r*cents stays under
+    2^63 through ~sf1000; beyond that the identity needs 128-bit or
+    per-partition pre-reduction (documented, not hit here)."""
+    from server2_vector_search_server_spark.operators.text_analysis import (
+        exclusive_prefix_sum,
+    )
+
+    orders = tbl(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .alias("cents")))
+    # composite order key (cents, custkey) packed so the distributed
+    # prefix scan ranks on a UNIQUE key: cents <= ~3e9 at bench SFs,
+    # custkey <= 1.5e6 -> key = cents * 10^7 + custkey fits bigint
+    keyed = (rev.withColumn("okey", F.col("cents") * 10_000_000
+                            + F.col("o_custkey"))
+             .withColumn("one", F.lit(1).cast("long")))
+    ranked = exclusive_prefix_sum(keyed, order_col="okey",
+                                  value_col="one", out_col="r0")
+    ranked = ranked.withColumn("r", F.col("r0") + 1)
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("r") * F.col("cents")).cast("long").alias("s1"))
+    shares = (ranked.join(F.broadcast(tot.select("n")))
+              .agg(
+        F.sum(F.when(F.col("r") > F.col("n")
+                     - F.floor(F.col("n") / 10.0).cast("long"),
+                     F.col("cents"))).cast("long").alias("top_cents"),
+        F.sum(F.when(F.col("r") <= F.floor(F.col("n") / 2.0).cast("long"),
+                     F.col("cents"))).cast("long").alias("bot_cents")))
+    return (tot.join(F.broadcast(shares))
+            .select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_cents"),
+        F.round((2 * F.col("s1") - (F.col("n") + 1) * F.col("s"))
+                .cast("double") / (F.col("n") * F.col("s")).cast("double"),
+                6).alias("gini"),
+        F.round(F.col("top_cents").cast("double")
+                / F.col("s").cast("double"), 6).alias("top_decile_share"),
+        F.round(F.col("bot_cents").cast("double")
+                / F.col("s").cast("double"), 6).alias("bottom_half_share")))

@@ -1734,3 +1734,97 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     out = ta.rake_keyphrases(docs, stopwords=ta.STOPWORDS["en"], top_k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+
+_ZIPF_TOP = 50
+_ZIPF_SCALE = 1_000_000
+
+
+@query(
+    "text_zipf_fit",
+    survey="text extension(Zipf law rank-frequency diagnostic: log-log "
+           "OLS slope/intercept/R^2 over the top-50 vocabulary, exact "
+           "integer-scaled normal equations — the corpus-health check "
+           "for synthetic/natural text mix)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.term FROM documents,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS t(term)),
+    freq AS (SELECT term, COUNT(*) AS f FROM toks GROUP BY term),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+      FROM freq),
+    pts AS (
+      SELECT CAST(ROUND(ROUND(ln(CAST(r AS DOUBLE)), 9) * {_ZIPF_SCALE})
+                  AS BIGINT) AS x,
+             CAST(ROUND(ROUND(ln(CAST(f AS DOUBLE)), 9) * {_ZIPF_SCALE})
+                  AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / {_ZIPF_SCALE}.0, 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: OLS of ln(frequency) on ln(rank) over the
+    top-50 terms. Natural corpora fit slope near -1; a flat slope flags
+    templated/synthetic text — a cheap corpus-health gate before
+    training-mix decisions.
+
+    Scale shape: one term-count shuffle (vocabulary-sized); the ranked
+    top-50 window runs on the vocabulary aggregate, and the normal
+    equations fold EXACT integer-scaled log points, so slope/intercept/R^2
+    divide identical BIGINTs on both engines (the ACF identity pattern).
+    Intercept is computed from the same integer sums as the slope —
+    no second regression pass."""
+    from server2_vector_search_server_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("f")))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), "term")))
+    pts = (ranked.filter(F.col("r") <= _ZIPF_TOP)
+           .select(
+        F.round(F.round(F.log(F.col("r").cast("double")), 9)
+                * _ZIPF_SCALE).cast("long").alias("x"),
+        F.round(F.round(F.log(F.col("f").cast("double")), 9)
+                * _ZIPF_SCALE).cast("long").alias("y")))
+    s = pts.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double") / float(_ZIPF_SCALE), 6)
+        .alias("intercept"),
+        F.round(num.cast("double") * num.cast("double")
+                / (den.cast("double") * deny.cast("double")), 6)
+        .alias("r2"))
