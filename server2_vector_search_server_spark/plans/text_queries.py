@@ -1828,3 +1828,200 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") * num.cast("double")
                 / (den.cast("double") * deny.cast("double")), 6)
         .alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi tokenization (SentencePiece-style segmentation)
+
+_UVT_MAX_WORD = 12     # DP depth cap (unrolled in the oracle)
+_UVT_MAX_PIECE = 4
+_UVT_TOP_MULTI = 20
+_UVT_SCALE = 1_000_000
+
+
+def _sql_unigram_viterbi() -> str:
+    toks = ("SELECT t.term FROM documents, UNNEST(list_filter("
+            "string_split_regex(trim(text), '\\s+'), x -> x <> '')) "
+            "AS t(term)")
+    head = f"""
+    toks AS MATERIALIZED ({toks}),
+    words AS MATERIALIZED (
+      SELECT DISTINCT term AS word FROM toks
+      WHERE length(term) <= {_UVT_MAX_WORD}),
+    chars AS MATERIALIZED (
+      SELECT substr(term, i.i, 1) AS piece, COUNT(*) AS cnt
+      FROM toks, UNNEST(range(1, length(term) + 1)) AS i(i)
+      GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS t FROM chars),
+    multi AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM (
+          SELECT substr(term, i.i, l.l) AS piece, COUNT(*) AS cnt
+          FROM toks,
+               UNNEST(range(2, {_UVT_MAX_PIECE + 1})) AS l(l),
+               UNNEST(range(1, length(term) + 1)) AS i(i)
+          WHERE i.i + l.l - 1 <= length(term)
+          GROUP BY 1))
+      WHERE rn <= {_UVT_TOP_MULTI}),
+    vocab AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROUND(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t.t AS DOUBLE)),
+                              9) * {_UVT_SCALE}) AS BIGINT) AS score
+      FROM (SELECT * FROM chars UNION ALL SELECT * FROM multi), t),
+    dp0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS BIGINT) AS best FROM words)"""
+    parts = [head]
+    for i in range(1, _UVT_MAX_WORD + 1):
+        branches = []
+        for j in range(max(0, i - _UVT_MAX_PIECE), i):
+            branches.append(f"""
+        SELECT d.word, {j} AS j, d.best + v.score AS val
+        FROM dp{j} d JOIN vocab v
+          ON v.piece = substr(d.word, {j + 1}, {i - j})
+        WHERE length(d.word) >= {i}""")
+        parts.append(f"""
+    cand{i} AS MATERIALIZED ({" UNION ALL ".join(branches)}),
+    dp{i} AS MATERIALIZED (
+      SELECT word, MAX(val) AS best FROM cand{i} GROUP BY word),
+    bj{i} AS MATERIALIZED (
+      SELECT word, {i} AS i, j FROM (
+        SELECT word, j, row_number() OVER (PARTITION BY word
+                       ORDER BY val DESC, j ASC) AS rn
+        FROM cand{i}) WHERE rn = 1)""")
+    allbj = " UNION ALL ".join(
+        f"SELECT * FROM bj{i}" for i in range(1, _UVT_MAX_WORD + 1))
+    alldp = " UNION ALL ".join(
+        f"SELECT word, {i} AS i, best FROM dp{i}"
+        for i in range(1, _UVT_MAX_WORD + 1))
+    parts.append(f"""
+    allbj AS MATERIALIZED ({allbj}),
+    final_dp AS MATERIALIZED (
+      SELECT d.word, d.best FROM ({alldp}) d
+      JOIN words w ON w.word = d.word AND d.i = length(w.word)),
+    p0 AS MATERIALIZED (
+      SELECT word, length(word) AS i FROM words)""")
+    for k in range(1, _UVT_MAX_WORD + 1):
+        parts.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT p.word, b.j AS i,
+             substr(p.word, b.j + 1, p.i - b.j) AS piece
+      FROM p{k - 1} p JOIN allbj b ON b.word = p.word AND b.i = p.i
+      WHERE p.i > 0)""")
+    allp = " UNION ALL ".join(
+        f"SELECT word, {k} AS k, piece FROM p{k}"
+        for k in range(1, _UVT_MAX_WORD + 1))
+    parts.append(f"""
+    segs AS (
+      SELECT word, COUNT(*) AS n_pieces,
+             string_agg(piece, '|' ORDER BY k DESC) AS seg
+      FROM ({allp}) GROUP BY word)
+    SELECT s.word, CAST(s.n_pieces AS BIGINT) AS n_pieces, s.seg,
+           ROUND(f.best / {_UVT_SCALE}.0, 6) AS score
+    FROM segs s JOIN final_dp f ON f.word = s.word
+    ORDER BY s.word""")
+    return "WITH " + ",".join(parts)
+
+
+@query(
+    "text_unigram_viterbi_tokenize",
+    survey="north-star text analysis (unigram-LM tokenization: Viterbi "
+           "segmentation of each word under a corpus-fit piece "
+           "vocabulary — the SentencePiece/Kudo-2018 decoding step, "
+           "completing the tokenizer family next to BPE train/encode; "
+           "integer-only DP, segmentation string and score hash-exact)",
+    oracle=_sql_unigram_viterbi(),
+)
+def text_unigram_viterbi_tokenize(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization: fit piece scores
+    ln(count/total) over the corpus (all single chars + the top-20
+    frequent 2..4-char substrings), then Viterbi-segment each distinct
+    word to the maximum-likelihood piece sequence. Ties break to the
+    smallest split point — deterministic on both engines.
+
+    Scale shape: vocabulary fitting is the data-proportional part — two
+    substring-explode shuffles bounded by token-stream length x piece
+    width; scores round to micro-units ENGINE-side before the bounded
+    (<= singles + 20 rows) vocabulary is collected and broadcast. The
+    segmentation pass is an Arrow-batched pandas UDF over the DISTINCT
+    word table (vocabulary-sized here; millions of rows at corpus scale
+    — still a single scan) running pure INTEGER DP, so no Python float
+    rounding exists anywhere (ROUND_NOTES parity rule). The oracle
+    unrolls the same DP level-by-level (MATERIALIZED CTEs, the Markov
+    discipline) including backpointer reconstruction."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    chars = (toks.select(F.explode(F.split("term", "")).alias("piece"))
+             .filter(F.col("piece") != "")
+             .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = chars.agg(F.sum("cnt").alias("t"))
+    # sequence(1, 0) DESCENDS in Spark (auto step -1) — words shorter than
+    # the piece length must fan out to an EMPTY array, not bogus indices
+    multi_all = (toks.select(F.explode(F.expr(
+        f"flatten(transform(sequence(2, {_UVT_MAX_PIECE}), l -> "
+        f"case when length(term) >= l then "
+        f"transform(sequence(1, length(term) - l + 1), "
+        f"i -> substr(term, i, l)) else array() end))")).alias("piece"))
+        .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt")))
+    multi = (multi_all.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(),
+                                                 "piece")))
+        .filter(F.col("rn") <= _UVT_TOP_MULTI).drop("rn"))
+    vocab_rows = (chars.unionByName(multi).join(F.broadcast(tot))
+                  .select("piece",
+                          F.round(F.round(
+                              F.log(F.col("cnt").cast("double")
+                                    / F.col("t").cast("double")), 9)
+                              * _UVT_SCALE).cast("long").alias("score"))
+                  .collect())                       # bounded: chars + 20
+    scores = {r["piece"]: r["score"] for r in vocab_rows}
+    bscores = spark.sparkContext.broadcast(scores)
+    max_piece = _UVT_MAX_PIECE
+
+    def segment(batches):
+        sc = bscores.value
+        for pdf in batches:
+            out = {"word": [], "n_pieces": [], "seg": [],
+                   "score_micro": []}
+            for w in pdf["word"]:
+                L = len(w)
+                best = [None] * (L + 1)
+                bj = [0] * (L + 1)
+                best[0] = 0
+                for i in range(1, L + 1):
+                    for j in range(max(0, i - max_piece), i):
+                        if best[j] is None:
+                            continue
+                        s = sc.get(w[j:i])
+                        if s is None:
+                            continue
+                        v = best[j] + s
+                        if best[i] is None or v > best[i]:
+                            best[i], bj[i] = v, j
+                pieces = []
+                i = L
+                while i > 0:
+                    pieces.append(w[bj[i]:i])
+                    i = bj[i]
+                pieces.reverse()
+                out["word"].append(w)
+                out["n_pieces"].append(len(pieces))
+                out["seg"].append("|".join(pieces))
+                out["score_micro"].append(best[L])
+            yield pd.DataFrame(out)
+
+    words = (toks.select(F.col("term").alias("word")).distinct()
+             .filter(F.length("word") <= _UVT_MAX_WORD))
+    segged = words.mapInPandas(
+        segment, "word string, n_pieces long, seg string, score_micro long")
+    return (segged.select("word", "n_pieces", "seg",
+                          F.round(F.col("score_micro") / float(_UVT_SCALE),
+                                  6).alias("score"))
+            .orderBy("word"))
