@@ -2025,3 +2025,91 @@ def text_unigram_viterbi_tokenize(spark: SparkSession,
                           F.round(F.col("score_micro") / float(_UVT_SCALE),
                                   6).alias("score"))
             .orderBy("word"))
+
+
+# ---------------------------------------------------------------------------
+# Entropy-based secret scanning
+
+_SECRET_MIN_LEN = 8
+_SECRET_H_MICRO = 2_600_000      # ~ln(13.5) nats: high-entropy threshold
+
+
+@query(
+    "text_secret_scan",
+    survey="north-star text analysis (secret/credential scanning: "
+           "Shannon character entropy per token over planted key-like "
+           "strings — the pre-training PII/secret filter next to "
+           "text_pii_redaction; exact micro-unit entropy)",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' sk' || 'live' || substr(md5(CAST(doc_id AS
+                 VARCHAR)), 1, 24)
+             ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, t.term FROM docs2,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS t(term)
+      WHERE length(t.term) >= {_SECRET_MIN_LEN}),
+    cf AS (
+      SELECT doc_id, term, substr(term, i.i, 1) AS ch
+      FROM toks, UNNEST(range(1, length(term) + 1)) AS i(i)),
+    ent AS (
+      SELECT doc_id, term,
+             SUM(CAST(ROUND(ROUND(
+                   -(CAST(c AS DOUBLE) / CAST(len AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(len AS DOUBLE)), 9)
+                 * 1000000) AS BIGINT)) AS h_micro
+      FROM (SELECT doc_id, term, ch, COUNT(*) AS c,
+                   length(term) AS len
+            FROM cf GROUP BY doc_id, term, ch, length(term))
+      GROUP BY doc_id, term)
+    SELECT doc_id, term AS flagged_token,
+           ROUND(h_micro / 1000000.0, 6) AS entropy_nats
+    FROM ent WHERE h_micro >= {_SECRET_H_MICRO}
+    ORDER BY doc_id, flagged_token
+    """,
+)
+def text_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret/credential detection by character-level Shannon entropy —
+    the standard heuristic (truffleHog-style) for catching API keys and
+    tokens that regex PII rules miss: random-looking strings have near-
+    maximal char entropy while natural words sit far lower. Every 5th doc
+    gets a planted 24-hex 'sk-live…' credential, so the filter provably
+    fires and the oracle reproduces the exact flag set.
+
+    Scale shape: one projection fans tokens to characters (bounded by
+    text length), two partial-aggregable groupBys compute per-token char
+    distributions and entropy as exact micro-unit sums — no UDF, no
+    regex catalog to maintain; the length >= 8 prefilter prunes the fan-
+    out before it happens (pushed into the same scan)."""
+    docs = tbl(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" sk"), F.lit("live"),
+                        F.substring(F.md5(F.col("doc_id").cast("string")),
+                                    1, 24)))
+        .otherwise(F.col("text")).alias("text"))
+    from server2_vector_search_server_spark.functions.text import tokens
+    toks = (planted.select("doc_id",
+                           F.explode(tokens(F.col("text"))).alias("term"))
+            .filter(F.length("term") >= _SECRET_MIN_LEN))
+    cf = (toks.select("doc_id", "term",
+                      F.explode(F.split("term", "")).alias("ch"))
+          .filter(F.col("ch") != "")
+          .groupBy("doc_id", "term", "ch")
+          .agg(F.count(F.lit(1)).alias("c")))
+    p = F.col("c").cast("double") / F.length("term").cast("double")
+    ent = (cf.select("doc_id", "term",
+                     F.round(F.round(-p * F.log(p), 9) * 1_000_000)
+                     .cast("long").alias("hc"))
+           .groupBy("doc_id", "term")
+           .agg(F.sum("hc").alias("h_micro")))
+    return (ent.filter(F.col("h_micro") >= _SECRET_H_MICRO)
+            .select("doc_id", F.col("term").alias("flagged_token"),
+                    F.round(F.col("h_micro") / 1_000_000.0, 6)
+                    .alias("entropy_nats"))
+            .orderBy("doc_id", "flagged_token"))
