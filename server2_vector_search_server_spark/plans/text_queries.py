@@ -2113,3 +2113,115 @@ def text_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("h_micro") / 1_000_000.0, 6)
                     .alias("entropy_nats"))
             .orderBy("doc_id", "flagged_token"))
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram masking (memorization guard)
+
+_RNM_N = 5           # gram width
+_RNM_K = 3           # corpus occurrences above which a gram is masked
+_RNM_DOCS = 200
+
+
+@query(
+    "text_repeated_ngram_mask",
+    survey="north-star text analysis (repeated-n-gram masking: every "
+           "token covered by a 5-gram occurring > 3 times corpus-wide is "
+           "masked — the memorization guard complementary to ExactSubstr "
+           "dedup, which DROPS spans; masking keeps the document)",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_RNM_DOCS}),
+    arr AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS a
+      FROM docs2),
+    toks AS (
+      -- no UNNEST WITH ORDINALITY in DuckDB: index via range (ROUND_NOTES)
+      SELECT doc_id, p.pos, a[p.pos] AS term
+      FROM arr, UNNEST(range(1, len(a) + 1)) AS p(pos)),
+    grams AS (
+      SELECT a.doc_id, a.pos AS start,
+             a.term || ' ' || b1.term || ' ' || b2.term || ' '
+               || b3.term || ' ' || b4.term AS gram
+      FROM toks a
+      JOIN toks b1 ON b1.doc_id = a.doc_id AND b1.pos = a.pos + 1
+      JOIN toks b2 ON b2.doc_id = a.doc_id AND b2.pos = a.pos + 2
+      JOIN toks b3 ON b3.doc_id = a.doc_id AND b3.pos = a.pos + 3
+      JOIN toks b4 ON b4.doc_id = a.doc_id AND b4.pos = a.pos + 4),
+    hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > {_RNM_K}),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.start + o.o AS pos
+      FROM grams g JOIN hot h ON h.gram = g.gram,
+           UNNEST(range(0, {_RNM_N})) AS o(o)),
+    masked AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN c.pos IS NOT NULL THEN '<m>' ELSE t.term END AS tok,
+             CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END AS is_masked
+      FROM toks t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS masked_text_hash
+    FROM masked GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repeated_ngram_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram masking: tokens covered by any 5-gram that occurs
+    more than 3 times corpus-wide are replaced with a mask token — the
+    loss-masking treatment for boilerplate/memorization spans when
+    dropping whole documents (dedup) is too blunt. The rebuilt masked
+    text is pinned byte-exactly via md5 (the pii_redaction discipline).
+
+    Scale shape: grams come from ONE positional explode + in-array window
+    (no positional self-joins — the oracle's join chain is for SQL
+    clarity); the hot set is a corpus-wide gram count > K (shuffle keyed
+    by gram, partial-aggregable) joined back by equi-key; coverage
+    positions explode from matched grams only. Same plan family as
+    ExactSubstr (dedup_substring_spans) — this variant masks instead of
+    dropping."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _RNM_DOCS))
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "term"))
+    toks = toks.select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    # grams in-array: one pass, no self-join
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"case when size(filter(split(trim(text), '\\\\s+'), "
+            f"x -> x != '')) >= {_RNM_N} then "
+            f"transform(sequence(1, size(filter(split(trim(text), "
+            f"'\\\\s+'), x -> x != '')) - {_RNM_N - 1}), i -> "
+            f"struct(i as start, concat_ws(' ', slice(filter(split("
+            f"trim(text), '\\\\s+'), x -> x != ''), i, {_RNM_N})) as gram))"
+            f" else array() end")).alias("g"))
+        .select("doc_id", "g.start", "g.gram"))
+    hot = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > _RNM_K).select("gram"))
+    covered = (grams.join(hot, "gram")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("start"),
+                           F.col("start") + _RNM_N - 1)).alias("pos"))
+               .distinct())
+    masked = (toks.join(covered.withColumn("m", F.lit(1)),
+                        ["doc_id", "pos"], "left")
+              .select("doc_id", "pos",
+                      F.when(F.col("m").isNotNull(), "<m>")
+                      .otherwise(F.col("term")).alias("tok"),
+                      F.coalesce("m", F.lit(0)).alias("is_masked")))
+    return (masked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("is_masked").cast("long").alias("n_masked"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "tok"))),
+                         lambda s: s["tok"]), " ")).alias("masked_text_hash"))
+            .orderBy("doc_id"))
