@@ -2225,3 +2225,105 @@ def text_repeated_ngram_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.struct("pos", "tok"))),
                          lambda s: s["tok"]), " ")).alias("masked_text_hash"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative-sampling draws (unigram^0.75 table)
+
+_NS_DRAWS = 1000
+_NS_POW = 0.75
+_NS_HEX = 12     # 48-bit uniforms
+
+_SQL_NS_U48 = ("(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('ns' || CAST(d AS VARCHAR)), "
+    f"{i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+    for i in range(_NS_HEX)) + ")")
+
+
+@query(
+    "text_negative_sampling_draws",
+    survey="training extension(word2vec-style negative sampling: "
+           "unigram^0.75 cumulative table + md5-uniform draws resolved "
+           "by an interval join — the training-data sampler made "
+           "deterministic, draw assignments hash-exact)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.term FROM documents,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS t(term)),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    w AS (
+      SELECT term,
+             CAST(ROUND(ROUND(pow(CAST(cnt AS DOUBLE), {_NS_POW}), 9)
+                        * 1000000) AS BIGINT) AS wt
+      FROM freq),
+    cum AS (
+      SELECT term, wt,
+             COALESCE(SUM(wt) OVER (ORDER BY term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS lo
+      FROM w),
+    tot AS (SELECT SUM(wt) AS total FROM w),
+    draws AS (
+      SELECT d.d, {_SQL_NS_U48} % tot.total AS v
+      FROM UNNEST(range(0, {_NS_DRAWS})) AS d(d), tot),
+    assigned AS (
+      SELECT c.term FROM draws dr JOIN cum c
+        ON dr.v >= c.lo AND dr.v < c.lo + c.wt)
+    SELECT a.term, CAST(COUNT(*) AS BIGINT) AS n_drawn,
+           ROUND({_NS_DRAWS}.0 * w.wt / tot.total, 6) AS expected
+    FROM assigned a JOIN w ON w.term = a.term CROSS JOIN tot
+    GROUP BY a.term, w.wt, tot.total
+    ORDER BY n_drawn DESC, a.term LIMIT 30
+    """,
+)
+def text_negative_sampling_draws(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """word2vec negative sampling (Mikolov et al. 2013): draw noise words
+    proportional to count^0.75 — implemented as the cumulative-interval
+    table + uniform-draw INTERVAL JOIN, with md5 uniforms instead of an
+    RNG so both engines materialize identical draws and the sampler is
+    hash-verified end-to-end (the bootstrap-CI discipline applied to the
+    training sampler).
+
+    Scale shape: the cumulative table is vocabulary-sized (window over
+    the aggregate, bounded); draws are generated (no scan) and resolved
+    against the BROADCAST interval table — with a huge vocabulary the
+    resolve becomes the bucketed range join (events_range_join_counts
+    pattern: quantized interval keys + residual predicate), never a
+    nested-loop over draws x vocab."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    w = freq.select(
+        "term",
+        F.round(F.round(F.pow(F.col("cnt").cast("double"), _NS_POW), 9)
+                * 1_000_000).cast("long").alias("wt"))
+    cum = w.withColumn(
+        "lo", F.coalesce(
+            F.sum("wt").over(Window.orderBy("term")
+                             .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    tot = w.agg(F.sum("wt").alias("total"))
+    u48 = sum((F.conv(F.substring(F.md5(F.concat(F.lit("ns"),
+                                                 F.col("d").cast("string"))),
+                                  i + 1, 1), 16, 10).cast("long")
+               * (16 ** (11 - i)) for i in range(12)),
+              F.lit(0).cast("long"))
+    draws = (spark.range(_NS_DRAWS).select(F.col("id").alias("d"))
+             .join(F.broadcast(tot))
+             .select((u48 % F.col("total")).alias("v")))
+    assigned = draws.join(
+        F.broadcast(cum),
+        (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("lo")
+                                       + F.col("wt")))
+    return (assigned.groupBy("term", "wt")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
+            .join(F.broadcast(tot))
+            .select("term", "n_drawn",
+                    F.round(F.lit(float(_NS_DRAWS)) * F.col("wt")
+                            / F.col("total"), 6).alias("expected"))
+            .orderBy(F.col("n_drawn").desc(), "term").limit(30))
