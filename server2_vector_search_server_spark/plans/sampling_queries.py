@@ -223,3 +223,79 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", w.alias("weight"), key.alias("es_key"))
             .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
             .limit(_WS_K))
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) stratified-sample allocation
+
+_NEY_BUDGET = 100
+
+
+@query(
+    "documents_neyman_allocation",
+    survey="sampling extension(Neyman-optimal stratified allocation: "
+           "per-stratum sample sizes proportional to N_h*sigma_h from "
+           "exact moment sums — the design step BEFORE "
+           "stratified_sample_documents draws)",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source),
+    sd AS (
+      SELECT source, n,
+             ROUND(sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6)
+               AS sigma
+      FROM m),
+    wt AS (
+      SELECT source, n, sigma,
+             CAST(ROUND(n * sigma * 1000000) AS BIGINT) AS w_micro
+      FROM sd),
+    tot AS (SELECT SUM(w_micro) AS wt FROM wt)
+    SELECT source, n AS n_rows, sigma,
+           CAST(ROUND({_NEY_BUDGET}.0 * w_micro / tot.wt) AS BIGINT)
+             AS alloc,
+           ROUND(CAST(w_micro AS DOUBLE) / CAST(tot.wt AS DOUBLE), 6)
+             AS share
+    FROM wt, tot ORDER BY source
+    """,
+)
+def documents_neyman_allocation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation (Neyman 1934): given a total sample
+    budget, allocate to each stratum proportionally to N_h * sigma_h —
+    minimizing the variance of the stratified mean estimator. The design
+    companion to stratified_sample_documents (which draws with GIVEN
+    fractions).
+
+    Scale shape: one partial-aggregable groupBy computes exact integer
+    moment sums per stratum; sigma derives from those sums with identical
+    op order on both engines, then rounds — and the cross-stratum
+    normalizer folds MICRO-UNIT integers (a raw SUM of sigma doubles is
+    summation-order-dependent; the rounded-int detour is what makes a
+    5-row sum reproducible too)."""
+    docs = tbl(spark, sf_dir, "documents")
+    m = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("n_chars").cast("long").alias("s1"),
+              F.sum(F.col("n_chars") * F.col("n_chars")).cast("long")
+              .alias("s2")))
+    sigma = F.round(F.sqrt(
+        (F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double")
+         / F.col("n").cast("double")) / F.col("n").cast("double")), 6)
+    wt = m.select("source", "n", sigma.alias("sigma")).withColumn(
+        "w_micro", F.round(F.col("n") * F.col("sigma") * 1_000_000)
+        .cast("long"))
+    tot = wt.agg(F.sum("w_micro").alias("wt_tot"))
+    return (wt.join(F.broadcast(tot))
+            .select("source", F.col("n").alias("n_rows"), "sigma",
+                    F.round(F.lit(float(_NEY_BUDGET)) * F.col("w_micro")
+                            / F.col("wt_tot")).cast("long").alias("alloc"),
+                    F.round(F.col("w_micro").cast("double")
+                            / F.col("wt_tot").cast("double"), 6)
+                    .alias("share"))
+            .orderBy("source"))
