@@ -3763,3 +3763,125 @@ def events_markov_attribution(spark: SparkSession,
     return spark.createDataFrame(
         out, "channel string, p_conv_full double, p_conv_removed double, "
              "removal_effect double, attribution_share double")
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution over bounded channel coalitions
+
+_SHAP_BITS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+_SHAP_W = {0: 6, 1: 2, 2: 2, 3: 6}    # |S|!(n-1-|S|)! for n = 4
+_SHAP_DENOM = 24                       # n!
+_SHAP_BIT_SQL = ("CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+                 "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END")
+_SHAP_W_SQL = ("CASE bit_count(ss.s0) WHEN 0 THEN 6 WHEN 1 THEN 2 "
+               "WHEN 2 THEN 2 ELSE 6 END")
+
+
+@query(
+    "events_shapley_attribution",
+    survey="insight extension(EXACT Shapley-value attribution over the "
+           "16 channel coalitions: user-day journeys, subset-contained "
+           "coalition values, integer n!-scaled Shapley weights — the "
+           "cooperative-game counterpart to events_markov_attribution, "
+           "efficiency axiom hash-pinned)",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             bit_or({_SHAP_BIT_SQL}) AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    bym AS (
+      SELECT mask, CAST(SUM(conv) AS BIGINT) AS n_conv FROM j
+      GROUP BY mask),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_j FROM j),
+    coal AS (
+      SELECT s.s, COALESCE(SUM(b.n_conv), 0) AS v
+      FROM UNNEST(range(0, 16)) AS s(s)
+      LEFT JOIN bym b ON (b.mask & s.s) = b.mask
+      GROUP BY s.s),
+    phi AS (
+      SELECT ch.name AS channel,
+             SUM({_SHAP_W_SQL} * (cu.v - cs.v)) AS phi_scaled
+      FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                   ('view', 8)) ch(name, bit)
+      JOIN (SELECT unnest(range(0, 16)) AS s0) ss ON (ss.s0 & ch.bit) = 0
+      JOIN coal cs ON cs.s = ss.s0
+      JOIN coal cu ON cu.s = (ss.s0 | ch.bit)
+      GROUP BY ch.name),
+    eff AS (
+      SELECT (SELECT SUM(phi_scaled) FROM phi) AS tot,
+             {_SHAP_DENOM} * ((SELECT v FROM coal WHERE s = 15)
+                              - (SELECT v FROM coal WHERE s = 0)) AS rhs)
+    SELECT p.channel,
+           ROUND(CAST(p.phi_scaled AS DOUBLE)
+                 / ({_SHAP_DENOM}.0 * n.n_j), 6) AS shapley_value,
+           ROUND(CAST(p.phi_scaled AS DOUBLE)
+                 / CAST(NULLIF(eff.tot, 0) AS DOUBLE), 6) AS share,
+           (eff.tot = eff.rhs) AS efficiency_ok
+    FROM phi p, n, eff ORDER BY p.channel
+    """,
+)
+def events_shapley_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953 applied a la Zhao
+    et al. 2018): journeys are user-days, a coalition's value is the
+    conversion count among journeys whose touched-channel set it covers,
+    and each channel's credit is the EXACT Shapley sum — with n = 4
+    channels the |S|!(n-1-|S|)!/n! weights are the integers {6,2,2,6}/24,
+    so phi folds entirely in BIGINTs and the efficiency axiom
+    sum(phi) = v(full) - v(empty) is checked as integer equality, not a
+    tolerance.
+
+    Scale shape: the data-proportional work is ONE groupBy to user-day
+    masks (bit_or partial-aggregates) and one to per-mask conversion
+    counts (<= 16 rows); every coalition/Shapley join runs on 16-row
+    bounded tables. Exponential-in-channels is fine when channels are an
+    enumerated product surface — the exact method's honest domain (the
+    Markov twin covers large channel sets)."""
+    ev = tbl(spark, sf_dir, "events")
+    bit = F.when(F.col("event_type") == "click", 1) \
+        .when(F.col("event_type") == "error", 2) \
+        .when(F.col("event_type") == "signup", 4) \
+        .when(F.col("event_type") == "view", 8).otherwise(0)
+    j = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+         .agg(F.bit_or(bit).alias("mask"),
+              F.max((F.col("event_type") == "purchase").cast("int"))
+              .alias("conv")))
+    bym = (j.groupBy("mask").agg(F.sum("conv").cast("long")
+                                 .alias("n_conv"))
+           .localCheckpoint(eager=True))        # bounded <= 16 rows
+    n_j = j.count()
+    ss = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    coal = (ss.join(bym, F.col("mask").bitwiseAND(F.col("s"))
+                    == F.col("mask"), "left")
+            .groupBy("s").agg(F.coalesce(F.sum("n_conv"), F.lit(0))
+                              .alias("v"))
+            .localCheckpoint(eager=True))
+    ch = spark.createDataFrame(list(_SHAP_BITS), "name string, bit int")
+    w = (F.when(F.bit_count("s") == 0, 6)
+         .when(F.bit_count("s") == 1, 2)
+         .when(F.bit_count("s") == 2, 2).otherwise(6))
+    cs = coal.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    cu = coal.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    phi = (ch.join(ss, F.col("s").bitwiseAND(F.col("bit")) == 0)
+           .join(cs, F.col("s0") == F.col("s"))
+           .join(cu, F.col("s1") == F.col("s").bitwiseOR(F.col("bit")))
+           .groupBy("name")
+           .agg(F.sum(w * (F.col("v1") - F.col("v0")))
+                .alias("phi_scaled")))
+    tot = phi.agg(F.sum("phi_scaled").alias("tot"))
+    rhs = (coal.agg(
+        (F.lit(_SHAP_DENOM)
+         * (F.max(F.when(F.col("s") == 15, F.col("v")))
+            - F.max(F.when(F.col("s") == 0, F.col("v"))))).alias("rhs")))
+    return (phi.join(F.broadcast(tot)).join(F.broadcast(rhs))
+            .select(F.col("name").alias("channel"),
+                    F.round(F.col("phi_scaled").cast("double")
+                            / (float(_SHAP_DENOM) * n_j), 6)
+                    .alias("shapley_value"),
+                    F.round(F.col("phi_scaled").cast("double")
+                            / F.when(F.col("tot") != 0, F.col("tot"))
+                            .cast("double"), 6).alias("share"),
+                    (F.col("tot") == F.col("rhs")).alias("efficiency_ok"))
+            .orderBy("channel"))
