@@ -555,3 +555,105 @@ def events_hourly_autocorrelation(spark: SparkSession,
                            - F.lit(_ACF_N) * F.col("s") * F.col("s"))
                         .cast("double"), 6).alias("acf"))
             .orderBy("lag"))
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval for the seasonal-naive forecaster
+
+_CP_N = 720
+_CP_LAG = 24
+_CP_CAL_LO, _CP_CAL_HI = 168, 504      # calibration hours [lo, hi)
+_CP_ALPHA_NUM, _CP_ALPHA_DEN = 9, 10   # 1 - alpha = 9/10, kept rational
+
+
+@query(
+    "events_conformal_interval",
+    survey="temporal extension(split-conformal interval for the "
+           "seasonal-naive hourly forecaster: calibration-quantile "
+           "nonconformity radius + exact test coverage — "
+           "distribution-free uncertainty, Vovk/Papadopoulos 2002, all "
+           "integer arithmetic)",
+    oracle=f"""
+    WITH spine AS (SELECT unnest(range(0, {_CP_N})) AS t),
+    raw AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_ACF_ORIGIN}') / 3600.0)
+                    AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    c AS (SELECT s.t, COALESCE(r.n, 0) AS n
+          FROM spine s LEFT JOIN raw r ON r.t = s.t),
+    scored AS (
+      SELECT a.t, abs(a.n - b.n) AS score
+      FROM c a JOIN c b ON b.t = a.t - {_CP_LAG}),
+    cal AS (
+      SELECT score, row_number() OVER (ORDER BY score, t) AS rn
+      FROM scored WHERE t >= {_CP_CAL_LO} AND t < {_CP_CAL_HI}),
+    ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    q AS (
+      SELECT cal.score AS q_hat FROM cal, ncal
+      WHERE cal.rn = CAST(CEIL((ncal.n_cal + 1) * {_CP_ALPHA_NUM}.0
+                               / {_CP_ALPHA_DEN}) AS BIGINT)),
+    test AS (
+      SELECT COUNT(*) AS n_test,
+             SUM(CASE WHEN score <= q.q_hat THEN 1 ELSE 0 END) AS covered
+      FROM scored, q WHERE t >= {_CP_CAL_HI})
+    SELECT ncal.n_cal, CAST(test.n_test AS BIGINT) AS n_test,
+           CAST(q.q_hat AS BIGINT) AS q_hat,
+           ROUND(CAST(test.covered AS DOUBLE)
+                 / CAST(test.n_test AS DOUBLE), 6) AS coverage
+    FROM ncal, q, test
+    """,
+)
+def events_conformal_interval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Split-conformal uncertainty for the seasonal-naive forecaster
+    (prediction for hour t = count at t-24): the calibration set's
+    ceil((n+1)(1-alpha))-th smallest |residual| becomes the interval
+    radius, and test-window coverage is then guaranteed >= 1-alpha
+    distribution-free — the model-agnostic uncertainty wrapper modern
+    forecasting pipelines bolt onto ANY predictor.
+
+    Scale shape: the series lives on the bounded 720-hour spine (gap
+    hours are real zeros); the lag join, calibration ranking, and
+    coverage check all run on spine-bounded tables with INTEGER scores —
+    nothing here can drift by a ulp. Per-entity conformal radii at scale
+    partition the same plan by entity key."""
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_ACF_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = (ev.select((F.floor(F.unix_timestamp("ts") / 3600.0)
+                      - origin_h).cast("long").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    spine = spark.range(_CP_N).select(F.col("id").alias("t"))
+    c = (spine.join(raw, "t", "left")
+         .select("t", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+         .localCheckpoint(eager=True))
+    b = c.select((F.col("t") + _CP_LAG).alias("t"),
+                 F.col("n").alias("pred"))
+    scored = (c.join(b, "t")
+              .select("t", F.abs(F.col("n") - F.col("pred")).alias("score")))
+    from pyspark.sql import Window
+    cal = (scored.filter((F.col("t") >= _CP_CAL_LO)
+                         & (F.col("t") < _CP_CAL_HI))
+           .withColumn("rn", F.row_number().over(
+               Window.orderBy("score", "t"))))
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    q = (cal.join(F.broadcast(ncal))
+         .filter(F.col("rn") == F.ceil((F.col("n_cal") + 1)
+                                       * float(_CP_ALPHA_NUM)
+                                       / _CP_ALPHA_DEN).cast("long"))
+         .select(F.col("score").alias("q_hat")))
+    test = (scored.filter(F.col("t") >= _CP_CAL_HI)
+            .join(F.broadcast(q))
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum((F.col("score") <= F.col("q_hat")).cast("int"))
+                 .alias("covered"),
+                 F.first("q_hat").alias("q_hat")))
+    return (ncal.join(F.broadcast(test))
+            .select("n_cal",
+                    F.col("n_test").cast("long").alias("n_test"),
+                    F.col("q_hat").cast("long").alias("q_hat"),
+                    F.round(F.col("covered").cast("double")
+                            / F.col("n_test").cast("double"), 6)
+                    .alias("coverage")))
