@@ -633,3 +633,74 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud/data-quality screen)
+
+@query(
+    "orders_benford_digit_test",
+    survey="breadth extension(Benford's-law first-digit screen over order "
+           "totals: digit extraction by guarded log10 arithmetic, exact "
+           "counts, per-digit chi-square contributions — the classic "
+           "fabricated-data detector)",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(FLOOR(ROUND(o_totalprice
+               / pow(10.0, FLOOR(ROUND(log10(o_totalprice), 9))), 9))
+             AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+            FROM d GROUP BY digit),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    e AS (
+      SELECT dd.digit,
+             CAST(ROUND(ROUND(log10(1.0 + 1.0 / dd.digit), 9) * 1000000)
+                  AS BIGINT) AS exp_micro
+      FROM UNNEST(range(1, 10)) AS dd(digit))
+    SELECT e.digit, COALESCE(obs.observed, 0) AS observed,
+           ROUND(e.exp_micro / 1000000.0, 6) AS expected_share,
+           ROUND(pow(COALESCE(obs.observed, 0)
+                     - n.n * (e.exp_micro / 1000000.0), 2)
+                 / (n.n * (e.exp_micro / 1000000.0)), 6) AS chi2_term
+    FROM e LEFT JOIN obs ON obs.digit = e.digit CROSS JOIN n
+    ORDER BY e.digit
+    """,
+)
+def orders_benford_digit_test(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: leading-digit counts vs
+    the log10(1 + 1/d) law, with per-digit chi-square contributions — the
+    standard screen for fabricated or truncated numeric columns in data-
+    quality audits. Digit extraction guards both FLOOR steps with
+    round(.,9) so values at exact powers of ten cannot straddle an engine
+    ulp seam (the WoE log2-bin discipline).
+
+    Scale shape: one projection + one groupBy onto a NINE-value key;
+    everything else is a bounded join against the generated digit
+    spine."""
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(F.round(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.round(F.log10("o_totalprice"), 9))),
+        9)).cast("int")
+    obs = (orders.select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("observed")))
+    n = obs.agg(F.sum("observed").cast("long").alias("n"))
+    e = (spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+         .withColumn("exp_micro",
+                     F.round(F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9)
+                             * 1_000_000).cast("long")))
+    return (e.join(obs, "digit", "left").join(F.broadcast(n))
+            .select("digit",
+                    F.coalesce("observed", F.lit(0)).alias("observed"),
+                    F.round(F.col("exp_micro") / 1_000_000.0, 6)
+                    .alias("expected_share"),
+                    F.round(F.pow(F.coalesce("observed", F.lit(0))
+                                  - F.col("n")
+                                  * (F.col("exp_micro") / 1_000_000.0), 2)
+                            / (F.col("n")
+                               * (F.col("exp_micro") / 1_000_000.0)), 6)
+                    .alias("chi2_term"))
+            .orderBy("digit"))
