@@ -558,3 +558,105 @@ def events_lossy_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("true_count") <= F.col("f") + F.col("delta")))
                    .alias("error_bound_ok")))
     return out.orderBy(F.col("f").desc(), "item").limit(50)
+
+
+def _lc_bucket_counts(df):
+    """(b, item, c) bucket counts for a batch — shared by the batch query
+    and the streaming upkeep twin (buckets derive from EVENT DAYS, so any
+    micro-batch slicing produces mergeable partials)."""
+    return (df.select(
+        F.floor(F.datediff(F.to_date("ts"),
+                           F.lit("2024-01-01").cast("date"))
+                / _LC_DAYS_PER_BUCKET).cast("int").alias("b"),
+        F.round(F.col("value").cast("double")).cast("int").alias("item"))
+        .groupBy("b", "item").agg(F.count(F.lit(1)).alias("c")))
+
+
+@query(
+    "streaming_lossy_counting_upkeep",
+    survey="I x north-star sketches (incremental lossy-counting "
+           "maintenance: per-micro-batch (bucket, item) partials in "
+           "ingest_batch partitions, SUM-merged at read, the bounded-"
+           "state fold applied at serve time; batch-0 replay idempotent "
+           "— hash-pins to the SAME oracle as events_lossy_counting "
+           "because bucket counts merge exactly)",
+    oracle=_sql_lossy_counting(),
+)
+def streaming_lossy_counting_upkeep(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """events_lossy_counting maintained incrementally: micro-batches write
+    (bucket, item, count) partials into per-ingest_batch partitions —
+    bucket identity comes from the EVENT DAY, not the batch id, so
+    arbitrary micro-batch boundaries slice buckets without changing the
+    merged counts (the property the batch query's docstring promises).
+    Batch-0 replay re-commits its exact partials under the original id
+    (dynamic partition overwrite -> idempotent, the countmin/bloom
+    discipline). Serving SUM-merges the bounded partials and runs the
+    6-round prune fold on the merged bucket table — identical to the
+    batch build, hence the identical oracle."""
+    import os
+    import uuid as _uuid
+
+    from server2_vector_search_server_spark.session import (
+        read_events_stream,
+    )
+
+    src = scratch_dir("lc_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(src, "events.parquet"))
+    state = scratch_dir("lc_state_") + "/cells"
+
+    def process(batch, batch_id: int) -> None:
+        (_lc_bucket_counts(batch)
+         .withColumn("ingest_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state))
+
+    q = (read_events_stream(spark, src)
+         .select("ts", "value")
+         .writeStream.foreachBatch(process)
+         .option("checkpointLocation",
+                 scratch_dir(f"lc_ckpt_{_uuid.uuid4().hex[:6]}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    b0 = (spark.read.parquet(state)
+          .filter(F.col("ingest_batch") == 0)
+          .select("b", "item", "c").localCheckpoint(eager=True))
+    (b0.withColumn("ingest_batch", F.lit(0))
+     .write.mode("overwrite").partitionBy("ingest_batch")
+     .option("partitionOverwriteMode", "dynamic").parquet(state))
+
+    cnt = (spark.read.parquet(state)
+           .groupBy("b", "item").agg(F.sum("c").alias("c"))
+           .localCheckpoint(eager=True))
+    state_df = (cnt.filter((F.col("b") == 0) & (F.col("c") + 0 > 1))
+                .select("item", F.col("c").alias("f"),
+                        F.lit(0).cast("long").alias("delta")))
+    for r in range(2, _LC_ROUNDS + 1):
+        batch = (cnt.filter(F.col("b") == r - 1)
+                 .select(F.col("item").alias("b_item"), "c"))
+        merged = (state_df.join(batch, state_df.item == batch.b_item,
+                                "full_outer")
+                  .select(
+                      F.coalesce("item", "b_item").alias("item"),
+                      (F.coalesce("f", F.lit(0))
+                       + F.coalesce("c", F.lit(0))).alias("f"),
+                      F.coalesce("delta", F.lit(r - 1)).cast("long")
+                      .alias("delta")))
+        state_df = (merged.filter(F.col("f") + F.col("delta") > r)
+                    .localCheckpoint(eager=True))
+    ev = tbl(spark, sf_dir, "events")
+    truth = (ev.select(F.round(F.col("value").cast("double")).cast("int")
+                       .alias("item"))
+             .groupBy("item").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("true_count")))
+    out = (state_df.join(truth, "item")
+           .select("item", F.col("f").cast("long").alias("f"),
+                   F.col("delta").cast("long").alias("delta"),
+                   "true_count",
+                   ((F.col("f") <= F.col("true_count"))
+                    & (F.col("true_count") <= F.col("f") + F.col("delta")))
+                   .alias("error_bound_ok")))
+    return out.orderBy(F.col("f").desc(), "item").limit(50)
