@@ -661,3 +661,109 @@ def embedding_whitening_zca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(trace)).alias("trace_cov"),
         F.lit(symmetric_ok).alias("zca_symmetric_ok"),
         F.lit(identity_ok).alias("whitened_identity_ok"))
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality eval: MRR and MAP@10 over the same labeled panel
+
+_RR_W = [1000000, 500000, 333333, 250000, 200000,
+         166667, 142857, 125000, 111111, 100000]   # round(1e6 / rank)
+
+
+@query(
+    "search_mrr_map_eval",
+    survey="north-star retrieval eval (MRR and MAP@10 of the cosine "
+           "ranking against label relevance — the binary-relevance "
+           "companions to search_ndcg_eval; reciprocal-rank and "
+           "precision-at-k weights as shared exact literals)",
+    oracle=f"""
+    WITH normed AS ({_SQL_NORMED}),
+    corpus AS (SELECT * FROM normed WHERE vec_id < {_NDCG_Q_LO}),
+    q AS (SELECT vec_id AS qid, label AS qlabel, nv AS qnv FROM normed
+          WHERE vec_id >= {_NDCG_Q_LO} AND vec_id < {_NDCG_Q_HI}),
+    ranked AS (
+      SELECT qid, qlabel, label,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY ROUND(list_sum(list_transform(range(1, 65),
+                 i -> nv[i] * qnv[i])), 6) DESC, vec_id ASC) AS rnk
+      FROM corpus CROSS JOIN q),
+    top AS (
+      SELECT qid, rnk, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid ORDER BY rnk
+                     ROWS UNBOUNDED PRECEDING) AS cum_rel
+      FROM ranked WHERE rnk <= {_NDCG_K}),
+    perq AS (
+      SELECT qid,
+             COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)
+               AS first_rel_rank,
+             SUM(rel * cum_rel
+                 * [{", ".join(str(w) for w in _RR_W)}][rnk]) AS ap_num,
+             SUM(rel) AS n_rel_top
+      FROM top GROUP BY qid),
+    totrel AS (
+      SELECT q.qid, COUNT(*) AS r_total
+      FROM q JOIN corpus c ON c.label = q.qlabel GROUP BY q.qid)
+    SELECT p.qid, CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+           ROUND(CASE WHEN p.first_rel_rank = 0 THEN 0.0
+                 ELSE [{", ".join(str(w) for w in _RR_W)}]
+                      [p.first_rel_rank] / 1000000.0 END, 6)
+             AS reciprocal_rank,
+           ROUND(CAST(p.ap_num AS DOUBLE) / 1000000.0
+                 / (CASE WHEN t.r_total < {_NDCG_K} THEN t.r_total
+                         ELSE {_NDCG_K} END), 6) AS ap_at_10
+    FROM perq p JOIN totrel t ON t.qid = p.qid
+    ORDER BY p.qid
+    """,
+)
+def search_mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 per panel query — binary-relevance quality metrics
+    next to nDCG: the reciprocal rank of the first relevant hit and the
+    average of precision-at-k over relevant positions (normalized by
+    min(R, 10), the truncated-AP convention). The 1/rank weights are
+    exact micro-unit literals shared by both engines, so AP folds as
+    integers (rel_k * cum_rel_k * inv_k) and the only divisions are
+    final. Same broadcast-panel/one-scan physics as search_ndcg_eval."""
+    w_lit = F.array(*[F.lit(w).cast("long") for w in _RR_W])
+    normed = _normed(spark, sf_dir)
+    corpus = normed.filter(F.col("vec_id") < _NDCG_Q_LO)
+    q = (normed.filter((F.col("vec_id") >= _NDCG_Q_LO)
+                       & (F.col("vec_id") < _NDCG_Q_HI))
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("label").alias("qlabel"),
+                 F.col("nv").alias("qnv")))
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.round(dot(F.col("nv"), F.col("qnv")), 6).desc(),
+        F.col("vec_id").asc())
+    w_cum = (Window.partitionBy("qid").orderBy("rnk")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    top = (corpus.crossJoin(F.broadcast(q))
+           .withColumn("rnk", F.row_number().over(w_rank))
+           .filter(F.col("rnk") <= _NDCG_K)
+           .withColumn("rel", (F.col("label") == F.col("qlabel"))
+                       .cast("long"))
+           .withColumn("cum_rel", F.sum("rel").over(w_cum)))
+    perq = (top.groupBy("qid")
+            .agg(F.coalesce(
+                F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0))
+                .alias("first_rel_rank"),
+                F.sum(F.col("rel") * F.col("cum_rel")
+                      * F.element_at(w_lit, F.col("rnk")))
+                .alias("ap_num")))
+    totrel = (q.join(corpus.select("label"),
+                     q["qlabel"] == corpus["label"])
+              .groupBy("qid").agg(F.count(F.lit(1)).alias("r_total")))
+    return (perq.join(totrel, "qid")
+            .select("qid",
+                    F.col("first_rel_rank").cast("long")
+                    .alias("first_rel_rank"),
+                    F.round(F.when(F.col("first_rel_rank") == 0, 0.0)
+                            .otherwise(
+                        F.element_at(w_lit,
+                                     F.col("first_rel_rank").cast("int"))
+                        / 1_000_000.0), 6).alias("reciprocal_rank"),
+                    F.round(F.col("ap_num").cast("double") / 1_000_000.0
+                            / F.least(F.col("r_total"), F.lit(_NDCG_K)), 6)
+                    .alias("ap_at_10"))
+            .orderBy("qid"))
