@@ -516,3 +516,119 @@ def text_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.round(F.col("ql_nano") / 1_000_000_000.0, 6)
                     .alias("ql_score")))
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two rankings of the same query
+
+_RBO_D = 20
+_RBO_P = 0.9
+# suffix sums S[m] = sum_{k=m}^{20} (1-p) p^(k-1) / k, micro units, computed
+# once in Python and shared as literals by both engines (the nDCG-weights
+# discipline) — a common doc first co-present at depth m contributes S[m].
+_RBO_SUFFIX = [251483, 151483, 106483, 79483, 61258, 48136, 38295, 30703,
+               24724, 19941, 16067, 12897, 10282, 8109, 6294, 4769, 3482,
+               2392, 1465, 675]
+_RBO_SUFFIX_SQL = "[" + ", ".join(str(v) for v in _RBO_SUFFIX) + "]"
+
+
+@query(
+    "search_rbo_rankings",
+    survey="retrieval extension(rank-biased overlap, Webber et al. 2010: "
+           "top-weighted similarity between the Dirichlet-QL and raw-TF "
+           "rankings at depth 20 — the search-regression metric; "
+           "per-common-doc suffix-weight lookup, exact micro fold)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.term FROM documents,
+             UNNEST({_SQL_QL_TOKS}) AS t(term)),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    coll AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_tot FROM toks),
+    cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks
+           WHERE term IN {_QL_TERMS_SQL} GROUP BY term),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE term IN {_QL_TERMS_SQL} GROUP BY doc_id, term),
+    ql AS (
+      SELECT dl.doc_id,
+             SUM(CAST(ROUND(ROUND(ln((CAST(COALESCE(tf.tf, 0) AS DOUBLE)
+                          + {_QL_MU} * (CAST(cf.cf AS DOUBLE)
+                                        / CAST(coll.c_tot AS DOUBLE)))
+                         / (CAST(dl.dl AS DOUBLE) + {_QL_MU})), 9)
+                       * 1000000000) AS BIGINT)) AS ql_nano
+      FROM dl CROSS JOIN cf CROSS JOIN coll
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term
+      GROUP BY dl.doc_id),
+    ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY ql_nano DESC, doc_id)
+               AS r FROM ql),
+    rawtf AS (
+      SELECT dl.doc_id, COALESCE(SUM(tf.tf), 0) AS tfsum
+      FROM dl LEFT JOIN tf ON tf.doc_id = dl.doc_id
+      GROUP BY dl.doc_id),
+    rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tfsum DESC, doc_id)
+               AS r FROM rawtf),
+    common AS (
+      SELECT GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+      WHERE ra.r <= {_RBO_D} AND rb.r <= {_RBO_D})
+    SELECT CAST(COUNT(*) AS BIGINT) AS overlap_at_20,
+           ROUND(COALESCE(SUM({_RBO_SUFFIX_SQL}[m]), 0) / 1000000.0, 6)
+             AS rbo
+    FROM common
+    """,
+)
+def search_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the Dirichlet-smoothed QL ranking and
+    the raw term-frequency ranking for the same query — the top-weighted
+    rank-similarity metric search teams use to quantify what a ranker
+    change actually moved (unlike Kendall's tau, RBO weights the head).
+    The identity used: a doc present in BOTH prefixes from depth
+    m = max(rank_a, rank_b) contributes exactly the precomputed suffix
+    weight S[m], so RBO@20 is one equi-join on doc_id over two bounded
+    top-20 lists plus a literal lookup — no per-depth loop exists.
+
+    Scale shape: both rankings come from the SAME tokenization pass as
+    text_ql_dirichlet_topk (shuffle shared), and the RBO arithmetic runs
+    on <= 20-row tables with integer weights."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text")))
+                       .alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).cast("long").alias("c_tot"))
+    qt = toks.filter(F.col("term").isin(*_QL_TERMS))
+    cf = qt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    tf = (qt.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    term_ll = F.round(
+        F.round(F.log((F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                       + F.lit(_QL_MU) * (F.col("cf").cast("double")
+                                          / F.col("c_tot").cast("double")))
+                      / (F.col("dl").cast("double") + F.lit(_QL_MU))), 9)
+        * 1_000_000_000).cast("long")
+    ql = (dl.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(coll))
+          .join(tf, ["doc_id", "term"], "left")
+          .select("doc_id", term_ll.alias("ll_nano"))
+          .groupBy("doc_id").agg(F.sum("ll_nano").alias("ql_nano")))
+    ra = ql.withColumn("r", F.row_number().over(
+        Window.orderBy(F.col("ql_nano").desc(), "doc_id")))
+    rawtf = (dl.join(tf.groupBy("doc_id")
+                     .agg(F.sum("tf").alias("tfsum")), "doc_id", "left")
+             .select("doc_id", F.coalesce("tfsum", F.lit(0))
+                     .alias("tfsum")))
+    rb = rawtf.withColumn("r", F.row_number().over(
+        Window.orderBy(F.col("tfsum").desc(), "doc_id")))
+    s_lit = F.array(*[F.lit(v).cast("long") for v in _RBO_SUFFIX])
+    common = (ra.filter(F.col("r") <= _RBO_D)
+              .select("doc_id", F.col("r").alias("r_a"))
+              .join(rb.filter(F.col("r") <= _RBO_D)
+                    .select("doc_id", F.col("r").alias("r_b")), "doc_id")
+              .select(F.greatest("r_a", "r_b").cast("int").alias("m")))
+    return common.agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_at_20"),
+        F.round(F.coalesce(F.sum(F.element_at(s_lit, F.col("m"))),
+                           F.lit(0)) / 1_000_000.0, 6).alias("rbo"))
