@@ -3885,3 +3885,83 @@ def events_shapley_attribution(spark: SparkSession,
                             .cast("double"), 6).alias("share"),
                     (F.col("tot") == F.col("rhs")).alias("efficiency_ok"))
             .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (feature drift)
+
+from server2_vector_search_server_spark.plans.product_analytics_queries import (  # noqa: E402,E501
+    _WOE_BIN_HI,
+    _WOE_BIN_LO,
+)
+
+_PSI_SPLIT_DAY = "2024-01-16"      # ref = days 1..15, cur = days 16..30
+
+
+@query(
+    "events_psi_drift",
+    survey="insight extension(population stability index between the "
+           "first and second half-month of the value feature: "
+           "log2-binned Laplace-smoothed shares, exact nano-unit terms — "
+           "the model-monitoring drift metric next to the chi-square "
+           "source-drift screen)",
+    oracle=f"""
+    WITH base AS (
+      SELECT GREATEST({_WOE_BIN_LO}, LEAST({_WOE_BIN_HI},
+               CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
+                    AS INTEGER))) AS bin,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_PSI_SPLIT_DAY}'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM events WHERE value > 0),
+    grp AS (
+      SELECT bin,
+             CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+             CAST(COUNT(*) - SUM(is_ref) AS BIGINT) AS n_cur
+      FROM base GROUP BY bin),
+    tot AS (SELECT SUM(n_ref) AS r_tot, SUM(n_cur) AS c_tot,
+                   COUNT(*) AS k FROM grp)
+    SELECT bin, n_ref, n_cur,
+           ROUND(((n_ref + 0.5) / (r_tot + 0.5 * k)
+                  - (n_cur + 0.5) / (c_tot + 0.5 * k))
+                 * ROUND(ln(((n_ref + 0.5) / (r_tot + 0.5 * k))
+                            / ((n_cur + 0.5) / (c_tot + 0.5 * k))), 9),
+                 9) AS psi_term
+    FROM grp, tot ORDER BY bin
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value feature between the two
+    halves of the observation month — THE production model-monitoring
+    drift metric (PSI > 0.2 = retrain trigger by industry convention).
+    Laplace smoothing keeps empty bins finite; per-bin terms are reported
+    so the alert can name WHICH bins moved (a scalar PSI can't).
+
+    Scale shape: one groupBy onto the bounded log2-bin key with a
+    conditional-sum split (no second scan for the reference window); the
+    share arithmetic divides identical exact integers on both engines,
+    and ln goes through round(.,9) before the product (the registry libm
+    rule)."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bin_col = F.greatest(
+        F.lit(_WOE_BIN_LO),
+        F.least(F.lit(_WOE_BIN_HI),
+                F.floor(F.round(F.log(F.col("value").cast("double"))
+                                / F.log(F.lit(2.0)), 9)).cast("int")))
+    grp = (ev.select(bin_col.alias("bin"),
+                     (F.to_date("ts")
+                      < F.lit(_PSI_SPLIT_DAY).cast("date")).cast("int")
+                     .alias("is_ref"))
+           .groupBy("bin")
+           .agg(F.sum("is_ref").cast("long").alias("n_ref"),
+                (F.count(F.lit(1)) - F.sum("is_ref")).cast("long")
+                .alias("n_cur")))
+    tot = grp.agg(F.sum("n_ref").alias("r_tot"),
+                  F.sum("n_cur").alias("c_tot"),
+                  F.count(F.lit(1)).alias("k"))
+    p = (F.col("n_ref") + 0.5) / (F.col("r_tot") + 0.5 * F.col("k"))
+    q = (F.col("n_cur") + 0.5) / (F.col("c_tot") + 0.5 * F.col("k"))
+    return (grp.join(F.broadcast(tot))
+            .select("bin", "n_ref", "n_cur",
+                    F.round((p - q) * F.round(F.log(p / q), 9), 9)
+                    .alias("psi_term"))
+            .orderBy("bin"))
