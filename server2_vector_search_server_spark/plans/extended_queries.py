@@ -1075,3 +1075,85 @@ def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("cust_key").cast("long").alias("min_key"),
                  F.max("cust_key").cast("long").alias("max_key"))
             .orderBy("row_source"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance with RETRACTIONS (signed deltas)
+
+_IVR_DROP_SEG = "BUILDING"      # every order of this segment is deleted
+
+
+@query(
+    "store_incremental_view_retractions",
+    survey="store extension(incremental aggregate-view maintenance under "
+           "DELETES: signed-multiplicity deltas merged into the "
+           "materialized per-segment aggregate, emptied groups leave the "
+           "view — the retraction half of IVM that "
+           "store_incremental_join_view's append-only case omits)",
+    oracle=f"""
+    WITH modified AS (
+      SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment <> '{_IVR_DROP_SEG}' AND o.o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o.o_orderkey + 1000000000, o.o_totalprice + 10.0,
+             c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 5 = 0 AND c.c_mktsegment <> '{_IVR_DROP_SEG}'
+        AND (o.o_orderkey % 7 <> 0 OR o.o_orderkey % 5 = 0))
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM modified GROUP BY c_mktsegment
+    HAVING COUNT(*) > 0
+    ORDER BY c_mktsegment
+    """,
+)
+def store_incremental_view_retractions(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The materialized per-segment aggregate maintained through a mixed
+    delta stream: deletions (every order of one whole segment, plus every
+    7th order) enter as sign = -1 rows, insertions (modified copies of
+    every 5th order) as sign = +1, and the view updates by ONE signed
+    re-aggregate — counts fold sum(sign), sums fold sum(sign * cents),
+    and groups whose count reaches zero are dropped (the retraction rule
+    that separates real IVM from append-only merging: the emptied
+    segment must VANISH, not linger at zero). The final view hash-equals
+    the from-scratch aggregate over the modified table.
+
+    Scale shape: each delta term is delta-proportional (the deleted-
+    segment scan is a broadcast-dim semi-join); the merge touches only
+    the segment-keyed bounded aggregate — the base fact is never
+    re-aggregated. Inserted keys are offset by 1e9 so delete and insert
+    predicates compose multiset-correctly on both engines."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey",
+                                                 "c_mktsegment")
+    joined = (orders.join(F.broadcast(cust),
+                          orders.o_custkey == cust.c_custkey)
+              .select("o_orderkey", "o_totalprice", "c_mktsegment"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v0 = (joined.groupBy("c_mktsegment")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum(cents).alias("cents")))
+    deletes = (joined.filter((F.col("c_mktsegment") == _IVR_DROP_SEG)
+                             | (F.col("o_orderkey") % 7 == 0))
+               .select("c_mktsegment", F.lit(-1).alias("sign"), cents
+                       .alias("c")))
+    inserts = (joined.filter((F.col("o_orderkey") % 5 == 0)
+                             & (F.col("c_mktsegment") != _IVR_DROP_SEG)
+                             & ((F.col("o_orderkey") % 7 != 0)
+                                | (F.col("o_orderkey") % 5 == 0)))
+               .select("c_mktsegment", F.lit(1).alias("sign"),
+                       (F.round((F.col("o_totalprice") + 10.0) * 100)
+                        .cast("long")).alias("c")))
+    delta = (deletes.unionByName(inserts)
+             .groupBy("c_mktsegment")
+             .agg(F.sum("sign").cast("long").alias("n"),
+                  F.sum(F.col("sign") * F.col("c")).alias("cents")))
+    merged = (v0.unionByName(delta)
+              .groupBy("c_mktsegment")
+              .agg(F.sum("n").cast("long").alias("n_orders"),
+                   F.sum("cents").cast("long").alias("total_cents"))
+              .filter(F.col("n_orders") > 0))
+    return merged.orderBy("c_mktsegment")
