@@ -1351,3 +1351,92 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.select("id_a", "id_b", jac.alias("jaccard")).distinct()
             .filter(F.col("jaccard") >= _SNM_THRESHOLD)
             .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# B-cubed clustering quality vs the planted duplicate truth
+
+_B3_PREFIX = 40
+
+
+@query(
+    "dedup_bcubed_cluster_eval",
+    survey="north-star dedup (B-cubed precision/recall/F1 of a prefix-key "
+           "clustering against the planted duplicate truth — the item-"
+           "level cluster-quality metric, Bagga & Baldwin 1998; "
+           "complements the pair-level dedup_minhash_pr_curve)",
+    oracle=f"""
+    WITH docs2 AS ({_SQL_DOCS}),
+    items AS (
+      SELECT doc_id,
+             md5(substr(trim(text), 1, {_B3_PREFIX})) AS cl,
+             doc_id % 10000 AS truth
+      FROM docs2),
+    ct AS (
+      SELECT cl, truth, CAST(COUNT(*) AS BIGINT) AS n_ct
+      FROM items GROUP BY cl, truth),
+    csz AS (SELECT cl, SUM(n_ct) AS n_c FROM ct GROUP BY cl),
+    tsz AS (SELECT truth, SUM(n_ct) AS n_t FROM ct GROUP BY truth),
+    terms AS (
+      SELECT ct.n_ct,
+             CAST(ROUND(CAST(ct.n_ct AS DOUBLE) * ct.n_ct / csz.n_c
+                        * 1000000) AS BIGINT) AS p_micro,
+             CAST(ROUND(CAST(ct.n_ct AS DOUBLE) * ct.n_ct / tsz.n_t
+                        * 1000000) AS BIGINT) AS r_micro
+      FROM ct JOIN csz ON csz.cl = ct.cl
+              JOIN tsz ON tsz.truth = ct.truth),
+    agg AS (
+      SELECT SUM(n_ct) AS n, SUM(p_micro) AS sp, SUM(r_micro) AS sr
+      FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_items,
+           ROUND(sp / 1000000.0 / n, 6) AS bcubed_precision,
+           ROUND(sr / 1000000.0 / n, 6) AS bcubed_recall,
+           ROUND(2.0 * (sp / 1000000.0 / n) * (sr / 1000000.0 / n)
+                 / (sp / 1000000.0 / n + sr / 1000000.0 / n), 6)
+             AS bcubed_f1
+    FROM agg
+    """,
+)
+def dedup_bcubed_cluster_eval(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """B-cubed evaluation of a dedup clustering: per-item precision
+    |C(i) cap T(i)|/|C(i)| and recall |C(i) cap T(i)|/|T(i)| averaged over
+    items — the cluster-quality metric that (unlike pair F1) doesn't let
+    one giant cluster dominate. System clusters here are text-prefix keys
+    (a deliberately imperfect fast clustering: planted near/exact copies
+    share prefixes, but so do unrelated template docs — so precision
+    measures real over-merging); truth is the planted variant family.
+
+    Scale shape: B-cubed reduces EXACTLY to the (cluster, truth)
+    contingency counts — three partial-aggregable groupBys and a bounded
+    join; per-cell terms n_ct^2/|C| round to micro-units so the item
+    average folds as integers. No per-item pair expansion exists at any
+    scale."""
+    docs = _docs_with_dups(spark, sf_dir)
+    items = docs.select(
+        "doc_id",
+        F.md5(F.substring(F.trim(F.col("text")), 1, _B3_PREFIX))
+        .alias("cl"),
+        (F.col("doc_id") % 10000).alias("truth"))
+    ct = (items.groupBy("cl", "truth")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_ct")))
+    csz = ct.groupBy("cl").agg(F.sum("n_ct").alias("n_c"))
+    tsz = ct.groupBy("truth").agg(F.sum("n_ct").alias("n_t"))
+    terms = (ct.join(csz, "cl").join(tsz, "truth")
+             .select("n_ct",
+                     F.round(F.col("n_ct").cast("double") * F.col("n_ct")
+                             / F.col("n_c") * 1_000_000).cast("long")
+                     .alias("p_micro"),
+                     F.round(F.col("n_ct").cast("double") * F.col("n_ct")
+                             / F.col("n_t") * 1_000_000).cast("long")
+                     .alias("r_micro")))
+    agg = terms.agg(F.sum("n_ct").alias("n"),
+                    F.sum("p_micro").alias("sp"),
+                    F.sum("r_micro").alias("sr"))
+    p = F.col("sp") / 1_000_000.0 / F.col("n")
+    r = F.col("sr") / 1_000_000.0 / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"))
