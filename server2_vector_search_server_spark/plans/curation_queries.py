@@ -626,3 +626,138 @@ def documents_k_anonymity_screen(spark: SparkSession,
             .select("lang", "source", "len_bucket",
                     F.col("n_docs").cast("long").alias("n_docs"))
             .orderBy("lang", "source", "len_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting step
+
+_DRM_ETA = 1.0
+
+
+@query(
+    "curation_doremi_reweight",
+    survey="north-star curation (DoReMi domain-weight update, Xie et al. "
+           "2023: one multiplicative-weights step on source-domain "
+           "mixture weights driven by per-domain excess loss — the "
+           "data-mixture optimizer next to temperature mixing)",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(ROUND(ROUND(1.0 - ({_SQL_QUALITY}), 6) * 1000000)
+                  AS BIGINT) AS loss_micro
+      FROM documents),
+    dom AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(loss_micro) AS BIGINT) AS s_micro
+      FROM scored GROUP BY source),
+    gtot AS (
+      SELECT SUM(n_docs) AS n_tot, SUM(s_micro) AS s_tot,
+             COUNT(*) AS k FROM dom),
+    upd AS (
+      SELECT source, n_docs,
+             ROUND(s_micro / 1000000.0 / n_docs, 6) AS domain_loss,
+             ROUND(s_micro / 1000000.0 / n_docs
+                   - s_tot / 1000000.0 / n_tot, 6) AS excess_loss,
+             CAST(ROUND(ROUND(exp({_DRM_ETA}
+                     * (s_micro / 1000000.0 / n_docs
+                        - s_tot / 1000000.0 / n_tot)), 9) * 1000000
+                     / k) AS BIGINT) AS w_micro
+      FROM dom, gtot),
+    norm AS (SELECT SUM(w_micro) AS w_tot FROM upd)
+    SELECT source, n_docs, domain_loss, excess_loss,
+           ROUND(CAST(w_micro AS DOUBLE) / CAST(norm.w_tot AS DOUBLE), 6)
+             AS new_weight
+    FROM upd, norm ORDER BY source
+    """,
+)
+def curation_doremi_reweight(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """One DoReMi mirror-descent step on the source-domain mixture: start
+    from uniform weights, multiply each domain by exp(eta * excess loss)
+    (domain loss minus corpus loss — the quality heuristic stands in for
+    the proxy-model loss signal, as in the distilled-classifier query),
+    renormalize. Domains the proxy finds HARD gain weight — the published
+    recipe for choosing pre-training mixtures.
+
+    Scale shape: per-domain losses fold as exact micro-unit sums in one
+    groupBy (domain-bounded reduce side); the update is arithmetic on the
+    bounded domain table, with exp round-guarded and normalization over
+    micro-unit integers (the Neyman-allocation discipline)."""
+    from server2_vector_search_server_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    loss_micro = (F.round(F.round(1.0 - quality_score(F.col("text")), 6)
+                          * 1_000_000).cast("long"))
+    dom = (docs.select("source", loss_micro.alias("lm"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("lm").cast("long").alias("s_micro")))
+    glob = dom.agg(F.sum("n_docs").alias("n_tot"),
+                   F.sum("s_micro").alias("s_tot"),
+                   F.count(F.lit(1)).alias("k"))
+    excess = (F.col("s_micro") / 1_000_000.0 / F.col("n_docs")
+              - F.col("s_tot") / 1_000_000.0 / F.col("n_tot"))
+    upd = (dom.join(F.broadcast(glob))
+           .select("source", "n_docs",
+                   F.round(F.col("s_micro") / 1_000_000.0
+                           / F.col("n_docs"), 6).alias("domain_loss"),
+                   F.round(excess, 6).alias("excess_loss"),
+                   F.round(F.round(F.exp(F.lit(_DRM_ETA) * excess), 9)
+                           * 1_000_000 / F.col("k")).cast("long")
+                   .alias("w_micro")))
+    norm = upd.agg(F.sum("w_micro").alias("w_tot"))
+    return (upd.join(F.broadcast(norm))
+            .select("source", "n_docs", "domain_loss", "excess_loss",
+                    F.round(F.col("w_micro").cast("double")
+                            / F.col("w_tot").cast("double"), 6)
+                    .alias("new_weight"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity screen (companion to k-anonymity)
+
+_LDIV_L = 3
+
+
+@query(
+    "documents_l_diversity_screen",
+    survey="north-star curation governance (l-diversity over the "
+           "k-anonymity cells: a QI cell whose SENSITIVE attribute shows "
+           "fewer than l distinct values invites attribute disclosure "
+           "even when it clears k — Machanavajjhala et al. 2007)",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(FLOOR(n_chars / 200.0) AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT length(trim(text)) % 7) AS BIGINT)
+             AS n_sensitive_values
+    FROM documents
+    GROUP BY lang, source, CAST(FLOOR(n_chars / 200.0) AS BIGINT)
+    HAVING COUNT(DISTINCT length(trim(text)) % 7) < {_LDIV_L}
+    ORDER BY lang, source, len_bucket
+    """,
+)
+def documents_l_diversity_screen(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier cells as the
+    k-anonymity screen: a cell where the sensitive attribute (a derived
+    7-way category stands in) takes fewer than l distinct values lets an
+    attacker who locates a person in the cell INFER their attribute even
+    without re-identifying the row — the classic homogeneity attack
+    k-anonymity misses. One aggregate with a single COUNT(DISTINCT) per
+    group (no Expand, ROUND_NOTES rule); cells clearing k but failing l
+    get generalized by the same coarsening loop."""
+    docs = tbl(spark, sf_dir, "documents")
+    sens = (F.length(F.trim(F.col("text"))) % 7)
+    cells = (docs.groupBy(
+        "lang", "source",
+        F.floor(F.col("n_chars") / F.lit(200.0)).cast("long")
+        .alias("len_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.count_distinct(sens).cast("long")
+             .alias("n_sensitive_values")))
+    return (cells.filter(F.col("n_sensitive_values") < _LDIV_L)
+            .orderBy("lang", "source", "len_bucket"))
