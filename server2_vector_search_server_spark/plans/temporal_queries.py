@@ -657,3 +657,114 @@ def events_conformal_interval(spark: SparkSession,
                     F.round(F.col("covered").cast("double")
                             / F.col("n_test").cast("double"), 6)
                     .alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation (lead-lag) between two event-type series
+
+_CCF_MAX_LAG = 12
+
+
+@query(
+    "events_crosscorrelation_lead_lag",
+    survey="temporal extension(cross-correlation between the hourly view "
+           "and purchase series at lags -12..12 — the lead-lag "
+           "diagnostic; same integer-scaled covariance identity as the "
+           "ACF, two series)",
+    oracle=f"""
+    WITH spine AS (SELECT unnest(range(0, {_ACF_N})) AS t),
+    raw AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_ACF_ORIGIN}') / 3600.0)
+                    AS BIGINT) AS t,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT s.t, COALESCE(r.x, 0) AS x, COALESCE(r.y, 0) AS y
+      FROM spine s LEFT JOIN raw r ON r.t = s.t),
+    tot AS (
+      SELECT SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy FROM c),
+    lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1}))
+               AS lag),
+    pairs AS (
+      SELECT l.lag,
+             COUNT(*) AS np,
+             SUM(a.x * b.y) AS sum_xy,
+             SUM(a.x) AS sum_a, SUM(b.y) AS sum_b
+      FROM lags l
+      JOIN c a ON a.t + l.lag >= 0 AND a.t + l.lag <= {_ACF_N - 1}
+      JOIN c b ON b.t = a.t + l.lag
+      GROUP BY l.lag)
+    SELECT lag,
+           ROUND(CAST({_ACF_N} * {_ACF_N} * sum_xy
+                      - {_ACF_N} * tot.sy * sum_a
+                      - {_ACF_N} * tot.sx * sum_b
+                      + np * tot.sx * tot.sy AS DOUBLE)
+                 / sqrt(CAST({_ACF_N} * {_ACF_N} * tot.sxx
+                             - {_ACF_N} * tot.sx * tot.sx AS DOUBLE)
+                        * CAST({_ACF_N} * {_ACF_N} * tot.syy
+                               - {_ACF_N} * tot.sy * tot.sy AS DOUBLE)),
+                 6) AS ccf
+    FROM pairs, tot ORDER BY lag
+    """,
+)
+def events_crosscorrelation_lead_lag(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Cross-correlation between hourly view counts and purchase counts
+    at lags -12..+12 hours: a peak at positive lag means views LEAD
+    purchases by that many hours — the standard lead-lag screen before
+    any causal/attribution claim. The numerator expands to pure BIGINTs
+    (N^2*cov identity, two-series form with per-lag pair counts); the
+    only float ops are one sqrt and one division over identical
+    integers.
+
+    Scale shape: identical to events_hourly_autocorrelation — one scan
+    to the bounded 720-hour spine (a CONDITIONAL aggregate builds both
+    series in that single pass), then bounded lag joins."""
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_ACF_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = (ev.select((F.floor(F.unix_timestamp("ts") / 3600.0)
+                      - origin_h).cast("long").alias("t"),
+                     (F.col("event_type") == "view").cast("long")
+                     .alias("xv"),
+                     (F.col("event_type") == "purchase").cast("long")
+                     .alias("yv"))
+           .groupBy("t").agg(F.sum("xv").alias("x"),
+                             F.sum("yv").alias("y")))
+    spine = spark.range(_ACF_N).select(F.col("id").alias("t"))
+    c = (spine.join(raw, "t", "left")
+         .select("t", F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+                 F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+         .localCheckpoint(eager=True))
+    tot = c.agg(F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"))
+    lags = (spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)
+            .select(F.col("id").alias("lag")))
+    a = c.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = c.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    pairs = (lags.join(a, (F.col("ta") + F.col("lag") >= 0)
+                       & (F.col("ta") + F.col("lag") <= _ACF_N - 1))
+             .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+             .groupBy("lag")
+             .agg(F.count(F.lit(1)).alias("np"),
+                  F.sum(F.col("xa") * F.col("yb")).alias("sum_xy"),
+                  F.sum("xa").alias("sum_a"), F.sum("yb").alias("sum_b")))
+    n = _ACF_N
+    num = (F.lit(n * n) * F.col("sum_xy")
+           - F.lit(n) * F.col("sy") * F.col("sum_a")
+           - F.lit(n) * F.col("sx") * F.col("sum_b")
+           + F.col("np") * F.col("sx") * F.col("sy"))
+    den = F.sqrt((F.lit(n * n) * F.col("sxx")
+                  - F.lit(n) * F.col("sx") * F.col("sx")).cast("double")
+                 * (F.lit(n * n) * F.col("syy")
+                    - F.lit(n) * F.col("sy") * F.col("sy")).cast("double"))
+    return (pairs.join(F.broadcast(tot))
+            .select("lag", F.round(num.cast("double") / den, 6)
+                    .alias("ccf"))
+            .orderBy("lag"))
