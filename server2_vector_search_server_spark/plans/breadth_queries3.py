@@ -704,3 +704,98 @@ def orders_benford_digit_test(spark: SparkSession,
                                * (F.col("exp_micro") / 1_000_000.0)), 6)
                     .alias("chi2_term"))
             .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox screen: aggregate vs per-stratum regression slopes
+
+_SIMP_SCALE = 10_000
+
+
+def _sql_simpson_slope(group_cols: str, label: str) -> str:
+    """Exact-integer OLS slope of extendedprice on quantity: cents/scaled
+    units so n*Sxy - Sx*Sy and n*Sxx - Sx^2 are BIGINTs (the Zipf normal-
+    equations pattern, per stratum)."""
+    return f"""
+    SELECT {label} AS stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qx * py) AS DOUBLE)
+                  - CAST(SUM(qx) AS DOUBLE) * CAST(SUM(py) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qx * qx) AS DOUBLE)
+                    - CAST(SUM(qx) AS DOUBLE) * CAST(SUM(qx) AS DOUBLE))
+                 / 100.0, 6) AS slope
+    FROM (SELECT CAST(ROUND(l_quantity * {_SIMP_SCALE}) AS BIGINT) AS qx,
+                 CAST(ROUND(l_extendedprice * {_SIMP_SCALE}) AS BIGINT)
+                   AS py{', ' + group_cols if group_cols else ''}
+          FROM lineitem)
+    {f'GROUP BY {group_cols}' if group_cols else ''}
+    """
+
+
+@query(
+    "lineitem_simpsons_screen",
+    survey="breadth extension(Simpson's-paradox screen: price-on-quantity "
+           "OLS slope computed overall AND per return-flag stratum from "
+           "exact integer normal equations; flags any stratum whose "
+           "slope sign disagrees with the aggregate)",
+    oracle=f"""
+    WITH overall AS ({_sql_simpson_slope('', "'__all__'")}),
+    strata AS ({_sql_simpson_slope('l_returnflag', 'l_returnflag')})
+    SELECT s.stratum, s.n_rows, s.slope,
+           o.slope AS overall_slope,
+           (s.slope * o.slope < 0) AS sign_flip
+    FROM (SELECT * FROM overall UNION ALL SELECT * FROM strata) s
+    CROSS JOIN overall o
+    ORDER BY s.stratum
+    """,
+)
+def lineitem_simpsons_screen(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the aggregate regression slope of
+    extended price on quantity next to each return-flag stratum's slope,
+    flagging sign reversals — the lurking-variable screen every
+    observational metric review should run before trusting a pooled
+    trend. The moment sums fold as exact BIGINTs; the normal-equation
+    products then run in DOUBLE with identical op order on both engines
+    (at fact-table n the n*Sxy product overflows int64 — the Zipf form
+    only stays integral because its point count is bounded).
+
+    Scale shape: ONE scan feeds both grains (the overall row re-uses the
+    stratum aggregates' physics — a second partial-agg pass over the
+    same projection); everything else is bounded-row arithmetic."""
+    li = tbl(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * _SIMP_SCALE).cast("long").alias("qx"),
+        F.round(F.col("l_extendedprice") * _SIMP_SCALE).cast("long")
+        .alias("py"))
+
+    def slopes(grouped):
+        agg = grouped.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("qx").alias("sx"), F.sum("py").alias("sy"),
+            F.sum(F.col("qx") * F.col("py")).alias("sxy"),
+            F.sum(F.col("qx") * F.col("qx")).alias("sxx"))
+        nd = F.col("n_rows").cast("double")
+        return agg.select(
+            "*",
+            (F.round((nd * F.col("sxy").cast("double")
+                      - F.col("sx").cast("double")
+                      * F.col("sy").cast("double"))
+                     / (nd * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double")
+                        * F.col("sx").cast("double"))
+                     / 100.0, 6)).alias("slope"))
+
+    overall = (slopes(base.groupBy())
+               .select(F.lit("__all__").alias("stratum"), "n_rows",
+                       "slope"))
+    strata = (slopes(base.groupBy("l_returnflag"))
+              .select(F.col("l_returnflag").alias("stratum"), "n_rows",
+                      "slope"))
+    o = overall.select(F.col("slope").alias("overall_slope"))
+    return (overall.unionByName(strata).join(F.broadcast(o))
+            .select("stratum", "n_rows", "slope", "overall_slope",
+                    (F.col("slope") * F.col("overall_slope") < 0)
+                    .alias("sign_flip"))
+            .orderBy("stratum"))
