@@ -709,7 +709,6 @@ def orders_benford_digit_test(spark: SparkSession,
 # ---------------------------------------------------------------------------
 # Simpson's-paradox screen: aggregate vs per-stratum regression slopes
 
-_SIMP_SCALE = 10_000
 
 
 def _sql_simpson_slope(group_cols: str, label: str) -> str:
@@ -724,8 +723,8 @@ def _sql_simpson_slope(group_cols: str, label: str) -> str:
                  / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qx * qx) AS DOUBLE)
                     - CAST(SUM(qx) AS DOUBLE) * CAST(SUM(qx) AS DOUBLE))
                  / 100.0, 6) AS slope
-    FROM (SELECT CAST(ROUND(l_quantity * {_SIMP_SCALE}) AS BIGINT) AS qx,
-                 CAST(ROUND(l_extendedprice * {_SIMP_SCALE}) AS BIGINT)
+    FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qx,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                    AS py{', ' + group_cols if group_cols else ''}
           FROM lineitem)
     {f'GROUP BY {group_cols}' if group_cols else ''}
@@ -764,11 +763,13 @@ def lineitem_simpsons_screen(spark: SparkSession,
     stratum aggregates' physics — a second partial-agg pass over the
     same projection); everything else is bounded-row arithmetic."""
     li = tbl(spark, sf_dir, "lineitem")
+    # quantity is integral and price has cents — minimal exact scales
+    # keep SUM(qx*py) inside int64 out to ~sf100 (1e4 scaling overflowed
+    # the product sum at sf0.1 under ANSI mode)
     base = li.select(
         "l_returnflag",
-        F.round(F.col("l_quantity") * _SIMP_SCALE).cast("long").alias("qx"),
-        F.round(F.col("l_extendedprice") * _SIMP_SCALE).cast("long")
-        .alias("py"))
+        F.round(F.col("l_quantity")).cast("long").alias("qx"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("py"))
 
     def slopes(grouped):
         agg = grouped.agg(
