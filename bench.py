@@ -110,6 +110,8 @@ HEADLINE = [
     "events_attribution_credit",  # ignore-nulls window attribution (r5)
     "geo_radius_supplier_coverage",  # grid-cell spatial radius join (r5)
     "events_hourly_autocorrelation",  # bounded-spine ACF self-join (r5)
+    "events_lossy_counting",    # bounded-state frequent-items fold (r5)
+    "events_shapley_attribution",  # exact coalition attribution (r5)
 ]
 
 
