@@ -3965,3 +3965,126 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((p - q) * F.round(F.log(p / q), 9), 9)
                     .alias("psi_term"))
             .orderBy("bin"))
+
+
+# ---------------------------------------------------------------------------
+# Brier score with Murphy decomposition (forecast calibration eval)
+
+_BRIER_SPLIT = "2024-01-16"    # train bins on days 1..15, score days 16..30
+
+
+@query(
+    "events_brier_decomposition",
+    survey="insight extension(Brier score + Murphy 1973 decomposition "
+           "reliability - resolution + uncertainty for the binned "
+           "purchase-probability forecaster: train-half bin rates "
+           "scored on the eval half, every term from exact integer "
+           "counts)",
+    oracle=f"""
+    WITH base AS (
+      SELECT GREATEST({_WOE_BIN_LO}, LEAST({_WOE_BIN_HI},
+               CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
+                    AS INTEGER))) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_BRIER_SPLIT}'
+                  THEN 1 ELSE 0 END AS is_train
+      FROM events WHERE value > 0),
+    fc AS (
+      SELECT bin, SUM(y) AS ty, COUNT(*) AS tn
+      FROM base WHERE is_train = 1 GROUP BY bin),
+    ev AS (
+      SELECT bin, CAST(SUM(y) AS BIGINT) AS ey,
+             CAST(COUNT(*) AS BIGINT) AS en
+      FROM base WHERE is_train = 0 GROUP BY bin),
+    tot AS (SELECT SUM(ey) AS y_tot, SUM(en) AS n_tot FROM ev),
+    terms AS (
+      SELECT ev.bin, ev.en, ev.ey,
+             CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE) AS f,
+             CAST(ev.ey AS DOUBLE) / CAST(ev.en AS DOUBLE) AS o,
+             CAST(tot.y_tot AS DOUBLE) / CAST(tot.n_tot AS DOUBLE) AS ob
+      FROM ev JOIN fc ON fc.bin = ev.bin CROSS JOIN tot),
+    agg AS (
+      SELECT SUM(en) AS n,
+             SUM(CAST(ROUND(en * (f - o) * (f - o) * 1000000000)
+                      AS BIGINT)) AS rel_nano,
+             SUM(CAST(ROUND(en * (o - ob) * (o - ob) * 1000000000)
+                      AS BIGINT)) AS res_nano,
+             SUM(CAST(ROUND((ey * (1.0 - f) * (1.0 - f)
+                             + (en - ey) * f * f) * 1000000000)
+                      AS BIGINT)) AS brier_nano
+      FROM terms),
+    unc AS (
+      SELECT (CAST(y_tot AS DOUBLE) / n_tot)
+             * (1.0 - CAST(y_tot AS DOUBLE) / n_tot) AS u FROM tot)
+    SELECT CAST(agg.n AS BIGINT) AS n_eval,
+           ROUND(brier_nano / 1000000000.0 / agg.n, 6) AS brier,
+           ROUND(rel_nano / 1000000000.0 / agg.n, 6) AS reliability,
+           ROUND(res_nano / 1000000000.0 / agg.n, 6) AS resolution,
+           ROUND(unc.u, 6) AS uncertainty
+    FROM agg, unc
+    """,
+)
+def events_brier_decomposition(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Brier score of the binned purchase-rate forecaster (rates fit on
+    the first half-month, scored on the second) with the Murphy
+    decomposition: reliability (calibration error), resolution (how much
+    the bins separate outcomes), uncertainty (base-rate entropy) — the
+    decomposition that tells you WHETHER to recalibrate (reliability
+    high) or refeaturize (resolution low). Per-bin terms weight exact
+    integer counts by shared-op-order doubles and round to nano-units,
+    so the whole report is hash-exact.
+
+    Scale shape: two conditional aggregates onto the bounded bin key
+    from ONE scan; everything downstream is bounded-row arithmetic
+    (the WoE/PSI family's physics, completing train-vs-eval
+    calibration)."""
+    ev_t = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bin_col = F.greatest(
+        F.lit(_WOE_BIN_LO),
+        F.least(F.lit(_WOE_BIN_HI),
+                F.floor(F.round(F.log(F.col("value").cast("double"))
+                                / F.log(F.lit(2.0)), 9)).cast("int")))
+    base = ev_t.select(
+        bin_col.alias("bin"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+        (F.to_date("ts") < F.lit(_BRIER_SPLIT).cast("date")).cast("int")
+        .alias("is_train"))
+    fc = (base.filter(F.col("is_train") == 1).groupBy("bin")
+          .agg(F.sum("y").alias("ty"), F.count(F.lit(1)).alias("tn")))
+    evl = (base.filter(F.col("is_train") == 0).groupBy("bin")
+           .agg(F.sum("y").cast("long").alias("ey"),
+                F.count(F.lit(1)).cast("long").alias("en")))
+    tot = evl.agg(F.sum("ey").alias("y_tot"), F.sum("en").alias("n_tot"))
+    f_col = F.col("ty").cast("double") / F.col("tn").cast("double")
+    o_col = F.col("ey").cast("double") / F.col("en").cast("double")
+    ob = F.col("y_tot").cast("double") / F.col("n_tot").cast("double")
+    terms = (evl.join(fc, "bin").join(F.broadcast(tot))
+             .select("en", "ey", f_col.alias("f"), o_col.alias("o"),
+                     ob.alias("ob")))
+    agg = terms.agg(
+        F.sum("en").alias("n"),
+        F.sum(F.round(F.col("en") * (F.col("f") - F.col("o"))
+                      * (F.col("f") - F.col("o")) * 1_000_000_000)
+              .cast("long")).alias("rel_nano"),
+        F.sum(F.round(F.col("en") * (F.col("o") - F.col("ob"))
+                      * (F.col("o") - F.col("ob")) * 1_000_000_000)
+              .cast("long")).alias("res_nano"),
+        F.sum(F.round((F.col("ey") * (1.0 - F.col("f"))
+                       * (1.0 - F.col("f"))
+                       + (F.col("en") - F.col("ey")) * F.col("f")
+                       * F.col("f")) * 1_000_000_000)
+              .cast("long")).alias("brier_nano"))
+    unc = tot.select(
+        (F.col("y_tot").cast("double") / F.col("n_tot")
+         * (1.0 - F.col("y_tot").cast("double") / F.col("n_tot")))
+        .alias("u"))
+    return (agg.join(F.broadcast(unc))
+            .select(F.col("n").cast("long").alias("n_eval"),
+                    F.round(F.col("brier_nano") / 1_000_000_000.0
+                            / F.col("n"), 6).alias("brier"),
+                    F.round(F.col("rel_nano") / 1_000_000_000.0
+                            / F.col("n"), 6).alias("reliability"),
+                    F.round(F.col("res_nano") / 1_000_000_000.0
+                            / F.col("n"), 6).alias("resolution"),
+                    F.round(F.col("u"), 6).alias("uncertainty")))
