@@ -752,3 +752,116 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((r, n_nodes, n_edges))
     return spark.createDataFrame(
         rows, "round int, n_nodes long, n_edges long").orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk corpus generation)
+
+_RW_STEPS = 6
+_RW_WALKS = 2
+
+
+def _sql_rw_u16(expr: str) -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}" for i in range(4))
+    return "(" + digits + ")"
+
+
+def _sql_random_walks() -> str:
+    head = f"""
+    edges AS MATERIALIZED (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    bidir AS (SELECT src, dst FROM edges
+              UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    adj AS MATERIALIZED (
+      SELECT src AS node, list_sort(list(dst)) AS nbrs,
+             CAST(COUNT(*) AS BIGINT) AS deg
+      FROM bidir GROUP BY src),
+    starts AS (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node, w.w
+      FROM supplier, UNNEST(range(0, {_RW_WALKS})) AS w(w)
+      WHERE s_suppkey % 5 = 0),
+    w0 AS MATERIALIZED (
+      SELECT s.node || '_' || CAST(s.w AS VARCHAR) AS walk_id,
+             s.node AS cur, s.node AS path
+      FROM starts s JOIN adj a ON a.node = s.node)"""
+    parts = [head]
+    for k in range(1, _RW_STEPS + 1):
+        pick = _sql_rw_u16(
+            f"w.walk_id || '_' || CAST({k} AS VARCHAR) || '_' || w.cur")
+        parts.append(f"""
+    w{k} AS MATERIALIZED (
+      SELECT w.walk_id,
+             a.nbrs[CAST({pick} % a.deg AS INTEGER) + 1] AS cur,
+             w.path || '>' || a.nbrs[CAST({pick} % a.deg AS INTEGER) + 1]
+               AS path
+      FROM w{k - 1} w JOIN adj a ON a.node = w.cur)""")
+    return ("WITH" + ",".join(parts)
+            + f" SELECT walk_id, path FROM w{_RW_STEPS} ORDER BY walk_id")
+
+
+@query(
+    "graph_deterministic_random_walks",
+    survey="graph extension(DeepWalk/node2vec corpus generation made "
+           "deterministic: md5-selected neighbor at each step over "
+           "sorted adjacency arrays, 6-step walks from the supplier "
+           "seeds — the skip-gram training-data prep for graph "
+           "embeddings, walk strings hash-exact)",
+    oracle=_sql_random_walks(),
+)
+def graph_deterministic_random_walks(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Random-walk corpus generation (DeepWalk, Perozzi et al. 2014) with
+    the RNG replaced by the portable md5 selector — both engines walk the
+    identical paths, so the emitted corpus (the input to skip-gram
+    training) is hash-verified, and a cluster re-run reproduces the same
+    training data (the negative-sampling/bootstrap discipline on graphs).
+
+    Scale shape: adjacency builds once (sorted neighbor arrays, one
+    groupBy); each of the 6 steps is a node-keyed EQUI-JOIN of the walk
+    frontier against the adjacency table — frontier-proportional shuffle,
+    the textbook distributed-walk plan (degree-bounded rows; a hub-heavy
+    graph caps adjacency arrays by down-sampling neighbors at build
+    time). Walks per seed and steps are constants, so corpus size is
+    seeds x walks x steps by construction."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    bidir = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    adj = (bidir.groupBy(F.col("src").alias("node"))
+           .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"),
+                F.count(F.lit(1)).cast("long").alias("deg"))
+           .localCheckpoint(eager=True))
+    supp = tbl(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 5 == 0)
+    starts = (supp.select(F.concat(F.lit("s"),
+                                   F.col("s_suppkey").cast("string"))
+                          .alias("node"))
+              .join(spark.range(_RW_WALKS).select(F.col("id").alias("w"))))
+    state = (starts.join(adj, starts.node == adj.node)
+             .select(F.concat(starts.node, F.lit("_"),
+                              F.col("w").cast("string")).alias("walk_id"),
+                     starts.node.alias("cur"),
+                     starts.node.alias("path")))
+    for k in range(1, _RW_STEPS + 1):
+        st = state.alias("w")
+        a = adj.alias("a")
+        pick = (F.conv(F.substring(F.md5(F.concat(
+            F.col("w.walk_id"), F.lit("_"), F.lit(str(k)), F.lit("_"),
+            F.col("w.cur"))), 1, 4), 16, 10).cast("long")
+            % F.col("a.deg")).cast("int")
+        nxt = F.element_at(F.col("a.nbrs"), pick + 1)
+        state = (st.join(a, F.col("w.cur") == F.col("a.node"))
+                 .select(F.col("w.walk_id").alias("walk_id"),
+                         nxt.alias("cur"),
+                         F.concat(F.col("w.path"), F.lit(">"), nxt)
+                         .alias("path")))
+    return state.select("walk_id", "path").orderBy("walk_id")
