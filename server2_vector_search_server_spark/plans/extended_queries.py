@@ -1157,3 +1157,139 @@ def store_incremental_view_retractions(spark: SparkSession,
                    F.sum("cents").cast("long").alias("total_cents"))
               .filter(F.col("n_orders") > 0))
     return merged.orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Optimistic-concurrency commit validation (snapshot store)
+
+@query(
+    "store_occ_conflict_detection",
+    survey="store extension(optimistic concurrency control on the "
+           "snapshot store: two writers staged against the same base "
+           "version — the disjoint one commits without retry, the "
+           "overlapping one is detected by touched-set validation and "
+           "retried against the new base; Delta/Iceberg commit-protocol "
+           "semantics, final state + outcomes hash-pinned)",
+    oracle="""
+    WITH final AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_name,
+             CASE WHEN doc_id BETWEEN 12 AND 14 THEN 'b2:' || upper(text)
+                  WHEN doc_id BETWEEN 10 AND 15 THEN upper(text)
+                  WHEN doc_id BETWEEN 20 AND 25 THEN 'b1:' || text
+                  ELSE text END AS content
+      FROM documents WHERE doc_id < 30),
+    dig AS (
+      SELECT md5(string_agg(md5(doc_name || '|' || md5(content)), ''
+                            ORDER BY md5(doc_name || '|' || md5(content))))
+               AS final_digest,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM final)
+    SELECT w.writer, w.conflict_detected, w.retried,
+           CAST(w.committed_version AS BIGINT) AS committed_version,
+           dig.n_docs, dig.final_digest
+    FROM (VALUES ('A', FALSE, FALSE, 2),
+                 ('B1', FALSE, FALSE, 3),
+                 ('B2', TRUE, TRUE, 4))
+         w(writer, conflict_detected, retried, committed_version),
+         dig
+    ORDER BY w.writer
+    """,
+)
+def store_occ_conflict_detection(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Optimistic concurrency on the immutable-manifest store: writers
+    stage work against a base snapshot and, at commit time, validate that
+    the doc set they touch is DISJOINT from everything changed since
+    their base — the Delta/Iceberg conflict rule. Writer A commits v2;
+    writer B1 (touches different docs) passes validation and lands v3
+    without recomputation; writer B2 (overlaps A's docs) is rejected,
+    re-stages against the current snapshot — picking up A's uppercase
+    content, which the final digest proves — and lands v4. Lost updates
+    are impossible by construction, and the oracle pins both the
+    per-writer outcomes and the byte-exact final table digest.
+
+    Scale shape: validation compares doc-level content digests of two
+    snapshot reads (an anti-join both ways — delta-proportional, never a
+    table rescan at real manifest granularity, where file-level metadata
+    answers it driver-side); the retry recomputes ONLY the conflicting
+    writer's delta."""
+    from server2_vector_search_server_spark.sources.snapshots import (
+        SnapshotChunkStore,
+    )
+
+    root = scratch_dir("occ_store_")
+    store = SnapshotChunkStore(spark, root)
+    docs = tbl(spark, sf_dir, "documents")
+
+    def chunks(lo, hi, transform=None):
+        d = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        text = transform(F.col("text")) if transform else F.col("text")
+        name = F.concat(F.lit("doc_"), F.col("doc_id"))
+        return d.select(
+            F.md5(name).alias("chunk_id"), F.md5(name).alias("doc_id"),
+            name.alias("doc_name"), F.lit(0).alias("chunk_index"),
+            F.lit("collection_a").alias("original_collection"),
+            text.alias("content"),
+            F.create_map(F.lit("source"), name).alias("metadata"),
+            F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>")
+            .alias("embedding"),
+            F.lit("collection_a").alias("collection"))
+
+    def doc_state(version):
+        return (store.read(None, version=version)
+                .select("doc_name", F.md5("content").alias("h")))
+
+    def changed_since(base_v):
+        cur, base = doc_state(None), doc_state(base_v)
+        delta = (cur.join(base, ["doc_name", "h"], "left_anti")
+                 .unionByName(base.join(cur, ["doc_name", "h"],
+                                        "left_anti")))
+        return {r["doc_name"] for r in delta.select("doc_name")
+                .distinct().collect()}
+
+    def try_commit(staged, base_v):
+        touched = {r["doc_name"]
+                   for r in staged.select("doc_name").distinct().collect()}
+        conflict = bool(touched & changed_since(base_v))
+        if not conflict:
+            return False, store.upsert(staged)
+        return True, None
+
+    store.append(chunks(0, 30))                                   # v1
+    base = store.current_version()
+
+    # writer A: stages against v1, commits first
+    a_conf, a_v = try_commit(chunks(10, 16, transform=F.upper), base)
+    # writer B1: staged against v1, disjoint from A -> no retry
+    b1_staged = chunks(20, 26,
+                       transform=lambda t: F.concat(F.lit("b1:"), t))
+    b1_conf, b1_v = try_commit(b1_staged, base)
+    # writer B2: staged against v1, overlaps A -> conflict, retry on the
+    # CURRENT snapshot (its transform re-reads current content)
+    b2_staged = chunks(12, 15,
+                       transform=lambda t: F.concat(F.lit("b2:"), t))
+    b2_conf, b2_v = try_commit(b2_staged, base)
+    b2_retried = False
+    if b2_conf:
+        b2_retried = True
+        cur = store.read(None).filter(
+            F.col("doc_name").isin([f"doc_{i}" for i in range(12, 15)]))
+        restaged = cur.withColumn(
+            "content", F.concat(F.lit("b2:"), F.col("content")))
+        b2_v = store.upsert(restaged)
+
+    row_h = F.md5(F.concat_ws("|", "doc_name", F.md5("content")))
+    dig = (store.read(None).withColumn("h", row_h)
+           .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h"))))
+                .alias("final_digest"),
+                F.count(F.lit(1)).cast("long").alias("n_docs")))
+    outcomes = spark.createDataFrame(
+        [("A", bool(a_conf), False, int(a_v)),
+         ("B1", bool(b1_conf), False, int(b1_v)),
+         ("B2", bool(b2_conf), b2_retried, int(b2_v))],
+        "writer string, conflict_detected boolean, retried boolean, "
+        "committed_version long")
+    return (outcomes.join(F.broadcast(dig))
+            .select("writer", "conflict_detected", "retried",
+                    "committed_version", "n_docs", "final_digest")
+            .orderBy("writer"))
