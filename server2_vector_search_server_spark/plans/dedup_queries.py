@@ -1440,3 +1440,82 @@ def dedup_bcubed_cluster_eval(spark: SparkSession,
         F.round(p, 6).alias("bcubed_precision"),
         F.round(r, 6).alias("bcubed_recall"),
         F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"))
+
+
+# ---------------------------------------------------------------------------
+# Homoglyph-skeleton dedup (adversarial evasion canonicalization)
+
+# Cyrillic/Greek lookalikes -> ASCII skeleton (a bounded, public confusable
+# subset of Unicode TR39; translate() handles the 1:1 mapping in one pass)
+_HG_FROM = "аеорсхуοα"
+_HG_TO = "aeopcxyoa"
+_HG_N = 80
+
+
+@query(
+    "dedup_homoglyph_skeleton",
+    survey="north-star dedup (homoglyph-evasion canonicalization: "
+           "Unicode-confusable skeleton via translate(), TR39-style — "
+           "raw digests MISS the planted Cyrillic-lookalike copies, "
+           "skeleton digests catch them; both counts pinned)",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_HG_N}
+      UNION ALL
+      SELECT doc_id + 40000 AS doc_id,
+             translate(text, '{_HG_TO}', '{_HG_FROM}') AS text
+      FROM documents WHERE doc_id < {_HG_N} AND doc_id % 2 = 0),
+    keyed AS (
+      SELECT doc_id, md5(text) AS raw_hash,
+             md5(translate(text, '{_HG_FROM}', '{_HG_TO}')) AS skel_hash
+      FROM docs2),
+    raw_d AS (
+      SELECT raw_hash FROM keyed GROUP BY raw_hash HAVING COUNT(*) > 1),
+    skel AS (
+      SELECT skel_hash, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+      FROM keyed GROUP BY skel_hash HAVING COUNT(*) > 1)
+    SELECT CAST((SELECT COUNT(*) FROM raw_d) AS BIGINT)
+             AS raw_dup_clusters,
+           CAST(COUNT(*) AS BIGINT) AS skeleton_dup_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS evasive_copies_caught
+    FROM skel
+    """,
+)
+def dedup_homoglyph_skeleton(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Adversarial dedup evasion: copies rewritten with Cyrillic/Greek
+    lookalike characters hash differently, so digest dedup silently
+    re-admits them — the standard spam/content-farm trick. The skeleton
+    transform (Unicode TR39 confusable folding, here the bounded
+    high-frequency subset via one translate() pass) canonicalizes before
+    hashing: the oracle pins that RAW digests find zero duplicate
+    clusters among the planted evasive copies while skeleton digests
+    catch every one.
+
+    Scale shape: translate() is a per-row column expression inside the
+    scan (no UDF, no join); the dedup itself stays the exact hash-groupBy.
+    A full TR39 table at scale is the same plan with a longer mapping
+    string."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _HG_N).select("doc_id", "text"))
+    evasive = (docs.filter(F.col("doc_id") % 2 == 0)
+               .select((F.col("doc_id") + 40000).alias("doc_id"),
+                       F.translate("text", _HG_TO, _HG_FROM).alias("text")))
+    corpus = docs.unionByName(evasive)
+    keyed = corpus.select(
+        "doc_id", F.md5("text").alias("raw_hash"),
+        F.md5(F.translate("text", _HG_FROM, _HG_TO)).alias("skel_hash"))
+    raw_d = (keyed.groupBy("raw_hash").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") > 1)
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("raw_dup_clusters")))
+    skel = (keyed.groupBy("skel_hash")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .filter(F.col("cluster_size") > 1)
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("skeleton_dup_clusters"),
+                 F.sum(F.col("cluster_size") - 1).cast("long")
+                 .alias("evasive_copies_caught")))
+    return raw_d.join(F.broadcast(skel)).select(
+        "raw_dup_clusters", "skeleton_dup_clusters",
+        "evasive_copies_caught")
