@@ -2288,3 +2288,118 @@ def ann_pca_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(rc) >= 0.12).alias("mean_recall_ge_012"),
         ((F.min(rc) >= 0.0) & (F.max(rc) <= 1.0))
         .alias("recalls_in_range"))
+
+
+# ---------------------------------------------------------------------------
+# Tombstone delete semantics on the materialized IVF index
+
+_TOMB_RANKS = (2, 3)     # delete the 2nd and 3rd ranked hits (self is 1st)
+
+
+@query(
+    "ann_index_tombstone_semantics",
+    survey="north-star ANN (index delete lifecycle: tombstoned vectors "
+           "must vanish from serving immediately, compaction rewrites "
+           "ONLY the touched cells and serves identically with the "
+           "tombstone table gone — the delete half of the index "
+           "upkeep/compaction contract)",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC,
+               centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, label, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sql_sq_l2('e.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id, a.label, a.centroid_id,
+             ROUND(1.0 - {sql_sq_l2('a.embedding', _sql_qv(_QUERY_ID))}, 6)
+               AS score
+      FROM assigned a
+      WHERE a.centroid_id IN (SELECT centroid_id FROM probe)),
+    before AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored QUALIFY rnk <= 5),
+    deleted AS (
+      SELECT vec_id FROM before
+      WHERE rnk IN ({", ".join(str(r) for r in _TOMB_RANKS)})),
+    after AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored WHERE vec_id NOT IN (SELECT vec_id FROM deleted)
+      QUALIFY rnk <= 5)
+    SELECT 'before' AS phase, vec_id, label, centroid_id, score
+    FROM before
+    UNION ALL
+    SELECT 'compacted' AS phase, vec_id, label, centroid_id, score
+    FROM after
+    UNION ALL
+    SELECT 'tombstoned' AS phase, vec_id, label, centroid_id, score
+    FROM after
+    ORDER BY phase, score DESC, vec_id
+    """,
+)
+def ann_index_tombstone_semantics(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Delete lifecycle on the materialized IVF index: (1) tombstoned
+    vectors disappear from serving the moment the tombstone table lands
+    (serving anti-joins it — no index rewrite on the delete path);
+    (2) compaction later rewrites ONLY the cells containing tombstoned
+    rows (cell-pruned dynamic partition overwrite, the scd2/ann-upkeep
+    discipline) and post-compaction serving — tombstone table empty —
+    hash-equals the tombstoned phase, with the next-best candidates
+    promoted into the top-k. The oracle derives the deleted set (ranks
+    2-3 of the before ranking) and both rankings independently.
+
+    Scale shape: the delete path writes a tombstone row, not an index
+    rewrite; serving cost adds one small anti-join; compaction touches
+    |cells(deleted)| partitions, never the index."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+    path = scratch_dir("ivf_tomb_")
+    ann.write_ivf_index(emb, centroids, path)
+    qv = _vec(spark, sf_dir, _QUERY_ID)
+
+    def serve(df):
+        return ann.ivf_knn(df.drop("centroid_id"), centroids, qv,
+                           k=5, nprobe=_NPROBE)
+
+    index = spark.read.parquet(path)
+    before = serve(index).localCheckpoint(eager=True)
+    ranked = (before.orderBy(F.col("score").desc(), "vec_id")
+              .collect())
+    deleted = [ranked[r - 1]["vec_id"] for r in _TOMB_RANKS]
+
+    tombstoned = serve(index.filter(~F.col("vec_id").isin(deleted))) \
+        .localCheckpoint(eager=True)
+
+    # compaction: rewrite only the touched cells without the deleted rows
+    touched = [r["centroid_id"] for r in
+               index.filter(F.col("vec_id").isin(deleted))
+               .select("centroid_id").distinct().collect()]
+    rewritten = (index.filter(F.col("centroid_id").isin(touched)
+                              & ~F.col("vec_id").isin(deleted))
+                 .localCheckpoint(eager=True))
+    (rewritten.write.mode("overwrite").partitionBy("centroid_id")
+     .option("partitionOverwriteMode", "dynamic").parquet(path))
+    compacted = serve(spark.read.parquet(path))
+
+    def tag(df, phase):
+        return df.select(F.lit(phase).alias("phase"), "vec_id", "label",
+                         "centroid_id", "score")
+
+    return (tag(before, "before")
+            .unionByName(tag(tombstoned, "tombstoned"))
+            .unionByName(tag(compacted, "compacted"))
+            .orderBy("phase", F.col("score").desc(), "vec_id"))
