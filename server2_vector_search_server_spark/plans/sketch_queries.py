@@ -660,3 +660,81 @@ def streaming_lossy_counting_upkeep(spark: SparkSession,
                     & (F.col("true_count") <= F.col("f") + F.col("delta")))
                    .alias("error_bound_ok")))
     return out.orderBy(F.col("f").desc(), "item").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users from mergeable hourly sketches
+
+_SLW_HOURS = 24
+_SLW_ORIGIN = "2024-01-01 00:00:00"
+
+
+@query(
+    "events_sliding_distinct_hll",
+    survey="north-star sketches (trailing-24h distinct users per report "
+           "hour from MERGED hourly HLL sketches — the windowed-sketch "
+           "pattern: one sketch per hour, any window answered by union, "
+           "never a per-window rescan; exact companions hash-checked, "
+           "estimates bound-checked)",
+    oracle=f"""
+    WITH hu AS (
+      SELECT DISTINCT
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_SLW_ORIGIN}') / 3600.0)
+                    AS BIGINT) AS h,
+             user_id
+      FROM events),
+    contrib AS (
+      SELECT hu.h + o.o AS rep_h, hu.user_id
+      FROM hu, UNNEST(range(0, {_SLW_HOURS})) AS o(o)),
+    win AS (
+      SELECT rep_h, COUNT(DISTINCT user_id) AS exact_users
+      FROM contrib WHERE rep_h % 24 = 23 AND rep_h < 720
+      GROUP BY rep_h)
+    SELECT rep_h, CAST(exact_users AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM win ORDER BY rep_h
+    """,
+)
+def events_sliding_distinct_hll(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct users, reported daily — answered from
+    PER-HOUR HLL sketches merged across each window (720 sketches ->
+    any trailing window by hll_union_agg), the pattern that makes
+    sliding distinct-count dashboards feasible at 100 TB: the raw stream
+    is touched once, windows cost sketch-merge only. Exact companions
+    come from the distinct (hour, user) pre-aggregate fanned to its
+    windows (a bounded 24x explode), hash-checked; the estimate rides as
+    a 5%-bound boolean (the HLL family contract).
+
+    Scale shape: one shuffle to (hour, user) distincts, one to hourly
+    sketches; the window fan-out is sketch-rows x 24, never event rows."""
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_SLW_ORIGIN).cast("timestamp")) / 3600.0)
+    hcol = (F.floor(F.unix_timestamp("ts") / 3600.0) - origin_h) \
+        .cast("long")
+    hu = ev.select(hcol.alias("h"), "user_id").distinct() \
+        .localCheckpoint(eager=True)
+    rep_filter = (F.col("rep_h") % 24 == 23) & (F.col("rep_h") < 720)
+    exact = (hu.select(F.explode(F.sequence(
+        F.col("h"), F.col("h") + _SLW_HOURS - 1)).alias("rep_h"),
+        "user_id")
+        .filter(rep_filter)
+        .groupBy("rep_h")
+        .agg(F.count_distinct("user_id").cast("long")
+             .alias("exact_users")))
+    hourly_sk = (ev.select(hcol.alias("h"), "user_id")
+                 .groupBy("h").agg(F.hll_sketch_agg("user_id").alias("sk")))
+    win_sk = (hourly_sk.select(F.explode(F.sequence(
+        F.col("h"), F.col("h") + _SLW_HOURS - 1)).alias("rep_h"), "sk")
+        .filter(rep_filter)
+        .groupBy("rep_h").agg(F.hll_union_agg("sk").alias("sk"))
+        .select("rep_h", F.hll_sketch_estimate("sk").alias("est")))
+    tol = F.greatest(F.lit(1.0), F.col("exact_users").cast("double") * 0.05)
+    return (exact.join(win_sk, "rep_h")
+            .select("rep_h", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users")
+                           .cast("double")) <= tol)
+                    .alias("est_within_5pct"))
+            .orderBy("rep_h"))
