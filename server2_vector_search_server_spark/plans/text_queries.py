@@ -1958,19 +1958,20 @@ def text_unigram_viterbi_tokenize(spark: SparkSession,
 
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
-    chars = (toks.select(F.explode(F.split("term", "")).alias("piece"))
-             .filter(F.col("piece") != "")
-             .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt")))
-    tot = chars.agg(F.sum("cnt").alias("t"))
+    # ONE substring explode covers every piece length 1..4 (two separate
+    # explode+shuffle passes measured ~2x this cost at sf0.1).
     # sequence(1, 0) DESCENDS in Spark (auto step -1) — words shorter than
     # the piece length must fan out to an EMPTY array, not bogus indices
-    multi_all = (toks.select(F.explode(F.expr(
-        f"flatten(transform(sequence(2, {_UVT_MAX_PIECE}), l -> "
+    pieces = (toks.select(F.explode(F.expr(
+        f"flatten(transform(sequence(1, {_UVT_MAX_PIECE}), l -> "
         f"case when length(term) >= l then "
         f"transform(sequence(1, length(term) - l + 1), "
         f"i -> substr(term, i, l)) else array() end))")).alias("piece"))
-        .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt")))
-    multi = (multi_all.withColumn(
+        .groupBy("piece").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True))          # vocabulary-sized
+    chars = pieces.filter(F.length("piece") == 1)
+    tot = chars.agg(F.sum("cnt").alias("t"))
+    multi = (pieces.filter(F.length("piece") >= 2).withColumn(
         "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(),
                                                  "piece")))
         .filter(F.col("rn") <= _UVT_TOP_MULTI).drop("rn"))
