@@ -1340,15 +1340,32 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (keyed.select("doc_id", "text", nbr.alias("nbrs"))
             .select("doc_id", "text", F.explode("nbrs").alias("n"))
             .filter(F.col("n.nid").isNotNull())
+            # the blk windows coalesce to ~1 partition and the shingle
+            # HOFs are interpreted per-row work — spread the verify
+            # across cores BEFORE building the arrays (the _widen trap:
+            # measured 12 s -> ~2 s at sf0.1 on one core vs 32)
+            .repartition(keyed.sparkSession.sparkContext
+                         .defaultParallelism)
             .select(F.least("doc_id", "n.nid").alias("id_a"),
                     F.greatest("doc_id", "n.nid").alias("id_b"),
                     word_shingles(F.col("text")).alias("sha"),
                     word_shingles(F.col("n.ntext")).alias("shb")))
-    jac = F.round(
-        F.when(F.size(F.array_union("sha", "shb")) == 0, F.lit(0.0))
-        .otherwise(F.size(F.array_intersect("sha", "shb")).cast("double")
-                   / F.size(F.array_union("sha", "shb")).cast("double")), 6)
-    return (cand.select("id_a", "id_b", jac.alias("jaccard")).distinct()
+    # one intersect per pair: |union| = |a| + |b| - |intersect| (shingle
+    # arrays are distinct by construction). Every COLUMN REFERENCE to an
+    # expression duplicates its subtree after projection collapse — the
+    # WHEN/ratio form re-evaluated the set ops ~4x per row (measured 12 s
+    # for 966 pairs at sf0.1) — so the set sizes materialize through a
+    # localCheckpoint (966 scalar rows) before the ratio arithmetic.
+    sized = (cand.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("sha", "shb")).alias("si"),
+        F.size("sha").alias("sa"), F.size("shb").alias("sb"))
+        .localCheckpoint(eager=True))
+    su = F.col("sa") + F.col("sb") - F.col("si")
+    jac = F.round(F.when(su == 0, F.lit(0.0))
+                  .otherwise(F.col("si").cast("double")
+                             / su.cast("double")), 6)
+    return (sized.select("id_a", "id_b", jac.alias("jaccard")).distinct()
             .filter(F.col("jaccard") >= _SNM_THRESHOLD)
             .orderBy("id_a", "id_b"))
 
