@@ -632,3 +632,83 @@ def search_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("overlap_at_20"),
         F.round(F.coalesce(F.sum(F.element_at(s_lit, F.col("m"))),
                            F.lit(0)) / 1_000_000.0, 6).alias("rbo"))
+
+
+# ---------------------------------------------------------------------------
+# Trigram fuzzy term search (pg_trgm-style)
+
+_TRGM_QUERY = "vectr"        # misspelling of 'vector'
+_TRGM_MIN_SHARED = 2
+_TRGM_MAX_LEV = 2
+
+
+def _sql_trigrams(expr: str) -> str:
+    return (f"list_distinct(list_transform(range(1, length({expr}) - 1), "
+            f"i -> substr({expr}, i, 3)))")
+
+
+@query(
+    "search_trigram_fuzzy_terms",
+    survey="retrieval extension(trigram fuzzy term lookup, pg_trgm-style: "
+           "inverted trigram index -> shared-trigram candidate join -> "
+           "Levenshtein verify; typo-tolerant search without a "
+           "full-vocabulary distance scan)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.term FROM documents,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS t(term)),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE length(term) >= 3 GROUP BY term),
+    inv AS (
+      SELECT v.term, v.freq, g.g
+      FROM vocab v, UNNEST({_sql_trigrams('v.term')}) AS g(g)),
+    qg AS (SELECT unnest({_sql_trigrams(f"'{_TRGM_QUERY}'")}) AS g),
+    cand AS (
+      SELECT inv.term, inv.freq, COUNT(*) AS shared
+      FROM inv JOIN qg ON qg.g = inv.g
+      GROUP BY inv.term, inv.freq
+      HAVING COUNT(*) >= {_TRGM_MIN_SHARED})
+    SELECT term, freq, CAST(shared AS BIGINT) AS shared_trigrams,
+           CAST(levenshtein(term, '{_TRGM_QUERY}') AS BIGINT) AS lev
+    FROM cand
+    WHERE levenshtein(term, '{_TRGM_QUERY}') <= {_TRGM_MAX_LEV}
+    ORDER BY lev, freq DESC, term
+    """,
+)
+def search_trigram_fuzzy_terms(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Typo-tolerant term lookup the pg_trgm way: vocabulary terms explode
+    into character trigrams (the inverted index a real deployment
+    materializes once), the query's trigrams equi-join candidates sharing
+    >= 2 trigrams, and only candidates pay the Levenshtein verify — the
+    symspell alternative that needs no precomputed delete neighborhood
+    and handles arbitrary edit patterns.
+
+    Scale shape: the trigram index is vocabulary x ~word-length rows
+    built by one explode+groupBy; a query is a |q|-row broadcast
+    equi-join + bounded verify. Distance never touches the full
+    vocabulary."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+             .filter(F.length("term") >= 3)
+             .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("freq")))
+    trigrams = F.array_distinct(F.expr(
+        "transform(sequence(1, length(term) - 2), i -> substr(term, i, 3))"))
+    inv = vocab.select("term", "freq", F.explode(trigrams).alias("g"))
+    q = _TRGM_QUERY
+    qgrams = sorted({q[i:i + 3] for i in range(len(q) - 2)})
+    qg = spark.createDataFrame([(g,) for g in qgrams], "g string")
+    cand = (inv.join(F.broadcast(qg), "g")
+            .groupBy("term", "freq")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_trigrams"))
+            .filter(F.col("shared_trigrams") >= _TRGM_MIN_SHARED))
+    return (cand.withColumn("lev", F.levenshtein(F.col("term"), F.lit(q))
+                            .cast("long"))
+            .filter(F.col("lev") <= _TRGM_MAX_LEV)
+            .select("term", "freq", "shared_trigrams", "lev")
+            .orderBy("lev", F.col("freq").desc(), "term"))
