@@ -703,3 +703,40 @@ def test_kaplan_meier_windows_run_on_bounded_duration_table(spark):
     # (later in the text than) the first Window node
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_trigram_fuzzy_is_inverted_index_join(spark):
+    # typo-tolerant lookup must resolve through the trigram equi-join —
+    # never a Levenshtein scan of the whole vocabulary
+    plan = _plan(spark, "search_trigram_fuzzy_terms")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # the distance verify runs above a join, i.e. on candidates only:
+    # levenshtein must not appear below the trigram join's build side
+    assert "levenshtein" in plan
+
+
+def test_random_walks_step_by_equi_join(spark):
+    # every walk step is a frontier-vs-adjacency equi-join
+    plan = _plan(spark, "graph_deterministic_random_walks")
+    assert "CartesianProduct" not in plan
+    assert (plan.count("BroadcastHashJoin")
+            + plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")) >= 6
+
+
+def test_markov_attribution_single_event_pass(spark):
+    # the data-proportional part is one window pass + one (src, dst)
+    # groupBy; the bounded absorbing-chain arithmetic happens driver-side
+    # so the PLAN contains no iteration joins at all
+    plan = _plan(spark, "events_markov_attribution")
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_hll_fans_out_sketches_not_events(spark):
+    # the 24x window fan-out must sit ABOVE the hourly aggregates —
+    # explode of sketch/pair rows, never of raw events
+    plan = _plan(spark, "events_sliding_distinct_hll")
+    assert "CartesianProduct" not in plan
+    assert plan.index("Generate") < plan.rindex("HashAggregate")
