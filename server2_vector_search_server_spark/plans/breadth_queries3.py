@@ -800,3 +800,93 @@ def lineitem_simpsons_screen(spark: SparkSession,
                     (F.col("slope") * F.col("overall_slope") < 0)
                     .alias("sign_flip"))
             .orderBy("stratum"))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (distributed ranks)
+
+@query(
+    "lineitem_spearman_rank_corr",
+    survey="breadth extension(Spearman rank correlation of quantity vs "
+           "extended price with deterministic tie-breaks: DISTRIBUTED "
+           "two-pass prefix-scan ranks on both axes, exact integer "
+           "sum-of-squared-rank-differences)",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem),
+    rx AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (ORDER BY q, l_orderkey, l_linenumber)
+               AS r_q
+      FROM base),
+    ry AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (ORDER BY p, l_orderkey, l_linenumber)
+               AS r_p
+      FROM base),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((rx.r_q - ry.r_p) * (rx.r_q - ry.r_p)) AS BIGINT)
+               AS sd2
+      FROM rx JOIN ry USING (l_orderkey, l_linenumber))
+    SELECT n, sd2,
+           ROUND(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
+             AS spearman_rho
+    FROM d
+    """,
+)
+def lineitem_spearman_rank_corr(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Spearman's rho between quantity and price — the robust (monotone,
+    outlier-insensitive) correlation next to the Pearson machinery in
+    lineitem_regression_family. Ties break deterministically by row key,
+    so the rank permutations are engine-identical and sum((r_q - r_p)^2)
+    folds as one exact BIGINT; the classic 1 - 6*S/(n(n^2-1)) identity
+    then divides shared-op-order doubles.
+
+    Scale shape: BOTH rank passes use operators/text_analysis.
+    exclusive_prefix_sum (range-partitioned two-pass scan — never a
+    single-reducer global window; the oracle's row_number is DuckDB's
+    single-node luxury); the rank join is key-partitioned. S stays under
+    int64 through ~sf0.3 (S <= n^3/3); beyond that the identity needs
+    the same double-domain treatment the Simpson screen documents."""
+    from server2_vector_search_server_spark.operators.text_analysis import (
+        exclusive_prefix_sum,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"))
+    # packed unique order keys: value * 2^24 + orderkey*8 + linenumber
+    # stays monotone in (value, orderkey, linenumber) for test scales
+    kx = (F.col("q") * F.lit(1 << 44)
+          + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    ky = (F.col("p") * F.lit(1 << 30)
+          + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+
+    def ranks(keyed, okey, rname):
+        df = (keyed.withColumn("okey", okey)
+              .withColumn("one", F.lit(1).cast("long")))
+        r = exclusive_prefix_sum(df, order_col="okey", value_col="one",
+                                 out_col="r0")
+        return r.select("l_orderkey", "l_linenumber",
+                        (F.col("r0") + 1).alias(rname))
+    rx = ranks(base, kx, "r_q")
+    ry = ranks(base, ky, "r_p")
+    d = (rx.join(ry, ["l_orderkey", "l_linenumber"])
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum((F.col("r_q") - F.col("r_p"))
+                    * (F.col("r_q") - F.col("r_p"))).cast("long")
+              .alias("sd2")))
+    nd = F.col("n").cast("double")
+    return d.select(
+        "n", "sd2",
+        F.round(1.0 - 6.0 * F.col("sd2").cast("double")
+                / (nd * (nd * nd - 1.0)), 6).alias("spearman_rho"))
