@@ -4088,3 +4088,68 @@ def events_brier_decomposition(spark: SparkSession,
                     F.round(F.col("res_nano") / 1_000_000_000.0
                             / F.col("n"), 6).alias("resolution"),
                     F.round(F.col("u"), 6).alias("uncertainty")))
+
+
+# ---------------------------------------------------------------------------
+# Order-statistic (distribution-free) median confidence interval
+
+_MCI_N = 500            # the dense event_id 0..499 sample frame
+_MCI_LO, _MCI_HI = 228, 273   # exact binomial(500, 1/2) 95% rank bounds,
+                              # computed once offline and baked as literals
+
+
+@query(
+    "events_median_ci_order_stats",
+    survey="insight extension(distribution-free median CI by exact "
+           "binomial order-statistic ranks — the nonparametric "
+           "counterpart to the bootstrap CI; rank selection only, no "
+           "resampling, no asymptotics)",
+    oracle=f"""
+    WITH frame AS (
+      SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id < {_MCI_N}),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, event_id) AS rk
+      FROM frame),
+    med AS (
+      SELECT ROUND((SUM(CASE WHEN rk = {_MCI_N // 2} THEN v END)
+                    + SUM(CASE WHEN rk = {_MCI_N // 2 + 1} THEN v END))
+                   / 2.0, 6) AS median_v
+      FROM ranked)
+    SELECT CAST({_MCI_N} AS BIGINT) AS n, med.median_v,
+           ROUND(lo.v, 6) AS ci_lo, ROUND(hi.v, 6) AS ci_hi
+    FROM med,
+         (SELECT v FROM ranked WHERE rk = {_MCI_LO}) lo,
+         (SELECT v FROM ranked WHERE rk = {_MCI_HI}) hi
+    """,
+)
+def events_median_ci_order_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """95% confidence interval for the median by ORDER STATISTICS: with
+    n = 500, P(x_(228) <= median <= x_(273)) >= 0.95 holds for ANY
+    continuous distribution (exact binomial coverage — the rank bounds
+    are precomputed literals, no normal approximation, no bootstrap).
+    The companion to events_bootstrap_ci: zero resampling cost, exact
+    coverage, but median-only.
+
+    Scale shape: rank selection over the bounded sample frame (at scale,
+    frame ranks come from the two-pass prefix scan, the Gini/Spearman
+    discipline); everything is integer ranks + two rounded values."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") < _MCI_N)
+    ranked = (ev.select("event_id", F.col("value").cast("double").alias("v"))
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy("v", "event_id")))
+              .localCheckpoint(eager=True))
+    med = ranked.agg(F.round(
+        (F.sum(F.when(F.col("rk") == _MCI_N // 2, F.col("v")))
+         + F.sum(F.when(F.col("rk") == _MCI_N // 2 + 1, F.col("v"))))
+        / 2.0, 6).alias("median_v"))
+    lo = (ranked.filter(F.col("rk") == _MCI_LO)
+          .select(F.round("v", 6).alias("ci_lo")))
+    hi = (ranked.filter(F.col("rk") == _MCI_HI)
+          .select(F.round("v", 6).alias("ci_hi")))
+    return (med.join(lo).join(hi)
+            .select(F.lit(_MCI_N).cast("long").alias("n"),
+                    "median_v", "ci_lo", "ci_hi"))
