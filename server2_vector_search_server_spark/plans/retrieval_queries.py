@@ -712,3 +712,71 @@ def search_trigram_fuzzy_terms(spark: SparkSession,
             .filter(F.col("lev") <= _TRGM_MAX_LEV)
             .select("term", "freq", "shared_trigrams", "lev")
             .orderBy("lev", F.col("freq").desc(), "term"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix autocomplete index
+
+_AC_PREFIX_LENS = (1, 2, 3)
+_AC_TOP = 3
+
+
+@query(
+    "search_prefix_autocomplete",
+    survey="retrieval extension(query autocomplete: prefix -> top-k "
+           "terms by corpus frequency, one explode + per-prefix window "
+           "— the typeahead index next to the spell/fuzzy family)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.term FROM documents,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS t(term)),
+    freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      WHERE length(term) >= 3 GROUP BY term),
+    pfx AS (
+      SELECT substr(term, 1, l.l) AS prefix, term, freq
+      FROM freq, UNNEST([{", ".join(str(x) for x in _AC_PREFIX_LENS)}])
+           AS l(l)
+      WHERE length(term) >= l.l),
+    ranked AS (
+      SELECT prefix, term, freq,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY freq DESC, term) AS rn
+      FROM pfx)
+    SELECT prefix, CAST(rn AS BIGINT) AS rank, term, freq
+    FROM ranked WHERE rn <= {_AC_TOP}
+    ORDER BY prefix, rn
+    """,
+)
+def search_prefix_autocomplete(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Typeahead completion index: every 1-3 char prefix maps to its
+    top-3 corpus terms by frequency with deterministic ties — the
+    materialized structure a search box queries per keystroke (a prefix
+    lookup IS a partition-pruned point read once written partitioned by
+    prefix length + leading char).
+
+    Scale shape: vocabulary-sized explode (3 rows per term) + a window
+    partitioned by prefix — reduce side bounded by the prefix domain;
+    raw text is scanned once for the term counts."""
+    from pyspark.sql import Window
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    freq = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+            .filter(F.length("term") >= 3)
+            .groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("freq")))
+    pfx = (freq.select(
+        F.explode(F.array(*[F.lit(x) for x in _AC_PREFIX_LENS]))
+        .alias("l"), "term", "freq")
+        .filter(F.length("term") >= F.col("l"))
+        .select(F.expr("substr(term, 1, l)").alias("prefix"),
+                "term", "freq"))
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(), "term")
+    return (pfx.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _AC_TOP)
+            .select("prefix", F.col("rank").cast("long").alias("rank"),
+                    "term", "freq")
+            .orderBy("prefix", "rank"))
