@@ -3581,7 +3581,7 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Markov-chain (removal-effect) attribution
 
 _MK_CHANNELS = ("click", "error", "signup", "view")
-_MK_ROUNDS = 16
+_MK_ROUNDS = 64   # long journeys: 16 rounds left ~2% mass unabsorbed
 _MK_PICO = 1_000_000_000_000
 _MK_STATES_SQL = ("(VALUES ('start'), ('click'), ('error'), ('signup'), "
                   "('view'))")
@@ -3696,9 +3696,9 @@ def events_markov_attribution(spark: SparkSession,
     + one (src, dst) groupBy — the transition matrix is BOUNDED by the
     state domain (<= 6 x 7 cells), so the absorbing-chain arithmetic is
     driver-side bounded compute, exactly like the procrustes/ZCA d x d
-    step. The truncated iteration (16 rounds) carries probabilities as
+    step. The truncated iteration (64 rounds) carries probabilities as
     pico-unit INTEGERS with half-away rounding each round, so the oracle's
-    unrolled 16-round CTE chain reproduces every intermediate bit and the
+    unrolled 64-round CTE chain reproduces every intermediate bit and the
     final shares hash-match — no invariant hedging."""
     import math
 
