@@ -295,3 +295,69 @@ def geo_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.sum("n_customers").over(w).cast("long")
                       .alias("n_in_parent"))
             .orderBy("gh3", "gh4"))
+
+
+# ---------------------------------------------------------------------------
+# Self-join proximity pairs (both sides large — the exchange path)
+
+@query(
+    "geo_customer_pairs_within_radius",
+    survey="spatial extension(self-join proximity: customer pairs within "
+           "70 km via cell-keyed equi-join with one-sided 3x3 expansion "
+           "and a < b dedup — the BIG-BIG regime where neither side "
+           "broadcasts and the cell key carries the exchange)",
+    oracle=f"""
+    WITH c AS ({_SQL_CUST_PTS}),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(ROUND(ROUND(
+               {_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 9)
+               * 1000000) AS BIGINT) AS dist_micro
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE ROUND({_haversine('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 9)
+            < {_RADIUS_KM})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(dist_micro) / 1000000.0, 6) AS sum_dist_km,
+           ROUND(MIN(dist_micro) / 1000000.0, 6) AS min_dist_km
+    FROM pairs
+    """,
+)
+def geo_customer_pairs_within_radius(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Proximity self-join over ONE large point set — the regime where
+    the radius join cannot broadcast either side: every point gets its
+    exact cell key, ONE side expands to the 3x3 neighborhood, and the
+    equi-join on (glat, glon) carries a data-proportional exchange
+    (candidates = cell co-occupancy x 9, the same lossless-blocking
+    geometry the supplier join proves against its quadratic oracle).
+    a < b on the key dedups the symmetric pair and drops self-pairs.
+
+    Scale shape: two shuffles keyed by cell (hash-partitioned — a dense
+    city cell is an AQE skew split); the quadratic form exists only in
+    the oracle."""
+    cust = _spark_coords(
+        tbl(spark, sf_dir, "customer").select("c_custkey"),
+        F.concat(F.col("c_custkey").cast("string"), F.lit("c")),
+        "lat", "lon")
+    a = (cust.withColumn("glat", F.floor(F.col("lat") / _CELL_DEG))
+         .withColumn("glon", F.floor(F.col("lon") / _CELL_DEG)))
+    b = (cust.select(F.col("c_custkey").alias("b_key"),
+                     F.col("lat").alias("b_lat"),
+                     F.col("lon").alias("b_lon"))
+         .withColumn("glat", F.explode(F.sequence(
+             F.floor(F.col("b_lat") / _CELL_DEG) - 1,
+             F.floor(F.col("b_lat") / _CELL_DEG) + 1)))
+         .withColumn("glon", F.explode(F.sequence(
+             F.floor(F.col("b_lon") / _CELL_DEG) - 1,
+             F.floor(F.col("b_lon") / _CELL_DEG) + 1))))
+    dist = F.expr(_haversine("lat", "lon", "b_lat", "b_lon"))
+    pairs = (a.join(b, ["glat", "glon"])
+             .filter(F.col("c_custkey") < F.col("b_key"))
+             .withColumn("dist_km", dist)
+             .filter(F.round("dist_km", 9) < _RADIUS_KM)
+             .select(F.round(F.round("dist_km", 9) * 1_000_000)
+                     .cast("long").alias("dist_micro")))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("dist_micro") / 1_000_000.0, 6).alias("sum_dist_km"),
+        F.round(F.min("dist_micro") / 1_000_000.0, 6).alias("min_dist_km"))
