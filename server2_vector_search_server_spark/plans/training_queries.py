@@ -767,3 +767,65 @@ def search_mrr_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.least(F.col("r_total"), F.lit(_NDCG_K)), 6)
                     .alias("ap_at_10"))
             .orderBy("qid"))
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension quantile (rank-uniform) normalization
+
+@query(
+    "embedding_quantile_normalize",
+    survey="training extension(per-dimension quantile normalization: "
+           "rank-to-uniform mapping u = rank/(n+1) with deterministic "
+           "ties — the distribution-free feature scaling; per-dim rank "
+           "sums pin the whole permutation)",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, j, CAST(embedding[j + 1] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(0, 64)) AS t(j)),
+    ranked AS (
+      SELECT vec_id, j, v,
+             row_number() OVER (PARTITION BY j ORDER BY v, vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY j) AS n
+      FROM x)
+    SELECT j AS dim,
+           CAST(SUM(rk) AS BIGINT) AS rank_sum,
+           ROUND(CAST(SUM(rk) AS DOUBLE)
+                 / (COUNT(*) * (COUNT(*) + 1)), 6) AS mean_u,
+           ROUND(CAST(MAX(CASE WHEN vec_id = 0 THEN rk END) AS DOUBLE)
+                 / (MAX(n) + 1), 6) AS u_vec0
+    FROM ranked GROUP BY j ORDER BY j
+    """,
+)
+def embedding_quantile_normalize(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Quantile (rank-uniform) normalization per embedding dimension:
+    each value maps to rank/(n+1) in (0,1) — the distribution-free
+    scaling that equalizes marginals before distance computations (the
+    genomics-standard quantile normalize, rank-to-uniform form). Ties
+    break by vec_id so the permutation is engine-identical; the per-dim
+    rank SUM must equal n(n+1)/2 exactly (mean_u = 0.5 — a permutation
+    integrity check the hash pins), and vec 0's normalized coordinate is
+    reported per dim.
+
+    Scale shape: one posexplode to (dim, value) rows, ranks from a
+    window PARTITIONED BY DIM (64-way parallel, each partition n rows —
+    at larger n the per-dim two-pass prefix scan applies, the
+    Gini/Spearman discipline)."""
+    from pyspark.sql import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", F.posexplode("embedding").alias("j", "v0")) \
+        .select("vec_id", "j", F.col("v0").cast("double").alias("v"))
+    w = Window.partitionBy("j").orderBy("v", "vec_id")
+    ranked = (x.withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1))
+                          .over(Window.partitionBy("j"))))
+    return (ranked.groupBy(F.col("j").alias("dim"))
+            .agg(F.sum("rk").cast("long").alias("rank_sum"),
+                 F.round(F.sum("rk").cast("double")
+                         / (F.count(F.lit(1))
+                            * (F.count(F.lit(1)) + 1)), 6).alias("mean_u"),
+                 F.round(F.max(F.when(F.col("vec_id") == 0, F.col("rk")))
+                         .cast("double") / (F.max("n") + 1), 6)
+                 .alias("u_vec0"))
+            .orderBy("dim"))
