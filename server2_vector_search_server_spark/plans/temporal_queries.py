@@ -768,3 +768,75 @@ def events_crosscorrelation_lead_lag(spark: SparkSession,
             .select("lag", F.round(num.cast("double") / den, 6)
                     .alias("ccf"))
             .orderBy("lag"))
+
+
+# ---------------------------------------------------------------------------
+# Allen interval algebra over user-day activity intervals
+
+_ALLEN_CASE = """
+    CASE WHEN e1 < s2 THEN 'precedes'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN e2 < s1 THEN 'preceded_by'
+         WHEN e2 = s1 THEN 'met_by'
+         WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+         WHEN s1 = s2 THEN 'started_by'
+         WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+         WHEN e1 = e2 THEN 'finished_by'
+         WHEN s1 > s2 AND e1 < e2 THEN 'during'
+         WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+         WHEN s1 < s2 THEN 'overlaps'
+         ELSE 'overlapped_by' END
+"""
+
+
+@query(
+    "events_allen_interval_relations",
+    survey="temporal extension(Allen 1983 interval algebra: classify "
+           "every same-day user-pair of activity intervals into the 13 "
+           "relations — the reasoning vocabulary under interval joins; "
+           "exhaustive deterministic CASE, day-bucketed pair generation)",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+      HAVING COUNT(*) >= 2),
+    pairs AS (
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM iv a JOIN iv b
+        ON a.day = b.day AND a.user_id < b.user_id)
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY relation
+    """,
+)
+def events_allen_interval_relations(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Allen's interval algebra: each same-day pair of user activity
+    intervals lands in exactly one of the 13 mutually-exclusive
+    relations (precedes/meets/overlaps/starts/during/finishes, their
+    inverses, equals) — the temporal-reasoning vocabulary that interval
+    joins and concurrency sweeps implicitly special-case; the
+    distribution over relations is a data profile (mostly-'during'
+    means nested sessions; mostly-'overlaps' means staggered shifts).
+
+    Scale shape: pair generation is bucketed by the day key (the 1-D
+    grid-join: candidates = per-day co-occupancy, never all-pairs
+    across days); the classification is a single exhaustive CASE on
+    exact timestamps — branch order makes the relations mutually
+    exclusive by construction on both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    iv = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e"),
+               F.count(F.lit(1)).alias("n"))
+          .filter(F.col("n") >= 2))
+    a = iv.select("day", F.col("user_id").alias("ua"),
+                  F.col("s").alias("s1"), F.col("e").alias("e1"))
+    b = iv.select("day", F.col("user_id").alias("ub"),
+                  F.col("s").alias("s2"), F.col("e").alias("e2"))
+    pairs = a.join(b, "day").filter(F.col("ua") < F.col("ub"))
+    return (pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+            .groupBy("relation")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .orderBy("relation"))
