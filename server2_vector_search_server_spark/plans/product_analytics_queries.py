@@ -524,3 +524,52 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("s").cast("double"), 6).alias("top_decile_share"),
         F.round(F.col("bot_cents").cast("double")
                 / F.col("s").cast("double"), 6).alias("bottom_half_share")))
+
+
+# ---------------------------------------------------------------------------
+# Weekday x hour activity profile (calendar seasonality)
+
+@query(
+    "events_weekday_hour_profile",
+    survey="product-analytics extension(weekday x hour-of-day activity "
+           "heatmap with exact seasonality index vs the uniform-rate "
+           "baseline — the calendar profile behind staffing/alerting "
+           "baselines; one bounded-key aggregate)",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(EXTRACT(isodow FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+               AS weekday,
+             CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+               AS hour,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM cell)
+    SELECT weekday, hour, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n AS DOUBLE) * k / t, 6) AS seasonality_index
+    FROM cell, tot ORDER BY weekday, hour
+    """,
+)
+def events_weekday_hour_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Calendar heatmap: event volume per (ISO weekday, hour-of-day) cell
+    with the seasonality index n * k / total (1.0 = uniform rate) — the
+    profile that seeds staffing forecasts and anomaly baselines (an
+    alert threshold that ignores the Monday-9am cell fires every
+    Monday). One groupBy onto a <= 168-cell key; the index divides exact
+    integers with shared op order."""
+    ev = tbl(spark, sf_dir, "events")
+    cell = (ev.groupBy(
+        F.dayofweek("ts").alias("dw_raw"),
+        F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    # Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+    iso = F.when(F.col("dw_raw") == 1, 7).otherwise(F.col("dw_raw") - 1)
+    cell = cell.select(iso.cast("int").alias("weekday"),
+                       F.col("hour").cast("int").alias("hour"), "n")
+    tot = cell.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("k"))
+    return (cell.join(F.broadcast(tot))
+            .select("weekday", "hour",
+                    F.col("n").cast("long").alias("n_events"),
+                    F.round(F.col("n").cast("double") * F.col("k")
+                            / F.col("t"), 6).alias("seasonality_index"))
+            .orderBy("weekday", "hour"))
