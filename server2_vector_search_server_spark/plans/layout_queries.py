@@ -168,3 +168,88 @@ def lineitem_analyze_column_stats(spark: SparkSession,
                     F.round(F.col("_sum") / F.col("_nn"), 6)
                     .alias("avg_val"))
             .orderBy("column_name"))
+
+
+# ---------------------------------------------------------------------------
+# Run-length profile: what sorting buys the encoder
+
+@query(
+    "lineitem_rle_run_profile",
+    survey="layout extension(run-length profile of low-cardinality "
+           "columns under shipdate-sorted vs key-sorted layout — the "
+           "direct measure of what sort order buys parquet's RLE/dict "
+           "encoder; runs counted by the lag-mismatch identity)",
+    oracle="""
+    WITH ordered1 AS (
+      SELECT l_returnflag AS v,
+             row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                l_linenumber) AS rn
+      FROM lineitem),
+    runs1 AS (
+      SELECT COUNT(*) + 1 AS n_rows,
+             1 + SUM(CASE WHEN v <> lag_v THEN 1 ELSE 0 END) AS n_runs
+      FROM (SELECT v, lag(v) OVER (ORDER BY rn) AS lag_v FROM ordered1)
+      WHERE lag_v IS NOT NULL),
+    ordered2 AS (
+      SELECT l_returnflag AS v,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem),
+    runs2 AS (
+      SELECT 1 + SUM(CASE WHEN v <> lag_v THEN 1 ELSE 0 END) AS n_runs
+      FROM (SELECT v, lag(v) OVER (ORDER BY rn) AS lag_v FROM ordered2)
+      WHERE lag_v IS NOT NULL),
+    sorted3 AS (
+      SELECT 1 + SUM(CASE WHEN v <> lag_v THEN 1 ELSE 0 END) AS n_runs
+      FROM (SELECT v, lag(v) OVER (ORDER BY v) AS lag_v
+            FROM (SELECT l_returnflag AS v FROM lineitem))
+      WHERE lag_v IS NOT NULL)
+    SELECT CAST(runs1.n_rows AS BIGINT) AS n_rows,
+           CAST(runs2.n_runs AS BIGINT) AS runs_key_order,
+           CAST(runs1.n_runs AS BIGINT) AS runs_shipdate_order,
+           CAST(sorted3.n_runs AS BIGINT) AS runs_value_sorted,
+           ROUND(CAST(runs2.n_runs AS DOUBLE)
+                 / CAST(sorted3.n_runs AS DOUBLE), 6) AS sort_gain
+    FROM runs1, runs2, sorted3
+    """,
+)
+def lineitem_rle_run_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """How much run-length encoding each layout buys: count value RUNS of
+    the returnflag column under three orders — the natural key order, the
+    shipdate clustering, and fully value-sorted (the floor: runs =
+    cardinality). Runs fall out of the lag-mismatch identity
+    1 + sum(v != lag(v)) — the same gaps-and-islands trick, pointed at
+    storage: parquet RLE pages cost O(runs), so sort_gain IS the
+    compression headroom a layout rewrite (zorder/sort) unlocks.
+
+    Scale shape: at 100 TB the run counting happens per output FILE
+    (this global window is the fixture-scale proxy; per-file the same
+    expression runs partition-local after the layout write) — the point
+    pinned here is the exact run arithmetic and the ordering of the
+    three layouts, which no engine difference may perturb."""
+    from pyspark.sql import Window
+
+    li = tbl(spark, sf_dir, "lineitem")
+
+    def runs(order_cols):
+        w = Window.orderBy(*order_cols)
+        lagged = li.select(F.col("l_returnflag").alias("v"),
+                           F.lag("l_returnflag").over(w).alias("lag_v"))
+        return (lagged.filter(F.col("lag_v").isNotNull())
+                .agg((F.lit(1)
+                      + F.sum((F.col("v") != F.col("lag_v")).cast("int")))
+                     .cast("long").alias("n_runs"),
+                     (F.count(F.lit(1)) + 1).cast("long").alias("n_rows")))
+
+    r_ship = runs(["l_shipdate", "l_orderkey", "l_linenumber"]) \
+        .select(F.col("n_runs").alias("runs_shipdate_order"), "n_rows")
+    r_key = runs(["l_orderkey", "l_linenumber"]) \
+        .select(F.col("n_runs").alias("runs_key_order"))
+    r_val = runs(["l_returnflag"]) \
+        .select(F.col("n_runs").alias("runs_value_sorted"))
+    return (r_ship.join(F.broadcast(r_key)).join(F.broadcast(r_val))
+            .select("n_rows", "runs_key_order", "runs_shipdate_order",
+                    "runs_value_sorted",
+                    F.round(F.col("runs_key_order").cast("double")
+                            / F.col("runs_value_sorted").cast("double"), 6)
+                    .alias("sort_gain")))
