@@ -959,3 +959,73 @@ def events_interpolated_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fenced.select("hour", F.col("v").alias("observed"),
                           interp.alias("interpolated"))
             .orderBy("hour"))
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM)
+
+@query(
+    "null_safe_join_semantics",
+    survey="H-extension(null-safe equality joins: <=> treats NULL as a "
+           "joinable value where = silently drops every null-keyed row "
+           "— the pair-count identity safe = standard + nullA*nullB "
+           "pinned exactly)",
+    oracle="""
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0 THEN NULL
+                  ELSE event_id % 7 END AS k
+      FROM events WHERE event_id < 300),
+    b AS (
+      SELECT event_id,
+             CASE WHEN (event_id - 300) % 10 = 0 THEN NULL
+                  ELSE (event_id - 300) % 7 END AS k
+      FROM events WHERE event_id >= 300 AND event_id < 600),
+    std AS (SELECT COUNT(*) AS n FROM a JOIN b ON a.k = b.k),
+    nsafe AS (SELECT COUNT(*) AS n FROM a JOIN b
+              ON a.k IS NOT DISTINCT FROM b.k),
+    nulls AS (
+      SELECT (SELECT COUNT(*) FROM a WHERE k IS NULL)
+             * (SELECT COUNT(*) FROM b WHERE k IS NULL) AS cross_n)
+    SELECT CAST(std.n AS BIGINT) AS n_pairs_standard,
+           CAST(nsafe.n AS BIGINT) AS n_pairs_null_safe,
+           CAST(nulls.cross_n AS BIGINT) AS n_null_cross,
+           (nsafe.n = std.n + nulls.cross_n) AS identity_ok
+    FROM std, nsafe, nulls
+    """,
+)
+def null_safe_join_semantics(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The null-key join trap, pinned: a standard equi-join evaluates
+    NULL = NULL to NULL and silently drops every null-keyed row (the
+    classic missing-rows bug in SCD and dedup joins on nullable business
+    keys); the null-safe operator (<=>, SQL's IS NOT DISTINCT FROM)
+    matches them, adding exactly nullA x nullB pairs — an identity both
+    engines must reproduce bit-exactly. Null-safe equality compiles to a
+    plain hash join key (null hashes as a value), so the fix costs
+    nothing at scale."""
+    ev = tbl(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_id") < 300)
+         .select("event_id",
+                 F.when(F.col("event_id") % 10 == 0, None)
+                 .otherwise(F.col("event_id") % 7).alias("ka")))
+    b = (ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600))
+         .select("event_id",
+                 F.when((F.col("event_id") - 300) % 10 == 0, None)
+                 .otherwise((F.col("event_id") - 300) % 7).alias("kb")))
+    std = a.join(b, a.ka == b.kb).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_standard"))
+    nsafe = a.join(b, a.ka.eqNullSafe(b.kb)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_null_safe"))
+    nulls = (a.filter(F.col("ka").isNull())
+             .agg(F.count(F.lit(1)).alias("na"))
+             .join(b.filter(F.col("kb").isNull())
+                   .agg(F.count(F.lit(1)).alias("nb")))
+             .select((F.col("na") * F.col("nb")).cast("long")
+                     .alias("n_null_cross")))
+    return (std.join(F.broadcast(nsafe)).join(F.broadcast(nulls))
+            .select("n_pairs_standard", "n_pairs_null_safe",
+                    "n_null_cross",
+                    (F.col("n_pairs_null_safe")
+                     == F.col("n_pairs_standard") + F.col("n_null_cross"))
+                    .alias("identity_ok")))
