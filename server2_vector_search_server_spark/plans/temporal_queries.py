@@ -840,3 +840,143 @@ def events_allen_interval_relations(spark: SparkSession,
             .groupBy("relation")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
             .orderBy("relation"))
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (additive, daily season)
+
+_HW_M = 24                      # season length: 24 hours
+_HW_N = 720                     # 30-day hourly spine
+_HW_SCALE = 1_000_000
+# smoothing constants as FIFTHS so every update is an exact integer
+# floor-division: alpha = 1/5, beta = 1/5, gamma = 2/5. numerator*2 + 5 is
+# always odd, so (2*n*x + 5)/10 is never an integer nor a half — IEEE
+# division is correctly rounded, hence FLOOR is engine-exact. (A float
+# ROUND recursion is NOT portable: DuckDB's ROUND sent -234482.49999999997
+# away from zero while std-round semantics keep it — found by parity.)
+
+
+def _sql_fdiv5(num_expr: str, mult: int) -> str:
+    return (f"CAST(FLOOR((2.0 * ({mult} * ({num_expr})) + 5) / 10.0) "
+            f"AS BIGINT)")
+
+
+@query(
+    "events_holt_winters_forecast",
+    survey="temporal extension(Holt-Winters additive triple smoothing "
+           "over the hourly series with a 24h season: exact integer "
+           "fifth-fraction recursion for level/trend/seasonal state, "
+           "24h-ahead forecast — completes the forecasting family; "
+           "oracle is a recursive CTE carrying the seasonal ring as a "
+           "list)",
+    oracle=f"""
+    WITH RECURSIVE spine AS (
+      SELECT unnest(range(1, {_HW_N + 1})) AS t),
+    raw AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_ACF_ORIGIN}') / 3600.0)
+                    AS BIGINT) + 1 AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    y AS (
+      SELECT s.t, COALESCE(r.n, 0) * {_HW_SCALE} AS y
+      FROM spine s LEFT JOIN raw r ON r.t = s.t),
+    l0 AS (
+      SELECT CAST(FLOOR((2.0 * SUM(y) + {_HW_M}) / {2 * _HW_M}.0)
+                  AS BIGINT) AS l
+      FROM y WHERE t <= {_HW_M}),
+    b0 AS (
+      SELECT CAST(FLOOR((2.0 * (SUM(CASE WHEN t > {_HW_M} THEN y END)
+                                - SUM(CASE WHEN t <= {_HW_M} THEN y END))
+                         + {_HW_M * _HW_M}) / {2 * _HW_M * _HW_M}.0)
+                  AS BIGINT) AS b
+      FROM y WHERE t <= {2 * _HW_M}),
+    seed AS (
+      SELECT CAST({_HW_M} AS BIGINT) AS t, l0.l, b0.b,
+             (SELECT list(y.y - l0.l ORDER BY y.t)
+              FROM y WHERE y.t <= {_HW_M}) AS sl
+      FROM l0, b0),
+    hw AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT hw.t + 1,
+             {_sql_fdiv5("y.y - hw.sl[1]", 1)}
+               + {_sql_fdiv5("hw.l + hw.b", 4)},
+             {_sql_fdiv5(f"({_sql_fdiv5('y.y - hw.sl[1]', 1)} "
+                         f"+ {_sql_fdiv5('hw.l + hw.b', 4)}) - hw.l", 1)}
+               + {_sql_fdiv5("hw.b", 4)},
+             hw.sl[2:] ||
+               [{_sql_fdiv5(f"y.y - ({_sql_fdiv5('y.y - hw.sl[1]', 1)} "
+                            f"+ {_sql_fdiv5('hw.l + hw.b', 4)})", 2)}
+                + {_sql_fdiv5("hw.sl[1]", 3)}]
+      FROM hw JOIN y ON y.t = hw.t + 1
+      WHERE hw.t < {_HW_N}),
+    final AS (SELECT * FROM hw WHERE t = {_HW_N})
+    SELECT h.h AS horizon_h,
+           ROUND((final.l + h.h * final.b + final.sl[h.h])
+                 / {_HW_SCALE}.0, 6) AS forecast
+    FROM final, UNNEST(range(1, {_HW_M + 1})) AS h(h)
+    ORDER BY h.h
+    """,
+)
+def events_holt_winters_forecast(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing (level + trend + 24h seasonal ring,
+    alpha = 1/5, beta = 1/5, gamma = 2/5) over the gap-filled hourly
+    series, forecasting the next 24 hours — the seasonality-aware member
+    the forecasting family was missing. Every update is the exact integer
+    floor-division (2*n*x + 5) // 10, so the Spark-side fold and the
+    oracle's recursive CTE (seasonal ring as a 24-element list) agree
+    BIT-exactly over 696 steps — a float-ROUND recursion drifted one
+    micro-unit because DuckDB's ROUND and std-round disagree a few ulp
+    below a half boundary (see the module comment).
+
+    Scale shape: the data-proportional work is the hourly aggregate; the
+    fold is a single bounded pass (mapInPandas single-partition — the
+    EWMA/Holt discipline; per-entity series partition the same fold).
+    Initialization is the standard first-season mean / season-difference
+    seed, in the same exact-rational form."""
+    import pandas as pd
+
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_ACF_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = (ev.select(((F.floor(F.unix_timestamp("ts") / 3600.0)
+                       - origin_h) + 1).cast("long").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    spine = spark.range(1, _HW_N + 1).select(F.col("id").alias("t"))
+    y = (spine.join(raw, "t", "left")
+         .select("t", (F.coalesce("n", F.lit(0)) * _HW_SCALE)
+                 .cast("long").alias("y")))
+
+    def fdiv5(x: int, mult: int) -> int:
+        return (2 * mult * x + 5) // 10
+
+    def fold(pdf_iter):
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("t", ignore_index=True)
+            ys = pdf["y"].tolist()
+            m = _HW_M
+            l = (2 * sum(ys[:m]) + m) // (2 * m)
+            b = ((2 * (sum(ys[m:2 * m]) - sum(ys[:m])) + m * m)
+                 // (2 * m * m))
+            sl = [v - l for v in ys[:m]]
+            for t in range(m, _HW_N):
+                yv = ys[t]
+                s_old = sl[0]
+                l2 = fdiv5(yv - s_old, 1) + fdiv5(l + b, 4)
+                b = fdiv5(l2 - l, 1) + fdiv5(b, 4)
+                s_new = fdiv5(yv - l2, 2) + fdiv5(s_old, 3)
+                sl = sl[1:] + [s_new]
+                l = l2
+            out = {"horizon_h": list(range(1, m + 1)),
+                   "f_micro": [l + h * b + sl[h - 1]
+                               for h in range(1, m + 1)]}
+            yield pd.DataFrame(out)
+
+    folded = (y.repartition(1).mapInPandas(
+        fold, "horizon_h long, f_micro long"))
+    return (folded.select("horizon_h",
+                          F.round(F.col("f_micro") / float(_HW_SCALE), 6)
+                          .alias("forecast"))
+            .orderBy("horizon_h"))
