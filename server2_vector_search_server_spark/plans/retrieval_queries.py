@@ -780,3 +780,107 @@ def search_prefix_autocomplete(spark: SparkSession,
             .select("prefix", F.col("rank").cast("long").alias("rank"),
                     "term", "freq")
             .orderBy("prefix", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# BM25F: fielded ranking with per-field weights
+
+_F_TITLE_LEN = 5          # field split: first 5 tokens act as the title
+_F_W_TITLE = "3.0"        # field weights (literals shared by both engines)
+_F_W_BODY = "1.0"
+_BM25F_K = 10
+
+
+@query(
+    "text_bm25f_fielded",
+    survey="retrieval extension(BM25F fielded ranking, Robertson/Zaragoza "
+           "2004: per-field weighted term frequencies folded into ONE "
+           "saturation curve — the multi-field document model; rational "
+           "idf, exact micro fold)",
+    oracle=f"""
+    WITH toks AS (
+      -- no UNNEST WITH ORDINALITY in DuckDB: index via range (ROUND_NOTES)
+      SELECT doc_id, arr[p.pos] AS term, p.pos
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS arr FROM documents),
+           UNNEST(range(1, len(arr) + 1)) AS p(pos)),
+    ft AS (
+      SELECT doc_id, term,
+             SUM(CASE WHEN pos <= {_F_TITLE_LEN}
+                 THEN {_F_W_TITLE} ELSE {_F_W_BODY} END) AS wtf
+      FROM toks WHERE term IN ({_SQL_TERMS})
+      GROUP BY doc_id, term),
+    dl AS (
+      SELECT doc_id,
+             SUM(CASE WHEN pos <= {_F_TITLE_LEN}
+                 THEN {_F_W_TITLE} ELSE {_F_W_BODY} END) AS wdl
+      FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM dl) AS n,
+             (SELECT SUM(wdl) FROM dl) / (SELECT COUNT(*) FROM dl)
+               AS avg_wdl),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM ft GROUP BY term),
+    scored AS (
+      SELECT ft.doc_id,
+             SUM(CAST(ROUND(
+               ((stats.n - df.df + 0.5) / (df.df + 0.5))
+               * ((ft.wtf * {_K1_PLUS_1})
+                  / (ft.wtf + {_K1} * ({_ONE_MINUS_B}
+                     + {_B} * dl.wdl / stats.avg_wdl)))
+               * 1000000) AS BIGINT)) AS s_micro
+      FROM ft JOIN dl ON dl.doc_id = ft.doc_id
+      JOIN df ON df.term = ft.term CROSS JOIN stats
+      GROUP BY ft.doc_id)
+    SELECT doc_id, ROUND(s_micro / 1000000.0, 6) AS bm25f
+    FROM scored ORDER BY s_micro DESC, doc_id LIMIT {_BM25F_K}
+    """,
+)
+def text_bm25f_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F — the fielded extension every production engine runs when
+    documents have structure (title/body here: the first 5 tokens weigh
+    3x): per-field term frequencies combine into ONE weighted tf that
+    feeds a SINGLE saturation curve, which is the insight separating
+    BM25F from naively summing per-field BM25 scores (that over-rewards
+    matching the same term in many fields). Same log-free rational idf
+    and exact micro fold as text_bm25_topk; weighted doc length
+    normalizes against the weighted average.
+
+    Scale shape: one positional tokenization pass feeds weighted tf
+    (query terms only), weighted doc length, and df — all
+    partial-aggregable; scoring joins the broadcast-sized stats. Field
+    boundaries come from token position, so no second tokenization or
+    storage change is needed."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos0", "term"))
+    toks = toks.select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    w = F.when(F.col("pos") <= _F_TITLE_LEN,
+               F.lit(float(_F_W_TITLE))).otherwise(F.lit(float(_F_W_BODY)))
+    ft = (toks.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.sum(w).alias("wtf")))
+    dl = toks.groupBy("doc_id").agg(F.sum(w).alias("wdl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"),
+                   (F.sum("wdl") / F.count(F.lit(1))).alias("avg_wdl"))
+    df = ft.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = float(_K1)
+    k1p1 = float(_K1_PLUS_1)
+    b = float(_B)
+    omb = float(_ONE_MINUS_B)
+    term_score = F.round(
+        ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * ((F.col("wtf") * k1p1)
+           / (F.col("wtf") + k1 * (omb + b * F.col("wdl")
+                                   / F.col("avg_wdl"))))
+        * 1_000_000).cast("long")
+    scored = (ft.join(dl, "doc_id").join(F.broadcast(df), "term")
+              .join(F.broadcast(stats))
+              .select("doc_id", term_score.alias("ts"))
+              .groupBy("doc_id").agg(F.sum("ts").alias("s_micro")))
+    return (scored.orderBy(F.col("s_micro").desc(), "doc_id")
+            .limit(_BM25F_K)
+            .select("doc_id",
+                    F.round(F.col("s_micro") / 1_000_000.0, 6)
+                    .alias("bm25f")))
