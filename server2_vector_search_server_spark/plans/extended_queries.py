@@ -1293,3 +1293,92 @@ def store_occ_conflict_detection(spark: SparkSession,
             .select("writer", "conflict_detected", "retried",
                     "committed_version", "n_docs", "final_digest")
             .orderBy("writer"))
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding
+
+_HRW_BEFORE = 5
+_HRW_AFTER = 6
+
+
+def _sql_hrw_weight(doc_expr: str, shard: str) -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({doc_expr} || '#' "
+        f"|| CAST({shard} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return "(" + digits + ")"
+
+
+@query(
+    "store_rendezvous_sharding",
+    survey="store extension(rendezvous/HRW hashing: docs assign to the "
+           "max-weight shard; adding a shard moves ~1/(n+1) of keys and "
+           "ONLY into the new shard — the minimal-movement property that "
+           "makes rebalancing cheap, Thaler & Ravishankar 1998)",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, s.s AS shard,
+             {_sql_hrw_weight("CAST(doc_id AS VARCHAR)", "s.s")} AS wt
+      FROM documents, UNNEST(range(0, {_HRW_AFTER})) AS s(s)),
+    pick AS (
+      SELECT doc_id,
+             arg_max(shard, wt) FILTER (shard < {_HRW_BEFORE})
+               AS shard_before,
+             arg_max(shard, wt) AS shard_after
+      FROM w GROUP BY doc_id),
+    moved AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+               AS n_moved,
+             SUM(CASE WHEN shard_before <> shard_after
+                      AND shard_after <> {_HRW_BEFORE}
+                 THEN 1 ELSE 0 END) AS n_moved_elsewhere
+      FROM pick)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_moved AS BIGINT) AS n_moved,
+           CAST(n_moved_elsewhere AS BIGINT) AS n_moved_elsewhere,
+           ROUND(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_frac,
+           (n_moved_elsewhere = 0) AS only_into_new_shard
+    FROM moved
+    """,
+)
+def store_rendezvous_sharding(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Rendezvous hashing: each doc goes to the shard maximizing
+    md5(doc#shard) — when shard 5 joins, a doc moves ONLY if the new
+    shard's weight beats all old ones, so exactly the ~1/6 of keys whose
+    new weight wins relocate and every move lands on the NEW shard
+    (n_moved_elsewhere = 0, pinned as a hash-checked boolean; modulo
+    sharding would reshuffle ~5/6 of all keys). The deterministic
+    md5 weights make the whole assignment engine-reproducible.
+
+    Scale shape: one fan-out of n_shards weight rows per doc, one
+    arg_max groupBy — no coordination state, no ring metadata; the
+    assignment is a pure function of (key, shard set), which is the
+    operational point of HRW."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(_HRW_AFTER).select(F.col("id").cast("int")
+                                            .alias("shard"))
+    wt = F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit("#"),
+        F.col("shard").cast("string"))), 1, 8), 16, 10).cast("long")
+    w = docs.join(F.broadcast(shards)).select("doc_id", "shard",
+                                              wt.alias("wt"))
+    pick = (w.groupBy("doc_id")
+            .agg(F.max_by("shard", F.when(F.col("shard") < _HRW_BEFORE,
+                                          F.col("wt")))
+                 .alias("shard_before"),
+                 F.max_by("shard", "wt").alias("shard_after")))
+    moved = pick.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("shard_before") != F.col("shard_after")).cast("int"))
+        .cast("long").alias("n_moved"),
+        F.sum(((F.col("shard_before") != F.col("shard_after"))
+               & (F.col("shard_after") != _HRW_BEFORE)).cast("int"))
+        .cast("long").alias("n_moved_elsewhere"))
+    return moved.select(
+        "n_docs", "n_moved", "n_moved_elsewhere",
+        F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6)
+        .alias("moved_frac"),
+        (F.col("n_moved_elsewhere") == 0).alias("only_into_new_shard"))
