@@ -1382,3 +1382,109 @@ def store_rendezvous_sharding(spark: SparkSession,
         F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6)
         .alias("moved_frac"),
         (F.col("n_moved_elsewhere") == 0).alias("only_into_new_shard"))
+
+
+# ---------------------------------------------------------------------------
+# Merkle-tree table digest with diff localization
+
+_MRK_LEAVES = 16
+
+
+@query(
+    "store_merkle_table_digest",
+    survey="store extension(Merkle-tree integrity digest: md5-bucketed "
+           "leaf digests + root over the documents table; a one-doc "
+           "perturbation changes EXACTLY one leaf — the replica-"
+           "comparison structure that localizes diffs in log time)",
+    oracle=f"""
+    WITH rows_a AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS rh,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+               AS leaf
+      FROM documents),
+    rows_b AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '|'
+                 || md5(CASE WHEN doc_id = 7 THEN text || ' tampered'
+                        ELSE text END)) AS rh,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+               AS leaf
+      FROM documents),
+    leaves_a AS (
+      SELECT leaf, md5(string_agg(rh, '' ORDER BY rh)) AS ld
+      FROM rows_a GROUP BY leaf),
+    leaves_b AS (
+      SELECT leaf, md5(string_agg(rh, '' ORDER BY rh)) AS ld
+      FROM rows_b GROUP BY leaf),
+    roots AS (
+      SELECT (SELECT md5(string_agg(ld, '' ORDER BY leaf))
+              FROM leaves_a) AS root_a,
+             (SELECT md5(string_agg(ld, '' ORDER BY leaf))
+              FROM leaves_b) AS root_b),
+    diff AS (
+      SELECT COUNT(*) AS n_leaves_differ
+      FROM leaves_a a JOIN leaves_b b ON a.leaf = b.leaf
+      WHERE a.ld <> b.ld)
+    SELECT roots.root_a, roots.root_b,
+           (roots.root_a <> roots.root_b) AS roots_differ,
+           CAST(diff.n_leaves_differ AS BIGINT) AS n_leaves_differ,
+           CAST({_MRK_LEAVES} AS BIGINT) AS n_leaves
+    FROM roots, diff
+    """,
+)
+def store_merkle_table_digest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Merkle integrity digest of the documents table: row hashes bucket
+    into 16 md5-keyed leaves (order-insensitive within a leaf — sorted
+    concat), leaves fold into one root. Tampering with a single document
+    flips the root AND exactly ONE leaf — so two replicas comparing
+    roots then leaf vectors localize a divergence by exchanging
+    O(leaves) digests instead of row-by-row diffs (the anti-entropy
+    protocol of Dynamo-style stores and the snapshot-audit counterpart
+    of store_snapshot_diff, which needs both tables co-located).
+
+    Scale shape: one scan, one leaf-keyed aggregate (sorted string_agg
+    within bounded leaves; a deeper tree is the same plan per level);
+    everything after is 16-row arithmetic."""
+    docs = tbl(spark, sf_dir, "documents")
+
+    def leafed(tampered: bool):
+        text = (F.when(F.col("doc_id") == 7,
+                       F.concat(F.col("text"), F.lit(" tampered")))
+                .otherwise(F.col("text")) if tampered else F.col("text"))
+        rh = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                            F.md5(text)))
+        leaf = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                   1, 1), 16, 10).cast("int"))
+        return (docs.select(leaf.alias("leaf"), rh.alias("rh"))
+                .groupBy("leaf")
+                .agg(F.md5(F.concat_ws("", F.sort_array(
+                    F.collect_list("rh")))).alias("ld")))
+
+    la = leafed(False).localCheckpoint(eager=True)
+    lb = leafed(True).localCheckpoint(eager=True)
+
+    def root(leaves, name):
+        return (leaves.orderBy("leaf")
+                .agg(F.md5(F.concat_ws("", F.collect_list("ld")))
+                     .alias(name)))
+
+    # root folds the leaf digests in leaf order: sort_array over structs
+    ra = la.agg(F.md5(F.concat_ws("", F.transform(
+        F.sort_array(F.collect_list(F.struct("leaf", "ld"))),
+        lambda s: s["ld"]))).alias("root_a"))
+    rb = lb.agg(F.md5(F.concat_ws("", F.transform(
+        F.sort_array(F.collect_list(F.struct("leaf", "ld"))),
+        lambda s: s["ld"]))).alias("root_b"))
+    diff = (la.join(lb.withColumnRenamed("ld", "ld_b"), "leaf")
+            .filter(F.col("ld") != F.col("ld_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_leaves_differ")))
+    return (ra.join(rb).join(F.broadcast(diff))
+            .select("root_a", "root_b",
+                    (F.col("root_a") != F.col("root_b"))
+                    .alias("roots_differ"),
+                    "n_leaves_differ",
+                    F.lit(_MRK_LEAVES).cast("long").alias("n_leaves")))
