@@ -1467,12 +1467,8 @@ def store_merkle_table_digest(spark: SparkSession,
     la = leafed(False).localCheckpoint(eager=True)
     lb = leafed(True).localCheckpoint(eager=True)
 
-    def root(leaves, name):
-        return (leaves.orderBy("leaf")
-                .agg(F.md5(F.concat_ws("", F.collect_list("ld")))
-                     .alias(name)))
-
     # root folds the leaf digests in leaf order: sort_array over structs
+    # (orderBy before collect_list does NOT survive the aggregate exchange)
     ra = la.agg(F.md5(F.concat_ws("", F.transform(
         F.sort_array(F.collect_list(F.struct("leaf", "ld"))),
         lambda s: s["ld"]))).alias("root_a"))
