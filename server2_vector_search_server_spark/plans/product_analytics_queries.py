@@ -573,3 +573,59 @@ def events_weekday_hour_profile(spark: SparkSession,
                     F.round(F.col("n").cast("double") * F.col("k")
                             / F.col("t"), 6).alias("seasonality_index"))
             .orderBy("weekday", "hour"))
+
+
+# ---------------------------------------------------------------------------
+# Session-timeout sensitivity sweep (one scan, all thresholds)
+
+_STS_MINUTES = (5, 15, 30, 60)
+
+
+@query(
+    "events_session_timeout_sweep",
+    survey="product-analytics extension(session-count sensitivity to the "
+           "inactivity timeout: all four thresholds from ONE ordered "
+           "pass — gap > t starts a session, so count = 1 + gaps>t per "
+           "user; the tuning curve behind every sessionization config)",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch(CAST(ts AS TIMESTAMP))
+             - epoch(lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_s
+      FROM events)
+    SELECT {", ".join(
+        f"CAST(COUNT(DISTINCT user_id) + SUM(CASE WHEN gap_s > {m * 60} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS sessions_{m}m"
+        for m in _STS_MINUTES)}
+    FROM gaps
+    """,
+)
+def events_session_timeout_sweep(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """How many sessions each inactivity timeout yields — the sweep every
+    sessionization config decision needs (too-low timeouts shred visits,
+    too-high merge days): sessions(t) = users + gaps-exceeding-t, all
+    four thresholds evaluated as conditional sums over ONE lag pass
+    (re-running the sessionizer per threshold scans the table four
+    times; the gap identity makes the sweep one window + one aggregate).
+
+    Scale shape: one user-keyed window exchange; the sweep is four
+    conditional sums over the same gap column — cost independent of the
+    threshold count."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"))
+    aggs = [F.count_distinct("user_id").alias("_u")] + [
+        F.sum(F.when(F.col("gap_s") > m * 60, 1).otherwise(0))
+        .alias(f"_g{m}") for m in _STS_MINUTES]
+    row = gaps.agg(*aggs)
+    return row.select(*[
+        (F.col("_u") + F.col(f"_g{m}")).cast("long")
+        .alias(f"sessions_{m}m") for m in _STS_MINUTES])
