@@ -4153,3 +4153,86 @@ def events_median_ci_order_stats(spark: SparkSession,
     return (med.join(lo).join(hi)
             .select(F.lit(_MCI_N).cast("long").alias("n"),
                     "median_v", "ci_lo", "ci_hi"))
+
+
+# ---------------------------------------------------------------------------
+# Randomized response (local differential privacy)
+
+_RR_FLIP_NUM, _RR_FLIP_DEN = 1, 4     # flip probability p = 1/4
+
+
+@query(
+    "events_randomized_response_ldp",
+    survey="insight extension(randomized response, Warner 1965: each "
+           "user-day's purchase flag flips with p=1/4 via a deterministic "
+           "md5 coin BEFORE aggregation — the LOCAL-model DP companion "
+           "to the central-model events_dp_noisy_counts; debiased "
+           "estimator (obs - p*n)/(1-2p) hash-exact)",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS truth
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    coined AS (
+      SELECT truth,
+             CASE WHEN ((strpos('0123456789abcdef',
+                     substr(md5('rr' || CAST(user_id AS VARCHAR) || '_'
+                            || CAST(day AS VARCHAR)), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef',
+                     substr(md5('rr' || CAST(user_id AS VARCHAR) || '_'
+                            || CAST(day AS VARCHAR)), 2, 1)) - 1)
+                  % {_RR_FLIP_DEN} < {_RR_FLIP_NUM}
+                  THEN 1 - truth ELSE truth END AS reported
+      FROM j),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(truth) AS BIGINT) AS true_count,
+             CAST(SUM(reported) AS BIGINT) AS reported_count
+      FROM coined)
+    SELECT n, true_count, reported_count,
+           ROUND((CAST(reported_count AS DOUBLE)
+                  - ({_RR_FLIP_NUM}.0 / {_RR_FLIP_DEN}) * n)
+                 / (1.0 - 2.0 * {_RR_FLIP_NUM}.0 / {_RR_FLIP_DEN}), 6)
+             AS debiased_estimate
+    FROM agg
+    """,
+)
+def events_randomized_response_ldp(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Warner's randomized response — LOCAL differential privacy: each
+    user-day flips its sensitive purchase flag with probability 1/4
+    before anything aggregates, so the collector never holds a true
+    record (epsilon = ln((1-p)/p) = ln 3 per report); the plug-in
+    estimator (reported - p*n)/(1-2p) recovers the population count in
+    expectation. The md5 coin makes the mechanism reproducible, so the
+    whole pipeline — flips, counts, debiasing — hash-checks across
+    engines (the bootstrap/negative-sampling determinism discipline
+    applied to privacy).
+
+    Scale shape: the flip is a per-row expression inside the first
+    aggregate's scan; everything else is one bounded groupBy. The
+    central-model twin (events_dp_noisy_counts) perturbs AFTER
+    aggregation — together they pin both DP deployment models."""
+    ev = tbl(spark, sf_dir, "events")
+    j = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+         .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+              .alias("truth")))
+    coin = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("rr"), F.col("user_id").cast("string"), F.lit("_"),
+        F.col("day").cast("string"))), 1, 2), 16, 10).cast("int")
+        % _RR_FLIP_DEN) < _RR_FLIP_NUM
+    coined = j.select(
+        "truth",
+        F.when(coin, 1 - F.col("truth")).otherwise(F.col("truth"))
+        .alias("reported"))
+    p = float(_RR_FLIP_NUM) / _RR_FLIP_DEN
+    agg = coined.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("truth").cast("long").alias("true_count"),
+                     F.sum("reported").cast("long")
+                     .alias("reported_count"))
+    return agg.select(
+        "n", "true_count", "reported_count",
+        F.round((F.col("reported_count").cast("double")
+                 - F.lit(p) * F.col("n")) / (1.0 - 2.0 * p), 6)
+        .alias("debiased_estimate"))
