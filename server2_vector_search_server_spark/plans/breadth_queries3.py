@@ -890,3 +890,72 @@ def lineitem_spearman_rank_corr(spark: SparkSession,
         "n", "sd2",
         F.round(1.0 - 6.0 * F.col("sd2").cast("double")
                 / (nd * (nd * nd - 1.0)), 6).alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment screen (same payer, same amount, close dates)
+
+_DUP_PAY_DAYS = 7
+
+
+@query(
+    "orders_duplicate_payment_screen",
+    survey="breadth extension(duplicate-payment audit: same customer + "
+           "identical amount + order dates within 7 days — the classic "
+           "AP fraud/error screen; candidates from an exact (customer, "
+           "cents) equi-join, never a window scan)",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+      UNION ALL
+      -- planted double payments: every 40th order re-keyed, two days later
+      SELECT o_orderkey + 10000000, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 DAY AS DATE)
+      FROM orders WHERE o_orderkey % 40 = 0)
+    SELECT a.o_custkey AS custkey, a.cents AS cents,
+           a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+           CAST(abs(datediff('day', a.d, b.d)) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(datediff('day', a.d, b.d)) <= {_DUP_PAY_DAYS}
+    ORDER BY custkey, cents, orderkey_a, orderkey_b
+    """,
+)
+def orders_duplicate_payment_screen(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Accounts-payable duplicate screen: two orders by the same customer
+    for the identical amount within a week are flagged for review — the
+    audit-analytics staple. Candidates come from the exact (customer,
+    cents) equi-join (duplicate amounts are the necessary condition, so
+    the join key IS the blocking key); the date-proximity predicate
+    refines candidates only. Shuffle is keyed by (customer, cents) —
+    pairs are bounded by per-key multiplicity, never order-count
+    quadratic."""
+    base = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"))
+    planted = (base.filter(F.col("o_orderkey") % 40 == 0)
+               .select((F.col("o_orderkey") + 10_000_000)
+                       .alias("o_orderkey"),
+                       "o_custkey", "cents",
+                       F.date_add("d", 2).alias("d")))
+    o = base.unionByName(planted)
+    a = o.select(F.col("o_orderkey").alias("orderkey_a"),
+                 F.col("o_custkey").alias("custkey"), "cents",
+                 F.col("d").alias("da"))
+    b = o.select(F.col("o_orderkey").alias("orderkey_b"),
+                 F.col("o_custkey").alias("custkey"), "cents",
+                 F.col("d").alias("db"))
+    return (a.join(b, ["custkey", "cents"])
+            .filter((F.col("orderkey_a") < F.col("orderkey_b"))
+                    & (F.abs(F.datediff("da", "db")) <= _DUP_PAY_DAYS))
+            .select("custkey", "cents", "orderkey_a", "orderkey_b",
+                    F.abs(F.datediff("da", "db")).cast("long")
+                    .alias("days_apart"))
+            .orderBy("custkey", "cents", "orderkey_a", "orderkey_b"))
