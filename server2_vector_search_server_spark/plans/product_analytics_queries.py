@@ -629,3 +629,82 @@ def events_session_timeout_sweep(spark: SparkSession,
     return row.select(*[
         (F.col("_u") + F.col(f"_g{m}")).cast("long")
         .alias(f"sessions_{m}m") for m in _STS_MINUTES])
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU stickiness
+
+_DAU_SAMPLE_EVERY = 7      # report one day a week to keep output bounded
+
+
+@query(
+    "events_dau_wau_mau_stickiness",
+    survey="product-analytics extension(DAU/WAU/MAU + stickiness ratios "
+           "per report day from ONE (day, user) pre-aggregate fanned to "
+           "its trailing windows — the engagement dashboard staple)",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             user_id
+      FROM events),
+    dau AS (
+      SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+    wau AS (
+      SELECT du.d + o.o AS rep_d, COUNT(DISTINCT user_id) AS wau
+      FROM du, UNNEST(range(0, 7)) AS o(o)
+      GROUP BY du.d + o.o),
+    mau AS (
+      SELECT du.d + o.o AS rep_d, COUNT(DISTINCT user_id) AS mau
+      FROM du, UNNEST(range(0, 30)) AS o(o)
+      GROUP BY du.d + o.o)
+    SELECT dau.d AS day_idx, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau, CAST(mau.mau AS BIGINT) AS mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS dau_wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS dau_mau
+    FROM dau JOIN wau ON wau.rep_d = dau.d
+             JOIN mau ON mau.rep_d = dau.d
+    WHERE dau.d % {_DAU_SAMPLE_EVERY} = 6
+    ORDER BY dau.d
+    """,
+)
+def events_dau_wau_mau_stickiness(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU with the stickiness ratios (DAU/WAU, DAU/MAU) — the
+    engagement dashboard every product ships. Trailing windows come from
+    the (day, user) DISTINCT pre-aggregate fanned forward to the report
+    days it covers (the sliding-HLL pattern with exact counts: the fan-
+    out is pre-aggregate rows x window days, never event rows), so one
+    scan feeds all three grains.
+
+    Scale shape: one shuffle to (day, user) distincts; two bounded
+    explodes + count-distinct per report day (user-bounded); report days
+    sampled weekly (early days carry partially-filled trailing
+    windows — deterministic, and what a live dashboard shows too)."""
+    ev = tbl(spark, sf_dir, "events")
+    du = (ev.select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("d"), "user_id").distinct()
+        .localCheckpoint(eager=True))
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(days, name):
+        return (du.select(F.explode(F.sequence(
+            F.col("d"), F.col("d") + days - 1)).alias("rep_d"), "user_id")
+            .groupBy("rep_d")
+            .agg(F.count_distinct("user_id").alias(name)))
+
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (dau.join(wau, dau.d == wau.rep_d)
+            .join(mau, dau.d == mau.rep_d)
+            .filter(F.col("d") % _DAU_SAMPLE_EVERY == 6)
+            .select(F.col("d").alias("day_idx"),
+                    F.col("dau").cast("long").alias("dau"),
+                    F.col("wau").cast("long").alias("wau"),
+                    F.col("mau").cast("long").alias("mau"),
+                    F.round(F.col("dau").cast("double") / F.col("wau"), 6)
+                    .alias("dau_wau"),
+                    F.round(F.col("dau").cast("double") / F.col("mau"), 6)
+                    .alias("dau_mau"))
+            .orderBy("day_idx"))
