@@ -4236,3 +4236,69 @@ def events_randomized_response_ldp(spark: SparkSession,
         F.round((F.col("reported_count").cast("double")
                  - F.lit(p) * F.col("n")) / (1.0 - 2.0 * p), 6)
         .alias("debiased_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator: heavy-tail index of the value distribution
+
+_HILL_K = 100
+
+
+@query(
+    "events_hill_tail_index",
+    survey="insight extension(Hill 1975 tail-index estimator over the "
+           "top-k order statistics of event values — the heavy-tail "
+           "diagnostic that decides whether means/variances are even "
+           "meaningful; exact micro-unit log fold)",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             row_number() OVER (ORDER BY value DESC, event_id) AS rk
+      FROM events WHERE value > 0),
+    kth AS (SELECT v AS vk FROM ranked WHERE rk = {_HILL_K + 1}),
+    top AS (
+      SELECT SUM(CAST(ROUND(ROUND(ln(ranked.v / kth.vk), 9) * 1000000)
+                      AS BIGINT)) AS s_micro
+      FROM ranked, kth WHERE rk <= {_HILL_K})
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           ROUND(kth.vk, 6) AS threshold_value,
+           ROUND(s_micro / 1000000.0 / {_HILL_K}, 6) AS hill_gamma,
+           ROUND({_HILL_K}.0 / (s_micro / 1000000.0), 6) AS tail_alpha
+    FROM top, kth
+    """,
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill's tail-index estimator: gamma = (1/k) * sum ln(x_(i) / x_(k+1))
+    over the k largest values — gamma near 0 means light tails, alpha =
+    1/gamma < 2 means infinite variance (the diagnostic that should gate
+    any mean-based SLO or revenue projection on this column). The log
+    ratios round to micro-units and fold exactly; the k+1-st order
+    statistic comes from deterministic rank selection.
+
+    Scale shape: rank selection over the value column (distributed
+    top-(k+1) is a TakeOrderedAndProject at scale — the window here is
+    the fixture-scale proxy, as in the Gini family); the estimator
+    itself touches k rows."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    ranked = (ev.select(F.col("value").cast("double").alias("v"),
+                        "event_id")
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.col("v").desc(), "event_id")))
+              .filter(F.col("rk") <= _HILL_K + 1)
+              .localCheckpoint(eager=True))
+    kth = (ranked.filter(F.col("rk") == _HILL_K + 1)
+           .select(F.col("v").alias("vk")))
+    top = (ranked.filter(F.col("rk") <= _HILL_K)
+           .join(F.broadcast(kth))
+           .agg(F.sum(F.round(F.round(F.log(F.col("v") / F.col("vk")), 9)
+                              * 1_000_000).cast("long")).alias("s_micro")))
+    return (top.join(F.broadcast(kth))
+            .select(F.lit(_HILL_K).cast("long").alias("k"),
+                    F.round("vk", 6).alias("threshold_value"),
+                    F.round(F.col("s_micro") / 1_000_000.0 / _HILL_K, 6)
+                    .alias("hill_gamma"),
+                    F.round(F.lit(float(_HILL_K))
+                            / (F.col("s_micro") / 1_000_000.0), 6)
+                    .alias("tail_alpha")))
