@@ -959,3 +959,78 @@ def orders_duplicate_payment_screen(spark: SparkSession,
                     F.abs(F.datediff("da", "db")).cast("long")
                     .alias("days_apart"))
             .orderBy("custkey", "cents", "orderkey_a", "orderkey_b"))
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index between two shipping months
+
+@query(
+    "lineitem_laspeyres_price_index",
+    survey="breadth extension(Laspeyres price index: month-2 prices at "
+           "month-1 quantity weights over the common part basket — the "
+           "inflation-measurement identity, exact cents x quantity "
+           "folds)",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey,
+             CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS INTEGER)
+               AS mo,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '2024-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '2024-03-01'
+      GROUP BY 1, 2),
+    basket AS (
+      SELECT a.l_partkey,
+             a.cents AS c0, a.qty AS q0, b.cents AS c1, b.qty AS q1
+      FROM m a JOIN m b ON a.l_partkey = b.l_partkey
+      WHERE a.mo = 1 AND b.mo = 2 AND a.qty > 0 AND b.qty > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) / q1 * q0) AS BIGINT))
+                AS BIGINT) AS p1q0_cents,
+           CAST(SUM(c0) AS BIGINT) AS p0q0_cents,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(c1 AS DOUBLE) / q1 * q0)
+                               AS BIGINT)) AS DOUBLE)
+                 / CAST(SUM(c0) AS DOUBLE), 6) AS laspeyres_index
+    FROM basket
+    """,
+)
+def lineitem_laspeyres_price_index(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The Laspeyres price index between January and February shipments:
+    month-2 unit prices weighted by month-1 quantities over the common
+    part basket, divided by the month-1 spend — the fixed-basket
+    inflation measure (CPI's formula). Unit prices are exact-cents /
+    exact-quantity divisions with shared op order; the p1*q0 products
+    round to cents before the integer fold.
+
+    Scale shape: one scan to (part, month) aggregates (partial-
+    aggregable), a part-keyed self-join for the common basket, one
+    bounded re-aggregate."""
+    li = (tbl(spark, sf_dir, "lineitem")
+          .filter((F.to_date("l_shipdate") >= F.lit("2024-01-01"))
+                  & (F.to_date("l_shipdate") < F.lit("2024-03-01"))))
+    m = (li.groupBy("l_partkey",
+                    F.month(F.to_date("l_shipdate")).alias("mo"))
+         .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .alias("cents"),
+              F.sum(F.round("l_quantity").cast("long")).alias("qty")))
+    a = (m.filter((F.col("mo") == 1) & (F.col("qty") > 0))
+         .select("l_partkey", F.col("cents").alias("c0"),
+                 F.col("qty").alias("q0")))
+    b = (m.filter((F.col("mo") == 2) & (F.col("qty") > 0))
+         .select("l_partkey", F.col("cents").alias("c1"),
+                 F.col("qty").alias("q1")))
+    basket = a.join(b, "l_partkey")
+    p1q0 = F.round(F.col("c1").cast("double") / F.col("q1")
+                   * F.col("q0")).cast("long")
+    agg = basket.agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                     F.sum(p1q0).cast("long").alias("p1q0_cents"),
+                     F.sum("c0").cast("long").alias("p0q0_cents"))
+    return agg.select(
+        "n_parts", "p1q0_cents", "p0q0_cents",
+        F.round(F.col("p1q0_cents").cast("double")
+                / F.col("p0q0_cents").cast("double"), 6)
+        .alias("laspeyres_index"))

@@ -708,3 +708,61 @@ def events_dau_wau_mau_stickiness(spark: SparkSession,
                     F.round(F.col("dau").cast("double") / F.col("mau"), 6)
                     .alias("dau_mau"))
             .orderBy("day_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week movers
+
+@query(
+    "events_top_movers_wow",
+    survey="product-analytics extension(week-over-week movers: per-type "
+           "weekly counts pivoted by a conditional aggregate, exact "
+           "deltas and shared-order relative change — the anomaly "
+           "triage list after an alert fires)",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CAST(FLOOR(datediff('day', DATE '2024-01-01',
+                                 CAST(ts AS DATE)) / 7.0) AS INTEGER) AS wk,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    piv AS (
+      SELECT event_type,
+             SUM(CASE WHEN wk = 2 THEN n ELSE 0 END) AS prev_n,
+             SUM(CASE WHEN wk = 3 THEN n ELSE 0 END) AS cur_n
+      FROM w GROUP BY event_type)
+    SELECT event_type, CAST(prev_n AS BIGINT) AS prev_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           CAST(cur_n - prev_n AS BIGINT) AS delta,
+           ROUND(CAST(cur_n - prev_n AS DOUBLE)
+                 / CAST(prev_n AS DOUBLE), 6) AS rel_change
+    FROM piv
+    ORDER BY abs(cur_n - prev_n) DESC, event_type
+    """,
+)
+def events_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers per event type (weeks 2 vs 3 of the window):
+    the triage list an on-call pulls after a volume alert — exact
+    integer deltas, relative change dividing identical integers, ranked
+    by absolute movement. One bounded-key aggregate + conditional pivot;
+    no second scan per week."""
+    ev = tbl(spark, sf_dir, "events")
+    wk = F.floor(F.datediff(F.to_date("ts"),
+                            F.lit("2024-01-01").cast("date")) / 7.0)
+    w = (ev.select("event_type", wk.cast("int").alias("wk"))
+         .groupBy("event_type", "wk").agg(F.count(F.lit(1)).alias("n")))
+    piv = (w.groupBy("event_type")
+           .agg(F.sum(F.when(F.col("wk") == 2, F.col("n")).otherwise(0))
+                .alias("prev_n"),
+                F.sum(F.when(F.col("wk") == 3, F.col("n")).otherwise(0))
+                .alias("cur_n")))
+    return (piv.select("event_type",
+                       F.col("prev_n").cast("long").alias("prev_n"),
+                       F.col("cur_n").cast("long").alias("cur_n"),
+                       (F.col("cur_n") - F.col("prev_n")).cast("long")
+                       .alias("delta"),
+                       F.round((F.col("cur_n") - F.col("prev_n"))
+                               .cast("double")
+                               / F.col("prev_n").cast("double"), 6)
+                       .alias("rel_change"))
+            .orderBy(F.abs(F.col("delta")).desc(), "event_type"))
