@@ -980,3 +980,83 @@ def events_holt_winters_forecast(spark: SparkSession,
                           F.round(F.col("f_micro") / float(_HW_SCALE), 6)
                           .alias("forecast"))
             .orderBy("horizon_h"))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily series
+
+@query(
+    "events_mann_kendall_trend",
+    survey="temporal extension(Mann-Kendall nonparametric trend test on "
+           "daily event counts: exact integer S over the bounded day-"
+           "pair set, tie-corrected variance, normal z — the "
+           "distribution-free 'is there a trend' gate before fitting "
+           "anything)",
+    oracle="""
+    WITH d AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                           WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+               AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM d a JOIN d b ON a.t < b.t),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS tc FROM d GROUP BY n HAVING COUNT(*) > 1)),
+    var AS (
+      SELECT (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term) / 18.0
+               AS v
+      FROM nn, ties)
+    SELECT nn.n AS n_days, s.s, s.n_pairs,
+           ROUND(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var.v)
+                      WHEN s.s < 0 THEN (s.s + 1) / sqrt(var.v)
+                      ELSE 0.0 END, 6) AS z_stat
+    FROM s, nn, var
+    """,
+)
+def events_mann_kendall_trend(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test: S = sum of sign(x_j - x_i) over all day
+    pairs i < j — a pure rank statistic, so heavy tails and outliers
+    can't fake or hide a trend (the gate to run BEFORE Holt/Holt-Winters
+    fitting assumes one). S folds as exact integers over the bounded
+    30-day pair set; the tie-corrected variance and continuity-corrected
+    z divide shared-op-order doubles.
+
+    Scale shape: the series is the bounded daily aggregate (one scan);
+    the pair join is |days|^2/2 over bounded rows — for long series the
+    equivalent Kendall formulation via distributed merge-sort inversion
+    counting applies, which the docstring names rather than fakes."""
+    ev = tbl(spark, sf_dir, "events")
+    d = (ev.groupBy(F.datediff(F.to_date("ts"),
+                               F.lit("2024-01-01").cast("date"))
+                    .alias("t"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+         .localCheckpoint(eager=True))
+    a = d.select(F.col("t").alias("ta"), F.col("n").alias("na"))
+    b = d.select(F.col("t").alias("tb"), F.col("n").alias("nb"))
+    s = (a.join(b, F.col("ta") < F.col("tb"))
+         .agg(F.sum(F.when(F.col("nb") > F.col("na"), 1)
+                    .when(F.col("nb") < F.col("na"), -1)
+                    .otherwise(0)).cast("long").alias("s"),
+              F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (d.groupBy("n").agg(F.count(F.lit(1)).alias("tc"))
+            .filter(F.col("tc") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("tc") * (F.col("tc") - 1)
+                      * (2 * F.col("tc") + 5)), F.lit(0)).cast("long")
+                .alias("tie_term")))
+    joined = s.join(F.broadcast(nn)).join(F.broadcast(ties))
+    v = ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+          - F.col("tie_term")) / 18.0)
+    z = (F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(v))
+         .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(v))
+         .otherwise(F.lit(0.0)))
+    return joined.select(F.col("n").alias("n_days"), "s", "n_pairs",
+                         F.round(z, 6).alias("z_stat"))
