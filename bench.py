@@ -263,7 +263,19 @@ def main() -> None:
     if "over_2x_baseline" in out:
         summary["over_2x_baseline"] = out["over_2x_baseline"][:5]
     line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 1900, f"summary line {len(line)}B breaks tail capture"
+    # The driver tails stdout with a bounded buffer; an oversized summary
+    # line is exactly the failure this block exists to prevent, so shrink
+    # deterministically BEFORE printing (never assert after the fact —
+    # asserts vanish under -O and the bad line would already be out).
+    while len(line) >= 1900 and summary.get("over_2x_baseline"):
+        summary["over_2x_baseline"] = summary["over_2x_baseline"][:-1]
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= 1900:
+        for k in ("over_2x_baseline", "vs_baseline_worst", "queries_file"):
+            summary.pop(k, None)
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) < 1900:
+                break
     print(line)
     sys.stdout.flush()
 

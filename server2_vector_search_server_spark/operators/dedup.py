@@ -1000,12 +1000,16 @@ def tfidf_cosine_pairs(docs: DataFrame, *, min_cosine: float = 0.9,
     shingle/minhash overlap is destroyed by reordering.
 
     Scale: the join shuffles sum(df(t)^2) candidate rows — the inherent
-    DAAT bound. The valve is the document-frequency cap: terms in more
-    than df_cap documents contribute ~0 weight (idf -> 1) but df_cap^2
-    join rows, so at 100 TB you DROP postings above a df cut (C4 drops
-    stopwords for the same reason) before the join; the prefix-filter
-    sibling (``prefix_filter_jaccard_pairs``) is the exact-threshold
-    alternative when weights are binary. Float determinism: weight
+    DAAT bound. The valve is a document-frequency cap: a term in df_cap
+    documents contributes df_cap^2 join rows, so at 100 TB you DROP
+    postings above a df cut before the join (C4 drops stopwords for the
+    same reason). Note the idf here is LINEAR (n_docs/df, no log), so
+    high-df terms still carry weight >= tf*1 — dropping them is a
+    recall/precision trade the caller makes explicitly, NOT a free
+    optimization (with log idf it would be nearly free; linear idf is
+    kept because it is integer-exact under micro-unit scaling). The
+    prefix-filter sibling (``prefix_filter_jaccard_pairs``) is the
+    exact-threshold alternative when weights are binary. Float determinism: weight
     products and squared weights are rounded to 1e-6 and summed as
     BIGINT (shuffle-order-proof); sqrt is IEEE-correctly-rounded on both
     engines.

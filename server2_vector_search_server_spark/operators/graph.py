@@ -278,19 +278,29 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
 
 
 def knn_graph(vectors: DataFrame, k: int = 2, *,
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              max_rows: int = 200_000) -> DataFrame:
     """Undirected k-nearest-neighbor graph over an embedding column: each
     vector contributes edges to its k nearest others (squared-L2, lowest-id
     tie-break), directions merged by (min, max) normalization. The
     neighborhood-graph construction behind SNN clustering and dedup-cluster
     analysis. Exact form (pairwise distances + per-source top-k window) for
-    bounded slices; at corpus scale the candidate pairs come from the ANN
-    tiers (IVF cells / LSH buckets) instead of the cross join — same
-    downstream graph shape."""
+    BOUNDED slices only — the contract is enforced: the input is counted
+    and anything over ``max_rows`` raises, because the cross join is
+    O(n²) and a 10⁸-row frame would silently schedule 10¹⁶ pair rows. At
+    corpus scale use :func:`knn_graph_bucketed` (IVF-cell candidates) —
+    same downstream graph shape, shuffle ∝ n·cell_size instead of n²."""
     from pyspark.sql import Window
 
     from server2_vector_search_server_spark.functions.vector import squared_l2
 
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"knn_graph: exact all-pairs form called on {n:,} rows "
+            f"(max_rows={max_rows:,}); the cross join is O(n²) — use "
+            "knn_graph_bucketed for corpus-scale inputs, or raise "
+            "max_rows explicitly if the quadratic cost is intended")
     a = vectors.select(F.col(id_col).alias("_src"),
                        F.col(vec_col).alias("_va"))
     b = vectors.select(F.col(id_col).alias("_dst"),
@@ -563,6 +573,8 @@ def personalized_pagerank(edges: DataFrame, restart_nodes: DataFrame, *,
     S's reach is node-scale, the base operator's shuffle-branch strategy
     applies unchanged (hash-partition edges once, exchange only ranks).
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     e0 = edges.select(src, dst).localCheckpoint(eager=True)
     out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e0.join(F.broadcast(out_deg), src)
@@ -570,6 +582,11 @@ def personalized_pagerank(edges: DataFrame, restart_nodes: DataFrame, *,
              .select(F.col(restart_nodes.columns[0]).alias("node"))
              .distinct().localCheckpoint(eager=True))
     s_n = seeds.count()
+    if s_n == 0:
+        raise ValueError(
+            "personalized_pagerank: restart_nodes is empty — the "
+            "preference vector p is undefined (1/|S| with |S|=0); pass "
+            "at least one seed node")
     pvec = seeds.select("node", F.lit(1.0 / s_n).alias("p"))
     factor = 10 ** scale
     ranks = pvec.select("node", F.round(F.col("p"), scale).alias("pr"))
@@ -622,6 +639,10 @@ def hits(edges: DataFrame, *, iterations: int = 2,
     The 1-row normalizers ride a broadcast on either branch. Returns
     (node, hub, authority) — 0.0 for the side the node is not on.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits: iterations must be >= 1, got {iterations} (with 0 "
+            "rounds no hub vector exists — a_0 alone is not a result)")
     factor = 10 ** scale
 
     def _esum(col):

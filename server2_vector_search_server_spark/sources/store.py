@@ -230,13 +230,17 @@ def apply_cdc_log(base: DataFrame, changes: DataFrame, *,
     Payload columns are taken from ``base``'s schema minus the key; the
     log must carry the same names. Ties on ``seq_col`` break by op
     reverse-alphabetically ('U' > 'I' > 'D': an equal-sequence
-    upsert-vs-delete resolves to the upsert, deterministically).
+    upsert-vs-delete resolves to the upsert, deterministically), and a
+    residual tie (same key, seq AND op — a malformed but possible log)
+    breaks on an xxhash64 of the payload so the survivor is a pure
+    function of the log contents, never of partitioning.
     """
     from pyspark.sql import Window
 
     payload = [c for c in base.columns if c != key_col]
     w = Window.partitionBy(key_col).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).desc())
+        F.col(seq_col).desc(), F.col(op_col).desc(),
+        F.xxhash64(*[F.col(p) for p in payload]).asc())
     last = (changes.select(key_col, seq_col, op_col, *payload)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

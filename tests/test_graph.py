@@ -205,3 +205,33 @@ def test_label_propagation_branches_identical(spark, tables):
     b = {(r["node"], r["label"]) for r in
          label_propagation(edges, broadcast_labels=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_argument_guards_raise_clear_errors(spark):
+    """ADVICE r5: empty PPR seed sets, zero-iteration HITS, and an
+    over-budget exact knn_graph must fail loudly at the API boundary,
+    never as a driver-side ZeroDivisionError / AttributeError or a
+    silently-scheduled O(n^2) cross join."""
+    from server2_vector_search_server_spark.operators.graph import (
+        hits,
+        knn_graph,
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    empty = spark.createDataFrame([], "node int")
+    with pytest.raises(ValueError, match="restart_nodes is empty"):
+        personalized_pagerank(edges, empty)
+    with pytest.raises(ValueError, match="iterations"):
+        personalized_pagerank(edges,
+                              spark.createDataFrame([(1,)], "node int"),
+                              iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="max_rows"):
+        knn_graph(vecs, k=2, max_rows=5)
+    # within budget still works
+    assert knn_graph(vecs, k=1, max_rows=10).count() > 0
