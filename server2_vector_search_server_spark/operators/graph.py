@@ -736,3 +736,58 @@ def label_propagation(edges: DataFrame, *, iterations: int = 3,
                   .filter(F.col("_rn") == 1)
                   .select(F.col("a").alias("node"), "label"))
     return labels
+
+
+def harmonic_centrality(edges: DataFrame, sources: DataFrame, *,
+                        max_hops: int = 6, src: str = "src",
+                        dst: str = "dst",
+                        scale: int = 6) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, public measure) bounded to
+    ``max_hops``: H(v) = Σ_{u∈sources, u≠v, d(u,v)≤max_hops} 1/d(u,v),
+    with unweighted hop distances from a multi-source BFS.
+
+    The BFS keeps one (source, node, dist) row per discovered pair:
+    each round joins the previous FRONTIER (not the whole known set) to
+    the edge list, then anti-joins against the known pairs so a node is
+    labeled with its FIRST (minimal) hop count — exactly min-hop, no MIN
+    aggregation needed. Per-pair 1/d contributions enter the sum as
+    ``round(10^scale / d)`` BIGINT micro-units (the exact-sum rule), so
+    the result is shuffle-order-free and the oracle's hop-bounded
+    recursive-CTE enumeration lands on identical integers.
+
+    Scale: the pair table is |sources| × reach — harmonic centrality at
+    corpus scale is SAMPLED (pass a bounded ``sources``; Eppstein-Wang
+    style estimation is the published scale path), never all-pairs. Each
+    round shuffles frontier × out-degree rows on the join key; the edge
+    list is checkpointed once and rescanned per round.
+
+    Returns (node, harmonic_micro BIGINT, n_reached BIGINT).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e0 = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    frontier = (sources.select(F.col(sources.columns[0]).alias("s"))
+                .distinct()
+                .select("s", F.col("s").alias("node"),
+                        F.lit(0).cast("long").alias("dist"))
+                .localCheckpoint(eager=True))
+    known = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e0, frontier["node"] == e0[src])
+               .select("s", F.col(dst).alias("node"),
+                       F.lit(hop).cast("long").alias("dist"))
+               .distinct())
+        k = known.select(F.col("s").alias("_ks"),
+                         F.col("node").alias("_kn"))
+        frontier = (nxt.join(k, (nxt["s"] == k["_ks"])
+                             & (nxt["node"] == k["_kn"]), "left_anti")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        known = known.unionByName(frontier).localCheckpoint(eager=True)
+    factor = 10 ** scale
+    return (known.filter(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(F.sum(F.round(F.lit(float(factor)) / F.col("dist"))
+                       .cast("long")).alias("harmonic_micro"),
+                 F.count(F.lit(1)).cast("long").alias("n_reached")))

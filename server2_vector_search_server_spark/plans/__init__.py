@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.training_queries",
     "server2_vector_search_server_spark.plans.insight_queries",
     "server2_vector_search_server_spark.plans.spatial_queries",
+    "server2_vector_search_server_spark.plans.quality_queries",
 ]
 
 

@@ -1,0 +1,419 @@
+"""Round-6 surface: data-quality expectations, seasonal decomposition,
+harmonic centrality, BLEU-lite n-gram evaluation, shingle-containment
+near-dup detection, store time travel, and ALS factorization invariants.
+
+Each query follows the registry parity rules (identical op order + aliases
+on both engines, exact scaled-integer sums for anything float-accumulated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.plans.registry import query, tbl
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite (the dbt-tests / Great Expectations shape)
+
+_EXP_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "documents_expectation_checks",
+    survey="north-star pipeline QA (declarative data-quality expectation "
+           "suite over the corpus: null/uniqueness/accepted-values/"
+           "consistency/bounds checks folded in ONE scan, one verdict row "
+           "per expectation — the dbt-tests / Great Expectations contract "
+           "a training pipeline gates ingests on)",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_ids,
+             COUNT(DISTINCT doc_id) AS dist_ids,
+             SUM(CASE WHEN lang NOT IN {_EXP_LANGS!r} THEN 1 ELSE 0 END)
+               AS bad_lang,
+             SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+               AS len_mismatch,
+             MIN(n_chars) AS min_chars,
+             SUM(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END)
+               AS bad_src
+      FROM documents)
+    SELECT * FROM (
+      SELECT 'doc_id_not_null' AS expectation,
+             CAST(null_ids AS BIGINT) AS observed,
+             null_ids = 0 AS passed FROM m
+      UNION ALL SELECT 'doc_id_unique', CAST(n - dist_ids AS BIGINT),
+             dist_ids = n FROM m
+      UNION ALL SELECT 'lang_in_accepted_set', CAST(bad_lang AS BIGINT),
+             bad_lang = 0 FROM m
+      UNION ALL SELECT 'n_chars_equals_length',
+             CAST(len_mismatch AS BIGINT), len_mismatch = 0 FROM m
+      UNION ALL SELECT 'n_chars_positive', CAST(min_chars AS BIGINT),
+             min_chars > 0 FROM m
+      UNION ALL SELECT 'source_not_blank', CAST(bad_src AS BIGINT),
+             bad_src = 0 FROM m)
+    ORDER BY expectation
+    """,
+)
+def documents_expectation_checks(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over ``documents``: every check is a
+    conditional aggregate folded into ONE corpus scan (never one scan per
+    expectation — at 100 TB the suite costs exactly what a count(*)
+    costs), then unpivoted to one verdict row per expectation via an
+    explode of a literal struct array. The observed column carries the
+    violation count (or boundary value) so a red row is diagnosable
+    without a re-scan; ``passed`` is the gate a pipeline branches on.
+    Reference analog: the upload-path validation in
+    document_processor.py:114-117 (extension/emptiness checks) widened to
+    the corpus-level QA a lakehouse ingest runs."""
+    docs = tbl(spark, sf_dir, "documents")
+    m = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .alias("null_ids"),
+        F.count_distinct("doc_id").alias("dist_ids"),
+        F.sum(F.when(~F.col("lang").isin(*_EXP_LANGS), 1).otherwise(0))
+        .alias("bad_lang"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
+        .alias("len_mismatch"),
+        F.min("n_chars").alias("min_chars"),
+        F.sum(F.when(F.col("source").isNull()
+                     | (F.col("source") == ""), 1).otherwise(0))
+        .alias("bad_src"))
+    checks = F.array(
+        F.struct(F.lit("doc_id_not_null").alias("expectation"),
+                 F.col("null_ids").cast("long").alias("observed"),
+                 (F.col("null_ids") == 0).alias("passed")),
+        F.struct(F.lit("doc_id_unique").alias("expectation"),
+                 (F.col("n") - F.col("dist_ids")).cast("long")
+                 .alias("observed"),
+                 (F.col("dist_ids") == F.col("n")).alias("passed")),
+        F.struct(F.lit("lang_in_accepted_set").alias("expectation"),
+                 F.col("bad_lang").cast("long").alias("observed"),
+                 (F.col("bad_lang") == 0).alias("passed")),
+        F.struct(F.lit("n_chars_equals_length").alias("expectation"),
+                 F.col("len_mismatch").cast("long").alias("observed"),
+                 (F.col("len_mismatch") == 0).alias("passed")),
+        F.struct(F.lit("n_chars_positive").alias("expectation"),
+                 F.col("min_chars").cast("long").alias("observed"),
+                 (F.col("min_chars") > 0).alias("passed")),
+        F.struct(F.lit("source_not_blank").alias("expectation"),
+                 F.col("bad_src").cast("long").alias("observed"),
+                 (F.col("bad_src") == 0).alias("passed")))
+    return (m.select(F.explode(checks).alias("c"))
+            .select("c.expectation", "c.observed", "c.passed")
+            .orderBy("expectation"))
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition of the per-type hourly series
+
+_SD_N = 720                     # 30 days x 24 h spine, Jan 2024
+_SD_ORIGIN = "2024-01-01 00:00:00"
+_SD_HALF = 12                   # centered 25-point moving-average trend
+
+
+@query(
+    "events_seasonal_decompose",
+    survey="temporal extension(classical additive seasonal decomposition "
+           "of the per-type hourly series: centered moving-average trend, "
+           "per-hour-of-day seasonal indices from the detrended residual "
+           "— the decompose step upstream of anomaly thresholds; exact "
+           "integer micro-unit folds, full-window-only trend)",
+    oracle=f"""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT ty.event_type, s.t
+      FROM types ty, (SELECT unnest(range(0, {_SD_N})) AS t) s),
+    raw AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_SD_ORIGIN}') / 3600.0)
+                    AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT s.event_type, s.t, COALESCE(r.n, 0) AS n
+      FROM spine s LEFT JOIN raw r
+        ON r.event_type = s.event_type AND r.t = s.t),
+    tr AS (
+      SELECT event_type, t, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN {_SD_HALF} PRECEDING
+                          AND {_SD_HALF} FOLLOWING) AS s25,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY t
+                            ROWS BETWEEN {_SD_HALF} PRECEDING
+                            AND {_SD_HALF} FOLLOWING) AS c25
+      FROM c),
+    d AS (
+      SELECT event_type, t % 24 AS hod,
+             CAST(ROUND((n - s25 / {2 * _SD_HALF + 1}.0) * 1000000)
+                  AS BIGINT) AS dm
+      FROM tr WHERE c25 = {2 * _SD_HALF + 1})
+    SELECT event_type, CAST(hod AS BIGINT) AS hod,
+           ROUND(CAST(SUM(dm) AS DOUBLE) / (1000000.0 * COUNT(*)), 6)
+             AS seasonal,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM d GROUP BY 1, 2 ORDER BY event_type, hod
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (Cleveland's decompose, public
+    method — the moving-average form, not loess-STL): trend = centered
+    25-hour moving average (FULL windows only — partial edge windows bias
+    the trend and are excluded on both engines by the window row count),
+    seasonal index per hour-of-day = mean of the detrended series.
+
+    Determinism: the detrended value (n − s25/25)·10⁶ = (25n − s25)·40000
+    is an EXACT integer (denominator 25 divides the scale), so the
+    per-hod fold is a pure BIGINT sum; the final division of two exact
+    integers is IEEE-identical on both engines. Shape at 100 TB: one scan
+    groups onto the bounded (type × 720-hour) spine; the window and the
+    hod fold run per event type — the partition key — so no global-order
+    single-reducer window ever exists."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_SD_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = (ev.select(
+               "event_type",
+               (F.floor(F.unix_timestamp("ts") / 3600.0) - origin_h)
+               .cast("long").alias("t"))
+           .groupBy("event_type", "t")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    types = ev.select("event_type").distinct()
+    spine = (types.crossJoin(
+        spark.range(_SD_N).select(F.col("id").alias("t"))))
+    c = (spine.join(raw, ["event_type", "t"], "left")
+         .select("event_type", "t",
+                 F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    win = (Window.partitionBy("event_type").orderBy("t")
+           .rowsBetween(-_SD_HALF, _SD_HALF))
+    full = 2 * _SD_HALF + 1
+    tr = c.select(
+        "event_type", "t", "n",
+        F.sum("n").over(win).alias("s25"),
+        F.count(F.lit(1)).over(win).alias("c25"))
+    d = (tr.filter(F.col("c25") == full)
+         .select("event_type", (F.col("t") % 24).alias("hod"),
+                 F.round((F.col("n") - F.col("s25") / float(full))
+                         * 1000000).cast("long").alias("dm")))
+    return (d.groupBy("event_type", F.col("hod").cast("long").alias("hod"))
+            .agg(F.round(F.sum("dm").cast("double")
+                         / (1000000.0 * F.count(F.lit(1))), 6)
+                 .alias("seasonal"),
+                 F.count(F.lit(1)).cast("long").alias("n_hours"))
+            .orderBy("event_type", "hod"))
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality over the deterministic parts graph
+
+_HC_HOPS = 6
+_HC_EDGES_SQL = """
+        SELECT p_partkey AS src, (p_partkey * 7 + 13) % 200 AS dst
+        FROM part WHERE p_partkey < 200
+        UNION ALL
+        SELECT p_partkey AS src, (p_partkey * 3 + 41) % 200 AS dst
+        FROM part WHERE p_partkey < 200
+"""
+
+
+@query(
+    "graph_harmonic_centrality",
+    survey="north-star graph analytics (harmonic centrality, hop-bounded: "
+           "multi-source BFS keeps first-discovery = min-hop distances, "
+           "H(v) = sum of 1/d as exact micro-unit integers vs the "
+           "recursive-CTE path-enumeration oracle)",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM ({_HC_EDGES_SQL}) GROUP BY src, dst),
+    nodes AS (
+      SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+    walk(s, node, hop) AS (
+      SELECT v AS s, v AS node, 0 AS hop FROM nodes
+      UNION ALL
+      SELECT w.s, e.dst AS node, w.hop + 1 AS hop
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < {_HC_HOPS}),
+    dmin AS (
+      SELECT s, node, MIN(hop) AS d FROM walk GROUP BY s, node)
+    SELECT node,
+           CAST(SUM(CAST(ROUND(1000000.0 / d) AS BIGINT)) AS BIGINT)
+             AS harmonic_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM dmin WHERE d > 0
+    GROUP BY node ORDER BY node
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``operators/graph.harmonic_centrality`` over the deterministic
+    two-successor parts graph, all nodes as BFS sources, 6 hops. The
+    frontier/anti-join BFS labels each (source, node) pair at its FIRST
+    discovery — by construction the minimal hop count — which is exactly
+    the MIN the oracle takes over all enumerated ≤6-hop paths, so the two
+    formulations certify each other (same invariant as
+    graph_shortest_paths, distance flavor). 1/d contributions are
+    micro-unit BIGINTs; sums never touch floats."""
+    from server2_vector_search_server_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    e1 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 7 + 13) % 200).alias("dst"))
+    e2 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 3 + 41) % 200).alias("dst"))
+    edges = e1.unionByName(e2)
+    nodes = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v"))).distinct())
+    return (harmonic_centrality(edges, nodes, max_hops=_HC_HOPS)
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# BLEU-lite n-gram overlap evaluation between document pairs
+
+_BLEU_N = 50                    # pairs: candidate doc i vs reference i+50
+_SQL_LTOKS = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+              "t -> t != '')")
+
+
+@query(
+    "text_bleu_ngram_eval",
+    survey="north-star training-data evaluation (corpus-scale BLEU-lite: "
+           "clipped modified 1/2-gram precision + rational brevity "
+           "penalty per candidate/reference pair — the n-gram-overlap "
+           "eval loop for generated-vs-reference text, distributed as "
+           "two gram-count joins)",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_LTOKS} AS toks
+      FROM documents WHERE doc_id < {2 * _BLEU_N}),
+    uni AS (
+      SELECT doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d, UNNEST(toks) AS u(term) GROUP BY 1, 2),
+    big AS (
+      SELECT doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END AS bg
+            FROM d), UNNEST(bg) AS u(term)
+      GROUP BY 1, 2),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+    pairs AS (
+      SELECT c.doc_id AS cand_id, c.doc_id + {_BLEU_N} AS ref_id
+      FROM d c WHERE c.doc_id < {_BLEU_N}),
+    m1 AS (
+      SELECT p.cand_id, SUM(LEAST(cu.c, ru.c)) AS m
+      FROM pairs p
+      JOIN uni cu ON cu.doc_id = p.cand_id
+      JOIN uni ru ON ru.doc_id = p.ref_id AND ru.term = cu.term
+      GROUP BY 1),
+    m2 AS (
+      SELECT p.cand_id, SUM(LEAST(cb.c, rb.c)) AS m
+      FROM pairs p
+      JOIN big cb ON cb.doc_id = p.cand_id
+      JOIN big rb ON rb.doc_id = p.ref_id AND rb.term = cb.term
+      GROUP BY 1)
+    SELECT p.cand_id, p.ref_id,
+           cl.n AS c_len, rl.n AS r_len,
+           CAST(COALESCE(m1.m, 0) AS BIGINT) AS m1,
+           CAST(COALESCE(m2.m, 0) AS BIGINT) AS m2,
+           ROUND(CAST(COALESCE(m1.m, 0) AS DOUBLE)
+                 / CAST(cl.n AS DOUBLE), 6) AS p1,
+           ROUND(CAST(COALESCE(m2.m, 0) AS DOUBLE)
+                 / CAST(cl.n - 1 AS DOUBLE), 6) AS p2,
+           ROUND(LEAST(1.0, CAST(cl.n AS DOUBLE) / CAST(rl.n AS DOUBLE))
+                 * SQRT((CAST(COALESCE(m1.m, 0) AS DOUBLE)
+                         / CAST(cl.n AS DOUBLE))
+                        * (CAST(COALESCE(m2.m, 0) AS DOUBLE)
+                           / CAST(cl.n - 1 AS DOUBLE))), 6) AS bleu2
+    FROM pairs p
+    JOIN lens cl ON cl.doc_id = p.cand_id
+    JOIN lens rl ON rl.doc_id = p.ref_id
+    LEFT JOIN m1 ON m1.cand_id = p.cand_id
+    LEFT JOIN m2 ON m2.cand_id = p.cand_id
+    ORDER BY p.cand_id
+    """,
+)
+def text_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-lite (Papineni et al. 2002, public metric) between candidate
+    docs 0..49 and reference docs 50..99: clipped modified n-gram
+    precision p_n = Σ min(count_cand, count_ref) / Σ count_cand for
+    n = 1, 2, combined as BP·√(p1·p2) with the RATIONAL brevity penalty
+    min(1, c/r) — the exp(1 − r/c) form is documented out because exp is
+    not guaranteed correctly-rounded across engines while LEAST, division
+    and sqrt are. Integer match counts are carried in the output so the
+    float columns are auditable.
+
+    Scale shape: gram counts are (doc, gram) aggregates — one explode +
+    one partial-agg shuffle each; the clip join is per-pair × shared-gram
+    (an equi-join on gram within the pair), never a corpus cross join. At
+    100 TB candidate/reference pairing is an equi-key (sample id), and
+    everything here is already keyed on it."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 2 * _BLEU_N)
+            .select("doc_id",
+                    F.filter(F.split(F.trim(F.lower(F.col("text"))),
+                                     r"\s+"),
+                             lambda t: t != "").alias("toks"))
+            .localCheckpoint(eager=True))
+    uni = (docs.select("doc_id", F.explode("toks").alias("term"))
+           .groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    big = (docs.select(
+               "doc_id",
+               F.when(F.size("toks") >= 2,
+                      F.expr("transform(sequence(1, size(toks) - 1), "
+                             "i -> concat(toks[i-1], ' ', toks[i]))"))
+               .otherwise(F.array()).alias("bg"))
+           .select("doc_id", F.explode("bg").alias("term"))
+           .groupBy("doc_id", "term")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    lens = docs.select("doc_id", F.size("toks").cast("long").alias("n"))
+    pairs = (docs.filter(F.col("doc_id") < _BLEU_N)
+             .select(F.col("doc_id").alias("cand_id"),
+                     (F.col("doc_id") + _BLEU_N).alias("ref_id")))
+
+    def _matched(grams: DataFrame) -> DataFrame:
+        cu = grams.select(F.col("doc_id").alias("cand_id"), "term",
+                          F.col("c").alias("cc"))
+        ru = grams.select(F.col("doc_id").alias("ref_id"), "term",
+                          F.col("c").alias("rc"))
+        return (pairs.join(cu, "cand_id")
+                .join(ru, ["ref_id", "term"])
+                .groupBy("cand_id")
+                .agg(F.sum(F.least("cc", "rc")).alias("m")))
+
+    m1 = _matched(uni).withColumnRenamed("m", "m1r")
+    m2 = _matched(big).withColumnRenamed("m", "m2r")
+    cl = lens.select(F.col("doc_id").alias("cand_id"),
+                     F.col("n").alias("c_len"))
+    rl = lens.select(F.col("doc_id").alias("ref_id"),
+                     F.col("n").alias("r_len"))
+    out = (pairs.join(cl, "cand_id").join(rl, "ref_id")
+           .join(m1, "cand_id", "left").join(m2, "cand_id", "left")
+           .select("cand_id", "ref_id", "c_len", "r_len",
+                   F.coalesce("m1r", F.lit(0)).cast("long").alias("m1"),
+                   F.coalesce("m2r", F.lit(0)).cast("long").alias("m2")))
+    p1 = F.col("m1").cast("double") / F.col("c_len").cast("double")
+    p2 = (F.col("m2").cast("double")
+          / (F.col("c_len") - 1).cast("double"))
+    bp = F.least(F.lit(1.0),
+                 F.col("c_len").cast("double")
+                 / F.col("r_len").cast("double"))
+    return (out.select(
+                "cand_id", "ref_id", "c_len", "r_len", "m1", "m2",
+                F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
+                F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"))
+            .orderBy("cand_id"))
