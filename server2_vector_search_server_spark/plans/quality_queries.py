@@ -417,3 +417,180 @@ def text_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
                 F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"))
             .orderBy("cand_id"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment — "document A is (nearly) inside B"
+
+_CT_N = 200                 # doc slice
+_CT_GRAM = 8                # char shingle width
+_CT_DF_CAP = 10             # rare-shingle cap for candidate generation
+_CT_MIN_SHARED = 3          # min shared rare shingles to become a candidate
+_CT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_shingle_containment",
+    survey="C4-extension(asymmetric near-containment detection: "
+           "containment C(A,B)=|S(A)∩S(B)|/|S(A)| over distinct char "
+           "8-gram shingles — catches quotes/supersets Jaccard dilutes; "
+           "rare-shingle inverted-index candidates, exact containment "
+           "verified per candidate pair)",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE doc_id < {_CT_N}),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             substr(t, CAST(i AS INTEGER), {_CT_GRAM}) AS g
+      FROM d, UNNEST(range(1, length(t) - {_CT_GRAM - 2})) AS u(i)),
+    df AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+    rare AS (
+      SELECT s.doc_id, s.g FROM sh s JOIN df ON df.g = s.g
+      WHERE df.df <= {_CT_DF_CAP}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_CT_MIN_SHARED}),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b, s.n_shared, za.n AS n_a,
+           ROUND(CAST(s.n_shared AS DOUBLE) / CAST(za.n AS DOUBLE), 6)
+             AS containment
+    FROM shared s JOIN sz za ON za.doc_id = s.doc_a
+    WHERE CAST(s.n_shared AS DOUBLE) / CAST(za.n AS DOUBLE)
+          >= {_CT_THRESHOLD}
+    ORDER BY s.doc_a, s.doc_b
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT detection (Broder 1997's containment coefficient,
+    public): C(A,B) = |S(A)∩S(B)| / |S(A)| over distinct character
+    8-gram shingles — asymmetric, so a short document quoted inside a
+    long one scores ~1.0 in the A→B direction while symmetric Jaccard
+    (``dedup_ngram_jaccard``) dilutes it by the union size. The missing
+    case in a Jaccard-only dedup stack: boilerplate-wrapped reposts,
+    quote farms, chunk-of-larger-doc training leaks.
+
+    Two-stage exactness: candidates come from RARE shingles only
+    (df ≤ {_CT_DF_CAP}, ≥ {_CT_MIN_SHARED} shared — an inverted-index
+    equi-join whose shuffle is Σ df² over CAPPED df, never corpus²), then
+    the containment numerator is recomputed EXACTLY over the full shingle
+    sets for just those candidate pairs. The df cap is a candidate-recall
+    knob, not a correctness approximation, and the oracle replicates it
+    verbatim. At 100 TB the same two stages hold: band the rare-shingle
+    join, keep the verify join pair-bounded."""
+    d = (tbl(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _CT_N)
+         .select("doc_id", F.lower(F.col("text")).alias("t")))
+    sh = (d.select(
+              "doc_id",
+              F.when(F.length("t") >= _CT_GRAM,
+                     F.expr(f"transform(sequence(1, length(t) - "
+                            f"{_CT_GRAM - 1}), "
+                            f"i -> substring(t, i, {_CT_GRAM}))"))
+              .otherwise(F.array()).alias("gs"))
+          .select("doc_id", F.explode("gs").alias("g"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    rare = (sh.join(df_.filter(F.col("df") <= _CT_DF_CAP), "g")
+            .select("doc_id", "g"))
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "g")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (ra.join(rb, "g")
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_rare_shared"))
+            .filter(F.col("n_rare_shared") >= _CT_MIN_SHARED)
+            .select("doc_a", "doc_b"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    shared = (cand.join(sa, "doc_a").join(sb, ["doc_b", "g"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cont = (F.col("n_shared").cast("double")
+            / F.col("n_a").cast("double"))
+    return (shared.join(za, "doc_a")
+            .filter(cont >= _CT_THRESHOLD)
+            .select("doc_a", "doc_b", "n_shared", "n_a",
+                    F.round(cont, 6).alias("containment"))
+            .orderBy("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization — collaborative filtering invariants
+
+_ALS_RANK = 8
+_ALS_ITERS = 5
+_ALS_SEED = 7
+
+
+@query(
+    "recommend_als_factors",
+    survey="beyond-reference recommendation (MLlib ALS low-rank "
+           "factorization of the customer x part purchase matrix, pinned "
+           "by hash-checked invariants: factor dimensionality, training "
+           "RMSE strictly beats the global-mean predictor, full top-5 "
+           "recommendation coverage — the learned-embedding sibling of "
+           "recommend_item_item_cosine)",
+    oracle="""
+    SELECT TRUE AS factor_dims_ok, TRUE AS beats_global_mean,
+           TRUE AS rec_coverage_ok, CAST(5 AS BIGINT) AS recs_per_user
+    """,
+)
+def recommend_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS (Koren et al. 2009; MLlib's blocked implementation) on the
+    (customer, part, quantity) ratings matrix from lineitem x orders.
+    The factorization is seeded but k-means-like in its nondeterminism
+    across Spark builds, so the checked contract is the invariant set
+    (same pattern as ann_ivf_kmeans_knn): factors are exactly rank-8;
+    training RMSE strictly improves on the best CONSTANT predictor (the
+    global mean — the SSE-minimizing baseline ALS must beat for the
+    factorization to mean anything); recommendForAllUsers(5) covers
+    every training user with exactly 5 items. Scale: ALS itself is the
+    distributed block algorithm (user/item blocks exchange factor
+    messages), and the RMSE fold is one exact pass over predictions."""
+    from pyspark.ml.recommendation import ALS
+
+    li = tbl(spark, sf_dir, "lineitem")
+    od = tbl(spark, sf_dir, "orders")
+    ratings = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+               .groupBy((od["o_custkey"] % 200).cast("int").alias("user"),
+                        (li["l_partkey"] % 100).cast("int").alias("item"))
+               .agg(F.sum("l_quantity").cast("float").alias("rating"))
+               .localCheckpoint(eager=True))
+    als = ALS(rank=_ALS_RANK, maxIter=_ALS_ITERS, seed=_ALS_SEED,
+              userCol="user", itemCol="item", ratingCol="rating",
+              coldStartStrategy="drop", nonnegative=False)
+    model = als.fit(ratings)
+    dims_ok = (
+        model.userFactors.filter(F.size("features") != _ALS_RANK).count()
+        == 0
+        and model.itemFactors.filter(
+            F.size("features") != _ALS_RANK).count() == 0)
+    pred = model.transform(ratings)
+    global_mean = float(ratings.agg(F.avg("rating").alias("m")).first()["m"])
+    sse = (pred.agg(
+        F.sum(F.pow(F.col("rating") - F.col("prediction"), 2))
+        .alias("sse"),
+        F.sum(F.pow(F.col("rating") - F.lit(global_mean), 2))
+        .alias("sse_mean"))
+           .first())
+    n_users = ratings.select("user").distinct().count()
+    recs = model.recommendForAllUsers(5)
+    rec_cov = (recs.count() == n_users
+               and recs.filter(F.size("recommendations") != 5).count() == 0)
+    return spark.createDataFrame(
+        [(bool(dims_ok), bool(sse["sse"] < sse["sse_mean"]),
+          bool(rec_cov), 5)],
+        "factor_dims_ok boolean, beats_global_mean boolean, "
+        "rec_coverage_ok boolean, recs_per_user long")
