@@ -791,3 +791,106 @@ def harmonic_centrality(edges: DataFrame, sources: DataFrame, *,
             .agg(F.sum(F.round(F.lit(float(factor)) / F.col("dist"))
                        .cast("long")).alias("harmonic_micro"),
                  F.count(F.lit(1)).cast("long").alias("n_reached")))
+
+
+def betweenness_centrality(edges: DataFrame, sources: DataFrame, *,
+                           max_hops: int = 6, src: str = "src",
+                           dst: str = "dst",
+                           scale: int = 6) -> DataFrame:
+    """Hop-synchronous Brandes betweenness centrality (Brandes 2001,
+    public algorithm), unweighted, bounded to ``max_hops`` BFS levels
+    from ``sources``:
+
+    forward   σ_s(w) = Σ_{(v,w)∈E, d(v)=d(w)−1} σ_s(v)   (level BFS)
+    backward  δ_s(v) = Σ_{(v,w)∈DAG} round₆(σ_v/σ_w · (1 + δ_s(w)))
+    result    B(v)   = Σ_s δ_s(v)                (v ≠ s; interior only)
+
+    Every per-node quantity is level-synchronous, so the whole thing is
+    |levels| rounds of join+aggregate, each materialized with
+    ``localCheckpoint`` (iterative-lineage rule). Path counts σ are exact
+    BIGINTs; dependency contributions enter sums as round(·10^scale)
+    BIGINT micro-units with a fixed operand order, so the result is
+    shuffle-order-free and a level-unrolled SQL oracle reproduces it
+    bit-for-bit — including the per-level rounding, which is part of the
+    operator's contract, not an implementation detail.
+
+    Scale: exact betweenness is Θ(sources × edges) — at corpus scale you
+    SAMPLE sources (Brandes & Pich 2007 pivot estimation, public) and
+    this operator already takes the source set as an input. The pair
+    table is |sources| × reach; each round shuffles on (source, node).
+
+    Returns (node, betweenness_micro BIGINT) over interior nodes.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    factor = 10 ** scale
+    e0 = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    frontier = (sources.select(F.col(sources.columns[0]).alias("s"))
+                .distinct()
+                .select("s", F.col("s").alias("node"),
+                        F.lit(0).cast("long").alias("d"),
+                        F.lit(1).cast("long").alias("sigma"))
+                .localCheckpoint(eager=True))
+    levels = [frontier]
+    settled = frontier
+    for hop in range(1, max_hops + 1):
+        grown = (frontier.join(e0, frontier["node"] == e0[src])
+                 .groupBy("s", F.col(dst).alias("node"))
+                 .agg(F.sum("sigma").alias("sigma")))
+        k = settled.select(F.col("s").alias("_ks"),
+                           F.col("node").alias("_kn"))
+        frontier = (grown.join(k, (grown["s"] == k["_ks"])
+                               & (grown["node"] == k["_kn"]), "left_anti")
+                    .select("s", "node", F.lit(hop).cast("long").alias("d"),
+                            "sigma")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+        settled = settled.unionByName(frontier).localCheckpoint(eager=True)
+    # backward dependency accumulation, deepest level first (δ = 0 there)
+    deltas: dict[int, DataFrame] = {
+        len(levels) - 1:
+            levels[-1].select("s", "node",
+                              F.lit(0).cast("long").alias("dm"))
+            .localCheckpoint(eager=True)}
+    for lev in range(len(levels) - 2, -1, -1):
+        a = levels[lev].select("s", F.col("node").alias("v"),
+                               F.col("sigma").alias("sv"))
+        b = levels[lev + 1].select(F.col("s").alias("_bs"),
+                                   F.col("node").alias("w"),
+                                   F.col("sigma").alias("sw"))
+        dag = (a.join(e0, a["v"] == e0[src])
+               .join(b, (a["s"] == b["_bs"]) & (e0[dst] == b["w"])))
+        dw = deltas[lev + 1].select(F.col("s").alias("_ds"),
+                                    F.col("node").alias("_dn"),
+                                    F.col("dm").alias("dm_w"))
+        contrib = (dag.join(dw, (dag["s"] == dw["_ds"])
+                            & (dag["w"] == dw["_dn"]))
+                   .select("s", "v",
+                           F.round((F.col("sv").cast("double")
+                                    / F.col("sw").cast("double"))
+                                   * (F.lit(1.0)
+                                      + F.col("dm_w") / float(factor))
+                                   * factor).cast("long").alias("c"))
+                   .groupBy("s", "v").agg(F.sum("c").alias("dm_sum")))
+        deltas[lev] = (levels[lev]
+                       .join(contrib.select(F.col("s").alias("_cs"),
+                                            F.col("v").alias("_cv"),
+                                            "dm_sum"),
+                             (levels[lev]["s"] == F.col("_cs"))
+                             & (levels[lev]["node"] == F.col("_cv")),
+                             "left")
+                       .select("s", "node",
+                               F.coalesce("dm_sum", F.lit(0))
+                               .cast("long").alias("dm"))
+                       .localCheckpoint(eager=True))
+    interior = None
+    for lev in range(1, len(levels)):        # level 0 is the source itself
+        interior = (deltas[lev] if interior is None
+                    else interior.unionByName(deltas[lev]))
+    if interior is None:
+        return (e0.sparkSession.createDataFrame(
+            [], "node long, betweenness_micro long"))
+    return (interior.groupBy("node")
+            .agg(F.sum("dm").cast("long").alias("betweenness_micro")))

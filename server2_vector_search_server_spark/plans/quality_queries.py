@@ -594,3 +594,213 @@ def recommend_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
           bool(rec_cov), 5)],
         "factor_dims_ok boolean, beats_global_mean boolean, "
         "rec_coverage_ok boolean, recs_per_user long")
+
+
+# ---------------------------------------------------------------------------
+# Brandes betweenness centrality, hop-bounded, level-unrolled oracle
+
+_BC_HOPS = 6
+_BC_EDGES_SQL = _HC_EDGES_SQL    # same deterministic two-successor graph
+
+
+def _betweenness_oracle() -> str:
+    """Level-unrolled Brandes: forward BFS levels l0..lH carrying exact
+    path counts sigma, backward dependency tables dH..d0 carrying micro-
+    unit deltas with the identical per-level rounding the operator
+    applies. AS MATERIALIZED on every level (DuckDB inlines CTEs by
+    default and the unrolled recursion re-expands — ROUND_NOTES)."""
+    h_max = _BC_HOPS
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM ({_BC_EDGES_SQL}) "
+        "GROUP BY src, dst)",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
+        "l0 AS MATERIALIZED (SELECT v AS s, v AS node, "
+        "CAST(1 AS BIGINT) AS sigma FROM nodes)",
+    ]
+    for h in range(1, h_max + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT s, node FROM l{i}" for i in range(h))
+        parts.append(f"""l{h} AS MATERIALIZED (
+      SELECT f.s, e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM l{h - 1} f JOIN e ON e.src = f.node
+      LEFT JOIN (SELECT DISTINCT s, node FROM ({prev})) p
+        ON p.s = f.s AND p.node = e.dst
+      WHERE p.node IS NULL
+      GROUP BY f.s, e.dst)""")
+    parts.append(f"d{h_max} AS MATERIALIZED (SELECT s, node, "
+                 f"CAST(0 AS BIGINT) AS dm FROM l{h_max})")
+    for h in range(h_max - 1, -1, -1):
+        parts.append(f"""d{h} AS MATERIALIZED (
+      SELECT a.s, a.node, CAST(COALESCE(c.dm_sum, 0) AS BIGINT) AS dm
+      FROM l{h} a LEFT JOIN (
+        SELECT v.s, v.node AS vn,
+               SUM(CAST(ROUND((CAST(v.sigma AS DOUBLE)
+                               / CAST(w.sigma AS DOUBLE))
+                              * (1.0 + dw.dm / 1000000.0)
+                              * 1000000) AS BIGINT)) AS dm_sum
+        FROM l{h} v JOIN e ON e.src = v.node
+        JOIN l{h + 1} w ON w.s = v.s AND w.node = e.dst
+        JOIN d{h + 1} dw ON dw.s = v.s AND dw.node = w.node
+        GROUP BY v.s, v.node) c
+      ON c.s = a.s AND c.vn = a.node)""")
+    union = " UNION ALL ".join(
+        f"SELECT node, dm FROM d{h}" for h in range(1, h_max + 1))
+    return ("WITH " + ",\n".join(parts) + f"""
+    SELECT node, CAST(SUM(dm) AS BIGINT) AS betweenness_micro
+    FROM ({union}) GROUP BY node ORDER BY node""")
+
+
+@query(
+    "graph_betweenness_centrality",
+    survey="north-star graph analytics (Brandes betweenness centrality, "
+           "hop-bounded: level-synchronous forward BFS with exact BIGINT "
+           "path counts, backward dependency accumulation with per-level "
+           "micro-unit rounding — vs the fully level-unrolled SQL twin; "
+           "sampled-source Brandes-Pich form at corpus scale)",
+    oracle=_betweenness_oracle(),
+)
+def graph_betweenness_centrality(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``operators/graph.betweenness_centrality`` over the deterministic
+    two-successor parts graph, all 200 nodes as sources, 6 BFS levels.
+    Both engines run the SAME level-synchronous recursion — exact σ path
+    counts forward, micro-unit-rounded δ dependencies backward — so the
+    hash check pins every join, every aggregation and every rounding
+    seam of the 13-round pipeline at once. The hop bound is the sampled
+    estimator's truncation knob (Brandes & Pich 2007): at corpus scale
+    sources are a sample and hops bound the frontier, both inputs here."""
+    from server2_vector_search_server_spark.operators.graph import (
+        betweenness_centrality,
+    )
+
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    e1 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 7 + 13) % 200).alias("dst"))
+    e2 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 3 + 41) % 200).alias("dst"))
+    edges = e1.unionByName(e2)
+    nodes = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v"))).distinct())
+    return (betweenness_centrality(edges, nodes, max_hops=_BC_HOPS)
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# l-diversity screen — the sensitive-attribute sibling of k-anonymity
+
+_LDIV_L = 3
+
+
+@query(
+    "events_l_diversity_screen",
+    survey="north-star curation governance (l-diversity over "
+           "quasi-identifier cells: any (user-bucket, weekday) cell whose "
+           "SENSITIVE attribute — event_type — shows fewer than l distinct "
+           "values is a homogeneity-attack risk even when k-anonymous; "
+           "complements documents_k_anonymity_screen)",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(user_id % 20 AS BIGINT) AS user_bucket,
+             CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)
+               AS weekday,  -- DuckDB dow is 0-based Sunday, Spark 1-based
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sensitive
+      FROM events GROUP BY 1, 2)
+    SELECT user_bucket, weekday, n_rows, n_sensitive,
+           n_sensitive >= {_LDIV_L} AS l_diverse
+    FROM cells
+    ORDER BY user_bucket, weekday
+    """,
+)
+def events_l_diversity_screen(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al. 2007, public): a cell
+    that is k-anonymous can still leak — if all k rows share one
+    sensitive value, membership alone reveals it (the homogeneity
+    attack). The screen groups by the quasi-identifier tuple and counts
+    DISTINCT sensitive values; cells under l fail the release gate and
+    get generalized exactly like the k-anonymity loop. One aggregate,
+    reduce side bounded by QI cardinality — the same 100-TB shape as the
+    k-anonymity screen, with count_distinct (exact here; HLL when the
+    sensitive domain is huge) as the only addition."""
+    ev = tbl(spark, sf_dir, "events")
+    cells = (ev.groupBy(
+                 (F.col("user_id") % 20).cast("long").alias("user_bucket"),
+                 F.dayofweek(F.col("ts")).cast("long").alias("weekday"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.count_distinct("event_type").cast("long")
+                  .alias("n_sensitive")))
+    return (cells.select(
+                "user_bucket", "weekday", "n_rows", "n_sensitive",
+                (F.col("n_sensitive") >= _LDIV_L).alias("l_diverse"))
+            .orderBy("user_bucket", "weekday"))
+
+
+# ---------------------------------------------------------------------------
+# Two-period Poisson rate test per event type
+
+_PZ_SPLIT = "2024-01-16 00:00:00"       # week 1-2 vs week 3+
+_PZ_H1 = 360.0                          # hours in period A (15 days)
+_PZ_H2 = 360.0                          # hours in period B
+
+
+@query(
+    "events_poisson_rate_ztest",
+    survey="stats extension(two-period Poisson rate comparison per event "
+           "type: the C-test normal approximation "
+           "z = (a - b)/sqrt(a + b) on exact integer counts — the "
+           "regression detector for 'did the error rate change after the "
+           "15th'; closed-form, no simulation)",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                           < TIMESTAMP '{_PZ_SPLIT}'
+                      THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                           >= TIMESTAMP '{_PZ_SPLIT}'
+                      THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(a AS BIGINT) AS n_before,
+           CAST(b AS BIGINT) AS n_after,
+           ROUND(CAST(a AS DOUBLE) / {_PZ_H1}, 6) AS rate_before,
+           ROUND(CAST(b AS DOUBLE) / {_PZ_H2}, 6) AS rate_after,
+           ROUND((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+                 / SQRT(CAST(a AS DOUBLE) + CAST(b AS DOUBLE)), 6) AS z,
+           ABS((CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+               / SQRT(CAST(a AS DOUBLE) + CAST(b AS DOUBLE))) > 1.96
+             AS significant_95
+    FROM c ORDER BY event_type
+    """,
+)
+def events_poisson_rate_ztest(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test (the conditional C-test's normal
+    approximation, Przyborowski & Wilenski 1940 lineage — public): under
+    H0 (equal rates, equal exposure) a − b over sqrt(a + b) is ~N(0,1).
+    Counts are exact integers from ONE scan with conditional aggregation
+    (never two passes); the only floats are two divisions and one sqrt of
+    exact integers, IEEE-identical on both engines. The per-type rollup
+    is the alerting primitive behind 'did deploys after the 15th change
+    the error rate' — at 100 TB the reduce side is |event types|."""
+    ev = tbl(spark, sf_dir, "events")
+    split = F.lit(_PZ_SPLIT).cast("timestamp")
+    c = (ev.groupBy("event_type")
+         .agg(F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("a"),
+              F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+              .alias("b")))
+    a_d = F.col("a").cast("double")
+    b_d = F.col("b").cast("double")
+    z = (a_d - b_d) / F.sqrt(a_d + b_d)
+    return (c.select(
+                "event_type",
+                F.col("a").cast("long").alias("n_before"),
+                F.col("b").cast("long").alias("n_after"),
+                F.round(a_d / _PZ_H1, 6).alias("rate_before"),
+                F.round(b_d / _PZ_H2, 6).alias("rate_after"),
+                F.round(z, 6).alias("z"),
+                (F.abs(z) > 1.96).alias("significant_95"))
+            .orderBy("event_type"))
