@@ -1,0 +1,155 @@
+"""Independent third-formulation checks for the round-6 centrality
+operators: pure-Python BFS / Brandes on small deterministic graphs, so a
+shared-recurrence bug between the Spark operator and its unrolled SQL
+oracle cannot hide (the Markov-attribution lesson from round 5)."""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+import pytest
+
+
+def _bfs_dists(adj, s, max_hops):
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _python_harmonic(edges, max_hops, scale=6):
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        adj[a].append(b)
+        nodes.update((a, b))
+    out = defaultdict(lambda: [0, 0])
+    for s in nodes:
+        for v, d in _bfs_dists(adj, s, max_hops).items():
+            if d > 0:
+                out[v][0] += round(10 ** scale / d)
+                out[v][1] += 1
+    return {v: tuple(x) for v, x in out.items()}
+
+
+def _python_betweenness(edges, max_hops, scale=6):
+    """Brandes with the SAME hop bound and per-level micro rounding as
+    the operator contract (the rounding is part of the spec)."""
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in set(edges):
+        adj[a].append(b)
+        nodes.update((a, b))
+    factor = 10 ** scale
+    bc = defaultdict(int)
+    for s in nodes:
+        levels = [{s: 1}]
+        seen = {s}
+        for _ in range(max_hops):
+            nxt = defaultdict(int)
+            for u, sig in levels[-1].items():
+                for v in adj[u]:
+                    if v not in seen:
+                        nxt[v] += sig
+            nxt = {v: c for v, c in nxt.items()}
+            for v in list(nxt):
+                if v in seen:
+                    del nxt[v]
+            if not nxt:
+                break
+            seen.update(nxt)
+            levels.append(nxt)
+        deltas = [dict.fromkeys(lv, 0) for lv in levels]
+        for li in range(len(levels) - 2, -1, -1):
+            for v, sv in levels[li].items():
+                tot = 0
+                for w in adj[v]:
+                    if w in levels[li + 1]:
+                        sw = levels[li + 1][w]
+                        dw = deltas[li + 1][w]
+                        tot += round((sv / sw) * (1.0 + dw / factor)
+                                     * factor)
+                deltas[li][v] = tot
+        for li in range(1, len(levels)):
+            for v, dm in deltas[li].items():
+                bc[v] += dm
+    return dict(bc)
+
+
+def _edges():
+    out = []
+    for p in range(1, 60):
+        out.append((p, (p * 7 + 13) % 60))
+        out.append((p, (p * 3 + 41) % 60))
+    return out
+
+
+def test_harmonic_matches_python_bfs(spark):
+    from server2_vector_search_server_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = _edges()
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = (e.select("src").union(e.select("dst")).distinct()
+             .withColumnRenamed("src", "v"))
+    got = {r["node"]: (r["harmonic_micro"], r["n_reached"])
+           for r in harmonic_centrality(e, nodes, max_hops=4).collect()}
+    assert got == _python_harmonic(edges, 4)
+
+
+def test_betweenness_matches_python_brandes(spark):
+    from server2_vector_search_server_spark.operators.graph import (
+        betweenness_centrality,
+    )
+
+    edges = _edges()
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = (e.select("src").union(e.select("dst")).distinct()
+             .withColumnRenamed("src", "v"))
+    got = {r["node"]: r["betweenness_micro"]
+           for r in betweenness_centrality(e, nodes, max_hops=4).collect()}
+    want = _python_betweenness(edges, 4)
+    want = {k: v for k, v in want.items()}
+    assert got == want
+
+
+def test_betweenness_path_graph_exact(spark):
+    """On a directed path a->b->c->d betweenness is exactly the pair
+    counts: b sits on paths a->c, a->d; c on a->d, b->d. Closed-form,
+    no recursion shared with the implementation."""
+    from server2_vector_search_server_spark.operators.graph import (
+        betweenness_centrality,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "v long")
+    got = {r["node"]: r["betweenness_micro"]
+           for r in betweenness_centrality(e, nodes, max_hops=5).collect()}
+    # delta contributions in micro units: node 2: from s=1 dependency
+    # delta_1(2) = 1/1*(1+delta(3)); delta_1(3) = 1*(1+delta(4)) = 1e6...
+    # interior values: B(2) = 2 pairs, B(3) = 2 pairs (micro 2e6 each)
+    assert got[2] == 2_000_000 and got[3] == 2_000_000
+    assert got.get(1, 0) == 0 and got.get(4, 0) == 0
+
+
+def test_harmonic_guards(spark):
+    from server2_vector_search_server_spark.operators.graph import (
+        betweenness_centrality,
+        harmonic_centrality,
+    )
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    n = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="max_hops"):
+        harmonic_centrality(e, n, max_hops=0)
+    with pytest.raises(ValueError, match="max_hops"):
+        betweenness_centrality(e, n, max_hops=0)
