@@ -804,3 +804,85 @@ def events_poisson_rate_ztest(spark: SparkSession,
                 F.round(z, 6).alias("z"),
                 (F.abs(z) > 1.96).alias("significant_95"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase exact percentiles — order statistics without a global sort
+
+_TPP_PS = (0.5, 0.95, 0.99)
+_TPP_BUCKET = 100_000           # cents per histogram bucket ($1000)
+
+
+@query(
+    "lineitem_two_phase_percentile",
+    survey="relational scale pattern(EXACT percentiles without a global "
+           "sort: value-bucket histogram pass -> cumulative counts locate "
+           "the target bucket + in-bucket rank -> second pass ranks ONLY "
+           "the pruned target buckets; the distributed order-statistic "
+           "recipe a single-reducer ORDER BY cannot survive at 100 TB)",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+             AS cents
+      FROM lineitem),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    ks AS (
+      SELECT CAST(p AS DOUBLE) AS p,
+             CAST(CEIL(p * n.n) AS BIGINT) AS k
+      FROM (VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in _TPP_PS)})
+           AS t(p), n),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM v)
+    SELECT ks.p, ks.k, r.cents AS value_cents
+    FROM ks JOIN r ON r.rn = ks.k
+    ORDER BY ks.p
+    """,
+)
+def lineitem_two_phase_percentile(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Exact type-1 percentiles (k = ceil(p·n) order statistic) of
+    l_extendedprice in integer cents, computed the way a 100-TB engine
+    must: phase 1 aggregates a VALUE-bucket histogram (bounded table,
+    collected driver-side as a control structure — the legitimate-collect
+    pattern) whose cumulative counts identify, per percentile, the target
+    bucket and the in-bucket rank; phase 2 re-scans ONLY rows in target
+    buckets (a pushdown-friendly range predicate) and ranks within each
+    bucket — a per-bucket window, never a global one. The oracle is the
+    global row_number definition itself, so the bucket arithmetic (the
+    part that could be off by one) is what the hash pins. Same order
+    statistic under duplicated values regardless of tie order, since
+    position k's VALUE is unique even when rows tie."""
+    li = (tbl(spark, sf_dir, "lineitem")
+          .select(F.round(F.col("l_extendedprice").cast("double") * 100)
+                  .cast("long").alias("cents")))
+    hist = (li.groupBy(F.floor(F.col("cents") / _TPP_BUCKET).alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("b").collect())               # bounded: ~100 buckets
+    n = sum(r["cnt"] for r in hist)
+    targets = []                                   # (p, bucket, local_rank)
+    import math
+
+    for p in _TPP_PS:
+        k = int(math.ceil(p * n))     # mirrors the oracle's CEIL(p * n)
+        cum = 0
+        for r in hist:
+            if cum + r["cnt"] >= k:
+                targets.append((float(p), int(k), int(r["b"]),
+                                int(k - cum)))
+                break
+            cum += r["cnt"]
+    tdf = spark.createDataFrame(
+        targets, "p double, k long, b long, local_rank long")
+    from pyspark.sql import Window
+
+    wanted_buckets = sorted({t[2] for t in targets})
+    phase2 = (li.filter(
+                  F.floor(F.col("cents") / _TPP_BUCKET)
+                  .isin(wanted_buckets))
+              .withColumn("b", F.floor(F.col("cents") / _TPP_BUCKET))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("b").orderBy("cents"))))
+    return (phase2.join(F.broadcast(tdf),
+                        (phase2["b"] == tdf["b"])
+                        & (phase2["rn"] == tdf["local_rank"]))
+            .select("p", "k", F.col("cents").alias("value_cents"))
+            .orderBy("p"))
