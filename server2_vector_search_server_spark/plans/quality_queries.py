@@ -886,3 +886,135 @@ def lineitem_two_phase_percentile(spark: SparkSession,
                         & (phase2["rn"] == tdf["local_rank"]))
             .select("p", "k", F.col("cents").alias("value_cents"))
             .orderBy("p"))
+
+
+# ---------------------------------------------------------------------------
+# Matrix profile motif discovery over the hourly series
+
+_MP_N = 720
+_MP_ORIGIN = "2024-01-01 00:00:00"
+_MP_M = 24                       # subsequence length (one day)
+_MP_EXCL = 12                    # exclusion zone m/2: skip trivial matches
+_MP_TOPK = 20
+
+
+@query(
+    "events_matrix_profile_motif",
+    survey="temporal extension(matrix profile / motif discovery over the "
+           "hourly count series: z-normalized all-pairs subsequence "
+           "distances via the exact-integer correlation identity "
+           "d^2 = 2m(1-corr), per-subsequence nearest neighbor outside "
+           "the exclusion zone, top motifs — Yeh et al. 2016 re-expressed "
+           "as bounded array joins)",
+    oracle=f"""
+    WITH spine AS (SELECT unnest(range(0, {_MP_N})) AS t),
+    raw AS (
+      SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600.0) AS BIGINT)
+             - CAST(FLOOR(epoch(TIMESTAMP '{_MP_ORIGIN}') / 3600.0)
+                    AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT s.t, COALESCE(r.n, 0) AS n
+      FROM spine s LEFT JOIN raw r ON r.t = s.t),
+    ser AS (SELECT list(n ORDER BY t) AS a FROM c),
+    w AS (
+      SELECT i,
+             list_slice(ser.a, i + 1, i + {_MP_M}) AS arr
+      FROM ser, (SELECT unnest(range(0, {_MP_N - _MP_M + 1})) AS i)),
+    st AS (
+      SELECT i, arr,
+             CAST(list_sum(arr) AS BIGINT) AS s1,
+             CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT)
+               AS s2
+      FROM w),
+    nz AS (SELECT * FROM st
+           WHERE {_MP_M} * s2 - s1 * s1 > 0),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             ROUND(2.0 * {_MP_M} * (1.0 -
+               (CAST({_MP_M} AS DOUBLE)
+                * list_sum(list_transform(range(1, {_MP_M + 1}),
+                                          k -> a.arr[k] * b.arr[k]))
+                - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE))
+               / SQRT(CAST({_MP_M} * a.s2 - a.s1 * a.s1 AS DOUBLE)
+                      * CAST({_MP_M} * b.s2 - b.s1 * b.s1 AS DOUBLE))),
+               6) AS d2
+      FROM nz a JOIN nz b ON abs(a.i - b.i) >= {_MP_EXCL}),
+    mp AS (
+      SELECT i, j, d2,
+             row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+      FROM pairs)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j_nn, d2
+    FROM mp WHERE rn = 1
+    ORDER BY d2, i LIMIT {_MP_TOPK}
+    """,
+)
+def events_matrix_profile_motif(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016 — public) over the gap-filled
+    hourly count series: for every length-24 subsequence, the z-normalized
+    Euclidean distance to its nearest non-trivial neighbor; the smallest
+    profile entries are the series' MOTIFS (recurring daily shapes). The
+    z-norm distance is computed through the correlation identity
+    d² = 2m(1 − (m·Σab − Σa·Σb) / √((m·Σa²−(Σa)²)(m·Σb²−(Σb)²))) so every
+    sum is an exact BIGINT dot product of integer counts — floats appear
+    only in the final division/sqrt with identical operand order on both
+    engines (the variance product is cast to DOUBLE before multiplying:
+    at 100× count magnitudes the int64 product would overflow). Flat
+    (zero-variance) windows are excluded — z-normalization is undefined
+    there.
+
+    Scale shape: the spine is FIXED (697 windows regardless of corpus
+    size — one scan aggregates events onto it), so the all-pairs join is
+    ~486k bounded rows at ANY SF; for long series the published scale
+    path is STOMP's O(n²) with FFT batching per diagonal, which keeps the
+    same (i, j, dot) join shape this query pins."""
+    ev = tbl(spark, sf_dir, "events")
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_MP_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = (ev.select((F.floor(F.unix_timestamp("ts") / 3600.0)
+                      - origin_h).cast("long").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    spine = spark.range(_MP_N).select(F.col("id").alias("t"))
+    c = (spine.join(raw, "t", "left")
+         .select("t", F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    ser = c.agg(F.array_sort(F.collect_list(F.struct("t", "n"))).alias("p"))
+    ser = ser.select(F.transform("p", lambda s: s["n"]).alias("a"))
+    w = (ser.select(F.explode(
+             F.sequence(F.lit(0), F.lit(_MP_N - _MP_M))).alias("i"), "a")
+         .select("i", F.slice("a", F.col("i") + 1, _MP_M).alias("arr")))
+    st = w.select(
+        "i", "arr",
+        F.aggregate("arr", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("s1"),
+        F.aggregate("arr", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("s2"))
+    nz = (st.filter(_MP_M * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+          .localCheckpoint(eager=True))          # bounded: <= 697 rows
+    a = nz.select(F.col("i").alias("i"), F.col("arr").alias("wa"),
+                  F.col("s1").alias("s1a"), F.col("s2").alias("s2a"))
+    b = nz.select(F.col("i").alias("j"), F.col("arr").alias("wb"),
+                  F.col("s1").alias("s1b"), F.col("s2").alias("s2b"))
+    dot = F.aggregate(F.zip_with("wa", "wb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    d2 = F.round(
+        2.0 * _MP_M * (F.lit(1.0) -
+            (F.lit(float(_MP_M)) * dot
+             - F.col("s1a").cast("double") * F.col("s1b").cast("double"))
+            / F.sqrt((_MP_M * F.col("s2a")
+                      - F.col("s1a") * F.col("s1a")).cast("double")
+                     * (_MP_M * F.col("s2b")
+                        - F.col("s1b") * F.col("s1b")).cast("double"))),
+        6)
+    pairs = (a.join(b, F.abs(F.col("i") - F.col("j")) >= _MP_EXCL)
+             .select("i", "j", d2.alias("d2")))
+    from pyspark.sql import Window
+
+    mp = (pairs.withColumn(
+              "rn", F.row_number().over(
+                  Window.partitionBy("i").orderBy("d2", "j")))
+          .filter(F.col("rn") == 1))
+    return (mp.select(F.col("i").cast("long").alias("i"),
+                      F.col("j").cast("long").alias("j_nn"), "d2")
+            .orderBy("d2", "i").limit(_MP_TOPK))
