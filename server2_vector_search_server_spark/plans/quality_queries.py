@@ -1018,3 +1018,87 @@ def events_matrix_profile_motif(spark: SparkSession,
     return (mp.select(F.col("i").cast("long").alias("i"),
                       F.col("j").cast("long").alias("j_nn"), "d2")
             .orderBy("d2", "i").limit(_MP_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement — Cohen's kappa between two labeling rules
+
+@query(
+    "curation_cohens_kappa_agreement",
+    survey="north-star training-data QA (inter-annotator agreement: "
+           "Cohen's kappa between two independent quality-labeling rules "
+           "over the corpus — the chance-corrected agreement statistic "
+           "that decides whether labels are trustworthy enough to train "
+           "a quality classifier on; exact integer confusion counts, "
+           "closed form)",
+    oracle="""
+    WITH lab AS (
+      SELECT doc_id,
+             n_chars >= 150 AS a,
+             length(text) - length(replace(text, ' ', '')) >= 20 AS b
+      FROM documents),
+    cm AS (
+      SELECT SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+             SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+             SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00,
+             COUNT(*) AS n
+      FROM lab)
+    SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND((CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                  + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                     + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                           + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+             AS kappa
+    FROM cm
+    """,
+)
+def curation_cohens_kappa_agreement(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960, public statistic) between two
+    deterministic binary labelers — a length rule and a whitespace-count
+    (token-ish) rule — standing in for two annotators / two heuristic
+    quality filters: κ = (p_o − p_e)/(1 − p_e) with p_e from the
+    labelers' marginals. The entire confusion matrix folds in ONE scan
+    of conditional aggregates (exact BIGINT counts); κ is closed-form
+    float arithmetic on five integers, mirrored operand-for-operand in
+    the oracle. The decision this feeds: a quality-classifier training
+    set whose label sources disagree at κ < 0.4 is noise, not signal.
+    At 100 TB the scan dominates and the reduce side is one row."""
+    docs = tbl(spark, sf_dir, "documents")
+    lab = docs.select(
+        (F.col("n_chars") >= 150).alias("a"),
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+         >= 20).alias("b"))
+    cm = lab.agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .alias("n00"),
+        F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (((F.col("n11") + F.col("n10"))
+           * (F.col("n11") + F.col("n01"))).cast("double")
+          + ((F.col("n01") + F.col("n00"))
+             * (F.col("n10") + F.col("n00"))).cast("double")) / (n * n)
+    return cm.select(
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"))
