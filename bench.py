@@ -112,6 +112,11 @@ HEADLINE = [
     "events_hourly_autocorrelation",  # bounded-spine ACF self-join (r5)
     "events_lossy_counting",    # bounded-state frequent-items fold (r5)
     "events_shapley_attribution",  # exact coalition attribution (r5)
+    "graph_betweenness_centrality",  # 13-round Brandes fwd/bwd BFS (r6)
+    "events_matrix_profile_motif",  # bounded all-pairs z-norm motif (r6)
+    "dedup_shingle_containment",  # df-capped containment verify (r6)
+    "lineitem_two_phase_percentile",  # histogram + pruned refine (r6)
+    "events_seasonal_decompose",  # per-type MA decompose (r6)
 ]
 
 
