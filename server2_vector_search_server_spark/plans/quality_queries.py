@@ -1,6 +1,8 @@
 """Round-6 surface: data-quality expectations, seasonal decomposition,
-harmonic centrality, BLEU-lite n-gram evaluation, shingle-containment
-near-dup detection, store time travel, and ALS factorization invariants.
+harmonic/betweenness centrality, BLEU-lite n-gram evaluation,
+shingle-containment near-dup detection, ALS factorization invariants,
+l-diversity, Poisson rate testing, two-phase exact percentiles, matrix
+profile motifs, and Cohen's kappa agreement.
 
 Each query follows the registry parity rules (identical op order + aliases
 on both engines, exact scaled-integer sums for anything float-accumulated).
