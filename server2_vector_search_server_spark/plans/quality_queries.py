@@ -1104,3 +1104,115 @@ def curation_cohens_kappa_agreement(spark: SparkSession,
         F.round(po, 6).alias("po"),
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"))
+
+
+# ---------------------------------------------------------------------------
+# Branch/merge refs on the snapshot store (Nessie / LakeFS model)
+
+@query(
+    "store_branch_merge_semantics",
+    survey="store extension(git-like data branching on the snapshot "
+           "store: zero-copy branch forks, branch-isolated commits, "
+           "merge with the OCC touched-set rule — fast-forward when the "
+           "target is unchanged, merge commit when disjoint, conflict "
+           "when overlapping; Nessie/LakeFS semantics on immutable "
+           "manifests, outcomes + final-table digest hash-pinned)",
+    oracle="""
+    WITH final AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_name,
+             CASE WHEN doc_id BETWEEN 310 AND 312 THEN 'm:' || text
+                  ELSE text END AS content
+      FROM documents
+      WHERE doc_id < 30 OR doc_id BETWEEN 100 AND 119
+         OR doc_id BETWEEN 200 AND 219 OR doc_id BETWEEN 300 AND 312),
+    dig AS (
+      SELECT md5(string_agg(md5(doc_name || '|' || md5(content)), ''
+                            ORDER BY md5(doc_name || '|' || md5(content))))
+               AS final_digest,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM final)
+    SELECT o.branch, o.outcome, o.target_advanced, dig.n_docs,
+           dig.final_digest
+    FROM (VALUES ('conf', 'conflict', FALSE),
+                 ('feat', 'merge', TRUE),
+                 ('ff', 'fast_forward', TRUE))
+         o(branch, outcome, target_advanced), dig
+    ORDER BY o.branch
+    """,
+)
+def store_branch_merge_semantics(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Data branching on the immutable-manifest store
+    (``sources/snapshots.BranchedSnapshotStore``): 'feat' forks before
+    main advances and both add DISJOINT docs — merge lands a merge commit
+    whose file list is target head + the branch's added files (zero data
+    movement: immutable files merge by reference). 'ff' forks from an
+    unchanged main — merge is a pure pointer move, provably no new
+    manifest. 'conf' and main both touch docs 310-312 after the fork —
+    the touched-set rule (same validation as store_occ_conflict_detection,
+    applied between refs) rejects the merge and main provably keeps its
+    own content, which the final digest pins byte-exactly. The lakehouse
+    workflow this enables at 100 TB: run a candidate curation pipeline on
+    a branch against production data with zero copies, validate, merge or
+    discard."""
+    from server2_vector_search_server_spark.plans.registry import (
+        scratch_dir,
+    )
+    from server2_vector_search_server_spark.sources.snapshots import (
+        BranchedSnapshotStore,
+    )
+
+    store = BranchedSnapshotStore(spark, scratch_dir("branch_store_"))
+    docs = tbl(spark, sf_dir, "documents")
+
+    def chunks(lo, hi, tag=None):
+        d = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        text = (F.concat(F.lit(tag), F.col("text")) if tag
+                else F.col("text"))
+        name = F.concat(F.lit("doc_"), F.col("doc_id"))
+        return d.select(
+            F.md5(name).alias("chunk_id"), F.md5(name).alias("doc_id"),
+            name.alias("doc_name"), F.lit(0).alias("chunk_index"),
+            F.lit("col_a").alias("original_collection"),
+            text.alias("content"),
+            F.create_map(F.lit("source"), name).alias("metadata"),
+            F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>")
+            .alias("embedding"),
+            F.lit("col_a").alias("collection"))
+
+    store.commit_on("main", chunks(0, 30))
+    store.create_branch("feat")
+    store.commit_on("feat", chunks(100, 120))
+    main_before_feat = store._refs()["main"]["head"]
+    store.commit_on("main", chunks(200, 220))
+    feat_outcome, feat_v = store.merge("feat")
+    feat_advanced = store._refs()["main"]["head"] != main_before_feat
+
+    store.create_branch("ff")
+    store.commit_on("ff", chunks(300, 310))
+    main_before_ff = store._refs()["main"]["head"]
+    ff_outcome, ff_v = store.merge("ff")
+    ff_advanced = store._refs()["main"]["head"] != main_before_ff
+
+    store.create_branch("conf")
+    store.commit_on("conf", chunks(310, 316, tag="b:"))
+    store.commit_on("main", chunks(310, 313, tag="m:"))
+    main_before_conf = store._refs()["main"]["head"]
+    conf_outcome, conf_v = store.merge("conf")
+    conf_advanced = store._refs()["main"]["head"] != main_before_conf
+
+    row_h = F.md5(F.concat_ws("|", "doc_name", F.md5("content")))
+    dig = (store.read_ref("main").withColumn("h", row_h)
+           .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h"))))
+                .alias("final_digest"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"))
+           .first())
+    return (spark.createDataFrame(
+                [("conf", conf_outcome, bool(conf_advanced)),
+                 ("feat", feat_outcome, bool(feat_advanced)),
+                 ("ff", ff_outcome, bool(ff_advanced))],
+                "branch string, outcome string, target_advanced boolean")
+            .select("branch", "outcome", "target_advanced",
+                    F.lit(int(dig["n_docs"])).cast("long").alias("n_docs"),
+                    F.lit(dig["final_digest"]).alias("final_digest"))
+            .orderBy("branch"))

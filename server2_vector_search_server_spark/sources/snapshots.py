@@ -320,3 +320,131 @@ class SnapshotChunkStore:
             if v not in keep:
                 os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
         return removed
+
+
+class BranchedSnapshotStore(SnapshotChunkStore):
+    """Git-like REFS over the linear manifest log — the Nessie / LakeFS
+    data-versioning model (public semantics) on top of the same immutable
+    files + atomic manifests:
+
+      * every commit still lands an immutable global manifest version;
+        a REF is a named pointer (head, base) into that log, persisted in
+        ``_refs.json`` alongside the manifests;
+      * ``create_branch`` forks a ref at another ref's head — zero copy,
+        the fork shares every file by reference;
+      * ``commit_on(ref, ...)`` extends THAT ref's head file list (not the
+        newest global version), so branch writers and main writers
+        interleave without seeing each other: branch isolation is snapshot
+        isolation applied per ref;
+      * ``merge`` validates the branch's touched doc set against what the
+        target changed since the fork (the same touched-set rule as OCC —
+        Delta/Iceberg's conflict check, here between REFS):
+          - target unchanged since fork → FAST-FORWARD (pointer move, no
+            new files, no new manifest);
+          - disjoint changes → MERGE COMMIT whose file list is target head
+            + the branch's added files (append-only branch deltas share no
+            files with the base, so list arithmetic is exact);
+          - overlapping doc sets → CONFLICT, nothing moves.
+
+    Scale: refs are O(1) metadata; merge reads only the doc-key deltas of
+    the two refs (anti-joins on content digests — delta-proportional; at
+    real manifest granularity file-level key ranges answer it driver-side
+    without a scan, exactly Iceberg's manifest pruning).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        self._refs_path = os.path.join(root, "_refs.json")
+        if not os.path.exists(self._refs_path):
+            self._save_refs({"main": {"head": 0, "base": 0}})
+
+    # -- ref bookkeeping ------------------------------------------------
+    def _refs(self) -> dict:
+        with open(self._refs_path) as fh:
+            return json.load(fh)
+
+    def _save_refs(self, refs: dict) -> None:
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.rename(tmp, self._refs_path)
+
+    def _head_files(self, ref: str) -> list[str]:
+        head = self._refs()[ref]["head"]
+        return [] if head == 0 else self._manifest(head)["files"]
+
+    # -- branch operations ----------------------------------------------
+    def create_branch(self, name: str, from_ref: str = "main") -> None:
+        refs = self._refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        head = refs[from_ref]["head"]
+        refs[name] = {"head": head, "base": head}
+        self._save_refs(refs)
+
+    def commit_on(self, ref: str, chunks: DataFrame) -> int:
+        """Append ``chunks`` to ``ref``'s head (branch-isolated commit)."""
+        new = self._write_data(chunks)
+        v = self._commit(self._head_files(ref) + new, f"append@{ref}")
+        refs = self._refs()
+        refs[ref]["head"] = v
+        self._save_refs(refs)
+        return v
+
+    def read_ref(self, ref: str, collection: str | None = None) -> DataFrame:
+        head = self._refs()[ref]["head"]
+        if head == 0:
+            from server2_vector_search_server_spark.sources.store import (
+                CHUNKS_SCHEMA,
+            )
+
+            return self.spark.createDataFrame([], CHUNKS_SCHEMA)
+        return self.read(collection, version=head)
+
+    def _touched_keys(self, head_v: int, base_v: int) -> set[str]:
+        """Doc names whose content digest differs between two versions —
+        the both-ways anti-join from the OCC validation rule."""
+        def state(v):
+            if v == 0:
+                from server2_vector_search_server_spark.sources.store import (
+                    CHUNKS_SCHEMA,
+                )
+
+                empty = self.spark.createDataFrame([], CHUNKS_SCHEMA)
+                return empty.select("doc_name",
+                                    F.md5("content").alias("h"))
+            return (self.read(None, version=v)
+                    .select("doc_name", F.md5("content").alias("h")))
+
+        cur, base = state(head_v), state(base_v)
+        delta = (cur.join(base, ["doc_name", "h"], "left_anti")
+                 .unionByName(base.join(cur, ["doc_name", "h"],
+                                        "left_anti")))
+        return {r["doc_name"]
+                for r in delta.select("doc_name").distinct().collect()}
+
+    def merge(self, branch: str, into: str = "main") -> tuple[str, int]:
+        """Returns (outcome, version): outcome in {'fast_forward',
+        'merge', 'conflict'}; version is the target head after the call
+        (unchanged on conflict)."""
+        refs = self._refs()
+        base_v = refs[branch]["base"]
+        br_head = refs[branch]["head"]
+        tgt_head = refs[into]["head"]
+        if tgt_head == base_v:
+            refs[into]["head"] = br_head
+            self._save_refs(refs)
+            return "fast_forward", br_head
+        br_touched = self._touched_keys(br_head, base_v)
+        tgt_touched = self._touched_keys(tgt_head, base_v)
+        if br_touched & tgt_touched:
+            return "conflict", tgt_head
+        base_files = ([] if base_v == 0
+                      else set(self._manifest(base_v)["files"]))
+        added = [f for f in self._manifest(br_head)["files"]
+                 if f not in base_files]
+        v = self._commit(self._head_files(into) + added,
+                         f"merge:{branch}->{into}")
+        refs[into]["head"] = v
+        self._save_refs(refs)
+        return "merge", v

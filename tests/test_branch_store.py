@@ -1,0 +1,86 @@
+"""Branch/merge semantics on the snapshot store (Nessie/LakeFS model)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from server2_vector_search_server_spark.sources.snapshots import (
+    BranchedSnapshotStore,
+)
+
+
+def _chunks(spark, lo, hi, tag=""):
+    rows = [(f"c{i}", f"d{i}", f"doc_{i}", 0, "col_a",
+             f"{tag}text {i}", {"k": "v"}, [0.1, 0.2], "col_a")
+            for i in range(lo, hi)]
+    return spark.createDataFrame(
+        rows, "chunk_id string, doc_id string, doc_name string, "
+              "chunk_index int, original_collection string, "
+              "content string, metadata map<string,string>, "
+              "embedding array<float>, collection string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return BranchedSnapshotStore(spark, str(tmp_path / "branched"))
+
+
+def _names(df):
+    return {r["doc_name"] for r in df.select("doc_name").collect()}
+
+
+def test_branch_isolation_both_directions(spark, store):
+    store.commit_on("main", _chunks(spark, 0, 5))
+    store.create_branch("feat")
+    store.commit_on("feat", _chunks(spark, 100, 103))
+    store.commit_on("main", _chunks(spark, 200, 202))
+    assert _names(store.read_ref("feat")) == (
+        {f"doc_{i}" for i in range(5)} | {"doc_100", "doc_101", "doc_102"})
+    assert _names(store.read_ref("main")) == (
+        {f"doc_{i}" for i in range(5)} | {"doc_200", "doc_201"})
+
+
+def test_merge_disjoint_is_merge_commit(spark, store):
+    store.commit_on("main", _chunks(spark, 0, 5))
+    store.create_branch("feat")
+    store.commit_on("feat", _chunks(spark, 100, 103))
+    store.commit_on("main", _chunks(spark, 200, 202))
+    outcome, v = store.merge("feat")
+    assert outcome == "merge"
+    assert _names(store.read_ref("main")) == (
+        {f"doc_{i}" for i in range(5)}
+        | {"doc_100", "doc_101", "doc_102", "doc_200", "doc_201"})
+
+
+def test_merge_fast_forward_moves_pointer_without_commit(spark, store):
+    store.commit_on("main", _chunks(spark, 0, 3))
+    store.create_branch("feat")
+    v_feat = store.commit_on("feat", _chunks(spark, 10, 12))
+    before = store.current_version()
+    outcome, v = store.merge("feat")
+    assert outcome == "fast_forward" and v == v_feat
+    assert store.current_version() == before      # no new manifest
+    assert _names(store.read_ref("main")) == (
+        {"doc_0", "doc_1", "doc_2", "doc_10", "doc_11"})
+
+
+def test_merge_conflict_leaves_target_unchanged(spark, store):
+    store.commit_on("main", _chunks(spark, 0, 3))
+    store.create_branch("conf")
+    store.commit_on("conf", _chunks(spark, 5, 8, tag="branch:"))
+    store.commit_on("main", _chunks(spark, 5, 7, tag="main:"))
+    before = _names(store.read_ref("main"))
+    outcome, v = store.merge("conf")
+    assert outcome == "conflict"
+    assert _names(store.read_ref("main")) == before
+    # branch content never leaked into main
+    main_tags = {r["content"][:5] for r in store.read_ref("main")
+                 .filter(F.col("doc_name") == "doc_5").collect()}
+    assert main_tags == {"main:"}
+
+
+def test_duplicate_branch_name_rejected(spark, store):
+    store.create_branch("x")
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_branch("x")
