@@ -21,22 +21,46 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
-    df = df[sorted(df.columns)].copy()
-    rows = []
-    for tup in df.itertuples(index=False):
-        row = []
-        for v in tup:
-            if isinstance(v, (np.integer,)):
-                v = int(v)
-            elif isinstance(v, (np.floating,)):
-                v = float(v)
-            if isinstance(v, float):
-                row.append("NaN" if v != v else repr(round(v, 9)))
-            else:
-                row.append(str(v))
-        rows.append(tuple(row))
-    return sorted(rows)
+def _normalize(df):
+    """pytest-mirror normalization (tests/test_oracle_parity.py): lists
+    to tuples, column-name order, row sort. str()-based canonicalization
+    is WRONG for list cells (numpy array str differs from list str)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v)
+                              if isinstance(v, (list, tuple, np.ndarray))
+                              else v)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b):
+    import math
+    af = isinstance(a, (float, np.floating))
+    bf = isinstance(b, (float, np.floating))
+    ai = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    bi = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    if (af and bi) or (ai and bf):
+        return False
+    if af and bf:
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return (len(a) == len(b)
+                and all(_values_equal(x, y) for x, y in zip(a, b)))
+    return a == b
+
+
+def frames_equal(got, want):
+    if sorted(got.columns) != sorted(want.columns) or len(got) != len(want):
+        return False
+    g, w = _normalize(got), _normalize(want)
+    for i in range(len(g)):
+        for c in g.columns:
+            if not _values_equal(g[c].iloc[i], w[c].iloc[i]):
+                return False
+    return True
 
 
 def main():
@@ -60,7 +84,7 @@ def main():
                       flush=True)
                 continue
             want = con.execute(rq.oracle).df()
-            ok = canon(got) == canon(want)
+            ok = frames_equal(got, want)
             checked += 1
             print(f"[{i+1}/{len(reg)}] {name} "
                   f"{'OK' if ok else 'FAIL'} {len(got)}", flush=True)
