@@ -55,7 +55,7 @@ def doc_tokens_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(cardinality(m) AS INTEGER) AS n_keys,
-           map_keys(m) AS keys,
+           array_to_string(map_keys(m), ',') AS keys,
            m['et'][1] AS et_val,
            m['bucket'][1] AS bucket_val
     FROM (
@@ -82,7 +82,7 @@ def event_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             "event_id",
             F.size(m).alias("n_keys"),
-            F.map_keys(m).alias("keys"),
+            F.array_join(F.map_keys(m), ",").alias("keys"),
             F.element_at(m, "et").alias("et_val"),
             F.element_at(m, "bucket").alias("bucket_val"))
         .orderBy("event_id")
@@ -145,6 +145,17 @@ def _sql_centroid_elems(col: str = "embedding") -> str:
 _SQL_CENTROID_ELEMS = _sql_centroid_elems()
 
 
+def _sql_centroid_micro_elems(col: str = "embedding") -> str:
+    """Each rounded centroid component re-scaled to a micro-unit BIGINT —
+    integers stringify identically on both engines, so the CSV form dodges
+    BOTH the driver's list-cell hash gap and double->string formatting."""
+    return ", ".join(
+        f"CAST(ROUND((ROUND(SUM(CAST(ROUND(CAST({col}[{i + 1}] AS DOUBLE) "
+        f"* {_CSCALE}) AS BIGINT)) / {_CSCALE}.0 / COUNT(*), 6)) "
+        f"* {_CSCALE}) AS BIGINT)"
+        for i in range(_DIM))
+
+
 def _label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
     """Per-label centroid via posexplode + two-phase aggregate — measured
     FASTER than 64 per-component aggregate columns (SCALE.md §17: 3.9 s vs
@@ -176,7 +187,8 @@ def _label_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
     oracle=f"""
     SELECT label,
            COUNT(*) AS n_vectors,
-           [{_SQL_CENTROID_ELEMS}] AS centroid
+           array_to_string(
+             [{_sql_centroid_micro_elems()}], ',') AS centroid_micro_csv
     FROM embeddings
     GROUP BY label
     ORDER BY label
@@ -195,7 +207,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean; floats are upcast to double before scaling on both engines."""
     emb = tbl(spark, sf_dir, "embeddings")
     return (_label_centroids(emb)
-            .select("label", "n_vectors", "centroid")
+            .select("label", "n_vectors",
+                    F.array_join(
+                        F.transform("centroid",
+                                    lambda x: F.round(x * _CSCALE)
+                                    .cast("long").cast("string")), ",")
+                    .alias("centroid_micro_csv"))
             .orderBy("label"))
 
 
@@ -297,11 +314,11 @@ def segment_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(list_distinct(list_cat(toks,
              ['the','and','of','to','in']))) AS INTEGER) AS n_union,
-           list_sort(list_intersect(toks,
-             ['the','and','of','to','in'])) AS stop_overlap,
-           list_sort(list_filter(toks,
-             x -> NOT list_contains(['the','and','of','to','in'], x)))[1:5]
-             AS content_head
+           COALESCE(array_to_string(list_sort(list_intersect(toks,
+             ['the','and','of','to','in'])), ','), '') AS stop_overlap,
+           COALESCE(array_to_string(list_sort(list_filter(toks,
+             x -> NOT list_contains(['the','and','of','to','in'], x)))[1:5],
+             ','), '') AS content_head
     FROM t ORDER BY doc_id
     """,
 )
@@ -325,10 +342,13 @@ def doc_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(F.array_distinct(
                 F.array_union(F.col("toks"), stop_lit))).alias("n_union"),
-            F.sort_array(F.array_intersect(F.col("toks"), stop_lit))
-            .alias("stop_overlap"),
-            F.slice(F.sort_array(F.array_except(F.col("toks"), stop_lit)),
-                    1, 5).alias("content_head"))
+            F.array_join(
+                F.sort_array(F.array_intersect(F.col("toks"), stop_lit)),
+                ",").alias("stop_overlap"),
+            F.array_join(
+                F.slice(F.sort_array(F.array_except(F.col("toks"),
+                                                    stop_lit)), 1, 5),
+                ",").alias("content_head"))
         .orderBy("doc_id")
     )
 
