@@ -448,3 +448,45 @@ class BranchedSnapshotStore(SnapshotChunkStore):
         refs[into]["head"] = v
         self._save_refs(refs)
         return "merge", v
+
+    # -- GC ---------------------------------------------------------------
+    def expire(self, keep_last: int = 1) -> int:
+        """Ref-aware GC: the base-class expire keeps only the newest
+        ``keep_last`` manifests — with branches that would delete a
+        manifest some ref's head (or merge base) still points at and
+        brick the branch. Pin every version any ref references, then let
+        the base implementation reclaim the rest. (Nessie's GC rule:
+        unreferenced-by-any-ref is the collectible condition.)"""
+        refs = self._refs()
+        pinned = {v for r in refs.values() for v in (r["head"], r["base"])
+                  if v > 0}
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+        keep |= pinned
+        # replicate the base expire with the widened keep-set
+        live: set[str] = set()
+        for v in keep:
+            live.update(os.path.normpath(os.path.abspath(f))
+                        for f in self._manifest(v)["files"])
+        removed = 0
+        for commit_dir in list(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, commit_dir)
+            for name in list(os.listdir(full)):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.normpath(os.path.abspath(
+                    os.path.join(full, name)))
+                if path not in live:
+                    os.remove(path)
+                    removed += 1
+            if not any(n.endswith(".parquet") for n in os.listdir(full)):
+                shutil.rmtree(full, ignore_errors=True)
+        pruned_tags = {self._manifest(v)["operation"] for v in vs
+                       if v not in keep
+                       and self._manifest(v)["operation"]
+                       .startswith("stream-append:")}
+        self._fold_tags_into_ledger(pruned_tags)
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
+        return removed

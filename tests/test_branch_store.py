@@ -84,3 +84,22 @@ def test_duplicate_branch_name_rejected(spark, store):
     store.create_branch("x")
     with pytest.raises(ValueError, match="already exists"):
         store.create_branch("x")
+
+
+def test_expire_pins_branch_refs(spark, store):
+    """GC must never delete a manifest a ref still points at: after main
+    advances past the fork and expire(keep_last=1) runs, the branch head
+    stays fully readable and the merge still works."""
+    store.commit_on("main", _chunks(spark, 0, 3))
+    store.create_branch("feat")
+    store.commit_on("feat", _chunks(spark, 10, 13))
+    store.commit_on("main", _chunks(spark, 20, 22))
+    removed = store.expire(keep_last=1)
+    # branch view intact after GC
+    assert _names(store.read_ref("feat")) == (
+        {"doc_0", "doc_1", "doc_2", "doc_10", "doc_11", "doc_12"})
+    outcome, _ = store.merge("feat")
+    assert outcome == "merge"
+    assert _names(store.read_ref("main")) == (
+        {"doc_0", "doc_1", "doc_2", "doc_10", "doc_11", "doc_12",
+         "doc_20", "doc_21"})
