@@ -39,21 +39,42 @@ nodes = (edges.select(F.col("src").alias("v"))
 n_nodes = nodes.count()
 
 
-def run(sources, label):
+def run(sources):
     t0 = time.time()
     bc = betweenness_centrality(edges, sources, max_hops=HOPS)
-    top = [r["node"] for r in
-           bc.orderBy(F.col("betweenness_micro").desc(), "node")
-           .limit(20).collect()]
-    return top, time.time() - t0
+    vals = {r["node"]: r["betweenness_micro"] for r in bc.collect()}
+    return vals, time.time() - t0
 
 
-ref_top, ref_wall = run(nodes, "all")
+# NOTE (first attempt, kept for the record): top-20 identity is the WRONG
+# metric on this near-regular graph — the exact spectrum is nearly flat
+# (std/mean ~ 0.12, exact ties at the max), so sampled top-20 overlap is
+# 0.00 by tie noise while the VALUES are estimated well. Report value
+# estimation quality instead: Pearson r + mean relative error of the
+# (n/k)-rescaled sample estimate, over all nodes.
+ref, ref_wall = run(nodes)
 print(f"sources={n_nodes:>5} (all)  wall={ref_wall:6.1f}s  [reference]")
 for k in (500, 200, 100, 50):
-    smp = nodes.filter(F.col("v") % (n_nodes // k) == 0)
+    # LCG-hash sampling, deterministic but unstructured (modular strides
+    # correlate with the graph's own successor arithmetic)
+    stride = n_nodes // k
+    smp = nodes.filter(
+        ((F.col("v") * 1103515245 + 12345) % 2147483647) % stride == 0)
     n_smp = smp.count()
-    top, wall = run(smp, str(k))
-    ov = len(set(top) & set(ref_top)) / 20.0
+    vals, wall = run(smp)
+    scale = n_nodes / n_smp
+    import math
+    xs, ys = [], []
+    rel = []
+    for node, exact in ref.items():
+        est = vals.get(node, 0) * scale
+        xs.append(exact); ys.append(est)
+        if exact > 0:
+            rel.append(abs(est - exact) / exact)
+    mx, my = sum(xs)/len(xs), sum(ys)/len(ys)
+    cov = sum((a-mx)*(b-my) for a, b in zip(xs, ys))
+    vx = sum((a-mx)**2 for a in xs); vy = sum((b-my)**2 for b in ys)
+    r = cov / math.sqrt(vx*vy) if vx*vy > 0 else float("nan")
+    mre = sum(rel)/len(rel)
     print(f"sources={n_smp:>5}        wall={wall:6.1f}s  "
-          f"top20_overlap={ov:.2f}")
+          f"pearson_r={r:.3f}  mean_rel_err={mre:.3f}")
