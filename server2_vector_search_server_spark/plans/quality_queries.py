@@ -1216,3 +1216,131 @@ def store_branch_merge_semantics(spark: SparkSession,
                     F.lit(int(dig["n_docs"])).cast("long").alias("n_docs"),
                     F.lit(dig["final_digest"]).alias("final_digest"))
             .orderBy("branch"))
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components — directed cycle structure
+
+@query(
+    "graph_strongly_connected_components",
+    survey="north-star graph analytics (directed SCCs via reachability "
+           "closure to fixpoint intersected with its transpose — the "
+           "directed sibling of connected components; recursive-CTE "
+           "UNION-fixpoint oracle; FW-BW pivot decomposition cited as "
+           "the corpus-scale form)",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM ({_HC_EDGES_SQL}) GROUP BY src, dst),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+    walk(s, node) AS (
+      SELECT v AS s, v AS node FROM nodes
+      UNION
+      SELECT w.s, e.dst AS node FROM walk w JOIN e ON e.src = w.node),
+    mutual AS (
+      SELECT a.s AS v, a.node AS u
+      FROM walk a JOIN walk b ON b.s = a.node AND b.node = a.s)
+    SELECT v AS node, CAST(MIN(u) AS BIGINT) AS scc_id
+    FROM mutual GROUP BY v ORDER BY node
+    """,
+)
+def graph_strongly_connected_components(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """``operators/graph.strongly_connected_components`` over the
+    deterministic two-successor parts graph. The oracle's recursive CTE
+    uses UNION (distinct) so DuckDB's fixpoint semantics terminate at
+    exactly the closure the Spark BFS loop reaches — both sides then take
+    the identical transpose-intersection and min-label, so the hash pins
+    the closure, the mutuality join and the labeling at once. Directed
+    SCCs are what undirected components cannot see: a -> b -> a is one
+    SCC, a -> b alone is two."""
+    from server2_vector_search_server_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    e1 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 7 + 13) % 200).alias("dst"))
+    e2 = part.select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * 3 + 41) % 200).alias("dst"))
+    return (strongly_connected_components(e1.unionByName(e2))
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the 2x2 causal baseline
+
+_DID_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "events_diff_in_diff",
+    survey="stats extension(difference-in-differences: the 2x2 "
+           "treated/control x pre/post estimator on exact one-scan "
+           "micro-unit cell sums — the parallel-trends causal baseline "
+           "for 'did the change on the 16th move purchase value')",
+    oracle=f"""
+    WITH cells AS (
+      SELECT (user_id % 2 = 0) AS treated,
+             (CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_DID_SPLIT}') AS post,
+             SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+               AS s_micro,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    m AS (
+      SELECT treated, post,
+             CAST(s_micro AS DOUBLE) / (1000000.0 * n) AS mean_v,
+             CAST(n AS BIGINT) AS n
+      FROM cells)
+    SELECT
+      ROUND((SELECT mean_v FROM m WHERE treated AND post), 6)
+        AS treated_post,
+      ROUND((SELECT mean_v FROM m WHERE treated AND NOT post), 6)
+        AS treated_pre,
+      ROUND((SELECT mean_v FROM m WHERE NOT treated AND post), 6)
+        AS control_post,
+      ROUND((SELECT mean_v FROM m WHERE NOT treated AND NOT post), 6)
+        AS control_pre,
+      CAST((SELECT SUM(n) FROM m) AS BIGINT) AS n_purchases,
+      ROUND(((SELECT mean_v FROM m WHERE treated AND post)
+             - (SELECT mean_v FROM m WHERE treated AND NOT post))
+            - ((SELECT mean_v FROM m WHERE NOT treated AND post)
+               - (SELECT mean_v FROM m WHERE NOT treated AND NOT post)),
+            6) AS did
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (Card & Krueger lineage — public method):
+    did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) over purchase
+    values, treated = even user ids, intervention at Jan 16. The 2×2
+    cell sums fold in ONE scan as exact micro-unit BIGINTs; the four
+    means and the estimator are closed-form float arithmetic on exact
+    integers with mirrored operand order. Under parallel trends this is
+    the causal effect of the intervention; the engine's job at 100 TB is
+    the cell fold, which is a partial-aggregable two-key groupBy."""
+    ev = (tbl(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase"))
+    cells = (ev.groupBy(
+                 (F.col("user_id") % 2 == 0).alias("treated"),
+                 (F.col("ts") >= F.lit(_DID_SPLIT).cast("timestamp"))
+                 .alias("post"))
+             .agg(F.sum(F.round(F.col("value").cast("double") * 1000000)
+                        .cast("long")).alias("s_micro"),
+                  F.count(F.lit(1)).alias("n")))
+    m = cells.select(
+        "treated", "post",
+        (F.col("s_micro").cast("double")
+         / (1000000.0 * F.col("n"))).alias("mean_v"),
+        F.col("n").cast("long").alias("n")).collect()
+    v = {(r["treated"], r["post"]): r["mean_v"] for r in m}
+    n_total = sum(r["n"] for r in m)
+    did = ((v[(True, True)] - v[(True, False)])
+           - (v[(False, True)] - v[(False, False)]))
+    return spark.createDataFrame(
+        [(round(v[(True, True)], 6), round(v[(True, False)], 6),
+          round(v[(False, True)], 6), round(v[(False, False)], 6),
+          n_total, round(did, 6))],
+        "treated_post double, treated_pre double, control_post double, "
+        "control_pre double, n_purchases long, did double")
