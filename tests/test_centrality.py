@@ -153,3 +153,85 @@ def test_harmonic_guards(spark):
         harmonic_centrality(e, n, max_hops=0)
     with pytest.raises(ValueError, match="max_hops"):
         betweenness_centrality(e, n, max_hops=0)
+
+
+def _python_tarjan(edges):
+    """Iterative Tarjan SCC — an algorithmically independent third
+    formulation (the operator uses reachability closure; the oracle a
+    recursive-CTE fixpoint; this is neither)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in set(edges):
+        adj[a].append(b)
+        nodes.update((a, b))
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return out
+
+
+def test_scc_matches_python_tarjan(spark):
+    from server2_vector_search_server_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = _edges() + [(2, 1)]     # add a back edge to force a cycle
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(e).collect()}
+    assert got == _python_tarjan(edges)
+
+
+def test_scc_simple_cycle_and_tail(spark):
+    """1->2->3->1 is one SCC labeled 1; 3->4 leaves 4 alone."""
+    from server2_vector_search_server_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                              "src long, dst long")
+    got = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
