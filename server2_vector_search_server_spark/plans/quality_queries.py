@@ -117,6 +117,38 @@ _SD_ORIGIN = "2024-01-01 00:00:00"
 _SD_HALF = 12                   # centered 25-point moving-average trend
 
 
+def _seasonal_from_counts(spark: SparkSession, raw: DataFrame,
+                          types: DataFrame) -> DataFrame:
+    """Decompose core shared by the batch query and the streaming-IVM
+    variant: gap-fill (type x 720h spine), full-window centered MA trend,
+    exact micro-unit hour-of-day seasonal fold."""
+    from pyspark.sql import Window
+
+    spine = (types.crossJoin(
+        spark.range(_SD_N).select(F.col("id").alias("t"))))
+    c = (spine.join(raw, ["event_type", "t"], "left")
+         .select("event_type", "t",
+                 F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+    win = (Window.partitionBy("event_type").orderBy("t")
+           .rowsBetween(-_SD_HALF, _SD_HALF))
+    full = 2 * _SD_HALF + 1
+    tr = c.select(
+        "event_type", "t", "n",
+        F.sum("n").over(win).alias("s25"),
+        F.count(F.lit(1)).over(win).alias("c25"))
+    d = (tr.filter(F.col("c25") == full)
+         .select("event_type", (F.col("t") % 24).alias("hod"),
+                 F.round((F.col("n") - F.col("s25") / float(full))
+                         * 1000000).cast("long").alias("dm")))
+    return (d.groupBy("event_type", F.col("hod").cast("long").alias("hod"))
+            .agg(F.round(F.sum("dm").cast("double")
+                         / (1000000.0 * F.count(F.lit(1))), 6)
+                 .alias("seasonal"),
+                 F.count(F.lit(1)).cast("long").alias("n_hours"))
+            .orderBy("event_type", "hod"))
+
+
+
 @query(
     "events_seasonal_decompose",
     survey="temporal extension(classical additive seasonal decomposition "
@@ -176,8 +208,6 @@ def events_seasonal_decompose(spark: SparkSession,
     groups onto the bounded (type × 720-hour) spine; the window and the
     hod fold run per event type — the partition key — so no global-order
     single-reducer window ever exists."""
-    from pyspark.sql import Window
-
     ev = tbl(spark, sf_dir, "events")
     origin_h = F.floor(
         F.unix_timestamp(F.lit(_SD_ORIGIN).cast("timestamp")) / 3600.0)
@@ -188,28 +218,7 @@ def events_seasonal_decompose(spark: SparkSession,
            .groupBy("event_type", "t")
            .agg(F.count(F.lit(1)).cast("long").alias("n")))
     types = ev.select("event_type").distinct()
-    spine = (types.crossJoin(
-        spark.range(_SD_N).select(F.col("id").alias("t"))))
-    c = (spine.join(raw, ["event_type", "t"], "left")
-         .select("event_type", "t",
-                 F.coalesce("n", F.lit(0)).cast("long").alias("n")))
-    win = (Window.partitionBy("event_type").orderBy("t")
-           .rowsBetween(-_SD_HALF, _SD_HALF))
-    full = 2 * _SD_HALF + 1
-    tr = c.select(
-        "event_type", "t", "n",
-        F.sum("n").over(win).alias("s25"),
-        F.count(F.lit(1)).over(win).alias("c25"))
-    d = (tr.filter(F.col("c25") == full)
-         .select("event_type", (F.col("t") % 24).alias("hod"),
-                 F.round((F.col("n") - F.col("s25") / float(full))
-                         * 1000000).cast("long").alias("dm")))
-    return (d.groupBy("event_type", F.col("hod").cast("long").alias("hod"))
-            .agg(F.round(F.sum("dm").cast("double")
-                         / (1000000.0 * F.count(F.lit(1))), 6)
-                 .alias("seasonal"),
-                 F.count(F.lit(1)).cast("long").alias("n_hours"))
-            .orderBy("event_type", "hod"))
+    return _seasonal_from_counts(spark, raw, types)
 
 
 # ---------------------------------------------------------------------------
@@ -1344,3 +1353,64 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
           n_total, round(did, 6))],
         "treated_post double, treated_pre double, control_post double, "
         "control_pre double, n_purchases long, did double")
+
+
+# ---------------------------------------------------------------------------
+# Streaming upkeep of the seasonal baseline (IVM partials -> decompose)
+
+from server2_vector_search_server_spark.plans.registry import REGISTRY
+
+_SD_ORACLE = REGISTRY["events_seasonal_decompose"].oracle
+
+
+@query(
+    "streaming_seasonal_baseline_upkeep",
+    survey="I x temporal (incrementally maintained seasonal baseline: "
+           "events stream in micro-batches into the IVM hourly-partials "
+           "view, the decompose arithmetic runs merge-on-read over the "
+           "partials — hash-equal to the batch decomposition, proving "
+           "the baseline a streaming anomaly detector thresholds against "
+           "never needs a full recompute)",
+    oracle=_SD_ORACLE,
+)
+def streaming_seasonal_baseline_upkeep(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The seasonal baseline as a LIVE artifact: micro-batches fold into
+    per-(hour, type) count partials (streaming/ivm.py — the input is
+    never re-scanned), and the classical-decomposition arithmetic
+    (gap-filled spine, centered MA trend, micro-unit hod fold) runs over
+    the MERGED partials at read time. Hash-matching the batch
+    events_seasonal_decompose oracle proves the composition end-to-end:
+    counts are associative partials, and everything downstream of the
+    merge is deterministic arithmetic, so incremental upkeep cannot
+    drift from the from-scratch answer. At 100 TB this is the shape of
+    every 'seasonal-adjusted alert' pipeline: the partial table is
+    |hours x types|, the decompose is bounded, the stream pays only its
+    own batch."""
+    import os
+
+    from server2_vector_search_server_spark.plans.registry import (
+        scratch_dir,
+    )
+    from server2_vector_search_server_spark.streaming.ivm import (
+        HourlyRollupView,
+        start_rollup_stream,
+    )
+
+    work = scratch_dir("seasonal_ivm_")
+    src = os.path.join(work, "events")
+    tbl(spark, sf_dir, "events").repartition(6).write.parquet(src)
+    view = HourlyRollupView(spark, os.path.join(work, "view"))
+    q = start_rollup_stream(spark, src, view, os.path.join(work, "ckpt"),
+                            max_files_per_trigger=2)
+    q.awaitTermination()
+    cur = view.current()
+    origin_h = F.floor(
+        F.unix_timestamp(F.lit(_SD_ORIGIN).cast("timestamp")) / 3600.0)
+    raw = cur.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("window_start") / 3600.0) - origin_h)
+        .cast("long").alias("t"),
+        F.col("n_events").cast("long").alias("n"))
+    types = raw.select("event_type").distinct()
+    return _seasonal_from_counts(spark, raw, types)
