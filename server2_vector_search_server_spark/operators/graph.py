@@ -945,3 +945,48 @@ def strongly_connected_components(edges: DataFrame, *, src: str = "src",
               .select(F.col("s").alias("v"), F.col("node").alias("u")))
     return (mutual.groupBy(F.col("v").alias("node"))
             .agg(F.min("u").alias("scc_id")))
+
+
+def dag_longest_path_layers(edges: DataFrame, *, src: str = "src",
+                            dst: str = "dst",
+                            max_iter: int = 64) -> DataFrame:
+    """Longest-path layering of a DAG — the critical-path / topological
+    LEVEL assignment (every node's layer = length of the longest path
+    reaching it from any root): iterative max-relaxation
+
+        L_0(v) = 0;   L_{i+1}(v) = max(L_i(v), max_{(u,v)∈E} L_i(u) + 1)
+
+    run to fixpoint. On a DAG this converges in longest-path-length
+    rounds and equals the scheduling depth (tasks in layer k can all run
+    once layers < k finished). Integer max is order-free ⇒ deterministic
+    at any parallelism. Raises if ``max_iter`` rounds don't reach a
+    fixpoint — on a CYCLIC graph L grows forever, so the guard doubles
+    as cycle detection (use :func:`strongly_connected_components` to
+    locate the cycles).
+
+    Scale: each round is one edges⋈layers join + a map-side-combinable
+    MAX per dst — the pagerank shuffle shape with MAX instead of SUM;
+    the edge list is checkpointed once and reused every round.
+    """
+    e0 = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    layers = (e0.select(F.col(src).alias("node"))
+              .union(e0.select(F.col(dst).alias("node"))).distinct()
+              .select("node", F.lit(0).cast("long").alias("layer"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        cand = (e0.join(layers, e0[src] == layers["node"])
+                .select(F.col(dst).alias("node"),
+                        (F.col("layer") + 1).alias("layer")))
+        nxt = (layers.unionByName(cand)
+               .groupBy("node").agg(F.max("layer").alias("layer"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.alias("n")
+                   .join(layers.alias("o"), "node")
+                   .filter(F.col("n.layer") != F.col("o.layer")).count())
+        layers = nxt
+        if changed == 0:
+            return layers
+    raise RuntimeError(
+        f"dag_longest_path_layers did not converge in {max_iter} rounds "
+        "— the graph likely contains a cycle (layers grow forever on "
+        "cycles); run strongly_connected_components to locate it")

@@ -1414,3 +1414,66 @@ def streaming_seasonal_baseline_upkeep(spark: SparkSession,
         F.col("n_events").cast("long").alias("n"))
     types = raw.select("event_type").distinct()
     return _seasonal_from_counts(spark, raw, types)
+
+
+# ---------------------------------------------------------------------------
+# DAG longest-path layers — topological scheduling depth
+
+_DAG_EDGES_SQL = """
+        SELECT p_partkey AS src,
+               p_partkey + 10 + (p_partkey * 7) % 20 AS dst
+        FROM part WHERE p_partkey < 170
+        UNION ALL
+        SELECT p_partkey AS src,
+               p_partkey + 15 + (p_partkey * 3) % 25 AS dst
+        FROM part WHERE p_partkey < 160
+"""
+
+
+@query(
+    "graph_dag_longest_path_layers",
+    survey="north-star graph analytics (DAG critical-path layering: "
+           "iterative max-relaxation to fixpoint = topological level / "
+           "scheduling depth per node; UNION-fixpoint recursive-CTE "
+           "oracle on (node, len) STATES so path enumeration never "
+           "explodes; cycle detection by non-convergence)",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM ({_DAG_EDGES_SQL}) GROUP BY src, dst),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+    walk(node, len) AS (
+      SELECT v AS node, CAST(0 AS BIGINT) AS len FROM nodes
+      UNION
+      SELECT e.dst AS node, w.len + 1 AS len
+      FROM walk w JOIN e ON e.src = w.node)
+    SELECT node, CAST(MAX(len) AS BIGINT) AS layer
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def graph_dag_longest_path_layers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``operators/graph.dag_longest_path_layers`` over a strictly
+    forward-jumping parts DAG (both successor rules add ≥10, so the graph
+    is acyclic by construction and the longest path is ≤ ~20). The oracle
+    recursion carries (node, len) STATES under UNION-distinct — bounded
+    by nodes × depth — instead of enumerating paths (2^depth with
+    branching 2); MAX(len) per node is exactly the relaxation fixpoint.
+    This layer number is the scheduling contract: a 100-TB DAG of
+    pipeline tasks executes layer-by-layer, and the layer table is what
+    the scheduler shuffles — node-sized, never path-sized."""
+    from server2_vector_search_server_spark.operators.graph import (
+        dag_longest_path_layers,
+    )
+
+    p1 = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 170)
+    p2 = tbl(spark, sf_dir, "part").filter(F.col("p_partkey") < 160)
+    e1 = p1.select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 10 + (F.col("p_partkey") * 7) % 20)
+        .alias("dst"))
+    e2 = p2.select(
+        F.col("p_partkey").alias("src"),
+        (F.col("p_partkey") + 15 + (F.col("p_partkey") * 3) % 25)
+        .alias("dst"))
+    return (dag_longest_path_layers(e1.unionByName(e2))
+            .orderBy("node"))

@@ -235,3 +235,25 @@ def test_scc_simple_cycle_and_tail(spark):
     got = {r["node"]: r["scc_id"]
            for r in strongly_connected_components(e).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_dag_layers_chain_and_diamond(spark):
+    """Chain 1->2->3 gives layers 0,1,2; diamond 1->{2,3}->4 gives 4 the
+    LONGEST path (2), and a cycle raises (the convergence guard doubles
+    as cycle detection)."""
+    from server2_vector_search_server_spark.operators.graph import (
+        dag_longest_path_layers,
+    )
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["layer"]
+           for r in dag_longest_path_layers(chain).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["layer"]
+           for r in dag_longest_path_layers(diamond).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_longest_path_layers(cyc, max_iter=8)
