@@ -848,12 +848,18 @@ def betweenness_centrality(edges: DataFrame, sources: DataFrame, *,
             break
         levels.append(frontier)
         settled = settled.unionByName(frontier).localCheckpoint(eager=True)
-    # backward dependency accumulation, deepest level first (δ = 0 there)
+    # backward dependency accumulation, deepest level first (δ = 0 there).
+    # No checkpoints here: each δ table derives from the CHECKPOINTED
+    # levels plus at most max_hops prior δ plans, so lineage depth is
+    # bounded by the hop count — the iterative-lineage rule only demands
+    # barriers where depth would grow with data or unbounded rounds.
+    # (Measured neutral on wall at sf0.1 — the forward phase's per-round
+    # isEmpty/union jobs dominate — but fewer bounded materializations is
+    # strictly less work for the same lineage guarantee.)
     deltas: dict[int, DataFrame] = {
         len(levels) - 1:
             levels[-1].select("s", "node",
-                              F.lit(0).cast("long").alias("dm"))
-            .localCheckpoint(eager=True)}
+                              F.lit(0).cast("long").alias("dm"))}
     for lev in range(len(levels) - 2, -1, -1):
         a = levels[lev].select("s", F.col("node").alias("v"),
                                F.col("sigma").alias("sv"))
@@ -883,8 +889,7 @@ def betweenness_centrality(edges: DataFrame, sources: DataFrame, *,
                              "left")
                        .select("s", "node",
                                F.coalesce("dm_sum", F.lit(0))
-                               .cast("long").alias("dm"))
-                       .localCheckpoint(eager=True))
+                               .cast("long").alias("dm")))
     interior = None
     for lev in range(1, len(levels)):        # level 0 is the source itself
         interior = (deltas[lev] if interior is None
