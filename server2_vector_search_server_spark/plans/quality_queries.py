@@ -1477,3 +1477,193 @@ def graph_dag_longest_path_layers(spark: SparkSession,
         .alias("dst"))
     return (dag_longest_path_layers(e1.unionByName(e2))
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish — the staged-commit quality gate
+
+@query(
+    "store_write_audit_publish",
+    survey="store extension(Write-Audit-Publish: stage a batch on an "
+           "audit branch, run the expectation suite against the BRANCH "
+           "view, fast-forward-publish only if every check passes — the "
+           "Iceberg WAP pattern composed from BranchedSnapshotStore + "
+           "the one-scan QA suite; a poisoned batch provably never "
+           "reaches main)",
+    oracle="""
+    WITH final AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_name, text AS content
+      FROM documents WHERE doc_id < 40),
+    dig AS (
+      SELECT md5(string_agg(md5(doc_name || '|' || md5(content)), ''
+                            ORDER BY md5(doc_name || '|' || md5(content))))
+               AS main_digest,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM final)
+    SELECT b.batch, b.audit_passed, b.published, dig.n_docs,
+           dig.main_digest
+    FROM (VALUES ('clean', TRUE, TRUE),
+                 ('poisoned', FALSE, FALSE))
+         b(batch, audit_passed, published), dig
+    ORDER BY b.batch
+    """,
+)
+def store_write_audit_publish(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """WAP (Iceberg's write-audit-publish workflow, public pattern): every
+    ingest batch lands on a throwaway audit branch; the data-quality
+    audit (here: no null/blank content, doc_name uniqueness — the
+    documents_expectation_checks shape applied to the staged view) reads
+    the BRANCH, so main's readers never see unaudited rows; a green audit
+    publishes by fast-forward (pure pointer move — the data was already
+    written once, WAP costs zero extra copies); a red audit leaves main
+    byte-identical, which the final digest proves. The 'poisoned' batch
+    carries a NULL-content row and duplicate doc_names; its audit fails
+    and main still hashes to exactly the clean batch."""
+    from server2_vector_search_server_spark.plans.registry import (
+        scratch_dir,
+    )
+    from server2_vector_search_server_spark.sources.snapshots import (
+        BranchedSnapshotStore,
+    )
+
+    store = BranchedSnapshotStore(spark, scratch_dir("wap_store_"))
+    docs = tbl(spark, sf_dir, "documents")
+
+    def chunks(lo, hi, poison=False):
+        d = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        name = F.concat(F.lit("doc_"), F.col("doc_id"))
+        if poison:
+            # null content on every 5th row, duplicate names on every 7th
+            content = F.when(F.col("doc_id") % 5 == 0,
+                             F.lit(None).cast("string")) \
+                       .otherwise(F.col("text"))
+            name = F.when(F.col("doc_id") % 7 == 0, F.lit("doc_dup")) \
+                    .otherwise(name)
+        else:
+            content = F.col("text")
+        return d.select(
+            F.md5(F.concat(name, F.col("doc_id").cast("string")))
+            .alias("chunk_id"),
+            F.md5(name).alias("doc_id"), name.alias("doc_name"),
+            F.lit(0).alias("chunk_index"),
+            F.lit("col_a").alias("original_collection"),
+            content.alias("content"),
+            F.create_map(F.lit("source"), name).alias("metadata"),
+            F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>")
+            .alias("embedding"),
+            F.lit("col_a").alias("collection"))
+
+    def audit(view: DataFrame) -> bool:
+        m = view.agg(
+            F.sum(F.when(F.col("content").isNull()
+                         | (F.col("content") == ""), 1).otherwise(0))
+            .alias("bad_content"),
+            (F.count(F.lit(1))
+             - F.count_distinct("doc_name")).alias("dup_names")).first()
+        return m["bad_content"] == 0 and m["dup_names"] == 0
+
+    def wap(batch_name: str, staged) -> tuple[bool, bool]:
+        branch = f"audit_{batch_name}"
+        store.create_branch(branch)
+        store.commit_on(branch, staged)
+        ok = audit(store.read_ref(branch))
+        if ok:
+            outcome, _ = store.merge(branch)
+            return ok, outcome in ("fast_forward", "merge")
+        return ok, False
+
+    clean_ok, clean_pub = wap("clean", chunks(0, 40))
+    pois_ok, pois_pub = wap("poisoned", chunks(200, 240, poison=True))
+
+    row_h = F.md5(F.concat_ws("|", "doc_name", F.md5("content")))
+    dig = (store.read_ref("main").withColumn("h", row_h)
+           .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h"))))
+                .alias("main_digest"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"))
+           .first())
+    return (spark.createDataFrame(
+                [("clean", bool(clean_ok), bool(clean_pub)),
+                 ("poisoned", bool(pois_ok), bool(pois_pub))],
+                "batch string, audit_passed boolean, published boolean")
+            .select("batch", "audit_passed", "published",
+                    F.lit(int(dig["n_docs"])).cast("long").alias("n_docs"),
+                    F.lit(dig["main_digest"]).alias("main_digest"))
+            .orderBy("batch"))
+
+
+# ---------------------------------------------------------------------------
+# Session co-occurrence PMI / lift between event types
+
+@query(
+    "events_pmi_type_cooccurrence",
+    survey="product-analytics extension(PMI + lift between event types "
+           "co-occurring in (user, day) sessions: distinct-type sets -> "
+           "unordered pair counts -> pointwise mutual information over "
+           "exact integer count ratios — the association measure behind "
+           "'users who error also churn')",
+    oracle="""
+    WITH sess AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type
+      FROM events),
+    n AS (SELECT COUNT(DISTINCT (user_id, d)) AS n_sess FROM sess),
+    tc AS (
+      SELECT event_type, COUNT(*) AS c FROM sess GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS c_ab
+      FROM sess a JOIN sess b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, CAST(p.c_ab AS BIGINT) AS n_together,
+           CAST(ta.c AS BIGINT) AS n_a, CAST(tb.c AS BIGINT) AS n_b,
+           ROUND(LN((CAST(p.c_ab AS DOUBLE) * CAST(n.n_sess AS DOUBLE))
+                    / (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE))), 6)
+             AS pmi,
+           ROUND((CAST(p.c_ab AS DOUBLE) * CAST(n.n_sess AS DOUBLE))
+                 / (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE)), 6)
+             AS lift
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b, n
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def events_pmi_type_cooccurrence(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Pointwise mutual information (Church & Hanks 1990, public measure)
+    between event types sharing a (user, day) session: PMI > 0 means the
+    pair co-occurs more than independence predicts — the screening step
+    before any 'behavior X predicts behavior Y' claim. All counts are
+    exact integers from a distinct-set self-join keyed on the session
+    (shuffle ∝ sessions × types², types bounded); ln and one division
+    are the only floats, on identical exact-integer operands. Lift is
+    the same ratio unlogged — retail-analytics vocabulary, same row."""
+    ev = tbl(spark, sf_dir, "events")
+    sess = (ev.select("user_id", F.to_date("ts").alias("d"), "event_type")
+            .distinct().localCheckpoint(eager=True))
+    n_sess = sess.select("user_id", "d").distinct().count()
+    tc = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = sess.select("user_id", "d", F.col("event_type").alias("type_a"))
+    b = sess.select("user_id", "d", F.col("event_type").alias("type_b"))
+    pairs = (a.join(b, ["user_id", "d"])
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    ta = tc.select(F.col("event_type").alias("type_a"),
+                   F.col("c").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"),
+                   F.col("c").alias("n_b"))
+    ratio = ((F.col("c_ab").cast("double") * F.lit(float(n_sess)))
+             / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    return (pairs.join(F.broadcast(ta), "type_a")
+            .join(F.broadcast(tb), "type_b")
+            .select("type_a", "type_b",
+                    F.col("c_ab").cast("long").alias("n_together"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.round(F.log(ratio), 6).alias("pmi"),
+                    F.round(ratio, 6).alias("lift"))
+            .orderBy("type_a", "type_b"))
