@@ -1667,3 +1667,196 @@ def events_pmi_type_cooccurrence(spark: SparkSession,
                     F.round(F.log(ratio), 6).alias("pmi"),
                     F.round(ratio, 6).alias("lift"))
             .orderBy("type_a", "type_b"))
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law — vocabulary growth fit
+
+# 1e6, not 1e9: x ~ ln(1e5)*scale and the normal equations square it —
+# at 1e9 the x*y products overflow int64 on the Spark side (DuckDB hides
+# the same bug in HUGEINT). 1e6 keeps n*sxy ~ 1e15 with 6 exact decimals.
+_HEAPS_SCALE = 1_000_000
+_HEAPS_THRS = tuple(range(50, 501, 50))
+
+
+@query(
+    "text_heaps_law_fit",
+    survey="north-star corpus diagnostics (Heaps'-law vocabulary growth: "
+           "V(n) = K n^beta fit by log-log OLS over doc-prefix "
+           "checkpoints — first-appearance vocab counts, exact "
+           "integer-scaled normal equations; the companion corpus-health "
+           "gate to text_zipf_fit)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(lower(text)),
+                                                 '\\s+'),
+                              x -> x <> '')) AS t(term)),
+    doc_tok AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY doc_id),
+    first_seen AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term),
+    thr AS (SELECT unnest({list(_HEAPS_THRS)}) AS thr),
+    pts AS (
+      SELECT thr.thr,
+             (SELECT SUM(n_toks) FROM doc_tok WHERE doc_id < thr.thr)
+               AS n_tokens,
+             (SELECT COUNT(*) FROM first_seen WHERE first_doc < thr.thr)
+               AS vocab
+      FROM thr),
+    xy AS (
+      SELECT CAST(ROUND(ROUND(ln(CAST(n_tokens AS DOUBLE)), 9)
+                        * {_HEAPS_SCALE}) AS BIGINT) AS x,
+             CAST(ROUND(ROUND(ln(CAST(vocab AS DOUBLE)), 9)
+                        * {_HEAPS_SCALE}) AS BIGINT) AS y
+      FROM pts),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+           CASE WHEN n * syy - sy * sy = 0 THEN 0.0
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           * CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'/Herdan's law (public empirical law): vocabulary grows as
+    V(n) ≈ K·n^β with β ≈ 0.4-0.6 on natural text — β near 0 flags a
+    templated corpus (vocabulary saturates), β near 1 flags noise (every
+    token new: OCR garbage, random ids). Vocab at each doc-prefix
+    checkpoint comes from FIRST-APPEARANCE doc ids (one groupBy — never
+    one distinct-count per checkpoint), token totals from per-doc counts;
+    the log-log OLS folds the same exact integer-scaled points as
+    text_zipf_fit, so β and R² divide identical BIGINTs on both engines.
+    At 100 TB: two aggregates bounded by |vocabulary| and |docs|, ten
+    threshold probes on broadcast-scale tables."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(tokens(F.lower(F.col("text"))))
+                        .alias("term"))
+            .localCheckpoint(eager=True))
+    doc_tok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"))
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    thr = spark.createDataFrame([(t,) for t in _HEAPS_THRS], "thr long")
+    n_tokens = (thr.join(doc_tok, doc_tok["doc_id"] < thr["thr"])
+                .groupBy("thr").agg(F.sum("n_toks").alias("n_tokens")))
+    vocab = (thr.join(first_seen, first_seen["first_doc"] < thr["thr"])
+             .groupBy("thr").agg(F.count(F.lit(1)).alias("vocab")))
+    pts = n_tokens.join(vocab, "thr")
+    xy = pts.select(
+        F.round(F.round(F.log(F.col("n_tokens").cast("double")), 9)
+                * _HEAPS_SCALE).cast("long").alias("x"),
+        F.round(F.round(F.log(F.col("vocab").cast("double")), 9)
+                * _HEAPS_SCALE).cast("long").alias("y"))
+    s = xy.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+               F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # deny = 0 means the vocabulary never grew across checkpoints — a
+    # FULLY saturated (templated) corpus: beta is exactly 0 and R^2 is
+    # undefined; pin it to 0.0 on both engines (this synthetic corpus has
+    # a 31-word vocabulary, all seen in the first 50 docs — the query's
+    # own diagnostic firing on its own test data).
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("beta"),
+        F.when(deny == 0, F.lit(0.0))
+        .otherwise(F.round(num.cast("double") * num.cast("double")
+                           / (den.cast("double") * deny.cast("double")),
+                           6)).alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the user-journey transition matrix
+
+@query(
+    "events_transition_entropy_rate",
+    survey="product-analytics extension(Shannon entropy per transition-"
+           "matrix row + the stationary-weighted entropy rate: how "
+           "predictable the next user action is given the current one — "
+           "exact nano-unit term folds, ln on exact integer ratios)",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events),
+    counts AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    rows_ AS (
+      SELECT prev_type, SUM(n) AS r FROM counts GROUP BY prev_type),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    terms AS (
+      SELECT c.prev_type,
+             CAST(ROUND(-(CAST(c.n AS DOUBLE) / CAST(ro.r AS DOUBLE))
+                        * LN(CAST(c.n AS DOUBLE) / CAST(ro.r AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS tm
+      FROM counts c JOIN rows_ ro ON ro.prev_type = c.prev_type)
+    SELECT t.prev_type AS from_type,
+           CAST(ro.r AS BIGINT) AS n_transitions,
+           ROUND(CAST(SUM(t.tm) AS DOUBLE) / 1000000000.0, 6)
+             AS row_entropy_nats,
+           ROUND((CAST(ro.r AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                 * (CAST(SUM(t.tm) AS DOUBLE) / 1000000000.0), 6)
+             AS rate_contribution
+    FROM terms t
+    JOIN rows_ ro ON ro.prev_type = t.prev_type, tot
+    GROUP BY t.prev_type, ro.r, tot.t
+    ORDER BY from_type
+    """,
+)
+def events_transition_entropy_rate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Conditional Shannon entropy of the next event given the current one
+    (nats), per from-state, plus each state's contribution to the
+    empirical entropy rate Σ_i w_i·H_i (w = state visit share) — the
+    predictability measure over the same first-order matrix
+    events_transition_matrix materializes. Per-row entropy is a float
+    SUM over up to |types| terms, so each term enters as a nano-unit
+    BIGINT (order-free); ln takes exact integer ratios on both engines.
+    The matrix is |types|² — broadcast scale regardless of corpus."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    counts = (ordered.filter(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .localCheckpoint(eager=True))
+    rows_ = counts.groupBy("prev_type").agg(F.sum("n").alias("r"))
+    tot = int(counts.agg(F.sum("n")).first()[0])
+    p = F.col("n").cast("double") / F.col("r").cast("double")
+    terms = (counts.join(F.broadcast(rows_), "prev_type")
+             .select("prev_type", "r",
+                     F.round(-p * F.log(p) * 1_000_000_000)
+                     .cast("long").alias("tm")))
+    h = F.sum("tm").cast("double") / 1_000_000_000.0
+    return (terms.groupBy(F.col("prev_type").alias("from_type"),
+                          F.col("r"))
+            .agg(F.round(h, 6).alias("row_entropy_nats"),
+                 F.round((F.col("r").cast("double") / float(tot)) * h, 6)
+                 .alias("rate_contribution"))
+            .select("from_type", F.col("r").cast("long")
+                    .alias("n_transitions"),
+                    "row_entropy_nats", "rate_contribution")
+            .orderBy("from_type"))
