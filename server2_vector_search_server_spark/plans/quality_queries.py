@@ -1483,12 +1483,13 @@ def graph_dag_longest_path_layers(spark: SparkSession,
 # Write-Audit-Publish — the staged-commit quality gate
 
 @query(
-    "store_write_audit_publish",
-    survey="store extension(Write-Audit-Publish: stage a batch on an "
-           "audit branch, run the expectation suite against the BRANCH "
-           "view, fast-forward-publish only if every check passes — the "
-           "Iceberg WAP pattern composed from BranchedSnapshotStore + "
-           "the one-scan QA suite; a poisoned batch provably never "
+    "store_branch_wap_publish",
+    survey="store extension(branch-based Write-Audit-Publish: stage a "
+           "batch on an audit BRANCH of the snapshot store, run the "
+           "expectation suite against the branch view, fast-forward-"
+           "publish only if every check passes — the ref-native WAP "
+           "that store_write_audit_publish implements with staging "
+           "ROOTS; zero-copy publish, poisoned batch provably never "
            "reaches main)",
     oracle="""
     WITH final AS (
@@ -1508,8 +1509,8 @@ def graph_dag_longest_path_layers(spark: SparkSession,
     ORDER BY b.batch
     """,
 )
-def store_write_audit_publish(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
+def store_branch_wap_publish(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
     """WAP (Iceberg's write-audit-publish workflow, public pattern): every
     ingest batch lands on a throwaway audit branch; the data-quality
     audit (here: no null/blank content, doc_name uniqueness — the
