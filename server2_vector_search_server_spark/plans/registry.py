@@ -39,9 +39,23 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 
 
 def query(name: str, *, oracle: str | None, survey: str):
-    """Register a query under ``name`` with its DuckDB oracle twin."""
+    """Register a query under ``name`` with its DuckDB oracle twin.
+
+    Duplicate names raise: the registry is a dict, so a second
+    registration would SILENTLY shadow the first and the driver would
+    never run it again (caught live in round 6 — a new branch-based WAP
+    query replaced the staging-root one for two sweeps). Re-registering
+    the IDENTICAL function object (module reloaded by tooling) is
+    allowed."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        prev = REGISTRY.get(name)
+        if prev is not None and (prev.fn.__module__ != fn.__module__
+                                 or prev.fn.__qualname__ != fn.__qualname__):
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.fn.__module__}.{prev.fn.__qualname__}; pick a "
+                "distinct name — dict registration silently shadows")
         REGISTRY[name] = RegisteredQuery(name, fn, oracle, survey)
         return fn
 
