@@ -1861,3 +1861,112 @@ def events_transition_entropy_rate(spark: SparkSession,
                     .alias("n_transitions"),
                     "row_entropy_nats", "rate_contribution")
             .orderBy("from_type"))
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label partition on the k-NN graph
+
+_MOD_N = 150
+_MOD_K = 3
+_MOD_L2 = ("ROUND(list_sum(list_transform(range(1, 65), "
+           "i -> (CAST(a.embedding[i] AS DOUBLE) "
+           "- CAST(b.embedding[i] AS DOUBLE)) "
+           "* (CAST(a.embedding[i] AS DOUBLE) "
+           "- CAST(b.embedding[i] AS DOUBLE)))), 6)")
+
+
+@query(
+    "graph_label_modularity",
+    survey="north-star graph analytics x embedding QA (Newman modularity "
+           "of the class-label partition on the exact 3-NN embedding "
+           "graph: per-community intra-edge vs degree-expectation "
+           "contributions from exact integer counts — do the labels "
+           "form graph communities, the structural twin of "
+           "embedding_knn_label_eval)",
+    oracle=f"""
+    WITH sl AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {_MOD_N}),
+    nn AS (
+      SELECT _src, _dst FROM (
+        SELECT a.vec_id AS _src, b.vec_id AS _dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_MOD_L2} ASC, b.vec_id ASC) AS rn
+        FROM sl a JOIN sl b ON a.vec_id <> b.vec_id) t
+      WHERE rn <= {_MOD_K}),
+    edges AS (
+      SELECT LEAST(_src, _dst) AS a, GREATEST(_src, _dst) AS b
+      FROM nn GROUP BY 1, 2),
+    m AS (SELECT COUNT(*) AS m FROM edges),
+    ends AS (
+      SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges),
+    deg AS (SELECT v, COUNT(*) AS d FROM ends GROUP BY v),
+    lab AS (SELECT vec_id, label FROM sl),
+    dc AS (
+      SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS d_c,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg JOIN lab l ON l.vec_id = deg.v GROUP BY l.label),
+    ec AS (
+      SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM edges e
+      JOIN lab la ON la.vec_id = e.a
+      JOIN lab lb ON lb.vec_id = e.b AND lb.label = la.label
+      GROUP BY la.label)
+    SELECT dc.label, dc.n_nodes,
+           CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS intra_edges,
+           dc.d_c AS degree_sum,
+           ROUND(CAST(COALESCE(ec.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                 - (CAST(dc.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                   * (CAST(dc.d_c AS DOUBLE)
+                      / (2.0 * CAST(m.m AS DOUBLE))), 6)
+             AS modularity_contribution
+    FROM dc LEFT JOIN ec ON ec.label = dc.label, m
+    ORDER BY dc.label
+    """,
+)
+def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (public measure) of the CLASS-LABEL
+    partition evaluated on the exact 3-NN embedding graph:
+    Q_c = e_c/m − (d_c/2m)², summed over communities. Positive
+    contributions mean labels cluster structurally (more intra-label
+    edges than the degree-preserving null model expects) — the
+    graph-structural twin of embedding_knn_label_eval's retrieval view,
+    and the quality gate for using components/labels as dedup or
+    curriculum groups. All counts exact integers; the two divisions per
+    row run on identical operands both engines. Scale: the k-NN graph
+    comes from the ANN tiers at corpus size (knn_graph_bucketed); the
+    modularity fold itself is |labels|-bounded."""
+    from server2_vector_search_server_spark.operators.graph import knn_graph
+
+    sl = (tbl(spark, sf_dir, "embeddings")
+          .filter(F.col("vec_id") < _MOD_N)
+          .select("vec_id", "embedding", "label")
+          .localCheckpoint(eager=True))
+    edges = knn_graph(sl, k=_MOD_K).localCheckpoint(eager=True)
+    m = edges.count()
+    ends = (edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v"))))
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    lab = sl.select("vec_id", "label")
+    dc = (deg.join(lab, deg["v"] == lab["vec_id"])
+          .groupBy("label")
+          .agg(F.sum("d").cast("long").alias("d_c"),
+               F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    la = lab.select(F.col("vec_id").alias("src"),
+                    F.col("label").alias("_la"))
+    lb = lab.select(F.col("vec_id").alias("dst"),
+                    F.col("label").alias("_lb"))
+    ec = (edges.join(la, "src").join(lb, "dst")
+          .filter(F.col("_la") == F.col("_lb"))
+          .groupBy(F.col("_la").alias("label"))
+          .agg(F.count(F.lit(1)).cast("long").alias("e_c")))
+    half = F.col("d_c").cast("double") / (2.0 * float(m))
+    return (dc.join(ec, "label", "left")
+            .select("label", "n_nodes",
+                    F.coalesce("e_c", F.lit(0)).cast("long")
+                    .alias("intra_edges"),
+                    F.col("d_c").alias("degree_sum"),
+                    F.round(F.coalesce("e_c", F.lit(0)).cast("double")
+                            / float(m) - half * half, 6)
+                    .alias("modularity_contribution"))
+            .orderBy("label"))
