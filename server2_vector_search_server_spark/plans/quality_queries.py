@@ -1970,3 +1970,115 @@ def graph_label_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / float(m) - half * half, 6)
                     .alias("modularity_contribution"))
             .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure audit — physical right-to-be-forgotten verification
+
+@query(
+    "store_gdpr_erasure_audit",
+    survey="store extension(right-to-be-forgotten lifecycle audit: "
+           "logical delete hides a doc from the current snapshot but "
+           "TIME TRAVEL still serves it — the audit proves that only "
+           "delete + history expiry physically erases: target absent "
+           "from every surviving manifest AND from every byte on disk, "
+           "other docs byte-identical before/after)",
+    oracle="""
+    WITH final AS (
+      SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_name, text AS content
+      FROM documents WHERE doc_id < 30 AND doc_id <> 7),
+    dig AS (
+      SELECT md5(string_agg(md5(doc_name || '|' || md5(content)), ''
+                            ORDER BY md5(doc_name || '|' || md5(content))))
+               AS final_digest,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM final)
+    SELECT c.check_name, c.ok, dig.n_docs, dig.final_digest
+    FROM (VALUES
+      ('deleted_doc_still_time_travelable_before_expiry', TRUE),
+      ('erased_from_current_read', TRUE),
+      ('erased_from_every_surviving_version', TRUE),
+      ('erased_from_every_data_file_on_disk', TRUE),
+      ('history_versions_purged', TRUE))
+      c(check_name, ok), dig
+    ORDER BY c.check_name
+    """,
+)
+def store_gdpr_erasure_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The erasure lifecycle the snapshot design makes SUBTLE: a logical
+    delete (v2) rewrites only touched files, but v1's manifest still
+    references the old bytes — ``read(version=1)`` serves the 'deleted'
+    doc, which is correct snapshot isolation and a GDPR violation if it
+    outlives the erasure deadline. Physical erasure = delete + history
+    expiry; the audit then checks four things NO reader can conflate:
+    the doc is gone from the current read, gone from every surviving
+    manifest, gone from EVERY parquet byte still on disk (a direct
+    os-walk scan UNDER the manifest layer — reachability arguments are
+    not erasure proofs), and pre-expiry history is actually purged —
+    while the other 29 docs hash byte-identical to the expected state.
+    Scale: delete cost is touched-file-footprint (min/max file skipping
+    finds them); expiry is the ref-aware GC measured in SCALE §51."""
+    import os
+
+    from server2_vector_search_server_spark.plans.registry import (
+        scratch_dir,
+    )
+    from server2_vector_search_server_spark.sources.snapshots import (
+        SnapshotChunkStore,
+    )
+    from server2_vector_search_server_spark.sources.store import (
+        CHUNKS_SCHEMA,
+    )
+
+    store = SnapshotChunkStore(spark, scratch_dir("gdpr_store_"))
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    name = F.concat(F.lit("doc_"), F.col("doc_id"))
+    chunks = docs.select(
+        F.md5(name).alias("chunk_id"), F.md5(name).alias("doc_id"),
+        name.alias("doc_name"), F.lit(0).alias("chunk_index"),
+        F.lit("col_a").alias("original_collection"),
+        F.col("text").alias("content"),
+        F.create_map(F.lit("source"), name).alias("metadata"),
+        F.array(F.lit(0.1), F.lit(0.2)).cast("array<float>")
+        .alias("embedding"),
+        F.lit("col_a").alias("collection"))
+    store.append(chunks)                                   # v1
+    target = store.read().filter(F.col("doc_name") == "doc_7") \
+                  .select("doc_id").first()["doc_id"]
+    store.delete_document(target)                          # v2 (logical)
+    time_travelable = (store.read(version=1)
+                       .filter(F.col("doc_name") == "doc_7").count() == 1)
+    store.expire(keep_last=1)                              # physical
+    gone_current = (store.read()
+                    .filter(F.col("doc_name") == "doc_7").count() == 0)
+    gone_versions = all(
+        store.read(version=v).filter(F.col("doc_name") == "doc_7")
+        .count() == 0 for v in store.versions())
+    # byte-level: scan EVERY parquet still on disk, below the manifests
+    disk_files = [os.path.join(r, f)
+                  for r, _, fs in os.walk(store.data_dir)
+                  for f in fs if f.endswith(".parquet")]
+    gone_disk = (spark.read.schema(CHUNKS_SCHEMA).parquet(*disk_files)
+                 .filter(F.col("doc_name") == "doc_7").count() == 0)
+    history_purged = store.versions() == [2]
+
+    row_h = F.md5(F.concat_ws("|", "doc_name", F.md5("content")))
+    dig = (store.read().withColumn("h", row_h)
+           .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h"))))
+                .alias("final_digest"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"))
+           .first())
+    checks = [
+        ("deleted_doc_still_time_travelable_before_expiry",
+         bool(time_travelable)),
+        ("erased_from_current_read", bool(gone_current)),
+        ("erased_from_every_surviving_version", bool(gone_versions)),
+        ("erased_from_every_data_file_on_disk", bool(gone_disk)),
+        ("history_versions_purged", bool(history_purged)),
+    ]
+    return (spark.createDataFrame(checks, "check_name string, ok boolean")
+            .select("check_name", "ok",
+                    F.lit(int(dig["n_docs"])).cast("long").alias("n_docs"),
+                    F.lit(dig["final_digest"]).alias("final_digest"))
+            .orderBy("check_name"))
