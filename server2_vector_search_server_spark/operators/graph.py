@@ -901,6 +901,41 @@ def betweenness_centrality(edges: DataFrame, sources: DataFrame, *,
             .agg(F.sum("dm").cast("long").alias("betweenness_micro")))
 
 
+def reachability_closure(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 64) -> DataFrame:
+    """Full reachability closure of a directed graph: (s, node) pairs
+    with ``node`` reachable from ``s`` in ≥0 hops, by frontier BFS to
+    fixpoint (anti-join dedup per round, localCheckpoint lineage cuts).
+    The building block under SCCs and bow-tie decomposition. Pair volume
+    is Σ|reach(s)| — quadratic on strongly-connected graphs; restrict
+    the source set (or graph slice) at corpus scale exactly as the FW-BW
+    decomposition does. Raises if the fixpoint is not reached in
+    ``max_iter`` rounds."""
+    e0 = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    nodes = (e0.select(F.col(src).alias("v"))
+             .union(e0.select(F.col(dst).alias("v"))).distinct())
+    frontier = (nodes.select(F.col("v").alias("s"),
+                             F.col("v").alias("node"))
+                .localCheckpoint(eager=True))
+    reach = frontier
+    for _ in range(max_iter):
+        nxt = (frontier.join(e0, frontier["node"] == e0[src])
+               .select("s", F.col(dst).alias("node")).distinct())
+        k = reach.select(F.col("s").alias("_ks"),
+                         F.col("node").alias("_kn"))
+        frontier = (nxt.join(k, (nxt["s"] == k["_ks"])
+                             & (nxt["node"] == k["_kn"]), "left_anti")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            return reach
+        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"reachability_closure did not reach a fixpoint in {max_iter} "
+        "rounds — graph diameter exceeds the guard; raise max_iter or "
+        "restrict the source set (FW-BW style)")
+
+
 def strongly_connected_components(edges: DataFrame, *, src: str = "src",
                                   dst: str = "dst",
                                   max_iter: int = 64) -> DataFrame:
@@ -921,29 +956,8 @@ def strongly_connected_components(edges: DataFrame, *, src: str = "src",
     round is one join + anti-join, localCheckpointed (iterative-lineage
     rule).
     """
-    e0 = edges.select(src, dst).distinct().localCheckpoint(eager=True)
-    nodes = (e0.select(F.col(src).alias("v"))
-             .union(e0.select(F.col(dst).alias("v"))).distinct())
-    frontier = (nodes.select(F.col("v").alias("s"),
-                             F.col("v").alias("node"))
-                .localCheckpoint(eager=True))
-    reach = frontier
-    for _ in range(max_iter):
-        nxt = (frontier.join(e0, frontier["node"] == e0[src])
-               .select("s", F.col(dst).alias("node")).distinct())
-        k = reach.select(F.col("s").alias("_ks"),
-                         F.col("node").alias("_kn"))
-        frontier = (nxt.join(k, (nxt["s"] == k["_ks"])
-                             & (nxt["node"] == k["_kn"]), "left_anti")
-                    .localCheckpoint(eager=True))
-        if frontier.isEmpty():
-            break
-        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(
-            f"strongly_connected_components: closure did not reach a "
-            f"fixpoint in {max_iter} rounds — graph diameter exceeds the "
-            "guard; raise max_iter or use the FW-BW decomposition")
+    reach = reachability_closure(edges, src=src, dst=dst,
+                                 max_iter=max_iter)
     rev = reach.select(F.col("node").alias("_rs"), F.col("s").alias("_rn"))
     mutual = (reach.join(rev, (reach["s"] == F.col("_rs"))
                          & (reach["node"] == F.col("_rn")))
@@ -995,3 +1009,47 @@ def dag_longest_path_layers(edges: DataFrame, *, src: str = "src",
         f"dag_longest_path_layers did not converge in {max_iter} rounds "
         "— the graph likely contains a cycle (layers grow forever on "
         "cycles); run strongly_connected_components to locate it")
+
+
+def bowtie_decomposition(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 64) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., "Graph
+    structure in the Web", WWW 2000 — public): CORE = the largest SCC
+    (ties broken by minimum member id), IN = nodes that reach the core
+    without belonging to it, OUT = nodes the core reaches, OTHER =
+    tendrils/disconnected. A node reaching AND reached by the core would
+    be mutually reachable with core members and hence in the core, so
+    the four regions partition the node set.
+
+    Built from :func:`reachability_closure` (one closure serves both
+    directions — OUT reads it forward, IN reads its transpose) and
+    :func:`strongly_connected_components`. Returns (node, region).
+    """
+    reach = reachability_closure(edges, src=src, dst=dst,
+                                 max_iter=max_iter)
+    reach = reach.localCheckpoint(eager=True)
+    scc = strongly_connected_components(edges, src=src, dst=dst,
+                                        max_iter=max_iter)
+    scc = scc.localCheckpoint(eager=True)
+    sizes = (scc.groupBy("scc_id")
+             .agg(F.count(F.lit(1)).alias("n")))
+    core_id = (sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc())
+               .first()["scc_id"])
+    core = scc.filter(F.col("scc_id") == core_id).select("node")
+    core_s = core.select(F.col("node").alias("_c"))
+    reaches_core = (reach.join(core_s, reach["node"] == core_s["_c"])
+                    .select(F.col("s").alias("node")).distinct())
+    core_reaches = (reach.join(core_s, reach["s"] == core_s["_c"])
+                    .select(F.col("node")).distinct())
+    in_core = core.withColumn("_r", F.lit("CORE"))
+    in_set = (reaches_core.join(core, "node", "left_anti")
+              .withColumn("_r", F.lit("IN")))
+    out_set = (core_reaches.join(core, "node", "left_anti")
+               .withColumn("_r", F.lit("OUT")))
+    nodes = scc.select("node")
+    classified = in_core.unionByName(in_set).unionByName(out_set)
+    other = (nodes.join(classified.select("node"), "node", "left_anti")
+             .withColumn("_r", F.lit("OTHER")))
+    return (classified.unionByName(other)
+            .select("node", F.col("_r").alias("region")))

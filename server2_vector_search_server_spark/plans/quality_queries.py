@@ -2082,3 +2082,114 @@ def store_gdpr_erasure_audit(spark: SparkSession,
                     F.lit(int(dig["n_docs"])).cast("long").alias("n_docs"),
                     F.lit(dig["final_digest"]).alias("final_digest"))
             .orderBy("check_name"))
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie structure of the directed graph
+
+_BT_EDGES_SQL = """
+        SELECT p_partkey AS src, (p_partkey * 7 + 13) % 120 AS dst
+        FROM part WHERE p_partkey < 120
+        UNION ALL
+        SELECT p_partkey AS src, p_partkey - 200 AS dst
+        FROM part WHERE p_partkey >= 200 AND p_partkey < 240
+        UNION ALL
+        SELECT p_partkey - 300 AS src, p_partkey AS dst
+        FROM part WHERE p_partkey >= 300 AND p_partkey < 340
+"""
+
+
+@query(
+    "graph_bowtie_structure",
+    survey="north-star graph analytics (Broder bow-tie decomposition: "
+           "CORE = largest SCC, IN = reaches core, OUT = reached by "
+           "core, OTHER — one reachability closure read forward and "
+           "transposed; region sizes + id ranges hash-pinned vs the "
+           "recursive-closure oracle, every derived CTE MATERIALIZED "
+           "so DuckDB cannot re-expand the tie-broken core pick)",
+    oracle=f"""
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT src, dst FROM ({_BT_EDGES_SQL}) GROUP BY src, dst),
+    nodes AS MATERIALIZED (
+      -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB parses a CTE
+      -- whose body is a top-level UNION as potentially-recursive and the
+      -- UNION no longer dedups across branches (every node came out
+      -- twice; the sibling graph oracles only survive this because their
+      -- downstream aggregates collapse duplicates)
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+    walk(s, node) AS (
+      SELECT v AS s, v AS node FROM nodes
+      UNION
+      SELECT w.s, e.dst AS node FROM walk w JOIN e ON e.src = w.node),
+    wk AS MATERIALIZED (SELECT s, node FROM walk),
+    mutual AS MATERIALIZED (
+      SELECT a.s AS v, a.node AS u
+      FROM wk a JOIN wk b ON b.s = a.node AND b.node = a.s),
+    scc AS MATERIALIZED (
+      SELECT v AS node, MIN(u) AS scc_id FROM mutual GROUP BY v),
+    core_pick AS MATERIALIZED (
+      SELECT scc_id FROM (
+        SELECT scc_id, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, scc_id ASC)
+                 AS rn
+        FROM scc GROUP BY scc_id) t WHERE rn = 1),
+    core AS MATERIALIZED (
+      SELECT node FROM scc WHERE scc_id = (SELECT scc_id FROM core_pick)),
+    reaches_core AS MATERIALIZED (
+      SELECT DISTINCT w.s AS node FROM wk w
+      JOIN core c ON c.node = w.node),
+    core_reaches AS MATERIALIZED (
+      SELECT DISTINCT w.node FROM wk w
+      JOIN core c ON c.node = w.s),
+    labeled AS (
+      SELECT n.v AS node,
+             CASE WHEN n.v IN (SELECT node FROM core) THEN 'CORE'
+                  WHEN n.v IN (SELECT node FROM reaches_core) THEN 'IN'
+                  WHEN n.v IN (SELECT node FROM core_reaches) THEN 'OUT'
+                  ELSE 'OTHER' END AS region
+      FROM nodes n)
+    SELECT region, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM labeled GROUP BY region ORDER BY region
+    """,
+)
+def graph_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``operators/graph.bowtie_decomposition`` over a constructed
+    three-region graph: a 120-node modular subgraph whose LARGEST SCC is
+    the core (the modular successor map fractures into several 12-cycles
+    — largest + min-id tie-break picks one deterministically), 40 feeder
+    nodes (200-239) each pointing INTO nodes 0-39, and 40 drain nodes
+    (300-339) each pointed at BY nodes 0-39. The web's macro-structure
+    (Broder et al. 2000) as a corpus diagnostic — link farms sit in
+    dense COREs, orphaned content in OTHER. Note most of the 120 modular
+    nodes land in IN/OUT/OTHER relative to the one chosen core cycle —
+    the decomposition is relative to THE core, which is the point.
+    Oracle gotcha (bit twice now): DuckDB inlines CTEs by default, and
+    re-expanding the tie-broken core pick inside the three CASE
+    subqueries produced a DIFFERENT core per branch — every derived CTE
+    is AS MATERIALIZED."""
+    from server2_vector_search_server_spark.operators.graph import (
+        bowtie_decomposition,
+    )
+
+    part = tbl(spark, sf_dir, "part")
+    e1 = (part.filter(F.col("p_partkey") < 120)
+          .select(F.col("p_partkey").alias("src"),
+                  ((F.col("p_partkey") * 7 + 13) % 120).alias("dst")))
+    e2 = (part.filter((F.col("p_partkey") >= 200)
+                      & (F.col("p_partkey") < 240))
+          .select(F.col("p_partkey").alias("src"),
+                  (F.col("p_partkey") - 200).alias("dst")))
+    e3 = (part.filter((F.col("p_partkey") >= 300)
+                      & (F.col("p_partkey") < 340))
+          .select((F.col("p_partkey") - 300).alias("src"),
+                  F.col("p_partkey").alias("dst")))
+    edges = e1.unionByName(e2).unionByName(e3)
+    regions = bowtie_decomposition(edges)
+    return (regions.groupBy("region")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.min("node").cast("long").alias("min_node"),
+                 F.max("node").cast("long").alias("max_node"))
+            .orderBy("region"))

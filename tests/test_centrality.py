@@ -257,3 +257,19 @@ def test_dag_layers_chain_and_diamond(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     with pytest.raises(RuntimeError, match="cycle"):
         dag_longest_path_layers(cyc, max_iter=8)
+
+
+def test_bowtie_hand_graph(spark):
+    """core = {1,2,3} cycle; 0 -> 1 is IN; 3 -> 4 is OUT; 9 isolated-ish
+    (9 -> 10 chain disconnected from core) is OTHER."""
+    from server2_vector_search_server_spark.operators.graph import (
+        bowtie_decomposition,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (9, 10)],
+        "src long, dst long")
+    got = {r["node"]: r["region"]
+           for r in bowtie_decomposition(e).collect()}
+    assert got == {1: "CORE", 2: "CORE", 3: "CORE",
+                   0: "IN", 4: "OUT", 9: "OTHER", 10: "OTHER"}
