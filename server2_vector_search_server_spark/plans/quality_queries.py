@@ -2193,3 +2193,97 @@ def graph_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("node").cast("long").alias("min_node"),
                  F.max("node").cast("long").alias("max_node"))
             .orderBy("region"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — the one-artifact corpus report
+
+@query(
+    "curation_dataset_card_report",
+    survey="north-star curation governance (dataset card: per-language "
+           "row counts and corpus shares, exact length median per "
+           "language, exact-duplicate rate, mean quality proxy — the "
+           "one-artifact report a released training corpus ships with, "
+           "folded from one scan + one md5 dup aggregate)",
+    oracle="""
+    WITH base AS (
+      SELECT lang, n_chars, md5(text) AS h,
+             length(text) - length(replace(text, ' ', '')) + 1
+               AS n_tokens_ws
+      FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM base),
+    dup AS (
+      SELECT SUM(c - 1) AS n_dup_rows FROM (
+        SELECT h, COUNT(*) AS c FROM base GROUP BY h) t),
+    med AS (
+      SELECT lang, n_chars, row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars, h) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM base)
+    SELECT b.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+             AS corpus_share,
+           CAST(SUM(b.n_chars) AS BIGINT) AS total_chars,
+           CAST((SELECT m.n_chars FROM med m
+                 WHERE m.lang = b.lang
+                   AND m.rn = CAST(CEIL(m.cnt / 2.0) AS BIGINT))
+                AS BIGINT) AS median_chars,
+           ROUND(CAST(SUM(b.n_tokens_ws) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ws_tokens,
+           ROUND(CAST(dup.n_dup_rows AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+             AS corpus_dup_rate
+    FROM base b, n, dup
+    GROUP BY b.lang, n.n, dup.n_dup_rows
+    ORDER BY b.lang
+    """,
+)
+def curation_dataset_card_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The dataset card (Gebru et al., Datasheets for Datasets — public
+    practice): the per-language composition table a released corpus ships
+    with. One base scan feeds everything: language shares, total/median
+    length (median = exact ceil(n/2) order statistic per language,
+    md5 tie-break so duplicated lengths rank deterministically),
+    whitespace-token mean, and the corpus-wide exact-duplicate rate
+    (Σ(group−1)/n over md5 groups) repeated per row as release metadata.
+    At 100 TB every piece is partial-aggregable except the per-language
+    median, which runs a per-LANGUAGE window (bounded partitions) — or
+    swaps to the two-phase percentile recipe (SCALE §50) when a single
+    language dominates."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = (docs.select(
+                "lang", "n_chars", F.md5("text").alias("h"),
+                (F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(" "),
+                                      F.lit(""))) + 1)
+                .alias("n_tokens_ws"))
+            .localCheckpoint(eager=True))
+    n = base.count()
+    n_dup = (base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.col("c") - 1).alias("d")).first()["d"])
+    med = (base.withColumn(
+               "rn", F.row_number().over(
+                   Window.partitionBy("lang").orderBy("n_chars", "h")))
+           .withColumn("cnt", F.count(F.lit(1)).over(
+               Window.partitionBy("lang")))
+           .filter(F.col("rn") == F.ceil(F.col("cnt") / 2.0).cast("long"))
+           .select("lang", F.col("n_chars").alias("median_chars")))
+    agg = (base.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.round(F.sum("n_tokens_ws").cast("double")
+                        / F.count(F.lit(1)).cast("double"), 6)
+                .alias("mean_ws_tokens")))
+    return (agg.join(med, "lang")
+            .select("lang", "n_docs",
+                    F.round(F.col("n_docs").cast("double") / float(n), 6)
+                    .alias("corpus_share"),
+                    "total_chars",
+                    F.col("median_chars").cast("long").alias("median_chars"),
+                    "mean_ws_tokens",
+                    F.round(F.lit(float(n_dup)) / float(n), 6)
+                    .alias("corpus_dup_rate"))
+            .orderBy("lang"))
