@@ -273,3 +273,48 @@ def test_bowtie_hand_graph(spark):
            for r in bowtie_decomposition(e).collect()}
     assert got == {1: "CORE", 2: "CORE", 3: "CORE",
                    0: "IN", 4: "OUT", 9: "OTHER", 10: "OTHER"}
+
+
+def test_harmonic_hop_bound_truncates(spark):
+    """max_hops is a hard truncation: on a 4-chain with max_hops=2, node
+    4 receives only from nodes 2 (1/2) and 3 (1/1) — node 1's 3-hop path
+    is out of budget. Closed-form check of the bound semantics."""
+    from server2_vector_search_server_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                              "src long, dst long")
+    n = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "v long")
+    got = {r["node"]: (r["harmonic_micro"], r["n_reached"])
+           for r in harmonic_centrality(e, n, max_hops=2).collect()}
+    assert got[4] == (1_500_000, 2)          # 1/1 + 1/2
+    assert got[2] == (1_000_000, 1)          # only node 1
+    assert got[3] == (1_500_000, 2)          # 2 at 1/1, 1 at 1/2
+
+
+def test_reachability_closure_cycle_terminates(spark):
+    """UNION-anti-join fixpoint terminates on cycles (states saturate),
+    unlike a path-enumerating recursion."""
+    from server2_vector_search_server_spark.operators.graph import (
+        reachability_closure,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                              "src long, dst long")
+    got = {(r["s"], r["node"]) for r in reachability_closure(e).collect()}
+    assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
+
+
+def test_scc_empty_max_iter_guard(spark):
+    from server2_vector_search_server_spark.operators.graph import (
+        reachability_closure,
+    )
+
+    # a 5-chain needs 4 expansion rounds; max_iter=2 must raise, not
+    # silently return a truncated closure
+    e = spark.createDataFrame([(i, i + 1) for i in range(1, 5)],
+                              "src long, dst long")
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="fixpoint"):
+        reachability_closure(e, max_iter=2)
