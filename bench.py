@@ -12,8 +12,12 @@ collect bottleneck — the same thing that matters on a real cluster. Each
 query runs ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) times and reports the
 MEDIAN: steady-state execution, with one-time expression codegen (Janino
 compile, not data-dependent) amortized out and single-shot machine-load noise
-(±30% observed) suppressed. Per-run times go to stderr; ``value`` is the sum
-of medians.
+(±30% observed) suppressed. Repeats are INTERLEAVED — the whole pillar list
+runs ``repeats`` times (each pass rotated) and the median is taken across
+passes — so a transient loaded minute on this shared box degrades one sample
+of many pillars instead of all samples of one pillar (the r06
+``search_score_topk`` 2.693× false flag). Per-run times go to stderr;
+``value`` is the sum of medians.
 """
 
 from __future__ import annotations
@@ -165,29 +169,38 @@ def main() -> None:
         .groupBy("r_name").count() \
         .write.format("noop").mode("overwrite").save()
 
-    # Median of 3 repeats per query: single-shot wall times on this box swing
-    # ±30% with machine load; the median is stable and still includes each
-    # query's real planning + execution (plan cache is per-DataFrame, and
-    # each repeat builds a fresh DataFrame).
+    # Median of 3 repeats per query, INTERLEAVED across pillars (VERDICT r06
+    # item 1): the old per-pillar consecutive repeats meant one loaded minute
+    # of ambient co-tenant CPU landed entirely on whichever pillar was running
+    # and inflated all three of its samples — search_score_topk's 2.693×
+    # artifact flag in BENCH_r06.json was exactly that (its quiet value was
+    # 0.509 s). Running the WHOLE pillar list `repeats` times and taking the
+    # per-pillar median ACROSS passes spreads any loaded minute over many
+    # pillars' single samples, where the cross-pass median absorbs it. Each
+    # pass also rotates its starting pillar so fixed per-position costs
+    # (e.g. post-warmup first-query residue) never pin to one pillar.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        rq = registry.get(name)
-        if rq is None:
-            continue
-        runs = []
-        for _ in range(repeats):
+    pillars = [(name, registry.get(name)) for name in HEADLINE]
+    pillars = [(n, rq) for n, rq in pillars if rq is not None]
+    samples: dict[str, list[float]] = {n: [] for n, _ in pillars}
+    for p in range(repeats):
+        rot = (p * len(pillars)) // max(repeats, 1)
+        order = pillars[rot:] + pillars[:rot]
+        for name, rq in order:
             t0 = time.perf_counter()
             df = rq.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
+            # queries that persist() intermediates (minhash, cosine) would
+            # pile up cache entries across repeats — each repeat builds fresh
+            # DataFrames, so dropping the cache never removes reused data
+            spark.catalog.clearCache()
+    timings: dict[str, float] = {}
+    for name, _ in pillars:
+        runs = samples[name]
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
-        print(f"  {name}: {timings[name]}s (runs: "
+        print(f"  {name}: {timings[name]}s (passes: "
               f"{[round(r, 2) for r in runs]})", file=sys.stderr)
-        # queries that persist() intermediates (minhash, cosine) would pile
-        # up cache entries across repeats — each repeat builds fresh
-        # DataFrames, so dropping the cache never removes reused data
-        spark.catalog.clearCache()
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0)
     out = {

@@ -958,6 +958,13 @@ def strongly_connected_components(edges: DataFrame, *, src: str = "src",
     """
     reach = reachability_closure(edges, src=src, dst=dst,
                                  max_iter=max_iter)
+    return _scc_from_closure(reach)
+
+
+def _scc_from_closure(reach: DataFrame) -> DataFrame:
+    """SCC labels from a precomputed reachability closure — factored out
+    so callers that already hold the closure (bow-tie) don't pay the
+    dominant O(Σ|reach(s)|) BFS twice (ADVICE r6)."""
     rev = reach.select(F.col("node").alias("_rs"), F.col("s").alias("_rn"))
     mutual = (reach.join(rev, (reach["s"] == F.col("_rs"))
                          & (reach["node"] == F.col("_rn")))
@@ -1029,9 +1036,9 @@ def bowtie_decomposition(edges: DataFrame, *, src: str = "src",
     reach = reachability_closure(edges, src=src, dst=dst,
                                  max_iter=max_iter)
     reach = reach.localCheckpoint(eager=True)
-    scc = strongly_connected_components(edges, src=src, dst=dst,
-                                        max_iter=max_iter)
-    scc = scc.localCheckpoint(eager=True)
+    # the SCC labels derive from the SAME closure — computing it twice
+    # doubled the dominant BFS cost (ADVICE r6)
+    scc = _scc_from_closure(reach).localCheckpoint(eager=True)
     sizes = (scc.groupBy("scc_id")
              .agg(F.count(F.lit(1)).alias("n")))
     core_id = (sizes.orderBy(F.col("n").desc(), F.col("scc_id").asc())

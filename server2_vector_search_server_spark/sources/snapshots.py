@@ -177,13 +177,15 @@ class SnapshotChunkStore:
             rewritten = self._write_data(survivors)
         return self._commit(carried + rewritten, "delete")
 
-    def _split_files(self, doc_ids: list[str]):
+    def _split_files(self, doc_ids: list[str], files: list[str] | None = None):
         """(survivor rows from touched files | None, untouched file list).
 
         One footprint scan finds which files contain the doc_ids (parquet
         min/max row-group stats make this cheap on id-sorted files; the
-        input_file_name aggregate is files-count-sized)."""
-        files = self._live_files()
+        input_file_name aggregate is files-count-sized). ``files`` defaults
+        to the latest global manifest; ref-aware subclasses pass a ref
+        head's file list instead."""
+        files = self._live_files() if files is None else files
         if not files:
             return None, []
         table = (self.spark.read.schema(CHUNKS_SCHEMA).parquet(*files)
@@ -382,14 +384,92 @@ class BranchedSnapshotStore(SnapshotChunkStore):
         refs[name] = {"head": head, "base": head}
         self._save_refs(refs)
 
+    def _move_ref(self, ref: str, version: int) -> None:
+        refs = self._refs()
+        refs[ref]["head"] = version
+        self._save_refs(refs)
+
     def commit_on(self, ref: str, chunks: DataFrame) -> int:
         """Append ``chunks`` to ``ref``'s head (branch-isolated commit)."""
         new = self._write_data(chunks)
         v = self._commit(self._head_files(ref) + new, f"append@{ref}")
-        refs = self._refs()
-        refs[ref]["head"] = v
-        self._save_refs(refs)
+        self._move_ref(ref, v)
         return v
+
+    # -- ref-routed overrides (ADVICE r6, medium) -------------------------
+    # The inherited writers commit on top of the latest GLOBAL manifest —
+    # which under branches may be a BRANCH head — and never move a ref, so
+    # base append() after a branch commit would silently fold branch files
+    # into an orphan commit and break the branch-isolation invariant this
+    # class exists to provide. Every write is therefore routed through the
+    # 'main' ref: reads via refs, commits followed by a ref move.
+    def append(self, chunks: DataFrame) -> int:
+        return self.commit_on("main", chunks)
+
+    def upsert(self, chunks: DataFrame) -> int:
+        incoming = chunks.select(*_COLS).localCheckpoint(eager=True)
+        ids = [r["doc_id"] for r in
+               incoming.select("doc_id").distinct().collect()]
+        survivors, carried = self._split_files(
+            ids, files=self._head_files("main"))
+        new = self._write_data(incoming)
+        rewritten: list[str] = []
+        if survivors is not None:
+            rewritten = self._write_data(survivors)
+        v = self._commit(carried + rewritten + new, "upsert@main")
+        self._move_ref("main", v)
+        return v
+
+    def delete_document(self, doc_id: str) -> int:
+        survivors, carried = self._split_files(
+            [doc_id], files=self._head_files("main"))
+        rewritten: list[str] = []
+        if survivors is not None:
+            rewritten = self._write_data(survivors)
+        v = self._commit(carried + rewritten, "delete@main")
+        self._move_ref("main", v)
+        return v
+
+    def compact(self, rows_per_file: int = 100_000) -> int:
+        files = self._head_files("main")
+        if not files:
+            return self._refs()["main"]["head"]
+        table = self.spark.read.schema(CHUNKS_SCHEMA).parquet(*files)
+        n_files = max(1, table.count() // rows_per_file)
+        new = self._write_data(table.repartition(n_files))
+        v = self._commit(new, "compact@main")
+        self._move_ref("main", v)
+        return v
+
+    def append_stream_batch(self, batch: DataFrame, batch_id: int) -> int:
+        """Exactly-once stream sink on the 'main' ref. Replay detection is
+        the base class's tag scan + ledger; additionally, a crash BETWEEN
+        the manifest write and the ref move leaves a tagged manifest main
+        never adopted — the replay finishes the ref move instead of
+        re-appending (single-writer-per-ref, so head < v can only mean the
+        interrupted move)."""
+        tag = f"stream-append:{batch_id}"
+        if tag in self._consumed_stream_tags():
+            return self._refs()["main"]["head"]
+        for v in reversed(self.versions()):
+            if self._manifest(v)["operation"] == tag:
+                if self._refs()["main"]["head"] < v:
+                    self._move_ref("main", v)
+                return v
+        new = self._write_data(batch)
+        v = self._commit(self._head_files("main") + new, tag)
+        self._move_ref("main", v)
+        return v
+
+    def read(self, collection: str | None = None,
+             version: int | None = None) -> DataFrame:
+        """Default (no explicit version) reads the MAIN ref's head, not the
+        latest global manifest — the global latest may be a branch head,
+        and a ChunkStore-contract reader must never see unmerged branch
+        data. Explicit ``version=`` keeps raw time travel into the log."""
+        if version is None:
+            return self.read_ref("main", collection)
+        return super().read(collection, version=version)
 
     def read_ref(self, ref: str, collection: str | None = None) -> DataFrame:
         head = self._refs()[ref]["head"]
@@ -423,17 +503,39 @@ class BranchedSnapshotStore(SnapshotChunkStore):
         return {r["doc_name"]
                 for r in delta.select("doc_name").distinct().collect()}
 
+    def is_empty(self) -> bool:
+        return not self._head_files("main")
+
     def merge(self, branch: str, into: str = "main") -> tuple[str, int]:
         """Returns (outcome, version): outcome in {'fast_forward',
         'merge', 'conflict'}; version is the target head after the call
-        (unchanged on conflict)."""
+        (unchanged on conflict).
+
+        On success the BRANCH ref is re-based onto the merge result
+        (head = base = the new target head) — without this, a second
+        commit-then-merge on the same branch would diff its stale pre-merge
+        head against the advanced base and self-conflict on its own
+        already-merged docs (ADVICE r6). A branch that added nothing
+        (head == base) short-circuits: the target is already a superset,
+        so no merge commit is written."""
         refs = self._refs()
         base_v = refs[branch]["base"]
         br_head = refs[branch]["head"]
         tgt_head = refs[into]["head"]
+
+        def _rebase_branch(new_tgt_head: int) -> None:
+            refs2 = self._refs()
+            refs2[branch] = {"head": new_tgt_head, "base": new_tgt_head}
+            self._save_refs(refs2)
+
+        if br_head == base_v:
+            # no branch commits — nothing to merge; no-op fast-forward
+            _rebase_branch(tgt_head)
+            return "fast_forward", tgt_head
         if tgt_head == base_v:
             refs[into]["head"] = br_head
             self._save_refs(refs)
+            _rebase_branch(br_head)
             return "fast_forward", br_head
         br_touched = self._touched_keys(br_head, base_v)
         tgt_touched = self._touched_keys(tgt_head, base_v)
@@ -447,6 +549,7 @@ class BranchedSnapshotStore(SnapshotChunkStore):
                          f"merge:{branch}->{into}")
         refs[into]["head"] = v
         self._save_refs(refs)
+        _rebase_branch(v)
         return "merge", v
 
     # -- GC ---------------------------------------------------------------

@@ -233,14 +233,20 @@ def apply_cdc_log(base: DataFrame, changes: DataFrame, *,
     upsert-vs-delete resolves to the upsert, deterministically), and a
     residual tie (same key, seq AND op — a malformed but possible log)
     breaks on an xxhash64 of the payload so the survivor is a pure
-    function of the log contents, never of partitioning.
+    function of the log contents, never of partitioning. The hash runs
+    over ``to_json(struct(payload))``, not the raw columns: Spark rejects
+    hash functions on MapType columns at analysis time
+    (spark.sql.legacy.allowHashOnMapType defaults false — map iteration
+    order is undefined, so a direct hash would be non-deterministic
+    anyway), and the CHUNKS schema carries ``metadata map<string,string>``
+    — to_json canonicalizes the row to one string first (ADVICE r6).
     """
     from pyspark.sql import Window
 
     payload = [c for c in base.columns if c != key_col]
     w = Window.partitionBy(key_col).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc(),
-        F.xxhash64(*[F.col(p) for p in payload]).asc())
+        F.xxhash64(F.to_json(F.struct(*[F.col(p) for p in payload]))).asc())
     last = (changes.select(key_col, seq_col, op_col, *payload)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -230,3 +230,35 @@ def test_apply_cdc_log_semantics(spark):
     assert out[3] == (33.0, "cdc")
     assert out[4] == (40.0, "base")
     assert out[9] == (90.0, "cdc")
+
+
+def test_apply_cdc_log_map_payload_resolves(spark):
+    """ADVICE r6: the xxhash64 tie-break must survive MapType payload
+    columns — a CDC log over the store's own CHUNKS schema carries
+    metadata map<string,string>, and Spark rejects hash functions on maps
+    at analysis time; the to_json canonicalization dodges that. Also
+    pins that the residual tie (same key, seq AND op) still resolves
+    deterministically."""
+    from server2_vector_search_server_spark.sources.store import (
+        apply_cdc_log,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", {"m": "x"})],
+        "k int, content string, metadata map<string,string>")
+    log = spark.createDataFrame(
+        [(1, 1, "U", "b", {"m": "y"}),
+         (1, 1, "U", "c", {"m": "z"}),      # full tie: hash breaks it
+         (2, 1, "I", "d", {"m": "w"})],
+        "k int, seq int, op string, content string, "
+        "metadata map<string,string>")
+    out1 = {r["k"]: (r["content"], dict(r["metadata"]))
+            for r in apply_cdc_log(base, log, key_col="k",
+                                   seq_col="seq").collect()}
+    assert out1[2] == ("d", {"m": "w"})
+    assert out1[1][0] in {"b", "c"}
+    # determinism: repartitioning the log must not change the survivor
+    out2 = {r["k"]: (r["content"], dict(r["metadata"]))
+            for r in apply_cdc_log(base, log.repartition(7), key_col="k",
+                                   seq_col="seq").collect()}
+    assert out1 == out2
