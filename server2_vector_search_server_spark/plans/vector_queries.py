@@ -236,3 +236,55 @@ def search_overfetch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overfetch_rerank(emb, _query_vec(spark, sf_dir), k=_OF_K,
                             overfetch=_OF_OVERFETCH,
                             coarse_dim=_OF_COARSE_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Real-model golden fixture: the ONLY surface member that runs on vectors the
+# actual reference model produced (VERDICT r5/r6: the real-model numeric path
+# was untested — every other vector oracle uses the deterministic hash
+# embedder). tests/fixtures/e5_golden.parquet holds 58 chunks the reference
+# server itself embedded with intfloat/multilingual-e5-large-instruct
+# (extracted from its persisted ChromaDB WAL by scripts/extract_e5_golden.py;
+# byte-exactness vs the WAL re-verified in tests/test_e5_golden_parity.py).
+# Unlike the synthetic embeddings, these are truly L2-normalized, so the
+# /search_score contract produces a RICH result set (many cross-document
+# scores above threshold), exercising threshold + sort + k on real geometry.
+
+import os as _os
+
+_E5_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))), "tests", "fixtures",
+    "e5_golden.parquet")
+_E5_QV = f"(SELECT embedding FROM '{_E5_FIXTURE}' WHERE seq_id = 1)"
+
+
+@query(
+    "search_e5_golden_scores",
+    survey="C1,C2,B3,F1,F2,J1 (real-model vectors: reference /search_score "
+           "contract on E5 embeddings the reference itself produced)",
+    oracle=f"""
+    SELECT e.seq_id, e.doc_name, e.chunk_index,
+           {sql_score('e.embedding', _E5_QV)} AS score
+    FROM '{_E5_FIXTURE}' e
+    WHERE score >= {config.SIMILARITY_THRESHOLD}
+    ORDER BY score DESC, e.chunk_id ASC
+    LIMIT {config.DEFAULT_API_K}
+    """,
+)
+def search_e5_golden_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ``/search_score`` pipeline (app.py:414-432: score =
+    1 − d², threshold 0.1, sort desc, k=5) over REAL E5 vectors — the
+    committed golden fixture extracted from the reference's own persisted
+    store. The query vector is the fixture's first chunk (a Korean physics
+    exam page); on real normalized embeddings many semantically-near
+    chunks clear the threshold, so this checks ranking among genuine
+    neighbors, not just the self-match. ``sf_dir`` is unused: the fixture
+    IS the scale-invariant golden corpus."""
+    corpus = spark.read.parquet(_E5_FIXTURE)
+    qv = (corpus.filter(F.col("seq_id") == 1)
+          .select("embedding").first()[0])
+    return (knn_topk(corpus, qv, k=config.DEFAULT_API_K,
+                     threshold=config.SIMILARITY_THRESHOLD,
+                     id_col="chunk_id")
+            .select("seq_id", "doc_name", "chunk_index", "score"))
