@@ -1,244 +1,250 @@
-"""Independent algorithmic verification for the bounded-math queries.
+"""Independent third-formulation checks for the round-6 statistical queries.
 
-Oracle parity cannot catch a bug SHARED by the Spark implementation and
-its generated SQL twin (both sides encode the same recurrence — the CUSUM
-lesson in ROUND_NOTES). These tests verify the round-5-continuation
-algorithmic queries against a THIRD formulation: brute-force enumeration,
-sequential reference implementations, or closed forms — computed in plain
-Python from DuckDB-extracted inputs.
+The oracle gate proves Spark and DuckDB agree — but both run the SAME
+formulation, so a shared algebraic mistake passes it (this pattern caught
+the Markov-chain bug in round 5). Each test here recomputes the statistic
+from the raw parquet bytes in sequential pure Python (pandas read, dicts
+and loops, no SQL on either engine) and compares against the registered
+query's output.
+
+Float comparison rule: the queries ROUND(x, 6) as their last step; the
+pure-Python recompute keeps x unrounded and asserts
+|py − engine| ≤ 5.0e-7 + 1e-9 (the half-width of the rounding bucket),
+so the check never depends on matching the engines' half-up rounding,
+only on the value itself. Integers and booleans compare exactly.
 """
 
 from __future__ import annotations
 
 import math
-from fractions import Fraction
+import re
+from collections import Counter, defaultdict
 
+import numpy as np
+import pandas as pd
+import pytest
 
-
-from server2_vector_search_server_spark.plans import load_registry
 from tests.conftest import SF_SMOKE
 
-REGISTRY = load_registry()
+TOL = 5.0e-7 + 1e-9
 
 
-def test_viterbi_dp_is_globally_optimal(spark, duck):
-    """Enumerate EVERY segmentation of each word (pieces <= 4 chars) over
-    the same vocabulary scores and confirm the DP's score is the true
-    maximum and its reported segmentation is a valid witness."""
-    out = (REGISTRY["text_unigram_viterbi_tokenize"].fn(spark, SF_SMOKE)
-           .collect())
-    # independent vocabulary build: DuckDB, not Spark
-    rows = duck.execute("""
-      WITH toks AS (
-        SELECT t.term FROM documents,
-          UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
-                             x -> x <> '')) AS t(term)),
-      pieces AS (
-        SELECT substr(term, i.i, l.l) AS piece, COUNT(*) AS cnt
-        FROM toks, UNNEST(range(1, 5)) AS l(l),
-             UNNEST(range(1, length(term) + 1)) AS i(i)
-        WHERE i.i + l.l - 1 <= length(term)
-        GROUP BY 1),
-      chars AS (SELECT SUM(cnt) AS t FROM pieces WHERE length(piece) = 1),
-      multi AS (
-        SELECT piece, cnt FROM (
-          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece)
-                 AS rn
-          FROM pieces WHERE length(piece) >= 2) WHERE rn <= 20)
-      SELECT p.piece,
-             CAST(ROUND(ROUND(ln(CAST(p.cnt AS DOUBLE)
-                                 / CAST(chars.t AS DOUBLE)), 9) * 1000000)
-                  AS BIGINT) AS score
-      FROM (SELECT piece, cnt FROM pieces WHERE length(piece) = 1
-            UNION ALL SELECT * FROM multi) p, chars
-    """).fetchall()
-    scores = {p: s for p, s in rows}
-
-    def best_score(w: str) -> int:
-        # brute force over all compositions (max piece 4, len <= 12)
-        memo = {0: 0}
-        for i in range(1, len(w) + 1):
-            cands = [memo[j] + scores[w[j:i]]
-                     for j in range(max(0, i - 4), i)
-                     if j in memo and w[j:i] in scores]
-            if cands:
-                memo[i] = max(cands)
-        return memo[len(w)]
-
-    assert len(out) > 10
-    for r in out[:200]:
-        w, seg = r["word"], r["seg"].split("|")
-        assert "".join(seg) == w                       # valid witness
-        assert all(p in scores for p in seg)
-        witness = sum(scores[p] for p in seg)
-        assert witness == best_score(w), w             # global optimum
-        assert abs(r["score"] - witness / 1e6) < 1e-9
-        assert r["n_pieces"] == len(seg)
+def _events_pdf() -> pd.DataFrame:
+    """events.parquet via pyarrow→pandas; ts normalized to integer
+    MICROseconds since epoch (the resolution both engines compare at —
+    Spark's nanos path does ts DIV 1000, DuckDB CAST truncates)."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ts = pdf["ts"]
+    if ts.dtype == np.int64 or str(ts.dtype) == "int64":
+        micros = ts.to_numpy() // 1000               # nanos-as-long layout
+    else:
+        micros = ts.astype("datetime64[ns]").to_numpy().astype(np.int64) // 1000
+    out = pdf.copy()
+    out["ts_us"] = micros
+    return out
 
 
-def test_shapley_matches_permutation_enumeration(spark, duck):
-    """phi_i must equal the average marginal contribution over all 4!
-    channel orderings — the DEFINITION, computed in exact Fractions."""
-    from itertools import permutations
-
-    out = {r["channel"]: r for r in
-           REGISTRY["events_shapley_attribution"].fn(spark, SF_SMOKE)
-           .collect()}
-    rows = duck.execute("""
-      SELECT mask, SUM(conv) AS c FROM (
-        SELECT user_id, CAST(ts AS DATE) AS day,
-               bit_or(CASE event_type WHEN 'click' THEN 1
-                      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
-                      WHEN 'view' THEN 8 ELSE 0 END) AS mask,
-               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                 AS conv
-        FROM events GROUP BY user_id, CAST(ts AS DATE))
-      GROUP BY mask
-    """).fetchall()
-    n_j = duck.execute(
-        "SELECT COUNT(*) FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) "
-        "FROM events)").fetchone()[0]
-    conv_by_mask = dict(rows)
-    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
-
-    def v(s: int) -> int:
-        return sum(c for m, c in conv_by_mask.items() if (m & s) == m)
-
-    phi = {ch: Fraction(0) for ch in bits}
-    for perm in permutations(bits):
-        s = 0
-        for ch in perm:
-            phi[ch] += Fraction(v(s | bits[ch]) - v(s), 24)
-            s |= bits[ch]
-    for ch, b in bits.items():
-        expected = phi[ch] / n_j
-        assert abs(out[ch]["shapley_value"] - float(expected)) < 2e-6, ch
+def _close(a, b, tol=TOL):
+    return math.isfinite(a) and math.isfinite(b) and abs(a - b) <= tol
 
 
-def test_kaplan_meier_matches_sequential_product(spark, duck):
-    """S(t) recomputed by the plain sequential product over DuckDB-built
-    lifetimes must match the window/exp-sum implementation."""
-    out = REGISTRY["events_kaplan_meier_retention"].fn(spark, SF_SMOKE) \
-        .collect()
-    rows = duck.execute("""
-      WITH spans AS (
-        SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events
-        GROUP BY user_id),
-      b AS (SELECT MAX(ts) AS e FROM events)
-      SELECT datediff('day', CAST(f AS DATE), CAST(l AS DATE)) AS d,
-             CASE WHEN l < e - INTERVAL 7 DAY THEN 1 ELSE 0 END AS died
-      FROM spans, b
-    """).fetchall()
-    from collections import Counter
-    deaths, totals = Counter(), Counter()
-    for d, died in rows:
-        totals[d] += 1
-        deaths[d] += died
-    n_at_risk = sum(totals.values())
-    s = 1.0
-    expected = {}
-    for d in sorted(totals):
-        if deaths[d] > 0:
-            s *= 1.0 - deaths[d] / n_at_risk
-        expected[d] = s
-        n_at_risk -= totals[d]
-    for r in out:
-        assert abs(r["survival"] - expected[r["duration_days"]]) < 1e-5
+# ---------------------------------------------------------------------------
+# 1. seasonal decomposition
 
 
-def test_isotonic_matches_sequential_pav(spark, duck):
-    """The minimax closed form must equal the textbook sequential
-    pool-adjacent-violators sweep."""
-    out = REGISTRY["events_isotonic_calibration"].fn(spark, SF_SMOKE) \
-        .collect()
-    rows = duck.execute("""
-      SELECT GREATEST(-7, LEAST(8,
-               CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
-                    AS INTEGER))) AS bin,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g,
-             COUNT(*) AS n
-      FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1
-    """).fetchall()
-    blocks = [[b, Fraction(g), Fraction(n)] for b, g, n in rows]
-    # sequential PAV: merge adjacent blocks while decreasing
-    stack: list[list] = []
-    for b, g, n in blocks:
-        stack.append([g, n, [b]])
-        while (len(stack) >= 2
-               and stack[-2][0] / stack[-2][1]
-               >= stack[-1][0] / stack[-1][1]):
-            g2, n2, bs2 = stack.pop()
-            stack[-1][0] += g2
-            stack[-1][1] += n2
-            stack[-1][2].extend(bs2)
-    expected = {}
-    for g, n, bs in stack:
-        for b in bs:
-            expected[b] = float(g / n)
-    for r in out:
-        assert abs(r["iso_rate"] - expected[r["bin"]]) < 1e-5, r["bin"]
+def test_seasonal_decompose_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    got = {(r["event_type"], r["hod"]): (r["seasonal"], r["n_hours"])
+           for r in load_registry()["events_seasonal_decompose"]
+           .fn(spark, SF_SMOKE).collect()}
+
+    ev = _events_pdf()
+    origin_h = int(pd.Timestamp("2024-01-01 00:00:00").value
+                   // 10**9 // 3600)
+    N, HALF = 720, 12
+    counts: dict[tuple[str, int], int] = Counter()
+    for et, us in zip(ev["event_type"], ev["ts_us"]):
+        t = us // 10**6 // 3600 - origin_h
+        counts[(et, int(t))] += 1
+    want: dict[tuple[str, int], tuple[float, int]] = {}
+    for et in sorted(ev["event_type"].unique()):
+        series = [counts.get((et, t), 0) for t in range(N)]
+        per_hod_sum: dict[int, int] = defaultdict(int)
+        per_hod_n: dict[int, int] = defaultdict(int)
+        for t in range(HALF, N - HALF):              # full windows only
+            s25 = sum(series[t - HALF:t + HALF + 1])
+            dm = (25 * series[t] - s25) * 40000      # exact integer micro
+            per_hod_sum[t % 24] += dm
+            per_hod_n[t % 24] += 1
+        for hod in per_hod_sum:
+            want[(et, hod)] = (per_hod_sum[hod] / (1e6 * per_hod_n[hod]),
+                               per_hod_n[hod])
+    assert set(got) == set(want)
+    for key, (sea, nh) in want.items():
+        assert got[key][1] == nh, key
+        assert _close(got[key][0], sea), (key, got[key][0], sea)
+    # sanity: seasonal indices of one type sum to ~0 (additive decompose)
+    for et in {k[0] for k in want}:
+        tot = sum(v[0] * v[1] for k, v in want.items() if k[0] == et)
+        n = sum(v[1] for k, v in want.items() if k[0] == et)
+        assert abs(tot / n) < 1.0      # bounded drift, not structural bias
 
 
-def test_markov_iteration_near_closed_form(spark, duck):
-    """The truncated 16-round absorbing-chain iteration must approximate
-    the exact (I - Q)^-1 R solve; removal effects keep their sign/order."""
-    import numpy as np
-
-    out = {r["channel"]: r for r in
-           REGISTRY["events_markov_attribution"].fn(spark, SF_SMOKE)
-           .collect()}
-    rows = duck.execute("""
-      WITH seq AS (
-        SELECT user_id, event_type,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events),
-      fp AS (SELECT user_id, MIN(rn) AS prn FROM seq
-             WHERE event_type = 'purchase' GROUP BY user_id),
-      j AS (SELECT s.user_id,
-                   CASE WHEN s.event_type = 'purchase' THEN 'conv'
-                        ELSE s.event_type END AS st, s.rn
-            FROM seq s LEFT JOIN fp ON s.user_id = fp.user_id
-            WHERE fp.prn IS NULL OR s.rn <= fp.prn),
-      t AS (SELECT COALESCE(lag(st) OVER (PARTITION BY user_id
-                                          ORDER BY rn), 'start') AS src,
-                   st AS dst FROM j),
-      term AS (
-        SELECT st AS src, 'null' AS dst FROM (
-          SELECT st, rn, MAX(rn) OVER (PARTITION BY user_id) AS mx,
-                 MAX(CASE WHEN st = 'conv' THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id) AS hc FROM j)
-        WHERE rn = mx AND hc = 0)
-      SELECT src, dst, COUNT(*) FROM
-        (SELECT * FROM t UNION ALL SELECT * FROM term)
-      GROUP BY src, dst
-    """).fetchall()
-    totals: dict[str, int] = {}
-    for s, d, c in rows:
-        totals[s] = totals.get(s, 0) + c
-    prob = {(s, d): c / totals[s] for s, d, c in rows}
-    states = ["start", "click", "error", "signup", "view"]
-
-    def solve(removed=None):
-        live = [s for s in states if s != removed]
-        idx = {s: i for i, s in enumerate(live)}
-        q = np.zeros((len(live), len(live)))
-        r = np.zeros(len(live))
-        for s in live:
-            r[idx[s]] = prob.get((s, "conv"), 0.0)
-            for c in live[1:]:           # channels only (never 'start')
-                if c != removed and (s, c) in prob:
-                    q[idx[s], idx[c]] = prob[(s, c)]
-        p = np.linalg.solve(np.eye(len(live)) - q, r)
-        return p[idx["start"]]
-
-    pf = solve()
-    for ch in ("click", "error", "signup", "view"):
-        exact_effect = pf - solve(ch)
-        got = out[ch]["removal_effect"]
-        # 16 truncated rounds under-estimate slightly; the tail is
-        # bounded by the chain's spectral radius — 1e-3 is generous
-        assert abs(got - exact_effect) < 1e-3, ch
+# ---------------------------------------------------------------------------
+# 2. Poisson two-period rate z-test
 
 
-# the shared `duck` fixture (tests/conftest.py) provides all table views
+def test_poisson_ztest_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    got = {r["event_type"]: r for r in
+           load_registry()["events_poisson_rate_ztest"]
+           .fn(spark, SF_SMOKE).collect()}
+
+    ev = _events_pdf()
+    split_us = int(pd.Timestamp("2024-01-16 00:00:00").value // 1000)
+    a = Counter()
+    b = Counter()
+    for et, us in zip(ev["event_type"], ev["ts_us"]):
+        (a if us < split_us else b)[et] += 1
+    assert set(got) == set(a) | set(b)
+    for et in got:
+        ca, cb = a[et], b[et]
+        assert got[et]["n_before"] == ca
+        assert got[et]["n_after"] == cb
+        assert _close(got[et]["rate_before"], ca / 360.0)
+        assert _close(got[et]["rate_after"], cb / 360.0)
+        z = (ca - cb) / math.sqrt(ca + cb)
+        assert _close(got[et]["z"], z)
+        assert got[et]["significant_95"] == (abs(z) > 1.96)
+
+
+# ---------------------------------------------------------------------------
+# 3. difference-in-differences
+
+
+def test_diff_in_diff_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = (load_registry()["events_diff_in_diff"]
+           .fn(spark, SF_SMOKE).collect()[0])
+
+    ev = _events_pdf()
+    ev = ev[ev["event_type"] == "purchase"]
+    split_us = int(pd.Timestamp("2024-01-16 00:00:00").value // 1000)
+    s = defaultdict(int)
+    n = defaultdict(int)
+    for uid, us, val in zip(ev["user_id"], ev["ts_us"], ev["value"]):
+        cell = (int(uid) % 2 == 0, us >= split_us)
+        # half-away-from-zero to micro units, mirroring F.round(x*1e6)
+        x = float(val) * 1e6
+        s[cell] += int(math.floor(x + 0.5)) if x >= 0 \
+            else -int(math.floor(-x + 0.5))
+        n[cell] += 1
+    mean = {c: s[c] / (1e6 * n[c]) for c in s}
+    did = ((mean[(True, True)] - mean[(True, False)])
+           - (mean[(False, True)] - mean[(False, False)]))
+    assert row["n_purchases"] == sum(n.values())
+    assert _close(row["treated_post"], mean[(True, True)])
+    assert _close(row["treated_pre"], mean[(True, False)])
+    assert _close(row["control_post"], mean[(False, True)])
+    assert _close(row["control_pre"], mean[(False, False)])
+    # did is a difference of four already-rounded means in the engine
+    # output path vs unrounded here: widen by the four rounding buckets
+    assert _close(row["did"], did, tol=4 * TOL)
+
+
+# ---------------------------------------------------------------------------
+# 4. Heaps'-law fit
+
+
+def test_heaps_fit_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = (load_registry()["text_heaps_law_fit"]
+           .fn(spark, SF_SMOKE).collect()[0])
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_toks: dict[int, int] = {}
+    first_doc: dict[str, int] = {}
+    for doc_id, text in sorted(zip(docs["doc_id"], docs["text"])):
+        toks = [t for t in re.split(r"\s+", str(text).strip().lower()) if t]
+        n_toks[int(doc_id)] = len(toks)
+        for t in toks:
+            if t not in first_doc or first_doc[t] > int(doc_id):
+                first_doc[t] = int(doc_id)
+    pts = []
+    for thr in range(50, 501, 50):
+        ntok = sum(v for d, v in n_toks.items() if d < thr)
+        vocab = sum(1 for d in first_doc.values() if d < thr)
+        pts.append((ntok, vocab))
+
+    def r9(x):       # the engines' pre-round of ln to 9 decimals
+        return math.floor(x * 1e9 + 0.5) / 1e9 if x >= 0 \
+            else -math.floor(-x * 1e9 + 0.5) / 1e9
+
+    xs = [int(round(r9(math.log(p[0])) * 1e6)) for p in pts]
+    ys = [int(round(r9(math.log(p[1])) * 1e6)) for p in pts]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    beta = num / den
+    r2 = 0.0 if deny == 0 else (num * num) / (den * deny)
+    assert row["n_points"] == n
+    assert _close(row["beta"], beta)
+    assert _close(row["r2"], r2)
+    # the documented saturation diagnostic on this synthetic corpus:
+    # vocabulary fully saturates by the first checkpoint => beta == 0
+    assert ys.count(ys[0]) == n and row["beta"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# 5. transition entropy rate
+
+
+def test_transition_entropy_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    got = {r["from_type"]: r for r in
+           load_registry()["events_transition_entropy_rate"]
+           .fn(spark, SF_SMOKE).collect()}
+
+    ev = _events_pdf()
+    per_user: dict[int, list] = defaultdict(list)
+    for uid, us, eid, et in zip(ev["user_id"], ev["ts_us"],
+                                ev["event_id"], ev["event_type"]):
+        per_user[int(uid)].append((us, eid, et))
+    trans = Counter()
+    for seq in per_user.values():
+        seq.sort(key=lambda x: (x[0], x[1]))
+        for (_, _, prev), (_, _, cur) in zip(seq, seq[1:]):
+            trans[(prev, cur)] += 1
+    rows = Counter()
+    for (prev, _), c in trans.items():
+        rows[prev] += c
+    tot = sum(trans.values())
+    assert set(got) == set(rows)
+    for prev in rows:
+        r = rows[prev]
+        tm_sum = 0
+        for (p0, _), c in trans.items():
+            if p0 != prev:
+                continue
+            p = c / r
+            tm = -p * math.log(p) * 1e9
+            tm_sum += int(math.floor(tm + 0.5)) if tm >= 0 \
+                else -int(math.floor(-tm + 0.5))
+        h = tm_sum / 1e9
+        assert got[prev]["n_transitions"] == r
+        assert _close(got[prev]["row_entropy_nats"], h)
+        assert _close(got[prev]["rate_contribution"], (r / tot) * h)
+        # entropy bounds: 0 <= H <= ln(|next-state alphabet|)
+        k = sum(1 for (p0, _) in trans if p0 == prev)
+        assert -1e-9 <= h <= math.log(max(k, 1)) + 1e-9
