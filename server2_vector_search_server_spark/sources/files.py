@@ -117,33 +117,53 @@ def parse_text_members(members: DataFrame,
 
 def parse_pdf_members(members: DataFrame,
                       name_col: str = "member_name",
-                      content_col: str = "content") -> DataFrame:
+                      content_col: str = "content",
+                      layout: str | None = None,
+                      n_columns: int = 2) -> DataFrame:
     """A1: PDF→text (the reference's headline format, DoclingLoader at
     ``document_processor.py:101,120-121``). Backend selection per Python
     worker: ``pypdf`` when importable, else the bundled pure-Python
     extractor (``sources/pdf_fallback.py`` — stdlib-only: Flate inflate +
     text-show operator scan), so the path executes end-to-end on real PDF
     bytes in this container. The Spark shape is the same either way:
-    Arrow-batched ``mapInPandas``, one text row per input PDF."""
+    Arrow-batched ``mapInPandas``, one text row per input PDF.
+
+    ``layout`` selects positioned reading-order extraction instead of
+    content-stream order: ``"rows"`` (top-to-bottom lines, table cells
+    left-to-right — the row-major order Docling emits for tables) or
+    ``"columns"`` (``n_columns`` vertical bands read left band first —
+    multi-column reading order). Layout modes always use the bundled
+    positioned extractor, never pypdf, so the output is backend-pinned
+    and oracle-hashable (see ``pdf_fallback.extract_text_layout`` for why
+    the column count is explicit)."""
     import pandas as pd
 
     pdfs = members.filter(file_extension(F.col(name_col)) == ".pdf")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import pypdf  # type: ignore
-
-            def extract(blob: bytes) -> tuple[str, int]:
-                reader = pypdf.PdfReader(io.BytesIO(blob))
-                return ("\n".join(p.extract_text() or ""
-                                  for p in reader.pages),
-                        len(reader.pages))
-        except ImportError:
+        if layout is not None:
             from server2_vector_search_server_spark.sources.pdf_fallback \
-                import count_pages, extract_text
+                import count_pages, extract_text_layout
 
             def extract(blob: bytes) -> tuple[str, int]:
-                return extract_text(blob), count_pages(blob)
+                return (extract_text_layout(blob, mode=layout,
+                                            n_columns=n_columns),
+                        count_pages(blob))
+        else:
+            try:
+                import pypdf  # type: ignore
+
+                def extract(blob: bytes) -> tuple[str, int]:
+                    reader = pypdf.PdfReader(io.BytesIO(blob))
+                    return ("\n".join(p.extract_text() or ""
+                                      for p in reader.pages),
+                            len(reader.pages))
+            except ImportError:
+                from server2_vector_search_server_spark.sources \
+                    .pdf_fallback import count_pages, extract_text
+
+                def extract(blob: bytes) -> tuple[str, int]:
+                    return extract_text(blob), count_pages(blob)
         for pdf in batches:
             out = pdf.drop(columns=[content_col]).copy()
             parsed = [extract(blob) for blob in pdf[content_col]]

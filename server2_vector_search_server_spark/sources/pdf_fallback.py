@@ -256,6 +256,142 @@ def extract_text(blob: bytes) -> str:
     return "\n".join(lines)
 
 
+# --------------------------------------------------------------------------
+# positioned extraction — reading order for tables and multi-column pages
+
+_NUM = rb"-?[0-9]+(?:\.[0-9]*)?"
+_POS_TOKEN_RE = re.compile(
+    rb"/(?P<tf>[^\s/<>()\[\]]+)\s+[0-9.]+\s+Tf"
+    rb"|(?:" + _NUM + rb"\s+){4}(?P<tme>" + _NUM + rb")\s+(?P<tmf>"
+    + _NUM + rb")\s+Tm"
+    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM
+    + rb")\s+(?P<tdop>Td|TD)\b"
+    rb"|(?P<tl>" + _NUM + rb")\s+TL\b"
+    rb"|(?P<tstar>\bT\*)"
+    rb"|\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"
+    rb"|<(?P<hexs>[0-9A-Fa-f \r\n\t]*)>\s*(?:Tj|'|\")"
+    rb"|\[(?P<arr>(?:\((?:\\.|[^\\()])*\)"
+    rb"|<[0-9A-Fa-f \r\n\t]*>|[^\]])*)\]\s*TJ"
+    rb"|(?P<bt>\bBT\b)",
+    re.DOTALL)
+
+
+def _positioned_runs(content: bytes,
+                     cmaps: dict[bytes, tuple[dict[int, str], int]]
+                     | None = None) -> list[tuple[float, float, str]]:
+    """One ``(x, y, text)`` run per show operator, tracking the text-line
+    origin through the positioning operators a generated-or-simple PDF
+    uses: ``Tm`` (translation part only — rotation/shear ignored, like
+    every metrics-free extractor), ``Td``/``TD`` (line moves), ``TL`` +
+    ``T*`` (leading), with ``BT`` resetting the matrix."""
+    cmaps = cmaps or {}
+    cur: tuple[dict[int, str], int] | None = None
+    lx = ly = 0.0
+    leading = 0.0
+    runs: list[tuple[float, float, str]] = []
+
+    def shown(lit: bytes | None, hexs: bytes | None) -> str:
+        if lit is not None:
+            return _unescape(lit).decode("utf-8", "replace")
+        return _decode_hex_shown(_unhex(hexs), cur)
+
+    for m in _POS_TOKEN_RE.finditer(content):
+        if m.group("tf") is not None:
+            cur = cmaps.get(m.group("tf"))
+        elif m.group("bt") is not None:
+            lx = ly = 0.0
+        elif m.group("tme") is not None:
+            lx, ly = float(m.group("tme")), float(m.group("tmf"))
+        elif m.group("tdop") is not None:
+            tx, ty = float(m.group("tdx")), float(m.group("tdy"))
+            if m.group("tdop") == b"TD":
+                leading = -ty
+            lx, ly = lx + tx, ly + ty
+        elif m.group("tl") is not None:
+            leading = float(m.group("tl"))
+        elif m.group("tstar") is not None:
+            ly -= leading
+        elif m.group("arr") is not None:
+            text = "".join(shown(sm.group("lit"), sm.group("hexs"))
+                           for sm in _ARR_STR_RE.finditer(m.group("arr")))
+            if text:
+                runs.append((lx, ly, text))
+        else:
+            text = shown(m.group("lit"), m.group("hexs"))
+            if text:
+                runs.append((lx, ly, text))
+    return runs
+
+
+def _lines_from_runs(runs: list[tuple[float, float, str]],
+                     line_tol: float) -> list[str]:
+    """Cluster runs into lines by y (descending page order), cells joined
+    left-to-right with single spaces — the row-major reading a table
+    wants and pdfminer/pypdf's metrics-free default approximates."""
+    lines: list[str] = []
+    cluster: list[tuple[float, float, str]] = []
+    last_y: float | None = None
+    for run in sorted(runs, key=lambda r: (-r[1], r[0])):
+        if last_y is not None and abs(run[1] - last_y) > line_tol:
+            lines.append(" ".join(t for _, _, t in
+                                  sorted(cluster, key=lambda r: r[0])))
+            cluster = []
+        cluster.append(run)
+        last_y = run[1]
+    if cluster:
+        lines.append(" ".join(t for _, _, t in
+                              sorted(cluster, key=lambda r: r[0])))
+    return lines
+
+
+def extract_text_layout(blob: bytes, *, mode: str = "rows",
+                        n_columns: int = 2,
+                        line_tol: float = 2.0) -> str:
+    """Reading-order text extraction from run positions.
+
+    ``mode="rows"`` — sort runs top-to-bottom, left-to-right within a
+    line (y clustered to ``line_tol``), cells joined by single spaces:
+    correct for single-column pages AND tables (row-major cell order).
+
+    ``mode="columns"`` — split each page's runs into ``n_columns``
+    vertical bands at the ``n_columns − 1`` largest gaps between distinct
+    run x-origins, emit each band's rows-order text left band first: the
+    reading order of multi-column documents.
+
+    The column count is EXPLICIT, not auto-detected: without font metrics
+    (glyph widths) a k-column table and k-column text produce identical
+    x-origin histograms — evenly spaced clusters — so no metrics-free
+    heuristic can tell them apart; pypdf has the same limitation and
+    Docling resolves it with a layout model. Explicit modes keep the
+    fallback deterministic and the manifest oracle pinnable.
+    """
+    cmaps = _font_cmaps(blob)
+    pages: list[str] = []
+    for content in _content_streams(blob):
+        runs = _positioned_runs(content, cmaps)
+        if not runs:
+            continue
+        if mode == "rows" or n_columns <= 1:
+            pages.append("\n".join(_lines_from_runs(runs, line_tol)))
+            continue
+        if mode != "columns":
+            raise ValueError(f"unknown layout mode {mode!r}")
+        xs = sorted({x for x, _, _ in runs})
+        gaps = sorted(range(len(xs) - 1),
+                      key=lambda i: (-(xs[i + 1] - xs[i]), i))
+        cuts = sorted((xs[i] + xs[i + 1]) / 2.0
+                      for i in gaps[:max(n_columns - 1, 0)])
+        bands: list[list[tuple[float, float, str]]] = \
+            [[] for _ in range(len(cuts) + 1)]
+        for run in runs:
+            b = sum(1 for c in cuts if run[0] > c)
+            bands[b].append(run)
+        pages.append("\n".join(
+            line for band in bands if band
+            for line in _lines_from_runs(band, line_tol)))
+    return "\n".join(pages)
+
+
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _PAGES_COUNT_RE = re.compile(rb"/Type\s*/Pages[^>]*?/Count\s+(\d+)")
 _CATALOG_PAGES_RE = re.compile(
@@ -315,6 +451,51 @@ def _build_tounicode_cmap(charmap: dict[int, str]) -> bytes:
             + (b"%d beginbfchar\n" % len(charmap)) + pairs
             + b"\nendbfchar\nendcmap\n"
             b"CMapName currentdict /CMap defineresource pop\nend\nend")
+
+
+def build_positioned_pdf(runs: list[tuple[float, float, str]], *,
+                         compress: bool = False,
+                         use_tm: bool = False) -> bytes:
+    """One-page PDF placing each ``(x, y, text)`` run at its coordinates,
+    IN THE GIVEN (possibly shuffled) stream order — the fixture for
+    reading-order extraction: multi-column pages and tables emit runs in
+    an order that differs from reading order, which is exactly what
+    ``extract_text_layout`` has to undo. ``use_tm=True`` positions with
+    the full text matrix (``1 0 0 1 x y Tm``) instead of ``Td``,
+    exercising the other positioning operator."""
+    parts = []
+    for x, y, text in runs:
+        pos = (f"1 0 0 1 {x:g} {y:g} Tm" if use_tm
+               else f"{x:g} {y:g} Td").encode()
+        parts.append(b"BT /F1 12 Tf " + pos + b" ("
+                     + _escape_literal(text) + b") Tj ET")
+    content = b"\n".join(parts)
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + filt
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
 
 
 def build_minimal_pdf(lines: list[str], *, compress: bool = False,
