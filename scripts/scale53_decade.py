@@ -288,7 +288,7 @@ def main() -> None:
         wr = b["wall_s"] / max(a["wall_s"], 1e-9)
         sw_a, sw_b = a["shuffle_write_mb"], b["shuffle_write_mb"]
         sr = (sw_b / sw_a) if sw_a > 0.05 else float("nan")
-        flag = ("SUPER-LINEAR" if sw_a > 10 and sr > 13 else
+        flag = ("SUPER-LINEAR" if sw_a > 5 and sr > 13 else
                 "linear-ok" if sr == sr and sr <= 13 else "tiny-shuffle")
         print(f"| {name} | {a['wall_s']} | {b['wall_s']} | {wr:.2f}x "
               f"| {sw_a} | {sw_b} | "

@@ -87,6 +87,31 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
+def link_table_files(sf_dir: str, name: str, dest_dir: str) -> None:
+    """Symlink a table's parquet bytes into ``dest_dir`` (a streaming
+    source dir), zero-copy.
+
+    The driver fixture ships each table as one BARE ``{name}.parquet``
+    file, but every real Spark/Hive table is a DIRECTORY of part files —
+    and Spark's file-stream source does not descend into subdirectories,
+    so symlinking a directory under the source path makes a stream read
+    ZERO rows silently (caught live by the SCALE §53 10× corpus: the
+    stream-stream join pillar 'completed' in 1.5 s against an empty
+    stream). Handle both layouts: a file links as itself; a directory
+    links each ``*.parquet`` part flat into the source dir."""
+    import os
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {src}")
+        for f in parts:
+            os.symlink(os.path.join(src, f), os.path.join(dest_dir, f))
+    else:
+        os.symlink(src, os.path.join(dest_dir, f"{name}.parquet"))
+
+
 # --- shared oracle SQL fragments -------------------------------------------
 
 def sql_sq_l2(a: str, b: str) -> str:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.plans.registry import (
+    link_table_files,
     exact_sum,
     query,
     scratch_dir,
@@ -732,8 +733,7 @@ def streaming_ohlc_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = scratch_dir("ohlc_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     state = scratch_dir("ohlc_state_") + "/candles"
 
     ordk = (F.unix_timestamp("ts").cast("long") * 100000000

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.plans.registry import (
+    link_table_files,
     scratch_dir,
     query, tbl,
 )
@@ -216,8 +217,7 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
     # dynamic overwrite goes on the write options (ADVICE r3: a session-
     # level set with no restore leaks into every later overwrite)
     src = scratch_dir("hll_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     state = scratch_dir("hll_state_") + "/sketches"
 
     def process(batch, batch_id: int) -> None:
@@ -416,8 +416,7 @@ def streaming_countmin_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = scratch_dir("cms_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     state = scratch_dir("cms_state_") + "/cells"
 
     def process(batch, batch_id: int) -> None:
@@ -602,8 +601,7 @@ def streaming_lossy_counting_upkeep(spark: SparkSession,
     )
 
     src = scratch_dir("lc_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     state = scratch_dir("lc_state_") + "/cells"
 
     def process(batch, batch_id: int) -> None:

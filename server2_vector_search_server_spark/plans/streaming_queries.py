@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.session import read_events_stream
 from server2_vector_search_server_spark.plans.registry import (
+    link_table_files,
     scratch_dir,
     REGISTRY, query, sql_exact_sum, tbl,
 )
@@ -115,8 +116,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch twin, proving the incremental merging-session plan equals the
     batch result."""
     src = scratch_dir("events_sess_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     events = read_events_stream(spark, src)
     sink = f"sess_windows_{uuid.uuid4().hex[:8]}"
     q = (
@@ -211,8 +211,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file stream sources read directories; the fixture is a single file —
     # symlink it into a scratch dir (no copy, testdata stays read-only)
     src = scratch_dir("events_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     events = read_events_stream(spark, src)
     sink = f"win_counts_{uuid.uuid4().hex[:8]}"
     q = (
@@ -471,8 +470,7 @@ def streaming_stream_stream_join(spark: SparkSession,
     sink holds raw pairs and the per-user attribution rollup is aggregated
     after draining, hash-matched against the batch oracle."""
     src = scratch_dir("ss_join_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     clicks = (read_events_stream(spark, src)
               .filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
@@ -746,8 +744,7 @@ def streaming_stream_stream_left_outer_join(spark: SparkSession,
     predicate (strict <) is part of the checked contract. Clicks younger
     than watermark−30 min stay in state and are correctly ABSENT."""
     src = scratch_dir("ss_louter_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(src, "events.parquet"))
+    link_table_files(sf_dir, "events", src)
     clicks = (read_events_stream(spark, src)
               .filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
