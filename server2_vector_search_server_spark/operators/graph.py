@@ -199,7 +199,16 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
         e0 = (edges.select(src, dst).repartition(F.col(src))
               .localCheckpoint(eager=True))
     else:
-        e0 = edges.select(src, dst).localCheckpoint(eager=True)
+        # broadcast branch: ranks always arrive by broadcast, so the
+        # rounds never need src co-location — pin hash(dst) instead and
+        # every round's groupBy(node = dst) partial aggregate becomes
+        # EXCHANGE-FREE (the checkpoint's partitioning satisfies the agg
+        # distribution through the alias). One edge shuffle up front buys
+        # zero per-round shuffle; without it the per-round map output is
+        # min(edges, nodes × map-tasks) — measured 231 MB over 3 rounds
+        # at the §53 10× corpus, vs the one-off ~94 MB repartition.
+        e0 = (edges.select(src, dst).repartition(F.col(dst))
+              .localCheckpoint(eager=True))
     out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (e0.select(F.col(src).alias("node"))
              .union(e0.select(F.col(dst).alias("node")))
