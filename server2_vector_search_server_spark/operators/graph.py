@@ -148,6 +148,26 @@ def component_summary(components: DataFrame) -> DataFrame:
             .orderBy("component"))
 
 
+def _pinned(df: DataFrame, key) -> DataFrame:
+    """Hash-partition ``df`` by ``key`` and PERSIST it, eagerly.
+
+    persist, NOT localCheckpoint: a checkpointed frame scans back as
+    ``ExistingRDD``, which reports UNKNOWN outputPartitioning — every
+    downstream join/aggregate keyed on ``key`` silently re-exchanges,
+    defeating the pin entirely (caught by the §53/§54 plan audits: the
+    'pinned once' big-graph branches were re-shuffling the edge list
+    EVERY round). ``InMemoryTableScan`` preserves the partitioning
+    (alias-aware), so EnsureRequirements elides those exchanges. The
+    eager count materializes the cache so the upstream plan runs exactly
+    once; the entry lives until ``spark.catalog.clearCache()`` (bench
+    and the sweep call it per query) or session end — on a real cluster
+    swap in a reliable checkpoint WITH an explicit re-repartition if
+    executor churn is a concern."""
+    out = df.repartition(key).persist()
+    out.count()
+    return out
+
+
 def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst", scale: int = 12,
              broadcast_ranks: bool | None = None,
@@ -175,40 +195,37 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
     table is a scale-killer at 100× nodes):
 
     - small graphs (n ≤ ``broadcast_node_limit``): broadcast outdeg, ranks
-      and contribs — the edge list NEVER shuffles, rounds cost one scan of
-      the persisted degree-annotated edges each.
-    - big graphs: hash-partition the edge list by ``src`` ONCE (persisted —
-      the in-memory scan reports hash(src) outputPartitioning, so every
-      round's edges⋈ranks reuses it and only the node-sized ranks side
-      exchanges); outdeg joins co-partitioned on the same key; contribs
-      and the node join are plain shuffle joins. Per round: two node-sized
-      exchanges, zero edge-sized ones.
+      and contribs; the cached edge list is pinned hash(``dst``), so every
+      round's contribution aggregate is EXCHANGE-FREE — rounds shuffle
+      nothing at all (plan-audited).
+    - big graphs: hash-partition the edge list by ``src`` ONCE (pinned
+      cache — the in-memory scan reports hash(src) outputPartitioning, so
+      every round's edges⋈ranks reuses it and only the node-sized ranks
+      side exchanges); outdeg joins co-partitioned on the same key;
+      contribs and the node join are plain shuffle joins. Per round: two
+      node-sized exchanges, zero edge-sized ones.
     """
-    # ONE edge-sized materialization (eager localCheckpoint — blocks free
-    # on GC, unlike an unreleased persist(), r3 ADVICE class): everything
-    # downstream (outdeg, nodes, every round's join) derives from e0, so
-    # the caller's edge plan — often a join+distinct itself — is computed
-    # exactly once. The previous shape materialized nodes and the
-    # degree-annotated edges from the RAW plan separately, building the
-    # upstream join twice. On the big-graph branch the checkpoint also
-    # pins hash(src) partitioning for every round's join. (Cluster
-    # caveat: localCheckpoint blocks are executor-local and die with the
-    # executor — under churn/dynamic allocation use a reliable
-    # checkpoint dir instead; same barrier semantics.)
+    # ONE edge-sized materialization via _pinned (repartition + eager
+    # persist): everything downstream (outdeg, nodes, every round's join)
+    # derives from e0, so the caller's edge plan — often a join+distinct
+    # itself — is computed exactly once, AND the cached scan reports its
+    # hash partitioning so the per-round exchange on that key is elided.
+    # localCheckpoint would cut lineage too but scans back as ExistingRDD
+    # with UNKNOWN partitioning — the round-7 plan audit caught this
+    # branch silently re-exchanging edges every round (see _pinned).
     if broadcast_ranks is False:
-        e0 = (edges.select(src, dst).repartition(F.col(src))
-              .localCheckpoint(eager=True))
+        e0 = _pinned(edges.select(src, dst), F.col(src))
     else:
         # broadcast branch: ranks always arrive by broadcast, so the
         # rounds never need src co-location — pin hash(dst) instead and
         # every round's groupBy(node = dst) partial aggregate becomes
-        # EXCHANGE-FREE (the checkpoint's partitioning satisfies the agg
-        # distribution through the alias). One edge shuffle up front buys
-        # zero per-round shuffle; without it the per-round map output is
-        # min(edges, nodes × map-tasks) — measured 231 MB over 3 rounds
-        # at the §53 10× corpus, vs the one-off ~94 MB repartition.
-        e0 = (edges.select(src, dst).repartition(F.col(dst))
-              .localCheckpoint(eager=True))
+        # EXCHANGE-FREE (the cached scan's partitioning satisfies the
+        # agg distribution through the alias; plan-audited). One edge
+        # shuffle up front buys zero per-round shuffle; without it the
+        # per-round map output is min(edges, nodes × map-tasks) —
+        # measured 231 MB over 3 rounds at the §53 10× corpus, vs the
+        # one-off ~94 MB repartition.
+        e0 = _pinned(edges.select(src, dst), F.col(dst))
     out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (e0.select(F.col(src).alias("node"))
              .union(e0.select(F.col(dst).alias("node")))
@@ -639,7 +656,7 @@ def hits(edges: DataFrame, *, iterations: int = 2,
 
     - small graphs (n ≤ ``broadcast_node_limit``): broadcast the score
       tables; the edge list never shuffles.
-    - big graphs: TWO pre-partitioned edge checkpoints — by ``dst`` for
+    - big graphs: TWO pre-partitioned pinned edge caches — by ``dst`` for
       the hub step and by ``src`` for the authority step (the join key
       alternates, so one partitioning can't serve both) — then every
       round exchanges only the node-sized score tables (shuffle_hash
@@ -666,8 +683,10 @@ def hits(edges: DataFrame, *, iterations: int = 2,
         e_dst = e_src = e0
         _side = lambda df: F.broadcast(df)          # noqa: E731
     else:
-        e_dst = e0.repartition(F.col(dst)).localCheckpoint(eager=True)
-        e_src = e0.repartition(F.col(src)).localCheckpoint(eager=True)
+        # _pinned (persist), not localCheckpoint: ExistingRDD loses the
+        # partitioning and every round would re-exchange edges (round 7)
+        e_dst = _pinned(e0, F.col(dst))
+        e_src = _pinned(e0, F.col(src))
         _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
     a = (e0.select(F.col(dst).alias("node")).distinct()
          .withColumn("score", F.lit(1.0)))
@@ -731,7 +750,9 @@ def label_propagation(edges: DataFrame, *, iterations: int = 3,
         bi = bi.localCheckpoint(eager=True)
         _side = lambda df: F.broadcast(df)          # noqa: E731
     else:
-        bi = bi.repartition(F.col("b")).localCheckpoint(eager=True)
+        # _pinned (persist), not localCheckpoint: ExistingRDD loses the
+        # partitioning and every round would re-exchange edges (round 7)
+        bi = _pinned(bi, F.col("b"))
         _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
     labels = (bi.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))

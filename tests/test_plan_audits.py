@@ -424,6 +424,19 @@ def test_pagerank_broadcast_branch_keeps_edges_unshuffled(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pagerank_broadcast_branch_rounds_are_exchange_free(spark):
+    """Round-7 §54 optimization pin: the edge checkpoint is hash(dst)-
+    partitioned, so every round's groupBy(node = dst) partial aggregate
+    must satisfy its distribution from the scan — NO Exchange may key on
+    the graph node column anywhere in the plan (the only exchanges left
+    belong to the edge BUILD: lineitem⋈orders distinct and the one-off
+    repartition, keyed on relational or src/dst pre-alias columns)."""
+    plan = _plan(spark, "graph_pagerank")
+    node_exchanges = [ln for ln in plan.splitlines()
+                      if "Exchange hashpartitioning(node#" in ln]
+    assert node_exchanges == [], node_exchanges
+
+
 def test_simhash_pairs_equi_join_not_cross(spark):
     # Manku segment blocking replaced the bounded crossJoin (VERDICT r3):
     # the pair generator must now be an equi-join on the block key
