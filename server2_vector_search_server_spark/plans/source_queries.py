@@ -289,6 +289,73 @@ def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A3 + J6: DOCX parse on real OOXML bytes (round 7 — the last source-format
+# gap; reference's dormant Word path, document_processor.py:48-50)
+
+@query(
+    "docx_parse_manifest",
+    survey="A3/J6(DOCX->elements on real OOXML bytes: paragraph/table "
+           "elements in body order, tab/br run elements, empty-paragraph "
+           "skip — UnstructuredWordDocumentLoader(mode='elements') analog)",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('korean.docx', CAST(0 AS INTEGER), 'paragraph', CAST(10 AS BIGINT),
+       md5('한국어 문단입니다.')),
+      ('mixed.docx', CAST(0 AS INTEGER), 'paragraph', CAST(11 AS BIGINT),
+       md5('Intro para.')),
+      ('mixed.docx', CAST(1 AS INTEGER), 'paragraph', CAST(11 AS BIGINT),
+       md5('Tabbed' || chr(9) || 'here')),
+      ('mixed.docx', CAST(2 AS INTEGER), 'paragraph', CAST(11 AS BIGINT),
+       md5('Line1' || chr(10) || 'Line2')),
+      ('mixed.docx', CAST(3 AS INTEGER), 'table', CAST(19 AS BIGINT),
+       md5('r0c0' || chr(9) || 'r0c1' || chr(10) ||
+           'r1c0' || chr(9) || 'r1c1')),
+      ('simple.docx', CAST(0 AS INTEGER), 'paragraph', CAST(16 AS BIGINT),
+       md5('Alpha paragraph.')),
+      ('simple.docx', CAST(1 AS INTEGER), 'paragraph', CAST(15 AS BIGINT),
+       md5('Beta paragraph.'))
+    ) AS t(member_name, element_index, category, n_chars, text_md5)
+    ORDER BY member_name, element_index
+    """,
+)
+def docx_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse complete .docx files through the A3 path (parse_docx_members:
+    python-docx when importable, else the bundled stdlib OOXML extractor —
+    both emit identical (category, text) elements, so the digests are
+    backend-free). Pins the loader's elements-mode semantics
+    (document_processor.py:48-50): one row per paragraph/table element in
+    body order; <w:tab/>/<w:br/> run elements fold to TAB/NEWLINE; empty
+    and whitespace-only paragraphs are dropped (element_index counts only
+    EMITTED elements — mixed.docx carries two such paragraphs between
+    'Intro para.' and the tabbed one, invisible in the output); table text
+    is TAB-joined cells, NEWLINE-joined rows. Korean member proves the
+    UTF-8 XML path end-to-end on multibyte text."""
+    from server2_vector_search_server_spark.sources.docx_fallback import (
+        build_minimal_docx,
+    )
+    from server2_vector_search_server_spark.sources.files import (
+        parse_docx_members,
+    )
+
+    members = spark.createDataFrame(
+        [("memory://docs", "simple.docx",
+          bytearray(build_minimal_docx(
+              ["Alpha paragraph.", "Beta paragraph."]))),
+         ("memory://docs", "korean.docx",
+          bytearray(build_minimal_docx(["한국어 문단입니다."]))),
+         ("memory://docs", "mixed.docx",
+          bytearray(build_minimal_docx(
+              ["Intro para.", "", "   ", "Tabbed\there", "Line1\nLine2"],
+              table=[["r0c0", "r0c1"], ["r1c0", "r1c1"]])))],
+        "archive string, member_name string, content binary")
+    return (parse_docx_members(members)
+            .select("member_name", "element_index", "category",
+                    F.length("text").cast("long").alias("n_chars"),
+                    F.md5("text").alias("text_md5"))
+            .orderBy("member_name", "element_index"))
+
+
+# --------------------------------------------------------------------------
 # the six-endpoint facade, end-to-end (SURVEY.md §3.1-3.3)
 
 @query(

@@ -115,6 +115,70 @@ def parse_text_members(members: DataFrame,
     )
 
 
+def parse_docx_members(members: DataFrame,
+                       name_col: str = "member_name",
+                       content_col: str = "content") -> DataFrame:
+    """A3: DOCX→elements (the reference's dormant Word path,
+    ``UnstructuredWordDocumentLoader(mode="elements")`` at
+    ``document_processor.py:48-50`` — one Document per paragraph/table
+    element, document order). Backend per Python worker: ``python-docx``
+    when importable (paragraphs + tables walked in body order), else the
+    bundled stdlib OOXML extractor (``sources/docx_fallback.py``) — both
+    yield identical (category, text) elements for WordprocessingML bodies,
+    so the output is oracle-hashable either way. One output row per
+    element: (…file cols, element_index, category, text)."""
+    import pandas as pd
+
+    docs = members.filter(file_extension(F.col(name_col)) == ".docx")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import docx  # type: ignore  # python-docx
+
+            def extract(blob: bytes) -> list[tuple[str, str]]:
+                d = docx.Document(io.BytesIO(blob))
+                # body-order walk: python-docx's .paragraphs/.tables lose
+                # interleaving, so iterate the underlying body element and
+                # wrap each child — same document order as the fallback
+                from docx.table import Table
+                from docx.text.paragraph import Paragraph
+                out = []
+                for child in d.element.body:
+                    if child.tag.endswith("}p"):
+                        text = Paragraph(child, d).text
+                        if text.strip():
+                            out.append(("paragraph", text))
+                    elif child.tag.endswith("}tbl"):
+                        t = Table(child, d)
+                        rows = ["\t".join(c.text for c in row.cells)
+                                for row in t.rows]
+                        if any(r.strip() for r in rows):
+                            out.append(("table", "\n".join(rows)))
+                return out
+        except ImportError:
+            from server2_vector_search_server_spark.sources \
+                .docx_fallback import parse_docx_elements as extract
+        for pdf in batches:
+            keep = pdf.drop(columns=[content_col])
+            rows = {c: [] for c in keep.columns}
+            rows.update({"element_index": [], "category": [], "text": []})
+            for i in range(len(pdf)):
+                for idx, (cat, text) in enumerate(
+                        extract(pdf[content_col].iloc[i])):
+                    for c in keep.columns:
+                        rows[c].append(keep[c].iloc[i])
+                    rows["element_index"].append(idx)
+                    rows["category"].append(cat)
+                    rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in docs.schema if f.name != content_col)
+    return docs.mapInPandas(
+        run, schema=f"{schema}, element_index int, category string, "
+                    "text string")
+
+
 def parse_pdf_members(members: DataFrame,
                       name_col: str = "member_name",
                       content_col: str = "content",

@@ -1,0 +1,109 @@
+"""A3 DOCX source: stdlib OOXML extractor + Spark elements path.
+
+Reference behavior mirrored: ``UnstructuredWordDocumentLoader(mode=
+"elements")`` at ``/root/reference/document_processor.py:48-50`` — one
+element per paragraph/table in body order. The live upload path rejects
+``.docx`` (``document_processor.py:114-117``); this covers the dormant
+loader path, closing the last source-format row of SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from server2_vector_search_server_spark.sources.docx_fallback import (
+    build_minimal_docx,
+    extract_text,
+    parse_doc,
+    parse_docx_elements,
+)
+
+
+def test_paragraphs_in_body_order():
+    blob = build_minimal_docx(["First.", "Second.", "Third."])
+    assert parse_docx_elements(blob) == [
+        ("paragraph", "First."),
+        ("paragraph", "Second."),
+        ("paragraph", "Third.")]
+
+
+def test_empty_and_whitespace_paragraphs_skipped():
+    blob = build_minimal_docx(["", "Kept.", "   ", "\t"])
+    assert parse_docx_elements(blob) == [("paragraph", "Kept.")]
+
+
+def test_tab_br_run_elements_fold_to_characters():
+    blob = build_minimal_docx(["a\tb", "x\ny"])
+    assert parse_docx_elements(blob) == [
+        ("paragraph", "a\tb"), ("paragraph", "x\ny")]
+
+
+def test_table_rows_tab_joined_newline_rows():
+    blob = build_minimal_docx(
+        ["Before table."], table=[["h1", "h2"], ["v1", "v2"]])
+    els = parse_docx_elements(blob)
+    assert els == [("paragraph", "Before table."),
+                   ("table", "h1\th2\nv1\tv2")]
+
+
+def test_multibyte_utf8_text_roundtrip():
+    blob = build_minimal_docx(["한국어 문단입니다.", "ひらがな & <tags>"])
+    # XML escaping must round-trip the & and <> characters
+    assert parse_docx_elements(blob) == [
+        ("paragraph", "한국어 문단입니다."),
+        ("paragraph", "ひらがな & <tags>")]
+
+
+def test_extract_text_joins_elements_double_newline():
+    blob = build_minimal_docx(["A.", "B."], table=[["c"]])
+    assert extract_text(blob) == "A.\n\nB.\n\nc"
+
+
+def test_non_docx_bytes_raise():
+    import zipfile
+    with pytest.raises(zipfile.BadZipFile):
+        parse_docx_elements(b"not a zip at all")
+    # a zip without the word/ part is also rejected (KeyError)
+    import io
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.txt", "x")
+    with pytest.raises(KeyError):
+        parse_docx_elements(buf.getvalue())
+
+
+def test_legacy_doc_gated():
+    with pytest.raises(NotImplementedError, match="OLE2/CFB"):
+        parse_doc(b"\xd0\xcf\x11\xe0")
+
+
+def test_fixture_builder_deterministic():
+    a = build_minimal_docx(["same"], table=[["t"]])
+    b = build_minimal_docx(["same"], table=[["t"]])
+    assert a == b
+
+
+def test_parse_docx_members_spark_path(spark):
+    """The mapInPandas elements path: per-element rows, non-docx members
+    filtered out, file columns carried through."""
+    from server2_vector_search_server_spark.sources.files import (
+        parse_docx_members,
+    )
+
+    members = spark.createDataFrame(
+        [("arc", "a.docx",
+          bytearray(build_minimal_docx(["P one.", "P two."],
+                                       table=[["c1", "c2"]]))),
+         ("arc", "skip.txt", bytearray(b"plain")),
+         ("arc", "b.docx", bytearray(build_minimal_docx(["Solo."])))],
+        "archive string, member_name string, content binary")
+    rows = (parse_docx_members(members)
+            .orderBy("member_name", "element_index").collect())
+    got = [(r["member_name"], r["element_index"], r["category"], r["text"])
+           for r in rows]
+    assert got == [
+        ("a.docx", 0, "paragraph", "P one."),
+        ("a.docx", 1, "paragraph", "P two."),
+        ("a.docx", 2, "table", "c1\tc2"),
+        ("b.docx", 0, "paragraph", "Solo.")]
+    assert rows[0]["archive"] == "arc"

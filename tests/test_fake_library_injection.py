@@ -84,6 +84,69 @@ def split_sentences(text):
     return ["FAKEKSS::" + p.strip() for p in text.split(".") if p.strip()]
 '''
 
+_FAKE_DOCX_INIT = '''\
+"""DETERMINISTIC FAKE of python-docx (glue test only).
+
+Parses the REAL OOXML zip with stdlib (the genuine library wraps lxml the
+same way) and exposes exactly the API surface parse_docx_members touches:
+Document(stream).element.body iteration + Paragraph/Table wrappers.
+"""
+import io
+import zipfile
+from xml.etree import ElementTree
+
+W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+class _DocElement:
+    def __init__(self, body):
+        self.body = body
+
+
+class Document:
+    def __init__(self, stream):
+        data = stream.read()
+        # real docx bytes must reach the library intact
+        assert data[:2] == b"PK", data[:8]
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            xml = zf.read("word/document.xml")
+        root = ElementTree.fromstring(xml)
+        self.element = _DocElement(list(root.find(W + "body")))
+'''
+
+_FAKE_DOCX_TABLE = '''\
+"""FAKE docx.table (glue test only)."""
+from docx import W
+
+
+class _Cell:
+    def __init__(self, tc):
+        self.text = "FAKEDOCX::" + "".join(
+            t.text or "" for t in tc.iter(W + "t"))
+
+
+class _Row:
+    def __init__(self, tr):
+        self.cells = [_Cell(tc) for tc in tr.findall(W + "tc")]
+
+
+class Table:
+    def __init__(self, elem, parent):
+        self.rows = [_Row(tr) for tr in elem.iter(W + "tr")]
+'''
+
+_FAKE_DOCX_PARAGRAPH = '''\
+"""FAKE docx.text.paragraph (glue test only)."""
+from docx import W
+
+
+class Paragraph:
+    def __init__(self, elem, parent):
+        # marker prefix proves the python-docx BRANCH ran, not the fallback
+        self.text = "FAKEDOCX::" + "".join(
+            t.text or "" for t in elem.iter(W + "t"))
+'''
+
 _SCENARIO = '''\
 import math
 
@@ -144,6 +207,30 @@ got = split_sentences("BOOM line one\\nline two", mode="kss")
 assert got == ["BOOM line one", "line two"], got
 print("OK kss branch + error fallback")
 
+# --- 4. parse_docx_members python-docx branch over real OOXML bytes -------
+from server2_vector_search_server_spark.sources.files import (
+    parse_docx_members,
+)
+from server2_vector_search_server_spark.sources.docx_fallback import (
+    build_minimal_docx,
+)
+
+docx_members = spark.createDataFrame(
+    [("m.docx", bytearray(build_minimal_docx(
+        ["Para one.", "Para two."], table=[["c1", "c2"]])))],
+    "member_name string, content binary")
+rows = (parse_docx_members(docx_members)
+        .orderBy("element_index").collect())
+got = [(r["element_index"], r["category"], r["text"]) for r in rows]
+# FAKEDOCX:: markers prove the python-docx branch ran (not the bundled
+# stdlib fallback), in body order with the table interleaving preserved
+assert got == [
+    (0, "paragraph", "FAKEDOCX::Para one."),
+    (1, "paragraph", "FAKEDOCX::Para two."),
+    (2, "table", "FAKEDOCX::c1\\tFAKEDOCX::c2"),
+], got
+print("OK parse_docx_members python-docx branch")
+
 spark.stop()
 print("ALL-OK")
 '''
@@ -156,6 +243,12 @@ def test_gated_branches_run_under_fake_modules(tmp_path):
         _FAKE_SENTENCE_TRANSFORMERS)
     (fakes / "pypdf.py").write_text(_FAKE_PYPDF)
     (fakes / "kss.py").write_text(_FAKE_KSS)
+    docx_pkg = fakes / "docx"
+    (docx_pkg / "text").mkdir(parents=True)
+    (docx_pkg / "__init__.py").write_text(_FAKE_DOCX_INIT)
+    (docx_pkg / "table.py").write_text(_FAKE_DOCX_TABLE)
+    (docx_pkg / "text" / "__init__.py").write_text("")
+    (docx_pkg / "text" / "paragraph.py").write_text(_FAKE_DOCX_PARAGRAPH)
     script = tmp_path / "scenario.py"
     script.write_text(textwrap.dedent(_SCENARIO))
     env = dict(os.environ)
@@ -171,3 +264,4 @@ def test_gated_branches_run_under_fake_modules(tmp_path):
     assert "OK embed_with_model" in out
     assert "OK parse_pdf_members pypdf branch" in out
     assert "OK kss branch + error fallback" in out
+    assert "OK parse_docx_members python-docx branch" in out
