@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.operators import ann
 from server2_vector_search_server_spark.plans.registry import (
     scratch_dir,
+    state_partitions,
     REGISTRY,
     query,
     sql_dot,
@@ -2084,12 +2085,13 @@ def streaming_ann_index_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("ingest_batch", "centroid_id").parquet(index))
 
-    q = (spark.readStream.schema(schema)
-         .option("maxFilesPerTrigger", "1").parquet(src)
-         .writeStream.foreachBatch(commit_batch)
-         .option("checkpointLocation", chk)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.foreachBatch(commit_batch)
+             .option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
     # simulated at-least-once replay: re-commit batch 0's exact rows under
     # its original batch id — dynamic overwrite of the same partitions.

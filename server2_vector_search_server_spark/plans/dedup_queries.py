@@ -27,6 +27,7 @@ from server2_vector_search_server_spark.functions.text import (
 from server2_vector_search_server_spark.operators import dedup
 from server2_vector_search_server_spark.plans.registry import (
     scratch_dir,
+    state_partitions,
     query,
     sql_dot,
     sql_l2_norm,
@@ -791,11 +792,12 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(os.path.join(root, f"stage{i}", part),
                   os.path.join(src, f"batch_{i}.parquet"))
         _time.sleep(1.2)   # distinct mod-times => deterministic batch order
-    run_minhash_dedup_stream(
-        spark, src,
-        state_dir=os.path.join(root, "state"),
-        kept_dir=os.path.join(root, "kept"),
-        checkpoint_dir=os.path.join(root, "ckpt"))
+    with state_partitions(spark):
+        run_minhash_dedup_stream(
+            spark, src,
+            state_dir=os.path.join(root, "state"),
+            kept_dir=os.path.join(root, "kept"),
+            checkpoint_dir=os.path.join(root, "ckpt"))
     kept = spark.read.parquet(os.path.join(root, "kept"))
     return (kept.select("doc_id", F.md5("text").alias("content_md5"))
             .orderBy("doc_id"))

@@ -1101,13 +1101,18 @@ def streaming_bloom_dedup_upkeep(spark: SparkSession,
 
     import uuid as _uuid
 
-    q = (spark.readStream.schema("doc_id long, text string")
-         .option("maxFilesPerTrigger", 2).parquet(src)
-         .writeStream.foreachBatch(process)
-         .option("checkpointLocation",
-                 scratch_dir(f"bloom_ckpt_{_uuid.uuid4().hex[:6]}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    from server2_vector_search_server_spark.plans.registry import (
+        state_partitions,
+    )
+
+    with state_partitions(spark):
+        q = (spark.readStream.schema("doc_id long, text string")
+             .option("maxFilesPerTrigger", 2).parquet(src)
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation",
+                     scratch_dir(f"bloom_ckpt_{_uuid.uuid4().hex[:6]}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
     # replay batch 0's exact partials under its original id (idempotent OR)
     b0 = (spark.read.parquet(state).filter(F.col("ingest_batch") == 0)

@@ -112,6 +112,40 @@ def link_table_files(sf_dir: str, name: str, dest_dir: str) -> None:
         os.symlink(src, os.path.join(dest_dir, f"{name}.parquet"))
 
 
+def state_partitions(spark, n: int = 8):
+    """Context manager pinning ``spark.sql.shuffle.partitions`` while a
+    STREAMING query starts (restored on exit).
+
+    Why: every micro-batch of a stateful streaming operator commits one
+    state-store delta file PER SHUFFLE PARTITION per operator — so the
+    per-batch wall floor is ``partitions × (snapshot load + commit)``
+    regardless of data volume. At bench scale that floor dominates:
+    the stream-stream join pillar at sf0.1 runs 6.0 s with the session's
+    32 batch-shuffle partitions and 2.9 s with 8, byte-identical results
+    (the state fits in any partitioning; only the commit fan-out changes).
+
+    Scale note (100 TB): state partitions ARE the stateful parallelism
+    and are frozen into the checkpoint at first start — size them to
+    stream volume (keys × state row size / executor memory), not to the
+    session's batch-shuffle default. This helper makes that choice
+    explicit per stream instead of inheriting whatever the session last
+    set. Batch work planned AFTER the stream drains (the post-sink
+    rollups) executes outside the ``with`` block at the session default,
+    so only the micro-batch machinery is affected."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _ctx()
+
+
 # --- shared oracle SQL fragments -------------------------------------------
 
 def sql_sq_l2(a: str, b: str) -> str:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.plans.registry import (
     link_table_files,
     exact_sum,
+    state_partitions,
     query,
     scratch_dir,
     sql_exact_sum,
@@ -753,13 +754,14 @@ def streaming_ohlc_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").partitionBy("ingest_batch")
          .option("partitionOverwriteMode", "dynamic").parquet(state))
 
-    q = (read_events_stream(spark, src)
-         .select("event_id", "ts", "event_type", "value")
-         .writeStream.foreachBatch(process)
-         .option("checkpointLocation",
-                 scratch_dir(f"ohlc_ckpt_{_uuid.uuid4().hex[:6]}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (read_events_stream(spark, src)
+             .select("event_id", "ts", "event_type", "value")
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation",
+                     scratch_dir(f"ohlc_ckpt_{_uuid.uuid4().hex[:6]}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
     b0 = (spark.read.parquet(state)
           .filter(F.col("ingest_batch") == 0)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from server2_vector_search_server_spark.plans.registry import (
     link_table_files,
     scratch_dir,
+    state_partitions,
     query, tbl,
 )
 
@@ -228,13 +229,14 @@ def streaming_hll_distinct_rollup(spark: SparkSession,
          .option("partitionOverwriteMode", "dynamic")
          .parquet(state))
 
-    q = (read_events_stream(spark, src)
-         .select("event_type", "user_id")
-         .writeStream.foreachBatch(process)
-         .option("checkpointLocation",
-                 scratch_dir(f"hll_ckpt_{_uuid.uuid4().hex[:6]}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (read_events_stream(spark, src)
+             .select("event_type", "user_id")
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation",
+                     scratch_dir(f"hll_ckpt_{_uuid.uuid4().hex[:6]}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
     partials = spark.read.parquet(state)
     per = (partials.groupBy("event_type")
@@ -429,13 +431,14 @@ def streaming_countmin_upkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("partitionOverwriteMode", "dynamic")
          .parquet(state))
 
-    q = (read_events_stream(spark, src)
-         .select("event_id")
-         .writeStream.foreachBatch(process)
-         .option("checkpointLocation",
-                 scratch_dir(f"cms_ckpt_{_uuid.uuid4().hex[:6]}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (read_events_stream(spark, src)
+             .select("event_id")
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation",
+                     scratch_dir(f"cms_ckpt_{_uuid.uuid4().hex[:6]}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
     # at-least-once replay: re-commit batch 0's exact partials under its
     # original id; localCheckpoint decouples the read from the same-path
@@ -611,13 +614,14 @@ def streaming_lossy_counting_upkeep(spark: SparkSession,
          .option("partitionOverwriteMode", "dynamic")
          .parquet(state))
 
-    q = (read_events_stream(spark, src)
-         .select("ts", "value")
-         .writeStream.foreachBatch(process)
-         .option("checkpointLocation",
-                 scratch_dir(f"lc_ckpt_{_uuid.uuid4().hex[:6]}"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (read_events_stream(spark, src)
+             .select("ts", "value")
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation",
+                     scratch_dir(f"lc_ckpt_{_uuid.uuid4().hex[:6]}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
 
     b0 = (spark.read.parquet(state)
           .filter(F.col("ingest_batch") == 0)

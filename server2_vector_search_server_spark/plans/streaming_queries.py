@@ -30,6 +30,7 @@ from server2_vector_search_server_spark.session import read_events_stream
 from server2_vector_search_server_spark.plans.registry import (
     link_table_files,
     scratch_dir,
+    state_partitions,
     REGISTRY, query, sql_exact_sum, tbl,
 )
 from server2_vector_search_server_spark.streaming.events import (
@@ -119,14 +120,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_table_files(sf_dir, "events", src)
     events = read_events_stream(spark, src)
     sink = f"sess_windows_{uuid.uuid4().hex[:8]}"
-    q = (
-        session_stats(events)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (
+            session_stats(events)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id", "session_start")
 
 
@@ -180,9 +182,10 @@ def streaming_wal_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     wal_dir = os.path.join(work, "wal")
     _build_wal(spark, sf_dir, wal_dir)
     log = WalLog(spark, os.path.join(work, "store"))
-    q = start_wal_stream(spark, wal_dir, log,
-                         checkpoint_dir=os.path.join(work, "ckpt"))
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = start_wal_stream(spark, wal_dir, log,
+                             checkpoint_dir=os.path.join(work, "ckpt"))
+        q.awaitTermination()
     return (
         log.current_state()
         .select(F.col("doc_id").cast("long").alias("doc_id"), "content")
@@ -214,14 +217,15 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_table_files(sf_dir, "events", src)
     events = read_events_stream(spark, src)
     sink = f"win_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_counts(events)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (
+            tumbling_counts(events)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
@@ -267,9 +271,10 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicates(["content_hash"])
                .select("content_hash"))
     sink = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (deduped.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (deduped.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     out = spark.table(sink)
     # n_sources joined back from the batch corpus: proves every distinct
     # hash appeared in both the original and the copy stream half
@@ -313,10 +318,11 @@ def streaming_incremental_rollup(spark: SparkSession,
     src = os.path.join(work, "events")
     tbl(spark, sf_dir, "events").repartition(6).write.parquet(src)
     view = HourlyRollupView(spark, os.path.join(work, "view"))
-    q = start_rollup_stream(spark, src, view,
-                            os.path.join(work, "ckpt"),
-                            max_files_per_trigger=2)
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = start_rollup_stream(spark, src, view,
+                                os.path.join(work, "ckpt"),
+                                max_files_per_trigger=2)
+        q.awaitTermination()
     view.compact()   # answers must be invariant across compaction
     return view.current().orderBy("window_start", "event_type")
 
@@ -353,10 +359,11 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
      .repartition(6).write.parquet(src))
     stream = read_events_stream(spark, src, maxFilesPerTrigger=2)
     sink = f"running_totals_{uuid.uuid4().hex[:8]}"
-    q = (running_user_totals(stream)
-         .writeStream.format("memory").queryName(sink)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (running_user_totals(stream)
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     emissions = spark.table(sink)
     return (
         emissions.groupBy("user_id")
@@ -420,13 +427,14 @@ def streaming_late_data_watermark(spark: SparkSession,
         # memory sink cannot recover from a checkpoint; foreachBatch ->
         # parquet can, and append mode hands it only FINALIZED windows
         stream = read_events_stream(spark, src)
-        q = (tumbling_counts(stream, window="1 hour", watermark="1 hour")
-             .writeStream
-             .foreachBatch(lambda df, bid:
-                           df.write.mode("append").parquet(out_dir))
-             .option("checkpointLocation", ckpt)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
+        with state_partitions(spark):
+            q = (tumbling_counts(stream, window="1 hour", watermark="1 hour")
+                 .writeStream
+                 .foreachBatch(lambda df, bid:
+                               df.write.mode("append").parquet(out_dir))
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
 
     (events.filter(F.col("ts") >= split).coalesce(1)
      .write.mode("append").parquet(src))
@@ -488,9 +496,10 @@ def streaming_stream_stream_join(spark: SparkSession,
         F.expr("c_user = p_user AND p_ts >= c_ts "
                "AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
     sink = f"ss_join_{uuid.uuid4().hex[:8]}"
-    q = (joined.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     pairs = spark.table(sink)
     return (
         pairs.groupBy(F.col("c_user").alias("user_id"))
@@ -552,9 +561,10 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (stream.withWatermark("ts", "50 seconds")
                .dropDuplicatesWithinWatermark(["doc_id"]))
     sink = f"ttl_dedup_{uuid.uuid4().hex[:8]}"
-    q = (deduped.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (deduped.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     per_key = spark.table(sink).groupBy("doc_id").count()
     probes = [
         ("b1_initial_keys",
@@ -614,9 +624,10 @@ def streaming_static_enrichment(spark: SparkSession,
     enriched = (stream.join(F.broadcast(dim), "user_id")
                 .select("segment", "value"))
     sink = f"enrich_{uuid.uuid4().hex[:8]}"
-    q = (enriched.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (enriched.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink)
             .groupBy("segment")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -672,12 +683,13 @@ def streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
 
     def drain():
-        q = (spark.readStream.schema(schema)
-             .option("maxFilesPerTrigger", "1").parquet(src)
-             .writeStream.foreachBatch(store.append_stream_batch)
-             .option("checkpointLocation", chk)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        with state_partitions(spark):
+            q = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", "1").parquet(src)
+                 .writeStream.foreachBatch(store.append_stream_batch)
+                 .option("checkpointLocation", chk)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
 
     drain()
     rows_first = store.read(None).count()
@@ -763,9 +775,10 @@ def streaming_stream_stream_left_outer_join(spark: SparkSession,
                "AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
         "leftOuter")
     sink = f"ss_louter_{uuid.uuid4().hex[:8]}"
-    q = (joined.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     pairs = spark.table(sink)
     return (pairs.groupBy(F.col("c_user").alias("user_id"))
             .agg(F.count("p_event").alias("n_attributed"),
