@@ -877,7 +877,14 @@ def betweenness_centrality(edges: DataFrame, sources: DataFrame, *,
         if frontier.isEmpty():
             break
         levels.append(frontier)
-        settled = settled.unionByName(frontier).localCheckpoint(eager=True)
+        # settled = union of the per-level CHECKPOINTED frames: the union
+        # plan is a scan of cached partitions with lineage depth 1
+        # regardless of round count, so re-checkpointing it every round
+        # was an extra materialization per round the anti-join never
+        # needed. Wall-neutral at the bench size (the per-round job
+        # FLOOR dominates, as in pagerank SCALE §54) but strictly fewer
+        # jobs for the same lineage guarantee.
+        settled = settled.unionByName(frontier)
     # backward dependency accumulation, deepest level first (δ = 0 there).
     # No checkpoints here: each δ table derives from the CHECKPOINTED
     # levels plus at most max_hops prior δ plans, so lineage depth is
