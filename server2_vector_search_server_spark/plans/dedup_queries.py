@@ -770,7 +770,6 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates arriving any number of batches later are suppressed
     without rescanning history. Same SQL oracle as the batch form: the
     stream must converge to the identical kept set."""
-    import time as _time
 
     from server2_vector_search_server_spark.streaming.fuzzy_dedup import (
         run_minhash_dedup_stream,
@@ -789,9 +788,12 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, f"stage{i}"))
         part = [p for p in os.listdir(os.path.join(root, f"stage{i}"))
                 if p.endswith(".parquet")][0]
-        os.rename(os.path.join(root, f"stage{i}", part),
-                  os.path.join(src, f"batch_{i}.parquet"))
-        _time.sleep(1.2)   # distinct mod-times => deterministic batch order
+        dest = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(root, f"stage{i}", part), dest)
+        # deterministic batch order: explicit increasing mtimes (the
+        # file-stream source orders by modificationTime, path) instead
+        # of sleeping past timestamp granularity
+        os.utime(dest, (1_000_000_000 + i * 100,) * 2)
     with state_partitions(spark):
         run_minhash_dedup_stream(
             spark, src,

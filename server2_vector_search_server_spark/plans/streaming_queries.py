@@ -538,7 +538,6 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction-bounded production variant). The emitted multiset is fully
     deterministic, so the probe counts hash-gate the semantics."""
     import datetime
-    import time as _time
 
     base = datetime.datetime(2024, 1, 1)
 
@@ -546,11 +545,27 @@ def streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return base + datetime.timedelta(seconds=s)
 
     src = scratch_dir("ttl_dedup_")
+    stamped: set[str] = set()
 
-    def _write(rows):
+    def _write(rows, *, _seq=[0]):
+        # repartition(1), NOT coalesce(1): coalescing a freshly
+        # parallelized local list folds all default-parallelism slices
+        # into ONE task that launches their Python workers sequentially
+        # (~5 s for 100 rows at local[32]); repartition keeps the slice
+        # evaluation parallel and shuffles the 100 rows (~1 s)
         (spark.createDataFrame(rows, "doc_id long, ts timestamp")
-         .coalesce(1).write.mode("append").parquet(src))
-        _time.sleep(1.2)   # distinct mod-times => deterministic batch order
+         .repartition(1).write.mode("append").parquet(src))
+        # deterministic batch order: the file-stream source orders files
+        # by (modificationTime, path) — stamp each write's NEW part files
+        # with an explicitly increasing mtime instead of sleeping past
+        # the filesystem/stream-source timestamp granularity (was a
+        # 1.2 s sleep per batch, 3.6 s of pure wall in every sweep)
+        _seq[0] += 1
+        for f in sorted(os.listdir(src)):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in stamped:
+                os.utime(p, (1_000_000_000 + _seq[0] * 100,) * 2)
+                stamped.add(p)
 
     _write([(i, _t(i)) for i in range(100)])                 # b1
     _write([(i, _t(i)) for i in range(60, 100)]              # b2: live dupes
