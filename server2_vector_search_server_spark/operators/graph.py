@@ -148,22 +148,42 @@ def component_summary(components: DataFrame) -> DataFrame:
             .orderBy("component"))
 
 
-def _pinned(df: DataFrame, key) -> DataFrame:
-    """Hash-partition ``df`` by ``key`` and PERSIST it, eagerly.
+# Below this many edge rows the pin is skipped: per-round re-exchange of
+# a tiny materialized table costs LESS than the pin's shuffle + the loss
+# of AQE coalescing on everything that reuses it (an elided exchange is
+# also an elided coalesce, so a 32-way pinned scan runs every round's
+# aggregates as 32 tiny tasks where AQE would have folded them to one).
+# Interleaved A/B at sf0.1 (587k edges, local[32]): pinned 4.2 s /
+# unpinned 3.6 s per pagerank call; at the §53 10× corpus (5.9M edges)
+# the pin wins on both wall (9.4 → 6.5 s) and decade shuffle growth
+# (24.6× → 12×). The gate is the measured crossover, same spirit as
+# pagerank's broadcast_node_limit.
+_PIN_MIN_ROWS = 2_000_000
 
-    persist, NOT localCheckpoint: a checkpointed frame scans back as
-    ``ExistingRDD``, which reports UNKNOWN outputPartitioning — every
-    downstream join/aggregate keyed on ``key`` silently re-exchanges,
-    defeating the pin entirely (caught by the §53/§54 plan audits: the
-    'pinned once' big-graph branches were re-shuffling the edge list
-    EVERY round). ``InMemoryTableScan`` preserves the partitioning
-    (alias-aware), so EnsureRequirements elides those exchanges. The
-    eager count materializes the cache so the upstream plan runs exactly
-    once; the entry lives until ``spark.catalog.clearCache()`` (bench
-    and the sweep call it per query) or session end — on a real cluster
-    swap in a reliable checkpoint WITH an explicit re-repartition if
-    executor churn is a concern."""
-    out = df.repartition(key).persist()
+
+def _pinned(df: DataFrame, key) -> DataFrame:
+    """Materialize ``df`` once; hash-partition-and-PERSIST by ``key`` when
+    it is big enough for the pin to pay (see ``_PIN_MIN_ROWS``).
+
+    persist, NOT localCheckpoint, for the pinned branch: a checkpointed
+    frame scans back as ``ExistingRDD``, which reports UNKNOWN
+    outputPartitioning — every downstream join/aggregate keyed on
+    ``key`` silently re-exchanges, defeating the pin entirely (caught by
+    the §53/§54 plan audits: the 'pinned once' big-graph branches were
+    re-shuffling the edge list EVERY round). ``InMemoryTableScan``
+    preserves the partitioning (alias-aware), so EnsureRequirements
+    elides those exchanges. The upstream plan (often a join+distinct)
+    runs exactly once into the localCheckpoint; the count is then free
+    and the pin shuffles only materialized rows (~0.35 s vs 1.1 s from
+    the raw plan at sf0.1). Cache entries live until
+    ``spark.catalog.clearCache()`` (bench and the sweep call it per
+    query) or session end — on a real cluster swap in a reliable
+    checkpoint WITH an explicit re-repartition if executor churn is a
+    concern."""
+    ck = df.localCheckpoint(eager=True)
+    if ck.count() < _PIN_MIN_ROWS:
+        return ck
+    out = ck.repartition(key).persist()
     out.count()
     return out
 

@@ -425,13 +425,22 @@ def test_pagerank_broadcast_branch_keeps_edges_unshuffled(spark):
 
 
 def test_pagerank_broadcast_branch_rounds_are_exchange_free(spark):
-    """Round-7 §54 optimization pin: the edge checkpoint is hash(dst)-
+    """Round-7 §54 optimization pin: when the edge table is big enough to
+    pin (``_PIN_MIN_ROWS`` — forced to 0 here, since the sf0.001 fixture
+    sits below the measured crossover), the pinned cache is hash(dst)-
     partitioned, so every round's groupBy(node = dst) partial aggregate
     must satisfy its distribution from the scan — NO Exchange may key on
     the graph node column anywhere in the plan (the only exchanges left
     belong to the edge BUILD: lineitem⋈orders distinct and the one-off
     repartition, keyed on relational or src/dst pre-alias columns)."""
-    plan = _plan(spark, "graph_pagerank")
+    from server2_vector_search_server_spark.operators import graph as G
+
+    old = G._PIN_MIN_ROWS
+    G._PIN_MIN_ROWS = 0
+    try:
+        plan = _plan(spark, "graph_pagerank")
+    finally:
+        G._PIN_MIN_ROWS = old
     node_exchanges = [ln for ln in plan.splitlines()
                       if "Exchange hashpartitioning(node#" in ln]
     assert node_exchanges == [], node_exchanges
