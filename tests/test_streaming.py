@@ -473,3 +473,26 @@ def test_fuzzy_dedup_stream_replay_is_idempotent(spark, tmp_path):
     second = sorted(r["doc_id"] for r in
                     spark.read.parquet(kept).select("doc_id").collect())
     assert first == second and len(first) > 0
+
+
+def test_state_partitions_pins_and_restores(spark):
+    """The stream-start conf pin (SCALE §55): inside the context the
+    session plans streams with the pinned partition count; the previous
+    value is restored on BOTH normal exit and exception (a leaked pin
+    would silently shrink every later BATCH shuffle in the session)."""
+    from server2_vector_search_server_spark.plans.registry import (
+        state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with state_partitions(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
+    try:
+        with state_partitions(spark, 3):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
