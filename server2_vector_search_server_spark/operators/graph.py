@@ -161,7 +161,7 @@ def component_summary(components: DataFrame) -> DataFrame:
 _PIN_MIN_ROWS = 2_000_000
 
 
-def _pinned(df: DataFrame, key) -> DataFrame:
+def _pinned(df: DataFrame, key, *, materialized: bool = False) -> DataFrame:
     """Materialize ``df`` once; hash-partition-and-PERSIST by ``key`` when
     it is big enough for the pin to pay (see ``_PIN_MIN_ROWS``).
 
@@ -175,12 +175,19 @@ def _pinned(df: DataFrame, key) -> DataFrame:
     elides those exchanges. The upstream plan (often a join+distinct)
     runs exactly once into the localCheckpoint; the count is then free
     and the pin shuffles only materialized rows (~0.35 s vs 1.1 s from
-    the raw plan at sf0.1). Cache entries live until
+    the raw plan at sf0.1). Pass ``materialized=True`` when ``df`` is
+    ALREADY checkpointed/persisted (hits passes its checkpointed edge
+    table twice — re-checkpointing it would copy the full edge table
+    into block storage once per call for nothing).
+
+    Storage caveat: the persisted pin is dropped by
     ``spark.catalog.clearCache()`` (bench and the sweep call it per
-    query) or session end — on a real cluster swap in a reliable
-    checkpoint WITH an explicit re-repartition if executor churn is a
-    concern."""
-    ck = df.localCheckpoint(eager=True)
+    query), but localCheckpoint RDD blocks are NOT — they free only when
+    the RDD is garbage-collected. That is the repo-wide localCheckpoint
+    trade-off, not specific to this helper; on a real cluster swap in a
+    reliable checkpoint WITH an explicit re-repartition if executor
+    churn or storage pressure is a concern."""
+    ck = df if materialized else df.localCheckpoint(eager=True)
     if ck.count() < _PIN_MIN_ROWS:
         return ck
     out = ck.repartition(key).persist()
@@ -703,10 +710,14 @@ def hits(edges: DataFrame, *, iterations: int = 2,
         e_dst = e_src = e0
         _side = lambda df: F.broadcast(df)          # noqa: E731
     else:
-        # _pinned (persist), not localCheckpoint: ExistingRDD loses the
-        # partitioning and every round would re-exchange edges (round 7)
-        e_dst = _pinned(e0, F.col(dst))
-        e_src = _pinned(e0, F.col(src))
+        # _pinned above the _PIN_MIN_ROWS gate: persist (not
+        # localCheckpoint — ExistingRDD loses partitioning and every
+        # round would re-exchange edges); below the gate the tiny edge
+        # table re-exchanges per round, which the §54-addendum A/B
+        # measured as cheaper than pinning. materialized=True: e0 is
+        # already checkpointed, don't copy it into block storage again
+        e_dst = _pinned(e0, F.col(dst), materialized=True)
+        e_src = _pinned(e0, F.col(src), materialized=True)
         _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
     a = (e0.select(F.col(dst).alias("node")).distinct()
          .withColumn("score", F.lit(1.0)))
@@ -770,8 +781,12 @@ def label_propagation(edges: DataFrame, *, iterations: int = 3,
         bi = bi.localCheckpoint(eager=True)
         _side = lambda df: F.broadcast(df)          # noqa: E731
     else:
-        # _pinned (persist), not localCheckpoint: ExistingRDD loses the
-        # partitioning and every round would re-exchange edges (round 7)
+        # _pinned above the _PIN_MIN_ROWS gate: persist (not
+        # localCheckpoint — ExistingRDD loses partitioning and every
+        # round would re-exchange edges); below it, re-exchanging the
+        # small table per round measured cheaper (§54 addendum). bi is a
+        # derived plan (union+distinct), so _pinned's internal
+        # checkpoint is what makes it run exactly once
         bi = _pinned(bi, F.col("b"))
         _side = lambda df: df.hint("shuffle_hash")  # noqa: E731
     labels = (bi.select(F.col("a").alias("node")).distinct()

@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import (
+    query, state_partitions, tbl,
+)
 
 # ---------------------------------------------------------------------------
 # Data-quality expectation suite (the dbt-tests / Great Expectations shape)
@@ -1401,9 +1403,11 @@ def streaming_seasonal_baseline_upkeep(spark: SparkSession,
     src = os.path.join(work, "events")
     tbl(spark, sf_dir, "events").repartition(6).write.parquet(src)
     view = HourlyRollupView(spark, os.path.join(work, "view"))
-    q = start_rollup_stream(spark, src, view, os.path.join(work, "ckpt"),
-                            max_files_per_trigger=2)
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = start_rollup_stream(spark, src, view,
+                                os.path.join(work, "ckpt"),
+                                max_files_per_trigger=2)
+        q.awaitTermination()
     cur = view.current()
     origin_h = F.floor(
         F.unix_timestamp(F.lit(_SD_ORIGIN).cast("timestamp")) / 3600.0)

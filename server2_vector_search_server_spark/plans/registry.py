@@ -112,6 +112,10 @@ def link_table_files(sf_dir: str, name: str, dest_dir: str) -> None:
         os.symlink(src, os.path.join(dest_dir, f"{name}.parquet"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
 def state_partitions(spark, n: int = 8):
     """Context manager pinning ``spark.sql.shuffle.partitions`` while a
     STREAMING query starts (restored on exit).
@@ -132,18 +136,12 @@ def state_partitions(spark, n: int = 8):
     set. Batch work planned AFTER the stream drains (the post-sink
     rollups) executes outside the ``with`` block at the session default,
     so only the micro-batch machinery is affected."""
-    from contextlib import contextmanager
-
-    @contextmanager
-    def _ctx():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
-
-    return _ctx()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # --- shared oracle SQL fragments -------------------------------------------

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.plans.registry import (
     scratch_dir,
+    state_partitions,
     query, tbl,
 )
 
@@ -588,16 +589,18 @@ def streaming_synthetic_source_ingest(spark: SparkSession,
     sink = f"synth_stream_{uuid.uuid4().hex[:8]}"
     stream = (spark.readStream.format("synthetic_docs")
               .option("n", "300").option("batch", "100").load())
-    q = (stream.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(processingTime="250 milliseconds")
-         .start())
-    deadline = _time.time() + 120
-    while _time.time() < deadline:
-        if spark.table(sink).count() >= 300:
-            break
-        _time.sleep(0.5)
-    q.stop()
-    q.awaitTermination()
+    with state_partitions(spark):
+        q = (stream.writeStream.format("memory").queryName(sink)
+             .outputMode("append")
+             .trigger(processingTime="250 milliseconds")
+             .start())
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(sink).count() >= 300:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
     t = spark.table(sink).withColumn("h", F.md5("text"))
     return (t.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),

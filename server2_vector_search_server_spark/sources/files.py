@@ -123,10 +123,17 @@ def parse_docx_members(members: DataFrame,
     ``document_processor.py:48-50`` — one Document per paragraph/table
     element, document order). Backend per Python worker: ``python-docx``
     when importable (paragraphs + tables walked in body order), else the
-    bundled stdlib OOXML extractor (``sources/docx_fallback.py``) — both
-    yield identical (category, text) elements for WordprocessingML bodies,
-    so the output is oracle-hashable either way. One output row per
-    element: (…file cols, element_index, category, text)."""
+    bundled stdlib OOXML extractor (``sources/docx_fallback.py``).
+
+    Backend parity scope: both yield identical (category, text) elements
+    for the WordprocessingML subset ``build_minimal_docx`` emits — plain
+    runs, tab/br run elements, simple (unmerged, non-nested) tables with
+    any number of cell paragraphs; the python-docx branch normalizes its
+    newline-joined cell text to the fallback's space-joined non-blank
+    form below. Exotic constructs (hyperlink-wrapped runs, merged cells,
+    nested tables) follow the active backend's own reading and are NOT
+    part of the hashable contract. One output row per element:
+    (…file cols, element_index, category, text)."""
     import pandas as pd
 
     docs = members.filter(file_extension(F.col(name_col)) == ".docx")
@@ -150,7 +157,17 @@ def parse_docx_members(members: DataFrame,
                             out.append(("paragraph", text))
                     elif child.tag.endswith("}tbl"):
                         t = Table(child, d)
-                        rows = ["\t".join(c.text for c in row.cells)
+
+                        def cell(c) -> str:
+                            # python-docx newline-joins ALL cell
+                            # paragraphs (empty included); the fallback
+                            # space-joins the non-blank ones — normalize
+                            # to the fallback form so the element text
+                            # is backend-independent
+                            return " ".join(s for s in c.text.split("\n")
+                                            if s.strip())
+
+                        rows = ["\t".join(cell(c) for c in row.cells)
                                 for row in t.rows]
                         if any(r.strip() for r in rows):
                             out.append(("table", "\n".join(rows)))

@@ -121,8 +121,13 @@ from docx import W
 
 class _Cell:
     def __init__(self, tc):
-        self.text = "FAKEDOCX::" + "".join(
-            t.text or "" for t in tc.iter(W + "t"))
+        # python-docx newline-joins ALL cell paragraphs, empty ones
+        # included — emit that shape (surrounded by blank paragraphs) so
+        # the caller's normalization to space-joined non-blank text is
+        # exercised, not just pass-through
+        self.text = "\\n".join(
+            ["", "FAKEDOCX::" + "".join(t.text or ""
+                                        for t in tc.iter(W + "t")), ""])
 
 
 class _Row:
