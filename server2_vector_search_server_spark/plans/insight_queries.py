@@ -3400,6 +3400,83 @@ _ISO_BIN_LO, _ISO_BIN_HI = -7, 8
 
 
 @query(
+    "events_roc_auc_daily",
+    survey="insight extension(rank-based ROC-AUC per day of event value "
+           "as a purchase score — Mann-Whitney pair-count form over the "
+           "DISTINCT-score spine: concordant + half-tie pairs as EXACT "
+           "integers, AUC as their rational; the missing member of the "
+           "eval family next to isotonic calibration / nDCG / MRR)",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    per AS (
+      SELECT day, score, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
+      FROM base GROUP BY day, score),
+    spine AS (
+      SELECT day, p, n,
+             COALESCE(SUM(n) OVER (PARTITION BY day ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cumneg
+      FROM per),
+    agg AS (
+      SELECT day, SUM(p * cumneg) AS conc, SUM(p * n) AS ties,
+             SUM(p) AS np, SUM(n) AS nn
+      FROM spine GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(2 * conc + ties AS BIGINT) AS auc_num,
+           CAST(2 * np * nn AS BIGINT) AS auc_den,
+           ROUND(CAST(2 * conc + ties AS DOUBLE)
+                 / CAST(2 * np * nn AS DOUBLE), 6) AS auc,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+    FROM agg WHERE np > 0 AND nn > 0
+    ORDER BY day
+    """,
+)
+def events_roc_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ROC-AUC of ``value`` as a purchase classifier, in the
+    Mann-Whitney pair-count form: AUC = (concordant + tie/2) / (P*N),
+    computed as the exact integer rational (2*conc + ties) / (2*P*N) so
+    the hashable columns are BIGINTs and the rounded double divides the
+    SAME operands on both engines. The cumulative-negative window runs
+    over the per-(day, distinct score) spine — cardinality bounded by
+    distinct values per day, never the row count — the same bounded-spine
+    pattern as ``events_concurrency_sweep``; everything else is
+    partial-aggregable. At 100 TB: group-to-spine is one shuffle on
+    (day, score); the window partitions by day (bounded state); no global
+    row sort anywhere — the classic sort-all-rows AUC implementation is
+    exactly what this form avoids."""
+    ev = tbl(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"))
+    per = (ev.groupBy("day", "score")
+           .agg(F.sum("pos").alias("p"),
+                (F.count(F.lit(1)) - F.sum("pos")).alias("n")))
+    w = (Window.partitionBy("day").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    spine = per.withColumn(
+        "cumneg", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = (spine.groupBy("day")
+           .agg(F.sum(F.col("p") * F.col("cumneg")).alias("conc"),
+                F.sum(F.col("p") * F.col("n")).alias("ties"),
+                F.sum("p").alias("np"), F.sum("n").alias("nn")))
+    num = 2 * F.col("conc") + F.col("ties")
+    den = 2 * F.col("np") * F.col("nn")
+    return (agg.filter((F.col("np") > 0) & (F.col("nn") > 0))
+            .select("day",
+                    num.cast("long").alias("auc_num"),
+                    den.cast("long").alias("auc_den"),
+                    F.round(num.cast("double") / den.cast("double"), 6)
+                    .alias("auc"),
+                    F.col("np").cast("long").alias("n_pos"),
+                    F.col("nn").cast("long").alias("n_neg"))
+            .orderBy("day"))
+
+
+@query(
     "events_isotonic_calibration",
     survey="insight extension(isotonic regression calibration of purchase "
            "rate vs value bin — the PAV fit computed by its exact minimax "
