@@ -361,3 +361,121 @@ def geo_customer_pairs_within_radius(spark: SparkSession,
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.sum("dist_micro") / 1_000_000.0, 6).alias("sum_dist_km"),
         F.round(F.min("dist_micro") / 1_000_000.0, 6).alias("min_dist_km"))
+
+
+# ---------------------------------------------------------------------------
+# Raptor-style zonal statistics: raster x vector without rasterizing zones
+# per pixel (PAPERS.md: "Raptor: Large Scale Analysis of Big Raster and
+# Vector Data", VLDB 2019 — its core idea is to turn the raster-polygon
+# intersection into scanline/tile-local work instead of a per-(pixel, zone)
+# cross test; the Spark-first analog below expands each ZONE into the
+# bounded set of 1-degree tiles it overlaps and equi-joins tiles, so the
+# exact containment test only ever runs on tile-local candidates).
+
+_ZS_ROWS, _ZS_COLS = 256, 512          # raster grid (power-of-two pitch)
+_ZS_PITCH_LAT = _LAT_SPAN / _ZS_ROWS   # 0.078125  — exact binary fraction
+_ZS_PITCH_LON = _LON_SPAN / _ZS_COLS   # 0.078125  — exact binary fraction
+_ZS_ZONES = 20                         # suppliers 0..19 become zones
+
+
+@query(
+    "geo_zonal_raster_stats",
+    survey="spatial extension(Raptor-style zonal statistics: a 256x512 "
+           "deterministic raster aggregated per vector zone via "
+           "zone->tile expansion + tile equi-join — the exact "
+           "point-in-rect test runs only on tile-local candidates, "
+           "never pixels x zones)",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(i // {_ZS_COLS} AS BIGINT) AS ri,
+             CAST(i % {_ZS_COLS} AS BIGINT) AS cj,
+             {_LAT_LO} + (2 * (i // {_ZS_COLS}) + 1)
+               * {_ZS_PITCH_LAT / 2!r} AS cell_lat,
+             {_LON_LO} + (2 * (i % {_ZS_COLS}) + 1)
+               * {_ZS_PITCH_LON / 2!r} AS cell_lon
+      FROM range({_ZS_ROWS * _ZS_COLS}) t(i)),
+    vals AS (
+      SELECT ri, cj, cell_lat, cell_lon,
+             CAST((ri * 31 + cj * 17) % 1024 AS BIGINT) AS v
+      FROM cells),
+    zones AS (
+      SELECT s_suppkey AS zone_id,
+             {_sql_coords(_SUPP_KEY_SQL, 'zlat', 'zlon')},
+             0.5 + 0.25 * (s_suppkey % 4) AS half_lat,
+             1.0 + 0.5 * (s_suppkey % 3) AS half_lon
+      FROM supplier WHERE s_suppkey < {_ZS_ZONES})
+    SELECT z.zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.v) AS BIGINT) AS sum_v,
+           ROUND(CAST(SUM(c.v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+    FROM zones z JOIN vals c
+      ON abs(c.cell_lat - z.zlat) <= z.half_lat
+     AND abs(c.cell_lon - z.zlon) <= z.half_lon
+    GROUP BY z.zone_id
+    ORDER BY z.zone_id
+    """,
+)
+def geo_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics of a deterministic raster over vector zones.
+
+    Raster: 256x512 cells over the module's lat/lon domain; cell centers
+    are exact doubles (odd-integer x power-of-two pitch), values are the
+    integer fold ``(ri*31 + cj*17) % 1024`` — both engines reproduce the
+    grid from nothing but integers, so the aggregate is hash-exact with
+    no rounding seam (the one ROUND is display-only on identical
+    operands). Zones: axis-aligned rectangles centered on the supplier
+    md5-lattice points with key-derived half-extents (exact binary
+    fractions).
+
+    The scalable shape (Raptor's point, re-expressed in DataFrame algebra):
+    each zone explodes into the 1-degree tiles its rectangle overlaps
+    (bounded by zone area / tile area — never corpus-sized), each cell
+    carries its tile id from plain floor arithmetic, and the join is an
+    EQUI-join on the tile key; the exact containment predicate then
+    filters tile-local candidates only. At 100 TB of raster the same
+    plan holds: tiles are the shuffle key, pixels never pair with
+    non-overlapping zones, and a CartesianProduct appears nowhere
+    (the oracle keeps the quadratic form — 20 zones x 131k cells is
+    test-scale only)."""
+    cells = (spark.range(_ZS_ROWS * _ZS_COLS)
+             .select((F.col("id") / _ZS_COLS).cast("long").alias("ri"),
+                     (F.col("id") % _ZS_COLS).cast("long").alias("cj"))
+             .withColumn("cell_lat",
+                         F.lit(_LAT_LO) + (2 * F.col("ri") + 1)
+                         * F.lit(_ZS_PITCH_LAT / 2))
+             .withColumn("cell_lon",
+                         F.lit(_LON_LO) + (2 * F.col("cj") + 1)
+                         * F.lit(_ZS_PITCH_LON / 2))
+             .withColumn("v", ((F.col("ri") * 31 + F.col("cj") * 17)
+                               % 1024).cast("long"))
+             .withColumn("tlat", F.floor("cell_lat"))
+             .withColumn("tlon", F.floor("cell_lon")))
+    supp = (tbl(spark, sf_dir, "supplier")
+            .filter(F.col("s_suppkey") < _ZS_ZONES)
+            .select(F.col("s_suppkey").alias("zone_id"),
+                    F.concat(F.col("s_suppkey").cast("string"),
+                             F.lit("s")).alias("_k")))
+    zones = (_spark_coords(supp, F.col("_k"), "zlat", "zlon")
+             .withColumn("half_lat",
+                         F.lit(0.5) + F.lit(0.25) * (F.col("zone_id") % 4))
+             .withColumn("half_lon",
+                         F.lit(1.0) + F.lit(0.5) * (F.col("zone_id") % 3))
+             .drop("_k"))
+    ztiles = (zones
+              .withColumn("tlat", F.explode(F.sequence(
+                  F.floor(F.col("zlat") - F.col("half_lat")),
+                  F.floor(F.col("zlat") + F.col("half_lat")))))
+              .withColumn("tlon", F.explode(F.sequence(
+                  F.floor(F.col("zlon") - F.col("half_lon")),
+                  F.floor(F.col("zlon") + F.col("half_lon"))))))
+    hit = (ztiles.join(cells, ["tlat", "tlon"])
+           .filter((F.abs(F.col("cell_lat") - F.col("zlat"))
+                    <= F.col("half_lat"))
+                   & (F.abs(F.col("cell_lon") - F.col("zlon"))
+                      <= F.col("half_lon"))))
+    return (hit.groupBy("zone_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+                 F.sum("v").cast("long").alias("sum_v"),
+                 F.round(F.sum("v").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_v"))
+            .orderBy("zone_id"))
