@@ -479,3 +479,139 @@ def geo_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("v").cast("double")
                          / F.count(F.lit(1)), 6).alias("mean_v"))
             .orderBy("zone_id"))
+
+
+# ---------------------------------------------------------------------------
+# REPOSE-style trajectory similarity search (PAPERS.md: "REPOSE:
+# Distributed Top-k Trajectory Similarity Search with Local Reference
+# Point Tries", ICDE 2021 — its core idea is reference-point pruning:
+# candidates come from trajectories sharing spatial reference cells, and
+# the expensive exact trajectory distance runs only on those).
+
+_TJ_USERS = 60      # bounded user slice (exists from sf0.001 up)
+_TJ_QID = 7         # query user
+_TJ_LEN = 24        # per-trajectory point cap (first 24 by event time)
+_TJ_TOPK = 5
+
+_TJ_PT_KEY = "'e' || CAST(event_id AS VARCHAR)"
+
+
+def _tj_dist2(x: str, y: str) -> str:
+    """Squared planar distance in degree units — one text, both engines,
+    multiplication (not pow) so op order is pinned."""
+    return (f"({x}.lat - {y}.lat) * ({x}.lat - {y}.lat) "
+            f"+ ({x}.lon - {y}.lon) * ({x}.lon - {y}.lon)")
+
+
+@query(
+    "geo_trajectory_hausdorff_topk",
+    survey="spatial extension(REPOSE-style top-k trajectory similarity: "
+           "per-user event trajectories on the md5 lattice, candidates "
+           "from shared 1-degree reference cells, exact symmetric "
+           "Hausdorff distance only on cell-local candidates — never "
+           "all trajectory pairs)",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             {_sql_coords(_TJ_PT_KEY, 'lat', 'lon')}
+      FROM events WHERE user_id < {_TJ_USERS}),
+    traj AS (
+      SELECT user_id,
+             list_slice(
+               list(struct_pack(lat := lat, lon := lon)
+                    ORDER BY ts, event_id), 1, {_TJ_LEN}) AS tr
+      FROM pts GROUP BY user_id),
+    cells AS (
+      SELECT DISTINCT t.user_id,
+             FLOOR(p.lat) AS tlat, FLOOR(p.lon) AS tlon
+      FROM traj t, UNNEST(t.tr) AS u(p)),
+    qcells AS (SELECT tlat, tlon FROM cells WHERE user_id = {_TJ_QID}),
+    cand AS (
+      SELECT DISTINCT c.user_id FROM cells c
+      JOIN qcells q ON c.tlat = q.tlat AND c.tlon = q.tlon
+      WHERE c.user_id <> {_TJ_QID}),
+    q AS (SELECT tr AS qtr FROM traj WHERE user_id = {_TJ_QID}),
+    scored AS (
+      SELECT t.user_id, len(t.tr) AS n_points,
+             GREATEST(
+               list_max(list_transform(t.tr, x ->
+                 list_min(list_transform(q.qtr, y ->
+                   {_tj_dist2('x', 'y')})))),
+               list_max(list_transform(q.qtr, x ->
+                 list_min(list_transform(t.tr, y ->
+                   {_tj_dist2('x', 'y')}))))) AS h2
+      FROM traj t JOIN cand USING (user_id) CROSS JOIN q)
+    SELECT user_id, CAST(n_points AS INTEGER) AS n_points,
+           CAST(ROUND(ROUND(h2, 9) * 1000000) AS BIGINT) AS hausdorff2_micro
+    FROM scored
+    ORDER BY hausdorff2_micro ASC, user_id ASC LIMIT {_TJ_TOPK}
+    """,
+)
+def geo_trajectory_hausdorff_topk(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Top-k most-similar trajectories to a query user's trajectory.
+
+    Trajectories: each user's first 24 events (_TJ_LEN) ordered by (ts,
+    event_id), each event projected to the module's exact md5 lattice —
+    both engines rebuild identical point lists from integers. Similarity:
+    symmetric Hausdorff on squared planar distance (max over one
+    trajectory of the min distance to the other, both directions) —
+    computed entirely with nested array higher-order functions over the
+    two bounded point arrays, no explode of the pair space.
+
+    The scalable shape is REPOSE's: candidate trajectories must share a
+    1-degree REFERENCE CELL with the query (an equi-join on the cell
+    key over the exploded-once cell sets), so the exact O(len²) distance
+    runs only on cell-local candidates — trajectory count never pairs
+    quadratically. The pruning is part of the checked contract (the
+    oracle replicates it verbatim, the df-cap convention), and cells
+    derive from the TRUNCATED trajectory on both sides so candidate sets
+    cannot drift. At 100 TB: cells are the shuffle key, per-cell
+    candidate lists are bounded by locality, and the per-pair work is a
+    constant-bounded array fold inside codegen."""
+    ev = (tbl(spark, sf_dir, "events")
+          .filter(F.col("user_id") < _TJ_USERS)
+          .select("user_id", "ts", "event_id"))
+    pts = _spark_coords(
+        ev.withColumn("_k", F.concat(F.lit("e"),
+                                     F.col("event_id").cast("string"))),
+        F.col("_k"), "lat", "lon")
+    traj = (pts.groupBy("user_id")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "lat", "lon"))),
+                1, _TJ_LEN).alias("_tr"))
+            .select("user_id",
+                    F.transform("_tr", lambda s: F.struct(
+                        s.lat.alias("lat"), s.lon.alias("lon")))
+                    .alias("tr")))
+    cells = (traj.select("user_id", F.explode("tr").alias("p"))
+             .select("user_id", F.floor(F.col("p.lat")).alias("tlat"),
+                     F.floor(F.col("p.lon")).alias("tlon"))
+             .distinct())
+    qcells = (cells.filter(F.col("user_id") == _TJ_QID)
+              .select("tlat", "tlon"))
+    cand = (cells.filter(F.col("user_id") != _TJ_QID)
+            .join(F.broadcast(qcells), ["tlat", "tlon"])
+            .select("user_id").distinct())
+    qtr = (traj.filter(F.col("user_id") == _TJ_QID)
+           .select(F.col("tr").alias("qtr")))
+
+    def directed(a, b):
+        return F.array_max(F.transform(a, lambda x: F.array_min(
+            F.transform(b, lambda y:
+                        (x.lat - y.lat) * (x.lat - y.lat)
+                        + (x.lon - y.lon) * (x.lon - y.lon)))))
+
+    scored = (traj.join(cand, "user_id")
+              .crossJoin(F.broadcast(qtr))     # 1-row query side
+              .withColumn("h2", F.greatest(
+                  directed(F.col("tr"), F.col("qtr")),
+                  directed(F.col("qtr"), F.col("tr")))))
+    return (scored.select(
+                "user_id",
+                F.size("tr").cast("int").alias("n_points"),
+                F.round(F.round("h2", 9) * 1_000_000)
+                .cast("long").alias("hausdorff2_micro"))
+            .orderBy(F.col("hausdorff2_micro").asc(),
+                     F.col("user_id").asc())
+            .limit(_TJ_TOPK))
