@@ -100,6 +100,53 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return (out.where(F.col("src") != F.col("dst")).distinct())
 
 
+def k_core(edges: DataFrame, k: int, *, src: str = "src",
+           dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """The k-core of the undirected simple graph over ``edges`` (Seidman
+    1983, public): iteratively peel every node whose degree in the
+    CURRENT subgraph is < k, to fixpoint. Returns the core's undirected
+    edge set ``(a, b)`` with ``a < b`` — the community-search primitive
+    under influential-community queries (PAPERS.md: "An Optimal and
+    Progressive Approach to Online Search of Top-K Influential
+    Communities", VLDB 2018, whose communities are connected k-cores).
+
+    Each round is one degree aggregate plus two semi-joins — shuffle ∝
+    surviving edges, never node-pairs — with a localCheckpoint per round
+    (iterative-lineage rule) and a count-based fixpoint test (edge count
+    strictly decreases every non-fixpoint round, so termination is
+    guaranteed; ``max_iter`` only guards pathological inputs). Isolated
+    nodes never appear in any k ≥ 1 core, so returning edges loses
+    nothing. At 100 TB the same peeling runs with the edge list
+    hash-partitioned once; for full core-NUMBER decomposition (every k
+    at once) keep per-node current degrees as state instead of
+    re-aggregating."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bi = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                       F.greatest(F.col(src), F.col(dst)).alias("b"))
+          .filter(F.col("a") != F.col("b"))
+          .distinct().localCheckpoint(eager=True))
+    n_edges = bi.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            return bi
+        deg = (bi.select(F.col("a").alias("node"))
+               .unionAll(bi.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (bi.join(keep.withColumnRenamed("node", "a"),
+                       "a", "left_semi")
+               .join(keep.withColumnRenamed("node", "b"),
+                     "b", "left_semi")
+               .select("a", "b").localCheckpoint(eager=True))
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt
+        bi, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"k_core did not reach a fixpoint in {max_iter} rounds")
+
+
 def connected_components_star(edges: DataFrame, src: str = "src",
                               dst: str = "dst", *,
                               max_rounds: int = 40) -> DataFrame:

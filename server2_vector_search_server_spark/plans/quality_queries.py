@@ -702,6 +702,145 @@ def graph_betweenness_centrality(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# top-k influential communities: k-core peeling + component min-influence
+
+_IC_N = 400          # graph keys (sf0.001 ships only 200 parts -> the
+                     # mod-400 graph there peels to an EMPTY 4-core; both
+                     # engines agree on empty, and sf0.01+ exercises the
+                     # full 3-round peel / 4-community structure)
+_IC_K = 4
+_IC_TOP = 3
+# oracle peel unroll: 3 rounds reach fixpoint at sf0.01+, 2 reach empty
+# at sf0.001; 6 leaves margin (extra rounds are no-ops at fixpoint)
+
+
+@query(
+    "graph_kcore_influential_communities",
+    survey="north-star graph analytics (top-k influential communities, "
+           "VLDB 2018 shape: k-core peeling to fixpoint -> connected "
+           "components of the core -> rank communities by min member "
+           "influence; peel rounds are degree-agg + semi-joins, the "
+           "oracle unrolls the peel and closes components with the "
+           "recursive min-label CTE)",
+    oracle="""
+    WITH RECURSIVE
+    p AS (SELECT p_partkey AS v FROM part WHERE p_partkey < 400),
+    raw AS (
+      SELECT v AS s, (v * 7 + 13) % 400 AS t FROM p
+      UNION ALL SELECT v, (v * 3 + 41) % 400 FROM p),
+    e0 AS MATERIALIZED (
+      SELECT LEAST(s, t) AS a, GREATEST(s, t) AS b
+      FROM raw WHERE s <> t GROUP BY 1, 2),
+    n0 AS MATERIALIZED (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+    n1 AS MATERIALIZED (
+      SELECT node AS v FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN n0 x ON x.v = e.a JOIN n0 y ON y.v = e.b
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN n0 x ON x.v = e.a JOIN n0 y ON y.v = e.b
+        ) GROUP BY node) WHERE d >= 4),
+    n2 AS MATERIALIZED (
+      SELECT node AS v FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN n1 x ON x.v = e.a JOIN n1 y ON y.v = e.b
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN n1 x ON x.v = e.a JOIN n1 y ON y.v = e.b
+        ) GROUP BY node) WHERE d >= 4),
+    n3 AS MATERIALIZED (
+      SELECT node AS v FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN n2 x ON x.v = e.a JOIN n2 y ON y.v = e.b
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN n2 x ON x.v = e.a JOIN n2 y ON y.v = e.b
+        ) GROUP BY node) WHERE d >= 4),
+    n4 AS MATERIALIZED (
+      SELECT node AS v FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN n3 x ON x.v = e.a JOIN n3 y ON y.v = e.b
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN n3 x ON x.v = e.a JOIN n3 y ON y.v = e.b
+        ) GROUP BY node) WHERE d >= 4),
+    n5 AS MATERIALIZED (
+      SELECT node AS v FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN n4 x ON x.v = e.a JOIN n4 y ON y.v = e.b
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN n4 x ON x.v = e.a JOIN n4 y ON y.v = e.b
+        ) GROUP BY node) WHERE d >= 4),
+    n6 AS MATERIALIZED (
+      SELECT node AS v FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN n5 x ON x.v = e.a JOIN n5 y ON y.v = e.b
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN n5 x ON x.v = e.a JOIN n5 y ON y.v = e.b
+        ) GROUP BY node) WHERE d >= 4),
+    core AS MATERIALIZED (
+      SELECT e.a, e.b FROM e0 e
+      JOIN n6 x ON x.v = e.a JOIN n6 y ON y.v = e.b),
+    cnodes AS (SELECT a AS node FROM core UNION SELECT b FROM core),
+    bi AS (SELECT a, b FROM core UNION SELECT b AS a, a AS b FROM core),
+    reach AS (
+      SELECT node, node AS lbl FROM cnodes
+      UNION
+      SELECT e.a AS node, r.lbl FROM bi e JOIN reach r ON e.b = r.node),
+    comp AS (SELECT node, MIN(lbl) AS community FROM reach GROUP BY node)
+    SELECT community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN((node * 37) % 100) AS BIGINT) AS influence
+    FROM comp GROUP BY community
+    ORDER BY influence DESC, community ASC
+    LIMIT 3
+    """,
+)
+def graph_kcore_influential_communities(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Top-3 influential communities of the deterministic two-successor
+    parts graph: a community is a connected component of the 4-core
+    (every member keeps >= 4 neighbors inside the core), and its
+    influence is the MINIMUM member influence ((node*37) % 100) — the
+    weakest-member semantics of the VLDB 2018 influential-community
+    definition, which makes influence monotone under community shrinkage.
+    ``operators/graph.k_core`` peels to fixpoint (count-based
+    termination), ``connected_components`` labels the survivors, and the
+    ranking is a plain aggregate — all integers end to end, so the
+    driver hash pins the peel, the component closure, and the ranking
+    at once."""
+    from server2_vector_search_server_spark.operators.graph import (
+        connected_components,
+        k_core,
+    )
+
+    p = (tbl(spark, sf_dir, "part")
+         .filter(F.col("p_partkey") < _IC_N)
+         .select(F.col("p_partkey").alias("v")))
+    e1 = p.select(F.col("v").alias("src"),
+                  ((F.col("v") * 7 + 13) % _IC_N).alias("dst"))
+    e2 = p.select(F.col("v").alias("src"),
+                  ((F.col("v") * 3 + 41) % _IC_N).alias("dst"))
+    core = k_core(e1.unionByName(e2), _IC_K)
+    comps = connected_components(core, "a", "b")
+    return (comps
+            .withColumn("influence", (F.col("node") * 37) % 100)
+            .groupBy(F.col("component").alias("community"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.min("influence").cast("long").alias("influence"))
+            .orderBy(F.col("influence").desc(), F.col("community").asc())
+            .limit(_IC_TOP))
+
+
+# ---------------------------------------------------------------------------
 # l-diversity screen — the sensitive-attribute sibling of k-anonymity
 
 _LDIV_L = 3

@@ -235,3 +235,21 @@ def test_argument_guards_raise_clear_errors(spark):
         knn_graph(vecs, k=2, max_rows=5)
     # within budget still works
     assert knn_graph(vecs, k=1, max_rows=10).count() > 0
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle (the
+    chain peels over two rounds — node 4 first, then node 3), and the
+    3-core is empty. Also pins the undirected/self-loop/dup edge
+    normalization."""
+    from server2_vector_search_server_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),     # triangle
+         (2, 3), (3, 4),             # pendant chain (peels in 2 rounds)
+         (1, 0),                     # duplicate reversed edge
+         (4, 4)],                    # self-loop: dropped
+        "src long, dst long")
+    core2 = sorted((r["a"], r["b"]) for r in k_core(edges, 2).collect())
+    assert core2 == [(0, 1), (0, 2), (1, 2)]
+    assert k_core(edges, 3).count() == 0
