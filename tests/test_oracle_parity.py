@@ -89,6 +89,9 @@ def test_query_matches_oracle(name, spark, duck):
     # smoke SF must be allowlisted WITH their verified-at-sf0.01 row count.
     empty_ok_at_smoke = {
         "nation_pair_volume",   # NATION_1<->NATION_2 trade: 14 rows at sf0.01
+        # mod-400 graph over only 200 parts peels to an empty 4-core at
+        # the smoke SF (documented in the query); 3 communities at sf0.01
+        "graph_kcore_influential_communities",
     }
     if name not in empty_ok_at_smoke:
         assert len(got) > 0, f"{name}: both sides empty — vacuous pass"
