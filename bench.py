@@ -121,6 +121,8 @@ HEADLINE = [
     "dedup_shingle_containment",  # df-capped containment verify (r6)
     "lineitem_two_phase_percentile",  # histogram + pruned refine (r6)
     "events_seasonal_decompose",  # per-type MA decompose (r6)
+    "geo_zonal_raster_stats",   # raster x vector tile equi-join (r7)
+    "graph_kcore_influential_communities",  # k-core peel + CC rank (r7)
 ]
 
 
