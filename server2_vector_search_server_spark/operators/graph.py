@@ -101,7 +101,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def k_core(edges: DataFrame, k: int, *, src: str = "src",
-           dst: str = "dst", max_iter: int = 50) -> DataFrame:
+           dst: str = "dst", max_iter: int | None = None) -> DataFrame:
     """The k-core of the undirected simple graph over ``edges`` (Seidman
     1983, public): iteratively peel every node whose degree in the
     CURRENT subgraph is < k, to fixpoint. Returns the core's undirected
@@ -112,9 +112,14 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
 
     Each round is one degree aggregate plus two semi-joins — shuffle ∝
     surviving edges, never node-pairs — with a localCheckpoint per round
-    (iterative-lineage rule) and a count-based fixpoint test (edge count
-    strictly decreases every non-fixpoint round, so termination is
-    guaranteed; ``max_iter`` only guards pathological inputs). Isolated
+    (iterative-lineage rule) and a count-based fixpoint test. Edge count
+    strictly decreases every non-fixpoint round, so rounds are bounded
+    by the INITIAL edge count and termination is guaranteed;
+    ``max_iter`` defaults to that bound (``None``). Deep-peeling chains
+    legitimately need many rounds — a pendant path of n nodes with k=2
+    peels ~2 nodes per round, i.e. ~n/2 rounds (ADVICE r7) — so callers
+    passing an explicit ``max_iter`` should size it to their graph's
+    peeling depth, not treat the cap as a pathology guard. Isolated
     nodes never appear in any k ≥ 1 core, so returning edges loses
     nothing. At 100 TB the same peeling runs with the edge list
     hash-partitioned once; for full core-NUMBER decomposition (every k
@@ -127,6 +132,8 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
           .filter(F.col("a") != F.col("b"))
           .distinct().localCheckpoint(eager=True))
     n_edges = bi.count()
+    if max_iter is None:
+        max_iter = n_edges + 1
     for _ in range(max_iter):
         if n_edges == 0:
             return bi

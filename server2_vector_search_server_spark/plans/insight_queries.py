@@ -3410,7 +3410,7 @@ _ISO_BIN_LO, _ISO_BIN_HI = -7, 8
     WITH base AS (
       SELECT CAST(ts AS DATE) AS day, CAST(value AS DOUBLE) AS score,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     per AS (
       SELECT day, score, CAST(SUM(pos) AS BIGINT) AS p,
              CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
@@ -3447,11 +3447,17 @@ def events_roc_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable. At 100 TB: group-to-spine is one shuffle on
     (day, score); the window partitions by day (bounded state); no global
     row sort anywhere — the classic sort-all-rows AUC implementation is
-    exactly what this form avoids."""
-    ev = tbl(spark, sf_dir, "events").select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.col("value").cast("double").alias("score"),
-        (F.col("event_type") == "purchase").cast("long").alias("pos"))
+    exactly what this form avoids. NULL scores are filtered explicitly
+    on BOTH sides (ADVICE r7): Spark's window ORDER BY sorts NULLS
+    FIRST, DuckDB's NULLS LAST, so an unfiltered NULL group would fold
+    into ``cumneg`` differently per engine — pin the semantics instead
+    of relying on the corpus having no NULL values."""
+    ev = (tbl(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select(
+              F.date_format("ts", "yyyy-MM-dd").alias("day"),
+              F.col("value").cast("double").alias("score"),
+              (F.col("event_type") == "purchase").cast("long").alias("pos")))
     per = (ev.groupBy("day", "score")
            .agg(F.sum("pos").alias("p"),
                 (F.count(F.lit(1)) - F.sum("pos")).alias("n")))

@@ -64,9 +64,15 @@ def _run_text(elem: ElementTree.Element) -> str:
 
 
 def _cell_text(tc: ElementTree.Element) -> str:
-    """A table cell's text: its paragraphs joined by a single space."""
+    """A table cell's text: non-blank paragraphs joined by a single space,
+    with intra-paragraph ``<w:br/>``/``<w:cr/>`` newlines folded to spaces
+    the same way and ``<w:tab/>`` folded too — embedded ``\\n``/``\\t``
+    would corrupt the rows-joined-by-newline / cells-joined-by-tab table
+    framing, and the python-docx branch (``files.py``) applies the
+    identical fold so cell text is backend-independent (ADVICE r7)."""
     paras = [_run_text(p) for p in tc.iter(f"{_W}p")]
-    return " ".join(p for p in paras if p.strip())
+    segs = [s for p in paras for s in p.split("\n") if s.strip()]
+    return " ".join(segs).replace("\t", " ")
 
 
 def parse_docx_elements(blob: bytes) -> list[tuple[str, str]]:

@@ -127,10 +127,11 @@ def parse_docx_members(members: DataFrame,
 
     Backend parity scope: both yield identical (category, text) elements
     for the WordprocessingML subset ``build_minimal_docx`` emits — plain
-    runs, tab/br run elements, simple (unmerged, non-nested) tables with
-    any number of cell paragraphs; the python-docx branch normalizes its
-    newline-joined cell text to the fallback's space-joined non-blank
-    form below. Exotic constructs (hyperlink-wrapped runs, merged cells,
+    runs, tab/br run elements (including INSIDE table cells), simple
+    (unmerged, non-nested) tables with any number of cell paragraphs;
+    both branches fold intra-cell newlines (paragraph joins and
+    ``<w:br/>``) and tabs to single spaces so cell text can never
+    corrupt the \\t-cells/\\n-rows table framing. Exotic constructs (hyperlink-wrapped runs, merged cells,
     nested tables) follow the active backend's own reading and are NOT
     part of the hashable contract. One output row per element:
     (…file cols, element_index, category, text)."""
@@ -160,12 +161,16 @@ def parse_docx_members(members: DataFrame,
 
                         def cell(c) -> str:
                             # python-docx newline-joins ALL cell
-                            # paragraphs (empty included); the fallback
-                            # space-joins the non-blank ones — normalize
-                            # to the fallback form so the element text
-                            # is backend-independent
-                            return " ".join(s for s in c.text.split("\n")
+                            # paragraphs (empty included) and renders
+                            # <w:br/> as "\n" / <w:tab/> as "\t" inside
+                            # them; the fallback space-joins the
+                            # non-blank newline-split segments and folds
+                            # tabs — apply the identical fold here so
+                            # cell text is backend-independent and never
+                            # corrupts the \t-cells/\n-rows table framing
+                            segs = " ".join(s for s in c.text.split("\n")
                                             if s.strip())
+                            return segs.replace("\t", " ")
 
                         rows = ["\t".join(cell(c) for c in row.cells)
                                 for row in t.rows]

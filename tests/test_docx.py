@@ -46,6 +46,18 @@ def test_table_rows_tab_joined_newline_rows():
                    ("table", "h1\th2\nv1\tv2")]
 
 
+def test_br_and_tab_inside_cells_fold_to_spaces():
+    """ADVICE r7: a <w:br/> or <w:tab/> INSIDE a table cell must not leak
+    a literal \\n / \\t into the cell text — that would corrupt the
+    \\t-cells/\\n-rows framing and diverge from the python-docx branch's
+    normalization. Both fold to single spaces (blank segments dropped)."""
+    blob = build_minimal_docx(
+        ["p"], table=[["Line1\nLine2", "A\tB"], ["\n x \n", "ok"]])
+    els = parse_docx_elements(blob)
+    assert els == [("paragraph", "p"),
+                   ("table", "Line1 Line2\tA B\n x \tok")]
+
+
 def test_multibyte_utf8_text_roundtrip():
     blob = build_minimal_docx(["한국어 문단입니다.", "ひらがな & <tags>"])
     # XML escaping must round-trip the & and <> characters
@@ -124,10 +136,20 @@ _plain = st.text(
     alphabet=st.characters(blacklist_categories=("Cc", "Cs"),
                            blacklist_characters="\ufffe\uffff"),
     min_size=0, max_size=40)
+# cells MAY contain TAB/NEWLINE (run elements <w:tab/>/<w:br/>): the
+# parser folds them to spaces per the backend-independent cell contract
+# (ADVICE r7), so the property computes the same fold for its expectation.
 _cell = st.text(
     alphabet=st.characters(blacklist_categories=("Cc", "Cs"),
-                           blacklist_characters="\t\n\ufffe\uffff"),
+                           whitelist_characters="\t\n",
+                           blacklist_characters="\ufffe\uffff"),
     min_size=1, max_size=20).filter(lambda s: s.strip())
+
+
+def _fold_cell(s: str) -> str:
+    """The cell-text contract both DOCX backends implement."""
+    return " ".join(seg for seg in s.split("\n")
+                    if seg.strip()).replace("\t", " ")
 
 
 @given(paras=st.lists(_plain, max_size=6),
@@ -145,7 +167,8 @@ def test_build_parse_roundtrip_property(paras, table):
     els = parse_docx_elements(blob)
     want = [("paragraph", p) for p in paras if p.strip()]
     if table is not None:
-        rows = "\n".join("\t".join(r) for r in table)
+        rows = "\n".join("\t".join(_fold_cell(c) for c in r)
+                         for r in table)
         if rows.strip():
             want.append(("table", rows))
     assert els == want

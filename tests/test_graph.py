@@ -253,3 +253,21 @@ def test_k_core_peels_to_fixpoint(spark):
     core2 = sorted((r["a"], r["b"]) for r in k_core(edges, 2).collect())
     assert core2 == [(0, 1), (0, 2), (1, 2)]
     assert k_core(edges, 3).count() == 0
+
+
+def test_k_core_deep_peeling_chain_terminates(spark):
+    """ADVICE r7: a long pendant path peels only ~2 nodes per round, so
+    the old fixed default cap (50) raised RuntimeError on legitimate
+    ~120-node paths. The default is now bounded by the INITIAL edge
+    count (each non-fixpoint round removes >= 1 edge, so that bound can
+    never fire on a terminating input). Pin the semantics on a small
+    path — 12 edges, 6 peel rounds, deeper than an explicit cap of 3 —
+    rather than a 100-node chain (every round is a Spark job)."""
+    from server2_vector_search_server_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    assert k_core(edges, 2).count() == 0   # default cap: never raises
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(edges, 2, max_iter=3)       # explicit cap still enforced
