@@ -75,10 +75,17 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the neighbor key computes the edge plan twice and shuffles
     three times; this form was measured 2.3× faster at sf0.1.)
     Per-customer weights fold as integer micro-units (registry exact-sum
-    rules) so the ranking is shuffle-order independent."""
-    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    byc = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+    rules) so the ranking is shuffle-order independent. The neighbor
+    sets group over the session-shared DISTINCT shipment pair set
+    (``graph_queries.shipment_pairs`` — collect_set dedups anyway, so
+    grouping pre-distincted pairs is result-identical to grouping the
+    joined fact), sharing one edge build across the graph bench family
+    (VERDICT r7 #3)."""
+    from server2_vector_search_server_spark.plans.graph_queries import (
+        shipment_pairs,
+    )
+
+    byc = (shipment_pairs(spark, sf_dir)
            .groupBy(F.col("o_custkey").alias("cust"))
            .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supps"))
            .filter((F.size("supps") >= _AA_MIN_DEG)
