@@ -4,11 +4,14 @@ North-star surface for a 100 TB training-data pipeline. Design (per brief):
 media bytes ride in a ``binary`` column with a typed metadata struct
 alongside; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages. The media libraries (Pillow, ffmpeg,
-torchaudio) are NOT in this container, so the actual byte→pixels decode is
-stubbed: ``decoder="stub"`` derives deterministic fake features from the
-bytes (so the distributed plumbing — schema, batching, partitioning, UDF
-signatures — is fully real and tested), while ``decoder="pil"`` etc. raise
-``NotImplementedError`` until the library is installed.
+torchaudio) are NOT in this container, so ``decoder="stub"`` derives
+deterministic fake features from the bytes (the distributed plumbing —
+schema, batching, partitioning, UDF signatures — is fully real and tested).
+``decoder="pil"`` is a REAL Pillow decode path (dimensions, bands, mean
+luma, 8×8 aHash, null-row quarantine for corrupt blobs), import-gated: it
+raises ``NotImplementedError`` when Pillow is absent and is exercised by
+fake-module injection in ``tests/test_fake_library_injection.py`` plus an
+env-gated real-Pillow test, the same pattern as the E5 embedding path.
 
 Scale notes: media rows are large — the operators avoid shuffling content
 bytes (feature extraction projects bytes away before any wide operation), and
@@ -72,11 +75,57 @@ def _stub_image_features(media_id: str, blob: bytes) -> dict:
     }
 
 
+def _pil_image_features(media_id: str, blob: bytes) -> dict:
+    """Real decode via Pillow: width/height/bands from the decoded image,
+    ``mean_luma`` and a 64-bit average-hash (aHash — mean-thresholded 8×8
+    grayscale downsample; the classic public perceptual hash) so near-dup
+    blocking downstream works on real pixels. Undecodable bytes yield a
+    null-feature row (media_id kept, every feature NULL) — the quarantine
+    shape a 100 TB media pipeline needs, since one corrupt blob must not
+    fail a whole Arrow batch. Imported lazily so this body only runs on
+    workers that passed the driver-side import gate."""
+    import io
+
+    from PIL import Image  # type: ignore
+
+    none_row = {"media_id": media_id, "width": None, "height": None,
+                "n_channels": None, "mean_luma": None, "phash": None}
+    try:
+        img = Image.open(io.BytesIO(blob or b""))
+        width, height = img.size
+        n_channels = len(img.getbands())
+        # Pillow >= 9.1 moved resampling filters to Image.Resampling
+        lanczos = getattr(getattr(Image, "Resampling", Image), "LANCZOS")
+        px = list(img.convert("L").resize((8, 8), lanczos).getdata())
+    except Exception:
+        return none_row
+    mean = sum(px) / 64.0
+    bits = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            bits |= 1 << i
+    if bits >= 1 << 63:                      # two's-complement into LongType
+        bits -= 1 << 64
+    return {
+        "media_id": media_id,
+        "width": int(width),
+        "height": int(height),
+        "n_channels": int(n_channels),
+        # plain division (see _stub_image_features on round() semantics)
+        "mean_luma": mean / 255.0,
+        "phash": bits,
+    }
+
+
 def extract_image_features(media: DataFrame, *, decoder: str = "stub",
                            content_col: str = "content",
                            id_col: str = "media_id") -> DataFrame:
     """Image decode + feature extraction via mapInPandas (J1-shaped: one
-    decoder instance per worker, Arrow batches, bytes projected away)."""
+    decoder instance per worker, Arrow batches, bytes projected away).
+    ``decoder="pil"`` runs the real Pillow decode (``_pil_image_features``)
+    when the library is importable and raises ``NotImplementedError``
+    otherwise; ``decoder="stub"`` is the deterministic fake for
+    containers without media libraries."""
     import pandas as pd
 
     if decoder == "pil":
@@ -86,14 +135,17 @@ def extract_image_features(media: DataFrame, *, decoder: str = "stub",
             raise NotImplementedError(
                 "Pillow not installed in this container; use decoder='stub' "
                 "for the deterministic fake, or install Pillow.") from exc
-    elif decoder != "stub":
+        extract = _pil_image_features
+    elif decoder == "stub":
+        extract = _stub_image_features
+    else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
     src = media.select(id_col, content_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_stub_image_features(m, b)
+            rows = [extract(m, b)
                     for m, b in zip(pdf[id_col], pdf[content_col])]
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               IMAGE_FEATURES_SCHEMA.fields])

@@ -299,6 +299,38 @@ def test_pil_decoder_stub_raises(spark):
         multimodal.extract_image_features(media, decoder="pil")
 
 
+def test_pil_decoder_real_library(spark):
+    """Env-gated REAL-Pillow test (the E5-golden pattern): skipped in this
+    container, runs the genuine decode wherever Pillow exists. A minimal
+    valid 2x2 RGB PNG is built with stdlib zlib so no fixture file or
+    network is needed; the fake-module injection test covers the same
+    branch deterministically when Pillow is absent."""
+    pytest.importorskip("PIL")
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 2x2, 8-bit RGB
+    raw = (b"\x00" + b"\xff\x00\x00" + b"\x00\xff\x00"   # row filters + px
+           + b"\x00" + b"\x00\x00\xff" + b"\xff\xff\xff")
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    media = spark.createDataFrame(
+        [("ok", bytearray(png)), ("junk", bytearray(b"not an image"))],
+        "media_id string, content binary")
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_image_features(media, decoder="pil").collect()}
+    ok = rows["ok"]
+    assert (ok["width"], ok["height"], ok["n_channels"]) == (2, 2, 3)
+    assert 0.0 <= ok["mean_luma"] <= 1.0
+    assert isinstance(ok["phash"], int)
+    junk = rows["junk"]                      # quarantine row, not a failure
+    assert junk["width"] is None and junk["phash"] is None
+
+
 def test_ivf_kmeans_trainer(spark, tables):
     from server2_vector_search_server_spark.operators import ann
 

@@ -152,6 +152,64 @@ class Paragraph:
             t.text or "" for t in elem.iter(W + "t"))
 '''
 
+_FAKE_PIL_INIT = '''\
+"""DETERMINISTIC FAKE of Pillow (glue test only).
+
+Blob format ``IMG:<w>:<h>:<payload>``; anything else raises OSError the way
+real Pillow raises UnidentifiedImageError — exercising the null-row
+quarantine. Exposes exactly the API surface _pil_image_features touches:
+Image.open(stream) -> .size/.getbands/.convert("L").resize((8,8),
+LANCZOS).getdata(), including the Pillow>=9.1 Image.Resampling namespace.
+"""
+'''
+
+_FAKE_PIL_IMAGE = '''\
+"""FAKE PIL.Image (glue test only)."""
+
+
+class Resampling:
+    LANCZOS = "lanczos"
+
+
+LANCZOS = Resampling.LANCZOS
+
+
+class _Gray:
+    def __init__(self, px):
+        self._px = px
+
+    def resize(self, shape, resample):
+        # the operator must request the 8x8 aHash grid with LANCZOS
+        assert shape == (8, 8), shape
+        assert resample == Resampling.LANCZOS, resample
+        return _Gray([self._px[i % len(self._px)] for i in range(64)])
+
+    def getdata(self):
+        return list(self._px)
+
+
+class _Img:
+    def __init__(self, data):
+        parts = data.split(b":", 3)
+        self.size = (int(parts[1]), int(parts[2]))
+        self._payload = parts[3]
+
+    def getbands(self):
+        return ("R", "G", "B")
+
+    def convert(self, mode):
+        assert mode == "L", mode
+        px = [(v * 3 + 7) % 256 for v in self._payload[:64]] or [0]
+        return _Gray(px)
+
+
+def open(stream):
+    data = stream.read()
+    if not data.startswith(b"IMG:"):
+        raise OSError("cannot identify image file (fake)")
+    return _Img(data)
+'''
+
 _SCENARIO = '''\
 import math
 
@@ -236,6 +294,38 @@ assert got == [
 ], got
 print("OK parse_docx_members python-docx branch")
 
+# --- 5. extract_image_features decoder="pil" branch ------------------------
+from server2_vector_search_server_spark.operators.multimodal import (
+    extract_image_features,
+)
+
+good = b"IMG:16:12:" + bytes(range(80))
+media = spark.createDataFrame(
+    [("g", bytearray(good)), ("bad", bytearray(b"JUNKJUNK"))],
+    "media_id string, content binary")
+rows = {r["media_id"]: r
+        for r in extract_image_features(media, decoder="pil").collect()}
+# expected features re-derived with the fake's formulas: proves the real
+# aHash fold (mean threshold, bit order, two's-complement) and the
+# dimension/band wiring run over what the decoder returned
+px = [(v * 3 + 7) % 256 for v in bytes(range(80))[:64]]
+mean = sum(px) / 64.0
+bits = 0
+for i, p in enumerate(px):
+    if p > mean:
+        bits |= 1 << i
+if bits >= 1 << 63:
+    bits -= 1 << 64
+g = rows["g"]
+assert (g["width"], g["height"], g["n_channels"]) == (16, 12, 3), dict(g.asDict())
+assert abs(g["mean_luma"] - mean / 255.0) < 1e-12, g["mean_luma"]
+assert g["phash"] == bits, (g["phash"], bits)
+# undecodable bytes -> null-feature quarantine row, never a job failure
+bad = rows["bad"]
+assert bad["width"] is None and bad["phash"] is None \
+    and bad["mean_luma"] is None, dict(bad.asDict())
+print("OK extract_image_features pil branch")
+
 spark.stop()
 print("ALL-OK")
 '''
@@ -254,6 +344,10 @@ def test_gated_branches_run_under_fake_modules(tmp_path):
     (docx_pkg / "table.py").write_text(_FAKE_DOCX_TABLE)
     (docx_pkg / "text" / "__init__.py").write_text("")
     (docx_pkg / "text" / "paragraph.py").write_text(_FAKE_DOCX_PARAGRAPH)
+    pil_pkg = fakes / "PIL"
+    pil_pkg.mkdir()
+    (pil_pkg / "__init__.py").write_text(_FAKE_PIL_INIT)
+    (pil_pkg / "Image.py").write_text(_FAKE_PIL_IMAGE)
     script = tmp_path / "scenario.py"
     script.write_text(textwrap.dedent(_SCENARIO))
     env = dict(os.environ)
@@ -270,3 +364,4 @@ def test_gated_branches_run_under_fake_modules(tmp_path):
     assert "OK parse_pdf_members pypdf branch" in out
     assert "OK kss branch + error fallback" in out
     assert "OK parse_docx_members python-docx branch" in out
+    assert "OK extract_image_features pil branch" in out
