@@ -2403,3 +2403,112 @@ def text_inverted_index_delta_gaps(spark: SparkSession,
         F.length(join_ids).cast("long").alias("raw_bytes"),
         F.length(join_gaps).cast("long").alias("gap_bytes"))
         .orderBy("term"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed bigram LM counts + interpolated Kneser-Ney
+
+_KN_DOCS = 300
+_KN_DISCOUNT = "0.75"   # Chen & Goodman 1998's fixed absolute discount
+_KN_TOPK = 25
+
+_SQL_KN_TOKS = ("list_transform(list_filter(string_split_regex(trim(text), "
+                "'\\s+'), x -> x <> ''), t -> lower(t))")
+
+
+@query(
+    "text_kneser_ney_bigrams",
+    survey="north-star text analysis extension(distributed bigram LM "
+           "counts + interpolated Kneser-Ney probability — the Brants et "
+           "al. 2007 distributed LM-count pipeline shape; continuation "
+           "counts from the bigram TYPE table)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_KN_TOKS} AS toks
+      FROM documents WHERE doc_id < {_KN_DOCS}),
+    bg AS (
+      SELECT p.pair
+      FROM toks, UNNEST(list_transform(range(1, len(toks)),
+             i -> toks[i] || chr(9) || toks[i + 1])) AS p(pair)
+      WHERE len(toks) >= 2),
+    types AS (
+      SELECT split_part(pair, chr(9), 1) AS w1,
+             split_part(pair, chr(9), 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c_bigram
+      FROM bg GROUP BY 1, 2),
+    lefts AS (
+      SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_left,
+             CAST(COUNT(*) AS BIGINT) AS n_right_types
+      FROM types GROUP BY w1),
+    rights AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_left_types
+      FROM types GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types)
+    SELECT t.w1, t.w2, t.c_bigram, l.c_left, l.n_right_types,
+           r.n_left_types,
+           ROUND((CASE WHEN t.c_bigram - {_KN_DISCOUNT} > 0
+                       THEN t.c_bigram - {_KN_DISCOUNT} ELSE 0.0 END)
+                   / l.c_left
+                 + {_KN_DISCOUNT} * l.n_right_types / l.c_left
+                   * (CAST(r.n_left_types AS DOUBLE) / tot.n_types),
+                 6) AS p_kn
+    FROM types t JOIN lefts l USING (w1) JOIN rights r USING (w2)
+    CROSS JOIN tot
+    ORDER BY t.c_bigram DESC, t.w1, t.w2 LIMIT {_KN_TOPK}
+    """,
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigrams with exact counts, continuation counts, and the
+    interpolated Kneser-Ney probability (Kneser & Ney 1995; Chen & Goodman
+    1998 fixed absolute discount D=0.75):
+
+        P_KN(w2|w1) = max(c - D, 0)/c(w1)
+                    + D * N1+(w1,.)/c(w1) * N1+(.,w2)/|bigram types|
+
+    This is the distributed LM-count pipeline of Brants et al. 2007
+    ("Large Language Models in Machine Translation", trained at 2T
+    tokens): ONE corpus-sized shuffle — the (w1, w2) count groupBy, which
+    partial-aggregates map-side — after which every marginal
+    (left-context totals, right/left continuation type counts, the global
+    type count) is an aggregate over the bigram TYPE table, whose size is
+    bounded by distinct-bigram vocabulary, orders of magnitude below
+    corpus token count at 100 TB. The probability itself is computed on
+    the type table only; no second corpus pass exists. Determinism: every
+    count is an exact BIGINT; p_kn divides the same integer operands in
+    the same order on both engines and is rounded once. Ties in the
+    top-25 break on (w1, w2)."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _KN_DOCS)
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    pairs = F.when(
+        F.size("_toks") >= 2,
+        F.expr("transform(sequence(0, size(_toks) - 2), "
+               "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))")
+    ).otherwise(F.expr("array()"))
+    bg = (docs.select(toks.alias("_toks"))
+          .select(F.explode(pairs).alias("bg"))
+          .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
+    types = (bg.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("c_bigram")))
+    lefts = (types.groupBy("w1")
+             .agg(F.sum("c_bigram").alias("c_left"),
+                  F.count(F.lit(1)).alias("n_right_types")))
+    rights = (types.groupBy("w2")
+              .agg(F.count(F.lit(1)).alias("n_left_types")))
+    tot = types.agg(F.count(F.lit(1)).alias("n_types"))
+    d = float(_KN_DISCOUNT)
+    p_kn = F.round(
+        F.when(F.col("c_bigram") - d > 0, F.col("c_bigram") - d)
+         .otherwise(F.lit(0.0)) / F.col("c_left")
+        + F.lit(d) * F.col("n_right_types") / F.col("c_left")
+          * (F.col("n_left_types").cast("double") / F.col("n_types")),
+        6)
+    return (types
+            .join(lefts, "w1")
+            .join(rights, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c_bigram", "c_left", "n_right_types",
+                    "n_left_types", p_kn.alias("p_kn"))
+            .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+            .limit(_KN_TOPK))
