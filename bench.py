@@ -29,6 +29,33 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _cpu_reference_sec() -> float:
+    """Single-thread CPU reference: SHA-256 over 64 MB, best of 3.
+
+    A fixed amount of work whose wall time measures THIS machine+moment's
+    effective single-core speed. SCALE.md §59: the r6→r7 quiet-geomean
+    'drift' (0.847→1.065) was entirely environmental — the box was ~1.3×
+    slower during r7 and ~2.6× slower in round 8 — but no bench artifact
+    carried a calibration constant, so the slowdown read as a code
+    regression until a checkout-interleaved A/B disproved it. This number
+    makes cross-round artifacts normalizable: compare
+    value_a / cpu_ref_a against value_b / cpu_ref_b before suspecting
+    the code. (Best-of-3 biases toward the UNLOADED speed; the loadavg
+    field below captures contention at run time.)"""
+    import hashlib
+
+    blob = b"\x5a" * (1 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(64):
+            h.update(blob)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 # Headline queries: one per capability pillar (vector search, catalog,
 # relational agg/join, event-time, dedup, ANN, text analytics). Names must
 # exist in the plans registry.
@@ -213,6 +240,10 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
         "aggregation": "median",
+        # environment calibration (SCALE.md §59): normalize across rounds
+        # with value / cpu_reference_sec before reading any drift as code
+        "cpu_reference_sec": _cpu_reference_sec(),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     baseline = _load_baseline()
     if baseline is not None:
