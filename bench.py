@@ -185,6 +185,7 @@ def main() -> None:
     from server2_vector_search_server_spark.plans import load_registry
     from server2_vector_search_server_spark.session import get_spark
 
+    cal_pre = (_cpu_reference_sec(), round(os.getloadavg()[0], 2))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_registry()
@@ -241,9 +242,15 @@ def main() -> None:
         "repeats": repeats,
         "aggregation": "median",
         # environment calibration (SCALE.md §59): normalize across rounds
-        # with value / cpu_reference_sec before reading any drift as code
-        "cpu_reference_sec": _cpu_reference_sec(),
-        "loadavg_1m": round(os.getloadavg()[0], 2),
+        # with value / cpu_ref before reading any drift as code. Sampled
+        # BEFORE the loop and AFTER it — a spike that subsides before the
+        # end (or starts after the start) still shows in one of the pair
+        # (code-review r8); disagreement between the two IS the signal
+        # that the run was contended.
+        "cpu_ref_pre": cal_pre[0],
+        "cpu_ref_post": _cpu_reference_sec(),
+        "loadavg_pre": cal_pre[1],
+        "loadavg_post": round(os.getloadavg()[0], 2),
     }
     baseline = _load_baseline()
     if baseline is not None:
@@ -307,8 +314,12 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_file": "BENCH_FULL.json",
     }
-    for key in ("baseline", "vs_baseline_geomean", "vs_baseline_worst",
-                "over_2x_count"):
+    # calibration fields MUST ride the compact summary — it is the only
+    # line the driver records into BENCH_r{N}.json, and §59's cross-round
+    # normalization needs them IN the recorded artifact (code-review r8)
+    for key in ("cpu_ref_pre", "cpu_ref_post", "loadavg_pre",
+                "loadavg_post", "baseline", "vs_baseline_geomean",
+                "vs_baseline_worst", "over_2x_count"):
         if key in out:
             summary[key] = out[key]
     if "over_2x_baseline" in out:

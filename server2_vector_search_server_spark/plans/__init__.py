@@ -49,12 +49,24 @@ _QUERY_MODULES = [
 # first 50 keys of the r7 registry).  Through round 7 that prefix was frozen
 # by module import order, so the ingestion family (SURVEY §2 A1-A4 / H4-H6 /
 # J3-J6 — the reference's CORE pipeline, document_processor.py:109-165,
-# app.py:160-198) was builder-PARITY-green but never driver-verified.  This
-# explicit head list curates the sampled window: flagship search surface
-# first, then the ingest family, then the catalog heads, then a rotation of
-# one-two never-sampled queries per operator family so each round's driver
-# sample widens distinct coverage instead of re-confirming the same prefix.
-_DRIVER_HEAD = [
+# app.py:160-198) was builder-PARITY-green but never driver-verified.  The
+# sampled window is now curated in three tiers:
+#
+#   1. _DRIVER_HEAD_CORE — always pinned: the reference /search* surface,
+#      the ingestion family, and the catalog heads (rotate, don't hide).
+#   2. _DRIVER_HEAD_ROTATION — hand-picked one-two NEVER-sampled queries
+#      per operator family for breadth; an entry is auto-dropped once a
+#      committed CORRECTNESS_r*.json shows the driver verified it.
+#   3. auto-fill — remaining slots take the first still-never-sampled
+#      queries in base registration order, so EVERY round's sample widens
+#      distinct driver-verified coverage with no manual edit; when the
+#      whole registry has been sampled, base order fills the window.
+#
+# "Sampled" is the union of keys across committed CORRECTNESS_r*.json files
+# at the repo root — the driver's own artifacts are the ground truth.
+_DRIVER_HEAD_SIZE = 50
+
+_DRIVER_HEAD_CORE = [
     # reference /search* surface (kept from the r1-r7 samples)
     "search_score_topk", "search_filtered_knn", "search_multi_query_knn",
     "search_unscored", "search_per_collection_topk", "search_overfetch_rerank",
@@ -68,7 +80,9 @@ _DRIVER_HEAD = [
     "list_documents", "group_documents_ui", "document_exists",
     "dedup_new_uploads", "master_union_collections", "scalar_functions_path",
     "bool_rollup_statuses", "list_documents_keyset_page",
-    # rotation: never-driver-sampled, one-two per family
+]
+
+_DRIVER_HEAD_ROTATION = [
     "streaming_stream_stream_join", "streaming_late_data_watermark",
     "streaming_session_windows",
     "ann_ivf_pq_indexed_knn", "ann_ivf_recall_at_k",
@@ -87,18 +101,64 @@ _DRIVER_HEAD = [
     "graph_pagerank", "graph_shortest_paths",
 ]
 
+# pristine registration order, captured on the first load in this process
+# (load_registry() reorders REGISTRY in place, so later calls must not
+# re-derive "base order" from the mutated dict)
+_BASE_ORDER: list[str] | None = None
+
+
+def _driver_sampled_so_far() -> set[str]:
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _driver_head(base_order: list[str], seen: set[str]) -> list[str]:
+    head = list(_DRIVER_HEAD_CORE)
+    for name in _DRIVER_HEAD_ROTATION:
+        if len(head) >= _DRIVER_HEAD_SIZE:
+            break
+        if name not in seen and name not in head:
+            head.append(name)
+    for name in base_order:                  # auto-fill: never-sampled first
+        if len(head) >= _DRIVER_HEAD_SIZE:
+            break
+        if name not in seen and name not in head:
+            head.append(name)
+    for name in base_order:                  # registry fully sampled: wrap
+        if len(head) >= _DRIVER_HEAD_SIZE:
+            break
+        if name not in head:
+            head.append(name)
+    return head
+
 
 def load_registry():
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     from server2_vector_search_server_spark.plans.registry import REGISTRY
 
-    missing = [n for n in _DRIVER_HEAD if n not in REGISTRY]
+    global _BASE_ORDER
+    if _BASE_ORDER is None:
+        _BASE_ORDER = list(REGISTRY)
+    head = _driver_head(_BASE_ORDER, _driver_sampled_so_far())
+    missing = [n for n in head if n not in REGISTRY]
     if missing:
-        raise RuntimeError(f"_DRIVER_HEAD names not registered: {missing}")
-    head = set(_DRIVER_HEAD)
-    ordered = {n: REGISTRY[n] for n in _DRIVER_HEAD}
-    ordered.update((n, q) for n, q in REGISTRY.items() if n not in head)
+        raise RuntimeError(f"driver-head names not registered: {missing}")
+    in_head = set(head)
+    ordered = {n: REGISTRY[n] for n in head}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in in_head)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY

@@ -2412,8 +2412,10 @@ _KN_DOCS = 300
 _KN_DISCOUNT = "0.75"   # Chen & Goodman 1998's fixed absolute discount
 _KN_TOPK = 25
 
-_SQL_KN_TOKS = ("list_transform(list_filter(string_split_regex(trim(text), "
-                "'\\s+'), x -> x <> ''), t -> lower(t))")
+# lowercased twin of the canonical _SQL_TOKS tokenizer (single source of
+# truth — code-review r8: an inlined copy would silently diverge if the
+# canonical tokenization ever changes)
+_SQL_KN_TOKS = f"list_transform({_SQL_TOKS}, t -> lower(t))"
 
 
 @query(
