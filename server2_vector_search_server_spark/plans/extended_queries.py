@@ -1484,3 +1484,95 @@ def store_merkle_table_digest(spark: SparkSession,
                     .alias("roots_differ"),
                     "n_leaves_differ",
                     F.lit(_MRK_LEAVES).cast("long").alias("n_leaves")))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL WAV decode round-trip (stdlib wave — no container gating)
+
+_WAV_DOCS = 64
+_WAV_RATE = 8000
+
+
+@query(
+    "multimodal_audio_wav_roundtrip",
+    survey="multimodal(REAL audio decode: stdlib RIFF/WAVE 16-bit PCM "
+           "encode->decode round-trip in the Spark path, features "
+           "hash-checked against a formula-only oracle that never sees "
+           "the bytes — proves the decoder, not just the plumbing)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 200 AS n
+      FROM documents WHERE doc_id < {_WAV_DOCS}),
+    samples AS (
+      SELECT doc_id, n, t.i AS i,
+             ((doc_id * 31 + t.i * 7) % 2001) - 1000 AS s
+      FROM params, UNNEST(range(0, n)) AS t(i)),
+    lagged AS (
+      SELECT doc_id, n, s, i,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM samples),
+    feat AS (
+      SELECT doc_id, MAX(n) AS n,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sumsq,
+             CAST(SUM(CASE WHEN prev IS NOT NULL
+                            AND ((prev >= 0) != (s >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM lagged GROUP BY doc_id)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           {_WAV_RATE} AS sample_rate,
+           1 AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(CAST(n AS DOUBLE) / {_WAV_RATE}.0, 6) AS duration_s,
+           ROUND(sqrt(CAST(sumsq AS DOUBLE) / n), 6) AS rms,
+           zero_crossings
+    FROM feat ORDER BY media_id
+    """,
+)
+def multimodal_audio_wav_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode, hash-checked: the Spark side
+    synthesizes deterministic 16-bit PCM per document (integer sawtooth
+    ``((doc_id*31 + i*7) % 2001) - 1000`` — no transcendental generator,
+    so both engines share it exactly), encodes genuine RIFF/WAVE bytes
+    with the stdlib encoder, then runs them through
+    ``extract_audio_features(decoder="wav")`` — a byte-level header
+    parse + PCM unpack. The DuckDB oracle computes the same features
+    straight from the formula WITHOUT ever constructing bytes, so a
+    hash match proves the decode path (header fields, little-endian
+    16-bit unpack, channel handling, exact-int Σs² fold, sign-transition
+    count), not merely the mapInPandas plumbing. Unlike the image (Pillow)
+    and video (ffmpeg) decoders there is no import gate: the wave module
+    is stdlib, so this REAL path runs in every container. Scale shape:
+    pure map-side — synth, encode, decode and the per-row folds all ride
+    one mapInPandas stage; bytes never shuffle (features are projected
+    out before the final sort)."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _WAV_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_pcm16_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 800 + (d % 5) * 200
+                samples = [((d * 31 + i * 7) % 2001) - 1000
+                           for i in range(n)]
+                ids.append(str(d))
+                blobs.append(build_pcm16_wav(samples,
+                                             sample_rate=_WAV_RATE))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    feats = multimodal.extract_audio_features(media, decoder="wav")
+    return (feats.select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings")
+        .orderBy("media_id"))

@@ -331,6 +331,43 @@ def test_pil_decoder_real_library(spark):
     assert junk["width"] is None and junk["phash"] is None
 
 
+def test_wav_decoder_real_bytes(spark):
+    """The stdlib WAV path decodes REAL bytes in this container (no import
+    gate): mono features match hand-computed values, stereo features come
+    from channel 0 only, and corrupt / unsupported-width blobs land in the
+    null-feature quarantine row."""
+    import math
+    import struct
+
+    from server2_vector_search_server_spark.operators.multimodal import (
+        build_pcm16_wav,
+        extract_audio_features,
+    )
+
+    mono = [100, -100, 200, -200, 0, 300]            # 3 sign transitions +1
+    stereo = []                                       # ch0 = mono, ch1 = 7s
+    for s in mono:
+        stereo += [s, 7]
+    media = spark.createDataFrame(
+        [("mono", bytearray(build_pcm16_wav(mono, sample_rate=4000))),
+         ("stereo", bytearray(build_pcm16_wav(stereo, sample_rate=4000,
+                                              n_channels=2))),
+         ("junk", bytearray(b"RIFFnotawave"))],
+        "media_id string, content binary")
+    rows = {r["media_id"]: r for r in
+            extract_audio_features(media, decoder="wav").collect()}
+    for key in ("mono", "stereo"):                    # identical ch0 features
+        r = rows[key]
+        assert r["sample_rate"] == 4000 and r["n_samples"] == 6
+        sumsq = sum(s * s for s in mono)
+        assert abs(r["rms"] - math.sqrt(sumsq / 6)) < 1e-12
+        # transitions: 100>=0 -> -100<0, -100 -> 200, 200 -> -200, -200 -> 0
+        assert r["zero_crossings"] == 4, r["zero_crossings"]
+    assert rows["mono"]["n_channels"] == 1
+    assert rows["stereo"]["n_channels"] == 2
+    assert rows["junk"]["rms"] is None and rows["junk"]["n_samples"] is None
+
+
 def test_ivf_kmeans_trainer(spark, tables):
     from server2_vector_search_server_spark.operators import ann
 
