@@ -150,6 +150,8 @@ HEADLINE = [
     "events_seasonal_decompose",  # per-type MA decompose (r6)
     "geo_zonal_raster_stats",   # raster x vector tile equi-join (r7)
     "graph_kcore_influential_communities",  # k-core peel + CC rank (r7)
+    "text_kneser_ney_bigrams",  # distributed LM counts + KN prob (r8)
+    "multimodal_audio_wav_roundtrip",  # real stdlib WAV decode path (r8)
 ]
 
 
