@@ -117,6 +117,96 @@ def _pil_image_features(media_id: str, blob: bytes) -> dict:
     }
 
 
+def build_bmp24(rows: "list[list[tuple[int, int, int]]]") -> bytes:
+    """Encode RGB pixel rows (row 0 = TOP) as a standard uncompressed
+    24-bit BMP (BITMAPINFOHEADER, bottom-up, 4-byte row padding) — the
+    test/fixture twin of :func:`_bmp_image_features`."""
+    import struct
+
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    stride = (3 * width + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):          # bottom-up storage order
+        line = bytearray()
+        for r, g, b in rows[y]:
+            line += bytes((b, g, r))             # BGR on disk
+        line += b"\x00" * (stride - len(line))
+        body += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def _bmp_image_features(media_id: str, blob: bytes) -> dict:
+    """REAL image decode with ZERO dependencies: parse uncompressed 24-bit
+    BMP bytes (BITMAPINFOHEADER) with stdlib struct — like the WAV path,
+    this real decoder runs in ANY container, no import gate. Handles the
+    format's actual quirks: bottom-up vs top-down row order (negative
+    height), BGR byte order, 4-byte row padding, pixel-array offset from
+    the file header.
+
+    Feature contract (documented so the byte-blind oracle can mirror it):
+    ``luma`` per pixel is the exact integer r+g+b (0..765);
+    ``mean_luma`` = Σluma / (n·765) — one division of two exact ints, so
+    IEEE-identical on any engine; ``phash`` is the 64-bit block-mean hash:
+    the image is cut into an 8×8 grid (pixel (x, y) belongs to block
+    (y·8//H, x·8//W)) and bit (i·8+j) is set iff the block's mean luma
+    exceeds the global mean, decided by the EXACT integer cross-product
+    ``block_sum · n > total · block_n`` — no float enters the hash.
+    Undecodable / non-24bpp / compressed blobs yield the null-feature
+    quarantine row."""
+    import struct
+
+    none_row = {"media_id": media_id, "width": None, "height": None,
+                "n_channels": None, "mean_luma": None, "phash": None}
+    try:
+        if blob[:2] != b"BM":
+            raise ValueError("not a BMP")
+        offset = struct.unpack_from("<I", blob, 10)[0]
+        width = struct.unpack_from("<i", blob, 18)[0]
+        height = struct.unpack_from("<i", blob, 22)[0]
+        bpp = struct.unpack_from("<H", blob, 28)[0]
+        compression = struct.unpack_from("<I", blob, 30)[0]
+        if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+            raise ValueError("unsupported BMP variant")
+        top_down = height < 0
+        h = -height if top_down else height
+        stride = (3 * width + 3) & ~3
+        if len(blob) < offset + stride * h:
+            raise ValueError("truncated pixel array")
+        lumas = [0] * (width * h)                 # exact ints, row-major TOP
+        for row in range(h):
+            y = row if top_down else h - 1 - row
+            base = offset + row * stride
+            for x in range(width):
+                p = base + 3 * x
+                lumas[y * width + x] = blob[p] + blob[p + 1] + blob[p + 2]
+    except Exception:
+        return none_row
+    n = width * h
+    total = sum(lumas)
+    block_sum = [[0] * 8 for _ in range(8)]
+    block_n = [[0] * 8 for _ in range(8)]
+    for y in range(h):
+        bi = (y * 8) // h
+        for x in range(width):
+            bj = (x * 8) // width
+            block_sum[bi][bj] += lumas[y * width + x]
+            block_n[bi][bj] += 1
+    bits = 0
+    for bi in range(8):
+        for bj in range(8):
+            if block_sum[bi][bj] * n > total * block_n[bi][bj]:
+                bits |= 1 << (bi * 8 + bj)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return {"media_id": media_id, "width": int(width), "height": int(h),
+            "n_channels": 3, "mean_luma": total / (n * 765),
+            "phash": bits}
+
+
 def extract_image_features(media: DataFrame, *, decoder: str = "stub",
                            content_col: str = "content",
                            id_col: str = "media_id") -> DataFrame:
@@ -124,8 +214,10 @@ def extract_image_features(media: DataFrame, *, decoder: str = "stub",
     decoder instance per worker, Arrow batches, bytes projected away).
     ``decoder="pil"`` runs the real Pillow decode (``_pil_image_features``)
     when the library is importable and raises ``NotImplementedError``
-    otherwise; ``decoder="stub"`` is the deterministic fake for
-    containers without media libraries."""
+    otherwise; ``decoder="bmp"`` is a REAL stdlib decode of uncompressed
+    24-bit BMP (never gated — see ``_bmp_image_features``);
+    ``decoder="stub"`` is the deterministic fake for containers without
+    media libraries."""
     import pandas as pd
 
     if decoder == "pil":
@@ -136,6 +228,8 @@ def extract_image_features(media: DataFrame, *, decoder: str = "stub",
                 "Pillow not installed in this container; use decoder='stub' "
                 "for the deterministic fake, or install Pillow.") from exc
         extract = _pil_image_features
+    elif decoder == "bmp":
+        extract = _bmp_image_features          # stdlib-real, never gated
     elif decoder == "stub":
         extract = _stub_image_features
     else:

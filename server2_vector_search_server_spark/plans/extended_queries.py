@@ -1576,3 +1576,96 @@ def multimodal_audio_wav_roundtrip(spark: SparkSession,
         F.round("rms", 6).alias("rms"),
         "zero_crossings")
         .orderBy("media_id"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL BMP decode round-trip (stdlib struct — no container gating)
+
+_BMP_DOCS = 48
+
+
+@query(
+    "multimodal_image_bmp_roundtrip",
+    survey="multimodal(REAL image decode: stdlib uncompressed-24bpp BMP "
+           "encode->decode round-trip in the Spark path — bottom-up rows, "
+           "BGR order, 4-byte padding all exercised — hash-checked against "
+           "a formula-only oracle that never sees bytes)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 16 + (doc_id % 3) * 8 AS w, 12 + (doc_id % 2) * 4 AS h
+      FROM documents WHERE doc_id < {_BMP_DOCS}),
+    px AS (
+      SELECT doc_id, w, h, xs.i AS x, ys.i AS y,
+             ((xs.i * 7 + ys.i * 13 + doc_id) % 256)
+             + ((xs.i * 3 + ys.i * 5 + 2 * doc_id) % 256)
+             + ((xs.i * 11 + ys.i + 3 * doc_id) % 256) AS luma
+      FROM params, UNNEST(range(0, w)) AS xs(i), UNNEST(range(0, h)) AS ys(i)),
+    tot AS (
+      SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+             CAST(SUM(luma) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY doc_id),
+    blocks AS (
+      SELECT doc_id, (y * 8) // h AS bi, (x * 8) // w AS bj,
+             CAST(SUM(luma) AS BIGINT) AS bs,
+             CAST(COUNT(*) AS BIGINT) AS bn
+      FROM px GROUP BY 1, 2, 3),
+    hash_u AS (
+      SELECT b.doc_id,
+             SUM(CASE WHEN b.bs * t.n > t.total * b.bn
+                      THEN CAST(POWER(2, b.bi * 8 + b.bj) AS HUGEINT)
+                      ELSE 0::HUGEINT END) AS u
+      FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+    SELECT CAST(t.doc_id AS VARCHAR) AS media_id,
+           CAST(t.w AS INTEGER) AS width,
+           CAST(t.h AS INTEGER) AS height,
+           3 AS n_channels,
+           t.total / (t.n * 765) AS mean_luma,
+           CAST(CASE WHEN hu.u >= 9223372036854775808::HUGEINT
+                     THEN hu.u - 18446744073709551616::HUGEINT
+                     ELSE hu.u END AS BIGINT) AS phash
+    FROM tot t JOIN hash_u hu USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_image_bmp_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode, hash-checked — the image twin of
+    ``multimodal_audio_wav_roundtrip``: the Spark path synthesizes
+    deterministic RGB pixels per document (integer formulas shared with
+    the oracle), encodes genuine uncompressed 24-bit BMP bytes (bottom-up
+    row order, BGR, 4-byte padding), then decodes them with the stdlib
+    ``decoder="bmp"`` parser. The DuckDB oracle computes width/height/
+    mean-luma/block-mean phash straight from the pixel formulas WITHOUT
+    constructing bytes, so the hash match proves the byte-level parse
+    (header offsets, row inversion, channel order, padding skip) and the
+    exact-integer hash arithmetic (block vs global mean by integer
+    cross-product — no float enters the hash). mean_luma is a single
+    division of two exact ints, IEEE-identical unrounded. Scale shape:
+    pure map-side (one mapInPandas stage; bytes never shuffle)."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BMP_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_bmp24,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + (d % 3) * 8, 12 + (d % 2) * 4
+                rows = [[((x * 7 + y * 13 + d) % 256,
+                          (x * 3 + y * 5 + 2 * d) % 256,
+                          (x * 11 + y + 3 * d) % 256)
+                         for x in range(w)] for y in range(h)]
+                ids.append(str(d))
+                blobs.append(build_bmp24(rows))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    return (multimodal.extract_image_features(media, decoder="bmp")
+            .orderBy("media_id"))

@@ -368,6 +368,54 @@ def test_wav_decoder_real_bytes(spark):
     assert rows["junk"]["rms"] is None and rows["junk"]["n_samples"] is None
 
 
+def test_bmp_decoder_real_bytes(spark):
+    """The stdlib BMP path decodes REAL bytes: a hand-checkable 2x2 image
+    round-trips through encode->decode (bottom-up rows + BGR + padding all
+    exercised), a TOP-DOWN (negative height) variant of the same pixels
+    decodes identically, and corrupt/truncated blobs quarantine."""
+    import struct
+
+    from server2_vector_search_server_spark.operators.multimodal import (
+        build_bmp24,
+        extract_image_features,
+    )
+
+    rows = [[(255, 0, 0), (0, 255, 0)],        # top row
+            [(0, 0, 255), (10, 20, 30)]]       # bottom row
+    blob = build_bmp24(rows)
+    # top-down twin: negate height, store rows in top-first order
+    td = bytearray(blob)
+    struct.pack_into("<i", td, 22, -2)
+    stride = 8                                  # 2 px * 3 B padded to 8
+    body = blob[54:]
+    td[54:] = body[stride:] + body[:stride]     # swap the two stored rows
+    media = spark.createDataFrame(
+        [("up", bytearray(blob)), ("down", bytearray(td)),
+         ("junk", bytearray(b"BMnope")), ("png", bytearray(b"\x89PNG"))],
+        "media_id string, content binary")
+    out = {r["media_id"]: r for r in
+           extract_image_features(media, decoder="bmp").collect()}
+    lumas = [255, 255, 255, 60]                 # r+g+b per pixel, top-major
+    total, n = sum(lumas), 4
+    for key in ("up", "down"):                  # identical decoded pixels
+        r = out[key]
+        assert (r["width"], r["height"], r["n_channels"]) == (2, 2, 3)
+        assert abs(r["mean_luma"] - total / (n * 765)) < 1e-15
+        # 2x2 image: pixel (x, y) lands in block (y*8//2, x*8//2) =
+        # (4y, 4x) — only 4 of the 64 blocks are populated; empty blocks
+        # carry bit 0 (0*n > total*0 is false). Bit set iff the pixel's
+        # luma*4 > total (exact cross-product form).
+        want = 0
+        for y in range(2):
+            for x in range(2):
+                if lumas[y * 2 + x] * n > total:
+                    want |= 1 << ((y * 4) * 8 + x * 4)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert r["phash"] == want, (key, r["phash"], want)
+    assert out["junk"]["width"] is None and out["png"]["phash"] is None
+
+
 def test_ivf_kmeans_trainer(spark, tables):
     from server2_vector_search_server_spark.operators import ann
 
