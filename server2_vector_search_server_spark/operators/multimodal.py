@@ -359,14 +359,97 @@ def build_pcm16_wav(samples, *, sample_rate: int = 8000,
     return buf.getvalue()
 
 
+def build_gif89a(frame_delays_cs, *, width: int = 2,
+                 height: int = 2) -> bytes:
+    """Minimal animated GIF89a: one frame per entry of ``frame_delays_cs``
+    (delay in centiseconds, the format's native unit), 2-color global
+    table, tiny opaque LZW payload per frame — the fixture twin of
+    :func:`parse_gif_frames`, which never inspects the pixel data."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # 2-color GCT
+    out += b"\x00\x00\x00\xff\xff\xff"
+    for d in frame_delays_cs:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", d) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x02"                        # LZW min code size
+        out += b"\x02\x44\x01"                # one 2-byte data sub-block
+        out += b"\x00"                        # sub-block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_frames(blob: bytes) -> "tuple[int, int, list[int]]":
+    """REAL parse of the GIF89a/87a container with stdlib struct — like
+    the WAV and BMP paths, ungated and runnable in any container. Walks
+    the block structure (extensions, image descriptors, length-prefixed
+    data sub-blocks) WITHOUT LZW-decoding pixels: frame sampling needs
+    per-frame Graphic Control delays, not pixel values — exactly the
+    metadata an ffmpeg-based sampler would read. Returns
+    ``(width, height, [delay_cs per frame])``; raises on non-GIF or
+    truncated bytes (callers quarantine by emitting zero frame rows)."""
+    import struct
+
+    if blob[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack_from("<HH", blob, 6)
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:                          # skip global color table
+        pos += 3 * (2 ** ((packed & 0x07) + 1))
+    delays: list[int] = []
+    pending = 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            n = blob[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while True:
+        b0 = blob[pos]
+        if b0 == 0x3B:                         # trailer
+            break
+        if b0 == 0x21:                         # extension
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9:                  # Graphic Control Extension
+                pending = struct.unpack_from("<H", blob, pos + 2)[0]
+            pos = skip_subblocks(pos)
+        elif b0 == 0x2C:                       # image descriptor = a frame
+            pos += 9
+            lpacked = blob[pos]
+            pos += 1
+            if lpacked & 0x80:                 # skip local color table
+                pos += 3 * (2 ** ((lpacked & 0x07) + 1))
+            pos += 1                           # LZW minimum code size
+            pos = skip_subblocks(pos)
+            delays.append(pending)
+            pending = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return int(width), int(height), delays
+
+
 def sample_video_frames(media: DataFrame, *, every_n_seconds: float = 1.0,
+                        decoder: str = "stub",
                         content_col: str = "content",
                         id_col: str = "media_id") -> DataFrame:
-    """Frame sampling plumbing: one video row → N frame rows (UDTF shape).
-    The stub emits deterministic frame indices from a fake duration derived
-    from byte size (duration ≈ bytes/1e5 s); a real build decodes timestamps
-    with ffmpeg — identical row shape."""
+    """Frame sampling: one video row → N frame rows (UDTF shape).
+
+    ``decoder="gif"`` walks REAL container bytes (:func:`parse_gif_frames`)
+    and emits one row per actual frame at its cumulative Graphic-Control
+    timestamp (exact centisecond ints, divided once by 100.0); corrupt
+    blobs contribute zero rows — a frame-less video, not a job failure.
+    ``decoder="stub"`` emits deterministic frame indices from a fake
+    byte-size duration (non-GIF containers would need ffmpeg — same row
+    shape)."""
     import pandas as pd
+
+    if decoder not in ("stub", "gif"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType(), False),
@@ -379,6 +462,18 @@ def sample_video_frames(media: DataFrame, *, every_n_seconds: float = 1.0,
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "frame_time_s": []}
             for m, blob in zip(pdf[id_col], pdf[content_col]):
+                if decoder == "gif":
+                    try:
+                        _, _, delays = parse_gif_frames(bytes(blob or b""))
+                    except Exception:
+                        continue               # quarantine: zero frames
+                    cum = 0
+                    for i, d in enumerate(delays):
+                        out["media_id"].append(m)
+                        out["frame_index"].append(i)
+                        out["frame_time_s"].append(cum / 100.0)
+                        cum += d
+                    continue
                 duration = max(1.0, len(blob or b"") / 1e5)
                 n = int(duration / every_n_seconds)
                 for i in range(n):

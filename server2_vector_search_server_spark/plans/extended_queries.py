@@ -1669,3 +1669,80 @@ def multimodal_image_bmp_roundtrip(spark: SparkSession,
     media = docs.mapInPandas(synth, schema="media_id string, content binary")
     return (multimodal.extract_image_features(media, decoder="bmp")
             .orderBy("media_id"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL GIF container parse (frame timings — no container gating)
+
+_GIF_DOCS = 48
+
+
+@query(
+    "multimodal_video_gif_frames",
+    survey="multimodal(REAL video container parse: stdlib GIF89a block "
+           "walk — extensions, image descriptors, length-prefixed data "
+           "sub-blocks — yielding one row per ACTUAL frame at its "
+           "Graphic-Control timestamp; oracle computes timings from the "
+           "delay formula without bytes)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 3 + (doc_id % 4) AS n_frames
+      FROM documents WHERE doc_id < {_GIF_DOCS}),
+    frames AS (
+      SELECT doc_id, t.i AS frame_index,
+             4 + ((doc_id * 5 + t.i * 3) % 50) AS delay_cs
+      FROM params, UNNEST(range(0, n_frames)) AS t(i)),
+    timed AS (
+      SELECT doc_id, frame_index,
+             COALESCE(SUM(delay_cs) OVER (
+               PARTITION BY doc_id ORDER BY frame_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_cs
+      FROM frames)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           ROUND(CAST(cum_cs AS DOUBLE) / 100.0, 6) AS frame_time_s
+    FROM timed ORDER BY media_id, frame_index
+    """,
+)
+def multimodal_video_gif_frames(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """End-to-end REAL video-container parse, hash-checked — the video
+    member of the round-trip trio (WAV audio, BMP image): the Spark path
+    synthesizes genuine animated GIF89a bytes per document (frame delays
+    from an integer formula shared with the oracle), then walks the real
+    block structure with ``sample_video_frames(decoder="gif")`` — Graphic
+    Control Extensions, image descriptors, length-prefixed sub-block
+    skipping — emitting one row per actual frame at its cumulative
+    centisecond timestamp. The DuckDB oracle computes the same timeline
+    from the formula WITHOUT constructing bytes, so the hash match proves
+    the container parser. Timestamps are exact centisecond ints divided
+    once by 100.0 (IEEE-identical on both engines), rounded to the house
+    6 decimals. Scale shape: pure map-side, one mapInPandas stage, bytes
+    never shuffle."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _GIF_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_gif89a,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                delays = [4 + ((d * 5 + i * 3) % 50)
+                          for i in range(3 + (d % 4))]
+                ids.append(str(d))
+                blobs.append(build_gif89a(delays))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    frames = multimodal.sample_video_frames(media, decoder="gif")
+    return (frames.select(
+        "media_id", "frame_index",
+        F.round("frame_time_s", 6).alias("frame_time_s"))
+        .orderBy("media_id", "frame_index"))

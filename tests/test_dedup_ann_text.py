@@ -416,6 +416,42 @@ def test_bmp_decoder_real_bytes(spark):
     assert out["junk"]["width"] is None and out["png"]["phash"] is None
 
 
+def test_gif_frame_parser_real_bytes(spark):
+    """The stdlib GIF walk reads REAL container bytes: per-frame Graphic
+    Control delays come back exactly, a local-color-table frame and an
+    87a header still parse, and corrupt blobs contribute ZERO frame rows
+    (quarantine) rather than failing the batch."""
+    import struct
+
+    from server2_vector_search_server_spark.operators.multimodal import (
+        build_gif89a,
+        parse_gif_frames,
+        sample_video_frames,
+    )
+
+    blob = build_gif89a([10, 25, 7])
+    w, h, delays = parse_gif_frames(blob)
+    assert (w, h, delays) == (2, 2, [10, 25, 7])
+    # variant coverage: 87a magic + a frame carrying a local color table
+    v = bytearray(blob)
+    v[:6] = b"GIF87a"
+    first_desc = bytes(v).index(b"\x2c")
+    lct = bytearray(v[:first_desc + 9])
+    lct += bytes([0x80])                      # local color table flag, 2 colors
+    lct += b"\x11\x22\x33\x44\x55\x66"        # the 2-entry LCT to skip
+    lct += v[first_desc + 10:]                # rest unchanged
+    w2, h2, delays2 = parse_gif_frames(bytes(lct))
+    assert delays2 == [10, 25, 7]
+    media = spark.createDataFrame(
+        [("ok", bytearray(blob)), ("junk", bytearray(b"GIFXXnope"))],
+        "media_id string, content binary")
+    rows = (sample_video_frames(media, decoder="gif")
+            .orderBy("media_id", "frame_index").collect())
+    got = [(r["media_id"], r["frame_index"], r["frame_time_s"])
+           for r in rows]
+    assert got == [("ok", 0, 0.0), ("ok", 1, 0.10), ("ok", 2, 0.35)], got
+
+
 def test_ivf_kmeans_trainer(spark, tables):
     from server2_vector_search_server_spark.operators import ann
 
