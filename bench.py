@@ -152,6 +152,8 @@ HEADLINE = [
     "graph_kcore_influential_communities",  # k-core peel + CC rank (r7)
     "text_kneser_ney_bigrams",  # distributed LM counts + KN prob (r8)
     "multimodal_audio_wav_roundtrip",  # real stdlib WAV decode path (r8)
+    "multimodal_image_bmp_roundtrip",  # real stdlib BMP decode path (r8)
+    "multimodal_video_gif_frames",     # real GIF container parse (r8)
 ]
 
 
