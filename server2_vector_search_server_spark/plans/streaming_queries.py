@@ -800,3 +800,84 @@ def streaming_stream_stream_left_outer_join(spark: SparkSession,
                  F.sum(F.col("p_event").isNull().cast("int")).cast("long")
                  .alias("n_unattributed_emitted"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance of the shipment-edge silver table (SCALE §57)
+
+_EDGE_SUPP_CAP = 100
+
+
+@query(
+    "streaming_edge_table_upkeep",
+    survey="I+graph(incremental silver-table maintenance: lineitem stream "
+           "⋈ static orders → per-batch DISTINCT → anti-join against the "
+           "accumulated pair table → append-only insert; the streaming "
+           "twin of the session-memoized shipment_pairs artifact)",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey, o_custkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey < {_EDGE_SUPP_CAP})
+    SELECT l_suppkey AS supplier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+    FROM pairs GROUP BY l_suppkey ORDER BY supplier
+    """,
+)
+def streaming_edge_table_upkeep(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The shipment-edge silver table maintained INCREMENTALLY — the
+    streaming twin of ``graph_queries.shipment_pairs`` (SCALE §57 calls
+    that artifact "the bucketed silver table a production pipeline would
+    keep"; this query IS that pipeline): lineitem rows arrive in
+    micro-batches (file stream, several triggers), each batch joins the
+    static orders dimension, reduces to its DISTINCT new pairs, anti-joins
+    the accumulated table so only never-seen pairs append, and the final
+    per-supplier rollup must hash-match the one-shot batch DISTINCT — the
+    incremental view maintenance argument, proved end-to-end. The full
+    input is never re-scanned: per trigger the work is batch-sized join +
+    batch-sized distinct + anti-join against the accumulated set. At
+    100 TB the accumulated side is a key-partitioned table so the
+    anti-join prunes to matching partitions, and the append-only pair log
+    compacts offline exactly like the ANN index tombstone path; the
+    supplier cap here only bounds the driver-checked result, not the
+    mechanism."""
+    from pyspark.sql.utils import AnalysisException
+
+    work = scratch_dir("edge_upkeep_")
+    src = os.path.join(work, "lineitem")
+    out_dir = os.path.join(work, "pairs")
+    li = (tbl(spark, sf_dir, "lineitem")
+          .filter(F.col("l_suppkey") < _EDGE_SUPP_CAP)
+          .select("l_orderkey", "l_suppkey"))
+    li.repartition(6).write.parquet(src)
+    orders_static = (tbl(spark, sf_dir, "orders")
+                     .select("o_orderkey", "o_custkey"))
+
+    def upsert(batch_df, batch_id):
+        new = (batch_df.join(orders_static,
+                             batch_df.l_orderkey
+                             == orders_static.o_orderkey)
+               .select("l_suppkey", "o_custkey").distinct())
+        try:
+            existing = spark.read.parquet(out_dir)
+            new = new.join(existing, ["l_suppkey", "o_custkey"],
+                           "left_anti")
+        except AnalysisException:
+            pass                               # first batch: nothing yet
+        new.write.mode("append").parquet(out_dir)
+
+    with state_partitions(spark):
+        stream = (spark.readStream.schema(li.schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = (stream.writeStream.foreachBatch(upsert)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    pairs = spark.read.parquet(out_dir)
+    return (pairs.groupBy(F.col("l_suppkey").alias("supplier"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("o_custkey").alias("custkey_sum"))
+            .orderBy("supplier"))
