@@ -8,7 +8,7 @@ side must produce the same pairs through its shuffle-friendly rewrites
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators.temporal import (
@@ -1060,3 +1060,77 @@ def events_mann_kendall_trend(spark: SparkSession,
          .otherwise(F.lit(0.0)))
     return joined.select(F.col("n").alias("n_days"), "s", "n_pairs",
                          F.round(z, 6).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan on the daily purchase series
+
+@query(
+    "events_cusum_changepoint",
+    survey="temporal extension(CUSUM changepoint scan on daily purchase "
+           "counts — the level-shift detector a data-quality monitor "
+           "runs over ingest volume; argmax |S_t| located with EXACT "
+           "integers via the n·prefix − rank·total scaling, no float "
+           "enters the ranking)",
+    oracle="""
+    WITH d AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    pre AS (
+      SELECT t, x,
+             CAST(SUM(x) OVER (ORDER BY t) AS BIGINT) AS prefix,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS r
+      FROM d)
+    SELECT p.t AS day_index, p.x AS n_events,
+           CAST(tot.n * p.prefix - p.r * tot.total AS BIGINT)
+             AS cusum_scaled,
+           ROUND(CAST(tot.n * p.prefix - p.r * tot.total AS DOUBLE)
+                 / (tot.n * tot.total), 6) AS cusum_rel
+    FROM pre p, tot
+    ORDER BY ABS(CAST(tot.n * p.prefix - p.r * tot.total AS BIGINT)) DESC,
+             p.t
+    LIMIT 5
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (Page 1954, public): the classic detector
+    for a level shift in a counting series — the monitor a training-data
+    pipeline points at daily ingest volume before trusting a mixture
+    ratio. The textbook statistic S_t = Σ_{k≤t}(x_k − x̄) needs the float
+    mean; multiplying through by n gives the integer-exact scaled form
+    S'_t = n·prefix_t − rank_t·total, so the argmax ranking (top-5 here,
+    |S'| desc, earliest day tie-break) is decided entirely in BIGINTs —
+    the same no-float-in-the-decision trick as the BMP block-mean hash.
+    ``cusum_rel`` divides the same integers once for a human-readable
+    magnitude. Scale shape: one scan to the bounded daily aggregate;
+    prefix/rank windows run over day-grain rows (bounded by calendar
+    span, never event count) — at 100 TB the window state is still a few
+    thousand rows; only the first aggregate touches the corpus."""
+    ev = tbl(spark, sf_dir, "events")
+    d = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy(F.datediff(F.to_date("ts"),
+                             F.lit("2024-01-01").cast("date")).alias("t"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    w = Window.orderBy("t")
+    pre = d.select(
+        "t", "x",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("long").alias("prefix"),
+        F.row_number().over(w).cast("long").alias("r"))
+    tot = d.agg(F.sum("x").cast("long").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n"))
+    joined = pre.crossJoin(F.broadcast(tot))
+    s = (F.col("n") * F.col("prefix") - F.col("r") * F.col("total"))
+    return (joined.select(
+        F.col("t").alias("day_index"),
+        F.col("x").alias("n_events"),
+        s.cast("long").alias("cusum_scaled"),
+        F.round(s.cast("double") / (F.col("n") * F.col("total")), 6)
+         .alias("cusum_rel"))
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day_index")
+        .limit(5))
