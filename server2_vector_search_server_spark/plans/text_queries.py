@@ -2514,3 +2514,147 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_left_types", p_kn.alias("p_kn"))
             .orderBy(F.col("c_bigram").desc(), "w1", "w2")
             .limit(_KN_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff document scoring against the trained bigram table
+
+_SB_TRAIN_DOCS = _KN_DOCS          # same training slice as the KN counts
+_SB_SCORE_LO, _SB_SCORE_HI = 300, 340
+_SB_ALPHA = "0.4"                  # Brants et al. 2007's fixed backoff
+
+
+@query(
+    "text_stupid_backoff_scores",
+    survey="north-star text analysis extension(Stupid Backoff document "
+           "scoring against the distributed bigram table — Brants et al. "
+           "2007's serving algorithm: seen-bigram ratio else "
+           "alpha * unigram ratio, per-doc exact micro-unit log fold; "
+           "the word-level LM quality scorer next to the CCNet char-LM)",
+    oracle=f"""
+    WITH train AS (
+      SELECT {_SQL_KN_TOKS} AS toks
+      FROM documents WHERE doc_id < {_SB_TRAIN_DOCS}),
+    tbg AS (
+      SELECT split_part(pair, chr(9), 1) AS w1,
+             split_part(pair, chr(9), 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c12
+      FROM train, UNNEST(list_transform(range(1, len(toks)),
+             i -> toks[i] || chr(9) || toks[i + 1])) AS p(pair)
+      WHERE len(toks) >= 2 GROUP BY 1, 2),
+    tuni AS (
+      SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM train, UNNEST(toks) AS u(w) GROUP BY 1),
+    tn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM tuni),
+    score_docs AS (
+      SELECT doc_id, {_SQL_KN_TOKS} AS toks
+      FROM documents
+      WHERE doc_id >= {_SB_SCORE_LO} AND doc_id < {_SB_SCORE_HI}),
+    sbg AS (
+      SELECT doc_id, split_part(pair, chr(9), 1) AS w1,
+             split_part(pair, chr(9), 2) AS w2
+      FROM score_docs, UNNEST(list_transform(range(1, len(toks)),
+             i -> toks[i] || chr(9) || toks[i + 1])) AS p(pair)
+      WHERE len(toks) >= 2),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN b.c12 IS NOT NULL THEN
+                    CAST(b.c12 AS DOUBLE) / l.c1
+                  WHEN u2.c1 IS NOT NULL THEN
+                    {_SB_ALPHA} * u2.c1 / tn.n
+                  ELSE NULL END AS s,
+             CASE WHEN b.c12 IS NULL AND u2.c1 IS NOT NULL
+                  THEN 1 ELSE 0 END AS is_backoff,
+             CASE WHEN b.c12 IS NULL AND u2.c1 IS NULL
+                  THEN 1 ELSE 0 END AS is_oov
+      FROM sbg s
+      LEFT JOIN tbg b ON b.w1 = s.w1 AND b.w2 = s.w2
+      LEFT JOIN tuni l ON l.w = s.w1
+      LEFT JOIN tuni u2 ON u2.w = s.w2
+      CROSS JOIN tn)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN s IS NOT NULL THEN
+                   CAST(ROUND(ROUND(ln(s), 9) * 1000000000) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+                 / (1000000000.0 * (COUNT(*) - SUM(is_oov))), 6)
+             AS avg_logscore
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_stupid_backoff_scores(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Stupid Backoff scoring (Brants et al. 2007 — the algorithm their
+    2-trillion-token distributed LM actually SERVED, chosen over Kneser-
+    Ney precisely because it needs only the raw count tables this module
+    already builds): for each bigram of a held-out document,
+    S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in training, else
+    alpha * c(w2)/N; bigrams whose w2 never occurred in training are
+    counted as OOV and excluded from the average (ln(0) is undefined —
+    the exclusion is part of the contract, reported as ``n_oov``).
+
+    Determinism: each per-bigram score is a ratio of exact ints; its log
+    goes through the house ln-then-round-9 pattern (ln agrees across
+    engines at 1e-9 — the adamic-adar precedent) and folds as BIGINT
+    micro-units, so the per-doc sum is shuffle-order exact. Scale shape:
+    the train tables are vocabulary-bounded (broadcastable at any corpus
+    size that fits a vocab); scoring is one pass over held-out bigrams
+    with three equi-joins against them — the standard serve-side shape
+    for count-based LM filters in training-data pipelines."""
+    from server2_vector_search_server_spark.functions.text import tokens
+
+    toks = F.transform(tokens(F.col("text")), lambda t: F.lower(t))
+    pair_expr = F.when(
+        F.size("_toks") >= 2,
+        F.expr("transform(sequence(0, size(_toks) - 2), "
+               "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))")
+    ).otherwise(F.expr("array()"))
+
+    def bigrams(df):
+        return (df.select("doc_id", toks.alias("_toks"))
+                .select("doc_id", F.explode(pair_expr).alias("bg"))
+                .select("doc_id", F.col("bg.w1").alias("w1"),
+                        F.col("bg.w2").alias("w2")))
+
+    docs = tbl(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < _SB_TRAIN_DOCS)
+    tbg = (bigrams(train).groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c12")))
+    tuni = (train.select(F.explode(toks).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    tn = tuni.agg(F.sum("c1").cast("long").alias("n"))
+    sbg = bigrams(docs.filter((F.col("doc_id") >= _SB_SCORE_LO)
+                              & (F.col("doc_id") < _SB_SCORE_HI)))
+    left = tuni.select(F.col("w").alias("w1"), F.col("c1").alias("lc1"))
+    right = tuni.select(F.col("w").alias("w2"), F.col("c1").alias("rc1"))
+    alpha = float(_SB_ALPHA)
+    joined = (sbg
+              .join(F.broadcast(tbg), ["w1", "w2"], "left")
+              .join(F.broadcast(left), "w1", "left")
+              .join(F.broadcast(right), "w2", "left")
+              .crossJoin(F.broadcast(tn)))
+    s = (F.when(F.col("c12").isNotNull(),
+                F.col("c12").cast("double") / F.col("lc1"))
+         .when(F.col("rc1").isNotNull(),
+               F.lit(alpha) * F.col("rc1") / F.col("n")))
+    is_backoff = (F.col("c12").isNull()
+                  & F.col("rc1").isNotNull()).cast("int")
+    is_oov = (F.col("c12").isNull() & F.col("rc1").isNull()).cast("int")
+    micro = F.when(
+        s.isNotNull(),
+        F.round(F.round(F.log(s), 9) * 1_000_000_000).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    scored = joined.select("doc_id", micro.alias("m"),
+                           is_backoff.alias("is_backoff"),
+                           is_oov.alias("is_oov"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum("is_backoff").cast("long").alias("n_backoff"),
+                 F.sum("is_oov").cast("long").alias("n_oov"),
+                 F.round(F.sum("m").cast("double")
+                         / (1_000_000_000.0
+                            * (F.count(F.lit(1)) - F.sum("is_oov"))), 6)
+                 .alias("avg_logscore"))
+            .orderBy("doc_id"))

@@ -1074,3 +1074,48 @@ def test_cdc_chunks_prefix_edit_realigns(spark):
     assert "".join(t + " " for t in c1).strip() == body  # lossless split
     assert 3 not in by_doc             # empty doc -> no rows
     assert by_doc[4] == [(1, "a b")]   # short doc -> one chunk
+
+
+def test_stupid_backoff_branches_on_crafted_corpus(spark, tmp_path):
+    """The synthetic fixture corpus exercises the backoff branch exactly
+    once at sf0.01 and the OOV branch never — so pin BOTH branches on a
+    crafted corpus where every path fires, comparing the Spark query
+    against its own DuckDB oracle on the same parquet (the full parity
+    check, not a reimplementation)."""
+    import duckdb
+
+    from server2_vector_search_server_spark.plans import load_registry
+
+    # train bigrams: (a,b) (b,a) (a,b) (b,c) from doc 0, (c,c) (c,b) from
+    # doc 1 — so for doc 300 "a b c a zzz": (a,b) seen, (b,c) seen,
+    # (c,a) BACKOFF (unseen bigram, both unigrams trained), (a,zzz) OOV
+    # (zzz never trained); doc 339 "b b": (b,b) BACKOFF
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "c c b"),
+         (300, "a b c a zzz"),
+         (339, "b b")],
+        "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "sf" / "documents.parquet"))
+    reg = load_registry()
+    rq = reg["text_stupid_backoff_scores"]
+    got = rq.fn(spark, sf).toPandas().sort_values("doc_id",
+                                                  ignore_index=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    want = con.execute(rq.oracle).df().sort_values("doc_id",
+                                                   ignore_index=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [300, 339]
+    d300 = got.iloc[0]
+    assert int(d300["n_bigrams"]) == 4
+    assert int(d300["n_backoff"]) == 1          # (c, a): unseen bigram
+    assert int(d300["n_oov"]) == 1              # (a, zzz): zzz unseen
+    d339 = got.iloc[1]
+    assert int(d339["n_backoff"]) == 1          # (b, b) never trained
+    # the Spark result must equal the oracle on every column
+    for col in got.columns:
+        for i in range(len(got)):
+            a, b = got[col].iloc[i], want[col].iloc[i]
+            assert a == b or abs(float(a) - float(b)) < 1e-12, (col, a, b)
