@@ -462,6 +462,91 @@ def documents_source_drift_chi2(spark: SparkSession,
             .orderBy("source"))
 
 
+
+@query(
+    "documents_source_drift_psi",
+    survey="north-star curation (ingest monitoring: population stability "
+           "index of each source's language mix vs the corpus baseline — "
+           "the industry-standard drift score next to the chi-square "
+           "alarm; exact nano-unit fold, zero-cells reported not fudged)",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    src_tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns
+                FROM per GROUP BY source),
+    langs AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl
+              FROM per GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per),
+    cells AS (
+      SELECT s.source, g.lang, COALESCE(p.n, 0) AS o, s.ns, g.nl, t.nt
+      FROM src_tot s CROSS JOIN langs g CROSS JOIN tot t
+      LEFT JOIN per p ON p.source = s.source AND p.lang = g.lang),
+    contrib AS (
+      SELECT source,
+             CASE WHEN o > 0 THEN
+               CAST(ROUND(ROUND(
+                 (CAST(o AS DOUBLE) / ns - CAST(nl AS DOUBLE) / nt)
+                 * ROUND(ln((CAST(o AS DOUBLE) / ns)
+                            / (CAST(nl AS DOUBLE) / nt)), 9),
+                 9) * 1000000000) AS BIGINT)
+             END AS c
+      FROM cells)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS psi_nano,
+           ROUND(CAST(SUM(c) AS DOUBLE) / 1000000000.0, 6) AS psi,
+           CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cells,
+           CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_cells
+    FROM contrib GROUP BY source ORDER BY source
+    """,
+)
+def documents_source_drift_psi(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Population Stability Index per source: PSI = sum over language
+    cells of (p - q) * ln(p/q), p = the source's share, q = the corpus
+    baseline share — the monitoring industry's standard drift score
+    (>0.25 conventionally = action), complementing the chi-square above
+    with a magnitude that is comparable across sources of different
+    sizes. Cells the source has never emitted (o = 0) are REPORTED as
+    ``n_zero_cells`` and excluded rather than epsilon-fudged — the
+    epsilon choice changes PSI materially and silently, so surfacing the
+    exclusion is the honest contract. Same scale shape as the chi-square:
+    one (source, lang) contingency shuffle, then arithmetic over a
+    broadcast-sized cell table; each cell's contribution runs through
+    the ln-then-round-9 nano-unit pattern so per-source sums fold
+    shuffle-order exact."""
+    docs = tbl(spark, sf_dir, "documents")
+    per = (docs.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"))
+           .localCheckpoint(eager=True))
+    src_tot = per.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    langs = per.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    tot = per.agg(F.sum("n").cast("long").alias("nt"))
+    cells = (src_tot.crossJoin(langs).crossJoin(F.broadcast(tot))
+             .join(per, ["source", "lang"], "left")
+             .select("source",
+                     F.coalesce(F.col("n"), F.lit(0)).alias("o"),
+                     "ns", "nl", "nt"))
+    p_share = F.col("o").cast("double") / F.col("ns")
+    q_share = F.col("nl").cast("double") / F.col("nt")
+    c = F.when(
+        F.col("o") > 0,
+        F.round(F.round((p_share - q_share)
+                        * F.round(F.log(p_share / q_share), 9), 9)
+                * 1_000_000_000).cast("long"))
+    contrib = cells.select("source", c.alias("c"))
+    return (contrib.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("psi_nano"),
+                 F.round(F.sum("c").cast("double") / 1_000_000_000.0, 6)
+                 .alias("psi"),
+                 F.sum(F.col("c").isNotNull().cast("int")).cast("long")
+                 .alias("n_cells"),
+                 F.sum(F.col("c").isNull().cast("int")).cast("long")
+                 .alias("n_zero_cells"))
+            .orderBy("source"))
+
 # --- leakage-safe train/val split -------------------------------------------
 #
 # Near-duplicate documents that straddle a train/val split leak training

@@ -2430,3 +2430,99 @@ def curation_dataset_card_report(spark: SparkSession,
                     F.round(F.lit(float(n_dup)) / float(n), 6)
                     .alias("corpus_dup_rate"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal upper bound on event value (distribution-free coverage)
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10      # 1 - alpha = 9/10, exact ints
+
+
+@query(
+    "events_conformal_value_bound",
+    survey="quality extension(split-conformal prediction: the exact "
+           "k = ceil((n+1)(1-alpha)) order statistic of a calibration "
+           "split as a distribution-free upper bound, with realized "
+           "coverage measured on the disjoint test split — the "
+           "finite-sample-guaranteed eval-family member next to "
+           "isotonic / ROC-AUC / nDCG)",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    tst AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    kk AS (
+      SELECT n_cal,
+             CAST(({_CONF_ALPHA_NUM} * (n_cal + 1)
+                   + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN}
+                  AS BIGINT) AS k
+      FROM n),
+    vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY v),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vals),
+    thr AS (
+      SELECT kk.n_cal, kk.k, MIN(cum.v) AS threshold
+      FROM cum, kk WHERE cum.cum >= LEAST(kk.k, kk.n_cal)
+      GROUP BY kk.n_cal, kk.k),
+    tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM tst)
+    SELECT t.n_cal, t.k,
+           ROUND(t.threshold, 6) AS threshold,
+           tn.n_test,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tst
+            WHERE tst.v <= t.threshold) AS n_covered,
+           ROUND(CAST((SELECT COUNT(*) FROM tst
+                       WHERE tst.v <= t.threshold) AS DOUBLE)
+                 / tn.n_test, 6) AS coverage
+    FROM thr t, tn
+    """,
+)
+def events_conformal_value_bound(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Vovk et al.; Lei et al. 2018, public):
+    the k-th smallest calibration value with k = ceil((n+1)(1−α)) is a
+    distribution-free upper bound whose coverage on exchangeable data is
+    ≥ 1−α by a counting argument — no model, no distributional
+    assumption. This is the eval-family member with a FINITE-SAMPLE
+    guarantee, the certificate a data pipeline wants on "values above X
+    are anomalies".
+
+    Exactness: k is computed in pure integer arithmetic
+    (ceil(a/b) = (a + b − 1) // b — no float ever touches the rank); the
+    threshold is an exact ELEMENT of the data (selected via cumulative
+    counts over the DISTINCT-value spine, the bounded-spine pattern of
+    ``events_roc_auc_daily`` — no global row sort); realized coverage
+    counts exact comparisons against that element. NULL values filtered
+    on both sides (the r7 NULLS FIRST/LAST lesson). Scale shape: two
+    corpus scans (calibration counts, test coverage count), a window
+    over distinct values only, everything else one-row arithmetic."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cal = (ev.filter(F.col("event_id") % 2 == 0)
+           .select(F.col("value").cast("double").alias("v")))
+    tst = (ev.filter(F.col("event_id") % 2 == 1)
+           .select(F.col("value").cast("double").alias("v")))
+    from pyspark.sql import Window
+
+    kdf = (cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+           .select("n_cal",
+                   F.expr(f"CAST(({_CONF_ALPHA_NUM} * (n_cal + 1) "
+                          f"+ {_CONF_ALPHA_DEN} - 1) "
+                          f"DIV {_CONF_ALPHA_DEN} AS BIGINT)").alias("k")))
+    vals = cal.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select("v", F.sum("c").over(w).alias("cum"))
+    thr = (cum.crossJoin(F.broadcast(kdf))
+           .filter(F.col("cum") >= F.least(F.col("k"), F.col("n_cal")))
+           .groupBy("n_cal", "k").agg(F.min("v").alias("threshold")))
+    tn = tst.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    covered = (tst.crossJoin(F.broadcast(thr))
+               .filter(F.col("v") <= F.col("threshold"))
+               .agg(F.count(F.lit(1)).cast("long").alias("n_covered")))
+    return (thr.crossJoin(F.broadcast(tn)).crossJoin(F.broadcast(covered))
+            .select("n_cal", "k",
+                    F.round("threshold", 6).alias("threshold"),
+                    "n_test", "n_covered",
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("n_test"), 6).alias("coverage")))
