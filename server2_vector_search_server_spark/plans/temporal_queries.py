@@ -1134,3 +1134,104 @@ def events_cusum_changepoint(spark: SparkSession,
          .alias("cusum_rel"))
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), "day_index")
         .limit(5))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope on the daily series
+
+@query(
+    "events_theil_sen_trend",
+    survey="temporal extension(Theil-Sen estimator: median of all "
+           "pairwise day slopes — the robust trend line that pairs with "
+           "the Mann-Kendall test above (Sen 1968); bounded day-pair "
+           "set, median selected by deterministic rank, no global row "
+           "sort of the corpus)",
+    oracle="""
+    WITH d AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    slopes AS (
+      SELECT a.t AS ti, b.t AS tj,
+             ROUND(CAST(b.y - a.y AS DOUBLE) / (b.t - a.t), 9) AS s
+      FROM d a JOIN d b ON a.t < b.t),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM slopes),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, ti, tj) AS r FROM slopes),
+    med AS (
+      SELECT (SELECT s FROM ranked WHERE r = (n.np + 1) // 2) AS lo,
+             (SELECT s FROM ranked WHERE r = n.np // 2 + 1) AS hi
+      FROM n),
+    ic AS (
+      SELECT ROUND(d.y - (med.lo + med.hi) / 2.0 * d.t, 9) AS c, d.t
+      FROM d, med),
+    icn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ic),
+    icr AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, t) AS r FROM ic)
+    SELECT (SELECT nd FROM icn) AS n_days,
+           n.np AS n_pairs,
+           ROUND((med.lo + med.hi) / 2.0, 6) AS sen_slope,
+           ROUND(((SELECT c FROM icr, icn WHERE r = (icn.nd + 1) // 2)
+                  + (SELECT c FROM icr, icn WHERE r = icn.nd // 2 + 1))
+                 / 2.0, 6) AS sen_intercept
+    FROM n, med
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Theil-Sen trend (Sen 1968, public): slope = the median of all
+    pairwise slopes (y_j − y_i)/(t_j − t_i) over the daily series — the
+    robust line whose breakdown point (~29%) survives the outliers that
+    wreck OLS, and the natural effect-size companion to the rank-based
+    Mann-Kendall significance test above. Intercept = median of
+    y_i − slope·t_i (Conover's form).
+
+    Determinism: each pairwise slope is one IEEE division of exact ints
+    rounded to 9 decimals; the median is selected by RANK over the
+    bounded pair set (value order, (ti, tj) tie-break so row_number is
+    total; for even counts the two central VALUES average — identical on
+    both engines because the central multiset values are order-free).
+    Scale shape: one scan to the bounded daily aggregate; the |days|²/2
+    pair join and both medians run on day-grain rows only. For long
+    series the published O(n log n) randomized median-of-slopes
+    (Matoušek) is the drop-in, named not faked — same contract."""
+    ev = tbl(spark, sf_dir, "events")
+    d = (ev.groupBy(F.datediff(F.to_date("ts"),
+                               F.lit("2024-01-01").cast("date")).alias("t"))
+         .agg(F.count(F.lit(1)).cast("long").alias("y"))
+         .localCheckpoint(eager=True))
+    a = d.select(F.col("t").alias("ti"), F.col("y").alias("yi"))
+    b = d.select(F.col("t").alias("tj"), F.col("y").alias("yj"))
+    slopes = (a.join(b, F.col("ti") < F.col("tj"))
+              .select("ti", "tj",
+                      F.round((F.col("yj") - F.col("yi")).cast("double")
+                              / (F.col("tj") - F.col("ti")), 9).alias("s")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("s", "ti", "tj")
+    ranked = slopes.select("s", F.row_number().over(w).alias("r"))
+    np_df = slopes.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    # integer median ranks: r == (np+1) DIV 2  OR  r == np DIV 2 + 1 — for
+    # odd np both predicates select the SAME row (sum/count = its value);
+    # for even np the two central rows (sum/count = their mean)
+    lo_hi = (ranked.crossJoin(F.broadcast(np_df))
+             .filter((F.col("r") == F.expr("(np + 1) DIV 2"))
+                     | (F.col("r") == F.expr("np DIV 2 + 1")))
+             .agg((F.sum("s") / F.count(F.lit(1))).alias("slope_raw")))
+    ic = (d.crossJoin(F.broadcast(lo_hi))
+          .select(F.round(F.col("y") - F.col("slope_raw") * F.col("t"), 9)
+                  .alias("c"), "t"))
+    icw = Window.orderBy("c", "t")
+    icr = ic.select("c", F.row_number().over(icw).alias("r"))
+    nd_df = ic.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    intercept = (icr.crossJoin(F.broadcast(nd_df))
+                 .filter((F.col("r") == F.expr("(nd + 1) DIV 2"))
+                         | (F.col("r") == F.expr("nd DIV 2 + 1")))
+                 .agg((F.sum("c") / F.count(F.lit(1)))
+                      .alias("intercept_raw")))
+    return (np_df.crossJoin(F.broadcast(nd_df))
+            .crossJoin(F.broadcast(lo_hi))
+            .crossJoin(F.broadcast(intercept))
+            .select(F.col("nd").alias("n_days"),
+                    F.col("np").alias("n_pairs"),
+                    F.round("slope_raw", 6).alias("sen_slope"),
+                    F.round("intercept_raw", 6).alias("sen_intercept")))
