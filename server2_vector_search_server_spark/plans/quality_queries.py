@@ -2526,3 +2526,176 @@ def events_conformal_value_bound(spark: SparkSession,
                     "n_test", "n_covered",
                     F.round(F.col("n_covered").cast("double")
                             / F.col("n_test"), 6).alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic, exact integer argmax
+
+@query(
+    "events_ks_two_sample_drift",
+    survey="quality extension(two-sample Kolmogorov-Smirnov statistic "
+           "between the calibration/test value splits: sup|ECDF1-ECDF2| "
+           "located by the EXACT integer cross-product "
+           "|c1*n2 - c2*n1| over the distinct-value spine — the "
+           "distribution-level drift test completing chi-square (counts) "
+           "and PSI (shares))",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(value AS DOUBLE) AS v, event_id % 2 = 0 AS is_a
+      FROM events WHERE value IS NOT NULL),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      FROM e),
+    per AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM e GROUP BY v),
+    cum AS (
+      SELECT v, SUM(a) OVER (ORDER BY v) AS c1,
+             SUM(b) OVER (ORDER BY v) AS c2
+      FROM per),
+    diff AS (
+      SELECT cum.v, ABS(CAST(cum.c1 * n.n2 - cum.c2 * n.n1 AS BIGINT))
+               AS num
+      FROM cum, n)
+    SELECT n.n1, n.n2,
+           (SELECT MAX(num) FROM diff) AS ks_num,
+           CAST(n.n1 * n.n2 AS BIGINT) AS ks_den,
+           ROUND(CAST((SELECT MAX(num) FROM diff) AS DOUBLE)
+                 / (n.n1 * n.n2), 6) AS ks_stat,
+           ROUND((SELECT MIN(v) FROM diff
+                  WHERE num = (SELECT MAX(num) FROM diff)), 6)
+             AS ks_at_value
+    FROM n
+    """,
+)
+def events_ks_two_sample_drift(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the even/odd
+    event_id splits of ``value``: D = sup_v |F1(v) − F2(v)|. Every float
+    pitfall of the textbook form is eliminated by clearing denominators —
+    the supremum is the max of the EXACT integers |c1(v)·n2 − c2(v)·n1|
+    over the distinct-value spine, so the argmax location (earliest value
+    on ties) and the reported rational (ks_num/ks_den) are hash-stable;
+    only the final display ratio divides. Completes the drift-monitor
+    family: chi-square (categorical counts), PSI (share magnitude), KS
+    (full distribution shape). Scale shape: one scan to per-value counts,
+    cumulative windows over the bounded DISTINCT-value spine (the
+    ``events_roc_auc_daily`` pattern — never a global row sort), one-row
+    arithmetic after."""
+    from pyspark.sql import Window
+
+    e = (tbl(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.col("value").cast("double").alias("v"),
+                 (F.col("event_id") % 2 == 0).alias("is_a")))
+    n = e.agg(
+        F.sum(F.col("is_a").cast("int")).cast("long").alias("n1"),
+        F.sum((~F.col("is_a")).cast("int")).cast("long").alias("n2"))
+    per = (e.groupBy("v")
+           .agg(F.sum(F.col("is_a").cast("int")).cast("long").alias("a"),
+                F.sum((~F.col("is_a")).cast("int")).cast("long")
+                .alias("b")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("v", F.sum("a").over(w).alias("c1"),
+                     F.sum("b").over(w).alias("c2"))
+    diff = (cum.crossJoin(F.broadcast(n))
+            .select("v", F.abs(F.col("c1") * F.col("n2")
+                               - F.col("c2") * F.col("n1"))
+                    .cast("long").alias("num")))
+    mx = diff.agg(F.max("num").cast("long").alias("ks_num"))
+    at = (diff.crossJoin(F.broadcast(mx))
+          .filter(F.col("num") == F.col("ks_num"))
+          .agg(F.min("v").alias("at_v")))
+    return (n.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(at))
+            .select("n1", "n2", "ks_num",
+                    (F.col("n1") * F.col("n2")).cast("long").alias("ks_den"),
+                    F.round(F.col("ks_num").cast("double")
+                            / (F.col("n1") * F.col("n2")), 6)
+                    .alias("ks_stat"),
+                    F.round(F.col("at_v"), 6).alias("ks_at_value")))
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend (skew monitor, exact rank arithmetic)
+
+@query(
+    "customer_spend_gini",
+    survey="quality extension(Gini coefficient + top-decile share of "
+           "per-customer spend via the exact rank identity "
+           "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over cents — the "
+           "inequality/skew monitor that quantifies the hot-key problem "
+           "the partitioning sections reason about)",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey),
+    ranked AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS BIGINT)
+               AS i
+      FROM spend),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(i * cents) AS BIGINT) AS weighted
+      FROM ranked),
+    top AS (
+      SELECT CAST(SUM(r.cents) AS BIGINT) AS top_cents
+      FROM ranked r, agg WHERE r.i > agg.n - agg.n // 10)
+    SELECT agg.n AS n_customers, agg.total AS total_cents,
+           ROUND(2.0 * agg.weighted / (agg.n * CAST(agg.total AS DOUBLE))
+                 - CAST(agg.n + 1 AS DOUBLE) / agg.n, 6) AS gini,
+           ROUND(CAST(top.top_cents AS DOUBLE) / agg.total, 6)
+             AS top_decile_share
+    FROM agg, top
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer spend via the rank identity
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n (ascending sort, custkey
+    tie-break so the rank is total) plus the top-decile spend share —
+    the standard inequality summary, and operationally the SKEW monitor:
+    this number IS the hot-key severity the salting/AQE sections of
+    SCALE.md reason about, measured instead of assumed.
+
+    Exactness: spend folds to exact cents; Σ i·x and the top-decile cut
+    (i > n − n//10, pure integer) stay in BIGINTs; the two final ratios
+    divide exact operands once. The rank window runs over the CUSTOMER
+    dimension (bounded — never the order fact table); at 100 TB the same
+    identity computes with a two-phase rank (per-partition counts then
+    offset) if the dimension itself outgrows one window, which is the
+    documented path, not an assumption."""
+    from pyspark.sql import Window
+
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    spend = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+             .groupBy("c_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .cast("long").alias("cents")))
+    w = Window.orderBy("cents", "c_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(w).cast("long").alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"))
+    top = (ranked.crossJoin(F.broadcast(agg))
+           .filter(F.col("i") > F.col("n") - F.expr("n DIV 10"))
+           .agg(F.sum("cents").cast("long").alias("top_cents")))
+    return (agg.crossJoin(F.broadcast(top))
+            .select(F.col("n").alias("n_customers"),
+                    F.col("total").alias("total_cents"),
+                    F.round(2.0 * F.col("weighted")
+                            / (F.col("n") * F.col("total").cast("double"))
+                            - (F.col("n") + 1).cast("double") / F.col("n"),
+                            6).alias("gini"),
+                    F.round(F.col("top_cents").cast("double")
+                            / F.col("total"), 6)
+                    .alias("top_decile_share")))
