@@ -2699,3 +2699,80 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("top_cents").cast("double")
                             / F.col("total"), 6)
                     .alias("top_decile_share")))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics on order totals
+
+import math as _math
+
+# one source of truth for the Benford expectation, emitted as literals
+# into BOTH engines (log10 is transcendental — never computed at runtime
+# on either side, so there is nothing to drift)
+_BENFORD_EXP = {d: round(_math.log10(1 + 1 / d), 9) for d in range(1, 10)}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_BENFORD_EXP[d]}" for d in range(1, 10))
+
+
+@query(
+    "orders_benford_first_digit",
+    survey="quality extension(Benford first-digit forensics on order "
+           "totals: digit extracted from the exact-cents STRING — no "
+           "log10 at runtime on either engine, expectations baked as "
+           "shared literals; the classic fabricated-data / unit-mixup "
+           "monitor)",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents),
+    per AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM per)
+    SELECT p.digit, p.n_obs,
+           ROUND(CAST(p.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+           CASE p.digit {_BENFORD_CASE} END AS exp_share,
+           CAST(ROUND((CAST(p.n_obs AS DOUBLE) / t.n
+                       - CASE p.digit {_BENFORD_CASE} END)
+                      * 1000000) AS BIGINT) AS dev_micro
+    FROM per p, tot t ORDER BY p.digit
+    """,
+)
+def orders_benford_first_digit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals (Newcomb 1881 /
+    Benford 1938; Nigrini's forensic-accounting standard): genuine
+    multi-scale monetary data leads with digit d at probability
+    log10(1+1/d), and departures flag fabricated values, unit mix-ups,
+    or truncation bugs upstream — a one-scan data-forensics monitor for
+    an ingest pipeline. Engineering choices for parity: the digit comes
+    from the first character of the exact-cents INTEGER rendered as a
+    string (no log10/pow at runtime anywhere), and the expected shares
+    are Python-computed literals emitted into BOTH the Spark plan and
+    the oracle SQL — one source of truth, zero transcendental drift.
+    Per-digit deviation is reported in micro-units for exact folding.
+    Scale shape: one scan, one 9-row aggregate."""
+    cents = (tbl(spark, sf_dir, "orders")
+             .filter(F.col("o_totalprice") > 0)
+             .select(F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("c")))
+    per = (cents.select(F.substring(F.col("c").cast("string"), 1, 1)
+                        .cast("int").alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_obs")))
+    tot = per.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.create_map(
+        *[F.lit(x) for d in range(1, 10)
+          for x in (d, _BENFORD_EXP[d])])[F.col("digit")]
+    joined = per.crossJoin(F.broadcast(tot))
+    obs_share = F.col("n_obs").cast("double") / F.col("n")
+    return (joined.select(
+        "digit", "n_obs",
+        F.round(obs_share, 6).alias("obs_share"),
+        exp.alias("exp_share"),
+        F.round((obs_share - exp) * 1_000_000).cast("long")
+        .alias("dev_micro"))
+        .orderBy("digit"))
