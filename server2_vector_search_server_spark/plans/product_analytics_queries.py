@@ -769,90 +769,94 @@ def events_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MATCH_RECOGNIZE-style sequence pattern via an exact integer fold
+# MATCH_RECOGNIZE-style sequence pattern via exact cumulative windows
 
 _SEQ_USER_CAP = 300
-_SEQ_K = 100_000          # pairs ride above views: acc = pairs*K + views
 
 
 @query(
     "events_sequence_pattern_match",
     survey="D/E-extension(sequence pattern matching a la MATCH_RECOGNIZE: "
            "'view then later purchase with no error between', counted per "
-           "user by a LINEAR exact-integer fold over the time-ordered "
-           "event array — no quadratic pair join, no float, no UDF)",
+           "user from cumulative windows over the time-ordered stream — "
+           "no per-user arrays, no quadratic pair join, no float)",
     oracle=f"""
-    WITH seq AS (
-      SELECT user_id,
-             list(CASE event_type WHEN 'error' THEN 0
-                                  WHEN 'view' THEN 1
-                                  WHEN 'purchase' THEN 2
-                                  ELSE 3 END
-                  ORDER BY ts, event_id) AS codes
-      FROM events WHERE user_id < {_SEQ_USER_CAP} GROUP BY user_id),
-    folded AS (
-      SELECT user_id, len(codes) AS n_events,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                            list_transform(codes,
-                                           c -> CAST(c AS BIGINT))),
-               (acc, x) -> CASE
-                 WHEN x = 0 THEN (acc // {_SEQ_K}) * {_SEQ_K}
-                 WHEN x = 1 THEN acc + 1
-                 WHEN x = 2 THEN acc + (acc % {_SEQ_K}) * {_SEQ_K}
-                 ELSE acc END) AS acc
-      FROM seq)
+    WITH ev AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS idx
+      FROM events WHERE user_id < {_SEQ_USER_CAP}),
+    cum AS (
+      SELECT user_id, event_type, idx,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY idx) AS cumv
+      FROM ev),
+    marked AS (
+      SELECT user_id, event_type, cumv,
+             MAX(CASE WHEN event_type = 'error' THEN cumv END)
+               OVER (PARTITION BY user_id ORDER BY idx) AS err_cumv
+      FROM cum)
     SELECT user_id,
-           CAST(n_events AS BIGINT) AS n_events,
-           CAST(acc // {_SEQ_K} AS BIGINT) AS clean_vp_pairs,
-           acc // {_SEQ_K} > 0 AS has_pattern
-    FROM folded ORDER BY user_id
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN cumv - COALESCE(err_cumv, 0)
+                         ELSE 0 END) AS BIGINT) AS clean_vp_pairs,
+           SUM(CASE WHEN event_type = 'purchase'
+                    THEN cumv - COALESCE(err_cumv, 0)
+                    ELSE 0 END) > 0 AS has_pattern
+    FROM marked GROUP BY user_id ORDER BY user_id
     """,
 )
 def events_sequence_pattern_match(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Per-user sequence pattern count — SQL:2016 MATCH_RECOGNIZE
     semantics ('view' … 'purchase' with no 'error' strictly between, all
-    occurrences) without the operator: fold the time-ordered event-code
-    array once, carrying (clean-view count, matched pairs) packed into
-    ONE BIGINT (``pairs*K + views``; an 'error' zeroes the views field,
-    a 'view' increments it, a 'purchase' adds the current views to
-    pairs). The fold is LINEAR in events per user where the naive
-    formulation is a quadratic (i, j) pair join with a no-k-between
-    anti-condition, and every operation is exact integer arithmetic —
-    hash-stable at any parallelism. Ordering is total (ts, then the
-    unique event_id) so both engines fold the identical sequence.
-    Scale shape: one groupBy(user) collect into bounded per-user arrays
-    (sessions are short; a pathological user caps at K views between
-    errors by construction of the encoding), then a map-side fold —
-    this is the standard funnel-regex shape at 100 TB."""
+    occurrences) without the operator and without per-user arrays: with
+    cumv = running view count and err_cumv = cumv at the most recent
+    error (a running MAX works because cumv is nondecreasing, so the max
+    over error positions IS the latest one), each purchase contributes
+    exactly cumv − err_cumv clean pairs. Three windows per user over the
+    time-ordered stream (total order via the unique event_id tie-break),
+    every value an exact integer — hash-stable at any parallelism, and
+    the naive formulation's quadratic (i, j) pair join never appears.
+
+    Engineering note (ROUND_NOTES r8): the first implementation folded a
+    per-user code ARRAY with DuckDB ``list_reduce`` — which silently
+    returns a corrupted accumulator for longer lists when many rows flow
+    through one vector (user 14's 88-element fold returned 21 instead of
+    14 at sf0.001; single-row evaluation of the SAME list is correct).
+    The window form avoids the primitive entirely on both engines and is
+    the better 100 TB shape anyway: state per user is three running
+    scalars, not a collected array."""
+    from pyspark.sql import Window
+
     ev = (tbl(spark, sf_dir, "events")
           .filter(F.col("user_id") < _SEQ_USER_CAP))
-    code = (F.when(F.col("event_type") == "error", 0)
-            .when(F.col("event_type") == "view", 1)
-            .when(F.col("event_type") == "purchase", 2)
-            .otherwise(3).cast("long"))
-    seq = (ev.select("user_id",
-                     F.struct(F.col("ts"), F.col("event_id"),
-                              code.alias("code")).alias("e"))
-           .groupBy("user_id")
-           .agg(F.sort_array(F.collect_list("e")).alias("es")))
-    codes = F.transform(F.col("es"), lambda s: s["code"])
-    acc = F.aggregate(
-        codes, F.lit(0).cast("long"),
-        lambda acc, x: (
-            # error: zero the views field — pure integer form (acc - acc%K)
-            F.when(x == 0, acc - (acc % _SEQ_K))
-            .when(x == 1, acc + 1)
-            .when(x == 2, acc + (acc % _SEQ_K) * _SEQ_K)
-            .otherwise(acc)))
-    # (acc - acc%K) is an exact multiple of K, so the double division is
-    # exact while acc < 2^53 (pairs < ~9e10/user — far past any real load;
-    # DuckDB's `//` needs no such bound, the gap is stated not hidden)
-    pairs = ((acc - (acc % _SEQ_K)) / _SEQ_K).cast("long")
-    return (seq.select(
-        "user_id",
-        F.size("es").cast("long").alias("n_events"),
-        pairs.alias("clean_vp_pairs"),
-        (pairs > 0).alias("has_pattern"))
-        .orderBy("user_id"))
+    w_ord = (Window.partitionBy("user_id")
+             .orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cum = ev.select(
+        "user_id", "event_type",
+        F.sum((F.col("event_type") == "view").cast("long"))
+         .over(w_ord).alias("cumv"))
+    # reuse the same frame for the running last-error cumv: cumv is
+    # nondecreasing, so MAX over the prefix of error-row cumv values is
+    # the cumv at the most recent error
+    marked = ev.select(
+        "user_id", "event_type",
+        F.sum((F.col("event_type") == "view").cast("long"))
+         .over(w_ord).alias("cumv"),
+        F.max(F.when(F.col("event_type") == "error",
+                     F.sum((F.col("event_type") == "view").cast("long"))
+                      .over(w_ord)))
+         .over(w_ord).alias("err_cumv"))
+    pair_contrib = F.when(
+        F.col("event_type") == "purchase",
+        F.col("cumv") - F.coalesce(F.col("err_cumv"), F.lit(0))
+    ).otherwise(F.lit(0))
+    return (marked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(pair_contrib).cast("long").alias("clean_vp_pairs"),
+                 (F.sum(pair_contrib) > 0).alias("has_pattern"))
+            .orderBy("user_id"))
