@@ -1235,3 +1235,95 @@ def events_theil_sen_trend(spark: SparkSession,
                     F.col("np").alias("n_pairs"),
                     F.round("slope_raw", 6).alias("sen_slope"),
                     F.round("intercept_raw", 6).alias("sen_intercept")))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between daily activity and daily revenue
+
+@query(
+    "events_spearman_daily_rank_corr",
+    survey="temporal extension(Spearman rank correlation between daily "
+           "event count and daily purchase value — Pearson on DOUBLED "
+           "midranks so tie handling stays in exact integers; the "
+           "monotone-association companion to Mann-Kendall / Theil-Sen)",
+    oracle="""
+    WITH d AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT t,
+             2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+      FROM d),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+      FROM r)
+    SELECT n AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS spearman_rho
+    FROM s
+    """,
+)
+def events_spearman_daily_rank_corr(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily event count and the
+    daily purchase-value total — the tie-robust monotone-association
+    measure, computed as Pearson over DOUBLED midranks: the midrank of a
+    tie group is fractional (.5), but 2·midrank = 2·rank + ties − 1 is
+    always an integer (rank = competition rank, ties = group size), so
+    every sum (Σr, Σr², Σrxry) folds as exact BIGINTs and the
+    hash-checked columns are the exact covariance numerator and the two
+    variance denominators; only the final ρ divides-and-sqrts those
+    integers once. Doubling cancels: the 2s scale numerator and both
+    denominator factors by 4, leaving ρ unchanged. Rank windows run over
+    the bounded day-grain spine, never the event corpus. NULL values
+    filtered on both engines (the r7 window-sort lesson)."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = (ev.groupBy(F.datediff(F.to_date("ts"),
+                               F.lit("2024-01-01").cast("date")).alias("t"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x"),
+              F.sum(F.when(F.col("event_type") == "purchase",
+                           F.round(F.col("value") * 100).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+              .cast("long").alias("y")))
+    rx2 = (2 * F.rank().over(Window.orderBy("x"))
+           + F.count(F.lit(1)).over(Window.partitionBy("x")) - 1)
+    ry2 = (2 * F.rank().over(Window.orderBy("y"))
+           + F.count(F.lit(1)).over(Window.partitionBy("y")) - 1)
+    r = d.select(rx2.cast("long").alias("rx2"),
+                 ry2.cast("long").alias("ry2"))
+    s = r.agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("rx2").cast("long").alias("sx"),
+              F.sum("ry2").cast("long").alias("sy"),
+              F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+              F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+              F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_days"),
+        num.cast("long").alias("num"),
+        den_x.cast("long").alias("den_x"),
+        den_y.cast("long").alias("den_y"),
+        F.round(num.cast("double")
+                / F.sqrt(den_x.cast("double") * den_y.cast("double")), 6)
+        .alias("spearman_rho"))
