@@ -1327,3 +1327,104 @@ def events_spearman_daily_rank_corr(spark: SparkSession,
         F.round(num.cast("double")
                 / F.sqrt(den_x.cast("double") * den_y.cast("double")), 6)
         .alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between daily activity and daily revenue
+
+@query(
+    "events_kendall_tau_daily",
+    survey="temporal extension(Kendall tau-b rank correlation between "
+           "daily event count and daily purchase value: concordant/"
+           "discordant/tie pair counts as EXACT integers over the "
+           "bounded day-pair set, tie-corrected denominator — closing "
+           "the rank-statistics family: Mann-Kendall (trend), Theil-Sen "
+           "(slope), Spearman (midranks), tau-b (pair concordance))",
+    oracle="""
+    WITH d AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END AS ty
+      FROM d a JOIN d b ON a.t < b.t),
+    s AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS nc,
+             CAST(SUM(disc) AS BIGINT) AS nd,
+             CAST(SUM(tx) AS BIGINT) AS ntx,
+             CAST(SUM(ty) AS BIGINT) AS nty,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM pairs)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+           nc AS n_concordant, nd AS n_discordant,
+           ntx AS n_ties_x_only, nty AS n_ties_y_only,
+           ROUND(CAST(nc - nd AS DOUBLE)
+                 / sqrt(CAST(n0 - ntx AS DOUBLE)
+                        * CAST(n0 - nty AS DOUBLE)), 6) AS tau_b
+    FROM s
+    """,
+)
+def events_kendall_tau_daily(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily event count and daily purchase value
+    (Kendall 1938; the tau-b tie correction of Kendall 1945): over all
+    day pairs, concordant minus discordant pairs normalized by the
+    geometric mean of non-tied pair counts — the pair-concordance view
+    of the same association Spearman measures through midranks; reported
+    side by side they diagnose whether a relationship is driven by broad
+    monotonicity (both high) or a few extreme days (they diverge).
+
+    Exactness: conc/disc/tie indicators are sign tests on integer
+    products, summed as exact BIGINTs over the bounded |days|²/2 pair
+    set (the ``events_mann_kendall_trend`` join shape); the hash-checked
+    columns are those integers, with only the final tau dividing them.
+    At corpus scale the published O(n log n) merge-sort inversion count
+    replaces the pair join — named, not faked."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = (ev.groupBy(F.datediff(F.to_date("ts"),
+                               F.lit("2024-01-01").cast("date")).alias("t"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x"),
+              F.sum(F.when(F.col("event_type") == "purchase",
+                           F.round(F.col("value") * 100).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+              .cast("long").alias("y"))
+         .localCheckpoint(eager=True))
+    a = d.select(F.col("t").alias("ta"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"))
+    b = d.select(F.col("t").alias("tb"), F.col("x").alias("xb"),
+                 F.col("y").alias("yb"))
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    pairs = (a.join(b, F.col("ta") < F.col("tb"))
+             .select((prod > 0).cast("int").alias("conc"),
+                     (prod < 0).cast("int").alias("disc"),
+                     ((F.col("xb") == F.col("xa"))
+                      & (F.col("yb") != F.col("ya"))).cast("int")
+                     .alias("tx"),
+                     ((F.col("yb") == F.col("ya"))
+                      & (F.col("xb") != F.col("xa"))).cast("int")
+                     .alias("ty")))
+    s = pairs.agg(F.sum("conc").cast("long").alias("nc"),
+                  F.sum("disc").cast("long").alias("nd"),
+                  F.sum("tx").cast("long").alias("ntx"),
+                  F.sum("ty").cast("long").alias("nty"),
+                  F.count(F.lit(1)).cast("long").alias("n0"))
+    nd_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (s.crossJoin(F.broadcast(nd_days))
+            .select("n_days",
+                    F.col("nc").alias("n_concordant"),
+                    F.col("nd").alias("n_discordant"),
+                    F.col("ntx").alias("n_ties_x_only"),
+                    F.col("nty").alias("n_ties_y_only"),
+                    F.round((F.col("nc") - F.col("nd")).cast("double")
+                            / F.sqrt((F.col("n0") - F.col("ntx"))
+                                     .cast("double")
+                                     * (F.col("n0") - F.col("nty"))
+                                     .cast("double")), 6).alias("tau_b")))
