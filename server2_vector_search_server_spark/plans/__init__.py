@@ -45,60 +45,70 @@ _QUERY_MODULES = [
 
 
 # The driver's per-round CORRECTNESS gate samples the FIRST ~50 queries in
-# registry iteration order (observed: CORRECTNESS_r07.json is exactly the
-# first 50 keys of the r7 registry).  Through round 7 that prefix was frozen
-# by module import order, so the ingestion family (SURVEY §2 A1-A4 / H4-H6 /
-# J3-J6 — the reference's CORE pipeline, document_processor.py:109-165,
-# app.py:160-198) was builder-PARITY-green but never driver-verified.  The
-# sampled window is now curated in three tiers:
+# registry iteration order (observed: CORRECTNESS_r07/r08.json are exactly
+# the first 50 keys of that round's registry).  Through round 7 that prefix
+# was frozen by module import order, so the ingestion family (SURVEY §2
+# A1-A4 / H4-H6 / J3-J6 — the reference's CORE pipeline,
+# document_processor.py:109-165, app.py:160-198) was builder-PARITY-green
+# but never driver-verified.  The sampled window is curated in five tiers
+# (r9 shape; VERDICT r8 next-#1/#2 + ADVICE r8 re-sampling finding):
 #
-#   1. _DRIVER_HEAD_CORE — always pinned: the reference /search* surface,
-#      the ingestion family, and the catalog heads (rotate, don't hide).
-#   2. _DRIVER_HEAD_ROTATION — hand-picked one-two NEVER-sampled queries
-#      per operator family for breadth; an entry is auto-dropped once a
+#   1. _DRIVER_HEAD_CORE — always pinned: the reference's flagship /search
+#      query, its filtered + real-model variants, and the six-endpoint
+#      lifecycle e2e.  Small by design so the window can keep widening.
+#   2. re-sample — every query whose MOST RECENT committed driver record is
+#      a failure is pinned until a newer green record lands (derived from
+#      the CORRECTNESS_r*.json artifacts, not hand-listed, so a pin drops
+#      automatically the round after the driver re-verifies it).
+#   3. round-robin re-verify — _REVERIFY_SLOTS previously-green queries,
+#      chosen deterministically by rotating over the sorted sampled set
+#      with the committed-artifact count as the phase, so old surfaces are
+#      re-checked by the driver over time instead of rotating out forever.
+#   4. _DRIVER_HEAD_ROTATION — hand-picked NEVER-sampled queries per
+#      operator family for breadth; an entry is auto-dropped once a
 #      committed CORRECTNESS_r*.json shows the driver verified it.
-#   3. auto-fill — remaining slots take the first still-never-sampled
+#   5. auto-fill — remaining slots take the first still-never-sampled
 #      queries in base registration order, so EVERY round's sample widens
 #      distinct driver-verified coverage with no manual edit; when the
 #      whole registry has been sampled, base order fills the window.
 #
 # "Sampled" is the union of keys across committed CORRECTNESS_r*.json files
-# at the repo root — the driver's own artifacts are the ground truth.
+# at the repo root — the driver's own artifacts are the ground truth.  Only
+# well-formed artifacts (a JSON object whose values are objects) contribute;
+# missing, unreadable, or foreign files are ignored deterministically.
 _DRIVER_HEAD_SIZE = 50
+_REVERIFY_SLOTS = 3
 
 _DRIVER_HEAD_CORE = [
-    # reference /search* surface (kept from the r1-r7 samples)
-    "search_score_topk", "search_filtered_knn", "search_multi_query_knn",
-    "search_unscored", "search_per_collection_topk", "search_overfetch_rerank",
-    "search_e5_golden_scores",
-    # ingestion family — never driver-sampled through r7 (VERDICT r7 next-#1)
-    "pdf_parse_manifest", "docx_parse_manifest", "zip_decode_chain_manifest",
-    "text_source_roundtrip", "chunking_golden_roundtrip", "chunking_stats",
-    "engine_lifecycle_e2e", "ingest_pipeline_e2e", "fulltext_contains",
-    "fulltext_snippets", "streaming_wal_replay", "ann_mllib_similarity_join",
-    # catalog / scalar heads (kept)
-    "list_documents", "group_documents_ui", "document_exists",
-    "dedup_new_uploads", "master_union_collections", "scalar_functions_path",
-    "bool_rollup_statuses", "list_documents_keyset_page",
+    "search_score_topk",        # the reference /search contract (C1/C2/B3/F1)
+    "search_filtered_knn",      # where-dialect + kNN composition (B1/B2)
+    "search_e5_golden_scores",  # real-E5 golden score parity (J1/J2)
+    "engine_lifecycle_e2e",     # all six endpoints end-to-end (A5-A8/D/G)
 ]
 
 _DRIVER_HEAD_ROTATION = [
-    "streaming_stream_stream_join", "streaming_late_data_watermark",
-    "streaming_session_windows",
+    # graph + streaming + sketch: the never-sampled families VERDICT r8
+    # next-#2 names explicitly
+    "graph_pagerank", "graph_betweenness_centrality", "graph_shortest_paths",
+    "streaming_windowed_counts", "streaming_stream_stream_join",
+    "streaming_late_data_watermark", "streaming_session_windows",
+    "events_hll_distinct_rollup", "events_kll_value_quantiles",
+    "events_theta_set_users",
+    "geo_nearest_supplier",
+    # remaining hand-picks carried from r8 (never-sampled there)
     "ann_ivf_pq_indexed_knn", "ann_ivf_recall_at_k",
     "text_bpe_encode_tokens", "text_sequence_packing_distributed",
     "text_secret_scan",
     "curate_corpus", "corpus_leakage_safe_split",
     "store_branch_wap_publish",
     "text_bm25_topk", "search_hybrid_rrf",
-    "events_hll_distinct_rollup",
     "er_fuzzy_part_match",
     "web_strip_html_roundtrip",
-    "geo_nearest_supplier",
     "events_variant_shred",
     "lineitem_zorder_clustered_scan",
     "multimodal_image_features", "multimodal_phash_near_dups",
-    "graph_pagerank", "graph_shortest_paths",
+    "multimodal_audio_wav_roundtrip", "multimodal_image_bmp_roundtrip",
+    "multimodal_video_gif_frames",
 ]
 
 # pristine registration order, captured on the first load in this process
@@ -107,7 +117,25 @@ _DRIVER_HEAD_ROTATION = [
 _BASE_ORDER: list[str] | None = None
 
 
-def _driver_sampled_so_far() -> set[str]:
+def _record_ok(rec) -> bool:
+    """True iff a single driver correctness record is a full pass."""
+    return (isinstance(rec, dict)
+            and bool(rec.get("rows_match"))
+            and bool(rec.get("schema_match"))
+            and bool(rec.get("hash_match", True))
+            and not rec.get("err"))
+
+
+def _driver_record() -> tuple[set[str], set[str], int]:
+    """Scan committed ``CORRECTNESS_r*.json`` artifacts (sorted by name, so
+    the newest round wins for per-query status).
+
+    Returns ``(sampled_ever, last_record_red, n_artifacts)``.  Only
+    well-formed artifacts count: a JSON object whose values are objects.
+    Missing / unreadable / foreign files are skipped, so the ordering this
+    feeds is deterministic for a given set of committed artifacts and
+    immune to stray repo-root JSON.
+    """
     import glob
     import json
     import os
@@ -115,32 +143,59 @@ def _driver_sampled_so_far() -> set[str]:
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     seen: set[str] = set()
+    last_status: dict[str, bool] = {}
+    n_artifacts = 0
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh))
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        if not isinstance(data, dict) or not all(
+                isinstance(v, dict) for v in data.values()):
+            continue  # foreign artifact — ignore deterministically
+        n_artifacts += 1
+        for name, rec in data.items():
+            seen.add(name)
+            last_status[name] = _record_ok(rec)
+    red = {n for n, ok in last_status.items() if not ok}
+    return seen, red, n_artifacts
 
 
-def _driver_head(base_order: list[str], seen: set[str]) -> list[str]:
+def _driver_sampled_so_far() -> set[str]:
+    return _driver_record()[0]
+
+
+def _driver_head(base_order: list[str], seen: set[str],
+                 red: set[str] = frozenset(), phase: int = 0) -> list[str]:
+    known = set(base_order)
     head = list(_DRIVER_HEAD_CORE)
+    in_head = set(head)
+
+    def _add(name: str) -> None:
+        if len(head) < _DRIVER_HEAD_SIZE and name not in in_head:
+            head.append(name)
+            in_head.add(name)
+
+    # tier 2: last driver record is a failure — pin until re-verified green
+    for name in sorted(red & known):
+        _add(name)
+    # tier 3: deterministic round-robin re-verify of previously-green queries
+    pool = sorted((seen & known) - red - set(_DRIVER_HEAD_CORE))
+    if pool:
+        start = (phase * _REVERIFY_SLOTS) % len(pool)
+        for i in range(min(_REVERIFY_SLOTS, len(pool))):
+            _add(pool[(start + i) % len(pool)])
+    # tier 4: hand-picked never-sampled breadth entries
     for name in _DRIVER_HEAD_ROTATION:
-        if len(head) >= _DRIVER_HEAD_SIZE:
-            break
-        if name not in seen and name not in head:
-            head.append(name)
-    for name in base_order:                  # auto-fill: never-sampled first
-        if len(head) >= _DRIVER_HEAD_SIZE:
-            break
-        if name not in seen and name not in head:
-            head.append(name)
+        if name not in seen:
+            _add(name)
+    # tier 5: auto-fill — never-sampled first, in base order
+    for name in base_order:
+        if name not in seen:
+            _add(name)
     for name in base_order:                  # registry fully sampled: wrap
-        if len(head) >= _DRIVER_HEAD_SIZE:
-            break
-        if name not in head:
-            head.append(name)
+        _add(name)
     return head
 
 
@@ -152,7 +207,8 @@ def load_registry():
     global _BASE_ORDER
     if _BASE_ORDER is None:
         _BASE_ORDER = list(REGISTRY)
-    head = _driver_head(_BASE_ORDER, _driver_sampled_so_far())
+    seen, red, n_artifacts = _driver_record()
+    head = _driver_head(_BASE_ORDER, seen, red, phase=n_artifacts)
     missing = [n for n in head if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"driver-head names not registered: {missing}")
