@@ -252,7 +252,10 @@ def _pinned(df: DataFrame, key, *, materialized: bool = False) -> DataFrame:
 def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst", scale: int = 12,
              broadcast_ranks: bool | None = None,
-             broadcast_node_limit: int = 5_000_000) -> DataFrame:
+             broadcast_node_limit: int = 5_000_000,
+             out_deg: DataFrame | None = None,
+             nodes: DataFrame | None = None,
+             n_nodes: int | None = None) -> DataFrame:
     """Power-iteration PageRank with a FIXED iteration count, deterministic
     at any parallelism.
 
@@ -307,11 +310,19 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
         # measured 231 MB over 3 rounds at the §53 10× corpus, vs the
         # one-off ~94 MB repartition.
         e0 = _pinned(edges.select(src, dst), F.col(dst))
-    out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (e0.select(F.col(src).alias("node"))
-             .union(e0.select(F.col(dst).alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n = nodes.count()
+    # out_deg / nodes / n_nodes are deterministic node-sized reductions of
+    # the edge set; a caller serving from a pre-aggregated silver artifact
+    # (plans/graph_queries.shipment_silver, VERDICT r8 next-#3) passes them
+    # in and the serve path skips two aggregations, a node-sized
+    # localCheckpoint, and the count job entirely.
+    internal_outdeg = out_deg is None
+    if internal_outdeg:
+        out_deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    if nodes is None:
+        nodes = (e0.select(F.col(src).alias("node"))
+                 .union(e0.select(F.col(dst).alias("node")))
+                 .distinct().localCheckpoint(eager=True))
+    n = n_nodes if n_nodes is not None else nodes.count()
     use_bcast = (broadcast_ranks if broadcast_ranks is not None
                  else n <= broadcast_node_limit)
 
@@ -328,8 +339,9 @@ def pagerank(edges: DataFrame, *, iterations: int = 3, damping: float = 0.85,
             # as one job, so the exchange over the checkpointed e0 runs
             # once and later rounds hit ReusedExchange.
             e0 = e0.repartition(F.col(src))
-            out_deg = e0.groupBy(src).agg(
-                F.count(F.lit(1)).alias("outdeg"))
+            if internal_outdeg:
+                out_deg = e0.groupBy(src).agg(
+                    F.count(F.lit(1)).alias("outdeg"))
         # co-located equi-join: e0 is pinned hash(src), groupBy(src) above
         # reuses the same key (shuffle_hash hint: outdeg is node-sized too
         # — Catalyst must not broadcast it on this branch either)

@@ -89,45 +89,100 @@ def _rank_top20(ranks: DataFrame) -> DataFrame:
             .orderBy("rank"))
 
 
-def shipment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DISTINCT supplier→customer pair set (l_suppkey, o_custkey) —
-    the shared substrate of every shipment-graph query — memoized to
-    scratch parquet per session (``registry.build_memo``).
+def shipment_silver(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the persistent shipment-graph SILVER
+    directory: the DISTINCT supplier→customer pair set plus the
+    pre-aggregated per-run fixed costs of the graph family.
 
-    VERDICT r7 #3: the three graph bench pillars (both pagerank branches
-    and adamic-adar) each re-ran the same lineitem⋈orders + distinct,
-    ~1.1 s of the ~4 s pagerank pillar at sf0.1 — the single most
-    expensive FIXED cost in the bench's graph family. The pair set is a
-    deterministic layout of immutable input (the same session-memo
-    rationale as the ANN index builds), so one build serves all graph
-    queries in a process; a fresh process (the driver's correctness run)
-    rebuilds. distinct BEFORE any string concat: the dedup shuffle
-    carries two BIGINTs per row instead of two strings (the prefixed
-    concat downstream is injective), measured ~25% off the edge-build
-    wall at sf0.1. At 100 TB this artifact is exactly what a production
-    pipeline would keep as a bucketed silver table."""
+    VERDICT r7 #3 removed the repeated lineitem⋈orders+distinct via a
+    session memo; VERDICT r8 next-#3 asks for the artifact to be
+    *persisted, pre-aggregated at write time* — a fresh driver process
+    (bench, correctness) now reads it instead of rebuilding, and the
+    pagerank pillars no longer spend per-run time on node-sized
+    reductions that are deterministic functions of the pair set:
+
+    - ``pairs/``  — (l_suppkey, o_custkey) DISTINCT BIGINT pairs.
+      distinct BEFORE any string concat: the dedup shuffle carries two
+      BIGINTs per row instead of two strings (the prefixed concat is
+      injective), measured ~25% off the edge-build wall at sf0.1.
+    - ``edges/``  — the prefixed string form (src='s<supp>', dst='c<cust>').
+    - ``outdeg/`` — per-src out-degree (pagerank's divisor table).
+    - ``nodes/``  — the distinct node set; its exact count in ``meta.json``
+      so serving skips the count job too.
+
+    Keyed by the input files' size+mtime (``registry.silver_store``), so a
+    driver-side testdata regeneration rebuilds it.  At 100 TB this is
+    exactly the silver layer an ingest pipeline maintains
+    (``streaming_edge_table_upkeep`` is the incremental twin)."""
+    import json
+    import os
+
     from server2_vector_search_server_spark.plans.registry import (
         build_memo,
-        scratch_dir,
+        silver_store,
     )
 
-    def _build() -> str:
-        out = scratch_dir("shipment_pairs_")
-        li = tbl(spark, sf_dir, "lineitem")
-        od = tbl(spark, sf_dir, "orders")
-        (li.join(od, li["l_orderkey"] == od["o_orderkey"])
-         .select("l_suppkey", "o_custkey").distinct()
-         .write.mode("overwrite").parquet(out))
-        return out
+    def _build_dir() -> str:
+        def _build(staging: str) -> None:
+            li = tbl(spark, sf_dir, "lineitem")
+            od = tbl(spark, sf_dir, "orders")
+            (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+             .select("l_suppkey", "o_custkey").distinct()
+             .write.mode("overwrite").parquet(os.path.join(staging, "pairs")))
+            pairs = spark.read.parquet(os.path.join(staging, "pairs"))
+            edges = pairs.select(
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"))
+            edges.write.mode("overwrite").parquet(
+                os.path.join(staging, "edges"))
+            edges = spark.read.parquet(os.path.join(staging, "edges"))
+            (edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+             .write.mode("overwrite").parquet(os.path.join(staging, "outdeg")))
+            (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct()
+             .write.mode("overwrite").parquet(os.path.join(staging, "nodes")))
+            n = spark.read.parquet(os.path.join(staging, "nodes")).count()
+            with open(os.path.join(staging, "meta.json"), "w") as fh:
+                json.dump({"n_nodes": n}, fh)
+
+        return silver_store("shipment", [
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(sf_dir, "orders.parquet"),
+        ], _build)
+
+    # session memo on top: skips even the fingerprint stat calls on the
+    # bench's repeat passes
+    return build_memo(("shipment_silver", sf_dir), _build_dir)
+
+
+def shipment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT (l_suppkey, o_custkey) pair set — served from the
+    persistent silver artifact (see ``shipment_silver``)."""
+    import os
 
     return spark.read.parquet(
-        build_memo(("shipment_pairs", sf_dir), _build))
+        os.path.join(shipment_silver(spark, sf_dir), "pairs"))
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (shipment_pairs(spark, sf_dir)
-            .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-                    F.concat(F.lit("c"), F.col("o_custkey")).alias("dst")))
+    import os
+
+    return spark.read.parquet(
+        os.path.join(shipment_silver(spark, sf_dir), "edges"))
+
+
+def _silver_rank_inputs(spark: SparkSession, sf_dir: str):
+    """(edges, outdeg, nodes, n) pre-aggregated at silver write time."""
+    import json
+    import os
+
+    d = shipment_silver(spark, sf_dir)
+    with open(os.path.join(d, "meta.json")) as fh:
+        n = json.load(fh)["n_nodes"]
+    return (spark.read.parquet(os.path.join(d, "edges")),
+            spark.read.parquet(os.path.join(d, "outdeg")),
+            spark.read.parquet(os.path.join(d, "nodes")),
+            n)
 
 
 @query(
@@ -142,9 +197,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The operator checkpoints the edge list ONCE (everything — outdeg,
     nodes, every round's join — derives from that one materialization) and
     broadcasts the node-sized rank table: rounds never shuffle edges, only
-    the partial-aggregated contribution sums (SCALE.md §18, §35)."""
-    ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS,
-                     damping=float(_DAMPING), scale=_SCALE)
+    the partial-aggregated contribution sums (SCALE.md §18, §35). outdeg,
+    the node set, and its count come pre-aggregated from the persistent
+    silver artifact (write-time, VERDICT r8 #3) — serving pays only the
+    edge pin and the rounds."""
+    edges, outdeg, nodes, n = _silver_rank_inputs(spark, sf_dir)
+    ranks = pagerank(edges, iterations=_ITERS,
+                     damping=float(_DAMPING), scale=_SCALE,
+                     out_deg=outdeg, nodes=nodes, n_nodes=n)
     return _rank_top20(ranks)
 
 
@@ -164,9 +224,11 @@ def graph_pagerank_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy is plan-audited in tests/test_plan_audits.py; rank equality
     with the broadcast branch follows from the order-free exact-sum
     arithmetic — both branches hash-match this oracle."""
-    ranks = pagerank(_edges(spark, sf_dir), iterations=_ITERS,
+    edges, outdeg, nodes, n = _silver_rank_inputs(spark, sf_dir)
+    ranks = pagerank(edges, iterations=_ITERS,
                      damping=float(_DAMPING), scale=_SCALE,
-                     broadcast_ranks=False)
+                     broadcast_ranks=False,
+                     out_deg=outdeg, nodes=nodes, n_nodes=n)
     return _rank_top20(ranks)
 
 

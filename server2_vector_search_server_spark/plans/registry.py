@@ -97,6 +97,73 @@ def scratch_dir(prefix: str) -> str:
 _BUILD_MEMO: dict = {}
 
 
+def _input_fingerprint(paths: list[str]) -> str:
+    """Deterministic fingerprint of input data files: (relative name, size,
+    mtime_ns) per file, hashed.  A driver-side testdata regeneration bumps
+    mtimes, so a stale silver artifact can never be served against new
+    input bytes."""
+    import hashlib
+    import os as _os
+
+    parts: list[str] = []
+    for p in sorted(_os.path.realpath(x) for x in paths):
+        if _os.path.isdir(p):
+            for root, _dirs, files in sorted(_os.walk(p)):
+                for f in sorted(files):
+                    st = _os.stat(_os.path.join(root, f))
+                    parts.append(f"{_os.path.relpath(_os.path.join(root, f), p)}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = _os.stat(p)
+            parts.append(f"{_os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+
+
+def silver_store(name: str, inputs: list[str], build) -> str:
+    """Cross-PROCESS persistent build artifact (VERDICT r8 next-#3: the
+    shared silver tables should survive a fresh driver process, not just a
+    session memo).
+
+    Lives under ``<repo>/.silver/<name>-<input fingerprint>/``; ``build``
+    receives a staging directory to populate, which is atomically renamed
+    into place, so concurrent builders (bench + sweep) race safely — the
+    loser's rename fails and it serves the winner's bytes.  Keyed by the
+    input files' (name, size, mtime) so regenerated testdata invalidates
+    automatically; stale fingerprints for the same ``name`` are pruned.
+    On a real cluster this is exactly a silver table in object storage
+    maintained by the ingest pipeline (see streaming_edge_table_upkeep
+    for the incremental form)."""
+    import os as _os
+    import shutil as _shutil
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    root = _os.path.join(repo, ".silver")
+    fp = _input_fingerprint(inputs)
+    final = _os.path.join(root, f"{name}-{fp}")
+    if _os.path.exists(_os.path.join(final, "_SILVER_OK")):
+        return final
+    _os.makedirs(root, exist_ok=True)
+    staging = f"{final}.staging.{_os.getpid()}"
+    _shutil.rmtree(staging, ignore_errors=True)
+    _os.makedirs(staging)
+    try:
+        build(staging)
+        with open(_os.path.join(staging, "_SILVER_OK"), "w") as fh:
+            fh.write(fp)
+        try:
+            _os.rename(staging, final)
+        except OSError:  # concurrent winner already renamed — use theirs
+            _shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    # prune artifacts for this name built against older input bytes
+    for entry in _os.listdir(root):
+        if entry.startswith(f"{name}-") and entry != f"{name}-{fp}" \
+                and not entry.endswith(f".staging.{_os.getpid()}"):
+            _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
+    return final
+
+
 def build_memo(key, build):
     import os as _os
 
