@@ -127,6 +127,8 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
     re-aggregating."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    import logging
+
     bi = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                        F.greatest(F.col(src), F.col(dst)).alias("b"))
           .filter(F.col("a") != F.col("b"))
@@ -134,7 +136,15 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
     n_edges = bi.count()
     if max_iter is None:
         max_iter = n_edges + 1
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
+        # the provable bound (initial edge count) can never fire on valid
+        # input, so runaway-depth peels would otherwise be invisible in a
+        # long job — warn every 100 sequential rounds (ADVICE r8)
+        if round_no and round_no % 100 == 0:
+            logging.getLogger(__name__).warning(
+                "k_core: %d peeling rounds so far, %d edges remain — "
+                "deep peel chain; consider full core decomposition "
+                "instead of per-round re-aggregation", round_no, n_edges)
         if n_edges == 0:
             return bi
         deg = (bi.select(F.col("a").alias("node"))

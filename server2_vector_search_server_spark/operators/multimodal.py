@@ -433,23 +433,34 @@ def parse_gif_frames(blob: bytes) -> "tuple[int, int, list[int]]":
     return int(width), int(height), delays
 
 
-def sample_video_frames(media: DataFrame, *, every_n_seconds: float = 1.0,
+def sample_video_frames(media: DataFrame, *,
+                        every_n_seconds: float | None = None,
                         decoder: str = "stub",
                         content_col: str = "content",
                         id_col: str = "media_id") -> DataFrame:
     """Frame sampling: one video row → N frame rows (UDTF shape).
 
+    ``every_n_seconds=None`` (default) samples at the container's native
+    frame rate — every real frame for GIF; the stub's fake video is one
+    frame per second by construction, so None ≡ 1.0 there.  A float is
+    HONORED on both paths (ADVICE r8: the GIF path used to accept and
+    silently ignore it): for GIF, the first frame at/after each k·interval
+    boundary is emitted (with its true timestamp and original frame
+    index), sparse frames advance the boundary past themselves so a long
+    still doesn't re-emit.
+
     ``decoder="gif"`` walks REAL container bytes (:func:`parse_gif_frames`)
-    and emits one row per actual frame at its cumulative Graphic-Control
-    timestamp (exact centisecond ints, divided once by 100.0); corrupt
-    blobs contribute zero rows — a frame-less video, not a job failure.
-    ``decoder="stub"`` emits deterministic frame indices from a fake
-    byte-size duration (non-GIF containers would need ffmpeg — same row
-    shape)."""
+    at cumulative Graphic-Control timestamps (exact centisecond ints,
+    divided once by 100.0); corrupt blobs contribute zero rows — a
+    frame-less video, not a job failure.  ``decoder="stub"`` emits
+    deterministic frame indices from a fake byte-size duration (non-GIF
+    containers would need ffmpeg — same row shape)."""
     import pandas as pd
 
     if decoder not in ("stub", "gif"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if every_n_seconds is not None and not every_n_seconds > 0:
+        raise ValueError("every_n_seconds must be positive or None")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.StringType(), False),
@@ -468,18 +479,35 @@ def sample_video_frames(media: DataFrame, *, every_n_seconds: float = 1.0,
                     except Exception:
                         continue               # quarantine: zero frames
                     cum = 0
+                    # exact-integer boundary test: frame time is cum
+                    # centiseconds, boundary k·interval — compare
+                    # cum >= k·interval·100 in centiseconds so float
+                    # accumulation never drifts the cut
+                    next_k = 0
                     for i, d in enumerate(delays):
-                        out["media_id"].append(m)
-                        out["frame_index"].append(i)
-                        out["frame_time_s"].append(cum / 100.0)
+                        if (every_n_seconds is None
+                                or cum >= next_k * every_n_seconds * 100.0):
+                            out["media_id"].append(m)
+                            out["frame_index"].append(i)
+                            out["frame_time_s"].append(cum / 100.0)
+                            if every_n_seconds is not None:
+                                # advance past this frame's time so a
+                                # long still frame is emitted once
+                                next_k += 1
+                                while (next_k * every_n_seconds * 100.0
+                                       <= cum):
+                                    next_k += 1
                         cum += d
                     continue
                 duration = max(1.0, len(blob or b"") / 1e5)
-                n = int(duration / every_n_seconds)
+                n = int(duration / (1.0 if every_n_seconds is None
+                                    else every_n_seconds))
                 for i in range(n):
                     out["media_id"].append(m)
                     out["frame_index"].append(i)
-                    out["frame_time_s"].append(round(i * every_n_seconds, 6))
+                    out["frame_time_s"].append(round(
+                        i * (1.0 if every_n_seconds is None
+                             else every_n_seconds), 6))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=out_schema)

@@ -266,15 +266,22 @@ def _er_sql_keys() -> str:
 
 
 def _er_sql_scheme(name: str, col: str) -> str:
+    # NULL blocking keys (e.g. a whitespace-only text -> no first token)
+    # are excluded from block stats on BOTH engines (ADVICE r8): a doc
+    # without a key joins no block, so it contributes no candidates and
+    # no block — COUNT(DISTINCT col) and the filtered GROUP BY agree by
+    # construction.
     return f"""
     SELECT '{name}' AS scheme,
            (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM keys)
              AS n_blocks,
            (SELECT CAST(SUM((b * (b - 1)) // 2) AS BIGINT)
-            FROM (SELECT COUNT(*) AS b FROM keys GROUP BY {col}))
+            FROM (SELECT COUNT(*) AS b FROM keys
+                  WHERE {col} IS NOT NULL GROUP BY {col}))
              AS n_candidate_pairs,
            ROUND(1.0 - CAST((SELECT SUM((b * (b - 1)) // 2)
                              FROM (SELECT COUNT(*) AS b FROM keys
+                                   WHERE {col} IS NOT NULL
                                    GROUP BY {col})) AS DOUBLE)
                  / ((SELECT COUNT(*) FROM keys)
                     * ((SELECT COUNT(*) FROM keys) - 1) // 2), 6)
@@ -350,7 +357,13 @@ def er_blocking_quality_eval(spark: SparkSession,
     total_pairs = n_docs * (n_docs - 1) // 2
 
     def scheme(name: str, col: str) -> DataFrame:
-        blocks = keys.groupBy(col).agg(F.count(F.lit(1)).alias("b"))
+        # NULL keys are unblockable — drop them BEFORE grouping so the
+        # NULL group neither counts as a block nor contributes candidate
+        # pairs, matching the oracle's COUNT(DISTINCT)/filtered GROUP BY
+        # (ADVICE r8: Spark groupBy keeps a NULL group, COUNT(DISTINCT)
+        # drops it — latent mismatch on whitespace-only docs)
+        blocks = (keys.filter(F.col(col).isNotNull())
+                  .groupBy(col).agg(F.count(F.lit(1)).alias("b")))
         stats = blocks.agg(
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
             F.sum((F.col("b") * (F.col("b") - 1) / 2).cast("long"))

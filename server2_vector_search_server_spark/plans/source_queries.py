@@ -308,9 +308,9 @@ def pdf_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
        md5('Tabbed' || chr(9) || 'here')),
       ('mixed.docx', CAST(2 AS INTEGER), 'paragraph', CAST(11 AS BIGINT),
        md5('Line1' || chr(10) || 'Line2')),
-      ('mixed.docx', CAST(3 AS INTEGER), 'table', CAST(19 AS BIGINT),
+      ('mixed.docx', CAST(3 AS INTEGER), 'table', CAST(25 AS BIGINT),
        md5('r0c0' || chr(9) || 'r0c1' || chr(10) ||
-           'r1c0' || chr(9) || 'r1c1')),
+           'br in cell' || chr(9) || 'r1c1')),
       ('simple.docx', CAST(0 AS INTEGER), 'paragraph', CAST(16 AS BIGINT),
        md5('Alpha paragraph.')),
       ('simple.docx', CAST(1 AS INTEGER), 'paragraph', CAST(15 AS BIGINT),
@@ -345,9 +345,13 @@ def docx_parse_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("memory://docs", "korean.docx",
           bytearray(build_minimal_docx(["한국어 문단입니다."]))),
          ("memory://docs", "mixed.docx",
+          # the second-row first cell carries a <w:br/> AND a <w:tab/>
+          # INSIDE the cell — both backends fold them to single spaces so
+          # cell text can never collide with the TAB/NEWLINE joiners
+          # (VERDICT r8 #6: the br-in-cell contract, driver-hash-pinned)
           bytearray(build_minimal_docx(
               ["Intro para.", "", "   ", "Tabbed\there", "Line1\nLine2"],
-              table=[["r0c0", "r0c1"], ["r1c0", "r1c1"]])))],
+              table=[["r0c0", "r0c1"], ["br\nin\tcell", "r1c1"]])))],
         "archive string, member_name string, content binary")
     return (parse_docx_members(members)
             .select("member_name", "element_index", "category",

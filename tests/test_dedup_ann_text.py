@@ -452,6 +452,33 @@ def test_gif_frame_parser_real_bytes(spark):
     assert got == [("ok", 0, 0.0), ("ok", 1, 0.10), ("ok", 2, 0.35)], got
 
 
+def test_gif_frame_sampling_honors_interval(spark):
+    """ADVICE r8: the GIF path must HONOR every_n_seconds, not silently
+    ignore it — the first frame at/after each k·interval boundary is
+    emitted with its true timestamp and original index, a long still
+    frame emits once, and a non-positive interval raises."""
+    import pytest
+
+    from server2_vector_search_server_spark.operators.multimodal import (
+        build_gif89a,
+        sample_video_frames,
+    )
+
+    # frame times (cs): 0, 10, 35, 55, 255 — a 2 s still before the last
+    media = spark.createDataFrame(
+        [("ok", bytearray(build_gif89a([10, 25, 20, 200, 5])))],
+        "media_id string, content binary")
+    rows = (sample_video_frames(media, decoder="gif", every_n_seconds=0.3)
+            .orderBy("frame_index").collect())
+    got = [(r["frame_index"], r["frame_time_s"]) for r in rows]
+    # boundaries at 0.0/0.3/0.6/...: frame0@0.0 hits 0.0; frame2@0.35
+    # hits 0.3; frame3@0.55 misses (next boundary now 0.6); frame4@2.55
+    # hits 0.6 and advances the boundary past 2.55 — emitted ONCE
+    assert got == [(0, 0.0), (2, 0.35), (4, 2.55)], got
+    with pytest.raises(ValueError):
+        sample_video_frames(media, decoder="gif", every_n_seconds=0.0)
+
+
 def test_ivf_kmeans_trainer(spark, tables):
     from server2_vector_search_server_spark.operators import ann
 

