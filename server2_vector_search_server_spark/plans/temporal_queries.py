@@ -1349,9 +1349,14 @@ def events_spearman_daily_rank_corr(spark: SparkSession,
                            ELSE 0 END) AS BIGINT) AS y
       FROM events WHERE value IS NOT NULL GROUP BY 1),
     pairs AS (
-      SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END
+      -- sign tests via comparisons, NOT the (Δx·Δy) product: daily
+      -- aggregates are unbounded BIGINTs at corpus scale and the product
+      -- can overflow where the signs cannot
+      SELECT CASE WHEN (b.x > a.x AND b.y > a.y)
+                    OR (b.x < a.x AND b.y < a.y) THEN 1 ELSE 0 END
                AS conc,
-             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END
+             CASE WHEN (b.x > a.x AND b.y < a.y)
+                    OR (b.x < a.x AND b.y > a.y) THEN 1 ELSE 0 END
                AS disc,
              CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END AS tx,
              CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END AS ty
@@ -1401,10 +1406,16 @@ def events_kendall_tau_daily(spark: SparkSession,
                  F.col("y").alias("ya"))
     b = d.select(F.col("t").alias("tb"), F.col("x").alias("xb"),
                  F.col("y").alias("yb"))
-    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    # sign tests via comparisons, not the (Δx·Δy) product — the product of
+    # two unbounded BIGINT day-aggregates can overflow LongType silently
+    # at corpus scale; the signs cannot (r9 self-review)
+    up_up = ((F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")))
+    dn_dn = ((F.col("xb") < F.col("xa")) & (F.col("yb") < F.col("ya")))
+    up_dn = ((F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")))
+    dn_up = ((F.col("xb") < F.col("xa")) & (F.col("yb") > F.col("ya")))
     pairs = (a.join(b, F.col("ta") < F.col("tb"))
-             .select((prod > 0).cast("int").alias("conc"),
-                     (prod < 0).cast("int").alias("disc"),
+             .select((up_up | dn_dn).cast("int").alias("conc"),
+                     (up_dn | dn_up).cast("int").alias("disc"),
                      ((F.col("xb") == F.col("xa"))
                       & (F.col("yb") != F.col("ya"))).cast("int")
                      .alias("tx"),
