@@ -1249,3 +1249,86 @@ def pca_knn(
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k)
             .drop(vec_col, "_red"))
+
+
+# --- submodular data-subset selection (facility location) -------------------
+
+def facility_location_select(universe: DataFrame, pool: DataFrame, k: int, *,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             score_decimals: int = 6) -> DataFrame:
+    """Greedy facility-location subset selection (Lin & Bilmes, ACL 2011 —
+    public; the standard submodular objective for training-data coreset /
+    exemplar selection): pick ``k`` exemplars from ``pool`` maximizing
+    coverage F(S) = Σ_{v∈universe} max_{s∈S} sim(v, s).  The greedy
+    sequence is the classic 1−1/e approximation and, unlike MMR
+    (relevance − redundancy for a QUERY), optimizes corpus COVERAGE — the
+    curation move for "which n documents best represent this corpus".
+
+    Exactness: per-pair similarity is ``max(cos(v, s), 0)`` (cosine, NOT
+    the reference's 1−d² score — the synthetic vectors are not
+    L2-normalized, so 1−d² is negative for every non-self pair and would
+    make coverage degenerate) rounded to ``score_decimals`` then scaled
+    to BIGINT micro-units, so every gain is an EXACT integer sum
+    (shuffle-order-free) and the greedy argmax is deterministic with an
+    id tiebreak — DuckDB-oracle-checkable.
+
+    Scale shape: the pool rides broadcast against a corpus-sized
+    universe; the (pool × universe) similarity table is computed ONCE and
+    checkpointed — each greedy round is then one partial-aggregable SUM
+    per candidate plus a universe-sized max for the coverage state, never
+    a recomputation of similarities.  At 100 TB pool size is the lever
+    (lazy/stochastic greedy — Mirzasoleiman et al. 2015 — samples the
+    pool per round; same inner shape).
+
+    Output: one row per pick — (rank 1..k, id, gain_micro, the exact
+    marginal coverage gain, and coverage_micro, total coverage after the
+    pick; gains are non-increasing by submodularity, which the caller can
+    assert)."""
+    from server2_vector_search_server_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    spark = universe.sparkSession
+    factor = 10 ** score_decimals
+    u = universe.select(F.col(id_col).alias("_v"),
+                        F.col(vec_col).alias("_uvec"))
+    p = pool.select(F.col(id_col).alias("_c"),
+                    F.col(vec_col).alias("_pvec"))
+    sim = F.round(F.greatest(
+        cosine_similarity(F.col("_uvec"), F.col("_pvec")),
+        F.lit(0.0)), score_decimals)
+    sims = (u.crossJoin(F.broadcast(p))
+            .select("_c", "_v",
+                    F.round(sim * factor).cast("long").alias("_s"))
+            .localCheckpoint(eager=True))
+    picked: list = []
+    rows: list[tuple] = []
+    for rank in range(1, k + 1):
+        if picked:
+            cov = (sims.filter(F.col("_c").isin(picked))
+                   .groupBy("_v").agg(F.max("_s").alias("_cov")))
+            gains = (sims.filter(~F.col("_c").isin(picked))
+                     .join(cov, "_v", "left")
+                     .withColumn("_g", F.greatest(
+                         F.col("_s") - F.coalesce(F.col("_cov"),
+                                                  F.lit(0)),
+                         F.lit(0)))
+                     .groupBy("_c")
+                     .agg(F.sum("_g").cast("long").alias("_gain")))
+        else:
+            gains = (sims.groupBy("_c")
+                     .agg(F.sum("_s").cast("long").alias("_gain")))
+        top = (gains.orderBy(F.col("_gain").desc(), F.col("_c").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        picked.append(top[0]["_c"])
+        total = (sims.filter(F.col("_c").isin(picked))
+                 .groupBy("_v").agg(F.max("_s").alias("_cov"))
+                 .agg(F.sum("_cov").cast("long")).collect()[0][0])
+        rows.append((rank, top[0]["_c"], int(top[0]["_gain"]), int(total)))
+    id_type = universe.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"rank int, {id_col} {id_type}, "
+              f"gain_micro long, coverage_micro long")

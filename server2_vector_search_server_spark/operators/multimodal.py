@@ -341,6 +341,102 @@ def extract_audio_features(media: DataFrame, *, decoder: str = "stub",
     return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def audio_frame_energy(media: DataFrame, *, frame_len: int = 400,
+                       content_col: str = "content",
+                       id_col: str = "media_id") -> DataFrame:
+    """One row per fixed-length audio frame with its EXACT integer energy
+    (Σs² over channel-0 16-bit PCM samples) — the front half of
+    energy-based voice-activity detection: decode is map-side (bytes
+    never shuffle; only the tiny (media_id, frame_index, energy) rows
+    do), and the segmentation back half is plain DataFrame windowing, so
+    an hour-long recording fans out to ~9k frame rows instead of one
+    giant blob row.  The trailing partial frame is DROPPED (only full
+    frames are comparable under a per-frame threshold); undecodable or
+    non-16-bit blobs contribute zero rows — the quarantine policy of the
+    other real decoders.  Exactness: each energy is an exact Python-int
+    fold boxed to BIGINT, so thresholding downstream is an integer
+    compare on any engine."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    if frame_len < 1:
+        raise ValueError("frame_len must be >= 1")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ])
+    src = media.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "energy": []}
+            for m, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w = wave.open(io.BytesIO(bytes(blob or b"")), "rb")
+                    nch = w.getnchannels()
+                    if w.getsampwidth() != 2 or nch < 1:
+                        raise ValueError("only 16-bit PCM supported")
+                    frames = w.readframes(w.getnframes())
+                    samples = struct.unpack(
+                        f"<{len(frames) // 2}h", frames)[::nch]
+                except Exception:
+                    continue                    # quarantine: zero frames
+                for f in range(len(samples) // frame_len):
+                    seg = samples[f * frame_len:(f + 1) * frame_len]
+                    out["media_id"].append(m)
+                    out["frame_index"].append(f)
+                    out["energy"].append(sum(s * s for s in seg))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def vad_segments(frame_energy: DataFrame, *, frame_len: int,
+                 sample_rate: int, mean_energy_threshold: int,
+                 id_col: str = "media_id") -> DataFrame:
+    """Energy-based voice-activity segments from :func:`audio_frame_energy`
+    rows: a frame is ACTIVE iff ``energy > threshold · frame_len`` (an
+    all-integer compare — the mean-energy threshold never becomes a
+    float), and consecutive active frames merge into one segment via the
+    gaps-and-islands identity (frame_index − row_number is constant
+    within a run).  Returns one row per segment with exact frame bounds,
+    the exact summed energy, and start/end seconds (single division,
+    rounded to the house 6 decimals).
+
+    Scale shape: one shuffle on ``media_id`` for the window, then a
+    partial-aggregable groupBy on (media_id, island) — both proportional
+    to frame rows, which are ~4 orders of magnitude smaller than the
+    audio bytes. The window partitions by recording, so skew is bounded
+    by the longest single recording, not the corpus."""
+    from pyspark.sql import Window
+
+    active = frame_energy.filter(
+        F.col("energy") > F.lit(int(mean_energy_threshold) * frame_len))
+    w = Window.partitionBy(id_col).orderBy("frame_index")
+    isl = active.withColumn(
+        "island", F.col("frame_index") - F.row_number().over(w))
+    segs = (isl.groupBy(id_col, "island")
+            .agg(F.min("frame_index").alias("start_frame"),
+                 F.max("frame_index").alias("end_frame"),
+                 F.count(F.lit(1)).cast("long").alias("n_frames"),
+                 F.sum("energy").cast("long").alias("energy_total")))
+    w2 = Window.partitionBy(id_col).orderBy("start_frame")
+    per_s = float(sample_rate)
+    return (segs.withColumn("seg_index",
+                            (F.row_number().over(w2) - 1).cast("int"))
+            .select(id_col, "seg_index", "start_frame", "end_frame",
+                    "n_frames", "energy_total",
+                    F.round(F.col("start_frame") * frame_len / per_s, 6)
+                    .alias("start_s"),
+                    F.round((F.col("end_frame") + 1) * frame_len / per_s, 6)
+                    .alias("end_s")))
+
+
 def build_pcm16_wav(samples, *, sample_rate: int = 8000,
                     n_channels: int = 1) -> bytes:
     """Encode 16-bit PCM samples to WAV bytes with the stdlib encoder —

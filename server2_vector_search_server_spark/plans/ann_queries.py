@@ -2389,3 +2389,101 @@ def ann_index_tombstone_semantics(spark: SparkSession,
             .unionByName(tag(tombstoned, "tombstoned"))
             .unionByName(tag(compacted, "compacted"))
             .orderBy("phase", F.col("score").desc(), "vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# submodular facility-location coreset (round 9)
+
+_FL_POOL = 40          # candidate exemplars: vec_id < 40
+_FL_UNIVERSE = 200     # coverage universe: vec_id < 200
+_FL_K = 5
+
+
+def _fl_norm(a: str) -> str:
+    """DuckDB twin of functions/vector.l2_norm (same op order)."""
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")
+
+
+def _fl_sql() -> str:
+    """Unrolled greedy facility-location rounds (the _mmr_sql pattern):
+    each pick is an exact-integer argmax; coverage state is recomputed
+    per round from the selected set."""
+    parts = [f"""
+    pool AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id < {_FL_POOL}),
+    univ AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id < {_FL_UNIVERSE}),
+    sims AS MATERIALIZED (
+      SELECT p.vec_id AS c, u.vec_id AS v,
+             CAST(ROUND(GREATEST(
+               CASE WHEN {_fl_norm('u.embedding')}
+                         * {_fl_norm('p.embedding')} = 0.0 THEN 0.0
+                    ELSE {sql_dot('u.embedding', 'p.embedding')}
+                         / ({_fl_norm('u.embedding')}
+                            * {_fl_norm('p.embedding')}) END, 0.0)
+               * 1000000) AS BIGINT) AS s
+      FROM pool p, univ u)"""]
+    sel: list[str] = []
+    for r in range(1, _FL_K + 1):
+        if sel:
+            in_list = ", ".join(f"(SELECT c FROM p{i})" for i in sel)
+            parts.append(f"""
+    cov{r} AS (SELECT v, MAX(s) AS cv FROM sims
+               WHERE c IN ({in_list}) GROUP BY v),
+    p{r} AS (
+      SELECT s.c,
+             CAST(SUM(GREATEST(s.s - COALESCE(cv.cv, 0), 0)) AS BIGINT)
+               AS g
+      FROM sims s LEFT JOIN cov{r} cv ON s.v = cv.v
+      WHERE s.c NOT IN ({in_list})
+      GROUP BY s.c ORDER BY g DESC, s.c ASC LIMIT 1),
+    tot{r} AS (
+      SELECT CAST(SUM(cv) AS BIGINT) AS t FROM (
+        SELECT v, MAX(s) AS cv FROM sims
+        WHERE c IN ({in_list}, (SELECT c FROM p{r})) GROUP BY v))""")
+        else:
+            parts.append(f"""
+    p{r} AS (
+      SELECT c, CAST(SUM(s) AS BIGINT) AS g
+      FROM sims GROUP BY c ORDER BY g DESC, c ASC LIMIT 1),
+    tot{r} AS (
+      SELECT CAST(SUM(cv) AS BIGINT) AS t FROM (
+        SELECT v, MAX(s) AS cv FROM sims
+        WHERE c = (SELECT c FROM p{r}) GROUP BY v))""")
+        sel.append(str(r))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, (SELECT c FROM p{r}) AS vec_id, "
+        f"(SELECT g FROM p{r}) AS gain_micro, "
+        f"(SELECT t FROM tot{r}) AS coverage_micro" for r in range(1, _FL_K + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\n    SELECT * FROM ({unions}) ORDER BY rank")
+
+
+@query(
+    "embedding_facility_location_coreset",
+    survey="curation extension(submodular facility-location data-subset "
+           "selection, Lin & Bilmes 2011: greedy coverage-maximizing "
+           "exemplars over embedding similarity — exact micro-int gains, "
+           "pool broadcast vs corpus-sized universe)",
+    oracle=_fl_sql(),
+)
+def embedding_facility_location_coreset(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Pick the 5 exemplar vectors (from a 40-candidate pool) that best
+    COVER a 200-vector universe: greedy maximization of
+    F(S) = Σ_v max_{s∈S} sim(v, s) — the submodular facility-location
+    objective used for training-data coreset/exemplar selection (Lin &
+    Bilmes 2011; lazy/stochastic variants scale the pool). Marginal
+    gains are exact BIGINT micro-units (per-pair sim rounded once, then
+    integer arithmetic only), so both engines pick identical exemplars
+    with identical gain/coverage numbers; gains are non-increasing by
+    submodularity (the oracle's rows double as that proof). Scale shape:
+    the pool broadcasts against the universe; similarities are computed
+    once and checkpointed; each round is one partial-aggregable SUM per
+    candidate — see operators/ann.facility_location_select."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ann.facility_location_select(
+        emb.filter(F.col("vec_id") < _FL_UNIVERSE),
+        emb.filter(F.col("vec_id") < _FL_POOL),
+        _FL_K)

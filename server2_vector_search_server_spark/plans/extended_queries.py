@@ -1746,3 +1746,108 @@ def multimodal_video_gif_frames(spark: SparkSession,
         "media_id", "frame_index",
         F.round("frame_time_s", 6).alias("frame_time_s"))
         .orderBy("media_id", "frame_index"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: energy VAD segmentation over REAL WAV bytes (round 9)
+
+_VAD_DOCS = 64
+_VAD_FRAME = 40          # samples per frame
+_VAD_THRESH = 1000       # mean-energy threshold (integer compare downstream)
+
+
+@query(
+    "multimodal_audio_vad_segments",
+    survey="multimodal(energy-based voice-activity segmentation over "
+           "REAL WAV bytes: map-side decode to per-frame exact-int "
+           "energies, integer threshold, gaps-and-islands merge in "
+           "DataFrame windows — byte-blind oracle proves decoder + "
+           "segmentation together)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 600 + (doc_id % 4) * 200 AS n
+      FROM documents WHERE doc_id < {_VAD_DOCS}),
+    samples AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN ((t.i // {_VAD_FRAME}) % 5) < 3
+                  THEN 900 ELSE 10 END AS amp
+      FROM params, UNNEST(range(0, n)) AS t(i)),
+    vals AS (
+      SELECT doc_id, i // {_VAD_FRAME} AS f,
+             ((doc_id * 31 + i * 7) % (2 * amp + 1)) - amp AS s
+      FROM samples),
+    frames AS (
+      SELECT doc_id, f,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+      FROM vals GROUP BY doc_id, f),
+    active AS (
+      SELECT doc_id, f, energy,
+             f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f)
+               AS island
+      FROM frames WHERE energy > {_VAD_THRESH * _VAD_FRAME}),
+    segs AS (
+      SELECT doc_id, island,
+             MIN(f) AS sf, MAX(f) AS ef,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(energy) AS BIGINT) AS energy_total
+      FROM active GROUP BY doc_id, island)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sf) - 1
+                AS INTEGER) AS seg_index,
+           CAST(sf AS INTEGER) AS start_frame,
+           CAST(ef AS INTEGER) AS end_frame,
+           n_frames, energy_total,
+           ROUND(sf * {_VAD_FRAME} / 8000.0, 6) AS start_s,
+           ROUND((ef + 1) * {_VAD_FRAME} / 8000.0, 6) AS end_s
+    FROM segs ORDER BY media_id, seg_index
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Voice-activity detection, the standard energy form, end-to-end on
+    REAL audio bytes: per document a deterministic burst pattern (3 loud
+    frames of amplitude ±900, 2 quiet of ±10, integer sawtooth inside
+    each — both engines share the formula exactly) is encoded as genuine
+    RIFF/WAVE PCM, decoded frame-by-frame by ``audio_frame_energy``
+    (exact Σs² per 40-sample frame), thresholded with an ALL-INTEGER
+    compare, and merged into segments by the gaps-and-islands identity in
+    ``vad_segments``. The DuckDB oracle computes the same segments from
+    the formula without ever seeing bytes — the hash match proves decode
+    AND segmentation.
+
+    Scale shape: bytes never shuffle — decode is map-side and only the
+    (media_id, frame_index, energy) rows (≈4 orders smaller than audio)
+    reach the island window, which partitions per recording so skew is
+    bounded by the longest single recording. The threshold stays an
+    integer, so no float drift can move a segment boundary on any
+    engine."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _VAD_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_pcm16_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 600 + (d % 4) * 200
+                samples = []
+                for i in range(n):
+                    amp = 900 if ((i // _VAD_FRAME) % 5) < 3 else 10
+                    samples.append(
+                        ((d * 31 + i * 7) % (2 * amp + 1)) - amp)
+                ids.append(str(d))
+                blobs.append(build_pcm16_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    fe = multimodal.audio_frame_energy(media, frame_len=_VAD_FRAME)
+    return (multimodal.vad_segments(
+        fe, frame_len=_VAD_FRAME, sample_rate=8000,
+        mean_energy_threshold=_VAD_THRESH)
+        .orderBy("media_id", "seg_index"))

@@ -1146,3 +1146,37 @@ def test_stupid_backoff_branches_on_crafted_corpus(spark, tmp_path):
         for i in range(len(got)):
             a, b = got[col].iloc[i], want[col].iloc[i]
             assert a == b or abs(float(a) - float(b)) < 1e-12, (col, a, b)
+
+
+def test_facility_location_greedy_properties(spark):
+    """Greedy facility-location: picks are distinct pool members, marginal
+    gains are non-increasing (submodularity), coverage telescopes
+    (coverage_r = coverage_{r-1} + gain_r), and a hand-checkable toy picks
+    the two cluster exemplars before any redundant member."""
+    from server2_vector_search_server_spark.operators.ann import (
+        facility_location_select,
+    )
+
+    # two tight clusters on orthogonal axes + their perturbed members:
+    # the best 2-cover is one exemplar per cluster, never two from one
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.98, 0.02, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.01]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = facility_location_select(df, df, 3).collect()
+    picked = [r["vec_id"] for r in out]
+    assert len(set(picked)) == 3
+    assert {picked[0], picked[1]} == {picked[0]} | {picked[1]}
+    # one exemplar from each cluster in the first two picks
+    assert ({picked[0], picked[1]} & {0, 1, 2}) and \
+           ({picked[0], picked[1]} & {3, 4})
+    gains = [r["gain_micro"] for r in out]
+    assert gains == sorted(gains, reverse=True)
+    cov = [r["coverage_micro"] for r in out]
+    assert cov[0] == gains[0]
+    for i in range(1, len(out)):
+        assert cov[i] == cov[i - 1] + gains[i]
