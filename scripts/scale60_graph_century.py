@@ -48,10 +48,19 @@ PILLARS = ["graph_kcore_peeling", "graph_pagerank_shuffle",
            "graph_betweenness_centrality"]
 
 
+_BC_SOURCES = [("s1",), ("s250",)]
+_BC_HOPS = 2
+
+
 def _operator_betweenness(spark, sf_dir: str):
-    """betweenness_centrality on the (bidirected) shipment graph: 4
-    deterministic supplier sources, 3 BFS levels — the sampled-source
-    Brandes-Pich form a production pipeline runs at corpus scale."""
+    """betweenness_centrality on the (bidirected) shipment graph: 2
+    deterministic supplier sources, 2 BFS levels — the sampled-source
+    Brandes-Pich form a production pipeline runs at corpus scale.
+    SOURCES are the cost lever (work is Θ(sources × edges)): a first
+    attempt at 4 sources × 3 hops on the 100× graph (117M bidirected
+    edges) exhausted a 40g single-JVM heap on the level checkpoints —
+    the configuration below completes at every scale on this box, and on
+    a real cluster you'd raise sources, not hops."""
     from pyspark.sql import functions as F
 
     from server2_vector_search_server_spark.operators.graph import (
@@ -64,9 +73,8 @@ def _operator_betweenness(spark, sf_dir: str):
     edges = _edges(spark, sf_dir)
     bidir = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sources = spark.createDataFrame(
-        [("s1",), ("s250",), ("s500",), ("s750",)], "node string")
-    return betweenness_centrality(bidir, sources, max_hops=3)
+    sources = spark.createDataFrame(_BC_SOURCES, "node string")
+    return betweenness_centrality(bidir, sources, max_hops=_BC_HOPS)
 
 
 def measure(sf_dir: str, out_path: str) -> None:
@@ -78,8 +86,11 @@ def measure(sf_dir: str, out_path: str) -> None:
     warm.crossJoin(warm.selectExpr("r_regionkey k")).groupBy("r_name") \
         .count().write.format("noop").mode("overwrite").save()
 
+    only = os.environ.get("SCALE60_ONLY", "")
     runners = {name: registry[name].fn for name in PILLARS}
     runners["operator_betweenness"] = _operator_betweenness
+    if only:
+        runners = {n: f for n, f in runners.items() if n in only.split(",")}
     results = {}
     for name, fn in runners.items():
         walls, reads, writes = [], [], []

@@ -123,23 +123,40 @@ def silver_store(name: str, inputs: list[str], build) -> str:
     shared silver tables should survive a fresh driver process, not just a
     session memo).
 
-    Lives under ``<repo>/.silver/<name>-<input fingerprint>/``; ``build``
-    receives a staging directory to populate, which is atomically renamed
-    into place, so concurrent builders (bench + sweep) race safely — the
-    loser's rename fails and it serves the winner's bytes.  Keyed by the
-    input files' (name, size, mtime) so regenerated testdata invalidates
-    automatically; stale fingerprints for the same ``name`` are pruned.
-    On a real cluster this is exactly a silver table in object storage
-    maintained by the ingest pipeline (see streaming_edge_table_upkeep
-    for the incremental form)."""
+    Lives under ``<repo>/.silver/<name>-<scope>-<fingerprint>/`` where
+    ``scope`` identifies the input PATH SET (so the same logical artifact
+    built against different corpora — sf0.001 tests, sf0.1 bench, a /tmp
+    scale decade — never collide) and ``fingerprint`` the input bytes
+    (size+mtime — regenerated testdata invalidates automatically).
+    ``build`` receives a staging directory to populate, atomically renamed
+    into place, so concurrent builders race safely — the loser's rename
+    fails and it serves the winner's bytes.
+
+    Pruning deletes ONLY same-(name, scope) entries with an older
+    fingerprint — the one case that is provably garbage.  It must never
+    touch other scopes (they serve live corpora) nor ANY ``.staging.``
+    directory (another process may be mid-build: round 9 hit exactly this
+    — a concurrent test run's prune deleted a 100×-corpus build between
+    its write and read, failing the job with FILE_NOT_EXIST).
+
+    On a real cluster this is a silver table in object storage maintained
+    by the ingest pipeline (see streaming_edge_table_upkeep for the
+    incremental form)."""
+    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))))
-    root = _os.path.join(repo, ".silver")
+    root = _os.environ.get("SPARK_GRAFT_SILVER_ROOT")
+    if not root:
+        repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))))
+        root = _os.path.join(repo, ".silver")
+    scope = _hashlib.sha1("|".join(
+        sorted(_os.path.realpath(p) for p in inputs)).encode()) \
+        .hexdigest()[:8]
     fp = _input_fingerprint(inputs)
-    final = _os.path.join(root, f"{name}-{fp}")
+    stem = f"{name}-{scope}"
+    final = _os.path.join(root, f"{stem}-{fp}")
     if _os.path.exists(_os.path.join(final, "_SILVER_OK")):
         return final
     _os.makedirs(root, exist_ok=True)
@@ -153,13 +170,13 @@ def silver_store(name: str, inputs: list[str], build) -> str:
         try:
             _os.rename(staging, final)
         except OSError:  # concurrent winner already renamed — use theirs
-            _shutil.rmtree(staging, ignore_errors=True)
+            pass
     finally:
         _shutil.rmtree(staging, ignore_errors=True)
-    # prune artifacts for this name built against older input bytes
+    # prune: same name+scope, older fingerprint, never a staging dir
     for entry in _os.listdir(root):
-        if entry.startswith(f"{name}-") and entry != f"{name}-{fp}" \
-                and not entry.endswith(f".staging.{_os.getpid()}"):
+        if (entry.startswith(f"{stem}-") and entry != f"{stem}-{fp}"
+                and ".staging." not in entry):
             _shutil.rmtree(_os.path.join(root, entry), ignore_errors=True)
     return final
 

@@ -81,6 +81,91 @@ def events_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+@query(
+    "streaming_kll_quantile_rollup",
+    survey="I × north-star sketches (incremental quantile maintenance: "
+           "per-micro-batch partial KLL sketches persisted per event "
+           "type, merged at read — the streaming latency-dashboard "
+           "pattern; exact percentiles hash-checked, merged estimates "
+           "rank-bound-checked)",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_kll_quantile_rollup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``events_kll_value_quantiles`` maintained INCREMENTALLY — the
+    quantile twin of ``streaming_hll_distinct_rollup``: each micro-batch
+    writes one partial KLL sketch per event type into its own
+    ingest_batch partition (KLL is a MERGEABLE summary — Karnin, Lang &
+    Liberty 2016 — so partials compose exactly like HLL's), and the
+    serving read merges partials with ``kll_merge_agg_double``.  No
+    value set is ever re-sorted or rescanned: refresh cost ∝ batch size,
+    query cost ∝ partial count, state per (batch, type) ~KB at any input
+    size.  Exact per-type percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` at 4 decimals) are the hash-checked companions;
+    each merged estimate's TRUE rank must sit within 5% of its target
+    (≫ the k=200 sketch's ~1.65% bound, so the boolean is deterministic
+    in practice — the events_kll_value_quantiles check, per type)."""
+    import uuid as _uuid
+
+    from server2_vector_search_server_spark.session import (
+        read_events_stream, read_table,
+    )
+
+    src = scratch_dir("kll_stream_")
+    link_table_files(sf_dir, "events", src)
+    state = scratch_dir("kll_state_") + "/sketches"
+
+    def process(batch, batch_id: int) -> None:
+        (batch.groupBy("event_type")
+         .agg(F.kll_sketch_agg_double("value").alias("sk"))
+         .withColumn("ingest_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state))
+
+    with state_partitions(spark):
+        q = (read_events_stream(spark, src)
+             .filter(F.col("value").isNotNull())
+             .select("event_type", "value")
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation",
+                     scratch_dir(f"kll_ckpt_{_uuid.uuid4().hex[:6]}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    qs = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    merged = (spark.read.parquet(state)
+              .groupBy("event_type")
+              .agg(F.kll_merge_agg_double("sk").alias("sk")))
+    ests = merged.select(
+        "event_type",
+        *[F.kll_sketch_get_quantile_double("sk", F.lit(q))
+          .alias(f"_est_{tag}") for q, tag in qs])
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    joined = ev.join(F.broadcast(ests), "event_type")
+    cols = []
+    for q, tag in qs:
+        cols.append(F.round(F.percentile("value", F.lit(q)), 4).alias(tag))
+    for q, tag in qs:
+        rank = F.avg((F.col("value") <= F.col(f"_est_{tag}"))
+                     .cast("double"))
+        cols.append((F.abs(rank - F.lit(q)) <= 0.05).alias(f"{tag}_rank_ok"))
+    return (joined.groupBy("event_type").agg(*cols)
+            .select("event_type", "p50", "p90", "p99",
+                    "p50_rank_ok", "p90_rank_ok", "p99_rank_ok")
+            .orderBy("event_type"))
+
+
 _KLL_QS = ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95"))
 
 
