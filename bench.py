@@ -154,6 +154,9 @@ HEADLINE = [
     "multimodal_audio_wav_roundtrip",  # real stdlib WAV decode path (r8)
     "multimodal_image_bmp_roundtrip",  # real stdlib BMP decode path (r8)
     "multimodal_video_gif_frames",     # real GIF container parse (r8)
+    "multimodal_audio_vad_segments",   # energy VAD + islands merge (r9)
+    "embedding_facility_location_coreset",  # submodular coreset (r9)
+    "streaming_kll_quantile_rollup",   # incremental KLL quantiles (r9)
 ]
 
 
