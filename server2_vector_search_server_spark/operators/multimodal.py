@@ -139,6 +139,40 @@ def build_bmp24(rows: "list[list[tuple[int, int, int]]]") -> bytes:
     return header + dib + bytes(body)
 
 
+def _bmp_luma_grid(blob: bytes) -> "tuple[int, int, list[int]]":
+    """Decode uncompressed 24-bit BMP bytes (BITMAPINFOHEADER, stdlib
+    struct) to ``(width, height, row-major TOP-DOWN exact-int lumas)``
+    where luma = r+g+b (0..765).  Handles bottom-up vs top-down storage
+    (negative height), BGR byte order, and 4-byte row padding; raises on
+    anything else — callers decide the quarantine shape.  Shared by the
+    feature extractor and the tile/downsample operator so the two paths
+    can never disagree on pixel decoding."""
+    import struct
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    width = struct.unpack_from("<i", blob, 18)[0]
+    height = struct.unpack_from("<i", blob, 22)[0]
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = height < 0
+    h = -height if top_down else height
+    stride = (3 * width + 3) & ~3
+    if len(blob) < offset + stride * h:
+        raise ValueError("truncated pixel array")
+    lumas = [0] * (width * h)                 # exact ints, row-major TOP
+    for row in range(h):
+        y = row if top_down else h - 1 - row
+        base = offset + row * stride
+        for x in range(width):
+            p = base + 3 * x
+            lumas[y * width + x] = blob[p] + blob[p + 1] + blob[p + 2]
+    return width, h, lumas
+
+
 def _bmp_image_features(media_id: str, blob: bytes) -> dict:
     """REAL image decode with ZERO dependencies: parse uncompressed 24-bit
     BMP bytes (BITMAPINFOHEADER) with stdlib struct — like the WAV path,
@@ -162,27 +196,7 @@ def _bmp_image_features(media_id: str, blob: bytes) -> dict:
     none_row = {"media_id": media_id, "width": None, "height": None,
                 "n_channels": None, "mean_luma": None, "phash": None}
     try:
-        if blob[:2] != b"BM":
-            raise ValueError("not a BMP")
-        offset = struct.unpack_from("<I", blob, 10)[0]
-        width = struct.unpack_from("<i", blob, 18)[0]
-        height = struct.unpack_from("<i", blob, 22)[0]
-        bpp = struct.unpack_from("<H", blob, 28)[0]
-        compression = struct.unpack_from("<I", blob, 30)[0]
-        if bpp != 24 or compression != 0 or width <= 0 or height == 0:
-            raise ValueError("unsupported BMP variant")
-        top_down = height < 0
-        h = -height if top_down else height
-        stride = (3 * width + 3) & ~3
-        if len(blob) < offset + stride * h:
-            raise ValueError("truncated pixel array")
-        lumas = [0] * (width * h)                 # exact ints, row-major TOP
-        for row in range(h):
-            y = row if top_down else h - 1 - row
-            base = offset + row * stride
-            for x in range(width):
-                p = base + 3 * x
-                lumas[y * width + x] = blob[p] + blob[p + 1] + blob[p + 2]
+        width, h, lumas = _bmp_luma_grid(blob)
     except Exception:
         return none_row
     n = width * h
@@ -391,6 +405,70 @@ def audio_frame_energy(media: DataFrame, *, frame_len: int = 400,
                     out["media_id"].append(m)
                     out["frame_index"].append(f)
                     out["energy"].append(sum(s * s for s in seg))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def image_tile_stats(media: DataFrame, *, grid: int = 4,
+                     content_col: str = "content",
+                     id_col: str = "media_id") -> DataFrame:
+    """Integer box-downsample / patch extraction over REAL BMP bytes: one
+    row per tile of a ``grid × grid`` cut — (tile_row, tile_col, n_px,
+    luma_sum), all exact integers.  ``luma_sum / n_px`` IS the resized
+    image's pixel value (box filter), kept as the sum/count pair so no
+    rounding policy enters the engine; downstream consumers divide once.
+    Tile assignment mirrors the pHash block rule — pixel (x, y) belongs
+    to tile (y·g//H, x·g//W) — so every pixel lands in exactly one tile
+    at ANY aspect ratio (no dropped remainder rows/cols, unlike
+    stride-based crops).
+
+    This is the vision-pipeline 'resize / patch-extract' verb with the
+    same discipline as the other real decoders: decode is map-side via
+    ``_bmp_luma_grid`` (bytes never shuffle; tile rows are tiny),
+    undecodable blobs contribute zero rows (quarantine).  On a 100 TB
+    media corpus the emitted (id, tile, sums) rows are what feeds patch
+    statistics / thumbnail stores — pixels stay inside the task that
+    decoded them."""
+    import pandas as pd
+
+    if grid < 1:
+        raise ValueError("grid must be >= 1")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("tile_row", T.IntegerType(), False),
+        T.StructField("tile_col", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("luma_sum", T.LongType(), False),
+    ])
+    src = media.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "tile_row": [], "tile_col": [],
+                   "n_px": [], "luma_sum": []}
+            for m, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    width, h, lumas = _bmp_luma_grid(bytes(blob or b""))
+                except Exception:
+                    continue                    # quarantine: zero tiles
+                g = min(grid, width, h)         # never emit empty tiles
+                sums = [[0] * g for _ in range(g)]
+                ns = [[0] * g for _ in range(g)]
+                for y in range(h):
+                    bi = (y * g) // h
+                    for x in range(width):
+                        bj = (x * g) // width
+                        sums[bi][bj] += lumas[y * width + x]
+                        ns[bi][bj] += 1
+                for bi in range(g):
+                    for bj in range(g):
+                        out["media_id"].append(m)
+                        out["tile_row"].append(bi)
+                        out["tile_col"].append(bj)
+                        out["n_px"].append(ns[bi][bj])
+                        out["luma_sum"].append(sums[bi][bj])
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=out_schema)

@@ -1851,3 +1851,79 @@ def multimodal_audio_vad_segments(spark: SparkSession,
         fe, frame_len=_VAD_FRAME, sample_rate=8000,
         mean_energy_threshold=_VAD_THRESH)
         .orderBy("media_id", "seg_index"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: integer box-downsample / patch extraction on REAL BMP bytes
+
+_TILE_DOCS = 48
+_TILE_W, _TILE_H, _TILE_GRID = 16, 12, 4
+
+
+@query(
+    "multimodal_image_tile_downsample",
+    survey="multimodal(the vision-pipeline resize/patch-extract verb on "
+           "REAL BMP bytes: map-side decode, grid-cut tiles with exact "
+           "integer luma sums — box downsample kept as sum/count so no "
+           "rounding policy enters the engine; byte-blind oracle)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_TILE_DOCS}),
+    px AS (
+      SELECT doc_id, y.y AS y, x.x AS x,
+             3 * ((doc_id * 13 + y.y * 17 + x.x * 29) % 256) AS luma
+      FROM params,
+           UNNEST(range(0, {_TILE_H})) AS y(y),
+           UNNEST(range(0, {_TILE_W})) AS x(x)),
+    tiles AS (
+      SELECT doc_id,
+             (y * {_TILE_GRID}) // {_TILE_H} AS tile_row,
+             (x * {_TILE_GRID}) // {_TILE_W} AS tile_col,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(luma) AS BIGINT) AS luma_sum
+      FROM px GROUP BY 1, 2, 3)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(tile_row AS INTEGER) AS tile_row,
+           CAST(tile_col AS INTEGER) AS tile_col,
+           n_px, luma_sum
+    FROM tiles ORDER BY media_id, tile_row, tile_col
+    """,
+)
+def multimodal_image_tile_downsample(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The missing multimodal verb (SURVEY mandate: decode /
+    feature-extract / RESIZE / frame-sample) made real: per document a
+    deterministic 16×12 grayscale image (luma formula shared with the
+    oracle) is encoded as genuine 24-bit BMP bytes, decoded map-side by
+    the shared ``_bmp_luma_grid`` parser, and cut into a 4×4 tile grid
+    with exact integer (n_px, luma_sum) per tile — integer box
+    downsampling, where luma_sum/n_px IS the resized pixel. The pHash
+    block rule assigns every pixel to exactly one tile at any aspect
+    ratio. The DuckDB oracle computes the same tiles from the formula
+    without constructing bytes, so the hash match proves decoder + tiling
+    together. Scale shape: pure map-side — pixels never leave the task
+    that decoded them; only (id, tile, sums) rows flow on."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _TILE_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_bmp24,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows = [[((d * 13 + y * 17 + x * 29) % 256,) * 3
+                         for x in range(_TILE_W)]
+                        for y in range(_TILE_H)]
+                ids.append(str(d))
+                blobs.append(build_bmp24(rows))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    return (multimodal.image_tile_stats(media, grid=_TILE_GRID)
+            .orderBy("media_id", "tile_row", "tile_col"))
