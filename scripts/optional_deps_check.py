@@ -223,9 +223,41 @@ def check_protobuf_tws():
     return "v2 stateful totals match the v1 contract"
 
 
+@check("boto3", "boto3")
+def check_boto3_s3_store():
+    """The A6 S3 backend's real client path, driven through botocore's
+    Stubber (no credentials or network needed): put/get round-trip with
+    wire-level parameter assertions."""
+    import io
+
+    from botocore.response import StreamingBody
+    from botocore.stub import Stubber
+
+    from server2_vector_search_server_spark.sources.object_store import (
+        S3ObjectStore,
+    )
+
+    store = S3ObjectStore("bkt", region="us-east-1",
+                          access_key="k", secret_key="s")
+    payload = b"raw archive bytes"
+    with Stubber(store._client) as stub:
+        stub.add_response(
+            "put_object", {},
+            {"Bucket": "bkt", "Key": "col/a.txt", "Body": payload})
+        stub.add_response(
+            "get_object",
+            {"Body": StreamingBody(io.BytesIO(payload), len(payload))},
+            {"Bucket": "bkt", "Key": "col/a.txt"})
+        store.put_bytes("col/a.txt", payload)
+        assert store.get_bytes("col/a.txt") == payload
+        stub.assert_no_pending_responses()
+    return "S3 put/get round-trip via stubbed client"
+
+
 def main() -> int:
     for fn in [check_kss, check_sentence_transformers, check_pillow,
-               check_python_docx, check_pypdf, check_protobuf_tws]:
+               check_python_docx, check_pypdf, check_protobuf_tws,
+               check_boto3_s3_store]:
         fn()
     width = max(len(d) for d, _, _ in RESULTS)
     for dep, status, detail in RESULTS:

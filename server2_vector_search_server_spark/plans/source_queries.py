@@ -730,3 +730,90 @@ def ingest_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("doc_id").alias("sum_doc_id"))
             .orderBy("bucket"))
+
+
+# --------------------------------------------------------------------------
+# A6: raw-file archival sink (the reference's S3 upload path) — round 9
+
+_ARC_DOCS = 24
+_ARC_COLLECTION = "archive_demo"
+
+
+@query(
+    "store_raw_archive_manifest",
+    survey="A6(raw-file archival sink: the reference's S3 upload of "
+           "original bytes under {collection}/{filename} — executors put "
+           "partition-locally to the object-store contract (boto3-gated "
+           "S3 / tested local twin) and emit a manifest; read-back md5 "
+           "verified, all hash-checked)",
+    oracle=f"""
+    WITH files AS (
+      SELECT doc_id,
+             'raw-' || CAST(doc_id AS VARCHAR) || '-'
+               || repeat('payload ', 1 + CAST(doc_id % 3 AS INTEGER))
+               AS body
+      FROM documents WHERE doc_id < {_ARC_DOCS})
+    SELECT '{_ARC_COLLECTION}/raw_' || CAST(doc_id AS VARCHAR) || '.txt'
+             AS object_key,
+           CAST(length(body) AS BIGINT) AS n_bytes,
+           md5(body) AS content_md5,
+           TRUE AS readback_ok
+    FROM files ORDER BY object_key
+    """,
+)
+def store_raw_archive_manifest(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The reference's raw-file archive (app.py:72-100 + call sites
+    242/304: original bytes to object storage as {collection}/{filename},
+    independent of the parsed store) driven end-to-end through the A6
+    sink: deterministic member bytes are archived by
+    ``sources.object_store.archive_members`` — executors put
+    PARTITION-LOCALLY (bytes never reach the driver or a shuffle), the
+    manifest rows are all that flows on — then every object is READ BACK
+    through the same store contract and its md5 re-verified, so the hash
+    match proves both directions of the sink, not just the manifest
+    arithmetic. The boto3-gated ``S3ObjectStore`` satisfies the identical
+    contract for the real backend (scripts/optional_deps_check.py drives
+    it where boto3 exists)."""
+    import hashlib
+
+    from server2_vector_search_server_spark.sources.object_store import (
+        LocalObjectStore,
+        archive_members,
+    )
+
+    root = scratch_dir("objstore_")
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _ARC_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            names, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                body = f"raw-{d}-" + "payload " * (1 + d % 3)
+                names.append(f"raw_{d}.txt")
+                blobs.append(body.encode("utf-8"))
+            yield pd.DataFrame({"member_name": names, "content": blobs})
+
+    members = docs.mapInPandas(
+        synth, schema="member_name string, content binary")
+    manifest = archive_members(members, _ARC_COLLECTION, store_root=root)
+
+    def readback(batches):
+        import pandas as pd
+
+        store = LocalObjectStore(root)
+        for pdf in batches:
+            ok = [hashlib.md5(store.get_bytes(k)).hexdigest() == m
+                  for k, m in zip(pdf["object_key"], pdf["content_md5"])]
+            pdf = pdf.copy()
+            pdf["readback_ok"] = ok
+            yield pdf
+
+    verified = manifest.mapInPandas(
+        readback, schema="object_key string, n_bytes long, "
+                         "content_md5 string, readback_ok boolean")
+    return verified.orderBy("object_key")

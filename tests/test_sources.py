@@ -229,3 +229,99 @@ def test_pdf_fallback_hex_strings():
     # graft raw content into a stream the extractor will scan
     blob2 = page.replace(b"BT /F1 12 Tf 72 720 Td (x) Tj ET", content)
     assert pf.extract_text(blob2) == "Hello\nlit-joined!\nP"
+
+
+def test_local_object_store_contract(tmp_path):
+    """put/get/exists/list/delete with atomic writes and key safety — the
+    contract S3ObjectStore mirrors (SURVEY A6)."""
+    import pytest
+
+    from server2_vector_search_server_spark.sources.object_store import (
+        LocalObjectStore,
+    )
+
+    store = LocalObjectStore(str(tmp_path / "objs"))
+    store.put_bytes("col/a.txt", b"alpha")
+    store.put_bytes("col/sub/b.bin", b"\x00\x01")
+    store.put_bytes("other/c.txt", b"c")
+    assert store.get_bytes("col/a.txt") == b"alpha"
+    assert store.exists("col/a.txt") and not store.exists("col/z.txt")
+    assert store.list_keys("col/") == ["col/a.txt", "col/sub/b.bin"]
+    # overwrite is idempotent (atomic replace)
+    store.put_bytes("col/a.txt", b"alpha")
+    assert store.get_bytes("col/a.txt") == b"alpha"
+    assert store.delete_prefix("col/") == 2
+    assert store.list_keys() == ["other/c.txt"]
+    # a filesystem-backed store must refuse keys that escape its root
+    with pytest.raises(ValueError):
+        store.put_bytes("../escape.txt", b"x")
+    with pytest.raises(ValueError):
+        store.put_bytes("/abs.txt", b"x")
+
+
+def test_s3_object_store_gate_or_real_path():
+    """Where boto3 is absent the S3 backend raises the house
+    NotImplementedError gate naming the local twin; where it IS present
+    (this container ships it) the REAL client path is driven through
+    botocore's Stubber — put/get round-trip a payload and the wire-level
+    parameters (bucket, key, body) are asserted by the stub itself."""
+    import pytest
+
+    from server2_vector_search_server_spark.sources.object_store import (
+        S3ObjectStore,
+    )
+
+    try:
+        import boto3  # type: ignore  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="boto3"):
+            S3ObjectStore("bucket")
+        return
+
+    import io
+
+    from botocore.response import StreamingBody
+    from botocore.stub import Stubber
+
+    store = S3ObjectStore("bkt", region="us-east-1",
+                          access_key="k", secret_key="s")
+    payload = b"raw archive bytes"
+    with Stubber(store._client) as stub:
+        stub.add_response(
+            "put_object", {},
+            {"Bucket": "bkt", "Key": "col/a.txt", "Body": payload})
+        stub.add_response(
+            "get_object",
+            {"Body": StreamingBody(io.BytesIO(payload), len(payload))},
+            {"Bucket": "bkt", "Key": "col/a.txt"})
+        store.put_bytes("col/a.txt", payload)
+        assert store.get_bytes("col/a.txt") == payload
+        stub.assert_no_pending_responses()
+    # key safety holds on the S3 path too
+    with pytest.raises(ValueError):
+        store.put_bytes("../escape", b"x")
+
+
+def test_archive_members_manifest_and_bytes(spark, tmp_path):
+    """archive_members puts partition-locally and the manifest's md5/size
+    match the archived bytes exactly."""
+    import hashlib
+
+    from server2_vector_search_server_spark.sources.object_store import (
+        LocalObjectStore,
+        archive_members,
+    )
+
+    root = str(tmp_path / "arc")
+    members = spark.createDataFrame(
+        [("a.txt", bytearray(b"alpha bytes")),
+         ("b.bin", bytearray(b"\x00\xff\x10"))],
+        "member_name string, content binary")
+    rows = {r["object_key"]: r for r in
+            archive_members(members, "colX", store_root=root).collect()}
+    store = LocalObjectStore(root)
+    assert set(rows) == {"colX/a.txt", "colX/b.bin"}
+    for key, r in rows.items():
+        data = store.get_bytes(key)
+        assert r["n_bytes"] == len(data)
+        assert r["content_md5"] == hashlib.md5(data).hexdigest()
