@@ -87,6 +87,10 @@ _DRIVER_HEAD_CORE = [
 ]
 
 _DRIVER_HEAD_ROTATION = [
+    # round-9 additions: driver-verify them at the next opportunity
+    "multimodal_audio_vad_segments", "embedding_facility_location_coreset",
+    "streaming_kll_quantile_rollup", "multimodal_image_tile_downsample",
+    "store_raw_archive_manifest",
     # graph + streaming + sketch: the never-sampled families VERDICT r8
     # next-#2 names explicitly
     "graph_pagerank", "graph_betweenness_centrality", "graph_shortest_paths",
