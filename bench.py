@@ -157,6 +157,7 @@ HEADLINE = [
     "multimodal_audio_vad_segments",   # energy VAD + islands merge (r9)
     "embedding_facility_location_coreset",  # submodular coreset (r9)
     "streaming_kll_quantile_rollup",   # incremental KLL quantiles (r9)
+    "graph_butterfly_count",           # bipartite 4-cycle wedge join (r9)
 ]
 
 
