@@ -1,0 +1,72 @@
+"""Spot-sweep oracle parity on the 10× SYNTHETIC corpus (/tmp/sf1_synth).
+
+PARITY runs at sf0.01 and the pytest gate at sf0.001 — both
+driver-generated distributions.  The §53 corpus is a third axis: 10×
+volume, replica structure, planted near-dup clusters, 10× hot-key
+densities.  Tie-break and NULL-ordering divergences that the small
+corpora never exercise (the ADVICE r8 er_blocking class) surface here.
+
+Selects queries by REGEX over names (default: families with windows /
+rank ties / NULL-prone aggregates) — not the whole registry, since some
+fixture-parameterized queries take minutes at 10×.
+
+Usage: PYTHONPATH=/root/repo python scripts/synth_spot_sweep.py [regex]
+"""
+
+import re
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from server2_vector_search_server_spark.plans import load_registry
+from full_sweep import TABLES, frames_equal
+
+SF = "/tmp/sf1_synth"
+DEFAULT = (r"rank|percentile|window|top|kendall|spearman|mann|theil|"
+           r"blocking|quantile|median|gini|benford|roc|skyline|"
+           r"butterfly|degree|distribution|session|funnel|retention")
+
+
+def main():
+    pat = re.compile(sys.argv[1] if len(sys.argv) > 1 else DEFAULT)
+    reg = load_registry()
+    names = [n for n in reg if pat.search(n)]
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "12g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{SF}/{t}.parquet/*.parquet'")
+    failures = []
+    t0 = time.time()
+    for i, name in enumerate(names):
+        rq = reg[name]
+        try:
+            got = rq.fn(spark, SF).toPandas()
+            want = con.execute(rq.oracle).df()
+            ok = frames_equal(got, want)
+        except Exception as exc:  # noqa: BLE001
+            ok = False
+            print(f"[{i+1}/{len(names)}] {name}: ERROR {exc}", flush=True)
+            failures.append(name)
+            continue
+        print(f"[{i+1}/{len(names)}] {name}: "
+              f"{'OK' if ok else 'MISMATCH'} ({len(got)} rows)", flush=True)
+        if not ok:
+            failures.append(name)
+        spark.catalog.clearCache()
+    print(f"\nsynth spot sweep: {len(names) - len(failures)}/{len(names)} "
+          f"OK in {time.time() - t0:.0f}s")
+    print("FAILURES:", failures if failures else "none")
+
+
+if __name__ == "__main__":
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -828,12 +828,15 @@ def lineitem_simpsons_screen(spark: SparkSession,
                AS r_p
       FROM base),
     d AS (
+      -- sd2 <= n^3/3 outgrows BIGINT past ~3M rows; DuckDB's SUM widens
+      -- to HUGEINT on its own, and the double conversion of the exact
+      -- integer is IEEE-identical to Spark's decimal->double cast
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM((rx.r_q - ry.r_p) * (rx.r_q - ry.r_p)) AS BIGINT)
+             CAST(SUM((rx.r_q - ry.r_p) * (rx.r_q - ry.r_p)) AS DOUBLE)
                AS sd2
       FROM rx JOIN ry USING (l_orderkey, l_linenumber))
     SELECT n, sd2,
-           ROUND(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+           ROUND(1.0 - 6.0 * sd2
                  / (CAST(n AS DOUBLE)
                     * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 6)
              AS spearman_rho
@@ -852,9 +855,16 @@ def lineitem_spearman_rank_corr(spark: SparkSession,
     Scale shape: BOTH rank passes use operators/text_analysis.
     exclusive_prefix_sum (range-partitioned two-pass scan — never a
     single-reducer global window; the oracle's row_number is DuckDB's
-    single-node luxury); the rank join is key-partitioned. S stays under
-    int64 through ~sf0.3 (S <= n^3/3); beyond that the identity needs
-    the same double-domain treatment the Simpson screen documents."""
+    single-node luxury); the rank join is key-partitioned. S <= n^3/3
+    outgrows int64 past ~3M rows (the 10× synthetic-corpus spot sweep
+    caught the long overflow under ANSI mode, r9), so the per-row d² is
+    summed in DECIMAL(38,0) — exact to ~3·10¹² rows — and reported as
+    the IEEE double of that exact integer, identical to DuckDB's
+    HUGEINT→DOUBLE. Packing-key domains: the rank keys embed
+    (orderkey·8 + linenumber) below the value shift, valid to orderkey
+    ≈ 2·10¹² (q-axis, shift 44) / 10⁹ (p-axis, shift 33); past that,
+    range-partition on a (value, orderkey, linenumber) struct instead of
+    a packed long."""
     from server2_vector_search_server_spark.operators.text_analysis import (
         exclusive_prefix_sum,
     )
@@ -864,11 +874,12 @@ def lineitem_spearman_rank_corr(spark: SparkSession,
         "l_orderkey", "l_linenumber",
         F.round("l_quantity").cast("long").alias("q"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"))
-    # packed unique order keys: value * 2^24 + orderkey*8 + linenumber
-    # stays monotone in (value, orderkey, linenumber) for test scales
+    # packed unique order keys: value * 2^shift + orderkey*8 + linenumber
+    # stays monotone in (value, orderkey, linenumber) while
+    # orderkey*8 + linenumber < 2^shift (bounds in the docstring)
     kx = (F.col("q") * F.lit(1 << 44)
           + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
-    ky = (F.col("p") * F.lit(1 << 30)
+    ky = (F.col("p") * F.lit(1 << 33)
           + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
 
     def ranks(keyed, okey, rname):
@@ -880,15 +891,14 @@ def lineitem_spearman_rank_corr(spark: SparkSession,
                         (F.col("r0") + 1).alias(rname))
     rx = ranks(base, kx, "r_q")
     ry = ranks(base, ky, "r_p")
+    diff = (F.col("r_q") - F.col("r_p")).cast("decimal(19,0)")
     d = (rx.join(ry, ["l_orderkey", "l_linenumber"])
          .agg(F.count(F.lit(1)).cast("long").alias("n"),
-              F.sum((F.col("r_q") - F.col("r_p"))
-                    * (F.col("r_q") - F.col("r_p"))).cast("long")
-              .alias("sd2")))
+              F.sum(diff * diff).cast("double").alias("sd2")))
     nd = F.col("n").cast("double")
     return d.select(
         "n", "sd2",
-        F.round(1.0 - 6.0 * F.col("sd2").cast("double")
+        F.round(1.0 - 6.0 * F.col("sd2")
                 / (nd * (nd * nd - 1.0)), 6).alias("spearman_rho"))
 
 

@@ -590,13 +590,14 @@ _STS_MINUTES = (5, 15, 30, 60)
     oracle=f"""
     WITH gaps AS (
       SELECT user_id,
-             epoch(CAST(ts AS TIMESTAMP))
-             - epoch(lag(CAST(ts AS TIMESTAMP))
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id))
-               AS gap_s
+             epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(lag(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us
       FROM events)
     SELECT {", ".join(
-        f"CAST(COUNT(DISTINCT user_id) + SUM(CASE WHEN gap_s > {m * 60} "
+        f"CAST(COUNT(DISTINCT user_id) + SUM(CASE WHEN gap_us > "
+        f"CAST({m * 60 * 1_000_000} AS BIGINT) "
         f"THEN 1 ELSE 0 END) AS BIGINT) AS sessions_{m}m"
         for m in _STS_MINUTES)}
     FROM gaps
@@ -613,17 +614,23 @@ def events_session_timeout_sweep(spark: SparkSession,
 
     Scale shape: one user-keyed window exchange; the sweep is four
     conditional sums over the same gap column — cost independent of the
-    threshold count."""
+    threshold count.
+
+    Gaps are EXACT MICROSECOND integers (unix_micros / epoch_us) on both
+    engines: the fixture timestamps carry sub-second parts, and the
+    original second-truncated Spark form vs the fractional-epoch oracle
+    disagreed whenever a gap straddled a threshold within 1 s — latent at
+    the small SFs, caught by the 10× synthetic-corpus spot sweep (r9)."""
     from pyspark.sql import Window
 
     ev = tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "user_id",
-        (F.unix_timestamp("ts")
-         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"))
+        (F.unix_micros("ts")
+         - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"))
     aggs = [F.count_distinct("user_id").alias("_u")] + [
-        F.sum(F.when(F.col("gap_s") > m * 60, 1).otherwise(0))
+        F.sum(F.when(F.col("gap_us") > m * 60 * 1_000_000, 1).otherwise(0))
         .alias(f"_g{m}") for m in _STS_MINUTES]
     row = gaps.agg(*aggs)
     return row.select(*[
