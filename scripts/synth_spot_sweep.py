@@ -21,7 +21,11 @@ import duckdb
 from pyspark.sql import SparkSession
 
 from server2_vector_search_server_spark.plans import load_registry
-from full_sweep import TABLES, frames_equal
+
+# full_sweep reads sys.argv at import (its ROUND arg) — consume ours first
+_ARGV_PATTERN = sys.argv[1] if len(sys.argv) > 1 else None
+sys.argv = sys.argv[:1]
+from full_sweep import TABLES, frames_equal  # noqa: E402
 
 SF = "/tmp/sf1_synth"
 DEFAULT = (r"rank|percentile|window|top|kendall|spearman|mann|theil|"
@@ -30,7 +34,7 @@ DEFAULT = (r"rank|percentile|window|top|kendall|spearman|mann|theil|"
 
 
 def main():
-    pat = re.compile(sys.argv[1] if len(sys.argv) > 1 else DEFAULT)
+    pat = re.compile(_ARGV_PATTERN or DEFAULT)
     reg = load_registry()
     names = [n for n in reg if pat.search(n)]
     spark = (SparkSession.builder.master("local[32]")

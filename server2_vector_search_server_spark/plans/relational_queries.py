@@ -660,12 +660,14 @@ _SQL_OHLC = """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
            event_type,
            ROUND(arg_min(CAST(value AS DOUBLE),
-                         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)))
+                              AS BIGINT)
                            * 100000000 + event_id), 2) AS open,
            ROUND(MAX(CAST(value AS DOUBLE)), 2) AS high,
            ROUND(MIN(CAST(value AS DOUBLE)), 2) AS low,
            ROUND(arg_max(CAST(value AS DOUBLE),
-                         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)))
+                              AS BIGINT)
                            * 100000000 + event_id), 2) AS close,
            CAST(COUNT(*) AS BIGINT) AS volume
     FROM events
