@@ -69,6 +69,31 @@ def main():
           f"OK in {time.time() - t0:.0f}s")
     print("FAILURES:", failures if failures else "none")
 
+    # accumulate into the committed artifact (one entry per query, the
+    # newest verdict wins — re-running after a fix flips its row green)
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SYNTH_SWEEP_r09.json")
+    try:
+        with open(art) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        data = {"what": "oracle parity on the 10x synthetic corpus "
+                        "(/tmp/sf1_synth, scripts/scale53_decade.py "
+                        "replicas) — a third data distribution beyond "
+                        "the sf0.001 pytest gate and sf0.01 PARITY",
+                "queries": {}}
+    for n in names:
+        data["queries"][n] = "FAIL" if n in failures else "OK"
+    ok = sum(1 for v in data["queries"].values() if v == "OK")
+    data["n_checked"] = len(data["queries"])
+    data["n_ok"] = ok
+    with open(art, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+    print(f"wrote {art} ({ok}/{len(data['queries'])} OK)")
+
 
 if __name__ == "__main__":
     import os

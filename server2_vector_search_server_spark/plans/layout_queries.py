@@ -181,9 +181,14 @@ def lineitem_analyze_column_stats(spark: SparkSession,
            "encoder; runs counted by the lag-mismatch identity)",
     oracle="""
     WITH ordered1 AS (
+      -- the fixture does NOT enforce TPC-H (orderkey, linenumber)
+      -- uniqueness (143k dup pairs at sf0.1), so the run value itself is
+      -- the FINAL tiebreak: rows tied on the layout keys sort by v,
+      -- making the v-sequence — and hence the run count — total-order
+      -- deterministic on both engines (caught by the 10x spot sweep)
       SELECT l_returnflag AS v,
              row_number() OVER (ORDER BY l_shipdate, l_orderkey,
-                                l_linenumber) AS rn
+                                l_linenumber, l_returnflag) AS rn
       FROM lineitem),
     runs1 AS (
       SELECT COUNT(*) + 1 AS n_rows,
@@ -192,7 +197,8 @@ def lineitem_analyze_column_stats(spark: SparkSession,
       WHERE lag_v IS NOT NULL),
     ordered2 AS (
       SELECT l_returnflag AS v,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_returnflag) AS rn
       FROM lineitem),
     runs2 AS (
       SELECT 1 + SUM(CASE WHEN v <> lag_v THEN 1 ELSE 0 END) AS n_runs
@@ -241,9 +247,13 @@ def lineitem_rle_run_profile(spark: SparkSession,
                      .cast("long").alias("n_runs"),
                      (F.count(F.lit(1)) + 1).cast("long").alias("n_rows")))
 
-    r_ship = runs(["l_shipdate", "l_orderkey", "l_linenumber"]) \
+    # l_returnflag last: the fixture has duplicate (orderkey, linenumber)
+    # pairs, so the run VALUE is the final tiebreak — run counts are then
+    # total-order deterministic (see the oracle comment; 10x spot sweep)
+    r_ship = runs(["l_shipdate", "l_orderkey", "l_linenumber",
+                   "l_returnflag"]) \
         .select(F.col("n_runs").alias("runs_shipdate_order"), "n_rows")
-    r_key = runs(["l_orderkey", "l_linenumber"]) \
+    r_key = runs(["l_orderkey", "l_linenumber", "l_returnflag"]) \
         .select(F.col("n_runs").alias("runs_key_order"))
     r_val = runs(["l_returnflag"]) \
         .select(F.col("n_runs").alias("runs_value_sorted"))
