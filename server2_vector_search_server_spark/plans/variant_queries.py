@@ -104,16 +104,20 @@ def events_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id < 8000),
     probed AS (
       -- json_type: 'NULL' for an explicit JSON null, SQL NULL for a
-      -- missing path — the same three-way split the variant side probes
+      -- missing path — the same three-way split the variant side probes.
+      -- TRY_CAST to JSON (NULL for unparseable) rather than a
+      -- json_valid() CASE guard: DuckDB's vectorized expression
+      -- evaluation can run a CASE branch's json_type() over rows the
+      -- guard excluded and throw Malformed JSON — fired at the 10x
+      -- corpus's multi-file layout, not at single-file sf0.01
       SELECT event_id % 4 AS bucket,
-             CASE WHEN json_valid(j) THEN 1 ELSE 0 END AS parsed,
-             CASE WHEN json_valid(j)
-                  AND json_type(j, '$.b') IS NOT NULL
-                  AND json_type(j, '$.b') != 'NULL' THEN 1 ELSE 0
+             CASE WHEN jv IS NOT NULL THEN 1 ELSE 0 END AS parsed,
+             CASE WHEN json_type(jv, '$.b') IS NOT NULL
+                  AND json_type(jv, '$.b') != 'NULL' THEN 1 ELSE 0
              END AS has_b,
-             CASE WHEN json_valid(j) AND json_type(j, '$.b') = 'NULL'
+             CASE WHEN json_type(jv, '$.b') = 'NULL'
                   THEN 1 ELSE 0 END AS b_is_json_null
-      FROM docs)
+      FROM (SELECT event_id, TRY_CAST(j AS JSON) AS jv FROM docs))
     SELECT bucket, COUNT(*) AS n,
            CAST(SUM(parsed) AS BIGINT) AS n_parsed,
            CAST(SUM(has_b) AS BIGINT) AS n_has_b,
