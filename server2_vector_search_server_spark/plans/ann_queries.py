@@ -1468,22 +1468,58 @@ _ADAPTIVE_CUTOFF = 100
            "branch: the filter leaves few survivors, so the planner scans "
            "them exactly instead of probing the index)",
     oracle=f"""
-    SELECT vec_id,
-           ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
-             AS score,
-           'exact' AS strategy
-    FROM embeddings
-    WHERE label = {_FILTER_LABEL} AND vec_id % 5 = 0
-    ORDER BY score DESC, vec_id ASC LIMIT 5
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+    surv AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE label = {_FILTER_LABEL} AND vec_id % 5 = 0),
+    n AS (SELECT COUNT(*) AS c FROM surv),
+    probe AS (
+      SELECT centroid_id FROM cent
+      ORDER BY {sql_sq_l2('centroid', _sql_qv(_QUERY_ID))} ASC,
+               centroid_id ASC
+      LIMIT {_NPROBE}),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT s.vec_id, s.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {sql_sq_l2('s.embedding', 'c.centroid')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM surv s CROSS JOIN cent c) t
+      WHERE rn = 1),
+    exact_b AS (
+      SELECT vec_id,
+             ROUND(1.0 - {sql_sq_l2('embedding', _sql_qv(_QUERY_ID))}, 6)
+               AS score,
+             'exact' AS strategy
+      FROM surv WHERE (SELECT c FROM n) <= {_ADAPTIVE_CUTOFF}
+      ORDER BY score DESC, vec_id ASC LIMIT 5),
+    ivf_b AS (
+      SELECT a.vec_id,
+             ROUND(1.0 - {sql_sq_l2('a.embedding', _sql_qv(_QUERY_ID))}, 6)
+               AS score,
+             'ivf' AS strategy
+      FROM assigned a
+      WHERE (SELECT c FROM n) > {_ADAPTIVE_CUTOFF}
+        AND a.centroid_id IN (SELECT centroid_id FROM probe)
+      ORDER BY score DESC, a.vec_id ASC LIMIT 5)
+    SELECT * FROM exact_b UNION ALL SELECT * FROM ivf_b
     """,
 )
 def search_adaptive_knn_selective(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """operators/ann.adaptive_filtered_knn with a highly selective filter:
     the survivor count (a pushed-down pruned scan here; a statistics lookup
-    at 100 TB) lands under the cutoff, so the EXACT branch runs — cheaper
-    than probing and recall-1.0 by construction. The strategy column is
-    part of the hash-checked contract: the oracle pins WHICH plan ran."""
+    at 100 TB) lands under the cutoff at the fixture scales, so the EXACT
+    branch runs — cheaper than probing and recall-1.0 by construction.
+    The strategy column is part of the hash-checked contract, and the
+    oracle replays the operator's COUNT-vs-cutoff gate rather than
+    pinning a branch, so the twin stays faithful at ANY corpus size (the
+    10× spot sweep legitimately flipped this filter past the cutoff —
+    r9; the sf-scale rows still prove the exact branch, the broad twin
+    still pins the ivf branch)."""
     emb = tbl(spark, sf_dir, "embeddings")
     centroids = (emb.filter(F.col("vec_id") < _N_CENTROIDS)
                  .select(F.col("vec_id").alias("centroid_id"),
