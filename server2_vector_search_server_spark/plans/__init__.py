@@ -41,6 +41,8 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.insight_queries",
     "server2_vector_search_server_spark.plans.spatial_queries",
     "server2_vector_search_server_spark.plans.quality_queries",
+    "server2_vector_search_server_spark.plans.warc_queries",
+    "server2_vector_search_server_spark.plans.signal_queries",
 ]
 
 
