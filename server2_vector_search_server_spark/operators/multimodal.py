@@ -173,6 +173,193 @@ def _bmp_luma_grid(blob: bytes) -> "tuple[int, int, list[int]]":
     return width, h, lumas
 
 
+def _luma_feature_row(media_id: str, width: int, h: int,
+                      lumas: "list[int]") -> dict:
+    """Shared feature fold for the stdlib image decoders (BMP/PNG): the
+    documented exact-integer contract — ``mean_luma`` = Σluma/(n·765)
+    (one division of two exact ints), ``phash`` = 64-bit block-mean hash
+    where bit (i·8+j) is decided by the integer cross-product
+    ``block_sum·n > total·block_n`` so no float enters the hash.  One
+    implementation shared by both decoders so the formats can never
+    disagree on the fold arithmetic."""
+    n = width * h
+    total = sum(lumas)
+    block_sum = [[0] * 8 for _ in range(8)]
+    block_n = [[0] * 8 for _ in range(8)]
+    for y in range(h):
+        bi = (y * 8) // h
+        for x in range(width):
+            bj = (x * 8) // width
+            block_sum[bi][bj] += lumas[y * width + x]
+            block_n[bi][bj] += 1
+    bits = 0
+    for bi in range(8):
+        for bj in range(8):
+            if block_sum[bi][bj] * n > total * block_n[bi][bj]:
+                bits |= 1 << (bi * 8 + bj)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return {"media_id": media_id, "width": int(width), "height": int(h),
+            "n_channels": 3, "mean_luma": total / (n * 765),
+            "phash": bits}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def build_png(rows: "list[list[tuple[int, int, int]]]") -> bytes:
+    """Encode RGB pixel rows (row 0 = TOP) as a real 8-bit truecolor PNG
+    (stdlib struct+zlib).  Row ``y`` uses scanline filter ``y % 5``, so a
+    fixture taller than 4 rows exercises EVERY filter type (None, Sub,
+    Up, Average, Paeth) against the decoder — the test/fixture twin of
+    :func:`_png_luma_grid`."""
+    import struct
+    import zlib
+
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    stride = 3 * width
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytearray()
+        for r, g, b in rows[y]:
+            line += bytes((r, g, b))
+        f = y % 5
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                raw.append(line[i])
+            elif f == 1:
+                raw.append((line[i] - a) & 0xFF)
+            elif f == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif f == 3:
+                raw.append((line[i] - (a + up) // 2) & 0xFF)
+            else:
+                raw.append((line[i] - _paeth(a, up, c)) & 0xFF)
+        prev = bytes(line)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_luma_grid(blob: bytes) -> "tuple[int, int, list[int]]":
+    """Decode 8-bit PNG bytes (stdlib struct+zlib) to ``(width, height,
+    row-major TOP-DOWN exact-int lumas)`` with luma = r+g+b (0..765),
+    the same contract as :func:`_bmp_luma_grid`.  Supports the five
+    scanline filters and color types 0 (gray, luma 3·v), 2 (RGB),
+    3 (palette via PLTE), 4 (gray+alpha) and 6 (RGBA; alpha ignored).
+    Raises on bit depths other than 8 and on Adam7 interlace — callers
+    decide the quarantine shape."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(blob):
+        ln, typ = struct.unpack_from(">I4s", blob, pos)
+        data = blob[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or width <= 0 or h <= 0):
+        raise ValueError("unsupported PNG variant")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated pixel data")
+    lumas = [0] * (width * h)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if f == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad filter byte {f}")
+        for x in range(width):
+            q = x * channels
+            if ctype == 2 or ctype == 6:
+                luma = line[q] + line[q + 1] + line[q + 2]
+            elif ctype == 3:
+                pi = 3 * line[q]
+                if pi + 2 >= len(plte):
+                    raise ValueError("palette index out of range")
+                luma = plte[pi] + plte[pi + 1] + plte[pi + 2]
+            else:                       # gray / gray+alpha
+                luma = 3 * line[q]
+            lumas[y * width + x] = luma
+        prev = line
+    return width, h, lumas
+
+
+def _png_image_features(media_id: str, blob: bytes) -> dict:
+    """REAL PNG decode with ZERO dependencies (stdlib struct + zlib):
+    chunk walk, concatenated-IDAT inflate, all five scanline unfilters
+    (incl. Paeth), color types 0/2/3/4/6 at bit depth 8.  Same feature
+    contract as ``_bmp_image_features`` via the shared
+    ``_luma_feature_row`` fold; undecodable / interlaced / 16-bit blobs
+    yield the null-feature quarantine row."""
+    none_row = {"media_id": media_id, "width": None, "height": None,
+                "n_channels": None, "mean_luma": None, "phash": None}
+    try:
+        width, h, lumas = _png_luma_grid(blob)
+    except Exception:
+        return none_row
+    return _luma_feature_row(media_id, width, h, lumas)
+
+
 def _bmp_image_features(media_id: str, blob: bytes) -> dict:
     """REAL image decode with ZERO dependencies: parse uncompressed 24-bit
     BMP bytes (BITMAPINFOHEADER) with stdlib struct — like the WAV path,
@@ -199,26 +386,7 @@ def _bmp_image_features(media_id: str, blob: bytes) -> dict:
         width, h, lumas = _bmp_luma_grid(blob)
     except Exception:
         return none_row
-    n = width * h
-    total = sum(lumas)
-    block_sum = [[0] * 8 for _ in range(8)]
-    block_n = [[0] * 8 for _ in range(8)]
-    for y in range(h):
-        bi = (y * 8) // h
-        for x in range(width):
-            bj = (x * 8) // width
-            block_sum[bi][bj] += lumas[y * width + x]
-            block_n[bi][bj] += 1
-    bits = 0
-    for bi in range(8):
-        for bj in range(8):
-            if block_sum[bi][bj] * n > total * block_n[bi][bj]:
-                bits |= 1 << (bi * 8 + bj)
-    if bits >= 1 << 63:
-        bits -= 1 << 64
-    return {"media_id": media_id, "width": int(width), "height": int(h),
-            "n_channels": 3, "mean_luma": total / (n * 765),
-            "phash": bits}
+    return _luma_feature_row(media_id, width, h, lumas)
 
 
 def extract_image_features(media: DataFrame, *, decoder: str = "stub",
@@ -244,6 +412,8 @@ def extract_image_features(media: DataFrame, *, decoder: str = "stub",
         extract = _pil_image_features
     elif decoder == "bmp":
         extract = _bmp_image_features          # stdlib-real, never gated
+    elif decoder == "png":
+        extract = _png_image_features          # stdlib-real, never gated
     elif decoder == "stub":
         extract = _stub_image_features
     else:

@@ -92,6 +92,7 @@ _DRIVER_HEAD_ROTATION = [
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",
+    "multimodal_image_png_roundtrip",
     "multimodal_audio_vad_segments", "embedding_facility_location_coreset",
     "streaming_kll_quantile_rollup", "multimodal_image_tile_downsample",
     "store_raw_archive_manifest",

@@ -1672,6 +1672,99 @@ def multimodal_image_bmp_roundtrip(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# multimodal: REAL PNG decode round-trip (stdlib struct+zlib — no gating)
+
+_PNG_DOCS = 48
+
+
+@query(
+    "multimodal_image_png_roundtrip",
+    survey="multimodal(REAL image decode: stdlib 8-bit truecolor PNG "
+           "encode->decode round-trip — chunk walk, IDAT inflate, and all "
+           "five scanline unfilters incl. Paeth exercised (encoder cycles "
+           "filter y%5) — hash-checked against a formula-only oracle that "
+           "never sees bytes)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 15 + (doc_id % 4) * 5 AS w, 9 + (doc_id % 3) * 4 AS h
+      FROM documents WHERE doc_id < {_PNG_DOCS}),
+    px AS (
+      SELECT doc_id, w, h, xs.i AS x, ys.i AS y,
+             ((xs.i * 5 + ys.i * 17 + doc_id) % 256)
+             + ((xs.i * 9 + ys.i * 3 + 2 * doc_id) % 256)
+             + ((xs.i + ys.i * 7 + 3 * doc_id) % 256) AS luma
+      FROM params, UNNEST(range(0, w)) AS xs(i), UNNEST(range(0, h)) AS ys(i)),
+    tot AS (
+      SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+             CAST(SUM(luma) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM px GROUP BY doc_id),
+    blocks AS (
+      SELECT doc_id, (y * 8) // h AS bi, (x * 8) // w AS bj,
+             CAST(SUM(luma) AS BIGINT) AS bs,
+             CAST(COUNT(*) AS BIGINT) AS bn
+      FROM px GROUP BY 1, 2, 3),
+    hash_u AS (
+      SELECT b.doc_id,
+             SUM(CASE WHEN b.bs * t.n > t.total * b.bn
+                      THEN CAST(POWER(2, b.bi * 8 + b.bj) AS HUGEINT)
+                      ELSE 0::HUGEINT END) AS u
+      FROM blocks b JOIN tot t USING (doc_id) GROUP BY b.doc_id)
+    SELECT CAST(t.doc_id AS VARCHAR) AS media_id,
+           CAST(t.w AS INTEGER) AS width,
+           CAST(t.h AS INTEGER) AS height,
+           3 AS n_channels,
+           t.total / (t.n * 765) AS mean_luma,
+           CAST(CASE WHEN hu.u >= 9223372036854775808::HUGEINT
+                     THEN hu.u - 18446744073709551616::HUGEINT
+                     ELSE hu.u END AS BIGINT) AS phash
+    FROM tot t JOIN hash_u hu USING (doc_id)
+    ORDER BY media_id
+    """,
+)
+def multimodal_image_png_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """End-to-end REAL PNG decode, hash-checked — the compressed-format
+    twin of ``multimodal_image_bmp_roundtrip``: deterministic RGB pixels
+    per document (integer formulas shared with the oracle) are encoded as
+    genuine 8-bit truecolor PNG bytes whose scanline filter CYCLES y%5
+    (so None/Sub/Up/Average/Paeth all appear in every image), then decoded
+    with the stdlib ``decoder="png"`` parser (chunk walk + zlib inflate +
+    unfilter).  The DuckDB oracle computes width/height/mean-luma/
+    block-mean phash straight from the pixel formulas WITHOUT constructing
+    bytes, so a hash match proves the byte-exact reconstruction through
+    compression and all five predictors — one wrong Paeth tie-break and
+    every downstream luma shifts.  Scale shape: pure map-side (one
+    mapInPandas stage; bytes never shuffle)."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _PNG_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_png,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 15 + (d % 4) * 5, 9 + (d % 3) * 4
+                rows = [[((x * 5 + y * 17 + d) % 256,
+                          (x * 9 + y * 3 + 2 * d) % 256,
+                          (x + y * 7 + 3 * d) % 256)
+                         for x in range(w)] for y in range(h)]
+                ids.append(str(d))
+                blobs.append(build_png(rows))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    return (multimodal.extract_image_features(media, decoder="png")
+            .orderBy("media_id"))
+
+
+# ---------------------------------------------------------------------------
 # multimodal: REAL GIF container parse (frame timings — no container gating)
 
 _GIF_DOCS = 48
