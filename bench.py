@@ -158,6 +158,10 @@ HEADLINE = [
     "embedding_facility_location_coreset",  # submodular coreset (r9)
     "streaming_kll_quantile_rollup",   # incremental KLL quantiles (r9)
     "graph_butterfly_count",           # bipartite 4-cycle wedge join (r9)
+    "events_survival_km",              # KM survival over gap durations (r9)
+    "events_sax_words",                # SAX symbolic series via z-PAA (r9)
+    "events_spectral_peak_hourly",     # DFT power, dense hourly spine (r9)
+    "multimodal_image_png_roundtrip",  # real stdlib PNG decode path (r9)
 ]
 
 
