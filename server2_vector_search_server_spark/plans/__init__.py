@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.quality_queries",
     "server2_vector_search_server_spark.plans.warc_queries",
     "server2_vector_search_server_spark.plans.signal_queries",
+    "server2_vector_search_server_spark.plans.stats_queries",
 ]
 
 
@@ -93,6 +94,8 @@ _DRIVER_HEAD_ROTATION = [
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",
     "multimodal_image_png_roundtrip",
+    "events_mann_whitney_u", "events_anova_f_by_type",
+    "events_mutual_info_type_hour",
     "multimodal_audio_vad_segments", "embedding_facility_location_coreset",
     "streaming_kll_quantile_rollup", "multimodal_image_tile_downsample",
     "store_raw_archive_manifest",
