@@ -95,7 +95,7 @@ _DRIVER_HEAD_ROTATION = [
     "events_dtw_pattern_match", "events_spectral_peak_hourly",
     "multimodal_image_png_roundtrip",
     "events_mann_whitney_u", "events_anova_f_by_type",
-    "events_mutual_info_type_hour",
+    "events_mutual_info_type_hour", "web_crawl_curation_e2e",
     "multimodal_audio_vad_segments", "embedding_facility_location_coreset",
     "streaming_kll_quantile_rollup", "multimodal_image_tile_downsample",
     "store_raw_archive_manifest",

@@ -135,3 +135,130 @@ def warc_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5("payload").alias("payload_md5"),
                 F.md5(F.encode(text, "UTF-8")).alias("text_md5"))
             .orderBy("fname", "record_seq"))
+
+
+# ---------------------------------------------------------------------------
+# the composed crawl-curation pipeline: WARC -> HTML text -> canonical URL
+# -> exact dedup.  One query running the whole CommonCrawl front half.
+
+def _page(title: str, body: str) -> bytes:
+    return (f"<html><head><title>t</title></head><body><h1>{title}</h1>"
+            f"<p>{body}</p></body></html>").encode()
+
+
+def _stripped(title: str, body: str) -> str:
+    """What ``strip_html`` recovers from ``_page``: title line + body line
+    (title block dies, block closers become newlines, tags/whitespace
+    collapse) — stated directly, the web_strip_html_roundtrip contract."""
+    return f"{title}\n{body}"
+
+
+_CRAWL_PAGES = [
+    # (file, uri, status, ctype, title, body) — two exact-duplicate bodies
+    # at different hosts, one messy URL, one 404, one non-HTML.
+    (0, "http://a.example.com/p1", 200, "text/html; charset=utf-8",
+     "Alpha One", "alpha body words here"),
+    (0, "HTTP://A.Example.COM:80/p2?utm_source=z&x=1", 200, "text/html",
+     "Beta Two", "beta body words"),
+    (0, "http://a.example.com/p3", 404, "text/html", "Gone", "nope"),
+    (1, "http://b.example.com/q1", 200, "text/html",
+     "Alpha One", "alpha body words here"),          # dup of /p1
+    (1, "http://b.example.com/q2", 200, "text/html",
+     "Gamma Three", "gamma unique body"),
+]
+
+
+def _crawl_expected() -> list[tuple[str, int, str, int]]:
+    """(kept_url, n_chars, text_md5, n_dupes) — the hand-derived result of
+    the full pipeline over ``_CRAWL_PAGES``."""
+    rows = []
+    for url, title, body, dupes in [
+            ("http://a.example.com/p1", "Alpha One",
+             "alpha body words here", 2),
+            ("http://a.example.com/p2?x=1", "Beta Two",
+             "beta body words", 1),
+            ("http://b.example.com/q2", "Gamma Three",
+             "gamma unique body", 1)]:
+        text = _stripped(title, body)
+        rows.append((url, len(text),
+                     hashlib.md5(text.encode()).hexdigest(), dupes))
+    return sorted(rows)
+
+
+def _crawl_oracle() -> str:
+    rows = ",\n      ".join(
+        f"('{u}', CAST({n} AS BIGINT), '{m}', CAST({d} AS BIGINT))"
+        for u, n, m, d in _crawl_expected())
+    return ("SELECT * FROM (VALUES\n      " + rows + "\n    ) AS t(url, "
+            "n_chars, text_md5, n_dupes) ORDER BY url")
+
+
+@query(
+    "web_crawl_curation_e2e",
+    survey="A-ext+web curation composed (the CommonCrawl front half in one "
+           "plan: WARC parse -> status/type gate -> charset decode -> HTML "
+           "strip -> URL normalize -> exact text dedup keep-min-URL)",
+    oracle=_crawl_oracle(),
+)
+def web_crawl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-ingestion front half as ONE composed plan, the way a
+    RefinedWeb/C4-style user would actually run this engine: parse real
+    WARC bytes (one plain file, one gzip-per-record file with a chunked
+    response), keep only 200 text/html responses, decode, strip markup,
+    normalize the URL (case, default port, tracking params), then exact-
+    dedup on the stripped text keeping the smallest canonical URL per
+    digest.  The oracle is the hand-derived 3-row manifest — the 404, the
+    text/plain response, and the cross-host duplicate must all vanish, and
+    the messy URL must surface in canonical form.  Scale shape: parse and
+    strip are one mapInPandas + projection stage (bytes never shuffle);
+    the only shuffle is the dedup groupBy on the text digest — the
+    dedup_exact shape."""
+    from server2_vector_search_server_spark.operators.web import (
+        normalize_url,
+        strip_html,
+    )
+
+    root = scratch_dir("warc_crawl_")
+    for fi, fname, gz in [(0, "crawl0.warc", False),
+                          (1, "crawl1.warc.gz", True)]:
+        records = []
+        for f, uri, status, ctype, title, body in _CRAWL_PAGES:
+            if f != fi:
+                continue
+            records.append({
+                "warc_type": "response", "target_uri": uri,
+                "payload": W.http_response_bytes(
+                    status, ctype, _page(title, body),
+                    chunked=(fname.endswith(".gz"))),
+                "content_type": "application/http;msgtype=response"})
+        if fi == 0:
+            records.append({"warc_type": "warcinfo", "payload": _INFO,
+                            "content_type": "application/warc-fields"})
+        else:
+            records.append({
+                "warc_type": "response",
+                "target_uri": "http://a.example.com/p4",
+                "payload": W.http_response_bytes(
+                    200, "text/plain", b"plain text, not html"),
+                "content_type": "application/http;msgtype=response"})
+        with open(os.path.join(root, fname), "wb") as fh:
+            fh.write(W.build_warc_bytes(records, gzip_members=gz))
+
+    recs = W.parse_warc(spark.read.format("binaryFile").load(root))
+    html = (recs
+            .filter((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200)
+                    & F.lower(F.col("http_content_type"))
+                    .startswith("text/html")))
+    text = strip_html(W.decode_text_payload(
+        F.col("payload"), F.col("http_content_type")))
+    pages = html.select(
+        normalize_url(F.col("target_uri")).alias("url"),
+        text.alias("text"))
+    return (pages
+            .groupBy(F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+                     F.length("text").cast("long").alias("n_chars"))
+            .agg(F.min("url").alias("url"),
+                 F.count("*").alias("n_dupes"))
+            .select("url", "n_chars", "text_md5", "n_dupes")
+            .orderBy("url"))
