@@ -47,13 +47,16 @@ evs AS (
 ), segs AS (
     SELECT user_id, (idx * 4) // n AS seg, n,
            SUM(cents) AS sk, COUNT(*) AS nk,
-           SUM(cents * cents) AS qk
+           SUM(cents * cents) AS qk,
+           MIN(cents) AS mnk, MAX(cents) AS mxk
     FROM idxd WHERE n >= {_MIN_EVENTS}
     GROUP BY user_id, (idx * 4) // n, n
 ), stats AS (
     SELECT user_id, seg, sk, nk, n,
            SUM(sk) OVER (PARTITION BY user_id) AS su,
-           SUM(qk) OVER (PARTITION BY user_id) AS ssq
+           SUM(qk) OVER (PARTITION BY user_id) AS ssq,
+           MIN(mnk) OVER (PARTITION BY user_id) AS mn,
+           MAX(mxk) OVER (PARTITION BY user_id) AS mx
     FROM segs
 ), zrows AS (
     SELECT user_id, seg, n,
@@ -61,7 +64,7 @@ evs AS (
             - su / (100.0 * n))
            / sqrt(ssq / (10000.0 * n)
                   - (su / (100.0 * n)) * (su / (100.0 * n))) AS z
-    FROM stats WHERE n * ssq <> su * su
+    FROM stats WHERE mn <> mx
 ), paa AS (
     SELECT user_id, MAX(n) AS n_events,
            MAX(CASE WHEN seg = 0 THEN z END) AS z1,
@@ -92,15 +95,18 @@ def _paa4_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = (idxd.filter(F.col("n") >= _MIN_EVENTS)
             .groupBy("user_id", F.expr("(idx * 4) DIV n").alias("seg"), "n")
             .agg(F.sum("cents").alias("sk"), F.count("*").alias("nk"),
-                 F.sum(F.col("cents") * F.col("cents")).alias("qk")))
+                 F.sum(F.col("cents") * F.col("cents")).alias("qk"),
+                 F.min("cents").alias("mnk"), F.max("cents").alias("mxk")))
     stats = segs.select(
         "user_id", "seg", "sk", "nk", "n",
         F.sum("sk").over(w_u).alias("su"),
-        F.sum("qk").over(w_u).alias("ssq"))
+        F.sum("qk").over(w_u).alias("ssq"),
+        F.min("mnk").over(w_u).alias("mn"),
+        F.max("mxk").over(w_u).alias("mx"))
     mu = F.col("su") / (100.0 * F.col("n"))
     sigma = F.sqrt(F.col("ssq") / (10000.0 * F.col("n")) - mu * mu)
     zrows = (stats
-             .filter(F.col("n") * F.col("ssq") != F.col("su") * F.col("su"))
+             .filter(F.col("mn") != F.col("mx"))
              .select("user_id", "seg", "n",
                      ((F.col("sk") / (100.0 * F.col("nk")) - mu) / sigma)
                      .alias("z")))
@@ -142,9 +148,10 @@ def events_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     motif/novelty mining with plain string equality instead of numeric
     distance.  Exact-int carriers end at the per-user stage; the z
     expression is one identical IEEE chain on both engines, and constant
-    series (sigma = 0) are excluded by the exact integer test
-    n*ssq != su*su.  Scale: one shuffle on user_id; everything after is
-    4 rows per user."""
+    series (sigma = 0) are excluded by the exact min≠max test (an earlier
+    n·ssq ≠ su² form was equivalent but its products overflow BIGINT for
+    users past ~10⁶ events).  Scale: one shuffle on user_id; everything
+    after is 4 rows per user."""
     z = _paa4_df(spark, sf_dir)
     word = F.concat(*[_sax_sym(F.col(f"z{k}")) for k in (1, 2, 3, 4)])
     return (z.select("user_id", "n_events", word.alias("sax_word"))

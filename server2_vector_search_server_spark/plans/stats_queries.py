@@ -55,7 +55,8 @@ _KS_A, _KS_B = "view", "purchase"
         SELECT CAST(SUM(c1) AS BIGINT) AS n1,
                CAST(SUM(c - c1) AS BIGINT) AS n2,
                CAST(SUM(c1 * (2 * before + c + 1)) AS BIGINT) AS r1_x2,
-               CAST(SUM(c * c * c - c) AS BIGINT) AS tie_cubes
+               CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE)
+                   AS tie_cubes
         FROM ranked
     )
     SELECT n1, n2,
@@ -75,9 +76,13 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks are assigned on the value-domain table: a tied group of c
     observations starting after ``before`` earlier ones has average rank
     before + (c+1)/2, kept integral as 2·before + c + 1 half-units, so
-    the rank sum R1 and U are EXACT BIGINTs; the normal approximation
-    applies the standard tie correction Σ(t³-t) (also exact).  Scale:
-    one groupBy on cents; the exclusive prefix window is value-domain
+    the rank sum R1 and U are EXACT BIGINTs (valid to N ≈ 1.5e9 per
+    comparison — past that U would need the decimal path); the normal
+    approximation applies the standard tie correction Σ(t³-t), carried in
+    DECIMAL/HUGEINT so a single tie group past ~2.1M observations (e.g. a
+    spike value at corpus scale) cannot overflow-diverge the engines, and
+    cast to double only where the variance formula needs it.  Scale: one
+    groupBy on cents; the exclusive prefix window is value-domain
     bounded."""
     cells = (tbl(spark, sf_dir, "events")
              .filter(F.col("event_type").isin(_KS_A, _KS_B)
@@ -92,12 +97,13 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cells.select(
         "cents", "c1", "c",
         F.coalesce(F.sum("c").over(w_excl), F.lit(0)).alias("before"))
+    c_dec = F.col("c").cast("decimal(12,0)")
     tot = ranked.agg(
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
         F.sum(F.col("c1") * (2 * F.col("before") + F.col("c") + 1))
         .alias("r1_x2"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        F.sum(c_dec * c_dec * c_dec - c_dec).cast("double")
         .alias("tie_cubes"))
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
@@ -125,17 +131,17 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grp AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s_g,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
-                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-                   AS q_g
+               CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                             * CAST(ROUND(value * 100) AS BIGINT)
+                             AS HUGEINT)) AS HUGEINT) AS q_g
         FROM events WHERE value IS NOT NULL GROUP BY event_type
     ), folded AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n_g) AS BIGINT) AS n,
                CAST(SUM(s_g) AS BIGINT) AS s,
-               CAST(SUM(q_g) AS BIGINT) AS q,
+               CAST(SUM(q_g) AS DOUBLE) AS q,
                CAST(SUM(CAST(ROUND((CAST(s_g AS DOUBLE) / n_g) * s_g)
-                             AS BIGINT)) AS BIGINT) AS between_raw
+                             AS HUGEINT)) AS DOUBLE) AS between_raw
         FROM grp
     )
     SELECT k, n,
@@ -156,19 +162,27 @@ def events_anova_f_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers through one identical expression on both engines.
     s² itself is never materialized as an integer ((Σcents)² can pass
     2⁶³ at corpus scale — the Kendall tau-b lesson); the division comes
-    first.  Scale: one groupBy on event_type, then a 5-row fold."""
+    first.  Σcents² and the rounded between-terms ride DECIMAL/HUGEINT
+    (a per-type Σcents² passes 2⁶³ around 3e9 rows of max value, where
+    Spark's non-ANSI BIGINT sum would wrap silently while DuckDB's
+    promotes — an engine DIVERGENCE, not just an overflow) and are cast
+    to double only at the final formula.  Scale: one groupBy on
+    event_type, then a 5-row fold."""
     cents = F.round(F.col("value") * 100).cast("long")
     grp = (tbl(spark, sf_dir, "events")
            .filter(F.col("value").isNotNull())
            .select(F.col("event_type"), cents.alias("cents"))
            .groupBy("event_type")
            .agg(F.count("*").alias("n_g"), F.sum("cents").alias("s_g"),
-                F.sum(F.col("cents") * F.col("cents")).alias("q_g")))
+                F.sum((F.col("cents") * F.col("cents"))
+                      .cast("decimal(38,0)")).alias("q_g")))
     folded = grp.agg(
         F.count("*").alias("k"), F.sum("n_g").alias("n"),
-        F.sum("s_g").alias("s"), F.sum("q_g").alias("q"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").cast("double").alias("q"),
         F.sum(F.round((F.col("s_g").cast("double") / F.col("n_g"))
-                      * F.col("s_g")).cast("long")).alias("between_raw"))
+                      * F.col("s_g")).cast("decimal(38,0)"))
+        .cast("double").alias("between_raw"))
     ssb_raw = (F.col("between_raw")
                - (F.col("s").cast("double") / F.col("n")) * F.col("s"))
     ssw_raw = F.col("q") - F.col("between_raw")
@@ -203,12 +217,11 @@ def events_anova_f_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(SUM(n_th) AS BIGINT) AS n_type,
-           CAST(SUM(n_th * CAST(ROUND(LN(CAST(n_th * n AS DOUBLE)
-                                         / (r_t * c_h)) * 1000000000)
-                                AS BIGINT)) AS BIGINT) AS mi_nano_sum,
-           ROUND(SUM(n_th * CAST(ROUND(LN(CAST(n_th * n AS DOUBLE)
-                                          / (r_t * c_h)) * 1000000000)
-                                 AS BIGINT))
+           ROUND(CAST(SUM(CAST(n_th AS HUGEINT)
+                          * CAST(ROUND(LN((CAST(n_th AS DOUBLE) / r_t)
+                                          * (CAST(n AS DOUBLE) / c_h))
+                                       * 1000000000) AS BIGINT))
+                      AS DOUBLE)
                  / (MAX(n) * 1000000000.0), 9) AS mi_contrib
     FROM margins GROUP BY event_type ORDER BY event_type
     """,
@@ -218,11 +231,12 @@ def events_mutual_info_type_hour(spark: SparkSession,
     """Mutual information between event type and hour-of-day — the
     feature-relevance statistic (does WHEN predict WHAT?).  The
     contingency table is type × 24 cells with exact BIGINT counts and
-    window-summed margins; each cell's pointwise ln(n·N/(r·c)) is rounded
-    to nano-units (the repo's rounded-ln pattern: identical exact double
-    input on both engines) and weighted by the exact cell count, so the
-    per-type MI contribution is an exact integer sum.  Scale: one corpus
-    shuffle on (type, hour); everything after is ≤ 120 rows."""
+    window-summed margins; each cell's pointwise ln is computed DIVISION-
+    FIRST — (n/r)·(N/c), two exact-int divisions that can never overflow,
+    where the textbook n·N/(r·c) form overflows BIGINT products at corpus
+    scale — rounded to nano-units (the repo's rounded-ln pattern) and
+    weighted by the exact cell count in DECIMAL/HUGEINT.  Scale: one
+    corpus shuffle on (type, hour); everything after is ≤ 120 rows."""
     cell = (tbl(spark, sf_dir, "events")
             .groupBy("event_type",
                      F.hour("ts").cast("long").alias("hr"))
@@ -232,13 +246,13 @@ def events_mutual_info_type_hour(spark: SparkSession,
         F.sum("n_th").over(Window.partitionBy("event_type")).alias("r_t"),
         F.sum("n_th").over(Window.partitionBy("hr")).alias("c_h"),
         F.sum("n_th").over(Window.partitionBy()).alias("n"))
-    nano = (F.col("n_th")
-            * F.round(F.log((F.col("n_th") * F.col("n")).cast("double")
-                            / (F.col("r_t") * F.col("c_h")))
+    nano = (F.col("n_th").cast("decimal(20,0)")
+            * F.round(F.log((F.col("n_th").cast("double") / F.col("r_t"))
+                            * (F.col("n").cast("double") / F.col("c_h")))
                       * 1000000000).cast("long"))
     return (margins.groupBy("event_type")
             .agg(F.sum("n_th").alias("n_type"),
-                 F.sum(nano).alias("mi_nano_sum"),
-                 F.round(F.sum(nano) / (F.max("n") * 1000000000.0), 9)
+                 F.round(F.sum(nano).cast("double")
+                         / (F.max("n") * 1000000000.0), 9)
                  .alias("mi_contrib"))
             .orderBy("event_type"))

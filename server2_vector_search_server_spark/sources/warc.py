@@ -199,7 +199,10 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     ctype = hdrs.get("content-type")
     chunked = "chunked" in hdrs.get("transfer-encoding", "").lower()
     if chunked:
-        body = _dechunk(body)
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            pass   # malformed chunk framing: surface the raw wire body
     return status, ctype, body
 
 
@@ -213,22 +216,25 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
     """
     stream = _StreamBytes(blob)
     while True:
-        # resync: skip blank separator lines until the next version line
-        line = stream.read_line()
-        if line is None:
-            return
-        if not line.strip():
-            continue
-        if not line.startswith(b"WARC/"):
-            return   # malformed from here on: end this file, not the job
-        headers = _parse_headers(stream)
-        if headers is None:
-            return
+        # resync: skip blank separator lines until the next version line.
+        # ANY hard corruption from here (bad gzip bytes -> zlib.error,
+        # unbounded header line -> ValueError) ends THIS FILE's records,
+        # never the job — the same contract as a malformed version line.
         try:
+            line = stream.read_line()
+            if line is None:
+                return
+            if not line.strip():
+                continue
+            if not line.startswith(b"WARC/"):
+                return   # malformed from here on: end this file
+            headers = _parse_headers(stream)
+            if headers is None:
+                return
             length = int(headers.get("content-length", ""))
-        except ValueError:
+            payload = stream.read(length)
+        except (ValueError, zlib.error, OSError):
             return
-        payload = stream.read(length)
         truncated = len(payload) < length
         rec_type = headers.get("warc-type", "")
         status = ctype = None

@@ -147,3 +147,30 @@ def test_decode_text_payload_charsets(spark):
     assert got[1].t == "café"
     assert got[2].t is None
     assert got[3].t == "plain default"
+
+
+def test_corrupt_gzip_ends_file_not_job():
+    """Bad deflate bytes inside a member must end that file's record
+    stream, not raise out of the executor."""
+    good = W.build_warc_bytes(
+        [{"warc_type": "warcinfo", "payload": b"k: v\r\n"}],
+        gzip_members=True)
+    corrupt = good[:20] + b"\xff\x00\xde\xad" + good[28:]
+    recs = list(W.iter_warc_records(corrupt))
+    assert recs == [] or all("payload" in r for r in recs)
+
+
+def test_malformed_chunk_framing_falls_back_to_raw():
+    raw = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+           b"Transfer-Encoding: chunked\r\n\r\nZZZ not hex\r\nbody")
+    status, ctype, body = W.split_http_response(raw)
+    assert status == 200
+    assert body == b"ZZZ not hex\r\nbody"   # surfaced raw, not dropped
+
+
+def test_oversized_header_line_ends_file():
+    blob = (W.build_warc_bytes(
+        [{"warc_type": "warcinfo", "payload": b"a: 1\r\n"}])
+        + b"WARC/1.0\r\n" + b"X" * (2 << 20))   # 2 MiB headerless line
+    recs = list(W.iter_warc_records(blob))
+    assert len(recs) == 1   # the good record survives; garbage ends file
