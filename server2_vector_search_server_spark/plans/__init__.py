@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.warc_queries",
     "server2_vector_search_server_spark.plans.signal_queries",
     "server2_vector_search_server_spark.plans.stats_queries",
+    "server2_vector_search_server_spark.plans.format_queries",
 ]
 
 
@@ -96,6 +97,8 @@ _DRIVER_HEAD_ROTATION = [
     "multimodal_image_png_roundtrip",
     "events_mann_whitney_u", "events_anova_f_by_type",
     "events_mutual_info_type_hour", "web_crawl_curation_e2e",
+    "csv_source_roundtrip", "jsonl_source_roundtrip",
+    "orc_source_roundtrip", "xml_source_roundtrip",
     "multimodal_audio_vad_segments", "embedding_facility_location_coreset",
     "streaming_kll_quantile_rollup", "multimodal_image_tile_downsample",
     "store_raw_archive_manifest",
