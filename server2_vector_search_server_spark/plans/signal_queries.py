@@ -418,16 +418,21 @@ def events_spectral_peak_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     table by sum of periods (50 rows, broadcast); the only corpus-sized
     shuffle is the (type, hour) count."""
     events = tbl(spark, sf_dir, "events")
-    bounds = events.agg(
-        F.expr("MIN(unix_micros(ts)) DIV 3600000000").alias("mn"),
-        F.expr("MAX(unix_micros(ts)) DIV 3600000000").alias("mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("mn", "mx")).alias("hr"))
-    types = events.select("event_type").distinct()
+    # ONE corpus scan: the (type, hour) count table is the only stage that
+    # sees raw events; it is observation-window-bounded (≤ types × hours
+    # rows), so it is localCheckpointed and every downstream input —
+    # bounds, type list, per-type totals, the dense spine — derives from
+    # it.  (First version derived those from `events` directly: the
+    # executed plan scanned the corpus SIX times, with no ReusedExchange.)
     counts = (events
               .groupBy("event_type",
                        F.expr("unix_micros(ts) DIV 3600000000").alias("hr"))
-              .agg(F.count("*").alias("c")))
+              .agg(F.count("*").alias("c"))
+              .localCheckpoint())
+    bounds = counts.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("hr"))
+    types = counts.select("event_type").distinct()
     dense = (spine.crossJoin(F.broadcast(types))
              .join(counts, ["event_type", "hr"], "left")
              .select("event_type", "hr",
