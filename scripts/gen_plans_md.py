@@ -56,6 +56,12 @@ PILLARS = [
      "explosion"),
     ("orders_with_late_shipment", "EXISTS as left-semi with a non-equi "
      "residual"),
+    ("events_survival_km", "KM survival: corpus shuffle on user_id only; "
+     "risk/step windows run over the duration-domain table"),
+    ("events_spectral_peak_hourly", "DFT bins: ONE corpus scan into a "
+     "checkpointed count table; trig table broadcast"),
+    ("events_sax_words", "SAX: one user_id shuffle, 4 rows/user after; "
+     "z/symbol arithmetic is a pure projection"),
 ]
 
 
