@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "server2_vector_search_server_spark.plans.signal_queries",
     "server2_vector_search_server_spark.plans.stats_queries",
     "server2_vector_search_server_spark.plans.format_queries",
+    "server2_vector_search_server_spark.plans.dialect_queries",
 ]
 
 

@@ -816,3 +816,32 @@ def test_seasonal_decompose_window_partitioned_by_type(spark):
     plan = _plan(spark, "events_seasonal_decompose")
     head = plan.split("Window")[1].splitlines()[0]
     assert "event_type" in head
+
+
+def test_bucketed_join_colocation_no_exchange(spark):
+    """Both sides arrive pre-hashed from the bucketed layout: the sort-merge
+    join must have NO Exchange anywhere below it (the entire point of the
+    bucketed write — at 100 TB the dual shuffle this avoids IS the query).
+    The Sorts are also absorbed by sortBy bucket files."""
+    plan = _plan(spark, "store_bucketed_join_colocation")
+    assert "SortMergeJoin" in plan
+    # no re-hash of either join key: the bucket layout satisfies the
+    # join's required distribution (the priority aggregate above the join
+    # may still exchange — that one is 5 rows)
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # everything below the join is exchange-free
+    below = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in below
+
+
+def test_pipe_syntax_plans_like_classic_form(spark):
+    """The pipe-syntax text must produce the same physical shape as the
+    classic GROUP BY: pushed date filter + partial/final hash aggregate,
+    no extra exchanges or subquery artifacts from the dialect."""
+    plan = _plan(spark, "sql_pipe_syntax")
+    assert plan.count("Exchange") <= 2          # partial->final agg + sort
+    assert "HashAggregate" in plan
+    scan = plan.split("FileScan parquet")[1]
+    pushed = scan[scan.index("PushedFilters"):].splitlines()[0]
+    assert "l_shipdate" in pushed
