@@ -846,3 +846,120 @@ def documents_l_diversity_screen(spark: SparkSession,
              .alias("n_sensitive_values")))
     return (cells.filter(F.col("n_sensitive_values") < _LDIV_L)
             .orderBy("lang", "source", "len_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# t-closeness screen (completes the k-anonymity / l-diversity triad)
+
+_TCLOSE_T = 0.15
+_TCLOSE_K = 7          # sensitive attribute domain size (ordered 0..6)
+
+
+@query(
+    "documents_t_closeness_screen",
+    survey="north-star curation governance (t-closeness, Li et al. "
+           "ICDE'07: ordinal EMD between each QI cell's sensitive "
+           "distribution and the global one — the attribute-disclosure "
+           "screen l-diversity misses when values are distinct but "
+           "skewed; exact cross-multiplied integer cumulatives)",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, source,
+               CAST(length(trim(text)) % {_TCLOSE_K} AS BIGINT) AS sens,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2, 3
+    ), cells AS (
+        SELECT DISTINCT lang, source FROM counts
+    ), spine AS (
+        SELECT lang, source, CAST(v AS BIGINT) AS sens
+        FROM cells CROSS JOIN UNNEST(range(0, {_TCLOSE_K})) AS t(v)
+    ), dense AS (
+        SELECT s.lang, s.source, s.sens, COALESCE(c.c, 0) AS c
+        FROM spine s LEFT JOIN counts c
+          ON c.lang = s.lang AND c.source = s.source AND c.sens = s.sens
+    ), cum AS (
+        SELECT lang, source, sens,
+               CAST(SUM(c) OVER (PARTITION BY lang, source ORDER BY sens)
+                    AS BIGINT) AS cum_g,
+               CAST(SUM(c) OVER (PARTITION BY lang, source) AS BIGINT)
+                    AS n_g
+        FROM dense
+    ), gcum AS (
+        SELECT sens,
+               CAST(SUM(SUM(c)) OVER (ORDER BY sens) AS BIGINT) AS cum_tot,
+               CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_tot
+        FROM dense GROUP BY sens
+    ), terms AS (
+        SELECT cum.lang, cum.source, cum.n_g, gcum.n_tot,
+               ABS(CAST(cum.cum_g AS HUGEINT) * gcum.n_tot
+                   - CAST(gcum.cum_tot AS HUGEINT) * cum.n_g) AS term
+        FROM cum JOIN gcum ON cum.sens = gcum.sens
+    )
+    SELECT lang, source, CAST(n_g AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(term) AS DOUBLE)
+                 / (CAST(n_g AS DOUBLE) * n_tot * ({_TCLOSE_K} - 1)), 9)
+               AS emd,
+           (CAST(SUM(term) AS DOUBLE)
+            / (CAST(n_g AS DOUBLE) * n_tot * ({_TCLOSE_K} - 1)))
+               > {_TCLOSE_T} AS breach
+    FROM terms GROUP BY lang, source, n_g, n_tot
+    ORDER BY lang, source
+    """,
+)
+def documents_t_closeness_screen(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """t-closeness over the (lang, source) quasi-identifier cells: the
+    ordered-attribute earth-mover distance Σ|P_cum − Q_cum|/(k−1)
+    between each cell's sensitive distribution (the l-diversity screen's
+    derived 7-way category) and the corpus-wide one.  A cell can clear
+    both k-anonymity AND l-diversity yet leak — every value present but
+    one dominant — which is exactly what the EMD catches.  Cumulative
+    differences are compared as cross-multiplied integers
+    |cum_g·N − cum_G·n_g| (DECIMAL/HUGEINT: the product reaches n_g·N
+    which is ~N² for a dominant cell — 1e20 at 1e10 docs, past BIGINT),
+    divided once at the end.  Scale: one aggregate onto (QI × k) cells;
+    the dense value spine is a bounded explode over the cell table, the
+    global distribution broadcasts, and no window ever orders more than
+    k rows per cell."""
+    docs = tbl(spark, sf_dir, "documents")
+    sens = (F.length(F.trim(F.col("text"))) % _TCLOSE_K).cast("long")
+    counts = (docs.groupBy("lang", "source", sens.alias("sens"))
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    spine = (counts.select("lang", "source").distinct()
+             .select("lang", "source",
+                     F.explode(F.sequence(F.lit(0), F.lit(_TCLOSE_K - 1)))
+                     .alias("sens_i"))
+             .select("lang", "source",
+                     F.col("sens_i").cast("long").alias("sens")))
+    dense = (spine.join(counts, ["lang", "source", "sens"], "left")
+             .select("lang", "source", "sens",
+                     F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    w_cum = (Window.partitionBy("lang", "source").orderBy("sens")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_cell = Window.partitionBy("lang", "source")
+    cum = dense.select(
+        "lang", "source", "sens",
+        F.sum("c").over(w_cum).cast("long").alias("cum_g"),
+        F.sum("c").over(w_cell).cast("long").alias("n_g"))
+    gscan = (dense.groupBy("sens").agg(F.sum("c").alias("cs")))
+    w_gcum = (Window.orderBy("sens")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    gcum = gscan.select(
+        "sens",
+        F.sum("cs").over(w_gcum).cast("long").alias("cum_tot"),
+        F.sum("cs").over(Window.partitionBy()).cast("long").alias("n_tot"))
+    term = F.abs(F.col("cum_g").cast("decimal(20,0)") * F.col("n_tot")
+                 - F.col("cum_tot").cast("decimal(20,0)") * F.col("n_g"))
+    joined = cum.join(F.broadcast(gcum), "sens")
+    emd = (F.col("term").cast("double")
+           / (F.col("n_g").cast("double") * F.col("n_tot")
+              * (_TCLOSE_K - 1)))
+    return (joined
+            .select("lang", "source", "n_g", "n_tot", term.alias("term"))
+            .groupBy("lang", "source", "n_g", "n_tot")
+            .agg(F.sum("term").alias("term"))
+            .select("lang", "source",
+                    F.col("n_g").cast("long").alias("n_docs"),
+                    F.round(emd, 9).alias("emd"),
+                    (emd > _TCLOSE_T).alias("breach"))
+            .orderBy("lang", "source"))

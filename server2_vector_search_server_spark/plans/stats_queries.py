@@ -256,3 +256,306 @@ def events_mutual_info_type_hour(spark: SparkSession,
                          / (F.max("n") * 1000000000.0), 9)
                  .alias("mi_contrib"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test — exact moment carriers
+
+@query(
+    "events_welch_ttest",
+    survey="beyond-reference (Welch unequal-variance t-test with "
+           "Welch-Satterthwaite df, every moment an exact integer "
+           "carrier before one double evaluation)",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CAST(ROUND(value * 100) AS HUGEINT)
+                        * CAST(ROUND(value * 100) AS HUGEINT)) AS DOUBLE)
+                   AS s2
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+        GROUP BY event_type
+    ), w AS (
+        SELECT
+          MAX(CASE WHEN event_type = '{_KS_A}' THEN n END) AS n1,
+          MAX(CASE WHEN event_type = '{_KS_B}' THEN n END) AS n2,
+          MAX(CASE WHEN event_type = '{_KS_A}' THEN s1 END) AS a1,
+          MAX(CASE WHEN event_type = '{_KS_B}' THEN s1 END) AS b1,
+          MAX(CASE WHEN event_type = '{_KS_A}' THEN s2 END) AS a2,
+          MAX(CASE WHEN event_type = '{_KS_B}' THEN s2 END) AS b2
+        FROM g
+    ), m AS (
+        SELECT n1, n2,
+               CAST(a1 AS DOUBLE) / 100.0 / n1 AS m1,
+               CAST(b1 AS DOUBLE) / 100.0 / n2 AS m2,
+               (a2 / 10000.0 - (CAST(a1 AS DOUBLE) / 100.0)
+                * (CAST(a1 AS DOUBLE) / 100.0) / n1) / (n1 - 1) AS v1,
+               (b2 / 10000.0 - (CAST(b1 AS DOUBLE) / 100.0)
+                * (CAST(b1 AS DOUBLE) / 100.0) / n2) / (n2 - 1) AS v2
+        FROM w
+    )
+    SELECT n1, n2, ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+    FROM m
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between two event types' value distributions.  Each
+    group's n, Σv and Σv² travel as EXACT integers (cents as BIGINT,
+    cents² as DECIMAL — a cents² row is ~1e10, so a BIGINT sum saturates
+    around 1e9 rows per group; the decimal carrier is good to 1e38 and
+    the DuckDB twin uses HUGEINT), then mean/variance/t/df are ONE double
+    expression evaluated identically on both engines.  Scale: a single
+    2-group conditional aggregate — the map-side combine reduces
+    everything, no second scan, no window."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    cents_dec = cents.cast("decimal(18,0)")
+    g = (tbl(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin(_KS_A, _KS_B)
+                 & F.col("value").isNotNull())
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(cents).alias("s1"),
+              F.sum(cents_dec * cents_dec).cast("double").alias("s2")))
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == _KS_A, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == _KS_B, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == _KS_A, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("event_type") == _KS_B, F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("event_type") == _KS_A, F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("event_type") == _KS_B, F.col("s2"))).alias("b2"))
+    m1 = F.col("a1").cast("double") / 100.0 / F.col("n1")
+    m2 = F.col("b1").cast("double") / 100.0 / F.col("n2")
+    v1 = ((F.col("a2") / 10000.0
+           - (F.col("a1").cast("double") / 100.0)
+           * (F.col("a1").cast("double") / 100.0) / F.col("n1"))
+          / (F.col("n1") - 1))
+    v2 = ((F.col("b2") / 10000.0
+           - (F.col("b1").cast("double") / 100.0)
+           * (F.col("b1").cast("double") / 100.0) / F.col("n2"))
+          / (F.col("n2") - 1))
+    se2_1 = v1 / F.col("n1")
+    se2_2 = v2 / F.col("n2")
+    return w.select(
+        "n1", "n2",
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+        F.round((se2_1 + se2_2) * (se2_1 + se2_2)
+                / (se2_1 * se2_1 / (F.col("n1") - 1)
+                   + se2_2 * se2_2 / (F.col("n2") - 1)), 6)
+        .alias("df_welch"))
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR adjustment over the (type, hour) cell family
+
+_FDR_Q = 0.05
+
+
+@query(
+    "events_fdr_bh_adjust",
+    survey="beyond-reference (Benjamini-Hochberg step-up FDR adjustment "
+           "over the per-(type,hour) mean-shift z family: ranked p·m/i "
+           "with the backwards running min — the multiple-comparisons "
+           "control every metrics platform needs once it tests 120 "
+           "cells at once)",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ), cells AS (
+        SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1
+        FROM base GROUP BY event_type, hr
+    ), gtot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(cents) AS BIGINT) AS g1,
+               CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS g2
+        FROM base
+    ), z AS (
+        SELECT event_type, hr, n,
+               (CAST(s1 AS DOUBLE) / 100.0 / n
+                - CAST(g1 AS DOUBLE) / 100.0 / ng)
+               / sqrt(((g2 / 10000.0 - (CAST(g1 AS DOUBLE) / 100.0)
+                        * (CAST(g1 AS DOUBLE) / 100.0) / ng) / (ng - 1))
+                      / n) AS zv
+        FROM cells, gtot
+    ), p AS (
+        SELECT event_type, hr, n, zv,
+               2.0 * exp(-(1.702 * abs(zv)))
+                 / (1.0 + exp(-(1.702 * abs(zv)))) AS pv,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                   2.0 * exp(-(1.702 * abs(zv)))
+                     / (1.0 + exp(-(1.702 * abs(zv)))),
+                   event_type, hr) AS BIGINT) AS rk
+        FROM z
+    ), adj AS (
+        SELECT event_type, hr, n, zv, pv, m, rk,
+               LEAST(1.0, MIN(pv * m / rk) OVER (
+                   ORDER BY rk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS p_adj
+        FROM p
+    )
+    SELECT event_type, hr, n, ROUND(zv, 6) AS z,
+           ROUND(pv, 9) AS p_raw, ROUND(p_adj, 9) AS p_bh,
+           p_adj <= {_FDR_Q} AS reject
+    FROM adj ORDER BY event_type, hr
+    """,
+)
+def events_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One mean-shift z per (event_type, hour-of-day) cell against the
+    global mean, then Benjamini-Hochberg: sort the m p-values ascending,
+    take p·m/rank, and run a min BACKWARDS from the largest rank (the
+    step-up), capped at 1.  The p-value uses the logistic approximation
+    to the normal CDF (p = 2σ(-1.702|z|)) — a closed form both engines
+    evaluate bit-identically, where erf exists in neither; the
+    exp(-a)/(1+exp(-a)) arrangement underflows gracefully instead of
+    overflowing at extreme z.  The rank tiebreak is (p, type, hour) so
+    duplicate p-values order deterministically.  Scale: one corpus
+    aggregate onto ≤ type×24 cells + one global aggregate; the BH windows
+    order the bounded cell table, never the corpus."""
+    base = (tbl(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select("event_type", F.hour("ts").cast("long").alias("hr"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("cents")))
+    cents_dec = F.col("cents").cast("decimal(18,0)")
+    cells = (base.groupBy("event_type", "hr")
+             .agg(F.count("*").alias("n"), F.sum("cents").alias("s1")))
+    glob = base.agg(F.count("*").alias("ng"),
+                    F.sum("cents").alias("g1"),
+                    F.sum(cents_dec * cents_dec).cast("double").alias("g2"))
+    g1d = F.col("g1").cast("double") / 100.0
+    gvar = (F.col("g2") / 10000.0 - g1d * g1d / F.col("ng")) \
+        / (F.col("ng") - 1)
+    zv = ((F.col("s1").cast("double") / 100.0 / F.col("n")
+           - g1d / F.col("ng"))
+          / F.sqrt(gvar / F.col("n")))
+    z = cells.join(F.broadcast(glob)).select(
+        "event_type", "hr", "n", zv.alias("zv"))
+    ea = F.exp(-(F.lit(1.702) * F.abs(F.col("zv"))))
+    pv = 2.0 * ea / (1.0 + ea)
+    p = z.select(
+        "event_type", "hr", "n", "zv", pv.alias("pv"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("m"),
+        F.row_number().over(
+            Window.orderBy(pv, "event_type", "hr")).cast("long")
+        .alias("rk"))
+    w_back = (Window.orderBy(F.col("rk").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    adj = p.select(
+        "event_type", "hr", "n", "zv", "pv", "m", "rk",
+        F.least(F.lit(1.0),
+                F.min(F.col("pv") * F.col("m") / F.col("rk")).over(w_back))
+        .alias("p_adj"))
+    return (adj.select(
+        "event_type", "hr", "n",
+        F.round("zv", 6).alias("z"),
+        F.round("pv", 9).alias("p_raw"),
+        F.round("p_adj", 9).alias("p_bh"),
+        (F.col("p_adj") <= _FDR_Q).alias("reject"))
+        .orderBy("event_type", "hr"))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@query(
+    "events_cuped_variance_reduction",
+    survey="beyond-reference (CUPED, Deng et al. WSDM'13: per-user "
+           "pre-period covariate, optimal theta from exact cross-moment "
+           "carriers, the variance-reduction number an experimentation "
+           "platform quotes)",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_SPLIT}'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_SPLIT}'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        FROM per_user
+    ), v AS (
+        SELECT n,
+               (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS var_x,
+               (syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_y,
+               (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cov_xy
+        FROM mom
+    )
+    SELECT n AS n_users,
+           ROUND(cov_xy / var_x, 6) AS theta,
+           ROUND(var_y / 10000.0, 4) AS var_post,
+           ROUND((var_y - cov_xy * cov_xy / var_x) / 10000.0, 4)
+               AS var_cuped,
+           ROUND(1.0 - (var_y - cov_xy * cov_xy / var_x) / var_y, 6)
+               AS reduction
+    FROM v
+    """,
+)
+def events_cuped_variance_reduction(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CUPED: regress each user's post-period total on their pre-period
+    total and quote how much metric variance the adjustment removes —
+    the standard lever for shrinking A/B confidence intervals without
+    more traffic.  Per-user x (pre) and y (post) fold as exact cents;
+    the five cross-moments are exact integer sums (DECIMAL carriers —
+    an x² term is ~1e14, so BIGINT would saturate near 1e4 heavy users
+    at 100× scale; DECIMAL/HUGEINT hold 1e38) evaluated once in double:
+    theta = cov/var_x and var_cuped = var_y − cov²/var_x (the optimal-
+    theta identity).  Users absent from a period contribute 0 for it —
+    stated, deterministic, and what a real platform does when the
+    covariate is missing.  Scale: one user-keyed aggregate (the shuffle)
+    + one 1-row moment reduce."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    per_user = (tbl(spark, sf_dir, "events")
+                .filter(F.col("value").isNotNull())
+                .groupBy("user_id")
+                .agg(F.sum(F.when(F.to_date("ts") < split, cents)
+                           .otherwise(F.lit(0))).alias("x"),
+                     F.sum(F.when(F.to_date("ts") >= split, cents)
+                           .otherwise(F.lit(0))).alias("y")))
+    xd = F.col("x").cast("decimal(18,0)")
+    yd = F.col("y").cast("decimal(18,0)")
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"))
+    var_x = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+             / F.col("n")) / (F.col("n") - 1)
+    var_y = (F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+             / F.col("n")) / (F.col("n") - 1)
+    cov = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+           / F.col("n")) / (F.col("n") - 1)
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.round(cov / var_x, 6).alias("theta"),
+        F.round(var_y / 10000.0, 4).alias("var_post"),
+        F.round((var_y - cov * cov / var_x) / 10000.0, 4).alias("var_cuped"),
+        F.round(1.0 - (var_y - cov * cov / var_x) / var_y, 6)
+        .alias("reduction"))
