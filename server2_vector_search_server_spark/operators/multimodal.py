@@ -948,3 +948,78 @@ def chunk_audio_windows(media: DataFrame, *, window_s: float = 2.0,
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=out_schema)
+
+
+def resample_audio_features(media: DataFrame, *, l: int, m: int,
+                            content_col: str = "content",
+                            id_col: str = "media_id") -> DataFrame:
+    """Rational L/M resample of channel-0 16-bit PCM (sample-rate
+    conversion, the front of any multi-corpus audio normalization) with
+    linear interpolation carried in EXACT scaled integers: output j sits
+    at input position j·M/L, i.e. between i0 = ⌊j·M/L⌋ and i0+1 with
+    fractional numerator frac = (j·M) mod L, and the sample is kept as
+    out_scaled = s[i0]·(L−frac) + s[i0+1]·frac — the true value times L,
+    never a float — so Σout² and sign transitions are exact integer
+    folds any engine reproduces bit-for-bit.  n_out = ⌊(n−1)·L/M⌋ + 1
+    (every output position must have a right neighbor or frac == 0).
+    No anti-alias filter: this is the interpolation contract only —
+    a decimating production path composes a FIR low-pass (a windowed
+    dot product per frame, same mapInPandas shape) in front.
+
+    Scale: decode + resample + fold are all map-side inside one
+    mapInPandas; only the 6-column feature rows ever shuffle.
+    Undecodable / non-16-bit blobs quarantine to zero rows (the policy
+    of every real decoder here)."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    if l < 1 or m < 1:
+        raise ValueError("l and m must be >= 1")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_in", T.LongType(), False),
+        T.StructField("n_out", T.LongType(), False),
+        T.StructField("sumsq_scaled", T.LongType(), False),
+        T.StructField("zero_crossings_out", T.LongType(), False),
+    ])
+    src = media.select(id_col, content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w = wave.open(io.BytesIO(bytes(blob or b"")), "rb")
+                    nch = w.getnchannels()
+                    if w.getsampwidth() != 2 or nch < 1:
+                        raise ValueError("only 16-bit PCM supported")
+                    frames = w.readframes(w.getnframes())
+                    s = struct.unpack(
+                        f"<{len(frames) // 2}h", frames)[::nch]
+                except Exception:
+                    continue
+                n = len(s)
+                if n < 2:
+                    continue
+                n_out = (n - 1) * l // m + 1
+                res = []
+                for j in range(n_out):
+                    pos = j * m
+                    i0, frac = divmod(pos, l)
+                    s1 = s[i0 + 1] if frac else s[i0]
+                    res.append(s[i0] * (l - frac) + s1 * frac)
+                sumsq = sum(v * v for v in res)      # exact int fold
+                zc = sum(1 for a, b in zip(res, res[1:])
+                         if (a >= 0) != (b >= 0))
+                out["media_id"].append(mid)
+                out["n_in"].append(n)
+                out["n_out"].append(n_out)
+                out["sumsq_scaled"].append(sumsq)
+                out["zero_crossings_out"].append(zc)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=out_schema)

@@ -2020,3 +2020,91 @@ def multimodal_image_tile_downsample(spark: SparkSession,
     media = docs.mapInPandas(synth, schema="media_id string, content binary")
     return (multimodal.image_tile_stats(media, grid=_TILE_GRID)
             .orderBy("media_id", "tile_row", "tile_col"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: rational L/M PCM resample (exact scaled-integer interpolation)
+
+_RSP_DOCS = 48
+_RSP_L, _RSP_M = 3, 4          # 8000 Hz -> 6000 Hz
+
+
+@query(
+    "multimodal_audio_resample",
+    survey="multimodal(rational L/M sample-rate conversion over REAL "
+           "decoded WAV PCM: linear interpolation in exact scaled "
+           "integers, features hash-checked against a formula-only "
+           "oracle that never builds bytes)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 200 AS n
+      FROM documents WHERE doc_id < {_RSP_DOCS}),
+    outs AS (
+      SELECT doc_id, n, t.j AS j,
+             (t.j * {_RSP_M}) // {_RSP_L} AS i0,
+             (t.j * {_RSP_M}) % {_RSP_L} AS frac
+      FROM params, UNNEST(range(0, (n - 1) * {_RSP_L} // {_RSP_M} + 1))
+           AS t(j)),
+    interp AS (
+      SELECT doc_id, n, j,
+             (((doc_id * 31 + i0 * 7) % 2001) - 1000)
+               * ({_RSP_L} - frac)
+             + (CASE WHEN frac > 0
+                     THEN ((doc_id * 31 + (i0 + 1) * 7) % 2001) - 1000
+                     ELSE ((doc_id * 31 + i0 * 7) % 2001) - 1000 END)
+               * frac AS v
+      FROM outs),
+    lagged AS (
+      SELECT doc_id, n, v, j,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+      FROM interp)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(MAX(n) AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq_scaled,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((prev >= 0) != (v >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings_out
+    FROM lagged GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Downsample the deterministic sawtooth recordings 8 kHz → 6 kHz
+    (L/M = 3/4) through the REAL WAV byte path: synthesize PCM, encode
+    RIFF/WAVE, decode with the stdlib parser, then linear-interpolate at
+    rational positions j·M/L keeping each output as the exact integer
+    s[i0]·(L−frac) + s[i0+1]·frac (the true sample × L — floats never
+    appear, so Σv² and sign transitions are bit-reproducible).  The
+    oracle computes the identical interpolation from the sawtooth's
+    CLOSED FORM without constructing bytes: a hash match therefore
+    proves decode + resample arithmetic end-to-end, the
+    multimodal-family contract.  Scale: everything rides the synth
+    mapInPandas partitioning; 5 small columns per recording shuffle to
+    the final sort."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _RSP_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_pcm16_wav,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 800 + (d % 5) * 200
+                samples = [((d * 31 + i * 7) % 2001) - 1000
+                           for i in range(n)]
+                ids.append(str(d))
+                blobs.append(build_pcm16_wav(samples,
+                                             sample_rate=_WAV_RATE))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    return (multimodal.resample_audio_features(media, l=_RSP_L, m=_RSP_M)
+            .orderBy("media_id"))

@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import (
+    exact_sum,
+    query,
+    sql_exact_sum,
+    tbl,
+)
 
 _EARTH_KM = 6371.0
 _RADIUS_KM = 70.0          # must stay below the min cell width, see below
@@ -615,3 +620,110 @@ def geo_trajectory_hausdorff_topk(spark: SparkSession,
             .orderBy(F.col("hausdorff2_micro").asc(),
                      F.col("user_id").asc())
             .limit(_TJ_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon containment join (exact integer ray casting)
+
+_PIP_POLYGONS: "dict[int, list[tuple[int, int]]]" = {
+    # convex triangle
+    1: [(5000, 5000), (30000, 8000), (12000, 30000)],
+    # NON-convex L-shape — exercises the multi-crossing ray case
+    2: [(35000, 35000), (60000, 35000), (60000, 45000),
+        (45000, 45000), (45000, 60000), (35000, 60000)],
+    # skewed quad
+    3: [(10000, 40000), (25000, 38000), (28000, 58000), (8000, 55000)],
+}
+
+
+def _pip_edges() -> "list[tuple[int, int, int, int, int]]":
+    rows = []
+    for pid, verts in _PIP_POLYGONS.items():
+        for a, b in zip(verts, verts[1:] + verts[:1]):
+            rows.append((pid, a[0], a[1], b[0], b[1]))
+    return rows
+
+
+_PIP_EDGE_VALUES = ", ".join(f"({p}, {x1}, {y1}, {x2}, {y2})"
+                             for p, x1, y1, x2, y2 in _pip_edges())
+
+# ONE crossing predicate text parsed by both engines: the upward ray from
+# (px,py) crosses edge (x1,y1)-(x2,y2) iff the edge straddles py and the
+# point lies strictly left of the edge's x at py — cleared of division by
+# cross-multiplying with a sign flip when the edge points downward.
+_PIP_CROSSING = (
+    "((y1 > py) != (y2 > py)) AND ("
+    "  (y2 > y1 AND (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1) > 0)"
+    "  OR "
+    "  (y2 < y1 AND (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1) < 0))")
+
+
+@query(
+    "geo_point_in_polygon_join",
+    survey="geospatial extension(point-in-polygon containment join by "
+           "exact integer ray casting — odd crossing parity per "
+           "(point, polygon), non-convex shapes included; the zone/"
+           "geofence assignment primitive next to the radius join)",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+               CAST({_sql_u16(_CUST_KEY_SQL, 1)} AS BIGINT) AS px,
+               CAST({_sql_u16(_CUST_KEY_SQL, 5)} AS BIGINT) AS py
+        FROM customer),
+    edges AS (
+        SELECT * FROM (VALUES {_PIP_EDGE_VALUES})
+            AS t(poly_id, x1, y1, x2, y2)),
+    crossings AS (
+        SELECT p.c_custkey, p.bal, e.poly_id,
+               SUM(CASE WHEN {_PIP_CROSSING} THEN 1 ELSE 0 END)
+                   AS n_cross
+        FROM pts p CROSS JOIN edges e
+        GROUP BY p.c_custkey, p.bal, e.poly_id)
+    SELECT CAST(poly_id AS BIGINT) AS poly_id,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_exact_sum('bal', 2)} AS total_acctbal
+    FROM crossings WHERE n_cross % 2 = 1
+    GROUP BY poly_id ORDER BY poly_id
+    """,
+)
+def geo_point_in_polygon_join(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Assign customers (hash-projected onto the 0..65535 integer grid)
+    to literal polygon zones by ray casting: count edges an upward ray
+    crosses, odd parity ⇒ inside.  The crossing test is EXACT — the
+    division in 'x of the edge at height py' is cleared by
+    cross-multiplying (sign-flipped for downward edges), so every
+    comparison is on BIGINTs (|product| ≤ 65535² ≈ 4.3e9) and both
+    engines agree even for points arbitrarily close to an edge.  The
+    L-shaped zone pins the non-convex multi-crossing case the bbox-only
+    shortcut would get wrong.  Scale: the edge table is O(polygons) and
+    broadcasts; work is points × edges with map-side crossing partial
+    aggregation — linear in points.  At large polygon counts the same
+    plan runs behind a grid-cell candidate join (the §45 radius-join
+    valve): bucket polygon bboxes and points to cells first, ray-cast
+    only co-located pairs."""
+    pts = _spark_u16_points(
+        tbl(spark, sf_dir, "customer"), F.concat(
+            F.col("c_custkey").cast("string"), F.lit("c")))
+    edges = spark.createDataFrame(
+        _pip_edges(), "poly_id int, x1 int, y1 int, x2 int, y2 int")
+    crossing = F.expr(_PIP_CROSSING)
+    crossings = (pts.crossJoin(F.broadcast(edges))
+                 .groupBy("c_custkey", "bal", "poly_id")
+                 .agg(F.sum(F.when(crossing, 1).otherwise(0))
+                      .alias("n_cross")))
+    return (crossings.filter(F.col("n_cross") % 2 == 1)
+            .groupBy(F.col("poly_id").cast("long").alias("poly_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 exact_sum(F.col("bal"), 2).alias("total_acctbal"))
+            .orderBy("poly_id"))
+
+
+def _spark_u16_points(df: DataFrame, key) -> DataFrame:
+    """(px, py) as exact BIGINTs on the 0..65535 grid — the integer twin
+    of _spark_coords (same md5 hex windows, no float projection)."""
+    h = F.md5(key)
+    return df.select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("bal"),
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long").alias("px"),
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("long").alias("py"))
