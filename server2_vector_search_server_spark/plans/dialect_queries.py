@@ -192,3 +192,108 @@ def store_bucketed_join_colocation(spark: SparkSession,
                  exact_sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount")), 2).alias("revenue"))
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "sql_udf_functions",
+    survey="dialect extension(declarative SQL UDFs, SPARK-46246: a "
+           "scalar CREATE FUNCTION ... RETURN expression and a "
+           "table-valued SQL function as a bucket spine — both inline "
+           "into the Catalyst plan, unlike Python UDFs)",
+    oracle=f"""
+    WITH spine AS (
+        SELECT CAST(v AS BIGINT) AS bucket
+        FROM UNNEST(range(0, 6)) AS t(v)
+    ), bucketed AS (
+        SELECT CAST(FLOOR((l_quantity - 1) / 10.0) AS BIGINT) AS bucket,
+               CAST(ROUND((CAST(l_extendedprice AS DOUBLE)
+                           * (1 - CAST(l_discount AS DOUBLE))) * 100)
+                    AS BIGINT) AS rev_cents
+        FROM lineitem
+    )
+    SELECT s.bucket,
+           CAST(COALESCE(COUNT(b.rev_cents), 0) AS BIGINT) AS n_rows,
+           (COALESCE(SUM(b.rev_cents), 0) / 100.0) AS revenue
+    FROM spine s LEFT JOIN bucketed b ON b.bucket = s.bucket
+    GROUP BY s.bucket ORDER BY s.bucket
+    """,
+)
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-bucket revenue rollup built from two DECLARATIVE SQL
+    functions: a scalar ``li_rev(p, d)`` (the revenue expression — SQL
+    UDFs inline into the plan, so whole-stage codegen keeps running,
+    the property Python UDFs give up) and a table-valued
+    ``bucket_spine(k)`` generating the dense bucket domain so the empty
+    top bucket still prints a zero row (the LEFT-join-to-spine
+    contract).  The oracle inlines both definitions — a hash match
+    proves the function bodies, not just the rollup.  Scale: the spine
+    is 6 rows; the fact side is one scan + one aggregate; identical
+    physical plan to the inlined form."""
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf_v")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION li_rev(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION bucket_spine(k INT)
+        RETURNS TABLE (bucket BIGINT)
+        RETURN SELECT CAST(b AS BIGINT) AS bucket
+               FROM (SELECT explode(sequence(0, k - 1)) AS b)
+        """)
+    return spark.sql("""
+        WITH bucketed AS (
+            SELECT CAST(FLOOR((l_quantity - 1) / 10.0) AS BIGINT) AS bucket,
+                   CAST(ROUND(li_rev(CAST(l_extendedprice AS DOUBLE),
+                                     CAST(l_discount AS DOUBLE)) * 100)
+                        AS BIGINT) AS rev_cents
+            FROM lineitem_udf_v
+        )
+        SELECT s.bucket,
+               CAST(COALESCE(COUNT(b.rev_cents), 0) AS BIGINT) AS n_rows,
+               (COALESCE(SUM(b.rev_cents), 0L) / 100.0D) AS revenue
+        FROM bucket_spine(6) s LEFT JOIN bucketed b ON b.bucket = s.bucket
+        GROUP BY s.bucket ORDER BY s.bucket
+        """)
+
+
+_EXI_THRESHOLD = 180_000.0
+
+
+@query(
+    "sql_execute_immediate",
+    survey="dialect extension(EXECUTE IMMEDIATE with USING parameters "
+           "bound from session variables — SPARK-44840; the dynamic-SQL "
+           "door next to sql_parameterized_query's args binding)",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+           {sql_exact_sum('CAST(o_totalprice AS DOUBLE)', 2)}
+               AS total_value
+    FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) > {_EXI_THRESHOLD}
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-order counts per priority where the price threshold arrives
+    through a SESSION VARIABLE bound into EXECUTE IMMEDIATE's USING
+    clause — dynamic SQL with engine-side parameter binding (no string
+    splicing, no injection surface), the pattern dashboards and stored
+    procedures compile to.  The parameter marker becomes a literal in
+    the resolved plan, so the filter still pushes to the scan.  Scale:
+    identical plan to the static form — one pushed-filter scan, one
+    bounded aggregate."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_exi_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE exi_threshold DOUBLE")
+    spark.sql(f"SET VAR exi_threshold = {_EXI_THRESHOLD}")
+    return spark.sql("""
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+                (SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100)
+                          AS BIGINT)) / 100.0D) AS total_value
+         FROM orders_exi_v
+         WHERE CAST(o_totalprice AS DOUBLE) > ?
+         GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        USING exi_threshold
+        """)
