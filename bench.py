@@ -162,6 +162,10 @@ HEADLINE = [
     "events_sax_words",                # SAX symbolic series via z-PAA (r9)
     "events_spectral_peak_hourly",     # DFT power, dense hourly spine (r9)
     "multimodal_image_png_roundtrip",  # real stdlib PNG decode path (r9)
+    "store_bucketed_join_colocation",  # exchange-free bucketed SMJ (r9c)
+    "events_cuped_variance_reduction",  # CUPED cross-moment reduce (r9c)
+    "events_fdr_bh_adjust",            # 120-cell z family + BH step-up (r9c)
+    "geo_point_in_polygon_join",       # integer ray-cast zone join (r9c)
 ]
 
 

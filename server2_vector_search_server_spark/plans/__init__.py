@@ -98,7 +98,7 @@ _DRIVER_HEAD_ROTATION = [
     "events_fdr_bh_adjust", "events_cuped_variance_reduction",
     "documents_t_closeness_screen", "geo_point_in_polygon_join",
     "multimodal_audio_resample", "sql_udf_functions",
-    "sql_execute_immediate",
+    "sql_execute_immediate", "udf_arrow_vectorized",
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",

@@ -1029,3 +1029,92 @@ def null_safe_join_semantics(spark: SparkSession,
                     (F.col("n_pairs_null_safe")
                      == F.col("n_pairs_standard") + F.col("n_null_cross"))
                     .alias("identity_ok")))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native vectorized UDF (Spark 4.0 @arrow_udf — the J-family's
+# newest batch-UDF API, one generation past pandas_udf)
+
+_ARROW_Q_SCALE = 1000
+
+
+@query(
+    "udf_arrow_vectorized",
+    survey="J-extension(@arrow_udf vectorized scalar UDF, SPARK-48459: "
+           "Arrow RecordBatch in/out with NO pandas conversion — exact "
+           "integer quantization folds over the flat list buffer, so "
+           "the float-sum-order trap of Arrow scorers never applies)",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(list_sum(list_transform(embedding,
+                v -> CAST(ROUND(CAST(v AS DOUBLE) * {_ARROW_Q_SCALE})
+                     AS BIGINT)))) AS BIGINT) AS checksum,
+           CAST(SUM(list_sum(list_transform(embedding,
+                v -> CAST(ROUND(CAST(v AS DOUBLE) * {_ARROW_Q_SCALE})
+                          AS BIGINT)
+                     * CAST(ROUND(CAST(v AS DOUBLE) * {_ARROW_Q_SCALE})
+                            AS BIGINT)))) AS BIGINT) AS energy
+    FROM embeddings
+    GROUP BY label ORDER BY label
+    """,
+)
+def udf_arrow_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quantized checksum/energy of the embedding corpus where
+    the per-vector fold runs inside an ``@arrow_udf`` — Spark 4's
+    Arrow-native scalar UDF: the worker hands the function a
+    ``pyarrow.Array`` straight from the wire (no pandas materialization,
+    no object boxing), and the implementation reduces the FLAT values
+    buffer with ``np.add.reduceat`` over the list offsets — the shape
+    that makes Python worth calling at 100 TB.  Floats never fold:
+    each element is quantized to an exact int (half-away-from-zero,
+    mirroring SQL ROUND — numpy's own round is banker's) and the sums
+    are int64, so batch boundaries and reduction order cannot move the
+    result (the ROUND_NOTES Arrow-scorer trap, dodged by construction).
+    Scale: one scan, map-side Arrow batches, label-bounded reduce."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def quant_checksum(emb):
+        import numpy as np
+        import pyarrow as pa
+
+        flat = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+        q = np.where(flat >= 0,
+                     np.floor(flat * _ARROW_Q_SCALE + 0.5),
+                     -np.floor(-flat * _ARROW_Q_SCALE + 0.5)).astype("int64")
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype("int64")
+        q = q[:offs[-1]]        # a SLICED array's values can run past the
+        starts = offs[:-1]      # last offset; reduceat's final group must
+        sums = (np.add.reduceat(q, starts) if len(q)  # stop at offs[-1]
+                else np.array([], "int64"))
+        # reduceat over equal consecutive offsets (empty lists) would
+        # mis-slice; embeddings are fixed-length so starts are strictly
+        # increasing by construction
+        return pa.array(sums, type=pa.int64())
+
+    @arrow_udf("long")
+    def quant_energy(emb):
+        import numpy as np
+        import pyarrow as pa
+
+        flat = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+        q = np.where(flat >= 0,
+                     np.floor(flat * _ARROW_Q_SCALE + 0.5),
+                     -np.floor(-flat * _ARROW_Q_SCALE + 0.5)).astype("int64")
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype("int64")
+        q = q[:offs[-1]]
+        starts = offs[:-1]
+        sums = (np.add.reduceat(q * q, starts) if len(q)
+                else np.array([], "int64"))
+        return pa.array(sums, type=pa.int64())
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return (emb.select("label",
+                       quant_checksum("embedding").alias("cks"),
+                       quant_energy("embedding").alias("nrg"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.sum("cks").cast("long").alias("checksum"),
+                 F.sum("nrg").cast("long").alias("energy"))
+            .orderBy("label"))
