@@ -2658,3 +2658,148 @@ def text_stupid_backoff_scores(spark: SparkSession,
                             * (F.count(F.lit(1)) - F.sum("is_oov"))), 6)
                  .alias("avg_logscore"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenization (greedy longest-match-first with ## continuations)
+
+_WP_DOCS = 100
+_WP_MAX_WORD = 16
+# (piece, is_continuation). Single letters in BOTH roles make [UNK] a
+# policy for non-alpha input only; multi-char pieces are a fixed literal
+# vocabulary (BERT-style), longest-match ties impossible (equal-length
+# matches are the same string).
+_WP_STARTS = ["the", "th", "he", "in", "re", "an", "on", "er", "at",
+              "en", "es", "or", "te", "ti", "st", "ar", "nd", "to",
+              "nt", "is", "of", "it", "al", "as", "ha"]
+_WP_CONTS = ["ing", "ed", "er", "es", "ly", "ion", "ent", "al", "ar",
+             "an", "or", "en", "th", "nd", "st", "te", "ti", "is",
+             "at", "it", "on", "re", "in"]
+_WP_VOCAB = ([(c, False) for c in "abcdefghijklmnopqrstuvwxyz"]
+             + [(c, True) for c in "abcdefghijklmnopqrstuvwxyz"]
+             + [(p, False) for p in _WP_STARTS]
+             + [(p, True) for p in _WP_CONTS])
+
+
+_WP_START_ORDER = sorted({p for p, c in _WP_VOCAB if not c},
+                         key=len, reverse=True)
+_WP_CONT_ORDER = sorted({p for p, c in _WP_VOCAB if c},
+                        key=len, reverse=True)
+
+
+def wordpiece_encode(w: str,
+                     starts: "list[str]" = _WP_START_ORDER,
+                     conts: "list[str]" = _WP_CONT_ORDER
+                     ) -> "tuple[int, str, bool]":
+    """Greedy longest-match-first WordPiece of one word: (n_pieces,
+    segmentation string, is_unk).  A position with no matching piece
+    voids the WHOLE word to [UNK] (the published policy).  Module-level
+    so the [UNK] branch is unit-testable — the fixture corpus is
+    all-lowercase-alpha and the single-char vocab covers a-z, so no
+    fixture word can reach it."""
+    pos = 0
+    pieces: "list[str]" = []
+    while pos < len(w):
+        cands = conts if pos else starts
+        hit = next((p for p in cands if w.startswith(p, pos)), None)
+        if hit is None:
+            return 1, "[UNK]", True
+        pieces.append(("##" + hit) if pos else hit)
+        pos += len(hit)
+    return len(pieces), " ".join(pieces), False
+
+
+def _sql_wordpiece() -> str:
+    vocab_vals = ", ".join(f"('{p}', {str(c).lower()})"
+                           for p, c in _WP_VOCAB)
+    parts = [f"""
+    vocab AS (SELECT * FROM (VALUES {vocab_vals}) AS v(piece, cont)),
+    words AS MATERIALIZED (
+      SELECT DISTINCT lower(t.w) AS word
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(w)
+      WHERE doc_id < {_WP_DOCS}
+        AND regexp_matches(lower(t.w), '^[a-z]{{1,{_WP_MAX_WORD}}}$')),
+    s0 AS MATERIALIZED (
+      SELECT word, 1 AS pos, '' AS seg, 0 AS n_pieces FROM words)"""]
+    for k in range(1, _WP_MAX_WORD + 1):
+        parts.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT word, pos, seg, n_pieces FROM s{k - 1}
+      WHERE pos > length(word)
+      UNION ALL
+      SELECT word, pos + length(piece) AS pos,
+             seg || CASE WHEN pos > 1 THEN ' ##' || piece
+                         WHEN pos = 1 AND seg = '' THEN piece
+                         ELSE ' ' || piece END AS seg,
+             n_pieces + 1 AS n_pieces
+      FROM (
+        SELECT s.word, s.pos, s.seg, s.n_pieces, v.piece,
+               ROW_NUMBER() OVER (PARTITION BY s.word
+                   ORDER BY length(v.piece) DESC) AS rk
+        FROM s{k - 1} s JOIN vocab v
+          ON v.cont = (s.pos > 1)
+         AND substr(s.word, s.pos, length(v.piece)) = v.piece
+        WHERE s.pos <= length(s.word))
+      WHERE rk = 1)""")
+    parts.append(f"""
+    done AS (
+      SELECT word, seg, n_pieces FROM s{_WP_MAX_WORD}
+      WHERE pos > length(word))
+    SELECT w.word,
+           CAST(COALESCE(d.n_pieces, 1) AS BIGINT) AS n_pieces,
+           COALESCE(d.seg, '[UNK]') AS seg,
+           (d.word IS NULL) AS is_unk
+    FROM words w LEFT JOIN done d ON d.word = w.word
+    ORDER BY w.word""")
+    return "WITH " + ",".join(parts)
+
+
+@query(
+    "text_wordpiece_tokenize",
+    survey="north-star text analysis (WordPiece tokenization: greedy "
+           "longest-match-first with ## continuation pieces and the "
+           "[UNK] whole-word fallback — the BERT-family encoder, "
+           "completing the tokenizer set next to BPE and "
+           "unigram-Viterbi; segmentation strings hash-exact)",
+    oracle=_sql_wordpiece(),
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-encode every distinct lowercase word (≤16 chars) of the
+    first 100 documents under a fixed literal vocabulary: at each
+    position take the LONGEST vocab piece whose continuation flag
+    matches (## pieces only mid-word), emit it, advance; a position with
+    no match voids the whole word to [UNK] — the published algorithm
+    (Devlin et al. 2019, §4.1 of the original WordPiece paper lineage).
+    Pure string ops — no floats anywhere, so the segmentation string,
+    piece count and UNK flag are hash-exact by construction.
+
+    Scale shape: tokenization is a pandas-UDF map over the DISTINCT word
+    table with the vocabulary broadcast — the canonical 100 TB
+    tokenizer deployment (vocab ~30k entries in production; a dict hit
+    per position, cost linear in corpus characters).  Greedy matching is
+    inherently per-word sequential — exactly what the Arrow batch UDF is
+    for; there is no shuffle beyond the distinct.  The oracle unrolls
+    the greedy loop level-by-level (16 MATERIALIZED steps, the Viterbi
+    discipline) with a window argmax per step."""
+    import pandas as pd
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _WP_DOCS)
+    words = (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+             .select(F.lower("w").alias("word"))
+             .filter(F.col("word").rlike(f"^[a-z]{{1,{_WP_MAX_WORD}}}$"))
+             .distinct())
+    def encode(batches):
+        for pdf in batches:
+            out = {"word": [], "n_pieces": [], "seg": [], "is_unk": []}
+            for w in pdf["word"]:
+                n, seg, unk = wordpiece_encode(w)
+                out["word"].append(w)
+                out["n_pieces"].append(n)
+                out["seg"].append(seg)
+                out["is_unk"].append(unk)
+            yield pd.DataFrame(out)
+
+    return (words.mapInPandas(
+        encode,
+        schema="word string, n_pieces long, seg string, is_unk boolean")
+        .orderBy("word"))
