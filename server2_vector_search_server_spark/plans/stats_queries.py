@@ -429,11 +429,18 @@ def events_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("value") * 100).cast("long")
                     .alias("cents")))
     cents_dec = F.col("cents").cast("decimal(18,0)")
-    cells = (base.groupBy("event_type", "hr")
-             .agg(F.count("*").alias("n"), F.sum("cents").alias("s1")))
-    glob = base.agg(F.count("*").alias("ng"),
-                    F.sum("cents").alias("g1"),
-                    F.sum(cents_dec * cents_dec).cast("double").alias("g2"))
+    # ONE corpus scan: the global moments are exact-integer sums of the
+    # per-cell sums (cells carry s2 solely so glob derives from them —
+    # the spectral-peak lesson: re-deriving scalars from raw events
+    # costs a second full scan that AQE will not reuse)
+    cells_full = (base.groupBy("event_type", "hr")
+                  .agg(F.count("*").alias("n"), F.sum("cents").alias("s1"),
+                       F.sum(cents_dec * cents_dec).alias("s2"))
+                  .localCheckpoint(eager=False))
+    cells = cells_full.select("event_type", "hr", "n", "s1")
+    glob = cells_full.agg(F.sum("n").alias("ng"),
+                          F.sum("s1").alias("g1"),
+                          F.sum("s2").cast("double").alias("g2"))
     g1d = F.col("g1").cast("double") / 100.0
     gvar = (F.col("g2") / 10000.0 - g1d * g1d / F.col("ng")) \
         / (F.col("ng") - 1)
