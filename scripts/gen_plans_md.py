@@ -62,6 +62,14 @@ PILLARS = [
      "checkpointed count table; trig table broadcast"),
     ("events_sax_words", "SAX: one user_id shuffle, 4 rows/user after; "
      "z/symbol arithmetic is a pure projection"),
+    ("store_bucketed_join_colocation", "bucketed layout join: SMJ with "
+     "ZERO Exchange/Sort below the join — both sides pre-hashed"),
+    ("events_fdr_bh_adjust", "BH-FDR: one corpus scan into a checkpointed "
+     "120-cell table; global moments derive from the cells"),
+    ("geo_point_in_polygon_join", "ray-cast zone join: 13-edge broadcast, "
+     "map-side crossing partials, no cartesian"),
+    ("sql_pipe_syntax", "pipe-syntax dialect: identical physical plan to "
+     "the classic GROUP BY form"),
 ]
 
 

@@ -132,7 +132,7 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     repeated calls (bench median-of-3) measure the JOIN, which is the
     point of paying for bucketing at write time."""
 
-    def build() -> tuple[str, str]:
+    def fresh() -> tuple[str, str]:
         suffix = uuid.uuid4().hex[:8]
         li_name = f"li_bucketed_{suffix}"
         ord_name = f"ord_bucketed_{suffix}"
@@ -150,7 +150,18 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
          .saveAsTable(ord_name))
         return li_name, ord_name
 
-    return build_memo(("bucketed_orderkey_pair", sf_dir), build)
+    def build() -> tuple[str, str]:
+        return fresh()
+
+    names = build_memo(("bucketed_orderkey_pair", sf_dir), build)
+    # build_memo revalidates vanished PATHS, but table NAMES are bound to
+    # the session catalog — a process that stopped and recreated its
+    # SparkSession would be served dangling names; rebuild in that case
+    if not all(spark.catalog.tableExists(n) for n in names):
+        names = fresh()
+        from server2_vector_search_server_spark.plans import registry as _r
+        _r._BUILD_MEMO[("bucketed_orderkey_pair", sf_dir)] = names
+    return names
 
 
 @query(

@@ -279,8 +279,6 @@ def test_audio_resample_sequential_recompute(spark):
 def test_resample_identity_when_l_equals_m(spark):
     """L == M must reproduce the input samples exactly (frac == 0 at
     every output position ⇒ out_scaled == s[i]·L)."""
-    import pandas as pd_  # noqa: F401
-
     from server2_vector_search_server_spark.operators.multimodal import (
         build_pcm16_wav,
         resample_audio_features,
