@@ -99,7 +99,7 @@ _DRIVER_HEAD_ROTATION = [
     "documents_t_closeness_screen", "geo_point_in_polygon_join",
     "multimodal_audio_resample", "sql_udf_functions",
     "sql_execute_immediate", "udf_arrow_vectorized",
-    "text_wordpiece_tokenize",
+    "text_wordpiece_tokenize", "store_delta_log_time_travel",
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",

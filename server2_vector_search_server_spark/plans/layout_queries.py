@@ -263,3 +263,89 @@ def lineitem_rle_run_profile(spark: SparkSession,
                     F.round(F.col("runs_key_order").cast("double")
                             / F.col("runs_value_sorted").cast("double"), 6)
                     .alias("sort_gain")))
+
+
+# ---------------------------------------------------------------------------
+# Delta-protocol table: action-log fold + time travel (no delta-spark)
+
+_DL_KEYS = 100
+_DL_BUMP = 10.0
+
+
+def _delta_table_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build a two-commit Delta-protocol table from orders (memoized):
+    v0 = keys < 100 split by parity into two data files; v1 = an UPDATE
+    of the even-parity file (remove + re-add with o_totalprice bumped) —
+    the copy-on-write commit every Delta writer produces."""
+    from server2_vector_search_server_spark.plans.registry import build_memo
+    from server2_vector_search_server_spark.sources import deltalog
+
+    def build() -> str:
+        root = scratch_dir("delta_table_")
+        orders = (tbl(spark, sf_dir, "orders")
+                  .filter(F.col("o_orderkey") < _DL_KEYS)
+                  .select("o_orderkey",
+                          F.col("o_totalprice").cast("double")
+                          .alias("total_price")))
+        even = orders.filter(F.col("o_orderkey") % 2 == 0)
+        odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+        a_even = deltalog.write_data_file(even, root, "part-even.parquet")
+        a_odd = deltalog.write_data_file(odd, root, "part-odd.parquet")
+        deltalog.write_commit(root, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "spark-graft-delta-demo",
+                          "format": {"provider": "parquet"}}},
+            a_even, a_odd])
+        bumped = even.withColumn("total_price",
+                                 F.col("total_price") + _DL_BUMP)
+        a_upd = deltalog.write_data_file(bumped, root, "part-even-v1.parquet")
+        deltalog.write_commit(root, 1, [
+            deltalog.remove_action("part-even.parquet"), a_upd])
+        return root
+
+    return build_memo(("delta_log_table", sf_dir), build)
+
+
+@query(
+    "store_delta_log_time_travel",
+    survey="A-extension(Delta-Lake PROTOCOL reader: numbered JSON action "
+           "log folded into live file sets, copy-on-write update commit, "
+           "time travel by version — interchange-format interop with no "
+           "delta-spark dependency; snapshot reads are ordinary "
+           "pushdown-capable parquet scans)",
+    oracle=f"""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_exact_sum('CAST(o_totalprice AS DOUBLE)', 2)} AS total_value
+    FROM orders WHERE o_orderkey < {_DL_KEYS}
+    UNION ALL
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_exact_sum(
+               f'CAST(o_totalprice AS DOUBLE) + CASE WHEN o_orderkey % 2 = 0 '
+               f'THEN {_DL_BUMP} ELSE 0.0 END', 2)} AS total_value
+    FROM orders WHERE o_orderkey < {_DL_KEYS}
+    ORDER BY version
+    """,
+)
+def store_delta_log_time_travel(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Read BOTH versions of a Delta-protocol table the engine wrote
+    itself: version 0 (initial two-file snapshot) and version 1 (a
+    copy-on-write UPDATE — remove one file, add its rewritten twin).
+    The reader is the open protocol's fold: list commits ≤ v, apply
+    add/remove in order, read the surviving parquet files — so the
+    oracle can state each snapshot's content directly from the source
+    table.  At 100 TB the fold is manifest-sized driver work (real
+    readers checkpoint it) and the snapshot scan is a plain parquet
+    scan — pushdown, pruning and AQE all apply as if the log never
+    existed."""
+    from server2_vector_search_server_spark.sources import deltalog
+
+    root = _delta_table_root(spark, sf_dir)
+    out = []
+    for v in (0, 1):
+        snap = deltalog.read_snapshot(spark, root, v)
+        out.append(snap.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            exact_sum(F.col("total_price"), 2).alias("total_value")))
+    return out[0].unionByName(out[1]).orderBy("version")
