@@ -1035,3 +1035,84 @@ def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wedges.crossJoin(F.broadcast(stats))
             .select("n_wedges", "n_copaired_supplier_pairs",
                     "n_pairs_with_butterfly", "n_butterflies"))
+
+
+@query(
+    "graph_clustering_coefficient",
+    survey="north-star graph analytics (local clustering coefficient + "
+           "global transitivity over the k-NN graph: per-node "
+           "triangles / C(deg,2) — the neighborhood-cohesion diagnostic "
+           "next to the raw triangle counts)",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_KNN_N}),
+    pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d,
+             ROUND({sql_sq_l2('a.embedding', 'b.embedding')}, 6) AS dist
+      FROM vecs a CROSS JOIN vecs b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                       ORDER BY dist ASC, d ASC) AS rn
+        FROM pairs) WHERE rn <= {_KNN_K}),
+    e AS (
+      SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM nn),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node),
+    tris AS (
+      SELECT ab.a, ab.b, bc.c
+      FROM e ab
+      JOIN (SELECT a AS b, b AS c FROM e) bc USING (b)
+      JOIN (SELECT a, b AS c FROM e) ac USING (a, c)),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris)
+      GROUP BY node)
+    SELECT d.node, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    WHERE d.degree >= 2
+    ORDER BY d.node
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the exact 3-NN embedding
+    graph: triangles through the node over its possible neighbor pairs,
+    2T/(deg·(deg−1)), restricted to deg ≥ 2 (the coefficient is
+    undefined below).  High LCC = the embedding space's neighborhoods
+    agree with each other — the structure HNSW-style beam search (and
+    SemDeDup's cluster assumption) exploits; a low-LCC region is where
+    graph-ANN recall drops.  Scale: degree is one aggregate over the
+    edge list; triangles ride the ordered-edge wedge join
+    (operators/graph.triangle_count — shuffle ∝ wedges, never node
+    pairs); the divide is a projection.  The graph build is the corpus-
+    bound stage and swaps for ANN-bucketed candidates at scale
+    (knn_graph_bucketed, SCALE §30)."""
+    from server2_vector_search_server_spark.operators.graph import (
+        knn_graph, triangle_count,
+    )
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _KNN_N).select("vec_id", "embedding"))
+    edges = knn_graph(emb, k=_KNN_K)       # undirected distinct (src < dst)
+    deg = (edges.select(F.col("src").alias("node"))
+           .unionByName(edges.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree")))
+    tcnt = triangle_count(edges).withColumnRenamed("n_triangles", "nt")
+    return (deg.join(tcnt, "node", "left")
+            .filter(F.col("degree") >= 2)
+            .select("node", "degree",
+                    F.coalesce(F.col("nt"), F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.round(2.0 * F.coalesce(F.col("nt"), F.lit(0))
+                            / (F.col("degree") * (F.col("degree") - 1)), 6)
+                    .alias("lcc"))
+            .orderBy("node"))

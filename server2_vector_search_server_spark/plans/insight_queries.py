@@ -4397,3 +4397,81 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.lit(float(_HILL_K))
                             / (F.col("s_micro") / 1_000_000.0), 6)
                     .alias("tail_alpha")))
+
+
+# ---------------------------------------------------------------------------
+# ECE / MCE calibration error (the binned companion to the Brier report)
+
+
+@query(
+    "events_calibration_ece",
+    survey="insight extension(expected + maximum calibration error over "
+           "the Brier query's train/eval binned forecaster: "
+           "ECE = Σ(n_b/N)|obs_b − fc_b|, MCE = max_b — the reliability-"
+           "diagram summary every model card quotes, from exact integer "
+           "counts)",
+    oracle=f"""
+    WITH base AS (
+      SELECT GREATEST({_WOE_BIN_LO}, LEAST({_WOE_BIN_HI},
+               CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
+                    AS INTEGER))) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_BRIER_SPLIT}'
+                  THEN 1 ELSE 0 END AS is_train
+      FROM events WHERE value > 0),
+    fc AS (
+      SELECT bin, SUM(y) AS ty, COUNT(*) AS tn
+      FROM base WHERE is_train = 1 GROUP BY bin),
+    ev AS (
+      SELECT bin, CAST(SUM(y) AS BIGINT) AS ey,
+             CAST(COUNT(*) AS BIGINT) AS en
+      FROM base WHERE is_train = 0 GROUP BY bin),
+    terms AS (
+      SELECT ev.bin, ev.en,
+             ABS(CAST(ty AS DOUBLE) / CAST(tn AS DOUBLE)
+                 - CAST(ev.ey AS DOUBLE) / CAST(ev.en AS DOUBLE)) AS gap
+      FROM ev JOIN fc ON fc.bin = ev.bin)
+    SELECT CAST(SUM(en) AS BIGINT) AS n_eval,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(CAST(ROUND(en * gap * 1000000000) AS BIGINT))
+                 / 1000000000.0 / SUM(en), 6) AS ece,
+           ROUND(MAX(gap), 6) AS mce
+    FROM terms
+    """,
+)
+def events_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / maximum calibration error of the binned purchase-rate
+    forecaster (same train/eval halves and log2 value bins as
+    events_brier_decomposition — ECE is the L1 twin of its reliability
+    term): per bin, |observed eval rate − train forecast|, weighted by
+    eval count for ECE, maxed for MCE.  Per-bin products round to exact
+    nano-units before the cross-bin sum (shuffle-order-proof); the gap
+    itself is one shared-op-order double expression.  Scale: two
+    conditional aggregates onto the bounded bin key from ONE scan —
+    everything downstream is ≤16-row arithmetic."""
+    ev_t = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bin_col = F.greatest(
+        F.lit(_WOE_BIN_LO),
+        F.least(F.lit(_WOE_BIN_HI),
+                F.floor(F.round(F.log(F.col("value").cast("double"))
+                                / F.log(F.lit(2.0)), 9)).cast("int")))
+    base = ev_t.select(
+        bin_col.alias("bin"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+        (F.to_date("ts") < F.lit(_BRIER_SPLIT).cast("date")).cast("int")
+        .alias("is_train"))
+    fc = (base.filter(F.col("is_train") == 1).groupBy("bin")
+          .agg(F.sum("y").alias("ty"), F.count(F.lit(1)).alias("tn")))
+    evl = (base.filter(F.col("is_train") == 0).groupBy("bin")
+           .agg(F.sum("y").cast("long").alias("ey"),
+                F.count(F.lit(1)).cast("long").alias("en")))
+    gap = F.abs(F.col("ty").cast("double") / F.col("tn").cast("double")
+                - F.col("ey").cast("double") / F.col("en").cast("double"))
+    terms = evl.join(fc, "bin").select("bin", "en", gap.alias("gap"))
+    return terms.agg(
+        F.sum("en").cast("long").alias("n_eval"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(F.sum(F.round(F.col("en") * F.col("gap") * 1_000_000_000)
+                      .cast("long")) / 1_000_000_000.0 / F.sum("en"), 6)
+        .alias("ece"),
+        F.round(F.max("gap"), 6).alias("mce"))
