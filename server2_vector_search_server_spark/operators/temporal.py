@@ -234,3 +234,49 @@ def holt_by_key(events: DataFrame, *, key_col: str = "user_id",
 
     return (events.select(key_col, ts_col, order_col, val_col)
             .groupBy(key_col).applyInPandas(fold, out_schema))
+
+
+def croston_by_key(demand: DataFrame, *, key_col: str, order_col: str,
+                   qty_col: str, gap_col: str,
+                   alpha: float = 0.2) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand — the
+    forecasting primitive for series that are mostly zeros (spare parts,
+    long-tail SKUs), where plain EWMA collapses toward zero between
+    demands.  Input is the DEMAND-EVENT table (zero periods already
+    absent): per key, ordered events with quantity and the gap (periods
+    since the previous demand; NULL/any value on the first row is
+    ignored).  Fold: ``z₀ = q₀, p₀ = 1``; then per event
+    ``z' = α·q + (1−α)·z;  p' = α·gap + (1−α)·p``.  The forecast per
+    period is z/p, taken by the caller.
+
+    Same grouped-map contract as :func:`holt_by_key`: one shuffle on the
+    key, O(1) loop-carried state, plain-Python IEEE float folds with the
+    exact op sequence a SQL recursive CTE evaluates — no Python-side
+    rounding."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    key_type = demand.schema[key_col].dataType
+    out_schema = T.StructType([
+        T.StructField(key_col, key_type),
+        T.StructField("n_demands", T.LongType()),
+        T.StructField("size_level", T.DoubleType()),
+        T.StructField("interval_level", T.DoubleType()),
+    ])
+    one_minus_a = 1.0 - alpha
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([order_col], kind="mergesort")
+        z = p = None
+        for q, gap in zip(pdf[qty_col], pdf[gap_col]):
+            if z is None:
+                z, p = float(q), 1.0
+            else:
+                z = alpha * float(q) + one_minus_a * z
+                p = alpha * float(gap) + one_minus_a * p
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n_demands": [len(pdf)],
+             "size_level": [z], "interval_level": [p]})
+
+    return (demand.select(key_col, order_col, qty_col, gap_col)
+            .groupBy(key_col).applyInPandas(fold, out_schema))

@@ -1116,3 +1116,95 @@ def graph_clustering_coefficient(spark: SparkSession,
                             / (F.col("degree") * (F.col("degree") - 1)), 6)
                     .alias("lcc"))
             .orderBy("node"))
+
+
+@query(
+    "graph_degree_assortativity",
+    survey="north-star graph analytics (degree assortativity: Pearson "
+           "correlation of endpoint degrees over both edge "
+           "orientations — Newman 2002; positive = hubs link hubs; "
+           "exact integer moment carriers)",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_KNN_N}),
+    pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d,
+             ROUND({sql_sq_l2('a.embedding', 'b.embedding')}, 6) AS dist
+      FROM vecs a CROSS JOIN vecs b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                       ORDER BY dist ASC, d ASC) AS rn
+        FROM pairs) WHERE rn <= {_KNN_K}),
+    e AS (
+      SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM nn),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node),
+    ends AS (
+      SELECT da.degree AS x, db.degree AS y
+      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+      UNION ALL
+      SELECT db.degree AS x, da.degree AS y
+      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ends)
+    SELECT n AS n_edge_ends,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                        * (CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy / n)), 6)
+               AS assortativity
+    FROM mom
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity of the 3-NN embedding graph: the
+    Pearson correlation of (deg(u), deg(v)) over every edge taken in
+    BOTH orientations (the undirected convention — one orientation
+    would bias toward the least-node-id endpoint).  Positive r means
+    well-connected vectors neighbor each other (hub cores — good for
+    graph-ANN entry points); negative means hub-and-spoke.  Degrees and
+    all five cross-moments are exact BIGINTs (degree ≤ 2k so x·y is
+    tiny); one shared-op-order double evaluates r.  Scale: degree is
+    one aggregate; the endpoint join is two broadcast-sized hash joins
+    against the node-degree table; the moment reduce is map-side."""
+    from server2_vector_search_server_spark.operators.graph import knn_graph
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _KNN_N).select("vec_id", "embedding"))
+    edges = knn_graph(emb, k=_KNN_K)
+    deg = (edges.select(F.col("src").alias("node"))
+           .unionByName(edges.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree")))
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "dx")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "dy")
+    joined = (edges.withColumnRenamed("src", "a")
+              .withColumnRenamed("dst", "b")
+              .join(da, "a").join(db, "b"))
+    ends = (joined.select(F.col("dx").alias("x"), F.col("dy").alias("y"))
+            .unionByName(joined.select(F.col("dy").alias("x"),
+                                       F.col("dx").alias("y"))))
+    mom = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    r = ((F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n"))
+         / F.sqrt((F.col("sxx").cast("double") - sxd * F.col("sx")
+                   / F.col("n"))
+                  * (F.col("syy").cast("double") - syd * F.col("sy")
+                     / F.col("n"))))
+    return mom.select(F.col("n").cast("long").alias("n_edge_ends"),
+                      F.round(r, 6).alias("assortativity"))

@@ -4475,3 +4475,91 @@ def events_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long")) / 1_000_000_000.0 / F.sum("en"), 6)
         .alias("ece"),
         F.round(F.max("gap"), 6).alias("mce"))
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (the EWMA/Holt family's zero-heavy twin)
+
+_CRO_ALPHA = 0.2
+_CRO_PARTS = 50
+
+
+@query(
+    "part_croston_demand_forecast",
+    survey="insight extension(Croston 1972 intermittent-demand "
+           "forecasting per part: separate EWMAs of demand SIZE and "
+           "demand INTERVAL folded over demand events only — the "
+           "spare-parts/long-tail forecaster where plain EWMA collapses "
+           "between demands; recursive-CTE oracle evaluates the "
+           "identical float sequence)",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT l_partkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey < {_CRO_PARTS}
+      GROUP BY l_partkey, CAST(o_orderdate AS DATE)),
+    ordered AS (
+      SELECT l_partkey, q,
+             row_number() OVER (PARTITION BY l_partkey ORDER BY d) AS rn,
+             CAST(d - LAG(d) OVER (PARTITION BY l_partkey ORDER BY d)
+                  AS BIGINT) AS gap
+      FROM daily),
+    state AS (
+      SELECT l_partkey, rn, CAST(q AS DOUBLE) AS z, CAST(1 AS DOUBLE) AS p
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.l_partkey, o.rn,
+             {_CRO_ALPHA} * o.q + 0.8 * s.z AS z,
+             {_CRO_ALPHA} * o.gap + 0.8 * s.p AS p
+      FROM state s JOIN ordered o
+        ON o.l_partkey = s.l_partkey AND o.rn = s.rn + 1),
+    final AS (
+      SELECT l_partkey, rn, z, p,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY rn DESC) AS rr
+      FROM state)
+    SELECT l_partkey, CAST(rn AS BIGINT) AS n_demands,
+           ROUND(z, 6) AS size_level,
+           ROUND(p, 6) AS interval_level,
+           ROUND(z / p, 6) AS demand_per_day
+    FROM final WHERE rr = 1 ORDER BY l_partkey
+    """,
+)
+def part_croston_demand_forecast(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Croston's intermittent-demand forecast per part: a part sells on
+    scattered days, so the method smooths demand SIZE and demand
+    INTERVAL separately over demand events only (z' = αq + (1−α)z,
+    p' = α·gap + (1−α)p, seeded z₀ = q₀, p₀ = 1) and forecasts z/p
+    units per day — the supply-chain standard where plain EWMA over the
+    calendar (zeros included) decays to nothing between sales.  The
+    fold runs as a grouped-map applyInPandas (one shuffle on part, O(1)
+    state) and the oracle's recursive CTE evaluates the identical IEEE
+    sequence — rounded only at the end, the ewma/holt discipline.
+    Scale: the daily-demand aggregate is the corpus stage; the fold's
+    state is two doubles per part."""
+    from server2_vector_search_server_spark.operators.temporal import (
+        croston_by_key,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < _CRO_PARTS)
+    od = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    daily = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+             .groupBy("l_partkey", F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.col("l_quantity").cast("long")).alias("q")))
+    w = Window.partitionBy("l_partkey").orderBy("d")
+    ordered = daily.select(
+        "l_partkey", "q", "d",
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long")
+        .alias("gap"))
+    out = croston_by_key(ordered, key_col="l_partkey", order_col="d",
+                         qty_col="q", gap_col="gap", alpha=_CRO_ALPHA)
+    return (out.select(
+        "l_partkey", "n_demands",
+        F.round("size_level", 6).alias("size_level"),
+        F.round("interval_level", 6).alias("interval_level"),
+        F.round(F.col("size_level") / F.col("interval_level"), 6)
+        .alias("demand_per_day"))
+        .orderBy("l_partkey"))
