@@ -4563,3 +4563,155 @@ def part_croston_demand_forecast(spark: SparkSession,
         F.round(F.col("size_level") / F.col("interval_level"), 6)
         .alias("demand_per_day"))
         .orderBy("l_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out hit-rate@K for the item-item recommender
+
+_HR_MIN_ITEMS, _HR_MAX_ITEMS = 3, 20
+_HR_CATALOG = 50           # bounded catalog slice: dense co-purchase
+_HR_NEIGHBORS = 20
+_HR_K = 10
+
+
+@query(
+    "recommend_eval_hitrate",
+    survey="recommendation extension(leave-one-out hit-rate@10 of the "
+           "item-item cosine recommender: hold out one item per "
+           "customer, train similarities on the rest, score candidates "
+           "by exact nano-int similarity sums — the offline eval number "
+           "a recsys team tracks)",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_partkey < 50),
+    sized AS (
+      SELECT cust, COUNT(*) AS n_tot, MAX(part) AS held_part
+      FROM items GROUP BY cust
+      HAVING COUNT(*) BETWEEN {_HR_MIN_ITEMS} AND {_HR_MAX_ITEMS}),
+    train AS (
+      SELECT i.cust, i.part
+      FROM items i JOIN sized s ON s.cust = i.cust
+      WHERE i.part <> s.held_part),
+    pcount AS (SELECT part, COUNT(*) AS n FROM train GROUP BY part),
+    baskets AS (
+      SELECT cust, list_sort(list_distinct(list(part))) AS parts
+      FROM train GROUP BY cust),
+    upairs AS (
+      SELECT parts[i + 1] AS p1, parts[j + 1] AS p2
+      FROM baskets,
+           UNNEST(range(0, len(parts) - 1)) AS ui(i),
+           UNNEST(range(0, len(parts))) AS uj(j)
+      WHERE j > i),
+    cooc AS (SELECT p1, p2, COUNT(*) AS n_both FROM upairs GROUP BY p1, p2),
+    sim AS (
+      SELECT p1, p2, CAST(ROUND(CAST(n_both AS DOUBLE)
+               / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))
+               * 1000000000) AS BIGINT) AS sim_nano
+      FROM cooc JOIN pcount a ON a.part = p1 JOIN pcount b ON b.part = p2
+      UNION ALL
+      SELECT p2 AS p1, p1 AS p2, CAST(ROUND(CAST(n_both AS DOUBLE)
+               / sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))
+               * 1000000000) AS BIGINT) AS sim_nano
+      FROM cooc JOIN pcount a ON a.part = p1 JOIN pcount b ON b.part = p2),
+    nbrs AS (
+      SELECT p1, p2, sim_nano FROM (
+        SELECT p1, p2, sim_nano,
+               ROW_NUMBER() OVER (PARTITION BY p1
+                   ORDER BY sim_nano DESC, p2 ASC) AS rk
+        FROM sim) WHERE rk <= {_HR_NEIGHBORS}),
+    cands AS (
+      SELECT t.cust, n.p2 AS cand, CAST(SUM(n.sim_nano) AS BIGINT) AS score
+      FROM train t JOIN nbrs n ON n.p1 = t.part
+      WHERE NOT EXISTS (SELECT 1 FROM train t2
+                        WHERE t2.cust = t.cust AND t2.part = n.p2)
+      GROUP BY t.cust, n.p2),
+    topk AS (
+      SELECT cust, cand FROM (
+        SELECT cust, cand,
+               ROW_NUMBER() OVER (PARTITION BY cust
+                   ORDER BY score DESC, cand ASC) AS rk
+        FROM cands) WHERE rk <= {_HR_K}),
+    hits AS (
+      SELECT s.cust
+      FROM sized s JOIN topk k ON k.cust = s.cust AND k.cand = s.held_part)
+    SELECT CAST((SELECT COUNT(*) FROM sized) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM sized), 6) AS hit_rate
+    """,
+)
+def recommend_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline leave-one-out evaluation of the co-purchase recommender:
+    hold out each eligible customer's max-partkey item (deterministic —
+    the fixture has no per-item timestamps to define 'last'), fit the
+    item-item cosine on the remaining baskets, recommend top-10
+    candidates (summed neighbor similarity, items already owned
+    excluded), and report the fraction of customers whose held-out item
+    was recovered.  Similarities round to exact nano-int BEFORE the
+    candidate-score SUM — a raw double sum over shuffle order would
+    hash-differ run to run.  All ranks tie-break (score DESC, item ASC).
+    Scale: same density-capped in-array pair kernel as the recommender;
+    the neighbor table is catalog-bounded (≤20/item) and the candidate
+    fan-out is baskets × neighbor-cap — never catalog × catalog."""
+    li = (tbl(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") < _HR_CATALOG)
+          .select("l_orderkey", "l_partkey"))
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    items = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select(F.col("o_custkey").alias("cust"),
+                     F.col("l_partkey").alias("part"))
+             .distinct())
+    sized = (items.groupBy("cust")
+             .agg(F.count(F.lit(1)).alias("n_tot"),
+                  F.max("part").alias("held_part"))
+             .filter(F.col("n_tot").between(_HR_MIN_ITEMS, _HR_MAX_ITEMS)))
+    train = (items.join(sized, "cust")
+             .filter(F.col("part") != F.col("held_part"))
+             .select("cust", "part")
+             .localCheckpoint(eager=False))
+    pcount = train.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    baskets = (train.groupBy("cust")
+               .agg(F.sort_array(F.collect_set("part")).alias("parts")))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(parts) - 2), i -> "
+        "transform(sequence(i + 1, size(parts) - 1), j -> "
+        "struct(parts[i] AS p1, parts[j] AS p2))))")
+    upairs = (baskets.select(F.explode(pair_expr).alias("pr"))
+              .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")))
+    cooc = upairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_both"))
+    pa = pcount.withColumnRenamed("part", "p1").withColumnRenamed("n", "na")
+    pb = pcount.withColumnRenamed("part", "p2").withColumnRenamed("n", "nb")
+    sim_nano = (F.round(F.col("n_both").cast("double")
+                        / F.sqrt(F.col("na").cast("double")
+                                 * F.col("nb").cast("double"))
+                        * 1_000_000_000).cast("long"))
+    one_dir = (cooc.join(pa, "p1").join(pb, "p2")
+               .select("p1", "p2", sim_nano.alias("sim_nano")))
+    sim = one_dir.unionByName(
+        one_dir.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"),
+                       "sim_nano"))
+    w_nbr = Window.partitionBy("p1").orderBy(F.col("sim_nano").desc(),
+                                             F.col("p2").asc())
+    nbrs = (sim.withColumn("rk", F.row_number().over(w_nbr))
+            .filter(F.col("rk") <= _HR_NEIGHBORS).drop("rk"))
+    owned = train.select("cust", F.col("part").alias("p2"))
+    cands = (train.withColumnRenamed("part", "p1").join(nbrs, "p1")
+             .select("cust", "p2", "sim_nano")
+             .join(owned, ["cust", "p2"], "left_anti")
+             .groupBy("cust", "p2")
+             .agg(F.sum("sim_nano").cast("long").alias("score")))
+    w_topk = Window.partitionBy("cust").orderBy(F.col("score").desc(),
+                                                F.col("p2").asc())
+    topk = (cands.withColumn("rk", F.row_number().over(w_topk))
+            .filter(F.col("rk") <= _HR_K))
+    hits = topk.join(sized, (topk.cust == sized.cust)
+                     & (topk.p2 == sized.held_part)).select(topk.cust)
+    n_users = sized.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    return (hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(n_users).cast("long").alias("n_users"),
+                    "n_hits",
+                    F.round(F.col("n_hits").cast("double") / n_users, 6)
+                    .alias("hit_rate"))
+            .select("n_users", "n_hits", "hit_rate"))
