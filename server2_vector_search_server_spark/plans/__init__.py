@@ -102,7 +102,7 @@ _DRIVER_HEAD_ROTATION = [
     "text_wordpiece_tokenize", "store_delta_log_time_travel",
     "events_calibration_ece", "graph_clustering_coefficient",
     "graph_degree_assortativity", "part_croston_demand_forecast",
-    "recommend_eval_hitrate",
+    "recommend_eval_hitrate", "streaming_delta_log_tail",
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",

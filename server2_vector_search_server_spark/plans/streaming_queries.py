@@ -31,7 +31,7 @@ from server2_vector_search_server_spark.plans.registry import (
     link_table_files,
     scratch_dir,
     state_partitions,
-    REGISTRY, query, sql_exact_sum, tbl,
+    REGISTRY, exact_sum, query, sql_exact_sum, tbl,
 )
 from server2_vector_search_server_spark.streaming.events import (
     session_stats, sliding_counts, tumbling_counts,
@@ -881,3 +881,72 @@ def streaming_edge_table_upkeep(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("o_custkey").alias("custkey_sum"))
             .orderBy("supplier"))
+
+
+# ---------------------------------------------------------------------------
+# Delta-protocol log TAIL: the action log as a streaming source
+
+@query(
+    "streaming_delta_log_tail",
+    survey="I/A-extension(Delta-protocol log tailed as a stream: JSON "
+           "file source over _delta_log, one micro-batch per commit, "
+           "add/remove actions folded by commit version into the live "
+           "snapshot — the 'Delta table as streaming source' metadata "
+           "half, no delta-spark)",
+    oracle=f"""
+    SELECT CAST(2 AS BIGINT) AS n_live_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_exact_sum(
+               'CAST(o_totalprice AS DOUBLE) + CASE WHEN o_orderkey % 2 = 0 '
+               'THEN 10.0 ELSE 0.0 END', 2)} AS total_value
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def streaming_delta_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail the engine-written Delta table's ``_delta_log`` with a
+    streaming JSON file source (``maxFilesPerTrigger=1`` — each commit
+    arrives as its own micro-batch, the way a live writer would produce
+    them), collect (version, path, action) rows, fold them IN COMMIT
+    ORDER into the live file set, and aggregate the reconstructed
+    current snapshot.  Version comes from the commit FILENAME
+    (``input_file_name``), not arrival order — the file source does not
+    guarantee ordering, and the protocol's reconciliation is
+    version-ordered.  Matches the batch reader's version-1 row exactly
+    (store_delta_log_time_travel), proving the incremental metadata
+    path equals the full fold.  Scale: action rows are manifest-sized;
+    the snapshot read is an ordinary parquet scan."""
+    import os
+
+    from server2_vector_search_server_spark.plans.layout_queries import (
+        _delta_table_root,
+    )
+
+    root = _delta_table_root(spark, sf_dir)
+    schema = ("add struct<path:string,size:bigint>, "
+              "remove struct<path:string>")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .json(os.path.join(root, "_delta_log")))
+    acts = stream.select(
+        F.regexp_extract(F.input_file_name(), r"(\d{20})\.json", 1)
+        .cast("long").alias("version"),
+        F.col("add.path").alias("add_path"),
+        F.col("remove.path").alias("remove_path"))
+    sink = f"delta_tail_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark):
+        q = (acts.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    rows = spark.table(sink).collect()          # manifest-sized
+    live: "dict[str, bool]" = {}
+    for r in sorted(rows, key=lambda r: r["version"]):
+        if r["add_path"] is not None:
+            live[r["add_path"]] = True
+        if r["remove_path"] is not None:
+            live[r["remove_path"]] = False
+    files = sorted(os.path.join(root, p) for p, ok in live.items() if ok)
+    snap = spark.read.parquet(*files)
+    return snap.agg(
+        F.lit(len(files)).cast("long").alias("n_live_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        exact_sum(F.col("total_price"), 2).alias("total_value"))
