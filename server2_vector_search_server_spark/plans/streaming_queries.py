@@ -939,6 +939,9 @@ def streaming_delta_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     rows = spark.table(sink).collect()          # manifest-sized
     live: "dict[str, bool]" = {}
+    # a non-commit file in _delta_log (e.g. a writer's crashed .tmp that a
+    # glob still matched) yields version NULL — protocol says ignore it
+    rows = [r for r in rows if r["version"] is not None]
     for r in sorted(rows, key=lambda r: r["version"]):
         if r["add_path"] is not None:
             live[r["add_path"]] = True
