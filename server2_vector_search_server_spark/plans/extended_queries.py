@@ -2108,3 +2108,90 @@ def multimodal_audio_resample(spark: SparkSession,
     media = docs.mapInPandas(synth, schema="media_id string, content binary")
     return (multimodal.resample_audio_features(media, l=_RSP_L, m=_RSP_M)
             .orderBy("media_id"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: 3x3 Sobel convolution on REAL BMP bytes
+
+_SOB_DOCS = 48
+_SOB_W, _SOB_H = 16, 12
+
+
+def _sob_luma(dx: int, dy: int) -> str:
+    return (f"3 * ((doc_id * 13 + (y + {dy}) * 17 + (x + {dx}) * 29) "
+            f"% 256)")
+
+
+_SOB_GX = (f"(({_sob_luma(1, -1)}) + 2 * ({_sob_luma(1, 0)}) "
+           f"+ ({_sob_luma(1, 1)})) "
+           f"- (({_sob_luma(-1, -1)}) + 2 * ({_sob_luma(-1, 0)}) "
+           f"+ ({_sob_luma(-1, 1)}))")
+_SOB_GY = (f"(({_sob_luma(-1, 1)}) + 2 * ({_sob_luma(0, 1)}) "
+           f"+ ({_sob_luma(1, 1)})) "
+           f"- (({_sob_luma(-1, -1)}) + 2 * ({_sob_luma(0, -1)}) "
+           f"+ ({_sob_luma(1, -1)}))")
+
+
+@query(
+    "multimodal_image_sobel_edges",
+    survey="multimodal(3x3 Sobel convolution on REAL BMP bytes: "
+           "map-side decode + exact integer kernel responses, L1 "
+           "gradient energy per image — the edge/texture verb next to "
+           "tile downsampling; byte-blind oracle)",
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_SOB_DOCS}),
+    interior AS (
+      SELECT doc_id, y.y AS y, x.x AS x
+      FROM params,
+           UNNEST(range(1, {_SOB_H} - 1)) AS y(y),
+           UNNEST(range(1, {_SOB_W} - 1)) AS x(x)),
+    grads AS (
+      SELECT doc_id,
+             ABS({_SOB_GX}) + ABS({_SOB_GY}) AS g
+      FROM interior)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           {_SOB_W} AS width, {_SOB_H} AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_interior,
+           CAST(SUM(g) AS BIGINT) AS edge_energy,
+           CAST(MAX(g) AS BIGINT) AS max_grad
+    FROM grads GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_image_sobel_edges(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sobel edge extraction end-to-end on REAL image bytes: the same
+    deterministic 16×12 luma images as the tile query, encoded as
+    genuine 24-bit BMPs, decoded map-side by the shared
+    ``_bmp_luma_grid`` parser, convolved with the integer Sobel pair,
+    and reduced to exact per-image L1 gradient energy and max gradient
+    (valid-mode — no padding policy to disagree on).  The oracle
+    evaluates the identical kernel responses from the luma CLOSED FORM
+    without constructing bytes, so a hash match proves decoder +
+    convolution arithmetic together.  Scale: decode and convolution
+    never leave the task (mapInPandas); the shuffle carries 6 small
+    columns per image."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _SOB_DOCS).select("doc_id"))
+
+    def synth(batches):
+        import pandas as pd
+
+        from server2_vector_search_server_spark.operators.multimodal import (
+            build_bmp24,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows = [[((d * 13 + y * 17 + x * 29) % 256,) * 3
+                         for x in range(_SOB_W)]
+                        for y in range(_SOB_H)]
+                ids.append(str(d))
+                blobs.append(build_bmp24(rows))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema="media_id string, content binary")
+    return (multimodal.image_conv3x3_stats(media, decoder="bmp")
+            .orderBy("media_id"))
