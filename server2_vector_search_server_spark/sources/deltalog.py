@@ -107,3 +107,41 @@ def write_data_file(df: DataFrame, root: str, name: str) -> dict:
     os.replace(os.path.join(tmp, part), dest)
     shutil.rmtree(tmp, ignore_errors=True)
     return add_action(name, os.path.getsize(dest))
+
+
+def vacuum(root: str, *, keep_from_version: int) -> "list[str]":
+    """Delete data files referenced ONLY by versions older than
+    ``keep_from_version`` — VACUUM with a version-based retention cutoff
+    (the protocol's time-based retention maps to versions here; commits
+    themselves are never deleted, so the log stays auditable while
+    time travel below the cutoff loses its data files).
+
+    A file survives iff it is LIVE in at least one retained version
+    (≥ cutoff).  Returns the deleted names.  Deletion is idempotent —
+    missing files are skipped, so concurrent vacuums race safely."""
+    avail = versions(root)
+    if not avail:
+        return []
+    if keep_from_version not in avail:
+        raise ValueError(
+            f"cutoff {keep_from_version} not a version (have {avail})")
+    keep: "set[str]" = set()
+    for v in avail:
+        if v >= keep_from_version:
+            keep.update(live_files(root, v))
+    referenced: "set[str]" = set()
+    for v in avail:
+        with open(_commit_path(root, v)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    referenced.add(a["add"]["path"])
+    deleted = []
+    for p in sorted(referenced - keep):
+        full = os.path.join(root, p)
+        try:
+            os.remove(full)
+            deleted.append(p)
+        except FileNotFoundError:
+            pass
+    return deleted

@@ -66,3 +66,33 @@ def test_roundtrip_reads_only_live_files(tmp_path, spark):
     assert dl.read_snapshot(spark, root, 0).count() == 15
     got = sorted(r["id"] for r in dl.read_snapshot(spark, root, 1).collect())
     assert got == list(range(10, 15))
+
+
+def test_vacuum_keeps_retained_versions_readable(tmp_path, spark):
+    root = str(tmp_path / "vac")
+    os.makedirs(root)
+    df0 = spark.range(5).selectExpr("id", "id AS v")
+    df1 = spark.range(5, 9).selectExpr("id", "id AS v")
+    a0 = dl.write_data_file(df0, root, "f0.parquet")
+    a1 = dl.write_data_file(df1, root, "f1.parquet")
+    dl.write_commit(root, 0, [a0])
+    dl.write_commit(root, 1, [dl.remove_action("f0.parquet"), a1])
+    deleted = dl.vacuum(root, keep_from_version=1)
+    assert deleted == ["f0.parquet"]
+    # the retained snapshot still reads; the vacuumed version cannot
+    assert dl.read_snapshot(spark, root, 1).count() == 4
+    assert not os.path.exists(os.path.join(root, "f0.parquet"))
+    # log history is intact (auditable), only the data bytes are gone
+    assert dl.versions(root) == [0, 1]
+
+
+def test_vacuum_retains_files_live_anywhere_at_or_after_cutoff(tmp_path):
+    root = _table(tmp_path)        # v2 re-adds a.parquet
+    # cutoff 1: a.parquet is dead at v1 but LIVE at v2 -> retained
+    assert dl.vacuum(root, keep_from_version=1) == []
+
+
+def test_vacuum_unknown_cutoff_rejected(tmp_path):
+    root = _table(tmp_path)
+    with pytest.raises(ValueError, match="cutoff 9"):
+        dl.vacuum(root, keep_from_version=9)
