@@ -145,3 +145,31 @@ def vacuum(root: str, *, keep_from_version: int) -> "list[str]":
         except FileNotFoundError:
             pass
     return deleted
+
+
+def convert_versioned_files(versioned_files: "list[list[str]]",
+                            root: str) -> int:
+    """CONVERT-TO-DELTA, metadata-only: given the live ABSOLUTE file set
+    of each source-table version (oldest first), emit one delta commit
+    per version whose add/remove actions are the set difference against
+    the previous version.  No data file is read or copied — the commits
+    reference the source files in place (the protocol allows absolute
+    paths in ``add.path``, and :func:`read_snapshot`'s join is a no-op
+    for them).  This is the Delta/Iceberg table-migration move: history
+    preserved, bytes untouched.  Returns the number of commits."""
+    prev: "set[str]" = set()
+    for i, files in enumerate(versioned_files):
+        cur = set(files)
+        actions: "list[dict]" = []
+        if i == 0:
+            actions.append({"protocol": {"minReaderVersion": 1,
+                                         "minWriterVersion": 2}})
+            actions.append({"metaData": {"id": "converted-table",
+                                         "format": {"provider": "parquet"}}})
+        for p in sorted(cur - prev):
+            actions.append(add_action(p, os.path.getsize(p)))
+        for p in sorted(prev - cur):
+            actions.append(remove_action(p))
+        write_commit(root, i, actions)
+        prev = cur
+    return len(versioned_files)
