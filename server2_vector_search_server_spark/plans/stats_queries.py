@@ -566,3 +566,208 @@ def events_cuped_variance_reduction(spark: SparkSession,
         F.round((var_y - cov * cov / var_x) / 10000.0, 4).alias("var_cuped"),
         F.round(1.0 - (var_y - cov * cov / var_x) / var_y, 6)
         .alias("reduction"))
+
+
+# ---------------------------------------------------------------------------
+# Stratified IPW average treatment effect (causal-inference family)
+
+def _sql_u16_of(expr: str, offset: int) -> str:
+    """DuckDB: hex digits [offset, offset+3] of md5(expr) as 0..65535
+    (strpos arithmetic — the portable-hash rule; no conv())."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {offset + i}, 1))"
+        f" - 1) * {16 ** (3 - i)}" for i in range(4)) + ")"
+
+
+_IPW_PTREAT = (lambda u: f"(0.2 + 0.6 * ({u}) / 65536.0)")
+
+
+@query(
+    "events_stratified_ipw_ate",
+    survey="beyond-reference (stratified inverse-propensity-weighted "
+           "ATE, Horvitz-Thompson with stratum-estimated propensities: "
+           "treatment assignment CONFOUNDED with event_type by "
+           "construction, so the naive treated-minus-control difference "
+           "is biased and IPW de-biases it — the causal-adjustment "
+           "primitive next to diff-in-diff)",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT)
+               + CAST(ROUND(10000.0
+                      * {_IPW_PTREAT(_sql_u16_of("event_type", 1))})
+                      AS BIGINT) AS cents,
+               CASE WHEN {_sql_u16_of("CAST(event_id AS VARCHAR) || 't'", 1)}
+                    / 65536.0
+                    < {_IPW_PTREAT(_sql_u16_of("event_type", 1))}
+                    THEN 1 ELSE 0 END AS t
+        FROM events WHERE value IS NOT NULL
+    ), strata AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_s,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN t = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS y_t,
+               CAST(SUM(CASE WHEN t = 0 THEN cents ELSE 0 END) AS BIGINT)
+                   AS y_c
+        FROM base GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(SUM(n_t) AS BIGINT) AS nt,
+               CAST(SUM(y_t) AS BIGINT) AS yt,
+               CAST(SUM(y_c) AS BIGINT) AS yc,
+               SUM(CAST(ROUND((CAST(y_t AS DOUBLE) / 100.0
+                        / (CAST(n_t AS DOUBLE) / n_s)
+                        - CAST(y_c AS DOUBLE) / 100.0
+                        / (1.0 - CAST(n_t AS DOUBLE) / n_s))
+                       * 1000000) AS BIGINT)) AS ipw_micro
+        FROM strata
+    )
+    SELECT n,
+           ROUND(CAST(yt AS DOUBLE) / 100.0 / nt
+                 - CAST(yc AS DOUBLE) / 100.0 / (n - nt), 6) AS naive_diff,
+           ROUND(ipw_micro / 1000000.0 / n, 6) AS ipw_ate
+    FROM tot
+    """,
+)
+def events_stratified_ipw_ate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """IPW causal adjustment with a planted confounder: each event's
+    treatment probability depends on its event_type (a deterministic
+    md5-derived propensity in [0.2, 0.8)), and since value distributions
+    also differ by type, the NAIVE treated-vs-control mean difference is
+    biased away from the true null effect.  The Horvitz-Thompson
+    estimator re-weights each stratum's treated/control sums by the
+    stratum's estimated propensity n_t/n_s and lands near zero — the
+    de-biasing a platform applies when assignment wasn't uniform.
+    The confound is PLANTED: outcomes carry a per-stratum shift of
+    100·p_s dollars, so treated rows over-represent high-shift strata
+    and the naive difference sits dollars above the true null, while
+    the within-stratum contrasts IPW aggregates are shift-free.
+    Exactness: outcomes fold as exact cents; each stratum's IPW term is
+    ONE shared-op-order double rounded to micro-units before the
+    cross-stratum integer sum (the ANOVA discipline — per-stratum float
+    terms summed raw would be shuffle-order-dependent).  Scale: one
+    aggregate onto the type-bounded stratum table, then ≤|types|-row
+    arithmetic."""
+    ev = (tbl(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    u_event = (F.conv(F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit("t"))),
+        1, 4), 16, 10).cast("double"))
+    u_type = (F.conv(F.substring(F.md5(F.col("event_type")), 1, 4), 16, 10)
+              .cast("double"))
+    p_treat = 0.2 + 0.6 * u_type / 65536.0
+    base = ev.select(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long")
+         + F.round(10000.0 * p_treat).cast("long")).alias("cents"),
+        (u_event / 65536.0 < p_treat).cast("int").alias("t"))
+    strata = (base.groupBy("event_type")
+              .agg(F.count("*").alias("n_s"),
+                   F.sum("t").alias("n_t"),
+                   F.sum(F.when(F.col("t") == 1, F.col("cents"))
+                         .otherwise(F.lit(0))).alias("y_t"),
+                   F.sum(F.when(F.col("t") == 0, F.col("cents"))
+                         .otherwise(F.lit(0))).alias("y_c")))
+    phat = F.col("n_t").cast("double") / F.col("n_s")
+    ipw_term = (F.col("y_t").cast("double") / 100.0 / phat
+                - F.col("y_c").cast("double") / 100.0 / (1.0 - phat))
+    tot = strata.agg(
+        F.sum("n_s").alias("n"),
+        F.sum("n_t").alias("nt"),
+        F.sum("y_t").alias("yt"),
+        F.sum("y_c").alias("yc"),
+        F.sum(F.round(ipw_term * 1_000_000).cast("long")).alias("ipw_micro"))
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("yt").cast("double") / 100.0 / F.col("nt")
+                - F.col("yc").cast("double") / 100.0
+                / (F.col("n") - F.col("nt")), 6).alias("naive_diff"),
+        F.round(F.col("ipw_micro") / 1_000_000.0 / F.col("n"), 6)
+        .alias("ipw_ate"))
+
+
+# ---------------------------------------------------------------------------
+# GPD peaks-over-threshold tail fit via probability-weighted moments
+
+_GPD_U = 100.0            # POT threshold on event value
+
+
+@query(
+    "events_gpd_tail_pwm",
+    survey="beyond-reference (extreme-value theory: generalized Pareto "
+           "fit to threshold exceedances by probability-weighted "
+           "moments, Hosking & Wallis 1987 — closed-form, no iteration; "
+           "order-statistic sums exact over the tied value domain)",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(ROUND((value - {_GPD_U}) * 100) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND value > {_GPD_U}
+        GROUP BY 1
+    ), ranked AS (
+        SELECT x, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+        FROM cells
+    ), mom AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(x * c) AS BIGINT) AS s1,
+               CAST(SUM(CAST(x AS HUGEINT)
+                        * (CAST(before AS HUGEINT) * c
+                           + CAST(c AS HUGEINT) * (c - 1) // 2)) AS DOUBLE)
+                   AS rw
+        FROM ranked
+    ), pwm AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / 100.0 / n AS b0,
+               rw / 100.0 / n / (n - 1) AS b1
+        FROM mom
+    )
+    SELECT n AS n_exceed,
+           ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+           ROUND(2.0 * b0 * b1 / (b0 - 2.0 * b1), 6) AS sigma,
+           ROUND(b0 / (b0 - 2.0 * b1) - 2.0, 6) AS kappa
+    FROM pwm
+    """,
+)
+def events_gpd_tail_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized Pareto tail fit to the exceedances of value over the
+    POT threshold, by probability-weighted moments: b0 is the mean
+    exceedance and b1 = Σ x₍ᵢ₎·(i−1) / (n(n−1)) the rank-weighted
+    moment, from which σ̂ = 2b0b1/(b0−2b1) and κ̂ = b0/(b0−2b1) − 2 in
+    closed form (Hosking & Wallis 1987; ξ = −κ) — the capacity-planning
+    / risk-tail estimator next to the Hill index, with no iterative
+    optimizer to reproduce cross-engine.  Ties carry exactly: within a
+    tie group of c equal exceedances after ``before`` smaller ones,
+    Σ(rank−1) = before·c + c(c−1)/2 whatever the intra-tie order, so
+    the rank-weighted sum is an exact integer (HUGEINT/DECIMAL — x·rank
+    reaches n²·x at corpus scale) and b0/b1/σ/κ evaluate once in
+    shared-op doubles.  Scale: one groupBy on the exceedance domain +
+    a domain-bounded prefix window (the MWU shape)."""
+    cells = (tbl(spark, sf_dir, "events")
+             .filter(F.col("value").isNotNull()
+                     & (F.col("value") > _GPD_U))
+             .groupBy(F.round((F.col("value") - _GPD_U) * 100)
+                      .cast("long").alias("x"))
+             .agg(F.count("*").alias("c")))
+    w_excl = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "x", "c",
+        F.coalesce(F.sum("c").over(w_excl), F.lit(0)).alias("before"))
+    x_dec = F.col("x").cast("decimal(20,0)")
+    rank_sum = (F.col("before").cast("decimal(20,0)") * F.col("c")
+                + F.expr("(c * (c - 1)) div 2").cast("decimal(20,0)"))
+    mom = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("s1"),
+        F.sum(x_dec * rank_sum).cast("double").alias("rw"))
+    b0 = F.col("s1").cast("double") / 100.0 / F.col("n")
+    b1 = F.col("rw") / 100.0 / F.col("n") / (F.col("n") - 1)
+    return mom.select(
+        F.col("n").cast("long").alias("n_exceed"),
+        F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
+        F.round(2.0 * b0 * b1 / (b0 - 2.0 * b1), 6).alias("sigma"),
+        F.round(b0 / (b0 - 2.0 * b1) - 2.0, 6).alias("kappa"))
