@@ -16,7 +16,7 @@ its exchange carries only surviving (p1, p2) pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.plans.registry import query, tbl
@@ -189,3 +189,83 @@ def events_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("sequence").cast("string").alias("pattern"),
                     "freq")
             .orderBy(F.col("freq").desc(), F.col("pattern").asc()))
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (cumulative revenue share classes)
+
+_ABC_A, _ABC_B = 0.7, 0.9
+
+
+@query(
+    "part_abc_classification",
+    survey="insight extension(ABC inventory classification: parts ranked "
+           "by revenue, cumulative-share cutoffs 70/90% — the Pareto "
+           "CLASSIFICATION op next to the concentration report; exact "
+           "cents cumulatives, cross-multiplied threshold compares)",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE)
+                    * (1 - CAST(l_discount AS DOUBLE)) * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, rev_cents,
+               CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents,
+               CAST(SUM(rev_cents) OVER () AS BIGINT) AS tot_cents
+        FROM pr
+    ), classed AS (
+        SELECT *,
+               CASE WHEN cum_cents * 100 <= tot_cents * {int(_ABC_A * 100)}
+                    THEN 'A'
+                    WHEN cum_cents * 100 <= tot_cents * {int(_ABC_B * 100)}
+                    THEN 'B' ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           (SUM(rev_cents) / 100.0) AS revenue,
+           ROUND(CAST(SUM(rev_cents) AS DOUBLE) / MAX(tot_cents), 6)
+               AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def part_abc_classification(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """ABC analysis: rank parts by revenue, walk the cumulative share,
+    and class them A (first 70% of revenue), B (to 90%), C (tail) —
+    the inventory-policy segmentation (count cycle A items weekly, C
+    items yearly).  Revenue folds as exact cents; the class cutoffs
+    compare CROSS-MULTIPLIED integers (cum·100 ≤ tot·70), so no float
+    share ever decides a boundary part — the k-anonymity floor()
+    lesson applied to thresholds.  Tie-break (revenue DESC, partkey)
+    pins the cumulative order.  Scale: one part-keyed aggregate; the
+    cumulative window orders the part table (catalog-sized, not
+    corpus-sized) — range-partitioned sort at scale."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pr = (li.groupBy("l_partkey")
+          .agg(F.sum(F.round(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount")) * 100)
+                     .cast("long")).alias("rev_cents")))
+    w_cum = (Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = pr.select(
+        "l_partkey", "rev_cents",
+        F.sum("rev_cents").over(w_cum).cast("long").alias("cum_cents"),
+        F.sum("rev_cents").over(Window.partitionBy()).cast("long")
+        .alias("tot_cents"))
+    cls = (F.when(F.col("cum_cents") * 100
+                  <= F.col("tot_cents") * int(_ABC_A * 100), "A")
+           .when(F.col("cum_cents") * 100
+                 <= F.col("tot_cents") * int(_ABC_B * 100), "B")
+           .otherwise("C"))
+    return (ranked.withColumn("abc_class", cls)
+            .groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 (F.sum("rev_cents") / 100.0).alias("revenue"),
+                 F.round(F.sum("rev_cents").cast("double")
+                         / F.max("tot_cents"), 6).alias("revenue_share"))
+            .orderBy("abc_class"))

@@ -2803,3 +2803,88 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode,
         schema="word string, n_pieces long, seg string, is_unk boolean")
         .orderBy("word"))
+
+
+# ---------------------------------------------------------------------------
+# S-stemmer (Harman 1991) — the light plural stemmer, one CASE chain
+
+_SSTEM_CASE = """
+    CASE
+      WHEN length(word) <= 3 THEN word
+      WHEN word LIKE '%ies' AND word NOT LIKE '%eies'
+           AND word NOT LIKE '%aies'
+        THEN substr(word, 1, length(word) - 3) || 'y'
+      WHEN word LIKE '%es' AND word NOT LIKE '%aes'
+           AND word NOT LIKE '%ees' AND word NOT LIKE '%oes'
+        THEN substr(word, 1, length(word) - 1)
+      WHEN word LIKE '%s' AND word NOT LIKE '%us' AND word NOT LIKE '%ss'
+        THEN substr(word, 1, length(word) - 1)
+      ELSE word
+    END
+"""
+
+
+@query(
+    "text_s_stemmer_groups",
+    survey="north-star text analysis (Harman 1991 S-stemmer: the "
+           "light plural-conflation rules as ONE portable CASE chain — "
+           "the recall-cheap stemming step of a lexical retrieval "
+           "pipeline, next to the tokenizer family)",
+    oracle=f"""
+    WITH base AS (
+      SELECT lower(t.w) AS word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(w)
+      WHERE doc_id < 200 AND regexp_matches(lower(t.w), '^[a-z]+$')
+      GROUP BY 1
+    ), words AS (
+      SELECT word, n_occ FROM base
+      UNION ALL
+      SELECT CASE WHEN word LIKE '%y'
+                  THEN substr(word, 1, length(word) - 1) || 'ies'
+                  ELSE word || 's' END AS word,
+             n_occ FROM base
+    ), stemmed AS (
+      SELECT word, n_occ, {_SSTEM_CASE} AS stem FROM words
+    )
+    SELECT stem,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+           string_agg(word, ',' ORDER BY word) AS variants
+    FROM stemmed GROUP BY stem
+    HAVING COUNT(*) >= 1
+    ORDER BY stem
+    """,
+)
+def text_s_stemmer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-stemmer conflation over the corpus vocabulary: the three Harman
+    rules (-ies→y with e/a guards; -es→e with a/e/o guards; -s dropped
+    unless -us/-ss; words ≤3 chars untouched) expressed as one CASE
+    chain BOTH engines parse — plural variants collapse into stem
+    groups ('table,tables' → table; 'query,queries' → query), the cheap
+    recall lever a lexical retrieval stack applies before BM25.  The
+    synthetic corpus carries no inflection, so each word's plural form
+    (-y→-ies, else +s) is PLANTED as a deterministic echo — the planted-
+    duplicate convention; without it the stemmer is an identity map and
+    a hash match proves nothing.  Variant lists serialize to
+    sorted CSV (the list-cell hashing rule).  Scale: one vocabulary
+    aggregate then a vocabulary-sized projection + regroup — the corpus
+    is touched once."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .select(F.lower("w").alias("word"))
+            .filter(F.col("word").rlike("^[a-z]+$"))
+            .groupBy("word").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_occ")))
+    plural = F.when(
+        F.col("word").endswith("y"),
+        F.concat(F.expr("substr(word, 1, length(word) - 1)"),
+                 F.lit("ies"))).otherwise(F.concat("word", F.lit("s")))
+    words = base.unionByName(base.select(plural.alias("word"), "n_occ"))
+    stemmed = words.select("word", "n_occ",
+                           F.expr(_SSTEM_CASE).alias("stem"))
+    return (stemmed.groupBy("stem")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_variants"),
+                 F.sum("n_occ").cast("long").alias("n_occurrences"),
+                 F.concat_ws(",", F.sort_array(F.collect_list("word")))
+                 .alias("variants"))
+            .orderBy("stem"))
