@@ -1208,3 +1208,96 @@ def graph_degree_assortativity(spark: SparkSession,
                      / F.col("n"))))
     return mom.select(F.col("n").cast("long").alias("n_edge_ends"),
                       F.round(r, 6).alias("assortativity"))
+
+
+@query(
+    "graph_rich_club_coefficient",
+    survey="north-star graph analytics (rich-club coefficient φ(k) = "
+           "2·E_k / (N_k(N_k−1)) over the degree-filtered subgraphs — "
+           "do high-degree nodes preferentially interconnect; exact "
+           "integer counts, completing degree structure next to "
+           "assortativity)",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_KNN_N}),
+    pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d,
+             ROUND({sql_sq_l2('a.embedding', 'b.embedding')}, 6) AS dist
+      FROM vecs a CROSS JOIN vecs b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT s, d FROM (
+        SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                       ORDER BY dist ASC, d ASC) AS rn
+        FROM pairs) WHERE rn <= {_KNN_K}),
+    e AS (
+      SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM nn),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node),
+    ks AS (SELECT CAST(k AS BIGINT) AS k
+           FROM UNNEST(range(1, (SELECT MAX(degree) FROM deg))) AS t(k)),
+    nodes_k AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+      FROM ks JOIN deg ON deg.degree > ks.k GROUP BY ks.k),
+    edges_k AS (
+      SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM ks
+      JOIN e ON true
+      JOIN deg da ON da.node = e.a AND da.degree > ks.k
+      JOIN deg db ON db.node = e.b AND db.degree > ks.k
+      GROUP BY ks.k)
+    SELECT n.k, n.n_k, CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+           ROUND(2.0 * COALESCE(ek.e_k, 0) / (n.n_k * (n.n_k - 1)), 6)
+               AS phi
+    FROM nodes_k n LEFT JOIN edges_k ek ON ek.k = n.k
+    WHERE n.n_k >= 2
+    ORDER BY n.k
+    """,
+)
+def graph_rich_club_coefficient(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Rich-club curve of the 3-NN embedding graph: for each degree
+    cutoff k, the density φ(k) of the subgraph induced by nodes with
+    degree > k (Zhou & Mondragón 2004).  A rising φ(k) says hubs form
+    a core that graph-ANN entry-point selection can exploit; flat-or-
+    falling says degree is uninformative for routing.  Exact integer
+    node/edge counts per cutoff; the cutoff spine is bounded by the max
+    degree so the 'per-k subgraph' is a broadcast-joined filter, never
+    a rebuild.  Scale: degree is one aggregate; edges join the degree
+    table twice (broadcast — node table ≪ edges); the k fan-out
+    multiplies by max-degree ≤ 2k_nn, a small constant."""
+    from server2_vector_search_server_spark.operators.graph import knn_graph
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _KNN_N).select("vec_id", "embedding"))
+    edges = knn_graph(emb, k=_KNN_K)
+    deg = (edges.select(F.col("src").alias("node"))
+           .unionByName(edges.select(F.col("dst").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                .alias("degree"))
+           .localCheckpoint(eager=False))
+    max_deg = deg.agg(F.max("degree")).first()[0]
+    ks = spark.range(1, int(max_deg)).select(F.col("id").alias("k"))
+    nodes_k = (F.broadcast(ks).join(deg, deg.degree > F.col("k"))
+               .groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_k")))
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed(
+        "degree", "dega")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed(
+        "degree", "degb")
+    ed = (edges.withColumnRenamed("src", "a").withColumnRenamed("dst", "b")
+          .join(da, "a").join(db, "b"))
+    edges_k = (F.broadcast(ks)
+               .join(ed, (ed.dega > F.col("k")) & (ed.degb > F.col("k")))
+               .groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("e_k")))
+    return (nodes_k.join(edges_k, "k", "left")
+            .filter(F.col("n_k") >= 2)
+            .select("k", "n_k",
+                    F.coalesce(F.col("e_k"), F.lit(0)).cast("long")
+                    .alias("e_k"),
+                    F.round(2.0 * F.coalesce(F.col("e_k"), F.lit(0))
+                            / (F.col("n_k") * (F.col("n_k") - 1)), 6)
+                    .alias("phi"))
+            .orderBy("k"))

@@ -771,3 +771,161 @@ def events_gpd_tail_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
         F.round(2.0 * b0 * b1 / (b0 - 2.0 * b1), 6).alias("sigma"),
         F.round(b0 / (b0 - 2.0 * b1) - 2.0, 6).alias("kappa"))
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed t (robust two-sample location test)
+
+_YUEN_G = 0.2          # trim proportion per tail
+
+
+@query(
+    "events_yuen_trimmed_t",
+    survey="beyond-reference (Yuen 1974 trimmed t: 20%-trimmed means "
+           "with winsorized variances and Welch-style df — the robust "
+           "two-sample test that survives the heavy tail Welch's t "
+           "chokes on; order statistics exact over the tied value "
+           "domain)",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, x, c,
+               CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM cells
+    ), marked AS (
+        SELECT *,
+               CAST(FLOOR({_YUEN_G} * n) AS BIGINT) AS g,
+               GREATEST(CAST(0 AS BIGINT),
+                 LEAST(before + c, n - CAST(FLOOR({_YUEN_G} * n) AS BIGINT))
+                 - GREATEST(before + 1,
+                            CAST(FLOOR({_YUEN_G} * n) AS BIGINT) + 1)
+                 + 1) AS c_in
+        FROM ranked
+    ), grp AS (
+        SELECT event_type, MAX(n) AS n, MAX(g) AS g,
+               CAST(SUM(x * c_in) AS BIGINT) AS int_sum,
+               CAST(SUM(CAST(x AS HUGEINT) * x * c_in) AS DOUBLE)
+                   AS int_ssq,
+               MIN(CASE WHEN before + c >= g + 1 THEN x END) AS x_lo,
+               MIN(CASE WHEN before + c >= n - g THEN x END) AS x_hi
+        FROM marked GROUP BY event_type
+    ), win AS (
+        SELECT event_type, n, g, n - 2 * g AS h,
+               CAST(int_sum + g * x_lo + g * x_hi AS DOUBLE) / 100.0
+                   AS w_sum,
+               (int_ssq
+                + CAST(g AS DOUBLE) * x_lo * x_lo
+                + CAST(g AS DOUBLE) * x_hi * x_hi) / 10000.0 AS w_ssq,
+               CAST(int_sum AS DOUBLE) / 100.0 AS t_sum
+        FROM grp
+    ), stats AS (
+        SELECT event_type, n, h,
+               t_sum / h AS tmean,
+               (n - 1.0) * ((w_ssq - w_sum * w_sum / n) / (n - 1))
+                 / (h * (h - 1.0)) AS d
+        FROM win
+    ), wide AS (
+        SELECT
+          MAX(CASE WHEN event_type = '{_KS_A}' THEN h END) AS h1,
+          MAX(CASE WHEN event_type = '{_KS_B}' THEN h END) AS h2,
+          MAX(CASE WHEN event_type = '{_KS_A}' THEN tmean END) AS m1,
+          MAX(CASE WHEN event_type = '{_KS_B}' THEN tmean END) AS m2,
+          MAX(CASE WHEN event_type = '{_KS_A}' THEN d END) AS d1,
+          MAX(CASE WHEN event_type = '{_KS_B}' THEN d END) AS d2
+        FROM stats
+    )
+    SELECT CAST(h1 AS BIGINT) AS h1, CAST(h2 AS BIGINT) AS h2,
+           ROUND(m1 - m2, 6) AS trimmed_diff,
+           ROUND((m1 - m2) / sqrt(d1 + d2), 6) AS t_yuen,
+           ROUND((d1 + d2) * (d1 + d2)
+                 / (d1 * d1 / (h1 - 1.0) + d2 * d2 / (h2 - 1.0)), 6)
+               AS df_yuen
+    FROM wide
+    """,
+)
+def events_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's robust t between two event types: trim the bottom/top 20%
+    of each sample (interior sums computed EXACTLY on the tied value
+    domain — each cell contributes the overlap of its rank interval
+    [before+1, before+c] with the kept band), estimate variance from
+    the WINSORIZED sample (tails clamped to the band-edge order
+    statistics x_(g+1), x_(n−g), both exact rank lookups), and form
+    t = (tm₁−tm₂)/√(d₁+d₂) with Welch-Satterthwaite df on the trimmed
+    counts (Yuen 1974).  Every carrier into the final expression is an
+    exact integer.  Scale: the MWU shape — one groupBy on (type, cents),
+    domain-bounded prefix windows, 2-row arithmetic."""
+    cells = (tbl(spark, sf_dir, "events")
+             .filter(F.col("event_type").isin(_KS_A, _KS_B)
+                     & F.col("value").isNotNull())
+             .groupBy("event_type",
+                      F.round(F.col("value") * 100).cast("long").alias("x"))
+             .agg(F.count("*").alias("c")))
+    w_excl = (Window.partitionBy("event_type").orderBy("x")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_grp = Window.partitionBy("event_type")
+    ranked = cells.select(
+        "event_type", "x", "c",
+        F.coalesce(F.sum("c").over(w_excl), F.lit(0)).alias("before"),
+        F.sum("c").over(w_grp).cast("long").alias("n"))
+    g = F.floor(_YUEN_G * F.col("n")).cast("long")
+    c_in = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("before") + F.col("c"), F.col("n") - g)
+        - F.greatest(F.col("before") + 1, g + 1) + 1)
+    marked = ranked.select(
+        "event_type", "x", "c", "before", "n",
+        g.alias("g"), c_in.alias("c_in"))
+    x_dec = F.col("x").cast("decimal(20,0)")
+    grp = (marked.groupBy("event_type")
+           .agg(F.max("n").alias("n"), F.max("g").alias("g"),
+                F.sum(F.col("x") * F.col("c_in")).alias("int_sum"),
+                F.sum(x_dec * x_dec * F.col("c_in")).cast("double")
+                .alias("int_ssq"),
+                F.min(F.when(F.col("before") + F.col("c")
+                             >= F.col("g") + 1, F.col("x")))
+                .alias("x_lo"),
+                F.min(F.when(F.col("before") + F.col("c")
+                             >= F.col("n") - F.col("g"), F.col("x")))
+                .alias("x_hi")))
+    h = F.col("n") - 2 * F.col("g")
+    w_sum = ((F.col("int_sum") + F.col("g") * F.col("x_lo")
+              + F.col("g") * F.col("x_hi")).cast("double") / 100.0)
+    w_ssq = ((F.col("int_ssq")
+              + F.col("g").cast("double") * F.col("x_lo") * F.col("x_lo")
+              + F.col("g").cast("double") * F.col("x_hi") * F.col("x_hi"))
+             / 10000.0)
+    t_sum = F.col("int_sum").cast("double") / 100.0
+    stats = grp.select(
+        "event_type", "n", h.alias("h"),
+        (t_sum / h).alias("tmean"),
+        ((F.col("n") - 1.0)
+         * ((w_ssq - w_sum * w_sum / F.col("n")) / (F.col("n") - 1))
+         / (h * (h - 1.0))).alias("d"))
+    wide = stats.agg(
+        F.max(F.when(F.col("event_type") == _KS_A, F.col("h"))).alias("h1"),
+        F.max(F.when(F.col("event_type") == _KS_B, F.col("h"))).alias("h2"),
+        F.max(F.when(F.col("event_type") == _KS_A, F.col("tmean")))
+        .alias("m1"),
+        F.max(F.when(F.col("event_type") == _KS_B, F.col("tmean")))
+        .alias("m2"),
+        F.max(F.when(F.col("event_type") == _KS_A, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("event_type") == _KS_B, F.col("d"))).alias("d2"))
+    return wide.select(
+        F.col("h1").cast("long").alias("h1"),
+        F.col("h2").cast("long").alias("h2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("trimmed_diff"),
+        F.round((F.col("m1") - F.col("m2"))
+                / F.sqrt(F.col("d1") + F.col("d2")), 6).alias("t_yuen"),
+        F.round((F.col("d1") + F.col("d2")) * (F.col("d1") + F.col("d2"))
+                / (F.col("d1") * F.col("d1") / (F.col("h1") - 1.0)
+                   + F.col("d2") * F.col("d2") / (F.col("h2") - 1.0)), 6)
+        .alias("df_yuen"))

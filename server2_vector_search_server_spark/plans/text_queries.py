@@ -7,7 +7,7 @@ constants as the Spark operators — one source of truth, two engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.text import (
@@ -2888,3 +2888,125 @@ def text_s_stemmer_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat_ws(",", F.sort_array(F.collect_list("word")))
                  .alias("variants"))
             .orderBy("stem"))
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta (stylometry: source-pair distance over function-word z-scores)
+
+_BD_TOPW = 20
+_BD_DOCS = 500
+
+
+@query(
+    "text_burrows_delta_sources",
+    survey="north-star text analysis (Burrows 2002 Delta: mean |z| "
+           "difference of top-word relative frequencies between source "
+           "pairs — the stylometric attribution distance; frequencies "
+           "carried as exact nano-int rationals, z-moments as exact "
+           "integer sums)",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, lower(t.w) AS word
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(w)
+      WHERE doc_id < {_BD_DOCS}
+        AND regexp_matches(lower(t.w), '^[a-z]+$')
+    ), top_words AS (
+      SELECT word FROM (
+        SELECT word, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+        FROM toks GROUP BY word) WHERE rk <= {_BD_TOPW}
+    ), src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+      FROM toks GROUP BY source
+    ), cells AS (
+      SELECT s.source, w.word,
+             CAST(ROUND(1000000000.0 * COALESCE(c.n, 0) / st.t_s)
+                  AS BIGINT) AS f_nano
+      FROM (SELECT DISTINCT source FROM toks) s
+      CROSS JOIN top_words w
+      LEFT JOIN (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM toks GROUP BY source, word) c
+        ON c.source = s.source AND c.word = w.word
+      JOIN src_tot st ON st.source = s.source
+    ), moments AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(f_nano) AS BIGINT) AS s1,
+             CAST(SUM(CAST(f_nano AS HUGEINT) * f_nano) AS DOUBLE) AS s2
+      FROM cells GROUP BY word
+    ), z AS (
+      SELECT c.source, c.word,
+             (c.f_nano - CAST(m.s1 AS DOUBLE) / m.k)
+             / sqrt((m.s2 - CAST(m.s1 AS DOUBLE) * m.s1 / m.k)
+                    / (m.k - 1)) AS zv
+      FROM cells c JOIN moments m ON m.word = c.word
+    ), pairs AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(SUM(CAST(ROUND(ABS(a.zv - b.zv) * 1000000) AS BIGINT))
+                  AS BIGINT) AS d_micro
+      FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s1, s2,
+           ROUND(d_micro / 1000000.0 / {_BD_TOPW}, 6) AS delta
+    FROM pairs ORDER BY s1, s2
+    """,
+)
+def text_burrows_delta_sources(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair: take the corpus's top
+    20 words, z-score each word's relative frequency across sources,
+    and average |z(s1) − z(s2)| over the word panel — the classic
+    stylometric distance (Burrows 2002; function-word profiles
+    attribute authorship).  Determinism chain: relative frequencies
+    round to exact nano-int rationals per (source, word) cell; the
+    cross-source mean/std come from exact integer sums over those; each
+    pair term rounds to micro before the 20-word integer sum (the ANOVA
+    discipline — a raw double sum over shuffle order would drift).
+    Scale: one corpus token scan; everything after lives on the
+    (sources × 20) panel, and the pair join is sources² × 20 — catalog-
+    bounded, never corpus-bounded."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _BD_DOCS)
+    toks = (docs.select("source",
+                        F.explode(tokens(F.col("text"))).alias("w"))
+            .select("source", F.lower("w").alias("word"))
+            .filter(F.col("word").rlike("^[a-z]+$"))
+            .localCheckpoint(eager=False))
+    top_words = (toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+                 .withColumn("rk", F.row_number().over(
+                     Window.orderBy(F.col("n").desc(), "word")))
+                 .filter(F.col("rk") <= _BD_TOPW).select("word"))
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("t_s"))
+    counts = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("n"))
+    cells = (src_tot.select("source", "t_s")
+             .crossJoin(F.broadcast(top_words))
+             .join(counts, ["source", "word"], "left")
+             .select("source", "word",
+                     F.round(1_000_000_000.0
+                             * F.coalesce(F.col("n"), F.lit(0))
+                             / F.col("t_s")).cast("long").alias("f_nano")))
+    f_dec = F.col("f_nano").cast("decimal(20,0)")
+    moments = (cells.groupBy("word")
+               .agg(F.count(F.lit(1)).alias("k"),
+                    F.sum("f_nano").alias("s1"),
+                    F.sum(f_dec * f_dec).cast("double").alias("s2")))
+    zv = ((F.col("f_nano") - F.col("s1").cast("double") / F.col("k"))
+          / F.sqrt((F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+                    / F.col("k")) / (F.col("k") - 1)))
+    z = cells.join(F.broadcast(moments), "word").select(
+        "source", "word", zv.alias("zv"))
+    za = z.select(F.col("source").alias("s1"), "word",
+                  F.col("zv").alias("z1"))
+    zb = z.select(F.col("source").alias("s2"), "word",
+                  F.col("zv").alias("z2"))
+    pairs = (za.join(zb, "word")
+             .filter(F.col("s1") < F.col("s2"))
+             .groupBy("s1", "s2")
+             .agg(F.sum(F.round(F.abs(F.col("z1") - F.col("z2"))
+                                * 1_000_000).cast("long"))
+                  .alias("d_micro")))
+    return (pairs.select(
+        "s1", "s2",
+        F.round(F.col("d_micro") / 1_000_000.0 / _BD_TOPW, 6)
+        .alias("delta"))
+        .orderBy("s1", "s2"))
