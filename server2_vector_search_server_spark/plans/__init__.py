@@ -107,7 +107,8 @@ _DRIVER_HEAD_ROTATION = [
     "events_stratified_ipw_ate", "events_gpd_tail_pwm",
     "part_abc_classification", "text_s_stemmer_groups",
     "text_burrows_delta_sources", "graph_rich_club_coefficient",
-    "events_yuen_trimmed_t",
+    "events_yuen_trimmed_t", "events_huber_location",
+    "embedding_intrinsic_dim_twonn",
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",

@@ -929,3 +929,92 @@ def events_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("d1") * F.col("d1") / (F.col("h1") - 1.0)
                    + F.col("d2") * F.col("d2") / (F.col("h2") - 1.0)), 6)
         .alias("df_yuen"))
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator of location (3 IRLS rounds, round-scalar transfer)
+
+_HUB_K = 50.0          # clipping width in value units
+_HUB_ROUNDS = 3
+
+
+def _sql_huber() -> str:
+    parts = [f"""
+    cells AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), m0 AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               ROUND(CAST(SUM(x * c) AS DOUBLE) / 100.0 / SUM(c), 6) AS mu
+        FROM cells)"""]
+    for r in range(1, _HUB_ROUNDS + 1):
+        w = (f"LEAST(1.0, {_HUB_K} / "
+             f"GREATEST(1e-9, ABS(x / 100.0 - m.mu)))")
+        parts.append(f"""
+    m{r} AS (
+        SELECT MAX(m.n) AS n,
+               ROUND((SUM(CAST(ROUND({w} * (x / 100.0) * c * 1000000)
+                               AS BIGINT)) * 1.0)
+                     / SUM(CAST(ROUND({w} * c * 1000000) AS BIGINT)), 6)
+                   AS mu
+        FROM cells CROSS JOIN m{r - 1} m)""")
+    parts.append(f"""
+    SELECT m0.n,
+           m0.mu AS mean_value,
+           m{_HUB_ROUNDS}.mu AS huber_location,
+           ROUND(m0.mu - m{_HUB_ROUNDS}.mu, 6) AS outlier_pull
+    FROM m0, m{_HUB_ROUNDS}""")
+    return "WITH " + ",".join(parts[:-1]) + parts[-1]
+
+
+@query(
+    "events_huber_location",
+    survey="beyond-reference (Huber 1964 M-estimator of location: "
+           "fixed-round IRLS with min(1, k/|x−μ|) weights on the exact "
+           "value-domain table — the robust mean whose outlier_pull "
+           "column quantifies what the tail does to the plain mean)",
+    oracle=_sql_huber(),
+)
+def events_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber's robust location for event value: three IRLS rounds, each
+    re-weighting every distinct value by min(1, k/|x−μ|) around the
+    previous round's estimate and taking the weighted mean.  Cross-
+    engine determinism: μ is ROUNDED to 6 decimals between rounds (the
+    PageRank per-round discipline — one number is the whole inter-round
+    state, the bounded-centroid-transfer pattern), and each round's
+    numerator/denominator terms round to exact micro-ints per VALUE
+    CELL before the sum, so shuffle order cannot move the estimate.
+    The |x−μ| = 0 cell gets weight 1 via an epsilon guard on BOTH
+    engines.  Scale: rounds × one aggregate over the bounded value
+    domain; the corpus is scanned once into the cell table."""
+    cells = (tbl(spark, sf_dir, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy(F.round(F.col("value") * 100).cast("long").alias("x"))
+             .agg(F.count("*").alias("c"))
+             .localCheckpoint(eager=False))
+    first = cells.agg(
+        F.sum("c").alias("n"),
+        F.round(F.sum(F.col("x") * F.col("c")).cast("double") / 100.0
+                / F.sum("c"), 6).alias("mu")).collect()[0]
+    n, mu = int(first["n"]), float(first["mu"])
+    mean_value = mu
+    for _ in range(_HUB_ROUNDS):
+        w = F.least(F.lit(1.0),
+                    _HUB_K / F.greatest(F.lit(1e-9),
+                                        F.abs(F.col("x") / 100.0 - mu)))
+        row = cells.agg(
+            F.sum(F.round(w * (F.col("x") / 100.0) * F.col("c")
+                          * 1_000_000).cast("long")).alias("num"),
+            F.sum(F.round(w * F.col("c") * 1_000_000).cast("long"))
+            .alias("den")).collect()[0]
+        mu = float(spark.sql(
+            f"SELECT ROUND(({row['num']} * 1.0) / {row['den']}, 6)"
+        ).collect()[0][0])
+    return spark.createDataFrame(
+        [(n, mean_value, mu, None)],
+        "n long, mean_value double, huber_location double, _d double"
+    ).select(
+        "n", "mean_value", "huber_location",
+        F.round(F.col("mean_value") - F.col("huber_location"), 6)
+        .alias("outlier_pull"))

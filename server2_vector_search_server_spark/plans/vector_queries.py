@@ -288,3 +288,96 @@ def search_e5_golden_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                      threshold=config.SIMILARITY_THRESHOLD,
                      id_col="chunk_id")
             .select("seq_id", "doc_name", "chunk_index", "score"))
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate of the embedding space
+
+_TNN_N = 150
+
+
+@query(
+    "embedding_intrinsic_dim_twonn",
+    survey="embedding extension(TwoNN intrinsic-dimension estimator, "
+           "Facco et al. 2017: per-point ratio of 2nd- to 1st-NN "
+           "distance, MLE d = n/Σln μ — the manifold-dimension "
+           "diagnostic that says how much of the ambient 64 dims the "
+           "corpus actually uses; per-point ln terms exact-rounded "
+           "before the sum)",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_TNN_N}),
+    pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d,
+             ROUND({{sq}}, 6) AS dist
+      FROM vecs a CROSS JOIN vecs b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT s, d, dist,
+             ROW_NUMBER() OVER (PARTITION BY s
+                 ORDER BY dist ASC, d ASC) AS rn
+      FROM pairs),
+    mu AS (
+      SELECT a.s,
+             CAST(ROUND(0.5 * ln(b.dist / a.dist) * 1000000000) AS BIGINT)
+                 AS lnmu_nano
+      FROM (SELECT s, dist FROM nn WHERE rn = 1) a
+      JOIN (SELECT s, dist FROM nn WHERE rn = 2) b ON b.s = a.s
+      WHERE a.dist > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(lnmu_nano) AS DOUBLE) / 1000000000.0
+                 / COUNT(*), 6) AS mean_ln_mu,
+           ROUND(COUNT(*) * 1000000000.0 / SUM(lnmu_nano), 6)
+               AS intrinsic_dim
+    FROM mu
+    """.replace("{sq}", sql_sq_l2("a.embedding", "b.embedding")),
+)
+def embedding_intrinsic_dim_twonn(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic dimension of the embedding slice: for each point
+    the ratio μ = d₂/d₁ of its two nearest-neighbor distances follows a
+    Pareto(d) law on a d-dimensional manifold, giving the MLE
+    d̂ = n / Σ ln μᵢ with no density assumptions beyond local
+    uniformity (Facco et al. 2017) — the check on whether a 64-dim
+    embedding column really spans 64 dims (PCA funnels and Matryoshka
+    truncation budgets key off this).  ln μ = ½·ln(sq₂/sq₁) computes
+    from the same ROUND(·,6) squared distances the kNN family pins,
+    rounds to exact nano-ints per point, and sums as BIGINT.  Points
+    with an exact-duplicate nearest neighbor (d₁ = 0) are excluded on
+    both engines — μ is undefined there.  Scale: the exact pair stage
+    is the fixture's — at corpus scale the candidate generator is the
+    ANN bucketed join (knn_graph_bucketed), same downstream
+    arithmetic."""
+    from pyspark.sql import Window
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _TNN_N).select("vec_id", "embedding"))
+    a = emb.select(F.col("vec_id").alias("s"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("d"),
+                   F.col("embedding").alias("vb"))
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2,
+    )
+
+    pairs = (a.crossJoin(b).filter(F.col("s") != F.col("d"))
+             .select("s", "d",
+                     F.round(squared_l2(F.col("va"), F.col("vb")), 6)
+                     .alias("dist")))
+    w = Window.partitionBy("s").orderBy(F.col("dist").asc(),
+                                        F.col("d").asc())
+    nn = (pairs.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= 2))
+    d1 = (nn.filter(F.col("rn") == 1)
+          .select("s", F.col("dist").alias("dist1")))
+    d2 = (nn.filter(F.col("rn") == 2)
+          .select("s", F.col("dist").alias("dist2")))
+    mu = (d1.join(d2, "s").filter(F.col("dist1") > 0)
+          .select(F.round(0.5 * F.log(F.col("dist2") / F.col("dist1"))
+                          * 1_000_000_000).cast("long")
+                  .alias("lnmu_nano")))
+    return mu.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.sum("lnmu_nano").cast("double") / 1_000_000_000.0
+                / F.count("*"), 6).alias("mean_ln_mu"),
+        F.round(F.count("*") * 1_000_000_000.0 / F.sum("lnmu_nano"), 6)
+        .alias("intrinsic_dim"))
