@@ -166,6 +166,10 @@ HEADLINE = [
     "events_cuped_variance_reduction",  # CUPED cross-moment reduce (r9c)
     "events_fdr_bh_adjust",            # 120-cell z family + BH step-up (r9c)
     "geo_point_in_polygon_join",       # integer ray-cast zone join (r9c)
+    "events_gpd_tail_pwm",             # EVT tail fit, PWM closed form (r9c)
+    "text_burrows_delta_sources",      # stylometric source-pair panel (r9c)
+    "store_delta_log_time_travel",     # delta-protocol fold + 2 scans (r9c)
+    "events_yuen_trimmed_t",           # robust trimmed t, rank overlaps (r9c)
 ]
 
 
