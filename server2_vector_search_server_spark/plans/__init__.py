@@ -108,7 +108,8 @@ _DRIVER_HEAD_ROTATION = [
     "part_abc_classification", "text_s_stemmer_groups",
     "text_burrows_delta_sources", "graph_rich_club_coefficient",
     "events_yuen_trimmed_t", "events_huber_location",
-    "embedding_intrinsic_dim_twonn",
+    "embedding_intrinsic_dim_twonn", "events_mwu_effect_sizes",
+    "events_cramers_v_type_hour",
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",

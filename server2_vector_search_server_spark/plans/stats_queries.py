@@ -1018,3 +1018,170 @@ def events_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "mean_value", "huber_location",
         F.round(F.col("mean_value") - F.col("huber_location"), 6)
         .alias("outlier_pull"))
+
+
+# ---------------------------------------------------------------------------
+# Effect sizes: rank-biserial / Cliff's delta / CLES from the exact U
+
+@query(
+    "events_mwu_effect_sizes",
+    survey="beyond-reference (nonparametric effect sizes from the exact "
+           "Mann-Whitney U: rank-biserial r, Cliff's delta, "
+           "common-language effect size — the magnitude report the "
+           "significance test alone omits)",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+        GROUP BY 1
+    ), ranked AS (
+        SELECT cents, c1, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+        FROM cells
+    ), tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c - c1) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * before + c + 1)) AS BIGINT) AS r1_x2
+        FROM ranked
+    )
+    SELECT n1, n2,
+           ROUND((r1_x2 - n1 * (n1 + 1)) / 2.0
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS cles,
+           ROUND(2.0 * ((r1_x2 - n1 * (n1 + 1)) / 2.0
+                 / (CAST(n1 AS DOUBLE) * n2)) - 1.0, 6) AS cliffs_delta,
+           ROUND(1.0 - 2.0 * (CAST(n1 AS DOUBLE) * n2
+                 - (r1_x2 - n1 * (n1 + 1)) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * n2), 6) AS rank_biserial
+    FROM tot
+    """,
+)
+def events_mwu_effect_sizes(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The magnitude companions to events_mann_whitney_u, all derived
+    from the same EXACT half-unit rank sum: CLES = U/(n₁n₂) (the
+    probability a random group-1 value exceeds a random group-2 value,
+    ties counting half), Cliff's delta = 2·CLES − 1, and the
+    rank-biserial r = 1 − 2U'/(n₁n₂) — algebraically equal to delta,
+    kept because literatures quote both forms and the equality is
+    itself a cross-check (the two columns must agree to the rounding).
+    Scale: identical physics to the U query — value-domain-bounded
+    everything."""
+    cells = (tbl(spark, sf_dir, "events")
+             .filter(F.col("event_type").isin(_KS_A, _KS_B)
+                     & F.col("value").isNotNull())
+             .groupBy(F.round(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+             .agg(F.sum(F.when(F.col("event_type") == _KS_A, 1)
+                        .otherwise(0)).alias("c1"),
+                  F.count("*").alias("c")))
+    w_excl = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "cents", "c1", "c",
+        F.coalesce(F.sum("c").over(w_excl), F.lit(0)).alias("before"))
+    tot = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("before") + F.col("c") + 1))
+        .alias("r1_x2"))
+    u1 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    n1n2 = F.col("n1").cast("double") * F.col("n2")
+    cles = u1 / n1n2
+    return tot.select(
+        "n1", "n2",
+        F.round(cles, 6).alias("cles"),
+        F.round(2.0 * cles - 1.0, 6).alias("cliffs_delta"),
+        F.round(1.0 - 2.0 * (n1n2 - u1) / n1n2, 6).alias("rank_biserial"))
+
+
+# ---------------------------------------------------------------------------
+# Bias-corrected Cramér's V over the type×hour contingency
+
+@query(
+    "events_cramers_v_type_hour",
+    survey="beyond-reference (Cramér's V with the Bergsma 2013 bias "
+           "correction over the type×hour contingency table — the "
+           "bounded 0..1 association effect size next to the mutual "
+           "information; per-cell chi² terms exact-rounded)",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n_th
+        FROM events GROUP BY 1, 2
+    ), margins AS (
+        SELECT event_type, hr, n_th,
+               CAST(SUM(n_th) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS r_t,
+               CAST(SUM(n_th) OVER (PARTITION BY hr) AS BIGINT) AS c_h,
+               CAST(SUM(n_th) OVER () AS BIGINT) AS n
+        FROM cell
+    ), chi AS (
+        SELECT MAX(n) AS n,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT hr) AS BIGINT) AS c,
+               SUM(CAST(ROUND(
+                   (n_th - CAST(r_t AS DOUBLE) * c_h / n)
+                   * (n_th - CAST(r_t AS DOUBLE) * c_h / n)
+                   / (CAST(r_t AS DOUBLE) * c_h / n) * 1000000)
+                   AS BIGINT)) AS chi2_micro
+        FROM margins
+    )
+    SELECT n, r, c,
+           ROUND(chi2_micro / 1000000.0, 6) AS chi2,
+           ROUND(sqrt((chi2_micro / 1000000.0 / n)
+                      / (LEAST(r, c) - 1)), 6) AS cramers_v,
+           ROUND(sqrt(
+               GREATEST(0.0, chi2_micro / 1000000.0 / n
+                        - (r - 1.0) * (c - 1.0) / (n - 1))
+               / (LEAST(r - (r - 1.0) * (r - 1.0) / (n - 1),
+                        c - (c - 1.0) * (c - 1.0) / (n - 1))
+                  - 1)), 6) AS cramers_v_corrected
+    FROM chi
+    """,
+)
+def events_cramers_v_type_hour(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Association strength between event type and hour of day as
+    Cramér's V = √(φ²/(min(r,c)−1)) plus the Bergsma bias-corrected
+    form (φ² shrunk by (r−1)(c−1)/(n−1), dimensions shrunk likewise) —
+    the bounded effect size that says WHETHER the type×hour dependence
+    the chi²/MI queries detect is large or trivial.  Per-cell χ² terms
+    round to exact micro-ints before the sum (margins are exact window
+    sums over the 120-cell table).  Scale: one corpus shuffle onto
+    (type, hour); everything else is cell-table arithmetic."""
+    cell = (tbl(spark, sf_dir, "events")
+            .groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+            .agg(F.count("*").alias("n_th")))
+    margins = cell.select(
+        "event_type", "hr", "n_th",
+        F.sum("n_th").over(Window.partitionBy("event_type")).alias("r_t"),
+        F.sum("n_th").over(Window.partitionBy("hr")).alias("c_h"),
+        F.sum("n_th").over(Window.partitionBy()).alias("n"))
+    e = F.col("r_t").cast("double") * F.col("c_h") / F.col("n")
+    term = (F.col("n_th") - e) * (F.col("n_th") - e) / e
+    chi = margins.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("hr").alias("c"),
+        F.sum(F.round(term * 1_000_000).cast("long")).alias("chi2_micro"))
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    phi2 = F.col("chi2_micro") / 1_000_000.0 / nd
+    phi2c = F.greatest(F.lit(0.0),
+                       phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1))
+    rc_ = F.least(rd - (rd - 1.0) * (rd - 1.0) / (nd - 1),
+                  cd - (cd - 1.0) * (cd - 1.0) / (nd - 1))
+    return chi.select(
+        "n", "r", "c",
+        F.round(F.col("chi2_micro") / 1_000_000.0, 6).alias("chi2"),
+        F.round(F.sqrt(phi2 / (F.least(rd, cd) - 1)), 6)
+        .alias("cramers_v"),
+        F.round(F.sqrt(phi2c / (rc_ - 1)), 6)
+        .alias("cramers_v_corrected"))
