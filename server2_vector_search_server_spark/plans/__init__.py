@@ -109,7 +109,7 @@ _DRIVER_HEAD_ROTATION = [
     "text_burrows_delta_sources", "graph_rich_club_coefficient",
     "events_yuen_trimmed_t", "events_huber_location",
     "embedding_intrinsic_dim_twonn", "events_mwu_effect_sizes",
-    "events_cramers_v_type_hour",
+    "events_cramers_v_type_hour", "events_logistic_irls_binned",
     # round-9 additions: driver-verify them at the next opportunity
     "warc_ingest_manifest", "events_survival_km", "events_sax_words",
     "events_dtw_pattern_match", "events_spectral_peak_hourly",

@@ -1185,3 +1185,186 @@ def events_cramers_v_type_hour(spark: SparkSession,
         .alias("cramers_v"),
         F.round(F.sqrt(phi2c / (rc_ - 1)), 6)
         .alias("cramers_v_corrected"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed IRLS logistic regression (3 Newton rounds, binned design)
+
+_LRG_ROUNDS = 3
+
+
+def _lrg_eta(b0: str, b1: str, b2: str) -> str:
+    """One linear-predictor text both engines parse: features are the
+    intercept, hour/24, and (bin+7)/16 — all exact rationals of ints."""
+    return f"({b0} + {b1} * (hr / 24.0) + {b2} * ((bin + 7) / 16.0))"
+
+
+def _sql_logistic() -> str:
+    cells = """
+    cells AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+               GREATEST(-7, LEAST(8,
+                 CAST(FLOOR(ROUND(ln(CAST(value AS DOUBLE)) / ln(2.0), 9))
+                      AS INTEGER))) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events WHERE value > 0 GROUP BY 1, 2),
+    b0r AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    parts = [cells]
+    for r in range(1, _LRG_ROUNDS + 1):
+        eta = _lrg_eta("b.b0", "b.b1", "b.b2")
+        p = f"ROUND(1.0 / (1.0 + exp(-{eta})), 12)"
+        x1, x2 = "(hr / 24.0)", "((bin + 7) / 16.0)"
+        terms = {
+            "g0": f"(k - n * {p})",
+            "g1": f"(k - n * {p}) * {x1}",
+            "g2": f"(k - n * {p}) * {x2}",
+            "h00": f"n * {p} * (1.0 - {p})",
+            "h01": f"n * {p} * (1.0 - {p}) * {x1}",
+            "h02": f"n * {p} * (1.0 - {p}) * {x2}",
+            "h11": f"n * {p} * (1.0 - {p}) * {x1} * {x1}",
+            "h12": f"n * {p} * (1.0 - {p}) * {x1} * {x2}",
+            "h22": f"n * {p} * (1.0 - {p}) * {x2} * {x2}",
+        }
+        sums = ",\n               ".join(
+            f"SUM(CAST(ROUND(({e}) * 1000000000) AS BIGINT)) / 1000000000.0"
+            f" AS {k}" for k, e in terms.items())
+        parts.append(f"""
+    s{r} AS (
+        SELECT {sums}
+        FROM cells CROSS JOIN b{r - 1}r b)""")
+        det = ("(h00 * (h11 * h22 - h12 * h12) "
+               "- h01 * (h01 * h22 - h12 * h02) "
+               "+ h02 * (h01 * h12 - h11 * h02))")
+        d0 = ("(g0 * (h11 * h22 - h12 * h12) "
+              "- h01 * (g1 * h22 - h12 * g2) "
+              "+ h02 * (g1 * h12 - h11 * g2))")
+        d1 = ("(h00 * (g1 * h22 - g2 * h12) "
+              "- g0 * (h01 * h22 - h12 * h02) "
+              "+ h02 * (h01 * g2 - g1 * h02))")
+        d2 = ("(h00 * (h11 * g2 - h12 * g1) "
+              "- h01 * (h01 * g2 - g1 * h02) "
+              "+ g0 * (h01 * h12 - h11 * h02))")
+        parts.append(f"""
+    b{r}r AS (
+        SELECT ROUND(b.b0 + {d0} / {det}, 9) AS b0,
+               ROUND(b.b1 + {d1} / {det}, 9) AS b1,
+               ROUND(b.b2 + {d2} / {det}, 9) AS b2
+        FROM s{r} CROSS JOIN b{r - 1}r b)""")
+    final_eta = _lrg_eta("b.b0", "b.b1", "b.b2")
+    final_p = f"ROUND(1.0 / (1.0 + exp(-{final_eta})), 12)"
+    parts.append(f"""
+    ll AS (
+        SELECT SUM(CAST(ROUND(
+                 (k * ln({final_p}) + (n - k) * ln(1.0 - {final_p}))
+                 * 1000000) AS BIGINT)) AS ll_micro,
+               CAST(SUM(n) AS BIGINT) AS n_obs
+        FROM cells CROSS JOIN b{_LRG_ROUNDS}r b)
+    SELECT n_obs,
+           ROUND(b.b0, 6) AS beta0, ROUND(b.b1, 6) AS beta1,
+           ROUND(b.b2, 6) AS beta2,
+           ROUND(ll_micro / 1000000.0, 4) AS log_likelihood
+    FROM ll CROSS JOIN b{_LRG_ROUNDS}r b""")
+    return "WITH " + ",".join(parts)
+
+
+@query(
+    "events_logistic_irls_binned",
+    survey="beyond-reference (distributed logistic regression: 3 exact "
+           "Newton/IRLS rounds on the binned (hour, log2-value) design "
+           "predicting purchase — gradient/Hessian as nano-rounded cell "
+           "sums, the 3x3 solve in closed cofactor form, inter-round "
+           "betas rounded scalars; the GLM the MLlib classifier "
+           "abstracts, here fully hash-checked)",
+    oracle=_sql_logistic(),
+)
+def events_logistic_irls_binned(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Logistic regression P(purchase | hour, value-bin) trained by
+    three Newton rounds, every arithmetic step pinned cross-engine:
+    the corpus reduces ONCE to ≤ 24×16 design cells (n, k); each round
+    evaluates p = σ(β·x) per cell (rounded to 12 decimals — the DoReMi
+    exp discipline, so a last-ulp libm difference cannot leak),
+    accumulates gradient and Hessian entries as nano-rounded integer
+    sums (shuffle-order-proof), solves the 3×3 system by ONE cofactor
+    expression, and rounds β to 9 decimals — the single inter-round
+    scalar state (PageRank discipline).  The oracle unrolls the same
+    three rounds as CTEs; β and the final binned log-likelihood match
+    to the output rounding.  Scale: rounds × one aggregate over the
+    bounded cell table; the corpus is scanned once."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bin_col = F.greatest(
+        F.lit(-7), F.least(F.lit(8), F.floor(
+            F.round(F.log(F.col("value").cast("double"))
+                    / F.log(F.lit(2.0)), 9)).cast("int")))
+    cells = (ev.groupBy(F.hour("ts").cast("long").alias("hr"),
+                        bin_col.alias("bin"))
+             .agg(F.count("*").alias("n"),
+                  F.sum((F.col("event_type") == "purchase").cast("long"))
+                  .alias("k"))
+             .localCheckpoint(eager=False))
+    x1 = F.col("hr") / 24.0
+    x2 = (F.col("bin") + 7) / 16.0
+
+    def nano_sum(col):
+        return F.sum(F.round(col * 1_000_000_000).cast("long")) \
+            / 1_000_000_000.0
+
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(_LRG_ROUNDS):
+        b0, b1, b2 = beta
+        eta = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+        p = F.round(1.0 / (1.0 + F.exp(-eta)), 12)
+        w = F.col("n") * p * (1.0 - p)
+        resid = F.col("k") - F.col("n") * p
+        row = cells.agg(
+            nano_sum(resid).alias("g0"),
+            nano_sum(resid * x1).alias("g1"),
+            nano_sum(resid * x2).alias("g2"),
+            nano_sum(w).alias("h00"),
+            nano_sum(w * x1).alias("h01"),
+            nano_sum(w * x2).alias("h02"),
+            nano_sum(w * x1 * x1).alias("h11"),
+            nano_sum(w * x1 * x2).alias("h12"),
+            nano_sum(w * x2 * x2).alias("h22")).collect()[0]
+        g0, g1, g2 = row["g0"], row["g1"], row["g2"]
+        h00, h01, h02 = row["h00"], row["h01"], row["h02"]
+        h11, h12, h22 = row["h11"], row["h12"], row["h22"]
+        det = (h00 * (h11 * h22 - h12 * h12)
+               - h01 * (h01 * h22 - h12 * h02)
+               + h02 * (h01 * h12 - h11 * h02))
+        d0 = (g0 * (h11 * h22 - h12 * h12)
+              - h01 * (g1 * h22 - h12 * g2)
+              + h02 * (g1 * h12 - h11 * g2))
+        d1 = (h00 * (g1 * h22 - g2 * h12)
+              - g0 * (h01 * h22 - h12 * h02)
+              + h02 * (h01 * g2 - g1 * h02))
+        d2 = (h00 * (h11 * g2 - h12 * g1)
+              - h01 * (h01 * g2 - g1 * h02)
+              + g0 * (h01 * h12 - h11 * h02))
+        # ENGINE-side half-away rounding for the inter-round scalars
+        nb = spark.sql(
+            f"SELECT ROUND({b0!r} + {d0!r} / {det!r}, 9) AS b0, "
+            f"ROUND({b1!r} + {d1!r} / {det!r}, 9) AS b1, "
+            f"ROUND({b2!r} + {d2!r} / {det!r}, 9) AS b2").collect()[0]
+        beta = (float(nb["b0"]), float(nb["b1"]), float(nb["b2"]))
+    b0, b1, b2 = beta
+    eta = F.lit(b0) + F.lit(b1) * x1 + F.lit(b2) * x2
+    p = F.round(1.0 / (1.0 + F.exp(-eta)), 12)
+    out = cells.agg(
+        F.sum("n").cast("long").alias("n_obs"),
+        (F.sum(F.round((F.col("k") * F.log(p)
+                        + (F.col("n") - F.col("k")) * F.log(1.0 - p))
+                       * 1_000_000).cast("long")) / 1_000_000.0)
+        .alias("ll"))
+    return out.select(
+        "n_obs",
+        F.lit(b0).alias("_b0"), F.lit(b1).alias("_b1"),
+        F.lit(b2).alias("_b2"), "ll"
+    ).select(
+        "n_obs",
+        F.round(F.col("_b0"), 6).alias("beta0"),
+        F.round(F.col("_b1"), 6).alias("beta1"),
+        F.round(F.col("_b2"), 6).alias("beta2"),
+        F.round(F.col("ll"), 4).alias("log_likelihood"))
