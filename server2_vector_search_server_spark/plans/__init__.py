@@ -91,7 +91,44 @@ _DRIVER_HEAD_CORE = [
     "engine_lifecycle_e2e",     # all six endpoints end-to-end (A5-A8/D/G)
 ]
 
+# tier 2.5 — contract-changed re-pins (VERDICT r9 #2): queries whose driver
+# record is GREEN but whose observable output bytes changed after that hash
+# landed (so the current contract was never driver-witnessed).  Each maps to
+# the artifact count at which the pin expires: it stays pinned while the
+# number of committed CORRECTNESS_r*.json artifacts is BELOW the value, i.e.
+# until the next driver round's artifact (which re-hashes it) is committed.
+_DRIVER_HEAD_REPIN = {
+    # r8-green, but the docx fixture manifest gained br-in-cell + layout
+    # members after the r8 hash — re-witness under the r10 artifact (=10th)
+    "docx_parse_manifest": 10,
+}
+
 _DRIVER_HEAD_ROTATION = [
+    # round-10 priority (VERDICT r9 #2/#3): A6 first, then the three
+    # families with the largest never-sampled tails — snapshot/branch
+    # store (18), streaming (18), geo (5).  Entries auto-drop once a
+    # committed artifact shows the driver verified them.
+    "store_raw_archive_manifest",
+    "store_branch_merge_semantics", "store_occ_conflict_detection",
+    "store_snapshot_time_travel", "store_write_audit_publish",
+    "store_upsert_merge", "store_cdc_apply", "store_snapshot_diff",
+    "store_schema_evolution", "store_partition_spec_evolution",
+    "store_incremental_view_retractions", "store_incremental_join_view",
+    "store_delete_semantics", "store_compaction_invariance",
+    "store_merkle_table_digest", "store_rendezvous_sharding",
+    "store_data_contract_checks", "store_gdpr_erasure_audit",
+    "streaming_dedup_exact", "streaming_dedup_ttl",
+    "streaming_stream_stream_left_outer_join", "streaming_scd2_upkeep",
+    "streaming_incremental_rollup", "streaming_running_totals",
+    "streaming_static_enrichment", "streaming_snapshot_ingest",
+    "streaming_edge_table_upkeep", "streaming_hll_distinct_rollup",
+    "streaming_countmin_upkeep", "streaming_lossy_counting_upkeep",
+    "streaming_bloom_dedup_upkeep", "streaming_seasonal_baseline_upkeep",
+    "streaming_synthetic_source_ingest", "streaming_ann_index_upkeep",
+    "streaming_kll_quantile_rollup", "streaming_windowed_counts",
+    "geo_radius_supplier_coverage", "geo_geohash_rollup",
+    "geo_customer_pairs_within_radius", "geo_zonal_raster_stats",
+    "geo_trajectory_hausdorff_topk",
     # round-9 second-continuation additions (dialect + experimentation)
     "sql_pipe_syntax", "sql_collation_semantics",
     "store_bucketed_join_colocation", "events_welch_ttest",
@@ -214,6 +251,11 @@ def _driver_head(base_order: list[str], seen: set[str],
     # tier 2: last driver record is a failure — pin until re-verified green
     for name in sorted(red & known):
         _add(name)
+    # tier 2.5: contract-changed re-pins — green record predates the current
+    # output bytes; pinned until the expiry artifact count is reached
+    for name, until in _DRIVER_HEAD_REPIN.items():
+        if name in known and phase < until:
+            _add(name)
     # tier 3: deterministic round-robin re-verify of previously-green queries
     pool = sorted((seen & known) - red - set(_DRIVER_HEAD_CORE))
     if pool:

@@ -108,20 +108,28 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle: cohort = a user's first active week
     (integer weeks since a fixed epoch — pure integer arithmetic, no
     engine-specific week-truncation semantics), activity counted as
-    distinct users per (cohort, offset). One (user, week) shuffle + one
-    user-sized self-join; the final aggregate's single count_distinct
-    avoids the multi-distinct Expand blowup."""
+    distinct users per (cohort, offset). ONE event-sized shuffle: a
+    per-user ``collect_set(wk)`` (map-side partial dedup; state bounded by
+    calendar weeks, not events) yields each user's active-week set, whose
+    ``array_min`` IS the cohort week — no first-touch self-join, and the
+    final aggregate is a plain ``count(*)`` over already-distinct
+    (user, week) pairs instead of a ``count_distinct`` that re-dedups the
+    join fan-out (VERDICT r9 #1a)."""
     events = tbl(spark, sf_dir, "events")
     wk = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
         / 7.0).cast("int")
-    weeks = events.select("user_id", wk.alias("wk"))
-    first_touch = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    return (weeks.join(first_touch, "user_id")
+    per_user = (events.select("user_id", wk.alias("wk"))
+                .groupBy("user_id")
+                .agg(F.collect_set("wk").alias("wks")))
+    pairs = per_user.select(
+        F.array_min("wks").cast("int").alias("cohort_wk"),
+        F.explode("wks").alias("wk"))
+    return (pairs
             .groupBy("cohort_wk",
                      (F.col("wk") - F.col("cohort_wk")).cast("int")
                      .alias("week_offset"))
-            .agg(F.count_distinct("user_id").alias("n_active"))
+            .agg(F.count(F.lit(1)).alias("n_active"))
             .orderBy("cohort_wk", "week_offset"))
 
 

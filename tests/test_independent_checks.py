@@ -248,3 +248,204 @@ def test_transition_entropy_sequential_recompute(spark):
         # entropy bounds: 0 <= H <= ln(|next-state alphabet|)
         k = sum(1 for (p0, _) in trans if p0 == prev)
         assert -1e-9 <= h <= math.log(max(k, 1)) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave (VERDICT r9 #4): the milestone statistics family.  Same
+# philosophy — sequential pure-Python recomputes sharing NO algebra with the
+# engine pipelines (raw per-row sorts and loops instead of value-domain
+# tie-group identities; plain float Newton instead of nano-int sums).
+
+
+def _haz(x: float) -> int:
+    """Half-away-from-zero integer rounding (both engines' ROUND)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _u16(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def test_stratified_ipw_ate_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = load_registry()["events_stratified_ipw_ate"] \
+        .fn(spark, SF_SMOKE).collect()[0]
+    ev = _events_pdf().dropna(subset=["value"])
+    strata: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for et, eid, v in zip(ev["event_type"], ev["event_id"], ev["value"]):
+        pt = 0.2 + 0.6 * _u16(et) / 65536.0
+        cents = _haz(v * 100) + _haz(10000.0 * pt)
+        t = 1 if _u16(f"{int(eid)}t") / 65536.0 < pt else 0
+        s = strata[et]
+        s[0] += 1
+        s[1] += t
+        s[2 if t else 3] += cents
+    n = sum(s[0] for s in strata.values())
+    nt = sum(s[1] for s in strata.values())
+    yt = sum(s[2] for s in strata.values())
+    yc = sum(s[3] for s in strata.values())
+    naive = yt / 100.0 / nt - yc / 100.0 / (n - nt)
+    ipw = sum(s[2] / 100.0 / (s[1] / s[0])
+              - s[3] / 100.0 / (1.0 - s[1] / s[0])
+              for s in strata.values()) / n
+    assert row["n"] == n
+    # stratum IPW terms are micro-rounded engine-side before the sum:
+    # widen by the per-stratum half-bucket
+    assert _close(row["naive_diff"], naive)
+    assert _close(row["ipw_ate"], ipw,
+                  tol=TOL + 0.5e-6 * len(strata) / n)
+    # the planted confound must be visible: naive biased dollars above the
+    # null while IPW lands closer to it (at smoke SF the HT estimator is
+    # noisy — n=1000 gives ipw≈−2.6 vs naive≈+4.0 — so assert the ordering,
+    # not a magnitude)
+    assert row["naive_diff"] > 1.0
+    assert abs(row["ipw_ate"]) < row["naive_diff"]
+
+
+def test_gpd_tail_pwm_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = load_registry()["events_gpd_tail_pwm"] \
+        .fn(spark, SF_SMOKE).collect()[0]
+    ev = _events_pdf().dropna(subset=["value"])
+    xs = sorted(_haz((v - 100.0) * 100) for v in ev["value"] if v > 100.0)
+    n = len(xs)
+    b0 = sum(xs) / 100.0 / n
+    # direct order-statistic weighting: rank−1 = position in the sorted
+    # list (ties contribute identically whatever their intra-tie order)
+    b1 = sum(x * i for i, x in enumerate(xs)) / 100.0 / n / (n - 1)
+    assert row["n_exceed"] == n
+    assert _close(row["b0"], b0)
+    assert _close(row["b1"], b1)
+    assert _close(row["sigma"], 2.0 * b0 * b1 / (b0 - 2.0 * b1))
+    assert _close(row["kappa"], b0 / (b0 - 2.0 * b1) - 2.0)
+
+
+def _yuen_group(xs: list[int]) -> tuple[int, float, float]:
+    """(h, trimmed_mean, d) from a sorted cents list — plain slicing."""
+    n = len(xs)
+    g = int(math.floor(0.2 * n))
+    h = n - 2 * g
+    tmean = sum(xs[g:n - g]) / 100.0 / h
+    ws = [xs[g]] * g + xs[g:n - g] + [xs[n - g - 1]] * g   # winsorize
+    w_sum = sum(ws) / 100.0
+    w_ssq = sum(x * x for x in ws) / 10000.0
+    d = (w_ssq - w_sum * w_sum / n) / (h * (h - 1.0))
+    return h, tmean, d
+
+
+def test_yuen_trimmed_t_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = load_registry()["events_yuen_trimmed_t"] \
+        .fn(spark, SF_SMOKE).collect()[0]
+    ev = _events_pdf().dropna(subset=["value"])
+    grp = {et: sorted(_haz(v * 100)
+                      for e, v in zip(ev["event_type"], ev["value"])
+                      if e == et)
+           for et in ("view", "purchase")}
+    h1, m1, d1 = _yuen_group(grp["view"])
+    h2, m2, d2 = _yuen_group(grp["purchase"])
+    assert (row["h1"], row["h2"]) == (h1, h2)
+    assert _close(row["trimmed_diff"], m1 - m2)
+    assert _close(row["t_yuen"], (m1 - m2) / math.sqrt(d1 + d2))
+    assert _close(row["df_yuen"],
+                  (d1 + d2) ** 2 / (d1 * d1 / (h1 - 1.0)
+                                    + d2 * d2 / (h2 - 1.0)))
+
+
+def test_huber_location_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = load_registry()["events_huber_location"] \
+        .fn(spark, SF_SMOKE).collect()[0]
+    vals = list(_events_pdf().dropna(subset=["value"])["value"])
+    mu = sum(vals) / len(vals)
+    mean_value = mu
+    for _ in range(3):       # plain float IRLS, no cell table, no rounding
+        wts = [min(1.0, 50.0 / max(1e-9, abs(x - mu))) for x in vals]
+        mu = sum(w * x for w, x in zip(wts, vals)) / sum(wts)
+    assert row["n"] == len(vals)
+    assert _close(row["mean_value"], mean_value)
+    assert _close(row["huber_location"], mu)
+    assert _close(row["outlier_pull"], mean_value - mu)
+    # the heavy upper tail must pull the mean ABOVE the robust location
+    assert row["outlier_pull"] > 0
+
+
+def test_mwu_effect_sizes_sequential_recompute(spark):
+    import bisect
+
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = load_registry()["events_mwu_effect_sizes"] \
+        .fn(spark, SF_SMOKE).collect()[0]
+    ev = _events_pdf().dropna(subset=["value"])
+    a = [_haz(v * 100) for e, v in zip(ev["event_type"], ev["value"])
+         if e == "view"]
+    b = sorted(_haz(v * 100) for e, v in zip(ev["event_type"], ev["value"])
+               if e == "purchase")
+    n1, n2 = len(a), len(b)
+    # win-count formulation (no rank-sum algebra): for each group-1 value,
+    # count strictly-smaller group-2 values + half the ties
+    wins = sum(bisect.bisect_left(b, x) + 0.5
+               * (bisect.bisect_right(b, x) - bisect.bisect_left(b, x))
+               for x in a)
+    cles = wins / (n1 * n2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert _close(row["cles"], cles)
+    assert _close(row["cliffs_delta"], 2.0 * cles - 1.0)
+    # rank-biserial == Cliff's delta (identity doubles as a cross-check)
+    assert _close(row["rank_biserial"], 2.0 * cles - 1.0)
+    assert row["cliffs_delta"] == row["rank_biserial"]
+
+
+def test_logistic_irls_binned_sequential_recompute(spark):
+    from server2_vector_search_server_spark.plans import load_registry
+
+    row = load_registry()["events_logistic_irls_binned"] \
+        .fn(spark, SF_SMOKE).collect()[0]
+    ev = _events_pdf()
+    ev = ev[ev["value"] > 0]
+
+    def r9(x):           # the engines' pre-round of log2 to 9 decimals
+        return math.floor(x * 1e9 + 0.5) / 1e9 if x >= 0 \
+            else -math.floor(-x * 1e9 + 0.5) / 1e9
+
+    cells: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0])
+    for us, et, v in zip(ev["ts_us"], ev["event_type"], ev["value"]):
+        hr = int(us // 3_600_000_000) % 24
+        b = max(-7, min(8, int(math.floor(r9(math.log(v) / math.log(2.0))))))
+        c = cells[(hr, b)]
+        c[0] += 1
+        c[1] += 1 if et == "purchase" else 0
+
+    beta = np.zeros(3)
+    feats = {(hr, b): np.array([1.0, hr / 24.0, (b + 7) / 16.0])
+             for hr, b in cells}
+    for _ in range(3):   # plain float Newton — no nano-ints, no β rounding
+        g = np.zeros(3)
+        H = np.zeros((3, 3))
+        for key, (cn, ck) in cells.items():
+            x = feats[key]
+            p = 1.0 / (1.0 + math.exp(-float(beta @ x)))
+            g += (ck - cn * p) * x
+            H += cn * p * (1.0 - p) * np.outer(x, x)
+        beta = beta + np.linalg.solve(H, g)
+    ll = sum(ck * math.log(1.0 / (1.0 + math.exp(-float(beta @ feats[k]))))
+             + (cn - ck) * math.log(1.0 - 1.0
+                                    / (1.0 + math.exp(-float(beta
+                                                             @ feats[k]))))
+             for k, (cn, ck) in cells.items())
+    assert row["n_obs"] == sum(cn for cn, _ in cells.values())
+    assert _close(row["beta0"], beta[0])
+    assert _close(row["beta1"], beta[1])
+    assert _close(row["beta2"], beta[2])
+    # ll is rounded to 4 decimals engine-side → half-bucket 5e-5
+    assert _close(row["log_likelihood"], ll, tol=5.0e-5 + 1e-7)
+    # β0 alone should sit near logit of the base purchase rate (~20%)
+    base = sum(ck for _, ck in cells.values()) / sum(cn for cn, _
+                                                    in cells.values())
+    assert abs(beta[0]) < 5.0 and 0.05 < base < 0.5
