@@ -74,6 +74,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     shapes = [("1x", 16, 500), ("10x_fat", 16, 5000), ("10x_wide", 160, 500)]
+    if os.environ.get("SCALE64_CENTURY"):
+        # the third decade (VERDICT r9 #7): 100× record volume in the
+        # file-granular layout — parallelism saturates at the core count
+        # and per-record cost must stay flat (embarrassingly parallel)
+        shapes.append(("100x_wide", 1600, 500))
     print("| shape | files | recs | MB (gz) | wall s | recs/s | MB/s |")
     print("|---|---|---|---|---|---|---|")
     results = {}
@@ -88,6 +93,10 @@ def main():
     a, b, c = results["1x"], results["10x_fat"], results["10x_wide"]
     print(f"fat ratio {b[0] / a[0]:.2f}x, wide ratio {c[0] / a[0]:.2f}x "
           f"for 10x records")
+    if "100x_wide" in results:
+        d = results["100x_wide"]
+        print(f"century ratio {d[0] / a[0]:.2f}x wall for 100x records "
+              f"({d[1] / d[0]:.0f} recs/s vs {a[1] / a[0]:.0f} at 1x)")
     if os.environ.get("SCALE64_CLEAN"):
         shutil.rmtree(ROOT, ignore_errors=True)
 

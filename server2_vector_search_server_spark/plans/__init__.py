@@ -109,6 +109,7 @@ _DRIVER_HEAD_ROTATION = [
     # store (18), streaming (18), geo (5).  Entries auto-drop once a
     # committed artifact shows the driver verified them.
     "store_raw_archive_manifest",
+    "graph_kcore_node_state",     # round-10 operator: fixpoint node-state peel
     "store_branch_merge_semantics", "store_occ_conflict_detection",
     "store_snapshot_time_travel", "store_write_audit_publish",
     "store_upsert_merge", "store_cdc_apply", "store_snapshot_diff",

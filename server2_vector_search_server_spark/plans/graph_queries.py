@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from server2_vector_search_server_spark.functions.text import sql_token_hash
 from server2_vector_search_server_spark.operators.graph import pagerank
 from server2_vector_search_server_spark.plans.registry import (
     query,
@@ -843,6 +844,82 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((r, n_nodes, n_edges))
     return spark.createDataFrame(
         rows, "round int, n_nodes long, n_edges long").orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# k-core via node-state peeling (the 100×-safe variant, SCALE §61.1/§68)
+
+_KCS_K = 6            # deepest k whose fixpoint stays shallow on the fixture
+_KCS_ORACLE_ROUNDS = 4  # ≥ true peel depth; extra rounds are identity
+
+
+def _kcore_state_oracle() -> str:
+    """Unrolled peel to a PROVEN-past-fixpoint depth: once a round is the
+    fixpoint, every further unrolled round reproduces it exactly, so the
+    final CTE equals the true fixpoint whenever depth ≤ the unroll."""
+    k = _KCS_K
+    parts = [f"""
+    e0 AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges)"""]
+    for r in range(1, _KCS_ORACLE_ROUNDS + 1):
+        parts.append(f"""
+    d{r} AS (SELECT src AS node, COUNT(*) AS deg
+             FROM e{r - 1} GROUP BY src),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN k{r} a ON e.src = a.node
+      JOIN k{r} b ON e.dst = b.node)""")
+    last = f"e{_KCS_ORACLE_ROUNDS}"
+    pair_hash = sql_token_hash("src || '>' || dst")
+    return (",".join(parts) + f"""
+    SELECT (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM {last})
+             AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM({pair_hash}) AS BIGINT) AS edge_hash_sum
+    FROM {last} WHERE src < dst""")
+
+
+@query(
+    "graph_kcore_node_state",
+    survey="north-star graph analytics (k-core to FIXPOINT via the "
+           "node-state peel — static pinned adjacency, per-round "
+           "degree-decrement state, Batagelj-Zaveršnik carried "
+           "distributively; core edge set hash-checked)",
+    oracle=f"WITH {_SQL_EDGES},{_kcore_state_oracle()}",
+)
+def graph_kcore_node_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The :func:`k_core_degree_state` operator end-to-end on the
+    shipment graph, run to TRUE fixpoint (unlike ``graph_kcore_peeling``'s
+    fixed-round telemetry): the bidirected adjacency is pinned once and
+    every subsequent round checkpoints only the node-sized degree table,
+    routing one decrement per incident edge of each removed node — the
+    100×-safe shape SCALE §61 asked for (the edge-rematerializing peel's
+    190 s wall at the century corpus is per-round checkpoint cost this
+    variant does not pay).  Output is the core's node count, edge count
+    and an order-insensitive integer hash of the edge set, so a wrong
+    decrement anywhere changes the row.  The oracle unrolls the peel
+    past the fixture's fixpoint depth — safe because peeling is
+    idempotent at fixpoint."""
+    from server2_vector_search_server_spark.functions.text import token_hash
+    from server2_vector_search_server_spark.operators.graph import (
+        k_core_degree_state,
+    )
+
+    core = k_core_degree_state(_edges(spark, sf_dir), _KCS_K)
+    stats = core.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(token_hash(F.concat(F.col("a"), F.lit(">"), F.col("b"))))
+        .alias("edge_hash_sum"))
+    nodes = (core.select(F.col("a").alias("n"))
+             .unionAll(core.select(F.col("b").alias("n")))
+             .distinct().agg(F.count(F.lit(1)).alias("n_nodes")))
+    return nodes.crossJoin(stats).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("edge_hash_sum").cast("long").alias("edge_hash_sum"))
 
 
 # ---------------------------------------------------------------------------

@@ -271,3 +271,51 @@ def test_k_core_deep_peeling_chain_terminates(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="fixpoint"):
         k_core(edges, 2, max_iter=3)       # explicit cap still enforced
+
+
+def test_k_core_degree_state_equivalence(spark):
+    """SCALE §61.1: the node-state peel (static adjacency + per-round
+    degree decrements) must return EXACTLY the edge-set of the
+    re-aggregating peel — on the pinned fixture and on seeded random
+    graphs across k, including cores that peel to empty."""
+    import random
+
+    from server2_vector_search_server_spark.operators.graph import (
+        k_core, k_core_degree_state)
+
+    fixture = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (1, 0), (4, 4)],
+        "src long, dst long")
+    for k in (1, 2, 3):
+        want = sorted((r["a"], r["b"]) for r in k_core(fixture, k).collect())
+        got = sorted((r["a"], r["b"])
+                     for r in k_core_degree_state(fixture, k).collect())
+        assert got == want, f"fixture k={k}"
+
+    rng = random.Random(61)
+    for trial in range(3):
+        n, m = 30, 70
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        for k in (2, 3, 4):
+            want = sorted((r["a"], r["b"])
+                          for r in k_core(edges, k).collect())
+            got = sorted((r["a"], r["b"])
+                         for r in k_core_degree_state(edges, k).collect())
+            assert got == want, f"trial={trial} k={k}"
+
+
+def test_k_core_degree_state_deep_chain(spark):
+    """The pendant-path worst case that motivated the default-cap fix on
+    the peel: the node-state variant terminates under its node-count
+    default cap and honors an explicit max_iter."""
+    import pytest as _pytest
+
+    from server2_vector_search_server_spark.operators.graph import (
+        k_core_degree_state)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    assert k_core_degree_state(edges, 2).count() == 0
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        k_core_degree_state(edges, 2, max_iter=3)

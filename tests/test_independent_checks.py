@@ -449,3 +449,46 @@ def test_logistic_irls_binned_sequential_recompute(spark):
     base = sum(ck for _, ck in cells.values()) / sum(cn for cn, _
                                                     in cells.values())
     assert abs(beta[0]) < 5.0 and 0.05 < base < 0.5
+
+
+def test_burrows_delta_sequential_recompute(spark):
+    """Burrows' Delta from raw bytes: dict-of-Counter frequencies, plain
+    float z-scores (no nano-int rationals), direct pairwise loop."""
+    from server2_vector_search_server_spark.plans import load_registry
+
+    got = {(r["s1"], r["s2"]): r["delta"]
+           for r in load_registry()["text_burrows_delta_sources"]
+           .fn(spark, SF_SMOKE).collect()}
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = docs[docs["doc_id"] < 500]
+    per_src: dict[str, Counter] = defaultdict(Counter)
+    corpus = Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        for w in re.split(r"\s+", text.strip()):
+            w = w.lower()
+            if w and re.fullmatch(r"[a-z]+", w):
+                per_src[src][w] += 1
+                corpus[w] += 1
+    top = [w for w, _ in sorted(corpus.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:20]]
+    srcs = sorted(per_src)
+    k = len(srcs)
+    freq = {(s, w): per_src[s][w] / sum(per_src[s].values())
+            for s in srcs for w in top}
+    z = {}
+    for w in top:
+        vals = [freq[(s, w)] for s in srcs]
+        mean = sum(vals) / k
+        sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (k - 1))
+        for s in srcs:
+            z[(s, w)] = (freq[(s, w)] - mean) / sd
+    assert set(got) == {(a, b) for a in srcs for b in srcs if a < b}
+    for a in srcs:
+        for b in srcs:
+            if a >= b:
+                continue
+            want = sum(abs(z[(a, w)] - z[(b, w)]) for w in top) / len(top)
+            # engine carries freqs as nano-int rationals and micro-rounds
+            # pair terms — widen by those buckets
+            assert _close(got[(a, b)], want, tol=TOL + 5e-6), (a, b)
