@@ -76,11 +76,66 @@ def measure(sf_dir: str, out_path: str) -> None:
     spark.stop()
 
 
+def measure_deep(out_path: str) -> None:
+    """The regime the node-state design exists for: a dense ring-lattice
+    core (degree 40, survives k=2) with 500 pendant chains of length 40 —
+    the peel removes ONE node per chain per round, so fixpoint takes 40
+    rounds and the edge-rematerializing peel checkpoints the ~4M-edge
+    core every round while the node-state variant checkpoints ~220k node
+    rows.  (The shipment graph peels in 1-2 rounds at every decade, so
+    the decades alone cannot show this.)"""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from server2_vector_search_server_spark.operators.graph import (
+        k_core, k_core_degree_state)
+
+    spark = s53._spark(ui=True)
+    n_core, deg_half, n_chain, chain_len = 200_000, 20, 500, 40
+    core_ids = spark.range(n_core)
+    parts = [core_ids.select(F.col("id").alias("src"),
+                             ((F.col("id") + j) % n_core).alias("dst"))
+             for j in range(1, deg_half + 1)]
+    lattice = parts[0]
+    for p in parts[1:]:
+        lattice = lattice.unionAll(p)
+    chain_ids = spark.range(n_chain * chain_len)
+    cid = (F.col("id") / chain_len).cast("long")
+    pos = F.col("id") % chain_len
+    node = F.lit(n_core) + F.col("id")
+    chains = chain_ids.select(
+        F.when(pos == 0, cid).otherwise(node - 1).alias("src"),
+        node.alias("dst"))
+    edges = lattice.unionAll(chains).localCheckpoint(eager=True)
+    results = {"n_edges": edges.count(), "peel_rounds": chain_len}
+    for name, fn in (("kcore_peel_edges", k_core),
+                     ("kcore_node_state", k_core_degree_state)):
+        walls, cores = [], []
+        for _ in range(s53.REPEATS):
+            t0 = _t.perf_counter()
+            cores.append(fn(edges, 2).count())
+            walls.append(_t.perf_counter() - t0)
+        assert len(set(cores)) == 1, cores
+        results[name] = {"wall_s": round(sorted(walls)[len(walls) // 2], 3),
+                         "core_edges": cores[0]}
+        print(f"  deep {name}: {results[name]}", flush=True)
+    assert (results["kcore_peel_edges"]["core_edges"]
+            == results["kcore_node_state"]["core_edges"]), results
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1)
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure")
+    ap.add_argument("--deep", action="store_true")
     ap.add_argument("--out", default="/tmp/scale68_measure.json")
     args = ap.parse_args()
+    if args.deep:
+        measure_deep(args.out)
+        return
     if args.measure:
         measure(args.measure, args.out)
         return
