@@ -1304,6 +1304,7 @@ def facility_location_select(universe: DataFrame, pool: DataFrame, k: int, *,
             .localCheckpoint(eager=True))
     picked: list = []
     rows: list[tuple] = []
+    total = 0
     for rank in range(1, k + 1):
         if picked:
             cov = (sims.filter(F.col("_c").isin(picked))
@@ -1324,10 +1325,15 @@ def facility_location_select(universe: DataFrame, pool: DataFrame, k: int, *,
         if not top:
             break
         picked.append(top[0]["_c"])
-        total = (sims.filter(F.col("_c").isin(picked))
-                 .groupBy("_v").agg(F.max("_s").alias("_cov"))
-                 .agg(F.sum("_cov").cast("long")).collect()[0][0])
-        rows.append((rank, top[0]["_c"], int(top[0]["_gain"]), int(total)))
+        # coverage is the exact running sum of the (integer) marginal gains:
+        # F(S ∪ {c}) = Σ_v max(cov_S(v), s(c,v))
+        #            = Σ_v cov_S(v) + Σ_v max(s(c,v) − cov_S(v), 0)
+        #            = F(S) + gain(c)   (s ≥ 0, cov_∅ = 0)
+        # so the per-round coverage recompute job (a second scan + two
+        # aggregates over `sims` per pick) is redundant — one action per
+        # greedy round instead of two, same integers to the last digit.
+        total += int(top[0]["_gain"])
+        rows.append((rank, top[0]["_c"], int(top[0]["_gain"]), total))
     id_type = universe.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         rows, f"rank int, {id_col} {id_type}, "

@@ -49,6 +49,10 @@ def connected_components(edges: DataFrame, src: str = "src",
         neighbor_min = (
             bi.join(labels, bi.b == labels.node)
             .groupBy("a").agg(F.min("component").alias("nbr_component")))
+        # the old label is already on the join row, so the convergence
+        # flag is computed INLINE and counted off the checkpointed frame —
+        # the former new⋈old self-join (one extra join job per round, per
+        # caller) only re-derived information this row already holds
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -56,14 +60,12 @@ def connected_components(edges: DataFrame, src: str = "src",
                 F.least(
                     "component",
                     F.coalesce("nbr_component", F.col("component")))
-                .alias("component"))
+                .alias("component"),
+                (F.coalesce("nbr_component", F.col("component"))
+                 < F.col("component")).alias("_chg"))
             .localCheckpoint(eager=True))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(

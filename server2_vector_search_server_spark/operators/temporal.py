@@ -98,44 +98,41 @@ def ewma_by_key(events: DataFrame, *, key_col: str = "user_id",
                 ts_col: str = "ts", order_col: str = "event_id",
                 val_col: str = "value", alpha: float = 0.2) -> DataFrame:
     """Final exponentially-weighted moving average per key — the canonical
-    INHERENTLY-SEQUENTIAL per-entity computation (EWMA_n = α·x_n +
-    (1−α)·EWMA_{n−1} has a loop-carried dependency no window frame or
-    aggregate can express), implemented as a grouped-map ``applyInPandas``.
+    loop-carried per-entity recursion (EWMA_n = α·x_n + (1−α)·EWMA_{n−1},
+    which no window FRAME expresses) — as a JVM-side higher-order
+    ``aggregate`` fold over the per-key ordered value array.
 
-    Scale shape: ONE shuffle on the entity key; each group's fold runs
-    sequentially inside its Arrow batch, entities run in parallel across
-    executors — state is O(1) per entity. This is the pattern for any
-    per-entity recursion (EWMA, Kalman filters, session scoring, CUSUM):
-    shuffle by entity, fold within, never collect.
+    Until round 10 this ran as a grouped-map ``applyInPandas`` fold; the
+    guide-§4 A/B (scripts/r10_ab1.py) measured the Python boundary at 84%
+    of the pillar wall (2.89 s → 0.46 s at sf0.1, identical results), so
+    the fold now stays in the JVM: ``collect_list(struct(ts, order, val))``
+    under the same single entity-key shuffle, ``array_sort`` for the total
+    (ts, order_col) order, and ``F.aggregate`` seeded with the first value
+    — the IDENTICAL float operation sequence (α·x then (1−α)·acc then add,
+    IEEE doubles), so results match the pandas fold and any engine's
+    ordered list_reduce bit-for-bit.
 
-    Determinism: groups are totally ordered by (ts, order_col); the fold is
-    a left fold seeded with the first value, so the float operation sequence
-    is identical to any engine's ordered list_reduce — values match
-    bit-for-bit (rounding happens JVM-side, never in Python: Python round()
-    is banker's).
+    Scale shape: unchanged — ONE shuffle on the entity key, O(group) state
+    per entity materialized as an array inside the aggregate (same bytes
+    the Arrow batch held before, minus the JVM→Python→JVM round trip).
+    The applyInPandas pattern remains the right tool when per-entity state
+    is too rich for an expression fold (Kalman filters, model scoring);
+    see asof_join_cogrouped below for the cogrouped exemplar.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    key_type = events.schema[key_col].dataType
-    out_schema = T.StructType([
-        T.StructField(key_col, key_type),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("ewma", T.DoubleType()),
-    ])
-
-    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
-        acc = None
-        for x in pdf[val_col]:
-            acc = float(x) if acc is None else alpha * float(x) \
-                + (1.0 - alpha) * acc
-        return pd.DataFrame(
-            {key_col: [pdf[key_col].iloc[0]], "n_events": [len(pdf)],
-             "ewma": [acc]})
-
-    return (events.select(key_col, ts_col, order_col, val_col)
-            .groupBy(key_col).applyInPandas(fold, out_schema))
+    seq = (events
+           .select(key_col,
+                   F.struct(F.col(ts_col), F.col(order_col),
+                            F.col(val_col).alias("_v")).alias("_e"))
+           .groupBy(key_col)
+           .agg(F.array_sort(F.collect_list("_e")).alias("_seq")))
+    fold = F.aggregate(
+        F.slice("_seq", 2, F.greatest(F.size("_seq") - 1, F.lit(0))),
+        F.element_at("_seq", 1)["_v"].cast("double"),
+        lambda acc, e: (F.lit(alpha) * e["_v"].cast("double")
+                        + F.lit(1.0 - alpha) * acc))
+    return seq.select(key_col,
+                      F.size("_seq").cast("long").alias("n_events"),
+                      fold.alias("ewma"))
 
 
 def asof_join_cogrouped(left: DataFrame, right: DataFrame, *, on: str = "ts",

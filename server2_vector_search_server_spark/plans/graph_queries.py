@@ -838,9 +838,12 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sym["src"] == keep["node"], "left_semi")
                .join(F.broadcast(keep.select(F.col("node").alias("n2"))),
                      F.col("dst") == F.col("n2"), "left_semi"))
+        # checkpoint FIRST, count the checkpointed frame: the old order
+        # (count, then eager checkpoint) executed the two semi-joins twice
+        # per round — once for the count action, again to materialize
+        sym = sym.localCheckpoint(eager=True)
         n_nodes = keep.count()
         n_edges = sym.count() // 2
-        sym = sym.localCheckpoint(eager=True)
         rows.append((r, n_nodes, n_edges))
     return spark.createDataFrame(
         rows, "round int, n_nodes long, n_edges long").orderBy("round")
@@ -1075,11 +1078,13 @@ def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         butterflies = Σ_{s1<s2} C(|N(s1) ∩ N(s2)|, 2)
 
-    computed by ONE wedge equi-join of the pair set against itself on the
-    customer endpoint (never an all-pairs comparison), a partial-
-    aggregable co-occurrence count, and an exact-integer C(co,2) fold.
-    ``n_wedges`` (Σ_c C(deg_c, 2)) doubles as the join-size self-check:
-    it equals the wedge join's row count by construction.
+    computed by grouping the distinct pair set into per-customer sorted
+    supplier arrays and generating the s1<s2 wedge pairs in-array (never
+    an all-pairs comparison), a partial-aggregable co-occurrence count,
+    and an exact-integer C(co,2) fold. ``n_wedges`` (Σ_c C(deg_c, 2))
+    doubles as the fan-out self-check: it equals the wedge row count —
+    Σ co over supplier pairs — by construction, so it folds out of the
+    same aggregate with no separate degree branch.
 
     Scale shape: shuffle ∝ wedges = Σ_c deg_c² — the hub-customer term.
     At 100 TB the published mitigations apply verbatim: per-customer
@@ -1088,30 +1093,39 @@ def graph_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan's wedge stage; the exact form here is the oracle for those
     approximations. Edges come from the persistent silver artifact, so
     the pair set is read, not recomputed."""
+    # One scan, two exchanges: group the (already DISTINCT) pair set into
+    # per-customer sorted supplier arrays and generate the s1<s2 wedge
+    # pairs IN-ARRAY (the graph_adamic_adar_links form, measured 2.3×
+    # faster than the equivalent self-join there) — the wedge self-join
+    # variant read the silver pairs three times (a, b, deg) and shuffled
+    # both join sides by customer before the wedge fan-out.  The wedge
+    # pair rides the explode as ONE bigint (s1·2³¹ + s2, suppkeys < 2³¹).
+    # n_wedges needs no separate degree branch: every wedge is one row of
+    # the co-occurrence fan-out, so Σ_c C(deg_c, 2) = Σ_{s1<s2} co —
+    # wedges fall out of the same aggregate, exactly.
     pairs = shipment_pairs(spark, sf_dir)
-    a = pairs.select(F.col("l_suppkey").alias("s1"),
-                     F.col("o_custkey").alias("c"))
-    b = pairs.select(F.col("l_suppkey").alias("s2"),
-                     F.col("o_custkey").alias("c"))
-    copairs = (a.join(b, "c")
-               .filter(F.col("s1") < F.col("s2"))
-               .groupBy("s1", "s2")
+    byc = (pairs.groupBy("o_custkey")
+           .agg(F.sort_array(F.collect_list("l_suppkey")).alias("supps"))
+           .filter(F.size("supps") >= 2)
+           .repartition(max(8, spark.sparkContext.defaultParallelism // 4),
+                        "o_custkey"))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(supps) - 2), i -> "
+        "transform(sequence(i + 1, size(supps) - 1), j -> "
+        "shiftleft(cast(supps[i] as bigint), 31) "
+        "+ cast(supps[j] as bigint))))")
+    copairs = (byc.select(F.explode(pair_expr).alias("pk"))
+               .groupBy("pk")
                .agg(F.count(F.lit(1)).cast("long").alias("co")))
-    deg = pairs.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("deg"))
-    wedges = deg.agg(
-        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long"))
-        .cast("long").alias("n_wedges"))
-    stats = copairs.agg(
+    return copairs.agg(
+        F.coalesce(F.sum("co"), F.lit(0))
+        .cast("long").alias("n_wedges"),
         F.count(F.lit(1)).cast("long").alias("n_copaired_supplier_pairs"),
         F.coalesce(F.sum((F.col("co") >= 2).cast("long")), F.lit(0))
         .cast("long").alias("n_pairs_with_butterfly"),
         F.coalesce(F.sum((F.col("co") * (F.col("co") - 1) / 2)
                          .cast("long")), F.lit(0))
         .cast("long").alias("n_butterflies"))
-    return (wedges.crossJoin(F.broadcast(stats))
-            .select("n_wedges", "n_copaired_supplier_pairs",
-                    "n_pairs_with_butterfly", "n_butterflies"))
 
 
 @query(

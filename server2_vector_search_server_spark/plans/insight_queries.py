@@ -3944,9 +3944,14 @@ def events_shapley_attribution(spark: SparkSession,
               F.max((F.col("event_type") == "purchase").cast("int"))
               .alias("conv")))
     bym = (j.groupBy("mask").agg(F.sum("conv").cast("long")
-                                 .alias("n_conv"))
+                                 .alias("n_conv"),
+                                 F.count(F.lit(1)).cast("long")
+                                 .alias("n_rows"))
            .localCheckpoint(eager=True))        # bounded <= 16 rows
-    n_j = j.count()
+    # journey total = Σ per-mask counts off the 16-row checkpoint — the
+    # old `j.count()` was a SECOND full events scan + user-day shuffle
+    # just to produce this one integer
+    n_j = sum(r["n_rows"] for r in bym.select("n_rows").collect())
     ss = spark.range(16).select(F.col("id").cast("int").alias("s"))
     coal = (ss.join(bym, F.col("mask").bitwiseAND(F.col("s"))
                     == F.col("mask"), "left")

@@ -201,8 +201,9 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_ewma_by_user",
-    survey="E/I-extension(inherently-sequential per-entity state: EWMA via "
-           "grouped-map applyInPandas, vs an ordered list_reduce oracle)",
+    survey="E/I-extension(inherently-sequential per-entity state: EWMA as "
+           "a JVM higher-order aggregate fold over the per-key ordered "
+           "array, vs an ordered list_reduce oracle)",
     oracle="""
     -- same left fold: seed = first value in (ts, event_id) order, then
     -- acc' = alpha*x + (1-alpha)*acc — identical float op sequence
@@ -218,13 +219,14 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (alpha=0.2) of each user's event values — a loop-carried
-    recursion no window frame expresses, run as a grouped-map
-    applyInPandas fold (operators/temporal.ewma_by_key): one shuffle on
-    user_id, sequential state inside the Arrow batch, parallel across
-    users. The oracle folds the same ordered list with list_reduce; both
-    sides execute the identical float sequence, so the rounded values
-    hash-match — the proof that even Python-side custom operators can be
-    held to the exact-parity gate."""
+    recursion no window frame expresses, run as a JVM higher-order
+    ``aggregate`` fold over the per-user ordered array
+    (operators/temporal.ewma_by_key): one shuffle on user_id, the fold
+    entirely inside codegen'd expressions — the round-10 guide-§4 rewrite
+    of the former applyInPandas form, whose Python boundary was 84% of
+    the pillar wall. The oracle folds the same ordered list with
+    list_reduce; both sides execute the identical float sequence, so the
+    rounded values hash-match."""
     from server2_vector_search_server_spark.operators.temporal import (
         ewma_by_key,
     )
