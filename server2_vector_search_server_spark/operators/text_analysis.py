@@ -513,14 +513,21 @@ def dsir_importance(docs, target_pred: Column, *, id_col: str = "doc_id",
     toks = toks.withColumn(
         "_bucket", md5_bucket(F.lower(F.col("_tok")), n_buckets)).drop("_tok")
 
-    # n_buckets rows — materialize once (localCheckpoint severs lineage) so
-    # the totals aggregate and the weight projection don't each re-scan the
-    # exploded token stream.
-    counts = (toks.groupBy("_bucket")
-              .agg(F.count(F.lit(1)).alias("_cs"),
-                   F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
-                   .cast("long").alias("_ct"))
-              .localCheckpoint(eager=True))
+    # Fold the token stream to per-(doc, bucket) counts FIRST and
+    # materialize THAT (docs × ≤ n_buckets rows): tokenize + md5-hash —
+    # the dominant per-token cost — now runs ONCE; both the global bucket
+    # counts and the per-doc scores are integer-exact folds of this table
+    # (Σ_tokens w(bucket) = Σ_buckets n·w, same BIGINTs). The old form
+    # re-exploded and re-hashed the whole token stream for the scoring
+    # pass (guide §1.2: don't compute the expensive map twice).
+    doc_buckets = (toks.groupBy(id_col, "_is_target", "_bucket")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .localCheckpoint(eager=True))
+    counts = (doc_buckets.groupBy("_bucket")
+              .agg(F.sum("_n").alias("_cs"),
+                   F.sum(F.when(F.col("_is_target"), F.col("_n"))
+                         .otherwise(0))
+                   .cast("long").alias("_ct")))
     totals = counts.agg(F.sum("_cs").alias("_ns"),
                         F.sum("_ct").alias("_nt")).collect()[0]
     ns, nt = int(totals["_ns"]), int(totals["_nt"])
@@ -535,10 +542,11 @@ def dsir_importance(docs, target_pred: Column, *, id_col: str = "doc_id",
         "_bucket",
         F.round(w * 1_000_000).cast("long").alias("_w_micro"))
 
-    scored = (toks.join(F.broadcast(weights), "_bucket")
+    scored = (doc_buckets.join(F.broadcast(weights), "_bucket")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_tokens"),
-                   F.sum("_w_micro").alias("_imp_micro")))
+              .agg(F.sum("_n").alias("n_tokens"),
+                   F.sum(F.col("_n") * F.col("_w_micro"))
+                   .alias("_imp_micro")))
     return scored.select(
         F.col(id_col), F.col("n_tokens"),
         F.round(F.col("_imp_micro") / 1_000_000.0, weight_decimals)

@@ -97,41 +97,62 @@ _SQL_TOKS = (
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for a 3-term query (k1=1.2, b=0.75, log-free idf).
 
-    Plan shape: one tokenize+explode scan → tf aggregate; df is a
-    vocabulary-sized aggregate over the (already term-filtered) tf rows and
-    n_docs/avgdl are scalars — at 100 TB both sides of the scoring join are
-    broadcast, so scoring never shuffles the corpus."""
-    docs = (tbl(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 200)
-            .select("doc_id",
-                    tokens(F.lower(F.col("text"))).alias("toks")))
-    dl = docs.select("doc_id", F.size("toks").alias("dl"))
-    sum_dl, n_docs = docs.agg(
-        F.sum(F.size("toks")), F.count(F.lit(1))).first()
-    avgdl = float(sum_dl) / n_docs
+    Plan shape: ONE tokenize scan building a per-doc (dl, tf per term) row
+    with in-array term counts — no explode, no (doc, term) shuffle; corpus
+    stats (n_docs/avgdl) and per-term dfs are 1-row aggregates broadcast
+    back, and scoring is a per-row projection — at 100 TB the corpus is
+    scanned once and never shuffled."""
+    # ONE tokenize pass (round 10, guide §1.2/§2.3): the old plan
+    # tokenized every document three times — once for the avgdl/n_docs
+    # driver action, once for the dl branch, once for the tf explode —
+    # and shuffled an exploded-then-filtered token stream into a
+    # (doc, term) aggregate. With a 3-term query, per-term tf is an
+    # in-array count (`size(filter(toks, = term))`) on the same row as
+    # dl, so the per-doc table is built once (checkpointed, 5 small ints
+    # per doc), corpus stats and per-term dfs are two 1-row aggregates of
+    # it riding back as broadcasts (no driver action), and scoring is a
+    # pure per-row projection: zero corpus shuffles, explode eliminated.
+    # Exactness: identical operand values and op order per term; the
+    # per-doc sum folds the same round(s·1e6) BIGINTs exact_sum folded.
+    toks = tokens(F.lower(F.col("text")))
+    n_terms = len(_BM25_TERMS)
 
-    tf = (docs.select("doc_id", F.explode("toks").alias("term"))
-          .filter(F.col("term").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    def _tf(term: str):
+        # NOTE: the lambda must take exactly one parameter — a second
+        # (even defaulted) parameter makes Spark bind the two-arg
+        # (element, index) filter form and the "term" becomes the index
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = (tbl(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") < 200)
+           .select("doc_id", F.size(toks).alias("dl"),
+                   *[_tf(t).alias(f"tf_{i}")
+                     for i, t in enumerate(_BM25_TERMS)])
+           .localCheckpoint(eager=True))
+    stats = per.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"))
+    dfs = per.agg(*[F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+                    .alias(f"df_{i}") for i in range(n_terms)])
+    j = per.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
 
     k1, k1p1 = float(_K1), float(_K1_PLUS_1)
     b, omb = float(_B), float(_ONE_MINUS_B)
-    term_scores = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            (((F.lit(float(n_docs)) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5))
-             * ((F.col("tf") * k1p1)
-                / (F.col("tf") + k1 * (omb + b * (F.col("dl")
-                                                  / F.lit(avgdl))))))
-            .alias("s"),
-        )
-    )
-    scored = term_scores.groupBy("doc_id").agg(exact_sum(F.col("s"), 6)
-                                               .alias("bm25"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def _term_scaled(i: int):
+        s = (((F.col("n_docs").cast("double") - F.col(f"df_{i}") + 0.5)
+              / (F.col(f"df_{i}") + 0.5))
+             * ((F.col(f"tf_{i}") * k1p1)
+                / (F.col(f"tf_{i}") + k1 * (omb + b * (F.col("dl")
+                                                       / avgdl)))))
+        return F.when(F.col(f"tf_{i}") > 0,
+                      F.round(s * 1_000_000).cast("long")).otherwise(F.lit(0))
+
+    hits = sum(F.col(f"tf_{i}") for i in range(n_terms))
+    scaled_total = sum(_term_scaled(i) for i in range(n_terms))
+    scored = (j.filter(hits > 0)
+              .select("doc_id",
+                      (scaled_total / 1_000_000.0).alias("bm25")))
     w = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id").asc())
     return (scored
             .select("doc_id", F.round("bm25", 6).alias("bm25"))
@@ -256,9 +277,16 @@ def search_maxsim_late_interaction(spark: SparkSession,
     score(doc) = Σ_q max_v dot(q, v).
 
     The query set is broadcast (Q rows), so the corpus is scanned exactly
-    once and expanded Q×; both the max-per-(label,qid) and the final sum
-    are partial-aggregable, so what crosses the exchange is ≤ labels × Q
-    rows regardless of corpus size (SCALE.md §17 logic)."""
+    once and expanded Q×; the per-qid maxes ride as Q conditional MAX
+    columns of ONE label-keyed aggregate (partial-aggregable map-side),
+    so what crosses the single exchange is ≤ labels rows × Q columns
+    regardless of corpus size (SCALE.md §17 logic)."""
+    # ONE exchange (round 10): the old two-stage aggregate shuffled
+    # (label, qid) partials and then label partials; with Q = 3 known
+    # query ids the per-qid maxes are three conditional MAX columns of a
+    # single label-keyed aggregate over the same broadcast fan-out, and
+    # the final Σ best folds per-row from the same round(best·1e6)
+    # BIGINTs exact_sum folded — identical values, one exchange fewer.
     emb = tbl(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("qid"),
@@ -268,10 +296,13 @@ def search_maxsim_late_interaction(spark: SparkSession,
     pairs = corpus.crossJoin(F.broadcast(q)).select(
         "label", "qid",
         F.round(dot(F.col("qv"), F.col("embedding")), 6).alias("sim"))
-    mx = pairs.groupBy("label", "qid").agg(F.max("sim").alias("best"))
-    return (mx.groupBy("label")
-            .agg(exact_sum(F.col("best"), 6).alias("maxsim"))
-            .select("label", F.round("maxsim", 6).alias("maxsim"))
+    mx = pairs.groupBy("label").agg(
+        *[F.max(F.when(F.col("qid") == i, F.col("sim")))
+          .alias(f"best_{i}") for i in range(3)])
+    scaled = sum(F.round(F.col(f"best_{i}") * 1_000_000).cast("long")
+                 for i in range(3))
+    return (mx.select("label",
+                      F.round(scaled / 1_000_000.0, 6).alias("maxsim"))
             .orderBy(F.col("maxsim").desc(), F.col("label").asc()))
 
 

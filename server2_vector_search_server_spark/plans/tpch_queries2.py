@@ -508,9 +508,11 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture has no l_receiptdate/l_commitdate; "late" is shipdate more
     than 90 days after the order date). The dual correlated EXISTS /
     NOT-EXISTS pair is rewritten as a PAIR PRE-AGGREGATION: collapse the
-    fact to distinct (orderkey, suppkey, was-ever-late) rows first, then a
-    per-order count/sum over that — supplier count ≥ 2 is the EXISTS,
-    late-supplier count = 1 is the NOT EXISTS. Deliberately NOT two
+    fact to distinct (orderkey, suppkey, was-ever-late) rows first, then
+    per-order count/sum as an unbounded window over that pair table —
+    supplier count ≥ 2 is the EXISTS, late-supplier count = 1 is the NOT
+    EXISTS, and the single lineage means the fact join runs once (the
+    former qualifying-keys branch recomputed it). Deliberately NOT two
     count_distincts in one aggregate (that plans an Expand, doubling fact
     rows before the shuffle — the SCALE.md §13 trap) and measurably faster
     than Catalyst's own decorrelation of the literal SQL, which re-scans
@@ -526,16 +528,23 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
     pair_flag = (lo.groupBy("l_orderkey", "l_suppkey")
                  .agg(F.max(is_late.cast("int")).alias("is_late")))
-    qualifying = (
-        pair_flag.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"),
-             F.sum("is_late").alias("n_late_supp"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .select(F.col("l_orderkey").alias("qualifying_orderkey")))
+    # per-order supplier/late counts as an UNBOUNDED window over the pair
+    # table (round 10): the former two-branch form re-ran the fact⋈orders
+    # join and the pair aggregate once per branch (Spark shares no
+    # subtrees across DataFrame branches) and then joined the qualifying
+    # key set back; one window exchange of the (already order×supplier
+    # collapsed) pair rows replaces the whole second fact pass + join.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = pair_flag.select(
+        "l_orderkey", "l_suppkey", "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late_supp"))
     return (
-        pair_flag.filter(F.col("is_late") == 1)
-        .join(qualifying,
-              F.col("l_orderkey") == F.col("qualifying_orderkey"))
+        flagged.filter((F.col("is_late") == 1)
+                       & (F.col("n_supp") >= 2)
+                       & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supplier),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
