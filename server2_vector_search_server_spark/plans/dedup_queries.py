@@ -1092,9 +1092,14 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("text")))
     docs2 = (base.select(F.explode(variants).alias("v"))
              .select("v.doc_id", "v.text"))
+    # materialize the chunk digests ONCE (round 10): four summary branches
+    # (stats, realign, base_pairs, and the distinct pair table twice) hang
+    # off this frame, and Spark shares no subtrees across branches — the
+    # unmaterialized form re-ran the CDC window-hash chunking per branch
     chunks = (dedup.cdc_chunks(docs2, k=_CDC_K, divisor=_CDC_DIV)
               .withColumn("digest", F.md5("chunk_text"))
-              .select("doc_id", "digest"))
+              .select("doc_id", "digest")
+              .localCheckpoint(eager=True))
     stats = chunks.agg(
         F.count(F.lit(1)).cast("long").alias("total_chunks"),
         F.count_distinct("digest").cast("long").alias("distinct_digests"))

@@ -604,8 +604,10 @@ def events_lossy_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle builds (bucket, item) counts; each of the 6
     maintenance rounds is a full-outer join between the BOUNDED summary
     (pruned every round) and one bucket's counts — never stream-sized
-    state. localCheckpoint truncates the 6-round lineage (the iterative-
-    algorithm discipline: pagerank/kmeans). Buckets are DATA-derived
+    state. Only the (bucket, item) count table is checkpointed: the round
+    count is fixed, so the 6-round lineage is a bounded plan evaluated in
+    ONE job (per-round checkpoints are for unbounded iteration — pagerank;
+    they cost a driver-blocking job per round here). Buckets are DATA-derived
     (event days), so the result is independent of partitioning and
     micro-batch boundaries — the property that makes the summary
     replayable in the WAL/streaming path."""
@@ -631,8 +633,13 @@ def events_lossy_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + F.coalesce("c", F.lit(0))).alias("f"),
                       F.coalesce("delta", F.lit(r - 1)).cast("long")
                       .alias("delta")))
-        state = (merged.filter(F.col("f") + F.col("delta") > r)
-                 .localCheckpoint(eager=True))
+        # NO per-round checkpoint (round 10): the round count is FIXED (6)
+        # and every branch reads the one checkpointed `cnt`, so the chained
+        # lineage is a bounded 6-join plan evaluated once — the iterative-
+        # lineage rule only demands barriers where depth grows with data
+        # or unbounded rounds (betweenness docstring). The old per-round
+        # eager checkpoint paid 5 extra driver-blocking jobs per call.
+        state = merged.filter(F.col("f") + F.col("delta") > r)
     truth = (ev.select(F.round(F.col("value").cast("double")).cast("int")
                        .alias("item"))
              .groupBy("item").agg(F.count(F.lit(1)).cast("long")
