@@ -201,14 +201,19 @@ def test_maxsim_broadcasts_query_vectors(spark):
     # the multi-vector query set is broadcast; corpus scanned once
     plan = _plan(spark, "search_maxsim_late_interaction")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # both the per-(label,qid) max and final sum partially aggregate map-side
-    assert plan.count("HashAggregate") >= 4
+    # r10: the (label,qid)->label two-stage cascade became ONE label-keyed
+    # aggregate with Q conditional MAX columns — a single partial+final
+    # HashAggregate pair must remain (map-side partial aggregation)
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_bm25_broadcasts_df_side(spark):
-    # the vocabulary-sized df aggregate joins broadcast against tf rows
+    # r10: the single-pass form carries per-doc tf maps; corpus stats and
+    # per-term dfs come back as broadcast one-row/vocab-sized aggregates —
+    # the corpus side must never shuffle into the stats attach
     plan = _plan(spark, "text_bm25_topk")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_semantic_dedup_join_is_equi_not_cartesian(spark):
