@@ -1142,7 +1142,15 @@ def events_matrix_profile_motif(spark: SparkSession,
                     lambda acc, x: acc + x).alias("s1"),
         F.aggregate("arr", F.lit(0).cast("long"),
                     lambda acc, x: acc + x * x).alias("s2"))
+    # spread before the checkpoint: the all-pairs nested-loop join's stream
+    # side inherits the checkpoint's partitioning, and the single-row agg
+    # upstream leaves 1-2 partitions — serializing ~486k interpreted
+    # zip_with dot products onto 1-2 cores (the residue trap documented in
+    # operators/dedup.py). One tiny pre-shuffle of <=697 rows buys
+    # full-width map-side pair evaluation.
+    par = spark.sparkContext.defaultParallelism
     nz = (st.filter(_MP_M * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+          .repartition(par)
           .localCheckpoint(eager=True))          # bounded: <= 697 rows
     a = nz.select(F.col("i").alias("i"), F.col("arr").alias("wa"),
                   F.col("s1").alias("s1a"), F.col("s2").alias("s2a"))
