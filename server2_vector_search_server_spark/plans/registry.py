@@ -66,6 +66,32 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin a BOUNDED row set across the session parallelism before
+    heavy interpreted per-row compute (higher-order-function projections,
+    shingling, regex families).
+
+    Why: a small parquet table arrives as ONE scan partition (single file,
+    single row group — the local testdata layout), so everything narrow
+    downstream of it runs on one core; the guide's input-skew rule
+    ("one huge unsplittable file … repartition immediately after the
+    read", optimization guide §2.5) applied to the opposite extreme. The
+    repartition is conditional on the SCAN's actual width, so on a real
+    cluster where the same table is thousands of splits wide it is a
+    no-op — never a constant tuned for local mode.
+
+    Only apply to row sets that are BOUNDED by the query itself (a
+    doc_id-sliced panel, a per-key grouped table) or cheap relative to the
+    per-row compute, and whose downstream aggregation is order-free
+    (exact-int sums, count, min/max, sort_array'd collects) — round-robin
+    changes row order per partition.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 _SCRATCH_ROOT: list[str] = []
 
 

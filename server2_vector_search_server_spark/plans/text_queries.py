@@ -17,7 +17,7 @@ from server2_vector_search_server_spark.functions.text import (
     tokens,
 )
 from server2_vector_search_server_spark.operators import text_analysis as ta
-from server2_vector_search_server_spark.plans.registry import query, tbl
+from server2_vector_search_server_spark.plans.registry import query, spread, tbl
 
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')"
 
@@ -506,7 +506,12 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hits in ONE aggregate; docs too short for any 8-gram re-enter 0-filled
     corp_ids = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
                 .select("doc_id"))
-    exploded = (docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 300))
+    # spread the bounded 295-doc corpus slice before shingling: the word
+    # 8-gram transform + explode is the pillar's dominant interpreted
+    # compute and otherwise runs on the scan's single local partition
+    exploded = (spread(docs.filter((F.col("doc_id") >= 5)
+                                   & (F.col("doc_id") < 300))
+                       .select("doc_id", "text"))
                 .select("doc_id",
                         F.explode(word_shingles(F.col("text"), 8))
                         .alias("sh")))
@@ -589,6 +594,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     word length, symbol/bullet/ellipsis fractions, alphabetic-word fraction,
     stopword gate, and the conjunctive keep verdict — in ONE narrow
     projection (operators/text_analysis.gopher_rule_columns)."""
+    # NOT spread: A/B'd r10 (scripts/r10_ab5.py) — the 200-doc rule family
+    # costs ~0.6 s on one core; the spread exchange + extra stage was +30%
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return (docs.select("doc_id", *ta.gopher_rule_columns(F.col("text")))
             .withColumn("n_words", F.col("n_words").cast("int"))
