@@ -844,14 +844,24 @@ def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
     pass: drop any line that appears verbatim in >= ``min_docs`` distinct
     documents — headers, footers, cookie banners, nav chrome).
 
-    Distributed shape: posexplode to (doc, line_no, line) — a narrow
-    transform; ONE shuffle to count distinct docs per trimmed line (partial
-    aggregation collapses per-partition repeats first, so the shuffle
-    carries unique lines, not rows); an equi-join back on the line key; and
-    a per-doc reassembly groupBy that sorts the surviving lines by their
-    original ordinal. Nothing is quadratic and no driver materialization —
-    the op holds at web-crawl scale, where this exact pass removes ~30% of
-    raw bytes (Raffel et al. 2020, C4).
+    Distributed shape (r10 single-pass form): posexplode to
+    (doc, line_no, line) — a narrow transform; ONE shuffle groups every
+    occurrence under its trimmed line key and counts distinct docs in the
+    same aggregate; occurrences ride back out of the aggregate with a
+    per-line ``keep`` verdict (no anti-join — the verdict IS the filter);
+    ONE more shuffle reassembles per doc, where kept/total counts fall
+    out of the same aggregate. The previous three-branch form (count →
+    anti-join → totals join) evaluated the line explode three times and
+    planned six scans with zero subtree reuse (plans/r10/
+    dedup_boilerplate_lines_before.txt); this is one scan and two
+    exchanges — the same bytes the anti-join already shuffled. Nothing is
+    quadratic and no driver materialization — the op holds at web-crawl
+    scale, where this exact pass removes ~30% of raw bytes (Raffel et
+    al. 2020, C4). Hot-key note: a viral line in millions of docs makes
+    one (line_key) group carry its occurrence list; the C4 pass caps
+    per-line occurrences upstream at that scale, and AQE skew splitting
+    covers the residual — same valve the anti-join form needed for its
+    join side.
 
     Empty lines are dropped unconditionally. Returns one row per surviving
     document: (id, text, n_kept, n_removed).
@@ -864,25 +874,32 @@ def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
         .filter(F.trim("line") != "")
         .withColumn("line_key", F.trim("line"))
     )
-    common = (
+    by_line = (
         lines.groupBy("line_key")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("line_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
+             F.collect_list(F.struct(id_col, "line_no", "line"))
+             .alias("occ"))
     )
-    kept = lines.join(common, "line_key", "left_anti")
-    n_total = (lines.groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("_n_total")))
+    occ = (by_line
+           .select((F.col("n_docs") < min_docs).alias("keep"),
+                   F.explode("occ").alias("o"))
+           .select("keep", F.col("o." + id_col).alias(id_col),
+                   F.col("o.line_no").alias("line_no"),
+                   F.col("o.line").alias("line")))
+    # collect_list skips NULLs, so when(keep, struct) collects exactly the
+    # surviving lines while COUNT(*) still sees every occurrence
     return (
-        kept.groupBy(id_col)
+        occ.groupBy(id_col)
         .agg(F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(
-                        F.struct("line_no", "line"))),
+                        F.when(F.col("keep"),
+                               F.struct("line_no", "line")))),
                     lambda s: s["line"]),
                 "\n").alias(text_col),
-             F.count(F.lit(1)).alias("n_kept"))
-        .join(n_total, id_col)
+             F.sum(F.col("keep").cast("long")).alias("n_kept"),
+             F.count(F.lit(1)).alias("_n_total"))
+        .filter(F.col("n_kept") > 0)
         .withColumn("n_removed", F.col("_n_total") - F.col("n_kept"))
         .drop("_n_total")
     )

@@ -33,23 +33,30 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str = "ts",
     right row at the same timestamp). Left rows with no prior right row get
     NULL.
 
-    Rights are first reduced to one row per (by, on) — max of ``value_col`` —
-    so the result is deterministic when the right side has same-timestamp
-    duplicates.
+    Same-timestamp right duplicates resolve to the MAX of ``value_col``
+    (deterministic). r10: that tie-break rides the window's sort order
+    instead of a separate pre-aggregation — right rows at one (by, on)
+    instant sort by value ascending, so the carry-forward ``last`` sees
+    the max non-null last; a pre-agg groupBy spent one extra exchange of
+    the right side for the same answer (NULL-value rows are skipped by
+    ``ignorenulls`` in both forms).
     """
     key_cols = [by] if by else []
-    rights = (right.groupBy(*key_cols, on)
-              .agg(F.max(value_col).alias(out_col))
+    rights = (right.select(*key_cols, on,
+                           F.col(value_col).alias(out_col))
               .withColumn("_is_r", F.lit(1)))
     lefts = left.withColumn("_is_r", F.lit(0)) \
                 .withColumn(out_col, F.lit(None).cast(
                     rights.schema[out_col].dataType))
     unioned = lefts.unionByName(rights.select(*key_cols, on, out_col, "_is_r"),
                                 allowMissingColumns=True)
-    # at equal ts the right row must sort BEFORE the left row so the left row
-    # sees it (>= semantics)
+    # at equal ts the right row must sort BEFORE the left row so the left
+    # row sees it (>= semantics); among equal-ts right rows, value ASC
+    # (nulls first) puts the max non-null value last — the pre-agg's
+    # F.max, expressed as sort order
     w = (Window.partitionBy(*(key_cols or [F.lit(1)]))
-         .orderBy(F.col(on).asc(), F.col("_is_r").desc())
+         .orderBy(F.col(on).asc(), F.col("_is_r").desc(),
+                  F.col(out_col).asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
         unioned.withColumn(out_col,

@@ -329,13 +329,19 @@ def customer_order_distribution(spark: SparkSession,
     (shuffle on the tiny distinct-count domain)."""
     cust = tbl(spark, sf_dir, "customer")
     orders = tbl(spark, sf_dir, "orders")
+    # r10: pre-aggregate the fact side BEFORE the join (guide §2.3) — the
+    # old left-outer join shuffled every order row onto custkey and only
+    # then counted; counting first means the exchange carries one row per
+    # (customer with orders) and the join is customer-sized. COUNT(*) of
+    # the filtered orders == COUNT(o_orderkey) through the outer join
+    # (o_orderkey is never NULL in orders; matchless customers take the
+    # COALESCE 0 — the same 0-bucket the null-extended rows produced).
+    ocnt = (orders.filter(F.col("o_orderpriority") != "1-URGENT")
+            .groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.count(F.lit(1)).alias("_n")))
     per_cust = (
-        cust.join(orders,
-                  (F.col("c_custkey") == F.col("o_custkey"))
-                  & (F.col("o_orderpriority") != "1-URGENT"),
-                  "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count")))
+        cust.select("c_custkey").join(ocnt, "c_custkey", "left_outer")
+        .select(F.coalesce("_n", F.lit(0)).alias("c_count")))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
