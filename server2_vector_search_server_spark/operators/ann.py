@@ -840,9 +840,10 @@ def kmeans_lloyd(vectors: DataFrame, init_centroids: DataFrame,
     a narrow argmin projection with ZERO joins) and M-step
     (:func:`kmeans_centroid_step` — one partial-aggregable shuffle of
     k × dim numbers). The driver touches only the k × dim centroid table
-    between iterations; the corpus is scanned once per iteration and never
-    collected — the textbook 100 TB k-means shape (same loop MLlib runs,
-    minus sampling-based init).
+    between iterations; the corpus is materialized once (executor-local
+    checkpoint, r10) and never collected — the textbook 100 TB k-means
+    shape (the same persist-then-iterate loop MLlib runs, minus
+    sampling-based init).
 
     Empty clusters are dropped (a centroid that attracts no vectors has no
     mean); ties in the E-step break to the lowest centroid id. Returns the
@@ -851,6 +852,19 @@ def kmeans_lloyd(vectors: DataFrame, init_centroids: DataFrame,
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # Materialize the training set ONCE (widened to session parallelism —
+    # a single-file local scan arrives as one partition and serializes
+    # the interpreted argmin math onto one core). Each iteration's
+    # centroid collect is a separate driver action, and without a barrier
+    # every action re-derives its E-step from the raw scan: at n_iter=2
+    # the scan ran 3x and the first E-step twice. MLlib's KMeans persists
+    # its norm-augmented input for exactly this reason; localCheckpoint is
+    # the repo's no-persist-leak equivalent (blocks free on GC). Cluster
+    # caveat as elsewhere: executor-local blocks — use a reliable
+    # checkpoint dir under executor churn.
+    from server2_vector_search_server_spark.operators.dedup import _widen
+
+    vectors = _widen(vectors).localCheckpoint(eager=True)
     cent = init_centroids.select(
         F.col(centroid_id_col), F.col(centroid_vec_col))
     assigned = None

@@ -782,11 +782,20 @@ def semantic_dedup(vectors: DataFrame, centroids: DataFrame, *,
     oracle.
 
     Scale shape: assignment is a narrow argmin projection (``ivf_assign`` —
-    zero joins); the candidate join is an equi-join ON ``centroid_id`` whose
-    pair count is Σ(cluster size²), never corpus²; normalization happens
-    once per row and is persisted so Catalyst cannot re-inline the norms
-    into the join condition (the SCALE.md §6 lesson). With k ∝ corpus/1000
-    clusters this is the shape SemDeDup ran at LAION-440M scale.
+    zero joins); the within-cluster prune groups each cluster's members
+    into ONE id-sorted array (collect_list partial-aggregates map-side)
+    and evaluates the lower-id-neighbor predicate IN-ARRAY — an element's
+    verdict scans only the members before it, so the work is exactly the
+    Σ(cluster size²)/2 pair dots the old equi-join form paid, with one
+    exchange and a single lineage instead of a checkpoint + self-join +
+    distinct + back-join (r10: four fewer exchanges, measured below; the
+    adamic_adar in-array pattern). Per-group state is one cluster's
+    vectors — bounded because the SemDeDup design premise (Abbas et al.
+    §3: k ∝ corpus/1000) keeps clusters ~1000 vectors at ANY corpus
+    size; a degenerate quantizer that dumps the corpus into one cell
+    breaks the relational form just as surely (its pair count is the
+    same Σ cluster²). With k ∝ corpus/1000 this is the shape SemDeDup
+    ran at LAION-440M scale.
 
     Returns one row per input vector: (id, centroid_id, is_kept).
     """
@@ -806,35 +815,29 @@ def semantic_dedup(vectors: DataFrame, centroids: DataFrame, *,
     cent_normed = _normalize(
         centroids.select(centroid_id_col, centroid_vec_col),
         centroid_vec_col, centroid_vec_col)
-    # localCheckpoint, not persist: both materialize assignment once (so the
-    # self-join's two branches share it and Catalyst cannot re-inline the
-    # norms into the join condition — the SCALE.md §6 lesson), but a
-    # persist() with no unpersist() pins cached storage in a long-lived
-    # session across repeated calls; checkpoint blocks are freed when the
-    # result is garbage-collected.
     assigned = ivf_assign(normalized, cent_normed, vec_col="_nv",
                           id_col=id_col, centroid_id_col=centroid_id_col,
-                          centroid_vec_col=centroid_vec_col) \
-        .localCheckpoint(eager=True)
-    a = assigned.select(F.col(id_col).alias("_id_a"),
-                        F.col(centroid_id_col).alias("_cid_a"),
-                        F.col("_nv").alias("_n_a"))
-    b = assigned.select(F.col(id_col).alias("_id_b"),
-                        F.col(centroid_id_col).alias("_cid_b"),
-                        F.col("_nv").alias("_n_b"))
-    dropped = (
-        a.join(b, (F.col("_cid_a") == F.col("_cid_b"))
-               & (F.col("_id_a") < F.col("_id_b")))
-        .filter(F.round(dot(F.col("_n_a"), F.col("_n_b")), 6)
-                >= F.lit(float(threshold)))
-        .select(F.col("_id_b").alias(id_col)).distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
-    return (
-        assigned.join(dropped, id_col, "left")
-        .select(F.col(id_col), F.col(centroid_id_col),
-                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"))
-    )
+                          centroid_vec_col=centroid_vec_col)
+    grouped = (assigned.groupBy(centroid_id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("_id"),
+                            F.col("_nv").alias("_nv")))).alias("_ms")))
+    # member j is dropped iff some member before it in the id-sorted array
+    # (exactly the lower ids — ids are unique) has cosine >= threshold;
+    # same dot operand order as the old a-then-b join form
+    verdicts = F.transform(
+        F.col("_ms"),
+        lambda m, j: F.struct(
+            m["_id"].alias("_id"),
+            F.exists(
+                F.slice(F.col("_ms"), F.lit(1), j),
+                lambda a: F.round(dot(a["_nv"], m["_nv"]), 6)
+                >= F.lit(float(threshold))).alias("_dropped")))
+    return (grouped.select(centroid_id_col,
+                           F.explode(verdicts).alias("_v"))
+            .select(F.col("_v._id").alias(id_col),
+                    F.col(centroid_id_col),
+                    (~F.col("_v._dropped")).alias("is_kept")))
 
 
 def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
