@@ -108,6 +108,16 @@ def drop_exact_duplicates(docs: DataFrame, *, text_col: str = "text",
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+def _long_lits(vals) -> Column:
+    """Literal ``array<long>`` built in ONE ``F.expr`` call — the
+    ``F.array(*[F.lit(v).cast("long")...])`` form pays a py4j round trip
+    per element, and the signature builders call this with 62-slot bit
+    tables per plan build (r10: the same driver-side build-time tax
+    ``operators/knn.vector_literal`` documents)."""
+    body = ",".join(f"{int(v)}L" for v in vals)
+    return F.expr(f"array({body})")
+
+
 def minhash_signature(text: Column, *, shingle_n: int = 3,
                       num_perm: int = NUM_PERM) -> Column:
     """MinHash signature (array<long> of length num_perm) over word-shingle
@@ -121,10 +131,10 @@ def minhash_signature(text: Column, *, shingle_n: int = 3,
     Values are identical: same (a·x+b) mod p arithmetic, same empty-doc
     sentinel (the accumulator's initial value)."""
     perms = perm_params(num_perm)
-    lit_a = F.array(*[F.lit(a).cast("long") for a, _ in perms])
-    lit_b = F.array(*[F.lit(b).cast("long") for _, b in perms])
+    lit_a = _long_lits(a for a, _ in perms)
+    lit_b = _long_lits(b for _, b in perms)
     hashes = F.transform(word_shingles(text, shingle_n), token_hash)
-    init = F.array(*[F.lit(MERSENNE31).cast("long")] * num_perm)
+    init = _long_lits([MERSENNE31] * num_perm)
     return F.aggregate(
         hashes, init,
         lambda acc, x: F.transform(
@@ -296,10 +306,9 @@ def simhash(text: Column, *, bits: int = SIMHASH_BITS) -> Column:
     ``p = pow2[i]``."""
     th = F.transform(tokens(text), token_hash)
     # per bit slot: which hash (h1 for 0-30, h2 above) and which power
-    pows = F.array(*[F.lit(1 << (i if i < 31 else i - 31)).cast("long")
-                     for i in range(bits)])
-    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
-    init = F.array(*[F.lit(0).cast("long")] * bits)
+    pows = _long_lits(1 << (i if i < 31 else i - 31) for i in range(bits))
+    weights = _long_lits(1 << i for i in range(bits))
+    init = _long_lits([0] * bits)
 
     def step(acc, h1):
         h2 = (F.lit(SIMHASH_A2).cast("long") * h1

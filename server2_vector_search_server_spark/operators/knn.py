@@ -41,8 +41,19 @@ from server2_vector_search_server_spark.functions.vector import similarity_score
 def vector_literal(vec: Sequence[float]) -> Column:
     """A query vector as a literal array column (broadcast in the plan —
     the Spark analog of the reference embedding the query once driver-side,
-    ``vector_store.py:32``)."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    ``vector_store.py:32``).
+
+    r10: ONE ``F.expr`` call building the whole array on the JVM — the old
+    per-element ``F.lit`` form cost dim+1 py4j round trips per vector
+    (and ``F.lit(list)`` pays the same: pyspark expands it element-wise),
+    and the ANN pillars build dozens of these per query (4 codebooks × 8
+    codewords at PQ alone): profiled 1.3–2.4 s of driver-side plan BUILD
+    time per ``pq_knn`` call, before Spark ever saw the plan. ``repr`` of
+    a Python float is the shortest round-tripping decimal and Spark's
+    ``D``-suffixed literal parses it back to the identical double, so the
+    constant array is value-identical to the per-lit form."""
+    body = ",".join(f"{float(x)!r}D" for x in vec)
+    return F.expr(f"array({body})")
 
 
 def _resolve_k(k: int) -> int:
