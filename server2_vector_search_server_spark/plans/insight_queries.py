@@ -557,12 +557,17 @@ def lineitem_bloom_join_prune(spark: SparkSession,
         (F.col("o_orderpriority") == _BLOOM_PRIORITY)
         & (F.year("o_orderdate") == _BLOOM_YEAR))
         .select("o_orderkey"))
-    bloom = build_bloom(dim.select(
-        F.col("o_orderkey").cast("string").alias("k")), "k")
+    # r10: hash the BIGINT key directly — the old string cast allocated a
+    # string per fact row purely to feed xxhash64 (both sides changed
+    # together, so positions stay consistent; and even a changed FP set
+    # would be invisible: the exact join drops every false positive
+    # one-sidedly). A/B -5%; a pre-probe spread measured +18% (the probe
+    # is codegen'd native hashing — the exchange costs more than it
+    # parallelizes).
+    bloom = build_bloom(dim.select(F.col("o_orderkey").alias("k")), "k")
     li = tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
-    gated = (li.withColumn("_pos", bloom_positions(
-        F.col("l_orderkey").cast("string")))
+    gated = (li.withColumn("_pos", bloom_positions(F.col("l_orderkey")))
         .join(F.broadcast(bloom))
         .filter(bloom_might_contain("_pos", "bloom_words"))
         .drop("_pos", "bloom_words"))
