@@ -375,9 +375,10 @@ def exclusive_prefix_sum(df, *, order_col: str = "doc_id",
 
       1. range-partition by the order key (partitions are globally ordered
          by construction), cumsum locally within each partition;
-      2. per-partition subtotals (``num_partitions`` rows — tiny) come back
-         to the driver, get exclusive-cumsummed, and rejoin as broadcast
-         offsets.
+      2. per-partition subtotals (``num_partitions`` rows — tiny) get
+         exclusive-cumsummed by a bounded in-plan window and rejoin as
+         broadcast offsets (r10: no driver collect; the offsets build
+         rides the final job's broadcast exchange).
 
     Pass 2's state is O(partitions), pass 1 streams — no stage ever holds
     more than one partition's rows. The output is bit-identical to the
@@ -425,17 +426,22 @@ def exclusive_prefix_sum(df, *, order_col: str = "doc_id",
             yield pdf
 
     local = ranged.mapInPandas(_cumsum, schema=out_schema)
-    subtotals = (ranged.groupBy("_pid")
-                 .agg(F.sum(value_col).cast("long").alias("_subtotal"))
-                 .collect())  # bounded: one row per partition
-    running, offsets = 0, {}
-    for row in sorted(subtotals, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = running
-        running += row["_subtotal"] or 0
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()],
-        "_pid int, _offset long")
+    # r10: the per-partition subtotals stay IN-PLAN — the exclusive
+    # cumsum over them is a window on a <= num_partitions-row frame
+    # (bounded by construction, so the single-partition window is fine),
+    # evaluated inside the broadcast build of the final job. The old
+    # form collect()ed them to the driver and re-shipped a
+    # createDataFrame per call: one extra driver-blocking job and two
+    # pickle round trips for the same O(partitions) state.
+    from pyspark.sql import Window
+
+    w_off = (Window.orderBy("_pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = (ranged.groupBy("_pid")
+              .agg(F.sum(value_col).cast("long").alias("_subtotal"))
+              .select("_pid",
+                      F.coalesce(F.sum("_subtotal").over(w_off),
+                                 F.lit(0)).cast("long").alias("_offset")))
     return (local.join(F.broadcast(off_df), "_pid")
             .withColumn(out_col, (F.col("_offset")
                                   + F.col("_local_before")).cast("long"))

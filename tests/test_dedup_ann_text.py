@@ -560,19 +560,30 @@ def test_exclusive_prefix_sum_matches_window(spark):
 
 
 def test_exclusive_prefix_sum_no_global_sort(spark):
-    """The distributed plan must contain NO Window at all (a global-order
-    window = one-reducer sort; a partitionBy(_pid) window = a second
-    full-data hash exchange) — the local cumsum is a partition-local
-    Arrow pass and the offsets arrive by broadcast."""
+    """The distributed plan must contain NO window over the DATA (a
+    global-order window = one-reducer sort; a partitionBy(_pid) window =
+    a second full-data hash exchange) — the local cumsum is a
+    partition-local Arrow pass and the offsets arrive by broadcast.
+    r10: the offsets' own exclusive cumsum IS a window, but over the
+    bounded per-partition SUBTOTAL table (<= num_partitions rows, inside
+    the broadcast build) — every Window node must reference _subtotal,
+    none may touch the value column."""
     df = spark.range(100).select(
         F.col("id").alias("doc_id"), F.lit(3).cast("long").alias("n_tokens"))
     plan = ta.exclusive_prefix_sum(
         df, num_partitions=4)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
-    assert "Window" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("_subtotal" in ln for ln in win_lines), win_lines
+    assert not any("n_tokens" in ln for ln in win_lines), win_lines
     assert "BroadcastHashJoin" in plan
-    # no shuffle after the (checkpointed) range exchange
-    assert "Exchange hashpartitioning" not in plan
+    # no full-data shuffle after the (checkpointed) range exchange: any
+    # hash exchange must be the offsets build's, keyed on _pid (rows
+    # bounded by the partition count)
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert all("_pid" in ln.split("hashpartitioning", 1)[1][:24]
+               for ln in hash_ex), hash_ex
 
 
 def test_pack_sequences_budget_cut(spark):
