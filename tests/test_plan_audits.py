@@ -369,10 +369,16 @@ def test_skyline_rejoins_levels_via_broadcast(spark):
 def test_concurrency_sweep_has_no_global_window(spark):
     plan = _plan(spark, "events_concurrency_sweep")
     # the running sum is the two-pass range-partitioned prefix scan
-    # (mapInPandas + broadcast offsets) — a Window over SinglePartition
-    # would be the one-reducer form this operator exists to avoid
-    assert "Window" not in plan
-    assert "Exchange SinglePartition" not in plan
+    # (mapInPandas + broadcast offsets) — a Window over the DATA would be
+    # the one-reducer form this operator exists to avoid. r10: the
+    # offsets' own exclusive cumsum rides in-plan as a window over the
+    # bounded per-partition _subtotal table (<= num_partitions rows);
+    # every Window node must reference _subtotal and nothing else may
+    # collapse to a single partition
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "prefix-sum offsets window missing"
+    assert all("_subtotal" in ln for ln in win_lines), win_lines
+    assert "MapInPandas" in plan
 
 
 def test_shuffle_shards_window_partitioned_by_shard(spark):
