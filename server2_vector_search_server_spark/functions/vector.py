@@ -45,6 +45,37 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def squared_l2_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of :func:`squared_l2` for hot plan-build sites (r11).
+
+    Each PySpark higher-order-function lambda costs dozens of py4j round
+    trips at DataFrame-BUILD time (the ``_create_lambda`` tax measured in
+    OPTIMIZATION_r10.md: ~26 lambdas ≈ 0.6 s per ``pq_knn`` build); one
+    ``F.expr`` string is a single round trip parsed JVM-side. The text is
+    the same expression tree Catalyst gets from the Column form — same
+    ``CAST AS DOUBLE`` on both operands, same ``(x−y)·(x−y)`` element op,
+    same left fold from a double-literal 0.0 — so results are bitwise
+    identical (asserted in tests/test_knn.py)."""
+    return (f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def squared_l2_py(a, b) -> float:
+    """Driver-side constant fold of :func:`squared_l2` for two Python
+    vectors (r11). Python floats ARE IEEE-754 doubles and the loop applies
+    the identical op order — (a_i − b_i)·(a_i − b_i), left-folded from
+    0.0 — so the result is the bitwise-same double the JVM expression
+    yields, at zero py4j round trips. Used where BOTH operands are plan
+    constants (PQ query→codeword tables)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
 def l2_norm(a: Column) -> Column:
     """‖a‖₂ = sqrt(Σ a_i²)."""
     return F.sqrt(F.aggregate(

@@ -33,8 +33,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from server2_vector_search_server_spark.functions.vector import dot, squared_l2
-from server2_vector_search_server_spark.operators.knn import vector_literal
+from server2_vector_search_server_spark.functions.vector import (
+    dot, squared_l2, squared_l2_py, squared_l2_sql,
+)
+from server2_vector_search_server_spark.operators.knn import (
+    vector_literal, vectors_literal, vectors_literal_sql,
+)
 
 
 # --- tier 2a: sign-LSH (hyperplane) ----------------------------------------
@@ -122,9 +126,13 @@ def codebook_transport(vectors: DataFrame, cent_rows, *,
     cent_ids = [r[centroid_id_col] for r in cent_rows]
     dim = len(cent_rows[0][centroid_vec_col]) if cent_rows else 0
     if len(cent_rows) * dim <= CODEBOOK_LIT_MAX_ELEMENTS:
-        vecs_arr = F.array(*[vector_literal(r[centroid_vec_col])
-                             for r in cent_rows])
-        ids_arr = F.array(*[F.lit(int(c)).cast("long") for c in cent_ids])
+        # r11: both literal arrays in ONE expr parse each — the
+        # per-element/per-vector form cost n_cent·(dim+1) py4j round
+        # trips per plan build (the vector_literal r10 lesson applied to
+        # the nested case; values identical via exact float repr)
+        vecs_arr = vectors_literal([r[centroid_vec_col] for r in cent_rows])
+        ids_arr = F.expr(
+            "array(" + ",".join(f"{int(c)}L" for c in cent_ids) + ")")
         return vectors, vecs_arr, ids_arr
     if not all(isinstance(c, int) for c in cent_ids):
         raise ValueError("codebook_transport expects integer centroid ids "
@@ -547,9 +555,15 @@ def pq_encode(vectors: DataFrame,
     n_sub = len(codebooks)
     sub = len(codebooks[0][0])
     for m, cbook in enumerate(codebooks):
-        slice_m = F.slice(F.col(vec_col), m * sub + 1, sub)
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
-        dists = F.transform(cw_lit, lambda c: squared_l2(c, slice_m))
+        # r11: the whole per-subspace distance table is ONE F.expr parse —
+        # the Column form paid K vector_literal round trips plus 3 HOF
+        # lambdas (~dozens of py4j calls) per subspace at plan-build time.
+        # Identical expression tree: same slice bounds, same squared_l2
+        # cast/op/fold order (functions.vector.squared_l2_sql).
+        slice_sql = f"slice(`{vec_col}`, {m * sub + 1}, {sub})"
+        dists = F.expr(
+            f"transform({vectors_literal_sql(cbook)}, "
+            f"c -> {squared_l2_sql('c', slice_sql)})")
         out = out.withColumn(
             f"pq_code_{m + 1}",
             F.array_position(dists, F.array_min(dists)).cast("int"))
@@ -579,9 +593,13 @@ def pq_knn(
     approx_d2 = F.lit(0.0)
     for m, cbook in enumerate(codebooks):
         q_sub = list(query_vec)[m * sub:(m + 1) * sub]
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
-        qdists = F.transform(cw_lit,
-                             lambda c: squared_l2(c, vector_literal(q_sub)))
+        # r11: the query->codeword distance table is a PLAN CONSTANT
+        # (both operands are driver-side values) - fold it in Python.
+        # squared_l2_py applies the identical IEEE op order, so the
+        # literal doubles are bitwise what the JVM expression computed;
+        # this removes K vector_literal parses + 2 HOF lambdas per
+        # subspace from every plan build.
+        qdists = vector_literal([squared_l2_py(c, q_sub) for c in cbook])
         approx_d2 = approx_d2 + F.element_at(qdists,
                                              F.col(f"pq_code_{m + 1}"))
     cand = (
@@ -637,9 +655,13 @@ def ivf_pq_knn(
     approx_d2 = F.lit(0.0)
     for m, cbook in enumerate(codebooks):
         q_sub = list(query_vec)[m * sub:(m + 1) * sub]
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
-        qdists = F.transform(cw_lit,
-                             lambda c: squared_l2(c, vector_literal(q_sub)))
+        # r11: the query->codeword distance table is a PLAN CONSTANT
+        # (both operands are driver-side values) - fold it in Python.
+        # squared_l2_py applies the identical IEEE op order, so the
+        # literal doubles are bitwise what the JVM expression computed;
+        # this removes K vector_literal parses + 2 HOF lambdas per
+        # subspace from every plan build.
+        qdists = vector_literal([squared_l2_py(c, q_sub) for c in cbook])
         approx_d2 = approx_d2 + F.element_at(qdists,
                                              F.col(f"pq_code_{m + 1}"))
     cand = (
@@ -711,9 +733,13 @@ def ivf_pq_knn_indexed(
     approx_d2 = F.lit(0.0)
     for m, cbook in enumerate(codebooks):
         q_sub = list(query_vec)[m * sub:(m + 1) * sub]
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
-        qdists = F.transform(cw_lit,
-                             lambda c: squared_l2(c, vector_literal(q_sub)))
+        # r11: the query->codeword distance table is a PLAN CONSTANT
+        # (both operands are driver-side values) - fold it in Python.
+        # squared_l2_py applies the identical IEEE op order, so the
+        # literal doubles are bitwise what the JVM expression computed;
+        # this removes K vector_literal parses + 2 HOF lambdas per
+        # subspace from every plan build.
+        qdists = vector_literal([squared_l2_py(c, q_sub) for c in cbook])
         approx_d2 = approx_d2 + F.element_at(qdists,
                                              F.col(f"pq_code_{m + 1}"))
     code_cols = [f"pq_code_{m + 1}" for m in range(n_sub)]
@@ -1143,14 +1169,15 @@ def ivf_pq_residual_knn(
     sub = len(codebooks[0][0])
     approx_d2 = F.lit(0.0)
     for m, cbook in enumerate(codebooks):
-        cw_lit = F.array(*[vector_literal(c) for c in cbook])
         lookup = None
         for c in probes:
             qr = [float(a) - float(b)
                   for a, b in zip(query_vec, c[centroid_vec_col])]
             q_sub = qr[m * sub:(m + 1) * sub]
-            qdists = F.transform(
-                cw_lit, lambda cw: squared_l2(cw, vector_literal(q_sub)))
+            # r11: per-probe constant distance table folded in Python
+            # (same bitwise argument as the pq_knn sites)
+            qdists = vector_literal(
+                [squared_l2_py(cw, q_sub) for cw in cbook])
             hit = F.element_at(qdists, F.col(f"pq_code_{m + 1}"))
             cond = F.col(centroid_id_col) == c[centroid_id_col]
             lookup = (F.when(cond, hit) if lookup is None

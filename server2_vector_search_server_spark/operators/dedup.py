@@ -856,24 +856,25 @@ def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
     pass: drop any line that appears verbatim in >= ``min_docs`` distinct
     documents — headers, footers, cookie banners, nav chrome).
 
-    Distributed shape (r10 single-pass form): posexplode to
-    (doc, line_no, line) — a narrow transform; ONE shuffle groups every
-    occurrence under its trimmed line key and counts distinct docs in the
-    same aggregate; occurrences ride back out of the aggregate with a
-    per-line ``keep`` verdict (no anti-join — the verdict IS the filter);
-    ONE more shuffle reassembles per doc, where kept/total counts fall
-    out of the same aggregate. The previous three-branch form (count →
-    anti-join → totals join) evaluated the line explode three times and
-    planned six scans with zero subtree reuse (plans/r10/
-    dedup_boilerplate_lines_before.txt); this is one scan and two
-    exchanges — the same bytes the anti-join already shuffled. Nothing is
-    quadratic and no driver materialization — the op holds at web-crawl
-    scale, where this exact pass removes ~30% of raw bytes (Raffel et
-    al. 2020, C4). Hot-key note: a viral line in millions of docs makes
-    one (line_key) group carry its occurrence list; the C4 pass caps
-    per-line occurrences upstream at that scale, and AQE skew splitting
-    covers the residual — same valve the anti-join form needed for its
-    join side.
+    Distributed shape (r11 bounded-state form): posexplode to
+    (doc, line_no, line) — a narrow transform; the verdict pass groups by
+    trimmed line key with ``count_distinct(doc)`` ONLY (partial-aggregable,
+    O(1)-bounded state per key) and keeps just the boilerplate keys
+    (``n_docs >= min_docs`` — by definition a small fraction of distinct
+    lines); occurrences get their ``keep`` flag from a left join back on
+    the key, and ONE more shuffle reassembles per doc, where kept/total
+    counts fall out of the same aggregate. The r10 single-pass form
+    instead rode every occurrence *including the line text* through a
+    per-line-key ``collect_list`` — but boilerplate lines by definition
+    appear in huge numbers of documents, so the hottest key built one
+    aggregation group holding every occurrence: AQE cannot split a single
+    aggregate group, and at web-crawl scale a cookie-banner line is a
+    one-task OOM. Here every aggregate has bounded per-key state and the
+    only fan-in is the JOIN probe side, which AQE skew-splitting handles
+    (the verdict side has exactly one row per key). Cost: the line explode
+    is evaluated twice (2 corpus scans, vs 6 in the pre-r10 three-branch
+    form) — a narrow re-scan, not a shuffle. This pass removes ~30% of
+    raw bytes at C4 scale (Raffel et al. 2020).
 
     Empty lines are dropped unconditionally. Returns one row per surviving
     document: (id, text, n_kept, n_removed).
@@ -886,18 +887,15 @@ def remove_boilerplate_lines(docs: DataFrame, *, text_col: str = "text",
         .filter(F.trim("line") != "")
         .withColumn("line_key", F.trim("line"))
     )
-    by_line = (
+    boiler = (
         lines.groupBy("line_key")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"),
-             F.collect_list(F.struct(id_col, "line_no", "line"))
-             .alias("occ"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_key", F.lit(False).alias("_keep"))
     )
-    occ = (by_line
-           .select((F.col("n_docs") < min_docs).alias("keep"),
-                   F.explode("occ").alias("o"))
-           .select("keep", F.col("o." + id_col).alias(id_col),
-                   F.col("o.line_no").alias("line_no"),
-                   F.col("o.line").alias("line")))
+    occ = (lines.join(boiler, "line_key", "left")
+           .select(F.coalesce("_keep", F.lit(True)).alias("keep"),
+                   F.col(id_col), "line_no", "line"))
     # collect_list skips NULLs, so when(keep, struct) collects exactly the
     # surviving lines while COUNT(*) still sees every occurrence
     return (

@@ -63,7 +63,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                 .alias("component"),
                 (F.coalesce("nbr_component", F.col("component"))
                  < F.col("component")).alias("_chg"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
+        # r11: LAZY checkpoint — the count below is the materialization
+        # barrier (it scans every partition through the narrow filter),
+        # so each round pays ONE job instead of eager-then-count's two
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
@@ -135,8 +138,8 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
     bi = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                        F.greatest(F.col(src), F.col(dst)).alias("b"))
           .filter(F.col("a") != F.col("b"))
-          .distinct().localCheckpoint(eager=True))
-    n_edges = bi.count()
+          .distinct().localCheckpoint(eager=False))
+    n_edges = bi.count()      # materializes the lazy checkpoint (r11)
     if max_iter is None:
         max_iter = n_edges + 1
     for round_no in range(max_iter):
@@ -158,8 +161,8 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
                        "a", "left_semi")
                .join(keep.withColumnRenamed("node", "b"),
                      "b", "left_semi")
-               .select("a", "b").localCheckpoint(eager=True))
-        n_next = nxt.count()
+               .select("a", "b").localCheckpoint(eager=False))
+        n_next = nxt.count()  # materialization barrier (r11, one job)
         if n_next == n_edges:
             return nxt
         bi, n_edges = nxt, n_next
@@ -1060,6 +1063,12 @@ def betweenness_centrality(edges: DataFrame, sources: DataFrame, *,
                  .agg(F.sum("sigma").alias("sigma")))
         k = settled.select(F.col("s").alias("_ks"),
                            F.col("node").alias("_kn"))
+        # r11 note: the lazy-checkpoint+count() fusion that pays off in
+        # k_core/connected_components was A/B'd here and REVERTED (+3.2%
+        # at 7 passes, jobs 84→84): isEmpty() on the eagerly-cached RDD
+        # is a take(1) over cached blocks — cheaper than the count
+        # aggregate the fusion substitutes — and the hop count is too
+        # small for the saved materialization job to matter.
         frontier = (grown.join(k, (grown["s"] == k["_ks"])
                                & (grown["node"] == k["_kn"]), "left_anti")
                     .select("s", "node", F.lit(hop).cast("long").alias("d"),

@@ -56,6 +56,21 @@ def vector_literal(vec: Sequence[float]) -> Column:
     return F.expr(f"array({body})")
 
 
+def vectors_literal_sql(vecs: Sequence[Sequence[float]]) -> str:
+    """SQL text for a literal ``array<array<double>>`` (a whole codebook):
+    the nested-array analog of :func:`vector_literal`, emitted as ONE
+    string so a K-codeword book costs one ``F.expr`` parse instead of K+1
+    py4j round trips (r11; same exact-repr round-trip argument)."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")" for v in vecs)
+    return f"array({body})"
+
+
+def vectors_literal(vecs: Sequence[Sequence[float]]) -> Column:
+    """:func:`vectors_literal_sql` as a Column."""
+    return F.expr(vectors_literal_sql(vecs))
+
+
 def _resolve_k(k: int) -> int:
     # reference vector_store.py:141,158 — k == -1 → config SEARCH_K
     return config.SEARCH_K if k == -1 else k

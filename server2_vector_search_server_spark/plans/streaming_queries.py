@@ -158,8 +158,11 @@ def _build_wal(spark: SparkSession, sf_dir: str, wal_dir: str) -> None:
         F.lit(None).cast("array<float>").alias("embedding"))
     wal = v1.unionByName(dels).unionByName(v2).select(
         [f.name for f in WAL_SCHEMA.fields])
-    # several files => several availableNow micro-batches (maxFilesPerTrigger)
-    wal.repartition(8).write.mode("overwrite").parquet(wal_dir)
+    # several files => several availableNow micro-batches: 4 files over
+    # maxFilesPerTrigger=2 replays as TWO batches (r11 — the old 8 files
+    # under trigger=8 collapsed to one batch, testing nothing cross-batch,
+    # while paying double the build-side write/list cost)
+    wal.repartition(4).write.mode("overwrite").parquet(wal_dir)
 
 
 @query(

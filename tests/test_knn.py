@@ -237,3 +237,40 @@ def test_overfetch_rerank_funnel_contract(spark):
     out_full = overfetch_rerank(emb, q, k=2, overfetch=4,
                                 coarse_dim=dim).collect()
     assert [r["vec_id"] for r in out_full] == [0, 1]
+
+
+def test_squared_l2_sql_and_py_twins_bitwise(spark):
+    """r11: the SQL-text and Python constant-fold twins of squared_l2 must
+    be BITWISE identical to the Column form — they replace it at hot ANN
+    plan-build sites purely to cut py4j round trips, never to change a
+    double. Tricky values: non-dyadic decimals, tiny/huge magnitudes,
+    negative zero, float32-boundary, subnormal."""
+    import struct
+
+    from server2_vector_search_server_spark.functions.vector import (
+        squared_l2, squared_l2_py, squared_l2_sql,
+    )
+    from server2_vector_search_server_spark.operators.knn import (
+        vectors_literal,
+    )
+
+    a = [0.1, -1.5e-7, 3.4e38, 1.0 / 3.0, -0.0, 5e-324, 2.0, -1e-200]
+    b = [0.3, 7.7e-8, -3.4e38, 2.0 / 3.0, 0.0, -5e-324, 1.999999, 1e-200]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        squared_l2(F.col("a"), F.col("b")).alias("col_form"),
+        F.expr(squared_l2_sql("a", "b")).alias("sql_form"),
+    ).first()
+    py = squared_l2_py(a, b)
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    assert bits(row["col_form"]) == bits(row["sql_form"])
+    assert bits(row["col_form"]) == bits(py)
+
+    # the nested literal builder round-trips every element exactly
+    got = df.select(vectors_literal([a, b]).alias("v")).first()["v"]
+    assert [bits(x) for x in got[0]] == [bits(x) for x in a]
+    assert [bits(x) for x in got[1]] == [bits(x) for x in b]

@@ -231,6 +231,14 @@ def test_boilerplate_line_count_partial_aggregation(spark):
     # shuffle carries unique (line, doc) pairs, not every exploded row
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+    # r11: the verdict aggregate must carry BOUNDED per-key state — a
+    # per-line-key occurrence collect_list is a one-task OOM on viral
+    # boilerplate lines (AQE cannot split a single aggregate group). The
+    # only collect_list allowed is the per-doc reassembly, recognizable
+    # by its keep-flag CASE.
+    for ln in plan.splitlines():
+        if "collect_list" in ln:
+            assert "keep#" in ln, f"unbounded collect_list: {ln[:120]}"
 
 
 def test_kmeans_lloyd_no_joins_in_assignment(spark):

@@ -68,6 +68,34 @@ def test_wal_checkpoint_restart_consumes_only_new_files(spark, tmp_path):
     assert state == {"b": "b-v1"}
 
 
+def test_wal_replay_spans_multiple_micro_batches(spark, tmp_path):
+    """r11 pin (VERDICT r10 #9): a multi-file WAL must replay across >= 2
+    micro-batches so the cross-batch last-write-wins ordering is actually
+    exercised — with maxFilesPerTrigger >= file count the stream collapses
+    to one batch and certifies nothing about batch boundaries. Each
+    committed micro-batch leaves one offsets file in the checkpoint."""
+    wal_dir = str(tmp_path / "wal")
+    # four single-row files (one per seq) — ops that only merge correctly
+    # if later batches overwrite earlier state
+    for seq, op, cid, content in [
+        (1, OP_UPSERT, "a", "a-v1"),
+        (2, OP_UPSERT, "b", "b-v1"),
+        (3, OP_DELETE, "a", None),
+        (4, OP_UPSERT, "b", "b-v2"),
+    ]:
+        _write_wal(spark, wal_dir, [(seq, op, cid, content)], mode="append")
+    ckpt = str(tmp_path / "ckpt")
+    log = WalLog(spark, str(tmp_path / "store"))
+    q = start_wal_stream(spark, wal_dir, log, ckpt)
+    q.awaitTermination()
+    offsets = [f for f in os.listdir(os.path.join(ckpt, "offsets"))
+               if not f.startswith(".")]
+    assert len(offsets) >= 2, f"expected >=2 micro-batches, got {offsets}"
+    state = {r["chunk_id"]: r["content"]
+             for r in log.current_state().collect()}
+    assert state == {"b": "b-v2"}
+
+
 def test_wal_compact_preserves_state(spark, tmp_path):
     wal_dir = str(tmp_path / "wal")
     _write_wal(spark, wal_dir, [
