@@ -383,10 +383,23 @@ def _sql_cosine_lsh(n: int, threshold: float,
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str, n: int,
                threshold: float, bits: int = _LSH_BITS) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = tbl(spark, sf_dir, "embeddings")
-    planes = [r["embedding"] for r in
-              emb.filter(F.col("vec_id") < _LSH_TABLES * bits)
-              .orderBy("vec_id").collect()]     # bounded: tables*bits rows
+    # r11: hyperplanes stay IN-PLAN as the bounded (plane_idx, plane)
+    # frame (<= tables*bits rows; the row_number window is over that
+    # bounded set only) — the old collect()+list comprehension cost one
+    # driver-blocking job plus two pickle round trips per call, for rows
+    # the broadcast build was going to ship right back (VERDICT r10 #4).
+    # plane_idx = position in vec_id order, exactly the old enumerate().
+    planes = (emb.filter(F.col("vec_id") < _LSH_TABLES * bits)
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                      .alias("plane"))
+              .withColumn("plane_idx",
+                          (F.row_number().over(Window.orderBy("vec_id"))
+                           - 1).cast("int"))
+              .select("plane_idx", "plane"))
     base = emb.filter(F.col("vec_id") < n).select("vec_id", "embedding")
     both = base.select(
         F.explode(F.array(F.col("vec_id"),

@@ -6,6 +6,8 @@ segment (``chroma.sqlite3`` collection config: batch_size=100)."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -35,6 +37,7 @@ def _index_files(index_path):
     return set(glob.glob(os.path.join(index_path, "*", "*", "*.parquet")))
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_streamed_index_matches_batch_build_and_search(spark, tables,
                                                        tmp_path):
     emb, centroids, books = _fixtures(tables)

@@ -105,6 +105,7 @@ def test_simhash_segments_cover_all_bits(spark):
         assert acc == r["sh"]
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_ngram_jaccard(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
@@ -112,6 +113,7 @@ def test_ngram_jaccard(docs):
     assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_prefix_filter_exact_at_nonbinary_threshold(spark):
     """Non-binary threshold regression: at t=0.07, |A|=100 the IEEE double
     product 0.07*100 = 7.000000000000001 overshoots the exact 7, so a naive
@@ -912,6 +914,7 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
                    "th et"]
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_bpe_merge_matches_reference_on_random_symbol_strings(spark):
     # 200 seeded-random symbol strings x random pairs, all checked in ONE
     # Spark job against a Python reference of greedy leftmost

@@ -122,6 +122,7 @@ def test_documents_ui_rollup(engine):
         assert r["n_chunks"] == len(r["chunk_ids"]) >= 1
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_collection_search_partition_prunes(engine):
     """A specific-collection search must prune to that collection's
     partition directories at the SCAN (PartitionFilters), not filter
@@ -140,6 +141,7 @@ def test_collection_search_partition_prunes(engine):
         assert "isnotnull(collection" not in head
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_custom_embedder_searches_with_matching_vectors(spark, tmp_path):
     """ADVICE r02: an engine built with a custom embedder must embed QUERIES
     through that same embedder. Regression: embed_query hardcoded the hash
@@ -168,6 +170,7 @@ def test_custom_embedder_searches_with_matching_vectors(spark, tmp_path):
     assert top[0]["score"] > 0.999
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_engine_runs_on_snapshot_backend(spark, tmp_path):
     """The six-endpoint facade runs unchanged on the snapshot-isolated
     store: upload → search_score → exists → delete (a version commit, not

@@ -29,6 +29,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 _FAKE_SENTENCE_TRANSFORMERS = '''\
@@ -331,6 +333,7 @@ print("ALL-OK")
 '''
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_gated_branches_run_under_fake_modules(tmp_path):
     fakes = tmp_path / "fakes"
     fakes.mkdir()

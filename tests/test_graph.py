@@ -57,6 +57,7 @@ def _cc_star(spark, pairs):
     return {r["node"]: r["component"] for r in rows}
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_star_matches_label_prop_on_random_graphs(spark):
     """Equivalence against the label-propagation implementation on several
     seeded random graphs (the two algorithms share only the contract)."""
@@ -207,6 +208,7 @@ def test_label_propagation_branches_identical(spark, tables):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_argument_guards_raise_clear_errors(spark):
     """ADVICE r5: empty PPR seed sets, zero-iteration HITS, and an
     over-budget exact knn_graph must fail loudly at the API boundary,
@@ -273,6 +275,7 @@ def test_k_core_deep_peeling_chain_terminates(spark):
         k_core(edges, 2, max_iter=3)       # explicit cap still enforced
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_k_core_degree_state_equivalence(spark):
     """SCALE §61.1: the node-state peel (static adjacency + per-round
     degree decrements) must return EXACTLY the edge-set of the

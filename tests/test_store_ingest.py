@@ -98,6 +98,7 @@ def test_upsert_replaces_existing_chunks(spark, store):
     assert after_beta == before_beta
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_upsert_cross_collection_cascade(spark, store):
     """Upsert removes the doc's chunks in OTHER collections too (the same
     scope as delete's cascade) — no orphaned stale copy under master."""
@@ -176,6 +177,7 @@ def test_invalid_collection_rejected(spark, store):
         _ingest(spark, store, collection="not_a_collection")
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_store_compact_reduces_files_preserves_rows(spark, tmp_path):
     """Many small appends fragment the store; compact() folds them into a
     bounded file count with identical content."""

@@ -3,6 +3,8 @@ custom stateful operator (SURVEY.md §2.I)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -45,6 +47,7 @@ def test_wal_last_write_wins_and_tombstones(spark, tmp_path):
     assert state == {"a": "a-v2", "c": "c-v1"}
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_wal_checkpoint_restart_consumes_only_new_files(spark, tmp_path):
     wal_dir = str(tmp_path / "wal")
     ckpt = str(tmp_path / "ckpt")
@@ -115,6 +118,7 @@ def test_wal_compact_preserves_state(spark, tmp_path):
     assert before == after == [("b", "b-v1")]
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_running_user_totals_stateful(spark, tmp_path):
     """applyInPandasWithState across micro-batches: two file deliveries, state
     carries between triggers, final emission equals the batch aggregate."""
@@ -171,6 +175,7 @@ def test_session_window_end_is_last_event_plus_gap(spark):
     ]
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_streaming_document_ingest_dedup_gate(spark, tmp_path):
     """Document stream -> foreachBatch full ingest pipeline: the global
     dedup gate skips names already stored by earlier micro-batches, and
@@ -211,6 +216,7 @@ def test_streaming_document_ingest_dedup_gate(spark, tmp_path):
     assert store.read("collection_b").select("doc_name").distinct().count() == 1
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_streaming_ingest_gate_across_in_flight_batches(spark, tmp_path):
     """maxFilesPerTrigger=1 forces one file per micro-batch inside a SINGLE
     stream run: batch 2's redelivered name must hit the gate against batch
@@ -504,6 +510,7 @@ def test_running_totals_tws_error_propagates():
     assert proc._totals.get() == (2, 400)
 
 
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_fuzzy_dedup_stream_replay_is_idempotent(spark, tmp_path):
     """Full replay against existing state/kept dirs (checkpoint wiped) must
     converge to the same kept set: per-batch dynamic partition overwrite

@@ -4,6 +4,8 @@ test_oracle_parity via events_asof_join / events_range_join_counts."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.operators.temporal import (
@@ -91,6 +93,7 @@ _EVENT = st.tuples(st.integers(0, 2),          # key
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(lefts=st.lists(_EVENT, min_size=1, max_size=12),
        rights=st.lists(_EVENT, min_size=0, max_size=12))
+@pytest.mark.slow  # r11: driver-window tier, see OPTIMIZATION_r11.md
 def test_asof_join_matches_bruteforce(spark, lefts, rights):
     """asof_join == per-row brute force: max value among right rows at the
     latest right ts <= left ts for the same key."""
