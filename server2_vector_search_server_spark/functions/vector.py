@@ -62,6 +62,15 @@ def squared_l2_sql(a_sql: str, b_sql: str) -> str:
             f"0.0D, (acc, x) -> acc + x)")
 
 
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-text twin of :func:`dot` (same CAST/op/fold order; see
+    :func:`squared_l2_sql` for the rationale and the bitwise argument —
+    IEEE multiplication is commutative, so operand order is free)."""
+    return (f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
 def squared_l2_py(a, b) -> float:
     """Driver-side constant fold of :func:`squared_l2` for two Python
     vectors (r11). Python floats ARE IEEE-754 doubles and the loop applies

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from server2_vector_search_server_spark.functions.vector import (
-    dot, squared_l2, squared_l2_py, squared_l2_sql,
+    dot, dot_sql, squared_l2, squared_l2_py, squared_l2_sql,
 )
 from server2_vector_search_server_spark.operators.knn import (
     vector_literal, vectors_literal, vectors_literal_sql,
@@ -43,14 +43,23 @@ from server2_vector_search_server_spark.operators.knn import (
 
 # --- tier 2a: sign-LSH (hyperplane) ----------------------------------------
 
-def hyperplane_bucket(vec: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
-    """Bucket id = Σ (dot(vec, hᵢ) > 0) << i over fixed hyperplanes."""
-    out = F.lit(0).cast("long")
-    for i, h in enumerate(hyperplanes):
-        bit = F.when(dot(vec, vector_literal(h)) > 0,
-                     F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = out + bit
-    return out
+def hyperplane_bucket(vec_col: str,
+                      hyperplanes: Sequence[Sequence[float]]) -> Column:
+    """Bucket id = Σ (dot(vec, hᵢ) > 0) << i over fixed hyperplanes.
+
+    r11: ONE ``F.expr`` — the per-plane Column loop paid ~40 py4j round
+    trips per hyperplane at plan-build time (dot's two HOF lambdas plus
+    the literal array). Same arithmetic: IEEE multiply commutes, the
+    integer bit-weight sum folds in the same plane order, and the
+    codegen'd per-row work is identical.
+    """
+    planes_sql = vectors_literal_sql(hyperplanes)
+    weights = ",".join(f"{1 << i}L" for i in range(len(hyperplanes)))
+    return F.expr(
+        f"aggregate(zip_with({planes_sql}, array({weights}), "
+        f"(h, w) -> if({dot_sql('h', f'`{vec_col}`')} > 0, w, "
+        f"CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (bacc, bx) -> bacc + bx)")
 
 
 def hyperplane_knn(
@@ -87,7 +96,7 @@ def hyperplane_knn(
     for _, i in sorted(margins)[:n_probe_flips]:
         probes.append(qbits ^ (1 << i))
     bucketed = corpus.withColumn(
-        "bucket", hyperplane_bucket(F.col(vec_col), hyperplanes))
+        "bucket", hyperplane_bucket(vec_col, hyperplanes))
     scored = (
         bucketed.filter(F.col("bucket").isin(probes))
         .withColumn("score", F.round(
