@@ -515,8 +515,18 @@ def dedup_shingle_containment(spark: SparkSession,
           .select("doc_id", F.explode("gs").alias("g"))
           .distinct()
           .localCheckpoint(eager=True))
-    df_ = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    rare = (sh.join(df_.filter(F.col("df") <= _CT_DF_CAP), "g")
+    # r11 stage fusion: per-shingle df as a WINDOW over g — one exchange
+    # produces the filtered rare set directly, where the old aggregate +
+    # join-back form paid the agg's partial/final exchange AND re-exchanged
+    # sh onto g for the join. Window groups are df-sized (bounded by the
+    # corpus; the filter keeps only df <= cap anyway), and the window's
+    # hash(g) output partitioning feeds the rare self-join on g with NO
+    # further exchange on either side. Same df per row, same rare set.
+    from pyspark.sql import Window
+
+    rare = (sh.withColumn("df", F.count(F.lit(1))
+                          .over(Window.partitionBy("g")))
+            .filter(F.col("df") <= _CT_DF_CAP)
             .select("doc_id", "g"))
     ra = rare.select(F.col("doc_id").alias("doc_a"), "g")
     rb = rare.select(F.col("doc_id").alias("doc_b"), "g")
