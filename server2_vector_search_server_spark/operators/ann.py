@@ -154,6 +154,32 @@ def codebook_transport(vectors: DataFrame, cent_rows, *,
     return paired, F.col("_cb_vecs"), F.col("_cb_ids")
 
 
+def codebook_transport_sql(vectors: DataFrame, cent_rows, *,
+                           centroid_id_col: str = "centroid_id",
+                           centroid_vec_col: str = "centroid"):
+    """:func:`codebook_transport` returning SQL TEXT for the two codebook
+    arrays instead of Columns (r11): hot callers build their whole
+    distance/ranking expression as ONE ``F.expr`` parse, where the Column
+    form paid 2-3 HOF lambdas (~40 py4j round trips each) per call site.
+    Same size-based transport split, same values either way."""
+    cent_ids = [r[centroid_id_col] for r in cent_rows]
+    dim = len(cent_rows[0][centroid_vec_col]) if cent_rows else 0
+    if len(cent_rows) * dim <= CODEBOOK_LIT_MAX_ELEMENTS:
+        vecs_sql = vectors_literal_sql(
+            [r[centroid_vec_col] for r in cent_rows])
+        ids_sql = "array(" + ",".join(f"{int(c)}L" for c in cent_ids) + ")"
+        return vectors, vecs_sql, ids_sql
+    if not all(isinstance(c, int) for c in cent_ids):
+        raise ValueError("codebook_transport expects integer centroid ids "
+                         f"(got {type(cent_ids[0]).__name__})")
+    cb = vectors.sparkSession.createDataFrame(
+        [(list(map(int, cent_ids)),
+          [[float(x) for x in r[centroid_vec_col]] for r in cent_rows])],
+        "_cb_ids array<bigint>, _cb_vecs array<array<double>>")
+    paired = vectors.crossJoin(F.broadcast(cb))
+    return paired, "_cb_vecs", "_cb_ids"
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                vec_col: str = "embedding", id_col: str = "vec_id",
                centroid_id_col: str = "centroid_id",
@@ -172,13 +198,17 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
     distances (array_min over (d, cid) structs, rows sorted by id)."""
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    paired, vecs_arr, ids_arr = codebook_transport(
+    paired, vecs_sql, ids_sql = codebook_transport_sql(
         vectors, cent_rows, centroid_id_col=centroid_id_col,
         centroid_vec_col=centroid_vec_col)
-    dists = F.transform(vecs_arr, lambda c: squared_l2(c, F.col(vec_col)))
-    best = F.array_min(F.zip_with(
-        dists, ids_arr,
-        lambda d, i: F.struct(d.alias("d"), i.alias("cid"))))["cid"]
+    # r11: the whole argmin projection is ONE expr parse (same tree the
+    # Column form built: transform -> squared_l2 -> zip_with named
+    # struct -> array_min -> field access; ~120 py4j round trips saved
+    # per call, and kmeans_lloyd calls this every iteration)
+    best = F.expr(
+        f"array_min(zip_with(transform({vecs_sql}, "
+        f"c -> {squared_l2_sql('c', f'`{vec_col}`')}), {ids_sql}, "
+        f"(d, i) -> named_struct('d', d, 'cid', i))).cid")
     out = paired.withColumn(centroid_id_col, best)
     return out.drop("_cb_ids", "_cb_vecs") if paired is not vectors else out
 
@@ -948,16 +978,16 @@ def ivf_knn_batch(
 
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    q_paired, cb_vecs, cb_ids = codebook_transport(
+    q_paired, cb_vecs_sql, cb_ids_sql = codebook_transport_sql(
         queries, cent_rows, centroid_id_col=centroid_id_col,
         centroid_vec_col=centroid_vec_col)
-    ranked = F.array_sort(
-        F.zip_with(
-            F.transform(cb_vecs,
-                        lambda c: F.round(squared_l2(c, F.col(query_vec_col)),
-                                          score_decimals)),
-            cb_ids,
-            lambda d, cid: F.struct(d.alias("d"), cid.alias("cid"))))
+    # r11: one expr parse for the per-query cell ranking (same tree as
+    # the Column form; round/array_sort semantics unchanged)
+    ranked = F.expr(
+        f"array_sort(zip_with(transform({cb_vecs_sql}, "
+        f"c -> round({squared_l2_sql('c', f'`{query_vec_col}`')}, "
+        f"{score_decimals})), {cb_ids_sql}, "
+        f"(d, cid) -> named_struct('d', d, 'cid', cid)))")
     probes = (
         q_paired.select(
             query_id_col, query_vec_col,
@@ -1009,16 +1039,16 @@ def ivf_knn_batch_indexed(
 
     cent_rows = sorted(centroids.collect(),
                        key=lambda r: r[centroid_id_col])
-    q_paired, cb_vecs, cb_ids = codebook_transport(
+    q_paired, cb_vecs_sql, cb_ids_sql = codebook_transport_sql(
         queries, cent_rows, centroid_id_col=centroid_id_col,
         centroid_vec_col=centroid_vec_col)
-    ranked = F.array_sort(
-        F.zip_with(
-            F.transform(cb_vecs,
-                        lambda c: F.round(squared_l2(c, F.col(query_vec_col)),
-                                          score_decimals)),
-            cb_ids,
-            lambda d, cid: F.struct(d.alias("d"), cid.alias("cid"))))
+    # r11: one expr parse for the per-query cell ranking (same tree as
+    # the Column form; round/array_sort semantics unchanged)
+    ranked = F.expr(
+        f"array_sort(zip_with(transform({cb_vecs_sql}, "
+        f"c -> round({squared_l2_sql('c', f'`{query_vec_col}`')}, "
+        f"{score_decimals})), {cb_ids_sql}, "
+        f"(d, cid) -> named_struct('d', d, 'cid', cid)))")
     probes = (
         q_paired.select(
             query_id_col, query_vec_col,
